@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oracle-parity helpers (SURVEY.md §5.3).
+  *
+  * Spark's `round(double, n)` routes through `BigDecimal.valueOf`, i.e. the
+  * double's shortest decimal string — so a computed value whose true decimal
+  * expansion is 19570.81499… but prints as "19570.815" rounds UP. DuckDB
+  * rounds the raw double (std::round on the scaled value) and gets .81.
+  * `dround` reproduces DuckDB's semantics on the identical IEEE input double:
+  * sign(x) * floor(|x|*10^n + 0.5) / 10^n — verified cell-exact against
+  * DuckDB on all computed lineitem/customer doubles at sf0.01.
+  *
+  * Use `dround` for any *computed* double (products, divisions, powers);
+  * plain `round` is fine for doubles that are already n-decimal in the data
+  * (round is then the identity) and for post-aggregation values already
+  * verified green.
+  */
+object Parity {
+
+  /** DuckDB-compatible half-away-from-zero round of a double to `n` places. */
+  def dround(c: Column, n: Int): Column = {
+    val p = math.pow(10.0, n)
+    val pos = floor(c * p + lit(0.5)) / p
+    val neg = -(floor(-c * p + lit(0.5)) / p)
+    when(c >= 0, pos).otherwise(neg)
+  }
+}

@@ -1,0 +1,511 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Parity.dround
+import graft.sources.Tables
+
+/** Phase 0/1 relational core (SURVEY.md §7 phases 0–1).
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame`, built on the
+  * declarative DataFrame API so Catalyst gets predicate pushdown, column
+  * pruning and join selection for free (SURVEY.md §4). Parity discipline
+  * (SURVEY.md §5.3): total ORDER BY, `round(double, 2)`, timestamps cast to
+  * date/epoch-seconds, aliases identical to the oracle SQL.
+  *
+  * Scale notes are per-query in the Scaladoc: these run on sf0.01 for the
+  * oracle but are written for a 1000-executor cluster over ~100 TB.
+  */
+object Relational {
+
+  /** revenue term used across TPC-H-shaped queries */
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---------------------------------------------------------------- q_agg_basic
+  /** TPC-H Q1 shape: scan → filter → project → hash agg → sort.
+    * Scale: partial (map-side) aggregation on 5×2 grouping keys means the
+    * shuffle carries one row per (flag, status) per task — O(groups), not
+    * O(rows); survives any scale-up. */
+  private def aggBasic(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(rev), 2).as("sum_disc_price"),
+        round(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val aggBasicSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 2) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------- q_scan_project
+  /** Narrow scan + projection with arithmetic (ref R1 →
+    * `/root/reference/src/handlers.py:69`). Column pruning: only 6 of 11
+    * lineitem columns are read (check ReadSchema in explain). Shuffle-free
+    * except the final sort. */
+  private def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        dround(rev, 2).as("revenue"),
+        dround(rev * (lit(1.0) + col("l_tax")), 2).as("charge"),
+        dround(col("l_extendedprice") / col("l_quantity"), 2).as("unit_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"),
+        col("charge"), col("unit_price"))
+
+  private val scanProjectSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+      |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+      |  round(l_extendedprice / l_quantity, 2) AS unit_price
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, revenue, charge, unit_price""".stripMargin
+
+  // -------------------------------------------------------------- q_filter_pred
+  /** Compound predicates: AND/OR/NOT, IN, BETWEEN, null-safe equality, date
+    * range (ref R6 numeric-check reject `src/handlers.py:82-83`, R26 edge
+    * pre-filter `serverless.core.yml:42`). All predicates sit directly on scan
+    * columns → Catalyst pushes them into the parquet reader (PushedFilters). */
+  private def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        (col("l_returnflag").isin("A", "R") || col("l_quantity").between(10, 20)) &&
+        !(col("l_linestatus") === "F" && (col("l_discount") <=> lit(0.0))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), round(col("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("qty"))
+
+  private val filterPredSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |  round(l_quantity, 2) AS qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND (l_returnflag IN ('A', 'R') OR l_quantity BETWEEN 10 AND 20)
+      |  AND NOT (l_linestatus = 'F' AND l_discount IS NOT DISTINCT FROM 0.0)
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, qty""".stripMargin
+
+  // --------------------------------------------------------------- q_sort_limit
+  /** Multi-key sort with explicit null ordering + limit (top-k). Scale: Spark
+    * plans orderBy+limit as TakeOrderedAndProject — each task keeps a k-row
+    * heap, driver merges k×tasks rows; no full sort, no full shuffle. */
+  private def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("status_np").asc_nulls_first, col("price").desc,
+        col("o_orderkey").asc)
+      .limit(100)
+
+  private val sortLimitSql =
+    """SELECT o_orderkey, o_custkey,
+      |  nullif(o_orderstatus, 'P') AS status_np,
+      |  round(o_totalprice, 2) AS price
+      |FROM orders
+      |ORDER BY status_np ASC NULLS FIRST, price DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- q_join_inner
+  /** Equi inner hash join — the set-at-a-time form of the reference's per-row
+    * enrichment lookup (R12, `/root/reference/common/aws_utils/ssm.py:46-73`).
+    * Scale: both sides shuffle on the key unless one is broadcast-able; at
+    * 100 TB orders⋈customer co-partitioned/bucketed on custkey avoids the
+    * shuffle entirely. */
+  private def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+
+  private val joinInnerSql =
+    """SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+      |  round(o_totalprice, 2) AS price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- q_join_broadcast
+  /** Explicit broadcast of the small dim (R12/R13 cached side-input —
+    * `ssm.py:7`). `broadcast(part)` ships the dim to every executor once:
+    * no shuffle of the 100 TB fact side, identical to the reference's
+    * warm-container SSM cache amortization. */
+  private def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+        col("p_brand"), round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
+        col("p_name"))
+
+  private val joinBroadcastSql =
+    """SELECT l_orderkey, l_linenumber, p_name, p_brand,
+      |  round(l_extendedprice, 2) AS price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#1'
+      |ORDER BY l_orderkey, l_linenumber, price, p_name""".stripMargin
+
+  // --------------------------------------------------------------- q_join_multi
+  /** TPC-H Q5-shaped 5-way join chain: lineitem⋈orders⋈customer⋈nation⋈region.
+    * Scale: nation/region broadcast (tiny), customer broadcast at small SF /
+    * shuffled at 100 TB; AQE re-plans join strategy from runtime sizes.
+    * Filters on region + order date reach the scans before any join. */
+  private def joinMulti(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val joinMultiSql =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --------------------------------------------------------------- q_join_outer
+  /** Outer joins with null handling (ref R22 fallback-on-missing,
+    * `src/handlers.py:37-42`). Branch 'left': every customer kept, zero-count
+    * for order-less customers. Branch 'full': both-sided unmatched rows with
+    * coalesced keys. */
+  private def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val leftBr = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n"))
+      .select(lit("left").as("branch"), col("c_custkey").as("custkey"),
+        col("c_name").as("name"), col("n"))
+    val agg = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val rich = customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val fullBr = rich
+      .join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(lit("full").as("branch"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("(no customer)")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n"))
+    leftBr.unionByName(fullBr).orderBy(col("branch"), col("custkey"))
+  }
+
+  private val joinOuterSql =
+    """SELECT * FROM (
+      |  SELECT 'left' AS branch, c_custkey AS custkey, c_name AS name,
+      |    count(o_orderkey) AS n
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey, c_name
+      |  UNION ALL
+      |  SELECT 'full' AS branch,
+      |    coalesce(c_custkey, o_custkey) AS custkey,
+      |    coalesce(c_name, '(no customer)') AS name,
+      |    coalesce(n_orders, 0) AS n
+      |  FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) rich
+      |  FULL OUTER JOIN
+      |    (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) agg
+      |  ON c_custkey = o_custkey
+      |)
+      |ORDER BY branch, custkey""".stripMargin
+
+  // ----------------------------------------------------------- q_join_semi_anti
+  /** Semi/anti join — the set-at-a-time good/bad record split (ref R19 error
+    * routing, `api_gateway.py:99-123`). Scale: semi/anti joins shuffle only
+    * the keys of the probe side; Spark plans them without materializing the
+    * payload of the build side. */
+  private def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val orderKeys = Tables.orders(s, d).select(col("o_custkey"))
+    val semi = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("branch"), col("c_custkey"), col("c_name"))
+    val anti = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("branch"), col("c_custkey"), col("c_name"))
+    semi.unionByName(anti).orderBy(col("branch"), col("c_custkey"))
+  }
+
+  private val joinSemiAntiSql =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS branch, c_custkey, c_name FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'no_orders' AS branch, c_custkey, c_name FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |)
+      |ORDER BY branch, c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- q_agg_distinct
+  /** Distinct aggregation: count(distinct) + sum(distinct) per group. Scale:
+    * Spark expands distinct aggs into a two-phase plan (partial distinct per
+    * key, then merge); for approximate cardinality at 100 TB prefer
+    * `approx_count_distinct` (HLL, no second shuffle). */
+  private def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum_distinct(col("value")), 2).as("sum_distinct_value"))
+      .orderBy(col("event_type"))
+
+  private val aggDistinctSql =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  round(sum(DISTINCT "value"), 2) AS sum_distinct_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------- q_agg_rollup_cube
+  /** Grouping sets via CUBE + grouping() bitmask; deterministic null ordering
+    * in the sort key (SURVEY.md §5.3). gid built as grouping(a)*2+grouping(b)
+    * in both engines rather than grouping_id() — DuckDB's GROUPING takes one
+    * column. */
+  private def aggRollupCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val aggRollupCubeSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q_agg_having
+  /** Post-aggregation filter (HAVING). Catalyst keeps the filter above the
+    * agg — it cannot push through — but partial aggregation still bounds the
+    * shuffle at O(groups). */
+  private def aggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .where(col("n") > 100)
+      .orderBy(col("event_type"))
+
+  private val aggHavingSql =
+    """SELECT event_type, count(*) AS n, round(avg("value"), 2) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |HAVING count(*) > 100
+      |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------ q_set_ops
+  /** union / intersect / except on projected keys, tagged per branch.
+    * Scale: INTERSECT/EXCEPT plan as aggregations+joins on the projected key
+    * only — project before the set op so the shuffle carries just the key. */
+  private def setOps(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val a = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = a.intersect(b).select(lit("both").as("branch"), col("o_custkey"))
+    val onlyA = a.except(b).select(lit("only_f").as("branch"), col("o_custkey"))
+    val either = a.union(b).distinct()
+      .select(lit("either").as("branch"), col("o_custkey"))
+    both.unionByName(onlyA).unionByName(either)
+      .orderBy(col("branch"), col("o_custkey"))
+  }
+
+  private val setOpsSql =
+    """SELECT * FROM (
+      |  SELECT 'both' AS branch, o_custkey FROM
+      |    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'only_f' AS branch, o_custkey FROM
+      |    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |     EXCEPT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'either' AS branch, o_custkey FROM
+      |    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |     UNION
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |)
+      |ORDER BY branch, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q_cast_norm
+  /** Cast normalization chains (ref R20 `str(int(code))`,
+    * `api_gateway.py:95`): string↔int round-trip, double→cents bigint (round
+    * first — Spark truncates double→int, DuckDB rounds, so never cast raw
+    * doubles to ints), timestamp→date, date_trunc to month. */
+  private def castNorm(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        concat(lit("00"), col("o_orderkey").cast("string")).cast("bigint").as("key_roundtrip"),
+        round(col("o_totalprice") * 100, 0).cast("bigint").as("price_cents"),
+        col("o_orderdate").cast("date").as("order_date"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        (col("o_orderkey") % 100).cast("double").as("key_mod_dbl"))
+      .orderBy(col("o_orderkey"))
+
+  private val castNormSql =
+    """SELECT o_orderkey,
+      |  CAST('00' || CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  CAST(o_orderkey % 100 AS DOUBLE) AS key_mod_dbl
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- q_datetime
+  /** Date/time function family on o_orderdate: parts, date_add, datediff,
+    * epoch seconds, week truncation. DuckDB `epoch()` returns fractional
+    * seconds → floor+cast both sides. */
+  private def datetimeFns(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+      .orderBy(col("o_orderkey"))
+
+  private val datetimeSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- q_math_fns
+  /** Math scalar functions. floor/ceil cast to BIGINT both sides (Spark
+    * returns LONG, DuckDB DOUBLE); pmod spelled ((a % b) + b) % b for DuckDB. */
+  private def mathFns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        round(col("c_acctbal"), 1).as("bal_r1"),
+        floor(col("c_acctbal")).as("bal_floor"),
+        ceil(col("c_acctbal")).as("bal_ceil"),
+        round(abs(col("c_acctbal")), 2).as("bal_abs"),
+        round(pow(col("c_acctbal") / 1000.0, 2), 2).as("bal_pow"),
+        round(sqrt(abs(col("c_acctbal"))), 2).as("bal_sqrt"),
+        pmod(col("c_custkey"), lit(7)).as("key_pmod"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_pos"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap"))
+      .orderBy(col("c_custkey"))
+
+  private val mathFnsSql =
+    """SELECT c_custkey,
+      |  round(c_acctbal, 1) AS bal_r1,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+      |  round(abs(c_acctbal), 2) AS bal_abs,
+      |  round(pow(c_acctbal / 1000.0, 2), 2) AS bal_pow,
+      |  round(sqrt(abs(c_acctbal)), 2) AS bal_sqrt,
+      |  ((c_custkey % 7) + 7) % 7 AS key_pmod,
+      |  round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+      |  round(least(c_acctbal, 1000.0), 2) AS bal_cap
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q_string_fns
+  /** String scalar functions (ref R9 interpolation `src/handlers.py:85`):
+    * concat, printf-style format, case, substring, trim, length, lpad. */
+  private def stringFns(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_name")).as("brand_name"),
+        format_string("Hello, %s!", col("p_name")).as("greeting"),
+        upper(col("p_type")).as("type_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        trim(col("p_name")).as("name_trim"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+      .orderBy(col("p_partkey"))
+
+  private val stringFnsSql =
+    """SELECT p_partkey,
+      |  p_brand || ':' || p_name AS brand_name,
+      |  printf('Hello, %s!', p_name) AS greeting,
+      |  upper(p_type) AS type_upper,
+      |  lower(p_brand) AS brand_lower,
+      |  substring(p_name, 1, 5) AS name5,
+      |  trim(p_name) AS name_trim,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
+    QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),
+    QueryDef("q_filter_pred", filterPred, Some(filterPredSql)),
+    QueryDef("q_sort_limit", sortLimit, Some(sortLimitSql)),
+    QueryDef("q_join_inner", joinInner, Some(joinInnerSql)),
+    QueryDef("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
+    QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),
+    QueryDef("q_join_outer", joinOuter, Some(joinOuterSql)),
+    QueryDef("q_join_semi_anti", joinSemiAnti, Some(joinSemiAntiSql)),
+    QueryDef("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
+    QueryDef("q_agg_rollup_cube", aggRollupCube, Some(aggRollupCubeSql)),
+    QueryDef("q_agg_having", aggHaving, Some(aggHavingSql)),
+    QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_cast_norm", castNorm, Some(castNormSql)),
+    QueryDef("q_datetime", datetimeFns, Some(datetimeSql)),
+    QueryDef("q_math_fns", mathFns, Some(mathFnsSql)),
+  )
+}

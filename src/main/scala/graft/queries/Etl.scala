@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryDef
+import graft.operators.EtlOps
+import graft.sources.Tables
+
+/** Phase 2 — the reference-semantic ETL layer (SURVEY.md §7 phase 2):
+  * extraction defaults, regex, conditional classification, JSON serde,
+  * struct/map construction, error routing. These are the operators that make
+  * the engine "the same capabilities as msoriadivvy/etl-8x8", generalized
+  * set-at-a-time; each wraps the reusable `graft.operators.EtlOps` functions.
+  *
+  * All scans are narrow (no shuffle except final sorts) — at 100 TB these
+  * pipelines are embarrassingly parallel map stages, exactly like the
+  * reference's per-record Lambda but vectorized and codegen'd.
+  */
+object Etl {
+
+  // ----------------------------------------------------------- q_extract_default
+  /** R4/R5/R22: field extraction from a nullable JSON map with defaults and a
+    * required-field status marker. */
+  private def extractDefault(s: SparkSession, d: String): DataFrame = {
+    val m = EtlOps.propsMap(col("props"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      EtlOps.paramOrDefault(m, "k", lit(-1)).as("k_or_default"),
+      EtlOps.paramOrDefault(m, "missing", lit(-1)).as("missing_or_default"),
+      EtlOps.requiredStatus(m, "k").as("req_status"))
+      .orderBy(col("event_id"))
+  }
+
+  private val extractDefaultSql =
+    """SELECT event_id,
+      |  coalesce(CAST(json_extract(props, '$.k') AS INT), -1) AS k_or_default,
+      |  coalesce(CAST(json_extract(props, '$.missing') AS INT), -1) AS missing_or_default,
+      |  CASE WHEN json_extract(props, '$.k') IS NULL
+      |       THEN 'MISSING_REQUIRED' ELSE 'OK' END AS req_status
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------- q_regex
+  /** R7/R8: regexp_extract, rlike, delimited-string parse via split+getItem
+    * (the reference's Bearer-token and methodArn handling,
+    * `handlers.py:32,49-50`). */
+  private def regexOps(s: SparkSession, d: String): DataFrame = {
+    val arnish = concat(lit("req:"), col("o_orderstatus"), lit(":"),
+      col("o_orderkey").cast("string"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).cast("int").as("prio_num"),
+      split(col("o_orderpriority"), "-").getItem(1).as("prio_name"),
+      split(arnish, ":").getItem(2).as("arn_key"),
+      col("o_orderpriority").rlike("^[12]-").as("is_high"),
+      EtlOps.bearerToken(concat(lit("Bearer tok_"), col("o_custkey"))).as("tok"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val regexSql =
+    """SELECT o_orderkey,
+      |  CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INT) AS prio_num,
+      |  split_part(o_orderpriority, '-', 2) AS prio_name,
+      |  split_part('req:' || o_orderstatus || ':' || CAST(o_orderkey AS VARCHAR), ':', 3) AS arn_key,
+      |  regexp_matches(o_orderpriority, '^[12]-') AS is_high,
+      |  regexp_extract('Bearer tok_' || CAST(o_custkey AS VARCHAR), 'Bearer\s+(.+)', 1) AS tok
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------ q_casewhen
+  /** R10/R21: multi-arm when/otherwise classification over event_type and
+    * value bands, plus the Allow/Deny effect projection. */
+  private def caseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      when(col("value") < 10, "low")
+        .when(col("value") < 100, "mid")
+        .otherwise("high").as("band"),
+      when(col("event_type").isin("click", "view"), "passive")
+        .when(col("event_type").isin("purchase", "signup"), "active")
+        .otherwise("other").as("kind"),
+      EtlOps.effect(col("event_type") === "purchase").as("effect"))
+      .orderBy(col("event_id"))
+
+  private val caseWhenSql =
+    """SELECT event_id,
+      |  CASE WHEN "value" < 10 THEN 'low'
+      |       WHEN "value" < 100 THEN 'mid'
+      |       ELSE 'high' END AS band,
+      |  CASE WHEN event_type IN ('click', 'view') THEN 'passive'
+      |       WHEN event_type IN ('purchase', 'signup') THEN 'active'
+      |       ELSE 'other' END AS kind,
+      |  CASE WHEN event_type = 'purchase' THEN 'Allow' ELSE 'Deny' END AS effect
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ q_token_classify
+  /** R11 (SQL-expressible variant of the authorizer): 3-way token
+    * classification with per-branch principal fallback (R22) and effect
+    * (R21). Tokens derived deterministically from events: 'error' rows carry
+    * a malformed header, value<1 plays the expired-claim role. */
+  private def tokenClassify(s: SparkSession, d: String): DataFrame = {
+    val header = when(col("event_type") === "error", lit("garbage-header"))
+      .otherwise(concat(lit("Bearer tok_"), col("user_id").cast("string")))
+    val tok = EtlOps.bearerToken(header)
+    val status = EtlOps.classifyToken(tok, col("value") < 1.0)
+    Tables.events(s, d).select(
+      col("event_id"),
+      status.as("token_status"),
+      EtlOps.principalOrUnknown(status, tok).as("principal_id"),
+      EtlOps.effect(status === "valid").as("effect"))
+      .orderBy(col("event_id"))
+  }
+
+  private val tokenClassifySql =
+    """SELECT event_id,
+      |  CASE WHEN tok = '' THEN 'invalid'
+      |       WHEN "value" < 1.0 THEN 'expired'
+      |       ELSE 'valid' END AS token_status,
+      |  CASE WHEN tok <> '' AND "value" >= 1.0 THEN tok
+      |       ELSE 'unknown_user' END AS principal_id,
+      |  CASE WHEN tok <> '' AND "value" >= 1.0 THEN 'Allow' ELSE 'Deny' END AS effect
+      |FROM (
+      |  SELECT event_id, "value",
+      |    regexp_extract(
+      |      CASE WHEN event_type = 'error' THEN 'garbage-header'
+      |           ELSE 'Bearer tok_' || CAST(user_id AS VARCHAR) END,
+      |      'Bearer\s+(.+)', 1) AS tok
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q_json_serde
+  /** R17/R18: from_json with declared schema, get_json_object path access,
+    * to_json(struct(...)) serialization round-trip. */
+  private def jsonSerde(s: SparkSession, d: String): DataFrame = {
+    val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+      .getField("k")
+    Tables.events(s, d).select(
+      col("event_id"),
+      k.as("k"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+      to_json(struct(col("event_id"), k.as("k"))).as("payload"))
+      .orderBy(col("event_id"))
+  }
+
+  private val jsonSerdeSql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_path,
+      |  to_json(struct_pack(event_id := event_id,
+      |                      k := CAST(json_extract(props, '$.k') AS INT))) AS payload
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q_struct_map
+  /** R15/R16: nested struct construction (the 3-level IAM policy document,
+    * `handlers.py:51-64`), header-map merge with later-wins semantics
+    * (`api_gateway.py:86-92`), array+explode, sorted map_keys. */
+  private def structMap(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val defaults = map(
+      lit("Content-Type"), lit("application/json"),
+      lit("Access-Control-Allow-Origin"), lit("*"))
+    val extra = map(
+      lit("Content-Type"), lit("text/plain"),
+      lit("X-Req"), col("event_id").cast("string"))
+    val merged = EtlOps.mergeHeaders(defaults, extra)
+    val policy = struct(
+      lit("2012-10-17").as("Version"),
+      array(struct(
+        lit("execute-api:Invoke").as("Action"),
+        EtlOps.effect(col("event_type") === "purchase").as("Effect"))).as("Statement"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), merged.as("headers"), policy.as("policy"))
+      .withColumn("tag", explode(array(lit("all"), lit("row"))))
+      .select(
+        col("event_id"), col("tag"),
+        element_at(col("headers"), "Content-Type").as("ct"),
+        element_at(col("headers"), "Access-Control-Allow-Origin").as("cors"),
+        element_at(col("headers"), "X-Req").as("xreq"),
+        size(col("headers")).as("n_headers"),
+        array_join(sort_array(map_keys(col("headers"))), ",").as("keys_sorted"),
+        col("policy").getField("Statement").getItem(0).getField("Effect").as("effect"),
+        col("policy").getField("Version").as("version"))
+      .orderBy(col("event_id"), col("tag"))
+  }
+
+  private val structMapSql =
+    """SELECT event_id, tag,
+      |  'text/plain' AS ct,
+      |  '*' AS cors,
+      |  CAST(event_id AS VARCHAR) AS xreq,
+      |  3 AS n_headers,
+      |  'Access-Control-Allow-Origin,Content-Type,X-Req' AS keys_sorted,
+      |  CASE WHEN event_type = 'purchase' THEN 'Allow' ELSE 'Deny' END AS effect,
+      |  '2012-10-17' AS version
+      |FROM events CROSS JOIN (VALUES ('all'), ('row')) t(tag)
+      |ORDER BY event_id, tag""".stripMargin
+
+  // --------------------------------------------------------------- q_error_split
+  /** R19/R25: good/bad record split with typed ErrorResponse records
+    * (`exceptions.py` hierarchy → status codes), reported as per-branch
+    * counts. One scan feeds both branches. */
+  private def errorSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val isTypeErr = col("event_type") === "error"
+    val isRangeErr = col("value") > 300.0
+    val routed = EtlOps.errorSplit(
+      ev,
+      isTypeErr || isRangeErr,
+      when(isTypeErr, "EventTypeError").otherwise("ValueRangeError"),
+      when(isTypeErr, "Bad Request: unsupported event_type")
+        .otherwise("Unprocessable: value out of range"),
+      when(isTypeErr, lit(400)).otherwise(lit(422)))
+    val goodCounts = routed.good
+      .agg(count(lit(1)).as("n"))
+      .select(lit("good").as("branch"), lit("").as("error"),
+        lit("").as("description"), lit("200").as("status_code"), col("n"))
+    val errCounts = routed.errors
+      .groupBy(col("error"), col("description"), col("status_code"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("error").as("branch"), col("error"), col("description"),
+        col("status_code"), col("n"))
+    goodCounts.unionByName(errCounts).orderBy(col("branch"), col("error"))
+  }
+
+  private val errorSplitSql =
+    """SELECT * FROM (
+      |  SELECT 'good' AS branch, '' AS error, '' AS description,
+      |    '200' AS status_code, count(*) AS n
+      |  FROM events WHERE NOT (event_type = 'error' OR "value" > 300.0)
+      |  UNION ALL
+      |  SELECT 'error' AS branch,
+      |    CASE WHEN event_type = 'error' THEN 'EventTypeError'
+      |         ELSE 'ValueRangeError' END AS error,
+      |    CASE WHEN event_type = 'error' THEN 'Bad Request: unsupported event_type'
+      |         ELSE 'Unprocessable: value out of range' END AS description,
+      |    CASE WHEN event_type = 'error' THEN '400' ELSE '422' END AS status_code,
+      |    count(*) AS n
+      |  FROM events WHERE event_type = 'error' OR "value" > 300.0
+      |  GROUP BY 2, 3, 4
+      |)
+      |ORDER BY branch, error""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),
+    QueryDef("q_regex", regexOps, Some(regexSql)),
+    QueryDef("q_casewhen", caseWhen, Some(caseWhenSql)),
+    QueryDef("q_token_classify", tokenClassify, Some(tokenClassifySql)),
+    QueryDef("q_json_serde", jsonSerde, Some(jsonSerdeSql)),
+    QueryDef("q_struct_map", structMap, Some(structMapSql)),
+    QueryDef("q_error_split", errorSplit, Some(errorSplitSql)),
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Phase 3 — window functions, deterministic dedup, theta/range join
+  * (SURVEY.md §7 phase 3).
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (custkey / user_id) so state per partition stays small at 100 TB; a window
+  * partitioned by a low-cardinality key would funnel the table through few
+  * tasks. The theta join pairs an equi key with a bounded time range —
+  * Spark executes it as an equi shuffle join with the range as residual
+  * predicate; unbounded-range pairing would be O(n²) per key and is the case
+  * for time-bucketized pre-joining at scale.
+  */
+object Windows {
+
+  // --------------------------------------------------------------- q_window_rank
+  /** Ranking windows: top-3 orders per customer. Window ordering includes the
+    * unique o_orderkey so row_number is deterministic under price ties
+    * (SURVEY.md §5.3). */
+  private def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val windowRankSql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    round(o_totalprice, 2) AS price,
+      |    row_number() OVER w AS rn,
+      |    rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ----------------------------------------------------------- q_window_analytic
+  /** Analytic windows: lag/lead, first/last and a running sum over an
+    * explicit rows frame, per user in event-time order (unique event_id as
+    * tiebreak). */
+  private def windowAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("v"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_v"),
+        round(lead(col("value"), 1).over(w), 2).as("next_v"),
+        round(first(col("value")).over(running), 2).as("first_v"),
+        round(sum(col("value")).over(running), 2).as("running_sum"),
+        count(lit(1)).over(running).as("seq_no"))
+      .orderBy(col("user_id"), col("seq_no"))
+  }
+
+  private val windowAnalyticSql =
+    """SELECT event_id, user_id,
+      |  round("value", 2) AS v,
+      |  round(lag("value", 1) OVER w, 2) AS prev_v,
+      |  round(lead("value", 1) OVER w, 2) AS next_v,
+      |  round(first_value("value") OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_v,
+      |  round(sum("value") OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+      |  count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq_no
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, seq_no""".stripMargin
+
+  // -------------------------------------------------------- q_window_range_frame
+  /** Range frame over epoch seconds: per-user moving 10-minute window
+    * (count + sum). Value-based frames are deterministic under ties by
+    * construction — tied sort keys share the same frame. */
+  private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-600, 0)
+    Tables.events(s, d)
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        count(lit(1)).over(wr).as("n_10m"),
+        round(sum(col("value")).over(wr), 2).as("sum_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  private val windowRangeFrameSql =
+    """SELECT event_id, user_id, ts_s,
+      |  count(*) OVER w AS n_10m,
+      |  round(sum("value") OVER w, 2) AS sum_10m
+      |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------- q_dedup
+  /** Duplicate removal with a deterministic survivor: earliest (ts, event_id)
+    * per (user_id, event_type) via row_number=1 — the reliable form of
+    * dropDuplicates(subset), whose survivor is partition-order-dependent
+    * (ref R24 TTL'd verdict cache: first event wins —
+    * `serverless.core.yml:40`). */
+  private def dedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val dedupSql =
+    """SELECT user_id, event_type, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ----------------------------------------------------------- q_join_theta_range
+  /** Non-equi range join: events followed by other events of the same user
+    * within one hour (ref R24 session pairing). Equi key (user_id) +
+    * bounded range residual → Spark plans the shuffle on user_id only. */
+  private def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val e1 = Tables.events(s, d).select(
+      col("event_id").as("id1"), col("user_id").as("u1"), col("ts").as("ts1"))
+    val e2 = Tables.events(s, d).select(
+      col("event_id").as("id2"), col("user_id").as("u2"), col("ts").as("ts2"),
+      col("value").as("v2"))
+    e1.join(e2,
+        col("u1") === col("u2") &&
+        col("ts2") > col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("id1"))
+      .agg(count(lit(1)).as("n_follow"),
+        round(sum(col("v2")), 2).as("follow_value"))
+      .orderBy(col("id1"))
+  }
+
+  private val joinThetaRangeSql =
+    """SELECT e1.event_id AS id1, count(*) AS n_follow,
+      |  round(sum(e2."value"), 2) AS follow_value
+      |FROM events e1 JOIN events e2
+      |  ON e1.user_id = e2.user_id
+      | AND e2.ts > e1.ts
+      | AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      |GROUP BY e1.event_id
+      |ORDER BY id1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_window_rank", windowRank, Some(windowRankSql)),
+    QueryDef("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),
+    QueryDef("q_window_range_frame", windowRangeFrame, Some(windowRangeFrameSql)),
+    QueryDef("q_dedup", dedup, Some(dedupSql)),
+    QueryDef("q_join_theta_range", joinThetaRange, Some(joinThetaRangeSql)),
+  )
+}

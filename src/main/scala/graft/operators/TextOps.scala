@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM training-data pipelines.
+  *
+  * These generalize the reference's record-level string handling (regex
+  * extraction `/root/reference/src/handlers.py:32`, validation predicates
+  * `src/handlers.py:82-83`) to corpus-scale operators: tokenization,
+  * portable content hashing, shingling, quality features.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions` —
+  * no UDFs — so whole-stage codegen spans the entire map side and the
+  * operators vectorize over 100 TB of documents unchanged.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. At scale this is a narrow map — no shuffle. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Normalized text: lowercase, collapsed internal whitespace, trimmed.
+    * The canonical form fed to fingerprints and shingles so that
+    * whitespace-only variants dedup together. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic, engine-portable 32-bit hash: first 8 hex chars of md5
+    * as a BIGINT in [0, 2^32). Identical value is computable in DuckDB as
+    * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)` — the property the
+    * oracle-parity of every hashing query (minhash, simhash, fingerprint)
+    * rests on. md5 is codegen'd in Spark (no UDF). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+
+  /** One MinHash permutation: h_i(x) = (a*portableHash(x) + b) mod p with
+    * p = 2^31-1 (Mersenne prime). a,b < p and hash < 2^32 keep the product
+    * within 63 bits — no overflow in either engine. */
+  def permutedHash(c: Column, a: Long, b: Long): Column =
+    pmod(portableHash(c) * lit(a) + lit(b), lit(2147483647L))
+
+  /** Character n-gram shingles of the normalized text as an array column,
+    * via sequence + transform (codegen'd; no explode until the caller
+    * wants one row per shingle). Texts shorter than n yield the whole
+    * (padded-by-truncation) text as a single shingle. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalize(text)
+    transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n)))
+  }
+
+  /** Count of BPE-ish tokens: alpha runs, digit runs, and single
+    * non-alphanumeric marks — the standard pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Exact stopword occurrence count over a token array (integer
+    * arithmetic — exact parity across engines). */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+}

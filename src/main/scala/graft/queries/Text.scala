@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Parity.dround
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Phase 5 — north-star text analysis over `documents` (SURVEY.md §7
+  * phase 5): tokenization/word-count, per-doc top-k terms, quality
+  * scoring, corpus-driven language identification, content
+  * fingerprinting. These are the text half of an LLM training-data
+  * pipeline; the dedup/similarity half lives in `Dedup`/`Similarity`.
+  *
+  * Scale notes: every query tokenizes with codegen'd builtins (no UDFs)
+  * so the map side is a narrow vectorized stage over arbitrarily many
+  * documents. The only shuffles are the per-(doc|lang, token) hash
+  * aggregations, whose widths are bounded by vocabulary size — at 100 TB
+  * the lang profile (|langs| × |vocab|) stays tiny and is broadcast.
+  */
+object Text {
+
+  private val toks = TextOps.tokens(col("text"))
+
+  // --------------------------------------------------------------- q_text_tokens
+  /** Word count per language: explode → two-level hash agg. Partial
+    * (map-side) aggregation bounds the shuffle at O(|langs|×|vocab|) per
+    * task regardless of corpus size. */
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("tok"))
+
+  private val textTokensSql =
+    """SELECT lang, tok, count(*) AS n
+      |FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |      FROM documents)
+      |GROUP BY lang, tok
+      |ORDER BY lang, tok""".stripMargin
+
+  // ---------------------------------------------------------------- q_text_topk
+  /** Term frequency per document + top-3 terms via ranking window.
+    * Deterministic under tf ties by the tok tiebreak (SURVEY.md §5.3).
+    * Scale: window partitions by doc_id (high cardinality) — state per
+    * partition is one doc's vocabulary. */
+  private def textTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("tok").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val textTopkSql =
+    """SELECT doc_id, tok, tf, rn FROM (
+      |  SELECT doc_id, tok, tf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok ASC) AS rn
+      |  FROM (SELECT doc_id, tok, count(*) AS tf
+      |        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |              FROM documents)
+      |        GROUP BY doc_id, tok))
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  // -------------------------------------------------------------- q_text_quality
+  /** Document quality features: token count, BPE-ish token count,
+    * type-token ratio, stopword ratio, average token length, and a quality
+    * band — the filters an LLM-corpus cleaning stage applies. All counts
+    * are integers; the ratios divide two exact ints so the doubles agree
+    * bit-for-bit across engines before dround. Narrow map stage — no
+    * shuffle at all except the final sort. */
+  private def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stopwords = Seq("a", "the", "of", "to")
+    val nToks = size(toks)
+    val nStop = TextOps.stopwordCount(toks, stopwords)
+    val nTypes = size(array_distinct(toks))
+    val alphaChars = length(regexp_replace(col("text"), "\\s+", ""))
+    val stopRatio = dround(nStop.cast("double") / nToks, 4)
+    val ttr = dround(nTypes.cast("double") / nToks, 4)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("int").as("n_bpeish"),
+        nTypes.as("n_types"),
+        ttr.as("ttr"),
+        nStop.as("n_stop"),
+        stopRatio.as("stop_ratio"),
+        dround(alphaChars.cast("double") / nToks, 2).as("avg_tok_len"),
+        when(nToks < 15, "too_short")
+          .when(stopRatio > 0.2, "boilerplate")
+          .otherwise("ok").as("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql =
+    """SELECT doc_id,
+      |  CAST(len(tk) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish,
+      |  CAST(len(list_distinct(tk)) AS INT) AS n_types,
+      |  round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
+      |  CAST(len(list_filter(tk, t -> t IN ('a','the','of','to'))) AS INT) AS n_stop,
+      |  round(len(list_filter(tk, t -> t IN ('a','the','of','to'))) / len(tk), 4) AS stop_ratio,
+      |  round(length(regexp_replace(text, '\s+', '', 'g')) / len(tk), 2) AS avg_tok_len,
+      |  CASE WHEN len(tk) < 15 THEN 'too_short'
+      |       WHEN round(len(list_filter(tk, t -> t IN ('a','the','of','to'))) / len(tk), 4) > 0.2
+      |            THEN 'boilerplate'
+      |       ELSE 'ok' END AS quality_band
+      |FROM (SELECT *, regexp_split_to_array(text, '\s+') AS tk FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q_lang_id
+  /** Corpus-driven language identification: per-language token-frequency
+    * profiles (the n-gram-histogram approach, degenerate to unigrams on
+    * this vocabulary), scored per document with pure integer arithmetic
+    * (score = Σ tf_doc(t)·tf_lang(t)) so parity is exact, argmax via
+    * ranking window with lang tiebreak.
+    *
+    * Scale: the profile is |langs|×|vocab| rows → broadcast join; the
+    * per-doc aggregation shuffles O(docs×langs) rows. A production
+    * system would hold fixed pre-trained profiles; deriving them from
+    * the corpus here exercises the same plan shape (map-side join against
+    * a small dim + two-level agg). */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("true_lang"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+      .agg(count(lit(1)).as("dn"))
+    val profile = Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("ln_cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    docToks.join(broadcast(profile), "tok")
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+      .agg(sum(col("dn") * col("ln_cnt")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("true_lang"),
+        (col("lang") === col("true_lang")).as("correct"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql =
+    """WITH tk AS (
+      |  SELECT doc_id, lang AS true_lang,
+      |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents),
+      |dt AS (SELECT doc_id, true_lang, tok, count(*) AS dn FROM tk GROUP BY 1, 2, 3),
+      |profile AS (
+      |  SELECT lang, tok, count(*) AS ln_cnt
+      |  FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY lang, tok),
+      |scored AS (
+      |  SELECT doc_id, true_lang, lang, CAST(sum(dn * ln_cnt) AS BIGINT) AS score
+      |  FROM dt JOIN profile USING (tok)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang AS pred_lang, true_lang,
+      |  lang = true_lang AS correct, score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, lang ASC) AS rn
+      |      FROM scored)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- q_text_fingerprint
+  /** Content fingerprinting: md5 of the normalized text (the exact-dedup
+    * key), its 32-bit numeric prefix, and the min token hash (a 1-perm
+    * MinHash, the degenerate near-dup key), plus the count of docs sharing
+    * the fingerprint. Exact dedup at 100 TB is exactly this: groupBy the
+    * digest of normalized content — shuffle carries (hash, id), never the
+    * text. */
+  private def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = TextOps.normalize(col("text"))
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        TextOps.portableHash(norm).as("fp_num"),
+        array_min(transform(TextOps.tokens(norm), t => TextOps.portableHash(t)))
+          .as("min_tok_hash"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textFingerprintSql =
+    """SELECT doc_id, fp, fp_num, min_tok_hash,
+      |  count(*) OVER (PARTITION BY fp) AS n_dups
+      |FROM (
+      |  SELECT doc_id,
+      |    md5(norm) AS fp,
+      |    CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT) AS fp_num,
+      |    list_min(list_transform(regexp_split_to_array(norm, '\s+'),
+      |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))) AS min_tok_hash
+      |  FROM (SELECT doc_id,
+      |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
+    QueryDef("q_text_topk", textTopk, Some(textTopkSql)),
+    QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
+    QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+  )
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Parity.dround
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Phase 5 — north-star deduplication suite over `documents` /
+  * `embeddings` (SURVEY.md §7 phase 5; builder brief "Deduplication").
+  *
+  * Five independent near-dup detectors, each the Spark-first form of a
+  * standard LLM-corpus dedup stage:
+  *   - exact token-set Jaccard          (q_minhash_dup — SURVEY §2.B name)
+  *   - MinHash signatures + LSH banding (q_minhash_lsh)
+  *   - SimHash + Hamming distance       (q_simhash_dup)
+  *   - character n-gram Jaccard         (q_ngram_jaccard)
+  *   - embedding cosine near-dup        (q_embed_neardup)
+  *
+  * Portability: every hash is `TextOps.portableHash` (md5-prefix → BIGINT),
+  * reproducible in DuckDB as `CAST('0x'||substr(md5(x),1,8) AS BIGINT)`, so
+  * the full approximate pipelines — not just their exact verifications —
+  * are oracle-checked.
+  *
+  * Scale story (100 TB): the exact-Jaccard pair join is quadratic in docs
+  * sharing a token and exists as ground truth / candidate verification.
+  * The production path is MinHash+LSH: O(docs×K) signature computation
+  * (one narrow agg), then a shuffle keyed on (band, bandKey) so only
+  * docs colliding in a band ever meet — the classic sub-quadratic
+  * shingle→minhash→band→bucket-join layout. SimHash is one narrow agg +
+  * a pair join that at scale is prefiltered by bit-chunk banding on the
+  * 64-bit key. Embedding near-dup at scale goes through the LSH route in
+  * `Similarity` (random-hyperplane buckets) rather than the all-pairs
+  * join used for ground truth here.
+  */
+object Dedup {
+
+  /** 16 MinHash permutations h_i(x) = (a_i·x + b_i) mod (2^31-1).
+    * a_i, b_i < 2^30 keep a·hash < 2^62 — no 64-bit overflow in either
+    * engine. Fixed constants so Spark code and oracle SQL agree. */
+  private val AB: Seq[(Long, Long)] =
+    (0 until 16).map(i => (387420489L + 7L * i, 268435399L + 13L * i))
+  private val P = 2147483647L
+  private val Bands = 4 // × 4 rows per band = 16 signatures
+
+  /** Distinct (doc_id, tok) pairs — the token-set representation. */
+  private def tokenSet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+
+  /** Exact pairwise Jaccard over a (id, item) set representation,
+    * id1 < id2, one row per co-occurring pair. */
+  private def jaccardPairs(sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("id1"), col("tok"))
+    val b = sets.select(col("doc_id").as("id2"), col("tok"))
+    val inter = a.join(b, Seq("tok")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("icnt"))
+    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sz.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"), col("icnt"),
+        dround(col("icnt").cast("double") /
+          (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
+  }
+
+  // --------------------------------------------------------------- q_minhash_dup
+  /** Ground-truth near-dup pairs: exact token-set Jaccard ≥ 0.95 via
+    * explode + join + group (SURVEY §2.B q_minhash_dup). */
+  private def minhashDup(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(tokenSet(s, d))
+      .filter(col("jaccard") >= 0.95)
+      .orderBy(col("id1"), col("id2"))
+
+  private val tokSetSql =
+    """SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |FROM documents""".stripMargin
+
+  private def jaccardPairsSql(sets: String): String =
+    s"""inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS icnt
+       |  FROM sets a JOIN sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+       |pairs AS (
+       |  SELECT id1, id2, icnt,
+       |    round(icnt / (s1.sz + s2.sz - icnt), 4) AS jaccard
+       |  FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id)""".stripMargin
+
+  private val minhashDupSql =
+    s"""WITH sets AS ($tokSetSql),
+       |${jaccardPairsSql("sets")}
+       |SELECT id1, id2, icnt, jaccard FROM pairs
+       |WHERE jaccard >= 0.95
+       |ORDER BY id1, id2""".stripMargin
+
+  // --------------------------------------------------------------- q_minhash_lsh
+  /** The production-scale dedup pipeline: token hash → 16 MinHash perms
+    * (one narrow agg) → 4 LSH bands → bucket self-join for candidates →
+    * exact-Jaccard verification ≥ 0.95. Sub-quadratic: only docs agreeing
+    * on a full band meet in the shuffle. A miss probability of
+    * (1−j⁴)⁴ (≈0.1% at j=0.95) is inherent to LSH — the oracle runs the
+    * identical pipeline so results still hash-match. */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sets = tokenSet(s, d)
+    val h = sets.select(col("doc_id"),
+      TextOps.portableHash(col("tok")).as("th"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("th") * a + b, lit(P))).as(s"m$i")
+    }
+    val sig = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*)
+          .as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    jaccardPairs(sets)
+      .join(cand, Seq("id1", "id2"))
+      .filter(col("jaccard") >= 0.95)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val minhashLshSql = {
+    val mins = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*th+$b)%$P) AS m$i"
+    }.mkString(",\n    ")
+    val bands = (0 until Bands).map { j =>
+      val key = (0 until 4).map(r => s"CAST(m${4 * j + r} AS VARCHAR)")
+        .mkString("||','||")
+      s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sets AS ($tokSetSql),
+       |h AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,8) AS BIGINT) AS th
+       |      FROM sets),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |${jaccardPairsSql("sets")}
+       |SELECT p.id1, p.id2, p.jaccard
+       |FROM pairs p JOIN cand USING (id1, id2)
+       |WHERE p.jaccard >= 0.95
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q_simhash_dup
+  /** SimHash near-dup: 32-bit sign-aggregated token fingerprint per doc
+    * (tf-weighted), pairs at Hamming distance ≤ 3 via bit_count(xor).
+    * One narrow agg per doc; the pair join at 100 TB is prefiltered by
+    * banding the 32 bits into chunks (identical machinery to MinHash-LSH
+    * bands) — here the all-pairs form is the ground truth. */
+  private def simhashDup(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val bits = tf
+      .select(col("doc_id"), col("tf"),
+        TextOps.portableHash(col("tok")).as("th"),
+        explode(sequence(lit(0), lit(31))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("tf") * (expr("shiftright(th, i) & 1") * 2 - 1)).as("contrib"))
+    val sh = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("contrib") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val simhashDupSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT doc_id, tf, CAST('0x'||substr(md5(tok),1,8) AS BIGINT) AS th
+      |      FROM tf),
+      |bits AS (
+      |  SELECT doc_id, i, sum(tf * (2*((th >> i) & 1) - 1)) AS contrib
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << i) ELSE 0 END)
+      |         AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id1, id2""".stripMargin
+
+  // ------------------------------------------------------------- q_ngram_jaccard
+  /** Character 3-gram shingle Jaccard ≥ 0.7 — near-dup detection robust
+    * to token-boundary edits. Shingling is a codegen'd transform over
+    * sequence(1, len−2); same pair machinery as token Jaccard. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.charShingles(col("text"), 3)).as("tok"))
+      .distinct()
+    jaccardPairs(sets)
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |sets AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(length(t) - 2, 1)),
+       |      i -> substr(t, i, 3))) AS tok
+       |  FROM norm),
+       |${jaccardPairsSql("sets")}
+       |SELECT id1, id2, icnt, jaccard FROM pairs
+       |WHERE jaccard >= 0.7
+       |ORDER BY id1, id2""".stripMargin
+
+  // ------------------------------------------------------------- q_embed_neardup
+  /** Embedding cosine near-dup: all pairs with cos ≥ 0.4. Dot products via
+    * zip_with + sequential aggregate in double — bit-identical to DuckDB's
+    * sequential list_dot_product on the same cast. Norms computed once per
+    * vector before the pair join. Ground-truth form; the scale path is
+    * `Similarity.q_cosine_knn_lsh`'s hyperplane bucketing. */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("v1"), col("v2"), _ * _), lit(0.0), _ + _) /
+          (col("n1") * col("n2"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("id1"), col("id2"), dround(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val embedNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_minhash_dup", minhashDup, Some(minhashDupSql)),
+    QueryDef("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("q_simhash_dup", simhashDup, Some(simhashDupSql)),
+    QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+  )
+}

@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    Relational.all ++ Etl.all ++ Windows.all ++ Text.all ++ Dedup.all
+    Relational.all ++ Etl.all ++ Windows.all ++ Text.all ++ Dedup.all ++
+      Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

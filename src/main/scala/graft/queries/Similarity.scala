@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Parity.dround
+import graft.sources.Tables
+
+/** Phase 5 — north-star similarity search over `embeddings`
+  * (64-dim float vectors): exact brute-force cosine top-k as ground
+  * truth, and a multi-table random-hyperplane LSH variant as the
+  * 100 TB path.
+  *
+  * Determinism/parity: similarities are computed in double with
+  * sequential folds (`aggregate(zip_with(...))` ≡ DuckDB
+  * `list_dot_product`) and ranked on the 4-decimal rounding with the
+  * neighbor id as tiebreak, so rank order is stable across engines even
+  * at float boundaries (SURVEY.md §5.3 discipline).
+  *
+  * Scale story: brute force is O(n²·d) — correct but unusable at 10⁹
+  * vectors. The LSH variant computes L×k hyperplane signs per vector in
+  * one narrow map, shuffles once keyed on (table, bucket), and only
+  * same-bucket vectors ever meet — the standard ANN layout (the IVF
+  * analogue replaces hyperplanes with learned centroids but shares the
+  * plan shape: assign → shuffle by cell → local scan). Recall is tuned
+  * by L (tables) and k (bits/bucket granularity).
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Tablez = 2 // L: LSH tables
+  private val Bits = 4   // k: hyperplanes per table → 2^k buckets
+
+  /** Deterministic pseudo-random hyperplane components: exact 3-decimal
+    * rationals in [-1, 1] derived from md5("hp:<table>:<plane>:<dim>"),
+    * computed once on the JVM and embedded as literals in both the
+    * DataFrame code and the generated oracle SQL. Exact decimals with ≤4
+    * significant digits parse to identical doubles in every engine. */
+  private[queries] def hpComponent(t: Int, j: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp:$t:$j:$dim".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val k = java.lang.Long.parseLong(hex, 16) % 2001L
+    (k - 1000L) / 1000.0
+  }
+
+  private val planes: Seq[(Int, Int, Seq[Double])] =
+    for (t <- 0 until Tablez; j <- 0 until Bits)
+      yield (t, j, (0 until Dim).map(dim => hpComponent(t, j, dim)))
+
+  /** embeddings with double-cast vector + precomputed L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Rank candidate pairs per query vector: top-k by rounded cosine with
+    * id tiebreak. `pairs` must carry id1, id2, v1, v2, n1, n2. */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val sim = dround(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4)
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cos_sim").desc, col("id2").asc)
+    pairs
+      .select(col("id1"), col("id2"), sim.as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("id1"), col("rn"))
+  }
+
+  // --------------------------------------------------------------- q_cosine_knn
+  /** Exact brute-force cosine top-5 per vector (all ordered pairs). */
+  private def cosineKnn(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    topK(a.join(b, col("id1") =!= col("id2")), 5)
+  }
+
+  private val cosineKnnSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT id1, id2, cos_sim, rn FROM (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim,
+      |    row_number() OVER (
+      |      PARTITION BY a.vec_id
+      |      ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) DESC,
+      |               b.vec_id ASC) AS rn
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      |WHERE rn <= 5
+      |ORDER BY id1, rn""".stripMargin
+
+  // ----------------------------------------------------------- q_cosine_knn_lsh
+  /** Approximate top-3 via multi-table random-hyperplane LSH: per table,
+    * bucket = the k sign bits of v·hyperplane_j; candidates = vectors
+    * sharing a bucket in ANY table; exact cosine + ranking only within
+    * candidates. Identical pipeline in the oracle → hash-parity despite
+    * approximation. */
+  private def cosineKnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val bucketCols = (0 until Tablez).map { t =>
+      val bits = (0 until Bits).map { j =>
+        val hp = array(planes.find(p => p._1 == t && p._2 == j).get._3.map(lit): _*)
+        when(dot(col("v"), hp) > 0, 1 << j).otherwise(0)
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = e
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // Dedup candidate pairs on ids only — the wide vector payload is
+    // re-attached after the distinct so the shuffle carries 16 bytes per
+    // pair, not 2×64 doubles.
+    val candIds = bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    val cand = candIds
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), "id2")
+    topK(cand, 3)
+  }
+
+  private val cosineKnnLshSql = {
+    val bucketSelects = (0 until Tablez).map { t =>
+      val bits = (0 until Bits).map { j =>
+        val lits = planes.find(p => p._1 == t && p._2 == j).get._3
+          .map(x => if (x == x.toLong) s"${x.toLong}.0" else x.toString)
+          .mkString(",")
+        s"(CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, nrm, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  $bucketSelects),
+       |cand_ids AS (
+       |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |cand AS (
+       |  SELECT id1, id2, a.v AS v1, b.v AS v2, a.nrm AS n1, b.nrm AS n2
+       |  FROM cand_ids JOIN e a ON id1 = a.vec_id JOIN e b ON id2 = b.vec_id)
+       |SELECT id1, id2, cos_sim, rn FROM (
+       |  SELECT id1, id2,
+       |    round(list_dot_product(v1, v2) / (n1 * n2), 4) AS cos_sim,
+       |    row_number() OVER (
+       |      PARTITION BY id1
+       |      ORDER BY round(list_dot_product(v1, v2) / (n1 * n2), 4) DESC,
+       |               id2 ASC) AS rn
+       |  FROM cand)
+       |WHERE rn <= 3
+       |ORDER BY id1, rn""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cosine_knn", cosineKnn, Some(cosineKnnSql)),
+    QueryDef("q_cosine_knn_lsh", cosineKnnLsh, Some(cosineKnnLshSql)),
+  )
+}

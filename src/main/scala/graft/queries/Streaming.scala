@@ -1,0 +1,109 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Phase 4 — Structured Streaming (SURVEY.md §7 phase 4; ref R1 stream
+  * topology + R24 TTL'd state, `/root/reference/serverless.core.yml:40`).
+  *
+  * Each query runs the events table through a `readStream` file source
+  * with `Trigger.AvailableNow()` into a memory sink and returns the
+  * result frame — the same code path a live unbounded stream takes (file
+  * sources feed micro-batches; AvailableNow drains what exists then
+  * stops). DuckDB cannot oracle a stream, so these are `no-oracle`
+  * (rows-only driver check); their batch-equivalence assertions live in
+  * the ScalaTest specs (SURVEY.md §5.2).
+  *
+  * Scale notes: stateful streaming ops shuffle by grouping key exactly
+  * like their batch forms; watermarks bound state size — without one,
+  * 100 TB/day of events would accrete unbounded window/dedup state. The
+  * memory sink is a test harness; production sinks are `writeStream
+  * .format("parquet"/"kafka")` or `foreachBatch` for arbitrary writers.
+  */
+object Streaming {
+
+  /** Streaming scan of events.parquet with the same ns→µs timestamp
+    * rebuild as `Tables.events` (file sources need an explicit schema). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // The streaming file source lists a DIRECTORY; pathGlobFilter selects
+    // just the events file out of the sf dir (a single-file path throws
+    // "Option 'basePath' must be a directory").
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming frame into a uniquely-named memory sink and
+    * return its contents. Complete mode for aggregations (append would
+    * hold back windows the final watermark never passes on a finite
+    * input); append for row-level ops. */
+  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(name)
+  }
+
+  // ------------------------------------------------------------- n_stream_tumble
+  /** Tumbling 10-minute event-time windows with watermark: count + sum
+    * per (window, event_type). Equivalent batch query: groupBy
+    * window(ts, '10 minutes') — asserted in StreamingSpec. */
+  private def streamTumble(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      "complete")
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  // ------------------------------------------------------------ n_stream_session
+  /** Session windows (5-minute gap) per user: the streaming form of the
+    * reference's TTL'd per-token verdict cache — a session closes when
+    * the key goes quiet for the gap, exactly like cache expiry. */
+  private def streamSession(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value")),
+      "complete")
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  // -------------------------------------------------------- n_stream_dedup_state
+  /** Streaming dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): first event per
+    * (user_id, event_type) wins within the watermark horizon — R24's
+    * 3600 s authorizer verdict cache as a streaming operator. State for
+    * keys older than the watermark is evicted, so state size is bounded
+    * by the key arrival rate × horizon, not by stream length. */
+  private def streamDedupState(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      eventsStream(s, d)
+        .withWatermark("ts", "60 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type"),
+      "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy(col("event_type"))
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("n_stream_tumble", streamTumble, None),
+    QueryDef("n_stream_session", streamSession, None),
+    QueryDef("n_stream_dedup_state", streamDedupState, None),
+  )
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Multimodal metadata derivation at the expression level — the
+  * Catalyst-native half of `graft.operators.Multimodal`: binary content
+  * column + digest + stub-decoded dimensions + frame count, all
+  * codegen'd (no UDF, no mapPartitions). The per-frame feature
+  * extraction that genuinely needs imperative batch code lives in
+  * `Multimodal.decodeAll` and is spec-tested (no SQL oracle can express
+  * a codec).
+  *
+  * Scale: binary columns are pruned unless selected; everything here is
+  * a narrow map over the scan. */
+object MultimodalQ {
+
+  private def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val content = encode(col("text"), "UTF-8")
+    val fp = conv(substring(md5(content), 1, 8), 16, 10).cast("bigint")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        length(content).as("n_bytes"),
+        md5(content).as("content_md5"),
+        (lit(64) + pmod(fp, lit(16)) * 32).as("width"),
+        (lit(64) + pmod(expr("conv(substring(md5(encode(text, 'UTF-8')), 1, 8), 16, 10) div 16").cast("bigint"), lit(16)) * 32).as("height"),
+        (lit(1) + (length(content).cast("bigint") / lit(100)).cast("bigint")).as("n_frames"))
+      .orderBy(col("media_id"))
+  }
+
+  private val multimodalMetaSql =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  64 + (fp % 16) * 32 AS width,
+      |  64 + ((fp // 16) % 16) * 32 AS height,
+      |  1 + octet_length(encode(text)) // 100 AS n_frames
+      |FROM (SELECT *, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS fp
+      |      FROM documents)
+      |ORDER BY media_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+
+/** Branch coverage for the reference-semantic ETL ops, mirroring the
+  * reference's table-driven unit style
+  * (`/root/reference/tests/common/aws_utils/test_api_gateway.py`). */
+class EtlOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def props(df: Seq[String]) = df.toDF("props")
+
+  test("paramOrDefault: present, missing key, null map") {
+    val out = props(Seq("""{"k": 7}""", """{"other": 1}""", null))
+      .select(EtlOps.paramOrDefault(EtlOps.propsMap($"props"), "k", lit(-1)).as("v"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(7, -1, -1))
+  }
+
+  test("requiredStatus marks missing required fields") {
+    val out = props(Seq("""{"k": 7}""", "{}"))
+      .select(EtlOps.requiredStatus(EtlOps.propsMap($"props"), "k").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("OK", "MISSING_REQUIRED"))
+  }
+
+  test("bearerToken: valid header, malformed header, empty") {
+    val out = Seq("Bearer tok123", "Basic abc", "Bearer  spaced", "")
+      .toDF("h").select(EtlOps.bearerToken($"h").as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("tok123", "", "spaced", ""))
+  }
+
+  test("classifyToken three arms") {
+    val df = Seq(("tok", false), ("tok", true), ("", false))
+      .toDF("tok", "expired")
+    val out = df.select(EtlOps.classifyToken($"tok", $"expired").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("valid", "expired", "invalid"))
+  }
+
+  test("principalOrUnknown falls back off the valid branch") {
+    val df = Seq(("valid", "u1"), ("expired", "u2"), ("invalid", ""))
+      .toDF("status", "tok")
+    val out = df.select(EtlOps.principalOrUnknown($"status", $"tok").as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("u1", "unknown_user", "unknown_user"))
+  }
+
+  test("effect Allow/Deny projection") {
+    val out = Seq(true, false).toDF("a")
+      .select(EtlOps.effect($"a").as("e")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Allow", "Deny"))
+  }
+
+  test("mergeHeaders: extra wins on duplicate keys (dict.update semantics)") {
+    val df = Seq(1).toDF("x").select(
+      EtlOps.mergeHeaders(
+        map(lit("Content-Type"), lit("application/json"), lit("A"), lit("1")),
+        map(lit("Content-Type"), lit("text/plain"))).as("h"))
+    val m = df.collect()(0).getMap[String, String](0)
+    assert(m("Content-Type") == "text/plain" && m("A") == "1")
+  }
+
+  test("normStatus accepts int-ish strings like str(int(x))") {
+    val out = Seq("200", "404").toDF("c")
+      .select(EtlOps.normStatus($"c").as("s")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("200", "404"))
+  }
+
+  test("errorSplit routes rows and shapes ErrorResponse records") {
+    val df = Seq((1, "ok"), (2, "bad"), (3, "ok")).toDF("id", "st")
+    val routed = EtlOps.errorSplit(df, $"st" === "bad",
+      lit("BadThing"), lit("desc"), lit(400))
+    assert(routed.good.count() == 2)
+    val errs = routed.errors.collect()
+    assert(errs.toSeq == Seq(Row("BadThing", "desc", "400")))
+    assert(routed.errors.columns.toSeq ==
+      Seq("error", "description", "status_code"))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole suite (Spark sessions are
+  * expensive; ScalaTest suites run sequentially in the forked JVM). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfTiny = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sfTiny: String = TestSession.sfTiny
+}

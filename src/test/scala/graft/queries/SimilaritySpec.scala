@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.GraftSpec
+
+class SimilaritySpec extends GraftSpec {
+
+  test("hpComponent is deterministic, 3-decimal rational in [-1, 1]") {
+    val a = Similarity.hpComponent(0, 1, 2)
+    val b = Similarity.hpComponent(0, 1, 2)
+    assert(a == b)
+    assert(a >= -1.0 && a <= 1.0)
+    assert((a * 1000).round / 1000.0 == a) // exact 3-decimal rational
+    // different coordinates give different values (not a constant plane)
+    val distinct = (0 until 64).map(d => Similarity.hpComponent(0, 0, d)).distinct
+    assert(distinct.size > 32)
+  }
+
+  test("exact knn: every vector gets exactly k neighbors, self excluded") {
+    val df = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny).cache()
+    val perId = df.groupBy("id1").count().collect()
+    assert(perId.forall(_.getLong(1) == 5))
+    assert(df.filter("id1 = id2").count() == 0)
+    // rank 1 neighbor has the max rounded sim for its query vector
+    val viol = df.as("a").join(df.as("b"), "id1")
+      .filter("a.rn = 1 AND b.cos_sim > a.cos_sim").count()
+    assert(viol == 0)
+    df.unpersist()
+  }
+
+  test("lsh knn: neighbors are a subset-quality approximation of exact") {
+    val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
+      .filter("rn <= 3").selectExpr("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.SparkEntry.queries("q_cosine_knn_lsh")(spark, sfTiny)
+      .selectExpr("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // recall isn't guaranteed, but a sane LSH should recover a
+    // non-trivial fraction of true top-3 pairs on tiny data
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"LSH recall suspiciously low: $recall")
+  }
+}

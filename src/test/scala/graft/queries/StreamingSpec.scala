@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftSpec
+import graft.sources.Tables
+
+/** Batch-equivalence checks for the no-oracle streaming queries
+  * (SURVEY.md §5.2): the same windowed aggregations computed with the
+  * batch API must agree with the AvailableNow streaming run. */
+class StreamingSpec extends GraftSpec {
+
+  test("n_stream_tumble equals the batch tumbling-window aggregation") {
+    val stream = graft.SparkEntry.queries("n_stream_tumble")(spark, sfTiny)
+      .selectExpr("w_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("window.start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("n_stream_session equals the batch session-window aggregation") {
+    val stream = graft.SparkEntry.queries("n_stream_session")(spark, sfTiny)
+      .selectExpr("user_id", "s_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id", "session_window.start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("n_stream_dedup_state is bounded by batch distinct and total counts") {
+    val stream = graft.SparkEntry.queries("n_stream_dedup_state")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val distinctPairs = Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("t"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(stream.keySet == distinctPairs.keySet)
+    stream.foreach { case (k, n) =>
+      val (d, t) = distinctPairs(k)
+      // dedup keeps at least one row per distinct key, at most every row
+      assert(n >= d && n <= t, s"$k: stream=$n distinct=$d total=$t")
+    }
+  }
+}

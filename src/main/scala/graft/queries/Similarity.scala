@@ -49,16 +49,19 @@ object Similarity {
     for (t <- 0 until Tablez; j <- 0 until Bits)
       yield (t, j, (0 until Dim).map(dim => hpComponent(t, j, dim)))
 
-  /** embeddings with double-cast vector + precomputed L2 norm. */
+  /** embeddings with double-cast vector + precomputed L2 norm. Dot
+    * products are dimension-unrolled (graft.operators.VectorOps) so the
+    * all-pairs similarity stays inside WholeStageCodegen — interpreted
+    * higher-order lambdas cost ~10 µs per 64-dim dot and dominated the
+    * brute-force bench before the unroll (27 s → a few s at sf0.1). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("nrm", graft.operators.VectorOps.l2Norm(col("v"), Dim))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.operators.VectorOps.dot(a, b, Dim)
 
   /** Rank candidate pairs per query vector: top-k by rounded cosine with
     * id tiebreak. `pairs` must carry id1, id2, v1, v2, n1, n2. */
@@ -77,9 +80,15 @@ object Similarity {
   /** Exact brute-force cosine top-5 per vector (all ordered pairs). */
   private def cosineKnn(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    // quadratic-work pair join on a tiny input: AQE coalesces the probe
+    // side to ~1 partition and serializes the O(n²·d) loop — pin the
+    // partitioning to the cluster parallelism instead
+    val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    topK(a.join(b, col("id1") =!= col("id2")), 5)
+    // explicit broadcast: vectors are ~0.5 KB/row but Catalyst's size
+    // estimate can exceed the auto-threshold → CartesianProduct fallback
+    topK(a.join(broadcast(b), col("id1") =!= col("id2")), 5)
   }
 
   private val cosineKnnSql =

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (ref R3 JSON response sink,
+  * `/root/reference/common/aws_utils/api_gateway.py:63-96`, generalized
+  * to batch writers).
+  *
+  * Scale notes: `partitionBy` columns become the physical directory
+  * layout — the 100 TB table contract. Low-cardinality partition keys
+  * (date, event_type) keep file counts sane; never partition by a
+  * high-cardinality key (one dir per value). Writers repartition by the
+  * partition columns first so each task writes one file per partition
+  * instead of |tasks|×|partitions| small files. */
+object Sinks {
+
+  /** R3: shape rows into the reference's HTTPResponse record —
+    * {statusCode, headers (CORS defaults ⊎ extra), body (JSON text)} —
+    * ready for any writer. Pure column logic; composes with streams. */
+  def httpResponse(body: Column, statusCode: Column,
+      extraHeaders: Column): Column = {
+    val defaults = map(
+      lit("Content-Type"), lit("application/json"),
+      lit("Access-Control-Allow-Origin"), lit("*"))
+    struct(
+      EtlOps.normStatus(statusCode).as("statusCode"),
+      EtlOps.mergeHeaders(defaults, extraHeaders).as("headers"),
+      to_json(body).as("body"))
+  }
+
+  /** Write JSON-lines responses, one file tree partition per status code
+    * (the error/success split materialized in the layout). */
+  def writeJsonResponses(df: DataFrame, responseCol: Column, path: String): Unit =
+    df.select(responseCol.as("r"))
+      .select(col("r.statusCode").as("statusCode"), to_json(col("r")).as("line"))
+      .repartition(col("statusCode"))
+      .write.mode("overwrite").partitionBy("statusCode").text(path: String)
+
+  /** Partitioned parquet writer: repartition by the partition columns so
+    * each shuffle task owns whole partitions (one file each, no
+    * small-file explosion). */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+}

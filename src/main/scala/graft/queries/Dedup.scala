@@ -354,11 +354,19 @@ object Dedup {
     val a = e.repartition(par, col("vec_id"))
       .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    import s.implicits._
     a.join(broadcast(b), col("id1") < col("id2")) // see jaccardPairsFast broadcast note
       .select(col("id1"), col("id2"),
         (graft.operators.VectorOps.dot(col("v1"), col("v2"), dim) /
           (col("n1") * col("n2"))).as("sim"))
-      .filter(col("sim") >= 0.4)
+      // Threshold in typed space: a Column filter here is pushed into
+      // the BNLJ condition where the 64-term dot evaluates INTERPRETED
+      // per pair (~30× slower than the codegen'd projection above the
+      // join). The typed boundary is a pushdown barrier; the lambda
+      // costs one tuple deserialization per pair.
+      .as[(Long, Long, Double)]
+      .filter(_._3 >= 0.4)
+      .toDF("id1", "id2", "sim")
       .select(col("id1"), col("id2"), dround(col("sim"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))
   }

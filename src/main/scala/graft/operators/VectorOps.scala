@@ -23,4 +23,29 @@ object VectorOps {
     (0 until dim).map(i => { val x = a.getItem(i); x * x }).reduce(_ + _)
 
   def l2Norm(a: Column, dim: Int): Column = sqrt(normSq(a, dim))
+
+  // Float-array variants: cast each ELEMENT at access instead of taking
+  // a pre-cast `transform(arr, cast)` column. CollapseProject inlines a
+  // transform alias into every getItem, so an unrolled dot over the
+  // alias re-evaluates the 64-cast transform 64 times (measured 64×
+  // blowup in the LSH bucket stage). Element-wise casts sidestep the
+  // duplication and stay bit-identical (each element cast exactly once
+  // per use, same add order).
+
+  /** Σ double(a[i])·double(b[i]) over float arrays. */
+  def dotF(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i =>
+      a.getItem(i).cast("double") * b.getItem(i).cast("double")).reduce(_ + _)
+
+  /** Σ double(a[i])·c(i) against per-dimension literal constants. */
+  def dotLit(a: Column, consts: Seq[Double]): Column =
+    consts.zipWithIndex.map { case (c, i) =>
+      a.getItem(i).cast("double") * lit(c)
+    }.reduce(_ + _)
+
+  /** L2 norm of a float array, element-cast. */
+  def l2NormF(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { i =>
+      val x = a.getItem(i).cast("double"); x * x
+    }.reduce(_ + _))
 }

@@ -344,28 +344,38 @@ object Dedup {
     * vector before the pair join. Ground-truth form; the scale path is
     * `Similarity.q_cosine_knn_lsh`'s hyperplane bucketing. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val dim = 64 // embeddings table dimension (TESTDATA/FIXTURES)
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", graft.operators.VectorOps.l2Norm(col("v"), dim))
-    // quadratic-work pair join: pin probe-side parallelism (see
-    // jaccardPairsFast note on AQE coalescing)
-    val par = s.sparkContext.defaultParallelism
-    val a = e.repartition(par, col("vec_id"))
-      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     import s.implicits._
-    a.join(broadcast(b), col("id1") < col("id2")) // see jaccardPairsFast broadcast note
-      .select(col("id1"), col("id2"),
-        (graft.operators.VectorOps.dot(col("v1"), col("v2"), dim) /
-          (col("n1") * col("n2"))).as("sim"))
-      // Threshold in typed space: a Column filter here is pushed into
-      // the BNLJ condition where the 64-term dot evaluates INTERPRETED
-      // per pair (~30× slower than the codegen'd projection above the
-      // join). The typed boundary is a pushdown barrier; the lambda
-      // costs one tuple deserialization per pair.
-      .as[(Long, Long, Double)]
-      .filter(_._3 >= 0.4)
+    // mapPartitions block-multiply against a broadcast vector block —
+    // same kernel and justification as Similarity.cosineKnn (the
+    // declarative pair join materializes every 64-double payload pair
+    // through a non-codegen BNLJ). Threshold on the RAW sim, output the
+    // 4-dp rounding, exactly like the oracle.
+    val raw = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val block: Array[(Long, Array[Double], Double)] = raw.collect()
+      .map { case (id, emb) =>
+        val v = emb.map(_.toDouble)
+        var i = 0; var sq = 0.0
+        while (i < v.length) { sq += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(sq))
+      }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(block)
+    raw.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val bl = bc.value
+        it.flatMap { case (id1, emb) =>
+          val v1 = emb.map(_.toDouble)
+          var i = 0; var sq = 0.0
+          while (i < v1.length) { sq += v1(i) * v1(i); i += 1 }
+          val n1 = math.sqrt(sq)
+          bl.iterator.filter(_._1 > id1).flatMap { case (id2, v2, n2) =>
+            var j = 0; var dot = 0.0
+            while (j < v1.length) { dot += v1(j) * v2(j); j += 1 }
+            val sim = dot / (n1 * n2)
+            if (sim >= 0.4) Some((id1, id2, sim)) else None
+          }
+        }
+      }
       .toDF("id1", "id2", "sim")
       .select(col("id1"), col("id2"), dround(col("sim"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))

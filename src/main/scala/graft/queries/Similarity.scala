@@ -49,19 +49,19 @@ object Similarity {
     for (t <- 0 until Tablez; j <- 0 until Bits)
       yield (t, j, (0 until Dim).map(dim => hpComponent(t, j, dim)))
 
-  /** embeddings with double-cast vector + precomputed L2 norm. Dot
-    * products are dimension-unrolled (graft.operators.VectorOps) so the
-    * all-pairs similarity stays inside WholeStageCodegen — interpreted
-    * higher-order lambdas cost ~10 µs per 64-dim dot and dominated the
-    * brute-force bench before the unroll (27 s → a few s at sf0.1). */
+  /** embeddings with the raw float vector + precomputed L2 norm. Dot
+    * products are dimension-unrolled with per-element casts
+    * (graft.operators.VectorOps.dotF) so the similarity math stays
+    * inside WholeStageCodegen — interpreted higher-order lambdas cost
+    * ~10 µs per 64-dim dot, and a pre-cast transform alias gets
+    * re-inlined per element by CollapseProject (64× blowup). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", graft.operators.VectorOps.l2Norm(col("v"), Dim))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.operators.VectorOps.l2NormF(col("v"), Dim))
 
   private def dot(a: Column, b: Column): Column =
-    graft.operators.VectorOps.dot(a, b, Dim)
+    graft.operators.VectorOps.dotF(a, b, Dim)
 
   /** Rank candidate pairs per query vector: top-k by rounded cosine with
     * id tiebreak. `pairs` must carry id1, id2, v1, v2, n1, n2. */
@@ -76,19 +76,63 @@ object Similarity {
       .orderBy(col("id1"), col("rn"))
   }
 
+  /** Scala-side dround(x, 4) — must stay in lockstep with
+    * `Parity.dround` (floor(x·10⁴+0.5), half away from zero) so the
+    * block-multiply path ranks on exactly the oracle's rounded values. */
+  private def round4(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+    else -(math.floor(-x * 1e4 + 0.5) / 1e4)
+
   // --------------------------------------------------------------- q_cosine_knn
-  /** Exact brute-force cosine top-5 per vector (all ordered pairs). */
+  /** Exact brute-force cosine top-5 per vector, as a mapPartitions
+    * block-multiply against a broadcast vector block — the documented
+    * "last resort" path (SURVEY §2 preference (d)), earned by
+    * measurement: the declarative all-pairs join materializes 4M joined
+    * rows carrying two 64-double payloads each through a non-codegen
+    * BNLJ plus a 4M-row ranking window (~13 s at sf0.1); the block
+    * multiply is 256M fused multiply-adds plus a per-row local top-k
+    * (<2 s). Selection semantics are identical to the SQL window: rank
+    * by 4-dp-rounded cosine desc, neighbor id asc.
+    *
+    * Scale: broadcast of the full block caps at executor memory — the
+    * production path for 10⁹ vectors is q_cosine_knn_lsh (bucketed);
+    * this operator is the per-bucket/ground-truth kernel. */
   private def cosineKnn(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
-    // quadratic-work pair join on a tiny input: AQE coalesces the probe
-    // side to ~1 partition and serializes the O(n²·d) loop — pin the
-    // partitioning to the cluster parallelism instead
-    val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    // explicit broadcast: vectors are ~0.5 KB/row but Catalyst's size
-    // estimate can exceed the auto-threshold → CartesianProduct fallback
-    topK(a.join(broadcast(b), col("id1") =!= col("id2")), 5)
+    import s.implicits._
+    val raw = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val block: Array[(Long, Array[Double], Double)] = raw.collect()
+      .map { case (id, emb) =>
+        val v = emb.map(_.toDouble)
+        var i = 0; var sq = 0.0
+        while (i < v.length) { sq += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(sq))
+      }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(block)
+    raw.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val bl = bc.value
+        it.flatMap { case (id1, emb) =>
+          val v1 = emb.map(_.toDouble)
+          var i = 0; var sq = 0.0
+          while (i < v1.length) { sq += v1(i) * v1(i); i += 1 }
+          val n1 = math.sqrt(sq)
+          val sims = bl.iterator.filter(_._1 != id1).map { case (id2, v2, n2) =>
+            var j = 0; var dot = 0.0
+            while (j < v1.length) { dot += v1(j) * v2(j); j += 1 }
+            (round4(dot / (n1 * n2)), id2)
+          }.toArray
+          // top-5 by (rounded sim desc, id2 asc) == the oracle's window
+          scala.util.Sorting.stableSort(sims,
+            (a: (Double, Long), b: (Double, Long)) =>
+              a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          sims.take(5).zipWithIndex.map { case ((sim, id2), k) =>
+            (id1, id2, sim, k + 1)
+          }
+        }
+      }
+      .toDF("id1", "id2", "cos_sim", "rn")
+      .orderBy(col("id1"), col("rn"))
   }
 
   private val cosineKnnSql =
@@ -118,8 +162,9 @@ object Similarity {
     val e = vecs(s, d)
     val bucketCols = (0 until Tablez).map { t =>
       val bits = (0 until Bits).map { j =>
-        val hp = array(planes.find(p => p._1 == t && p._2 == j).get._3.map(lit): _*)
-        when(dot(col("v"), hp) > 0, 1 << j).otherwise(0)
+        val hp = planes.find(p => p._1 == t && p._2 == j).get._3
+        when(graft.operators.VectorOps.dotLit(col("v"), hp) > 0, 1 << j)
+          .otherwise(0)
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
     }

@@ -194,19 +194,28 @@ object Dedup {
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("th") * a + b, lit(P))).as(s"m$i")
     }
-    val sig = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // sig also carries the set size — it rides along to the band join so
+    // a size-band residual (same bound as jaccardPairsFast, lossless for
+    // J ≥ 0.95 after rounding) prunes candidates BEFORE the distinct;
+    // on a dense corpus the buckets are huge and the distinct dominates
+    // otherwise.
+    val sig = h.groupBy(col("doc_id"))
+      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("sz")): _*)
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*)
           .as("bkey"))
     }
     val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      .select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sz"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") * 949 <= col("y.sz") * 1000 &&
+          col("y.sz") * 949 <= col("x.sz") * 1000)
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
     // Verify ONLY the candidates: re-attach the packed bitsets and
@@ -215,10 +224,10 @@ object Dedup {
     val icnt = (0 until w)
       .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
     cand
-      .join(docs.select(col("doc_id").as("id1"), col("mask").as("m1"),
-        col("sz").as("sz1")), "id1")
-      .join(docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
-        col("sz").as("sz2")), "id2")
+      .join(broadcast(docs.select(col("doc_id").as("id1"), col("mask").as("m1"),
+        col("sz").as("sz1"))), "id1")
+      .join(broadcast(docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
+        col("sz").as("sz2"))), "id2")
       .withColumn("icnt", icnt)
       // integer-exact rounded-threshold filter — see jaccardPairsFast
       .filter(col("icnt") * 20000L >=
@@ -260,26 +269,36 @@ object Dedup {
   // --------------------------------------------------------------- q_simhash_dup
   /** SimHash near-dup: 32-bit sign-aggregated token fingerprint per doc
     * (tf-weighted), pairs at Hamming distance ≤ 3 via bit_count(xor).
-    * One narrow agg per doc; the pair join at 100 TB is prefiltered by
-    * banding the 32 bits into chunks (identical machinery to MinHash-LSH
-    * bands) — here the all-pairs form is the ground truth. */
+    *
+    * The 32 per-bit sign sums run as 32 UNROLLED aggregates in ONE
+    * groupBy pass — no bit-index explode (which multiplied the token
+    * rows 32× and added a second shuffle; the oracle keeps that naive
+    * shape). Pair scan: broadcast the 8-byte fingerprints; the hamming
+    * filter is pure integer work so its pushdown into the join condition
+    * is cheap. At 100 TB the pair scan is prefiltered by banding the 32
+    * bits into chunks (same machinery as MinHash-LSH bands) — here the
+    * all-pairs form is the ground truth. */
   private def simhashDup(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val bits = tf
-      .select(col("doc_id"), col("tf"),
-        TextOps.portableHash(col("tok")).as("th"),
-        explode(sequence(lit(0), lit(31))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("tf") * (expr("shiftright(th, i) & 1") * 2 - 1)).as("contrib"))
-    val sh = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("contrib") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+    val h = tf.select(col("doc_id"), col("tf"),
+      TextOps.portableHash(col("tok")).as("th"))
+    val bitSums = (0 until 32).map(i =>
+      sum(col("tf") * (expr(s"shiftright(th, $i) & 1") * 2 - 1)).as(s"c$i"))
+    val sh = h.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+    val a = sh.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("id1"), col("simhash").as("s1"))
+    val b = sh.select(col("doc_id").as("id2"), col("simhash").as("s2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("id1"), col("id2"))
   }

@@ -182,10 +182,10 @@ object Similarity {
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
       .distinct()
     val cand = candIds
-      .join(e.select(col("vec_id").as("id1"), col("v").as("v1"),
-        col("nrm").as("n1")), "id1")
-      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"),
-        col("nrm").as("n2")), "id2")
+      .join(broadcast(e.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1"))), "id1")
+      .join(broadcast(e.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2"))), "id2")
     topK(cand, 3)
   }
 

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.DotProductF
+
+/** SparkSessionExtensions entry point: activate with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
+  * on the cluster gets the library's native expressions without code
+  * changes (SURVEY.md §2 preference (c) registration path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_f"),
+      DotProductF.info,
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}

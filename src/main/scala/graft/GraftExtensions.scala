@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, DotProductFD}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       DotProductF.info,
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_fd"),
+      DotProductF.infoFD,
+      (children: Seq[Expression]) => DotProductFD(children(0), children(1))))
   }
 }

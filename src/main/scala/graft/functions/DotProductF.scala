@@ -72,13 +72,66 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** float[] · double[] variant — used for projecting vectors onto
+  * double-precision hyperplane constants (the LSH bucket stage). Same
+  * left-to-right double accumulation as the unrolled
+  * `VectorOps.dotLit`. */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_fd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFD =
+    copy(left = newLeft, right = newRight)
+}
+
 object DotProductF {
   val info = new ExpressionInfo(classOf[DotProductF].getName, "graft_dot_f")
+  val infoFD = new ExpressionInfo(classOf[DotProductFD].getName, "graft_dot_fd")
 
   /** Register on a live session (our mains build their own sessions);
     * spark.sql.extensions users get the same via [[graft.GraftExtensions]]. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot_f"), info,
       (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot_fd"), infoFD,
+      (children: Seq[Expression]) => DotProductFD(children(0), children(1)))
+  }
 }

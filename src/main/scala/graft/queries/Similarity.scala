@@ -49,19 +49,22 @@ object Similarity {
     for (t <- 0 until Tablez; j <- 0 until Bits)
       yield (t, j, (0 until Dim).map(dim => hpComponent(t, j, dim)))
 
-  /** embeddings with the raw float vector + precomputed L2 norm. Dot
-    * products are dimension-unrolled with per-element casts
-    * (graft.operators.VectorOps.dotF) so the similarity math stays
-    * inside WholeStageCodegen — interpreted higher-order lambdas cost
-    * ~10 µs per 64-dim dot, and a pre-cast transform alias gets
-    * re-inlined per element by CollapseProject (64× blowup). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with the raw float vector + precomputed L2 norm.
+    * Vector math uses the native `graft_dot_f` Catalyst expression
+    * (graft.functions.DotProductF): one plan node with a generated
+    * fused loop, instead of a 64-term unrolled tree whose janino
+    * compilation alone costs seconds per query (measured at sf0.001
+    * where data work is negligible). Accumulation order is identical →
+    * results stay bit-equal to the unrolled form and the oracle. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProductF.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", graft.operators.VectorOps.l2NormF(col("v"), Dim))
+      .withColumn("nrm", sqrt(call_function("graft_dot_f", col("v"), col("v"))))
+  }
 
   private def dot(a: Column, b: Column): Column =
-    graft.operators.VectorOps.dotF(a, b, Dim)
+    call_function("graft_dot_f", a, b)
 
   /** Rank candidate pairs per query vector: top-k by rounded cosine with
     * id tiebreak. `pairs` must carry id1, id2, v1, v2, n1, n2. */
@@ -163,8 +166,8 @@ object Similarity {
     val bucketCols = (0 until Tablez).map { t =>
       val bits = (0 until Bits).map { j =>
         val hp = planes.find(p => p._1 == t && p._2 == j).get._3
-        when(graft.operators.VectorOps.dotLit(col("v"), hp) > 0, 1 << j)
-          .otherwise(0)
+        when(call_function("graft_dot_fd", col("v"),
+          array(hp.map(lit): _*)) > 0, 1 << j).otherwise(0)
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
     }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewOps
+import graft.sources.Tables
+
+/** Scale-path operators: sketch accuracy, salted skew handling, and
+  * bucketed co-located joins (shuffle elimination). */
+class ScaleOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("approx aggregates stay within sketch error of exact answers") {
+    val rows = SparkEntry.queries("n_agg_approx")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("saltedAgg matches the direct aggregation") {
+    val ev = Tables.events(spark, sfTiny)
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        math.round(r.getDouble(2) * 100)))).toMap
+    val salted = SkewOps.saltedAgg(ev, $"event_type", $"event_id", 8,
+      partials = Seq(count(lit(1)).as("pn"), sum($"value").as("ps")),
+      merges = Seq(sum($"pn").as("n"), sum($"ps").as("s")))
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        math.round(r.getDouble(2) * 100)))).toMap
+    assert(salted == direct)
+  }
+
+  test("saltedJoin matches the plain join") {
+    val fact = Tables.orders(spark, sfTiny).select($"o_orderkey", $"o_custkey")
+    val dim = Tables.customer(spark, sfTiny).select($"c_custkey", $"c_name")
+    val plain = fact.join(dim, $"o_custkey" === $"c_custkey").count()
+    val salted = SkewOps.saltedJoin(fact, dim, $"o_custkey", $"c_custkey", 4)
+      .count()
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    Tables.orders(spark, sfTiny).select($"o_orderkey", $"o_custkey")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    Tables.customer(spark, sfTiny).select($"c_custkey", $"c_name")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    val joined = spark.table("orders_b").join(
+      spark.table("customer_b").hint("merge"),
+      $"o_custkey" === $"c_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key → SMJ without Exchange
+    assert(!plan.contains("Exchange hashpartitioning"),
+      plan.linesIterator.take(12).mkString("\n"))
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+}

@@ -33,6 +33,18 @@ class StreamingSpec extends GraftSpec {
     assert(stream == batch)
   }
 
+  test("n_stream_custom_state equals the batch per-user aggregation") {
+    val stream = graft.SparkEntry.queries("n_stream_custom_state")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(col("ts"))).as("mn"),
+        max(unix_timestamp(col("ts"))).as("mx"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stream == batch)
+  }
+
   test("n_stream_dedup_state is bounded by batch distinct and total counts") {
     val stream = graft.SparkEntry.queries("n_stream_dedup_state")(spark, sfTiny)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

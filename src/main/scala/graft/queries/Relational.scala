@@ -490,8 +490,39 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------ q_supplier_rollup
+  /** Supplier-side revenue rollup (completes table coverage: supplier ⋈
+    * nation dims against the lineitem fact). ROLLUP gives the nation
+    * subtotal rows; both dims broadcast (tiny), so the only wide shuffle
+    * carries O(groups). */
+  private def supplierRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("s_name"))
+      .agg(
+        (grouping(col("n_name")) * 2 + grouping(col("s_name"))).as("gid"),
+        round(sum(rev), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+        round(avg(col("s_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("s_name").asc_nulls_first)
+
+  private val supplierRollupSql =
+    """SELECT n_name, s_name,
+      |  grouping(n_name) * 2 + grouping(s_name) AS gid,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items,
+      |  round(avg(s_acctbal), 2) AS avg_bal
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, s_name)
+      |ORDER BY gid, n_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
+    QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),
     QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),
     QueryDef("q_filter_pred", filterPred, Some(filterPredSql)),
     QueryDef("q_sort_limit", sortLimit, Some(sortLimitSql)),

@@ -208,7 +208,51 @@ object Text {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- q_tfidf
+  /** TF-IDF weighting with top-3 terms per document — the classic
+    * corpus-relevance operator. idf = ln(N/df) with N the corpus size
+    * (a tiny driver-side count, like a stats pass) and df from one
+    * aggregation; the per-(doc,term) weight joins tf against the
+    * broadcast df table. Ranking is on the 4-dp-rounded weight with the
+    * term tiebreak (SURVEY.md §5.3 determinism discipline; ln is
+    * computed on identical doubles in both engines). */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count() // corpus size: one tiny stats action
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        dround(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val tfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |weighted AS (
+      |  SELECT doc_id, tok, tf, df,
+      |    round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok, tf, df, tfidf, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, tok ASC) AS rn
+      |  FROM weighted)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("q_text_topk", textTopk, Some(textTopkSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),

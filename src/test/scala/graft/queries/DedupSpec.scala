@@ -22,6 +22,33 @@ class DedupSpec extends GraftSpec {
     assert(bad == 0)
   }
 
+  test("bitset Jaccard equals an independent naive explode-join computation") {
+    import org.apache.spark.sql.functions._
+    val sets = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("id1"), col("tok"))
+    val b = sets.select(col("doc_id").as("id2"), col("tok"))
+    val inter = a.join(b, Seq("tok")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("icnt"))
+    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val naive = inter
+      .join(sz.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"), col("icnt"),
+        (col("icnt").cast("double") /
+          (col("sz1") + col("sz2") - col("icnt"))).as("j"))
+      .filter(col("icnt") * 20000L >= (col("sz1") + col("sz2") - col("icnt")) * 18999L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("icnt").longValue())).toSet
+    val bitset = q("q_minhash_dup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("icnt").longValue())).toSet
+    assert(bitset == naive)
+  }
+
   test("minhash LSH output is a subset of exact ground truth") {
     val exact = q("q_minhash_dup").selectExpr("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

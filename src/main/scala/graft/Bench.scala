@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Neutral JVM/codegen/parquet-reader warmup (no timed query runs
+    // untimed): otherwise whichever query happens to run first absorbs
+    // ~5 s of JIT + whole-stage-codegen compiler + scan-path init.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

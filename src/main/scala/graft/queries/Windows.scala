@@ -161,7 +161,70 @@ object Windows {
       |GROUP BY e1.event_id
       |ORDER BY id1""".stripMargin
 
+  // ---------------------------------------------------------------- q_join_asof
+  /** AS-OF join (the brief's flagship custom-operator example): for each
+    * click, the most recent purchase of the same user at or before the
+    * click's time. Implemented Spark-first with the UNION-WINDOW
+    * technique — tag both sides, sort each user's merged timeline once,
+    * and carry the last non-null purchase forward with
+    * `last(_, ignoreNulls)`. One shuffle on user_id, O(n log n) per key,
+    * versus the range self-join which explodes into per-key pairs (and
+    * needs an arbitrary time bound to stay finite). Determinism:
+    * purchases sort before clicks at equal ts (inclusive ≤ semantics)
+    * and the unique purchase id breaks purchase-ts ties; click-vs-click
+    * order can't change the purchase prefix each click sees. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"), lit(0).as("m"),
+        col("event_id").as("p_id"), col("value").as("p_val"),
+        lit(null).cast("bigint").as("c_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s"), lit(1).as("m"),
+        lit(null).cast("bigint").as("p_id"),
+        lit(null).cast("double").as("p_val"),
+        col("event_id").as("c_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s").asc, col("m").asc, col("p_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_p_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("last_p_val",
+        round(last(col("p_val"), ignoreNulls = true).over(w), 2))
+      .filter(col("m") === 1)
+      .select(col("c_id"), col("user_id"), col("ts_s"),
+        col("last_p_id"), col("last_p_val"))
+      .orderBy(col("c_id"))
+  }
+
+  private val joinAsofSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "value"
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, ts_s, 0 AS m, event_id AS p_id, "value" AS p_val,
+      |    CAST(NULL AS BIGINT) AS c_id
+      |  FROM ev WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts_s, 1 AS m, NULL, NULL, event_id
+      |  FROM ev WHERE event_type = 'click'),
+      |wv AS (
+      |  SELECT *,
+      |    last_value(p_id IGNORE NULLS) OVER w AS last_p_id,
+      |    round(last_value(p_val IGNORE NULLS) OVER w, 2) AS last_p_val
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ts_s ASC, m ASC, p_id ASC NULLS LAST
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT c_id, user_id, ts_s, last_p_id, last_p_val
+      |FROM wv WHERE m = 1
+      |ORDER BY c_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_join_asof", joinAsof, Some(joinAsofSql)),
     QueryDef("q_window_rank", windowRank, Some(windowRankSql)),
     QueryDef("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),
     QueryDef("q_window_range_frame", windowRangeFrame, Some(windowRangeFrameSql)),

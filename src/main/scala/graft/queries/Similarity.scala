@@ -228,8 +228,39 @@ object Similarity {
        |ORDER BY id1, rn""".stripMargin
   }
 
+  // ----------------------------------------------------------- n_cosine_knn_ivf
+  /** IVF (inverted-file) ANN: learned KMeans centroids partition the
+    * vector space into cells; each query vector searches only its own
+    * cell — the structure behind FAISS-style IVF indexes, here with the
+    * cell assignment as an ordinary shuffle key. `no-oracle`: the
+    * centroids come from Spark ML KMeans (seeded, deterministic within
+    * a Spark version) which DuckDB cannot reproduce; the recall contract
+    * vs exact top-k is asserted in SimilaritySpec.
+    *
+    * Scale: training samples a fraction of the corpus; assignment is a
+    * narrow map against broadcast centroids; the per-cell search
+    * shuffles each vector once. nprobe>1 (searching neighboring cells)
+    * raises recall — the single-probe form is shown here. */
+  private def cosineKnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vecs(s, d)
+      .withColumn("features", array_to_vector(
+        transform(col("v"), x => x.cast("double"))))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+      .fit(e.select(col("features")))
+    val cells = model.transform(e)
+      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+    val a = cells.select(col("vec_id").as("id1"), col("v").as("v1"),
+      col("nrm").as("n1"), col("cell"))
+    val b = cells.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"), col("cell"))
+    topK(a.join(b, Seq("cell")).filter(col("id1") =!= col("id2")), 3)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_cosine_knn", cosineKnn, Some(cosineKnnSql)),
     QueryDef("q_cosine_knn_lsh", cosineKnnLsh, Some(cosineKnnLshSql)),
+    QueryDef("n_cosine_knn_ivf", cosineKnnIvf, None),
   )
 }

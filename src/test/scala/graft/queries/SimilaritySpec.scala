@@ -27,6 +27,18 @@ class SimilaritySpec extends GraftSpec {
     df.unpersist()
   }
 
+  test("ivf knn: per-cell search recovers a sane share of exact top-3") {
+    val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
+      .filter("rn <= 3").selectExpr("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.SparkEntry.queries("n_cosine_knn_ivf")(spark, sfTiny)
+      .selectExpr("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVF recall suspiciously low: $recall")
+  }
+
   test("lsh knn: neighbors are a subset-quality approximation of exact") {
     val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
       .filter("rn <= 3").selectExpr("id1", "id2").collect()

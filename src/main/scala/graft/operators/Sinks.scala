@@ -35,7 +35,7 @@ object Sinks {
     df.select(responseCol.as("r"))
       .select(col("r.statusCode").as("statusCode"), to_json(col("r")).as("line"))
       .repartition(col("statusCode"))
-      .write.mode("overwrite").partitionBy("statusCode").text(path: String)
+      .write.mode("overwrite").partitionBy("statusCode").text(path)
 
   /** Partitioned parquet writer: repartition by the partition columns so
     * each shuffle task owns whole partitions (one file each, no

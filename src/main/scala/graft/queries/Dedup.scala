@@ -70,16 +70,19 @@ object Dedup {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("tok"))) - 1)
     val w = ((dict.count() + 63) / 64).toInt
-    val words = sets.join(broadcast(dict), "tok")
-      .select(col("doc_id"), (col("tid") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").as("bit"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(sum(col("bit")).as("mw")) // distinct tokens → each bit once
-    val masks = words.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("mw")))).as("wm"))
+    // One codegen'd hash aggregation builds all W words directly:
+    // mask[i] = Σ bit over tokens whose id falls in word i (distinct
+    // tokens → each bit contributes once, so sum ≡ bitwise or). No
+    // collect_list/ObjectHashAggregate, no second shuffle.
+    val wordSums = (0 until w).map(i =>
+      sum(when((col("tid") / 64).cast("int") === i,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"))
+        .otherwise(0L)).as(s"w$i"))
+    val masks = sets.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"))
+      .agg(wordSums.head, wordSums.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(w - 1)),
-          i => coalesce(element_at(col("wm"), i), lit(0L))).as("mask"))
+        array((0 until w).map(i => col(s"w$i")): _*).as("mask"))
       .withColumn("sz",
         (0 until w).map(i => expr(s"bit_count(mask[$i])")).reduce(_ + _))
     (masks.cache(), w)

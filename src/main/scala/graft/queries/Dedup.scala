@@ -360,11 +360,11 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
 
   // ------------------------------------------------------------- q_embed_neardup
-  /** Embedding cosine near-dup: all pairs with cos ≥ 0.4. Dot products via
-    * zip_with + sequential aggregate in double — bit-identical to DuckDB's
-    * sequential list_dot_product on the same cast. Norms computed once per
-    * vector before the pair join. Ground-truth form; the scale path is
-    * `Similarity.q_cosine_knn_lsh`'s hyperplane bucketing. */
+  /** Embedding cosine near-dup: all pairs with cos ≥ 0.4. Dots accumulate
+    * left-to-right in double — bit-identical to DuckDB's sequential
+    * list_dot_product on the same cast. Ground-truth form; the scale
+    * paths are `Similarity.q_cosine_knn_lsh` (hyperplane buckets) and
+    * `n_cosine_knn_ivf` (learned cells). */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // mapPartitions block-multiply against a broadcast vector block —

@@ -251,7 +251,36 @@ object Text {
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ------------------------------------------------------------- q_rolling_hash
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the token-hash sequence, h = fold(acc·31 + h(tok) mod 2³¹−1) —
+    * distinguishes reordered content where the set-based fingerprints
+    * (q_text_fingerprint) collide. The fold is sequential in both
+    * engines (Spark `aggregate` starts from 0, DuckDB `list_reduce`
+    * from the first element — identical values since 0·31+h₁ = h₁).
+    * Narrow map; acc < 2³¹ and h < 2³² keep the product inside 64 bits. */
+  private def rollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(
+          transform(toks, t => TextOps.portableHash(t)),
+          lit(0L),
+          (acc, h) => pmod(acc * 31 + h, lit(2147483647L))).as("roll_hash"))
+      .orderBy(col("doc_id"))
+
+  private val rollingHashSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+      |  list_reduce(
+      |    list_transform(regexp_split_to_array(text, '\s+'),
+      |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS roll_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("q_text_topk", textTopk, Some(textTopkSql)),

@@ -12,9 +12,9 @@ import graft.sources.Tables
   * truth, and a multi-table random-hyperplane LSH variant as the
   * 100 TB path.
   *
-  * Determinism/parity: similarities are computed in double with
-  * sequential folds (`aggregate(zip_with(...))` ≡ DuckDB
-  * `list_dot_product`) and ranked on the 4-decimal rounding with the
+  * Determinism/parity: similarities accumulate left-to-right in double
+  * (native `graft_dot_f` / the Scala block kernel ≡ DuckDB
+  * `list_dot_product`) and rank on the 4-decimal rounding with the
   * neighbor id as tiebreak, so rank order is stable across engines even
   * at float boundaries (SURVEY.md §5.3 discipline).
   *

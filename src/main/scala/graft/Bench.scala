@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query filter for local iteration; the
+    // driver never sets it, so the official bench always runs everything.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +19,27 @@ object Bench {
     // ~5 s of JIT + whole-stage-codegen compiler + scan-path init.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failing query must be visible as a FAILURE, not timed as fast:
+    // it reports -1 sec and lands in the "errors" map.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+        }
+        (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
+      }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"$k\":\"$m\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFail = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

@@ -27,4 +27,11 @@ object Parity {
     val neg = -(floor(-c * p + lit(0.5)) / p)
     when(c >= 0, pos).otherwise(neg)
   }
+
+  /** Scala-side twin of `dround(_, 4)` for imperative kernels — must stay
+    * in lockstep with the Column form so block kernels rank on exactly
+    * the oracle's rounded values. */
+  def dround4(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+    else -(math.floor(-x * 1e4 + 0.5) / 1e4)
 }

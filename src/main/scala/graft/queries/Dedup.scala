@@ -29,10 +29,10 @@ import graft.sources.Tables
   * (one narrow agg), then a shuffle keyed on (band, bandKey) so only
   * docs colliding in a band ever meet — the classic sub-quadratic
   * shingle→minhash→band→bucket-join layout. SimHash is one narrow agg +
-  * a pair join that at scale is prefiltered by bit-chunk banding on the
-  * 64-bit key. Embedding near-dup at scale goes through the LSH route in
-  * `Similarity` (random-hyperplane buckets) rather than the all-pairs
-  * join used for ground truth here.
+  * a LOSSLESS bit-chunk-banded pair join (pigeonhole on the Hamming
+  * radius). Embedding near-dup at scale goes through the LSH route in
+  * `Similarity` (random-hyperplane buckets); its exact form here runs as
+  * a block-partitioned distributed pair scan, not a driver collect.
   */
 object Dedup {
 
@@ -54,21 +54,39 @@ object Dedup {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
 
+  /** Caches created by the currently-running dedup query. Each query
+    * scopes its caches: the next dedup query's docBitsets call releases
+    * the previous one's, so a long-lived session running the whole suite
+    * never accumulates unreleased cached partitions (round-1 leak). */
+  private val liveCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+  private def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.unpersist(blocking = false)); liveCaches.clear()
+  }
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    liveCaches += df.cache(); df
+  }
+
   /** Per-doc set as a dictionary-encoded BITSET: tokens get dense ids
     * from a broadcast dictionary, each doc becomes `W = ⌈vocab/64⌉`
     * packed longs. Set size = popcount of the own mask. The dictionary
     * is sized with one tiny driver-side count (like an optimizer stats
     * pass). Returns (df, W). */
   private def docBitsets(sets0: DataFrame): (DataFrame, Int) = {
+    releaseCaches()
     // The set relation feeds the dictionary, the mask build AND both
     // sides of the downstream self-join — cache it (and the tiny mask
     // table) instead of re-running the explode+distinct per branch
     // (the reference's memo-cache pattern, ssm.py:7, applied to a plan).
-    val sets = sets0.cache()
-    val dict = sets.select(col("tok")).distinct()
-      .withColumn("tid",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("tok"))) - 1)
+    val sets = tracked(sets0)
+    val sp = sets.sparkSession
+    import sp.implicits._
+    // Scale-safe dense ids: distributed sort + zipWithIndex (per-partition
+    // ranks + a partition-offset pass) — no single-task global window
+    // (round-1's row_number over an unpartitioned Window funneled the
+    // whole vocabulary through one task).
+    val dict = tracked(
+      sets.select(col("tok")).distinct().orderBy(col("tok"))
+        .as[String].rdd.zipWithIndex.toDF("tok", "tid"))
     val w = ((dict.count() + 63) / 64).toInt
     // One codegen'd hash aggregation builds all W words directly:
     // mask[i] = Σ bit over tokens whose id falls in word i (distinct
@@ -85,7 +103,7 @@ object Dedup {
         array((0 until w).map(i => col(s"w$i")): _*).as("mask"))
       .withColumn("sz",
         (0 until w).map(i => expr(s"bit_count(mask[$i])")).reduce(_ + _))
-    (masks.cache(), w)
+    (tracked(masks), w)
   }
 
   /** Exact Jaccard-≥-threshold pairs over bitset-encoded sets.
@@ -204,15 +222,22 @@ object Dedup {
     // otherwise.
     val sig = h.groupBy(col("doc_id"))
       .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("sz")): _*)
+    // Band key = the raw 4-minhash tuple (an array column) — tuple
+    // equality is exactly the oracle's string-concat equality (the
+    // ','-join of decimals is injective) without materializing strings.
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*)
-          .as("bkey"))
+        array((0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sz"), col("bs.band").as("band"),
         col("bs.bkey").as("bkey"))
+    // NOT distinct here: a pair colliding in k bands appears k ≤ 4 times.
+    // Verification is a broadcast hash join + popcount (no shuffle), so
+    // verifying duplicates is cheaper than a wide distinct over the full
+    // candidate set — the dedup runs AFTER the ≥0.95 filter, on the few
+    // surviving rows.
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -220,7 +245,6 @@ object Dedup {
           col("x.sz") * 949 <= col("y.sz") * 1000 &&
           col("y.sz") * 949 <= col("x.sz") * 1000)
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
     // Verify ONLY the candidates: re-attach the packed bitsets and
     // popcount the intersection — a few codegen'd ops per candidate.
     val (docs, w) = docBitsets(sets)
@@ -238,6 +262,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         dround(col("icnt").cast("double") /
           (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -276,11 +301,18 @@ object Dedup {
     * The 32 per-bit sign sums run as 32 UNROLLED aggregates in ONE
     * groupBy pass — no bit-index explode (which multiplied the token
     * rows 32× and added a second shuffle; the oracle keeps that naive
-    * shape). Pair scan: broadcast the 8-byte fingerprints; the hamming
-    * filter is pure integer work so its pushdown into the join condition
-    * is cheap. At 100 TB the pair scan is prefiltered by banding the 32
-    * bits into chunks (same machinery as MinHash-LSH bands) — here the
-    * all-pairs form is the ground truth. */
+    * shape).
+    *
+    * Candidate generation is BANDED, not all-pairs: the 32-bit
+    * fingerprint splits into 4 byte chunks, and by pigeonhole any pair
+    * at Hamming ≤ 3 differs in at most 3 chunks — i.e. agrees EXACTLY on
+    * at least one. So a self-join keyed on (chunk_idx, chunk_value)
+    * loses nothing; it is an exact rewrite of the all-pairs scan (the
+    * oracle keeps the naive quadratic form and still hash-matches).
+    * Sub-quadratic: only docs sharing a byte chunk ever meet in the
+    * shuffle, the same layout as MinHash-LSH banding but with a
+    * LOSSLESS guarantee. A pair matching in k chunks appears k ≤ 4
+    * times; dedup runs after the cheap hamming filter. */
   private def simhashDup(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
@@ -296,13 +328,22 @@ object Dedup {
         (0 until 32).map(i =>
           when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
-    val a = sh.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id").as("id1"), col("simhash").as("s1"))
-    val b = sh.select(col("doc_id").as("id2"), col("simhash").as("s2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))
+    val chunkStructs = (0 until 4).map(i =>
+      struct(lit(i).as("ci"),
+        expr(s"shiftright(simhash, ${8 * i}) & 255").as("cv")))
+    val chunks = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -360,45 +401,21 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
 
   // ------------------------------------------------------------- q_embed_neardup
-  /** Embedding cosine near-dup: all pairs with cos ≥ 0.4. Dots accumulate
-    * left-to-right in double — bit-identical to DuckDB's sequential
-    * list_dot_product on the same cast. Ground-truth form; the scale
-    * paths are `Similarity.q_cosine_knn_lsh` (hyperplane buckets) and
+  /** Embedding cosine near-dup: all pairs with cos ≥ 0.4, via the
+    * block-partitioned distributed pair scan (see
+    * graft.operators.BlockPairScan — no driver collect, no full-table
+    * broadcast; each unordered pair meets in exactly one block-pair
+    * task). Dots accumulate left-to-right in double — bit-identical to
+    * DuckDB's sequential list_dot_product on the same cast. Threshold on
+    * the RAW sim, output the 4-dp rounding, exactly like the oracle.
+    * Ground-truth form; the sub-quadratic scale paths are
+    * `Similarity.q_cosine_knn_lsh` (hyperplane buckets) and
     * `n_cosine_knn_ivf` (learned cells). */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // mapPartitions block-multiply against a broadcast vector block —
-    // same kernel and justification as Similarity.cosineKnn (the
-    // declarative pair join materializes every 64-double payload pair
-    // through a non-codegen BNLJ). Threshold on the RAW sim, output the
-    // 4-dp rounding, exactly like the oracle.
     val raw = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val block: Array[(Long, Array[Double], Double)] = raw.collect()
-      .map { case (id, emb) =>
-        val v = emb.map(_.toDouble)
-        var i = 0; var sq = 0.0
-        while (i < v.length) { sq += v(i) * v(i); i += 1 }
-        (id, v, math.sqrt(sq))
-      }.sortBy(_._1)
-    val bc = s.sparkContext.broadcast(block)
-    raw.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val bl = bc.value
-        it.flatMap { case (id1, emb) =>
-          val v1 = emb.map(_.toDouble)
-          var i = 0; var sq = 0.0
-          while (i < v1.length) { sq += v1(i) * v1(i); i += 1 }
-          val n1 = math.sqrt(sq)
-          bl.iterator.filter(_._1 > id1).flatMap { case (id2, v2, n2) =>
-            var j = 0; var dot = 0.0
-            while (j < v1.length) { dot += v1(j) * v2(j); j += 1 }
-            val sim = dot / (n1 * n2)
-            if (sim >= 0.4) Some((id1, id2, sim)) else None
-          }
-        }
-      }
-      .toDF("id1", "id2", "sim")
+    graft.operators.BlockPairScan.thresholdPairs(raw, 0.4)
       .select(col("id1"), col("id2"), dround(col("sim"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))
   }

@@ -538,5 +538,6 @@ object Relational {
     QueryDef("q_cast_norm", castNorm, Some(castNormSql)),
     QueryDef("q_datetime", datetimeFns, Some(datetimeSql)),
     QueryDef("q_math_fns", mathFns, Some(mathFnsSql)),
+    QueryDef("q_string_fns", stringFns, Some(stringFnsSql)),
   )
 }

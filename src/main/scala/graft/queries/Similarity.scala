@@ -79,62 +79,34 @@ object Similarity {
       .orderBy(col("id1"), col("rn"))
   }
 
-  /** Scala-side dround(x, 4) — must stay in lockstep with
-    * `Parity.dround` (floor(x·10⁴+0.5), half away from zero) so the
-    * block-multiply path ranks on exactly the oracle's rounded values. */
-  private def round4(x: Double): Double =
-    if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
-    else -(math.floor(-x * 1e4 + 0.5) / 1e4)
-
   // --------------------------------------------------------------- q_cosine_knn
-  /** Exact brute-force cosine top-5 per vector, as a mapPartitions
-    * block-multiply against a broadcast vector block — the documented
-    * "last resort" path (SURVEY §2 preference (d)), earned by
-    * measurement: the declarative all-pairs join materializes 4M joined
-    * rows carrying two 64-double payloads each through a non-codegen
-    * BNLJ plus a 4M-row ranking window (~13 s at sf0.1); the block
-    * multiply is 256M fused multiply-adds plus a per-row local top-k
-    * (<2 s). Selection semantics are identical to the SQL window: rank
-    * by 4-dp-rounded cosine desc, neighbor id asc.
+  /** Exact brute-force cosine top-5 per vector via the block-partitioned
+    * pair scan (graft.operators.BlockPairScan): B×B block grid, fused
+    * double[] kernel per block pair, per-pair partial top-5, then one
+    * thin global window over ≤ n·B·5 candidate rows. The documented
+    * "last resort" mapPartitions path (SURVEY §2 preference (d)), earned
+    * by measurement: the declarative all-pairs join materializes 4M
+    * joined rows carrying two 64-double payloads each through a
+    * non-codegen BNLJ plus a 4M-row ranking window (~13 s at sf0.1); the
+    * block kernel is 256M fused multiply-adds. Selection semantics are
+    * identical to the SQL window: rank by 4-dp-rounded cosine desc,
+    * neighbor id asc — a global winner also wins inside its own block
+    * pair, so the partial-top-k union provably contains the answer.
     *
-    * Scale: broadcast of the full block caps at executor memory — the
-    * production path for 10⁹ vectors is q_cosine_knn_lsh (bucketed);
-    * this operator is the per-bucket/ground-truth kernel. */
+    * Scale: no driver materialization and no full-table broadcast
+    * (round-1's collect() bottleneck is gone); memory per task is
+    * 2·(n/B) vectors, tuned by B alone. The sub-quadratic production
+    * path for 10⁹ vectors remains q_cosine_knn_lsh / n_cosine_knn_ivf;
+    * this operator is the exact ground-truth kernel. */
   private def cosineKnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val raw = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val block: Array[(Long, Array[Double], Double)] = raw.collect()
-      .map { case (id, emb) =>
-        val v = emb.map(_.toDouble)
-        var i = 0; var sq = 0.0
-        while (i < v.length) { sq += v(i) * v(i); i += 1 }
-        (id, v, math.sqrt(sq))
-      }.sortBy(_._1)
-    val bc = s.sparkContext.broadcast(block)
-    raw.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val bl = bc.value
-        it.flatMap { case (id1, emb) =>
-          val v1 = emb.map(_.toDouble)
-          var i = 0; var sq = 0.0
-          while (i < v1.length) { sq += v1(i) * v1(i); i += 1 }
-          val n1 = math.sqrt(sq)
-          val sims = bl.iterator.filter(_._1 != id1).map { case (id2, v2, n2) =>
-            var j = 0; var dot = 0.0
-            while (j < v1.length) { dot += v1(j) * v2(j); j += 1 }
-            (round4(dot / (n1 * n2)), id2)
-          }.toArray
-          // top-5 by (rounded sim desc, id2 asc) == the oracle's window
-          scala.util.Sorting.stableSort(sims,
-            (a: (Double, Long), b: (Double, Long)) =>
-              a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
-          sims.take(5).zipWithIndex.map { case ((sim, id2), k) =>
-            (id1, id2, sim, k + 1)
-          }
-        }
-      }
-      .toDF("id1", "id2", "cos_sim", "rn")
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cos_sim").desc, col("id2").asc)
+    graft.operators.BlockPairScan.knnPartials(raw, 5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
       .orderBy(col("id1"), col("rn"))
   }
 

@@ -12,6 +12,25 @@ class RegistrySpec extends GraftSpec {
     assert(noOracle.forall(_.startsWith("n_")), s"unexpected no-oracle: $noOracle")
   }
 
+  test("every SURVEY §2.B obligation is registered") {
+    // Literal id list from SURVEY.md §2.B — a declared query must never
+    // silently drop out of the registry again (round-1 q_string_fns bug).
+    val surveyIds = Set(
+      "q_scan_project", "q_filter_pred", "q_extract_default", "q_regex",
+      "q_string_fns", "q_casewhen", "q_token_classify", "q_json_serde",
+      "q_struct_map", "q_cast_norm", "q_datetime", "q_join_inner",
+      "q_join_broadcast", "q_join_multi", "q_join_outer", "q_join_semi_anti",
+      "q_join_theta_range", "q_agg_basic", "q_agg_distinct",
+      "q_agg_rollup_cube", "q_agg_having", "q_window_rank",
+      "q_window_analytic", "q_window_range_frame", "q_sort_limit",
+      "q_set_ops", "q_dedup", "q_error_split", "q_math_fns",
+      "q_text_tokens", "q_text_topk", "q_minhash_dup", "q_cosine_knn",
+      "n_stream_tumble", "n_stream_session", "n_stream_dedup_state",
+      "n_udf_token", "n_udaf_agg")
+    val missing = surveyIds -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"SURVEY §2.B ids missing from registry: $missing")
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -243,7 +243,64 @@ object Etl {
       |)
       |ORDER BY branch, error""".stripMargin
 
+  // --------------------------------------------------------- q_error_split_parse
+  /** R18's malformed-JSON → 415 routing (`api_gateway.py:126-137`)
+    * driven by ACTUAL parse failures, closing the round-1 gap where
+    * q_error_split routed on value predicates only: a deterministic
+    * subset of props bodies is corrupted (truncated-brace prefix / plain
+    * non-JSON), `from_json` PERMISSIVE-nulls exactly those, and the
+    * null-parse predicate routes rows through EtlOps.errorSplit with the
+    * reference's 415 ErrorResponse shape. The good branch aggregates a
+    * PARSED field (sum of the `k` prop) so the oracle asserts the parse
+    * result itself, not just the routing; DuckDB reproduces the split
+    * via json_valid over identically-corrupted strings. */
+  private def errorSplitParse(s: SparkSession, d: String): DataFrame = {
+    val mangled = when(pmod(col("event_id"), lit(7)) === 0,
+        concat(substring(col("props"), 1, 2), lit("<bad>")))
+      .when(pmod(col("event_id"), lit(11)) === 0, lit("not json"))
+      .otherwise(col("props"))
+    val ev = Tables.events(s, d)
+      .withColumn("body", mangled)
+      .withColumn("parsed", EtlOps.propsMap(col("body")))
+    val routed = EtlOps.errorSplit(ev, col("parsed").isNull,
+      lit("MalformedJsonError"),
+      lit("Unsupported Media Type: malformed request body"), lit(415))
+    val goodCounts = routed.good
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("parsed"), "k")).as("sum_k"))
+      .select(lit("good").as("branch"), lit("").as("error"),
+        lit("").as("description"), lit("200").as("status_code"),
+        col("n"), col("sum_k"))
+    val errCounts = routed.errors
+      .groupBy(col("error"), col("description"), col("status_code"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("error").as("branch"), col("error"), col("description"),
+        col("status_code"), col("n"), lit(-1L).as("sum_k"))
+    goodCounts.unionByName(errCounts).orderBy(col("branch"))
+  }
+
+  private val errorSplitParseSql =
+    """WITH bodies AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 2) || '<bad>'
+      |         WHEN event_id % 11 = 0 THEN 'not json'
+      |         ELSE props END AS body
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'good' AS branch, '' AS error, '' AS description,
+      |    '200' AS status_code, count(*) AS n,
+      |    CAST(sum(CAST(json_extract(body, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |  FROM bodies WHERE json_valid(body)
+      |  UNION ALL
+      |  SELECT 'error' AS branch, 'MalformedJsonError' AS error,
+      |    'Unsupported Media Type: malformed request body' AS description,
+      |    '415' AS status_code, count(*) AS n, CAST(-1 AS BIGINT) AS sum_k
+      |  FROM bodies WHERE NOT json_valid(body)
+      |)
+      |ORDER BY branch""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),
     QueryDef("q_regex", regexOps, Some(regexSql)),
     QueryDef("q_casewhen", caseWhen, Some(caseWhenSql)),

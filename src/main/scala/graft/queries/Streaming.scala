@@ -131,10 +131,41 @@ object Streaming {
     drain(s, updated, "update").orderBy(col("user_id"))
   }
 
+  // --------------------------------------------------------------- n_stream_sink
+  /** The production sink path the memory-sink queries stand in for: the
+    * tumbling-window aggregation written through `foreachBatch` into
+    * `Sinks.writePartitioned` (partitioned parquet, repartition-by-
+    * partition-cols so each task owns whole partitions). Complete mode +
+    * overwrite per micro-batch means the final tree is the full result —
+    * the standard "replace the serving table each trigger" pattern. The
+    * returned frame re-reads the files, so the driver's rows>0 check and
+    * the spec's batch-equivalence assertion exercise the on-disk layout,
+    * not a shortcut. */
+  private def streamSink(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_sink_${UUID.randomUUID().toString.replace("-", "")}").getAbsolutePath
+    eventsStream(s, d)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Sinks.writePartitioned(batch, out, Seq("event_type"))
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.parquet(out)
+      .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_stream_tumble", streamTumble, None),
     QueryDef("n_stream_session", streamSession, None),
     QueryDef("n_stream_dedup_state", streamDedupState, None),
     QueryDef("n_stream_custom_state", streamCustomState, None),
+    QueryDef("n_stream_sink", streamSink, None),
   )
 }

@@ -257,7 +257,12 @@ object Text {
     * distinguishes reordered content where the set-based fingerprints
     * (q_text_fingerprint) collide. The fold is sequential in both
     * engines (Spark `aggregate` starts from 0, DuckDB `list_reduce`
-    * from the first element — identical values since 0·31+h₁ = h₁).
+    * from the first element — identical values since 0·31+h₁ = h₁,
+    * PROVIDED the mod is also applied outside the fold: for a
+    * single-token doc list_reduce returns the raw unreduced h₁ < 2³²
+    * while Spark's fold already took h₁ mod 2³¹−1, so the oracle wraps
+    * the reduce in one more `% 2147483647` — identity on every
+    * multi-token doc, parity-restoring on the one-token edge).
     * Narrow map; acc < 2³¹ and h < 2³² keep the product inside 64 bits. */
   private def rollingHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -275,7 +280,7 @@ object Text {
       |  list_reduce(
       |    list_transform(regexp_split_to_array(text, '\s+'),
       |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)),
-      |    (a, b) -> (a * 31 + b) % 2147483647) AS roll_hash
+      |    (a, b) -> (a * 31 + b) % 2147483647) % 2147483647 AS roll_hash
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

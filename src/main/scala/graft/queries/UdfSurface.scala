@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.functions.{Parity, WeightedAvg}
+import graft.functions.{Jwt, Parity, WeightedAvg}
 import graft.sources.Tables
 
 /** Phase 6 — the user-extension surface (SURVEY.md §7 phase 6): a Scala
@@ -25,35 +25,61 @@ object UdfSurface {
 
   private val BearerRe = "Bearer\\s+(.+)".r
 
-  /** The reference's 3-way token classification as opaque Scala — regex
-    * arm ≡ jwt structural check, `expired` flag ≡ exp-claim check. */
-  private[graft] def classifyToken(header: String, expired: Boolean): String =
+  /** Fixed verification context — literal constants keep the query
+    * deterministic and oracle-reproducible. */
+  private[graft] val Secret = "graft-demo-secret"
+  private[graft] val Now = 1700000000L
+
+  /** The reference's 3-way token classification with REAL cryptography:
+    * Bearer-regex extraction (handlers.py:32), then full HS256
+    * verification and exp-claim discrimination via [[Jwt.verify]]
+    * (handlers.py:34-47). Returns (token_status, principal_id). */
+  private[graft] def classifyToken(header: String): (String, String) =
     header match {
-      case null           => "invalid"
-      case BearerRe(_)    => if (expired) "expired" else "valid"
-      case _              => "invalid"
+      case null            => ("invalid", "unknown_user")
+      case BearerRe(tok)   => Jwt.verify(tok, Secret, Now)
+      case _               => ("invalid", "unknown_user")
     }
 
   // ----------------------------------------------------------------- n_udf_token
-  /** R11 via the UDF surface: register + call a Scala UDF, with the
-    * per-branch principal fallback (R22) on top. */
+  /** R11 via the UDF surface: per-event JWTs are constructed (signed)
+    * and then verified with genuine HMAC-SHA256 — a signing UDF builds
+    * each token from the event's user, an exp claim in the past or
+    * future depending on `value`, and a FORGED signature for `click`
+    * events; the verifying UDF must discriminate the three outcomes
+    * cryptographically, exactly like the reference authorizer
+    * (handlers.py:34-47, incl. the unverified-decode principal on the
+    * expired arm and the R22 unknown_user fallback). The oracle
+    * reproduces the end-to-end classification from the source columns —
+    * asserting that the sign→verify round trip decides purely on the
+    * construction inputs. */
   private def udfToken(s: SparkSession, d: String): DataFrame = {
+    val mk = udf((uid: String, exp: Long, forge: Boolean) =>
+      Jwt.sign(if (forge) "forged-secret" else Secret, uid, exp))
     val classify = udf(classifyToken _)
-    s.udf.register("graft_classify_token", classify)
+    s.udf.register("graft_verify_jwt", classify)
+    val exp = when(col("value") < 1.0, lit(Now - 3600L))
+      .otherwise(lit(Now + 3600L))
     val header = when(col("event_type") === "error", lit("garbage-header"))
-      .otherwise(concat(lit("Bearer tok_"), col("user_id").cast("string")))
+      .otherwise(concat(lit("Bearer "),
+        mk(concat(lit("u"), col("user_id").cast("string")), exp,
+          col("event_type") === "click")))
     Tables.events(s, d)
-      .select(col("event_id"), header.as("hdr"), (col("value") < 1.0).as("expired"))
+      .select(col("event_id"), header.as("hdr"))
+      .select(col("event_id"), call_udf("graft_verify_jwt", col("hdr")).as("r"))
       .select(col("event_id"),
-        call_udf("graft_classify_token", col("hdr"), col("expired")).as("token_status"))
+        col("r._1").as("token_status"), col("r._2").as("principal_id"))
       .orderBy(col("event_id"))
   }
 
   private val udfTokenSql =
     """SELECT event_id,
       |  CASE WHEN event_type = 'error' THEN 'invalid'
+      |       WHEN event_type = 'click' THEN 'invalid'
       |       WHEN "value" < 1.0 THEN 'expired'
-      |       ELSE 'valid' END AS token_status
+      |       ELSE 'valid' END AS token_status,
+      |  CASE WHEN event_type IN ('error', 'click') THEN 'unknown_user'
+      |       ELSE 'u' || CAST(user_id AS VARCHAR) END AS principal_id
       |FROM events
       |ORDER BY event_id""".stripMargin
 

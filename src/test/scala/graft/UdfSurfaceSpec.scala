@@ -1,15 +1,43 @@
 package graft
 
+import graft.functions.Jwt
 import graft.queries.UdfSurface
 
 class UdfSurfaceSpec extends GraftSpec {
 
+  private val secret = UdfSurface.Secret
+  private val now = UdfSurface.Now
+
+  test("JWT verify: valid / expired / forged / tampered / garbage") {
+    val good = Jwt.sign(secret, "u42", now + 1000)
+    assert(Jwt.verify(good, secret, now) == (("valid", "u42")))
+
+    // expired tokens still surface the user_id claim as principal,
+    // mirroring the reference's unverified decode on the expired arm
+    val old = Jwt.sign(secret, "u7", now - 1)
+    assert(Jwt.verify(old, secret, now) == (("expired", "u7")))
+
+    // signed with the wrong key — structure fine, HMAC must reject
+    val forged = Jwt.sign("forged-secret", "u42", now + 1000)
+    assert(Jwt.verify(forged, secret, now) == (("invalid", "unknown_user")))
+
+    // payload tampering (claim swap after signing) must invalidate
+    val Array(h, _, s) = good.split('.')
+    val swapped = new String(java.util.Base64.getUrlEncoder.withoutPadding
+      .encode("""{"user_id":"admin","exp":9999999999}""".getBytes("UTF-8")))
+    assert(Jwt.verify(s"$h.$swapped.$s", secret, now) ==
+      (("invalid", "unknown_user")))
+
+    assert(Jwt.verify("not-a-jwt", secret, now) == (("invalid", "unknown_user")))
+    assert(Jwt.verify("a.b.c", secret, now) == (("invalid", "unknown_user")))
+  }
+
   test("classifyToken covers all arms incl. null header") {
-    assert(UdfSurface.classifyToken("Bearer tok", false) == "valid")
-    assert(UdfSurface.classifyToken("Bearer tok", true) == "expired")
-    assert(UdfSurface.classifyToken("garbage", false) == "invalid")
-    assert(UdfSurface.classifyToken("garbage", true) == "invalid")
-    assert(UdfSurface.classifyToken(null, false) == "invalid")
+    val tok = Jwt.sign(secret, "u1", now + 1000)
+    assert(UdfSurface.classifyToken(s"Bearer $tok") == (("valid", "u1")))
+    assert(UdfSurface.classifyToken("Bearer junk") == (("invalid", "unknown_user")))
+    assert(UdfSurface.classifyToken("garbage") == (("invalid", "unknown_user")))
+    assert(UdfSurface.classifyToken(null) == (("invalid", "unknown_user")))
   }
 
   test("Aggregator weighted-avg equals the built-in expression") {

@@ -21,6 +21,18 @@ class StreamingSpec extends GraftSpec {
     assert(stream == batch)
   }
 
+  test("n_stream_sink (foreachBatch → partitioned parquet) equals batch") {
+    val sink = graft.SparkEntry.queries("n_stream_sink")(spark, sfTiny)
+      .selectExpr("w_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("window.start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(sink == batch)
+  }
+
   test("n_stream_session equals the batch session-window aggregation") {
     val stream = graft.SparkEntry.queries("n_stream_session")(spark, sfTiny)
       .selectExpr("user_id", "s_start", "n_events").collect()

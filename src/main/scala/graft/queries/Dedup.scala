@@ -432,7 +432,87 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  // --------------------------------------------------------------- q_dup_clusters
+  /** Near-dup CLUSTERING — the step after pair detection in every
+    * LLM-corpus dedup pipeline: connected components over the Jaccard ≥
+    * 0.95 pair graph, labeling each involved doc with the minimum doc_id
+    * of its component (the canonical "survivor" id) plus the component
+    * size. Implemented as distributed min-label propagation WITH
+    * POINTER JUMPING: each round takes the min over neighbors' labels
+    * (one shuffle join + min-agg), then shortcuts label[x] ←
+    * label[label[x]] — label chains halve every round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) (the same doubling
+    * idea as small-star/large-star contraction). The edge list is
+    * localCheckpoint'ed once so the expensive pair scan never re-runs;
+    * per-round lineage is cut with a localCheckpoint; convergence is
+    * detected from SUM(label) — labels only ever decrease, so the sum is
+    * strictly monotone until fixpoint — one scalar agg per round, no
+    * join, nothing but an 8-byte value ever reaches the driver. The
+    * oracle computes the identical fixpoint declaratively with a
+    * recursive CTE. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
+      .select(col("id1"), col("id2"))
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    // One round: min over self ∪ neighbor labels, then pointer jump —
+    // follow the label one hop (labels are node ids, so every label
+    // value exists as a node; the inner join loses nothing).
+    // One round: min over self ∪ neighbor labels, then pointer jump —
+    // follow the label one hop (labels are node ids, so every label
+    // value exists as a node; the inner join loses nothing). `prop` is
+    // localCheckpoint'ed because it feeds both jump sides AND the next
+    // round would otherwise re-run it through its own lineage.
+    while (!converged && rounds < 15) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val jumpTo = prop.select(col("node").as("jnode"), col("label").as("jlabel"))
+      val jumped = prop.join(jumpTo, col("label") === col("jnode"))
+        .select(col("node"), col("jlabel").as("label"))
+        .localCheckpoint()
+      val s2 = jumped.agg(sum(col("label"))).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = jumped
+      rounds += 1
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE sets AS ($tokSetSql),
+       |${jaccardPairsSql("sets")},
+       |dup AS (SELECT id1, id2 FROM pairs WHERE jaccard >= 0.95),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM dup
+       |          UNION ALL SELECT id2, id1 FROM dup),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT node AS doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q_minhash_dup", minhashDup, Some(minhashDupSql)),
     QueryDef("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_simhash_dup", simhashDup, Some(simhashDupSql)),

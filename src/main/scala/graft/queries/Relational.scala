@@ -520,7 +520,34 @@ object Relational {
       |GROUP BY ROLLUP (n_name, s_name)
       |ORDER BY gid, n_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------- q_pivot
+  /** Pivot (long → wide): per-user value totals with one column per
+    * event type. The pivot values are an EXPLICIT literal list — without
+    * it Spark runs an extra distinct pass over the data to discover
+    * them, and the output schema becomes data-dependent (a 100 TB
+    * anti-pattern; schemas must be static for downstream consumers).
+    * Catalyst compiles this to one hash aggregation with a
+    * CASE-WHEN-per-value — exactly the SQL the oracle states. */
+  private def pivotByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(dround(sum(col("value")), 2))
+      .orderBy(col("user_id"))
+
+  private val pivotSql =
+    """SELECT user_id,
+      |  round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2) AS click,
+      |  round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2) AS error,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2) AS purchase,
+      |  round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2) AS signup,
+      |  round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pivot", pivotByType, Some(pivotSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),
     QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),

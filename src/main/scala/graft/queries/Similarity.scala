@@ -257,7 +257,56 @@ object Similarity {
     topK(probes.join(data, Seq("cell")).filter(col("id1") =!= col("id2")), 3)
   }
 
+  // ------------------------------------------------------------- q_vec_quantize
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path that makes billion-vector ANN affordable (4× smaller than
+    * float32, SIMD-friendly dot products): per-vector scale 127/max|v|,
+    * round-half-away-from-zero, clamp to [-127,127]; reports an integer
+    * checksum of the codes and the L2 reconstruction error. A narrow
+    * codegen-free map (higher-order array fns) — acceptable OFF the hot
+    * path because it runs once per vector at ingest, not per pair at
+    * query time. Fold order is left-to-right in both engines so the
+    * error accumulation is bit-identical. */
+  private def vecQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale",
+        lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          when(x >= 0, floor(x * col("scale") + 0.5))
+            .otherwise(-floor(-x * col("scale") + 0.5))))))
+    e.select(col("vec_id"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x.cast("bigint")).as("q_sum"),
+      dround(sqrt(aggregate(
+        zip_with(col("v"), col("q"),
+          (a, b) => (a - b / col("scale")) * (a - b / col("scale"))),
+        lit(0.0), (a, x) => a + x)), 6).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val vecQuantizeSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      |      FROM e),
+      |qz AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> greatest(-127.0, least(127.0,
+      |    CASE WHEN x >= 0 THEN floor(x * scale + 0.5)
+      |         ELSE -floor(-x * scale + 0.5) END))) AS q
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT)),
+      |    (a, b) -> a + b) AS BIGINT) AS q_sum,
+      |  round(sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+      |    i -> (v[i] - q[i] / scale) * (v[i] - q[i] / scale)),
+      |    (a, b) -> a + b)), 6) AS l2_err
+      |FROM qz
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_vec_quantize", vecQuantize, Some(vecQuantizeSql)),
     QueryDef("q_cosine_knn", cosineKnn, Some(cosineKnnSql)),
     QueryDef("q_cosine_knn_lsh", cosineKnnLsh, Some(cosineKnnLshSql)),
     QueryDef("n_cosine_knn_ivf", cosineKnnIvf, None),

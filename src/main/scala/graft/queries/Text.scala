@@ -284,7 +284,53 @@ object Text {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_ngram_lm
+  /** Bigram language-model statistics: count(a,b), count(a·) and the
+    * conditional probability p(b|a) for the corpus's most frequent
+    * bigrams. Bigrams come from one array pass (adjacent-pair structs,
+    * no self-join on position); the unigram denominator is a window SUM
+    * over the ALREADY-AGGREGATED bigram counts — rows bounded by
+    * distinct bigrams, not corpus size, so the window never sees more
+    * than |vocab|² rows at any scale. Total-ordered limit (count desc,
+    * then both tokens) keeps the top-100 deterministic. */
+  private def ngramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("ts", toks)
+      .filter(size(col("ts")) > 1)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("tok"),
+          element_at(col("ts"), i + 1).as("nxt")))).as("z"))
+      .select(col("z.tok").as("tok"), col("z.nxt").as("nxt"))
+    pairs.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c_bi"))
+      .withColumn("c_uni", sum(col("c_bi")).over(Window.partitionBy(col("tok"))))
+      .select(col("tok"), col("nxt"), col("c_bi"), col("c_uni"),
+        graft.functions.Parity.dround(
+          col("c_bi").cast("double") / col("c_uni"), 4).as("p"))
+      .orderBy(col("c_bi").desc, col("tok"), col("nxt"))
+      .limit(100)
+  }
+
+  private val ngramLmSql =
+    """WITH a AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |           FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'tok': ts[i], 'nxt': ts[i+1]})) AS z
+      |  FROM a WHERE len(ts) > 1),
+      |pairs AS (SELECT z.tok AS tok, z.nxt AS nxt FROM bi),
+      |c2 AS (SELECT tok, nxt, count(*) AS c_bi FROM pairs GROUP BY 1, 2)
+      |SELECT tok, nxt, c_bi,
+      |  CAST(sum(c_bi) OVER (PARTITION BY tok) AS BIGINT) AS c_uni,
+      |  round(c_bi / CAST(sum(c_bi) OVER (PARTITION BY tok) AS DOUBLE), 4) AS p
+      |FROM c2
+      |ORDER BY c_bi DESC, tok, nxt
+      |LIMIT 100""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_ngram_lm", ngramLm, Some(ngramLmSql)),
     QueryDef("q_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_text_tokens", textTokens, Some(textTokensSql)),

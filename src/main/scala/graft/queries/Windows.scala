@@ -223,7 +223,39 @@ object Windows {
       |FROM wv WHERE m = 1
       |ORDER BY c_id""".stripMargin
 
+  // ------------------------------------------------------ q_window_distribution
+  /** Distribution window functions — ntile quartiles, percent_rank,
+    * cume_dist over account balance within each market segment. The
+    * window order includes the unique custkey so every rank is
+    * deterministic under balance ties; percent_rank/cume_dist are exact
+    * rationals rounded with the DuckDB-parity dround. Partition key is
+    * low-cardinality here (5 segments) but each partition is ranked by a
+    * single pass — at 100 TB the same query partitions by a finer key or
+    * pre-buckets by range. */
+  private def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        graft.functions.Parity.dround(percent_rank().over(w), 4).as("pct_rank"),
+        graft.functions.Parity.dround(cume_dist().over(w), 4).as("cdist"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val windowDistributionSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_window_distribution", windowDistribution,
+      Some(windowDistributionSql)),
     QueryDef("q_join_asof", joinAsof, Some(joinAsofSql)),
     QueryDef("q_window_rank", windowRank, Some(windowRankSql)),
     QueryDef("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),

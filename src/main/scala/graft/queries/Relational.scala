@@ -546,7 +546,41 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ q_subquery_corr
+  /** Correlated subqueries through the `spark.sql` surface: a correlated
+    * scalar subquery (per-nation average balance) and a correlated
+    * EXISTS, both of which Catalyst DECORRELATES into joins — the scalar
+    * subquery becomes an aggregate + equi-join on the correlation key,
+    * EXISTS a left-semi join — so the executed plan is ordinary shuffle
+    * relational algebra, not a per-row re-execution (the SQL-92 nested
+    * reading would be O(n²) scans at 100 TB). Also exercises temp-view
+    * registration, the entry path for SQL-first users of the library. */
+  private def subqueryCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql("""
+      SELECT c_custkey, n_name, c_acctbal
+      FROM customer_v c JOIN nation_v n ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+        AND EXISTS (SELECT 1 FROM customer_v c3
+                    WHERE c3.c_nationkey = c.c_nationkey
+                      AND c3.c_acctbal < 0)
+      ORDER BY c_custkey""")
+  }
+
+  private val subqueryCorrSql =
+    """SELECT c_custkey, n_name, c_acctbal
+      |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM customer c3
+      |              WHERE c3.c_nationkey = c.c_nationkey
+      |                AND c3.c_acctbal < 0)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),
     QueryDef("q_pivot", pivotByType, Some(pivotSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),

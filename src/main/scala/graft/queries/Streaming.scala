@@ -161,11 +161,42 @@ object Streaming {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  // --------------------------------------------------------------- n_stream_join
+  /** Stream-stream interval join: purchases within 10 minutes AFTER a
+    * click by the same user. Both sides carry watermarks and the join
+    * condition bounds event-time distance in both directions — exactly
+    * what lets Spark EVICT join state (a click older than watermark +
+    * 10 min can never match a future purchase); an unbounded
+    * stream-stream join would accrete state forever at 100 TB/day.
+    * Pair counts per user are aggregated AFTER draining (append-mode
+    * join output), batch-equivalence asserted in StreamingSpec. */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    drain(s, joined, "append")
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("c_user").as("user_id"), col("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_stream_tumble", streamTumble, None),
     QueryDef("n_stream_session", streamSession, None),
     QueryDef("n_stream_dedup_state", streamDedupState, None),
     QueryDef("n_stream_custom_state", streamCustomState, None),
     QueryDef("n_stream_sink", streamSink, None),
+    QueryDef("n_stream_join", streamJoin, None),
   )
 }

@@ -64,4 +64,32 @@ class DedupSpec extends GraftSpec {
   test("embedding near-dup pairs respect the cosine threshold") {
     assert(q("q_embed_neardup").filter("cos_sim < 0.4").count() == 0)
   }
+
+  test("embedding near-dup plan is distributed: no broadcast") {
+    val plan = q("q_embed_neardup").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"broadcast in plan:\n$plan")
+    assert(plan.contains("MapGroups"), s"expected MapGroups kernel:\n$plan")
+  }
+
+  test("dup clusters: labels are component minima and sizes consistent") {
+    import org.apache.spark.sql.functions._
+    val clusters = q("q_dup_clusters").cache()
+    // every cluster id is itself a member doc of the cluster
+    val orphanLabels = clusters.select(col("cluster_id").as("doc_id")).distinct()
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    assert(orphanLabels == 0, "a cluster_id is not a member doc")
+    // cluster_id is the minimum doc_id of its cluster
+    val badMin = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("mn") =!= col("cluster_id")).count()
+    assert(badMin == 0)
+    // every pair's endpoints carry the same label
+    val pairs = q("q_minhash_dup").selectExpr("id1", "id2")
+    val l1 = clusters.selectExpr("doc_id AS id1", "cluster_id AS cl1")
+    val l2 = clusters.selectExpr("doc_id AS id2", "cluster_id AS cl2")
+    val split = pairs.join(l1, "id1").join(l2, "id2")
+      .filter(col("cl1") =!= col("cl2")).count()
+    assert(split == 0, "an edge crosses two clusters")
+    clusters.unpersist()
+  }
 }

@@ -27,6 +27,15 @@ class SimilaritySpec extends GraftSpec {
     df.unpersist()
   }
 
+  test("exact knn plan is distributed: no broadcast, no driver-side table") {
+    // Round-1's kernel collect()ed the table to the driver and broadcast
+    // it; the block-pair scan must keep everything in shuffled tasks.
+    val plan = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"broadcast in plan:\n$plan")
+    assert(plan.contains("MapGroups"), s"expected MapGroups kernel:\n$plan")
+  }
+
   test("ivf knn: per-cell search recovers a sane share of exact top-3") {
     val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
       .filter("rn <= 3").selectExpr("id1", "id2").collect()

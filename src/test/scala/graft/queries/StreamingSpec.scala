@@ -33,6 +33,23 @@ class StreamingSpec extends GraftSpec {
     assert(sink == batch)
   }
 
+  test("n_stream_join equals the batch interval join") {
+    val stream = graft.SparkEntry.queries("n_stream_join")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ev = Tables.events(spark, sfTiny)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("c_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stream == batch)
+  }
+
   test("n_stream_session equals the batch session-window aggregation") {
     val stream = graft.SparkEntry.queries("n_stream_session")(spark, sfTiny)
       .selectExpr("user_id", "s_start", "n_events").collect()

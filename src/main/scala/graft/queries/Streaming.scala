@@ -43,12 +43,27 @@ object Streaming {
   /** Drain a streaming frame into a uniquely-named memory sink and
     * return its contents. Complete mode for aggregations (append would
     * hold back windows the final watermark never passes on a finite
-    * input); append for row-level ops. */
+    * input); append for row-level ops.
+    *
+    * Stateful-operator shuffle width is scoped DOWN for the stream's
+    * lifetime: each streaming shuffle partition owns a state store
+    * (stream-stream joins keep FOUR per partition) whose per-batch
+    * commit cost is fixed, so partition count must track STATE SIZE,
+    * not the session's batch-side parallelism — at test scale 8
+    * partitions of state beat 32 by seconds per query; a 100 TB/day
+    * stream sizes this up with keyspace, independently of the batch
+    * conf. The conf is snapshot-restored (it binds at stream start;
+    * later batch queries are unaffected). */
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
-    df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .start().awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    try {
+      s.conf.set(key, "8")
+      df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally s.conf.set(key, saved)
     s.table(name)
   }
 

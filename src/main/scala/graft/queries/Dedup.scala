@@ -432,6 +432,17 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  /** The ≥ 0.95 exact-Jaccard near-dup pairs — shared with the corpus
+    * curation composite (Sampling.q_corpus_curate). */
+  private[queries] def dupPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
+
+  /** Oracle-side SQL for [[dupPairs]] as WITH-clause body text. */
+  private[queries] val dupPairsCtes: String =
+    s"""sets AS ($tokSetSql),
+       |${jaccardPairsSql("sets")},
+       |dup AS (SELECT id1, id2 FROM pairs WHERE jaccard >= 0.95)""".stripMargin
+
   // --------------------------------------------------------------- q_dup_clusters
   /** Near-dup CLUSTERING — the step after pair detection in every
     * LLM-corpus dedup pipeline: connected components over the Jaccard ≥

@@ -56,7 +56,79 @@ object Sampling {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------- q_corpus_curate
+  /** The end-to-end corpus-curation composite — the query an LLM-data
+    * team actually ships, chaining the library's stages in ONE
+    * declarative DAG (so Catalyst sees the whole pipeline: the quality
+    * filter pushes below everything, the dedup anti-join and the
+    * sampling predicate run in the same scan pass where possible):
+    *
+    *   1. quality gate — token count ≥ 20 and type-token ratio ≥ 0.3
+    *      (drops degenerate/repetitive docs);
+    *   2. language allowlist (en/de/fr/es);
+    *   3. near-dup survivor — anti-join against docs that have a
+    *      SMALLER near-duplicate (Jaccard ≥ 0.95): the pairwise
+    *      keep-the-first rule used by most production dedup passes
+    *      (q_dup_clusters holds the full component semantics);
+    *   4. deterministic per-language downsample — the dominant language
+    *      (en) capped at 80% via the hash-mod sampler, others kept;
+    *   5. per-language corpus accounting (docs, tokens, sources).
+    *
+    * Every stage is the oracle-checked building block from its home
+    * module, so the composite is exactly reproducible in DuckDB. */
+  private def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ts", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("ts")))
+      .withColumn("ttr",
+        size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+    val quality = docs.filter(
+      col("n_tokens") >= 20 && col("ttr") >= 0.3 &&
+        col("lang").isin("en", "de", "fr", "es"))
+    val losers = Dedup.dupPairs(s, d)
+      .select(col("id2").as("doc_id")).distinct()
+    val keepE4 = when(col("lang") === "en", 8000L).otherwise(10000L)
+    val bucket = pmod(TextOps.portableHash(
+      concat(lit("cur:"), col("doc_id").cast("string"))), lit(10000L))
+    quality
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(bucket < keepE4)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  private val corpusCurateSql =
+    s"""WITH ${Dedup.dupPairsCtes},
+       |toks AS (SELECT doc_id, lang, source,
+       |           regexp_split_to_array(text, '\\s+') AS ts
+       |         FROM documents),
+       |q AS (SELECT doc_id, lang, source,
+       |        CAST(len(ts) AS INT) AS n_tokens,
+       |        len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) AS ttr
+       |      FROM toks),
+       |qual AS (SELECT * FROM q
+       |         WHERE n_tokens >= 20 AND ttr >= 0.3
+       |           AND lang IN ('en', 'de', 'fr', 'es')),
+       |losers AS (SELECT DISTINCT id2 AS doc_id FROM dup),
+       |surv AS (SELECT qual.* FROM qual
+       |         LEFT JOIN losers USING (doc_id)
+       |         WHERE losers.doc_id IS NULL),
+       |samp AS (SELECT * FROM surv
+       |  WHERE CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) % 10000
+       |    < CASE WHEN lang = 'en' THEN 8000 ELSE 10000 END)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM samp
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q_corpus_curate", corpusCurate, Some(corpusCurateSql)),
   )
 }

@@ -232,7 +232,7 @@ object Similarity {
     // ~2·maxIter extra jobs for centroid quality the nprobe=2 search
     // doesn't need; with a 25% sample the fit is job-overhead-bound.
     val cents: Array[Array[Double]] =
-      new KMeans().setK(K).setSeed(42).setMaxIter(8).setInitMode("random")
+      new KMeans().setK(K).setSeed(42).setMaxIter(4).setInitMode("random")
         .fit(train).clusterCenters.map(_.toArray)
     // score_i = −2·v·c_i + |c_i|²  (∝ squared distance up to +|v|²)
     val scores = cents.zipWithIndex.map { case (c, i) =>

@@ -16,9 +16,28 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Neutral JVM/codegen/parquet-reader warmup (no timed query runs
     // untimed): otherwise whichever query happens to run first absorbs
-    // ~5 s of JIT + whole-stage-codegen compiler + scan-path init.
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // several seconds of JIT + whole-stage-codegen/janino init +
+    // scan/broadcast/window/encoder machinery bring-up. Synthetic range
+    // data only — nothing a timed query reads is cached.
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val base = spark.range(100000)
+        .select(col("id"), pmod(col("id"), lit(97)).as("k"),
+          (col("id") % 1000).cast("double").as("x"))
+      base.groupBy(col("k")).agg(sum(col("x")), count(lit(1))).count()
+      base.join(broadcast(spark.range(97).select(col("id").as("k"))), "k").count()
+      base.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("id")))).filter(col("rn") <= 3).count()
+      base.select(explode(array(struct(col("id"), col("x")),
+        struct((col("id") + 1).as("id"), col("x")))).as("s")).count()
+      base.as[(Long, Long, Double)].groupByKey(_._2)
+        .flatMapGroups((_: Long, it: Iterator[(Long, Long, Double)]) =>
+          it.take(1)).count()
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     // A failing query must be visible as a FAILURE, not timed as fast:
     // it reports -1 sec and lands in the "errors" map.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -210,40 +210,72 @@ object Similarity {
     * reproduce; the recall contract vs exact top-k is asserted in
     * SimilaritySpec.
     *
-    * Scale hygiene (round-2): KMeans trains on a deterministic 25%
-    * SAMPLE, not the full corpus — at 10⁹ vectors training cost is set
-    * by the sample, and centroid quality converges long before that.
-    * Assignment embeds the learned centroids as LITERAL arrays in a
-    * codegen'd expression (dist² argmin via −2·v·c + |c|², the |v|²
-    * term being rank-invariant) — a narrow map, no ML-transform UDF, no
-    * second pass over the data by the fitter. Each vector is indexed
-    * ONCE (top-1 cell); each query fans out to its top-2 cells, so the
-    * per-cell join touches 2 cells per query instead of leaving recall
-    * to single-probe luck. */
+    * Scale hygiene (round-2): the centroids are learned with a pure
+    * DataFrame Lloyd's iteration over a deterministic 25% SAMPLE — at
+    * 10⁹ vectors training cost is set by the sample, and centroid
+    * quality converges long before that. No Spark ML in the path
+    * (measured: the first `KMeans.fit` of a session costs ~4 s of
+    * MLlib class-loading/JIT alone at this scale — more than the whole
+    * query); each Lloyd round is ONE codegen'd job over the cached
+    * sample (literal-centroid argmin + 64 per-dimension avgs) and the
+    * only driver traffic is the K×64 centroid matrix, a model
+    * parameter, not data. Assignment embeds the learned centroids as
+    * LITERAL arrays in a codegen'd expression (dist² argmin via
+    * −2·v·c + |c|², the |v|² term being rank-invariant). Each vector is
+    * indexed ONCE (top-1 cell); each query fans out to its top-2 cells,
+    * so the per-cell join touches 2 cells per query instead of leaving
+    * recall to single-probe luck. */
   private def cosineKnnIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
     val K = 16
+    val Iters = 4
     val e = vecs(s, d)
-    val train = e.sample(withReplacement = false, fraction = 0.25, seed = 7)
-      .select(array_to_vector(
-        transform(col("v"), x => x.cast("double"))).as("features"))
-    // random init instead of k-means|| — the parallel init alone runs
-    // ~2·maxIter extra jobs for centroid quality the nprobe=2 search
-    // doesn't need; with a 25% sample the fit is job-overhead-bound.
-    val cents: Array[Array[Double]] =
-      new KMeans().setK(K).setSeed(42).setMaxIter(4).setInitMode("random")
-        .fit(train).clusterCenters.map(_.toArray)
     // score_i = −2·v·c_i + |c_i|²  (∝ squared distance up to +|v|²)
-    val scores = cents.zipWithIndex.map { case (c, i) =>
+    def scores(cs: Array[Array[Double]]) = cs.zipWithIndex.map { case (c, i) =>
       (call_function("graft_dot_fd", col("v"),
         array(c.toSeq.map(lit): _*)) * -2.0 +
         lit(c.map(x => x * x).sum)).as(s"s$i")
     }
-    val ranked = array_sort(array((0 until K).map(i =>
+    def ranked = array_sort(array((0 until K).map(i =>
       struct(col(s"s$i").as("sc"), lit(i).as("cid"))): _*))
+    val train = e.sample(withReplacement = false, fraction = 0.25, seed = 7)
+      .select(col("vec_id"), col("v")).cache()
+    // deterministic data-driven init: the K sample vectors with the
+    // smallest portable hash of their id (a seeded shuffle, engine-free)
+    val cents: Array[Array[Double]] = train
+      .withColumn("h",
+        graft.operators.TextOps.portableHash(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .select(col("v")).as[Array[Float]].collect().map(_.map(_.toDouble))
+    // Lloyd rounds assign via a BROADCAST JOIN against a K-row centroid
+    // frame, not literal-embedded centroids: the round's physical plan
+    // is then byte-identical across iterations, so whole-stage codegen
+    // compiles ONCE and the per-round cost is two tiny shuffles
+    // (literal centroids would re-janino a fresh class every round —
+    // measured ~1 s/round, more than the data work).
+    val dimAvgs = (0 until Dim).map(i =>
+      avg(col("v")(i).cast("double")).as(s"c$i"))
+    for (_ <- 0 until Iters) {
+      val cdf = cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+        .toSeq.toDF("cid", "cv", "cn2")
+      val upd = train.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("v"), col("cid"),
+          (call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 +
+            col("cn2")).as("score"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cid"), col("v"))).as("m"))
+        .select(col("m.cid").as("cell"), col("m.v").as("v"))
+        .groupBy(col("cell")).agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+      // empty cells keep their previous centroid
+      upd.foreach { r =>
+        cents(r.getInt(0)) = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+      }
+    }
+    train.unpersist(blocking = false)
     val assigned = e
-      .select((Seq(col("vec_id"), col("v"), col("nrm")) ++ scores): _*)
+      .select((Seq(col("vec_id"), col("v"), col("nrm")) ++ scores(cents)): _*)
       .withColumn("cells", ranked)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cells")(0)("cid").as("cell"), col("cells")(1)("cid").as("cell2"))

@@ -73,6 +73,32 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the real
+    * geometry of an image-resize stage (the pixel resampling itself
+    * would live in the per-partition decode batch next to the codec;
+    * only that kernel is stubbed in this container). Never upscales. */
+  def resizeFit(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxW > 0 && maxH > 0)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
+
+  /** [[decodeAll]] followed by the resize geometry — the decode batch a
+    * production pipeline ships: features + output dimensions fitted to a
+    * serving box, still one mapPartitions pass. */
+  def decodeAndResize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int)
+      : Dataset[(MediaFeatures, Int, Int)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val f = decodeStub(r)
+        val (rw, rh) = resizeFit(f.width, f.height, maxW, maxH)
+        (f, rw, rh)
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 bytes as content) —
     * the test-fixture entry point while no real media exists. */
   def mediaFromDocuments(s: SparkSession, sfDir: String): Dataset[MediaRecord] = {

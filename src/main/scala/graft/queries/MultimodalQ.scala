@@ -45,7 +45,52 @@ object MultimodalQ {
       |      FROM documents)
       |ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------- q_frame_sample
+  /** Deterministic uniform frame sampling — the planning half of video
+    * feature extraction: pick k=4 evenly-spaced frame indices per media
+    * record and emit the BYTE RANGE each sampled frame occupies
+    * (start offset + length), i.e. exactly the seek table a real codec
+    * task needs. Everything is codegen'd integer arithmetic over the
+    * metadata — the binary column itself is never touched, so at 100 TB
+    * the scan reads only `n_bytes`-class columns and the expensive
+    * decode runs later, only on the sampled ranges
+    * (`Multimodal.decodeAll` is that imperative half). Short media
+    * (fewer frames than samples) dedups to its real frame count. */
+  private def frameSample(s: SparkSession, d: String): DataFrame = {
+    val content = encode(col("text"), "UTF-8")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        length(content).cast("bigint").as("n_bytes"))
+      .withColumn("n_frames", lit(1) + (col("n_bytes") / lit(100)).cast("bigint"))
+      .withColumn("frame_idx", explode(array_distinct(
+        expr("transform(sequence(0, 3), j -> (j * n_frames) div 4)"))))
+      .select(col("media_id"), col("kind"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * 100).as("byte_start"),
+        least(lit(100), col("n_bytes") - col("frame_idx") * 100).as("byte_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql =
+    """WITH base AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    1 + octet_length(encode(text)) // 100 AS n_frames
+      |  FROM documents)
+      |SELECT media_id, kind, n_frames, frame_idx,
+      |  frame_idx * 100 AS byte_start,
+      |  least(100, n_bytes - frame_idx * 100) AS byte_len
+      |FROM (
+      |  SELECT *, unnest(list_distinct(
+      |    list_transform(generate_series(0, 3), j -> (j * n_frames) // 4))) AS frame_idx
+      |  FROM base)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
   )
 }

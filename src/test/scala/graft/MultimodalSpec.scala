@@ -33,6 +33,28 @@ class MultimodalSpec extends GraftSpec {
     feats.unpersist()
   }
 
+  test("resizeFit preserves aspect ratio, never upscales, floors at 1px") {
+    assert(Multimodal.resizeFit(1024, 512, 256, 256) == ((256, 128)))
+    assert(Multimodal.resizeFit(512, 1024, 256, 256) == ((128, 256)))
+    // already inside the box: untouched (no upscale)
+    assert(Multimodal.resizeFit(100, 50, 256, 256) == ((100, 50)))
+    // extreme aspect ratio floors at 1, not 0
+    assert(Multimodal.resizeFit(10000, 10, 100, 100)._2 >= 1)
+    // aspect ratio preserved within rounding
+    val (w, h) = Multimodal.resizeFit(640, 480, 100, 100)
+    assert(math.abs(w.toDouble / h - 640.0 / 480.0) < 0.05)
+  }
+
+  test("decodeAndResize fits every record into the serving box") {
+    val media = Multimodal.mediaFromDocuments(spark, sfTiny)
+    val out = Multimodal.decodeAndResize(media, 128, 128).collect()
+    assert(out.nonEmpty)
+    out.foreach { case (f, rw, rh) =>
+      assert(rw <= 128 && rh <= 128 && rw >= 1 && rh >= 1)
+      assert(rw <= f.width && rh <= f.height)
+    }
+  }
+
   test("media content bytes match the source text") {
     val media = Multimodal.mediaFromDocuments(spark, sfTiny)
     val row = media.filter(_.media_id == 0L).head()

@@ -210,6 +210,10 @@ object Dedup {
     * identical pipeline so results still hash-match. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sets = tokenSet(s, d)
+    // built FIRST: docBitsets releases the previous query's scoped
+    // caches on entry, so this query's own tracked caches (sized, below)
+    // must be registered after it
+    val (docs, w) = docBitsets(sets)
     val h = sets.select(col("doc_id"),
       TextOps.portableHash(col("tok")).as("th"))
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
@@ -233,21 +237,58 @@ object Dedup {
       .select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sz"), col("bs.band").as("band"),
         col("bs.bkey").as("bkey"))
-    // NOT distinct here: a pair colliding in k bands appears k ≤ 4 times.
-    // Verification is a broadcast hash join + popcount (no shuffle), so
-    // verifying duplicates is cheaper than a wide distinct over the full
-    // candidate set — the dedup runs AFTER the ≥0.95 filter, on the few
-    // surviving rows.
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    // HOT-BUCKET SKEW SPLIT (adaptive): on a dense corpus one band
+    // bucket can hold a large fraction of the docs (measured 2.6k of 5k
+    // at sf0.1 — 3.5M pair evaluations on the single task owning that
+    // join key). Buckets above HotBucket members therefore split: each
+    // member gets a deterministic sub-group g ∈ [0,G) and replicates
+    // once per partner group, and the join keys on (band, bkey,
+    // min(g,p), max(g,p)) so the hot bucket's quadratic work spreads
+    // over G(G+1)/2 independent keys — a pure REDISTRIBUTION of the
+    // identical candidate set (the residual condition keeps same-group
+    // pairs on their diagonal key only, so no pair meets twice per
+    // band; same trick as BlockPairScan, applied inside a join). Cold
+    // buckets — the overwhelming majority — skip the G× replication and
+    // join directly, so the split costs nothing where there is no skew.
+    //
+    // NOT distinct before verify: a pair colliding in k bands appears
+    // k ≤ 4 times. Verification is a broadcast hash join + popcount (no
+    // shuffle), so verifying duplicates is cheaper than a wide distinct
+    // over the full candidate set — the dedup runs AFTER the ≥0.95
+    // filter, on the few surviving rows.
+    val G = 8
+    val HotBucket = 256L
+    // cached: feeds both sides of BOTH the cold and hot joins — without
+    // it the sig aggregation + bucket-count window re-run 4×
+    val sized = tracked(bands.withColumn("bn", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey")))))
+    val sizeBand =
+      col("x.sz") * 949 <= col("y.sz") * 1000 &&
+        col("y.sz") * 949 <= col("x.sz") * 1000
+    val cold = sized.filter(col("bn") <= HotBucket)
+    val coldCand = cold.as("x")
+      .join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") * 949 <= col("y.sz") * 1000 &&
-          col("y.sz") * 949 <= col("x.sz") * 1000)
+          col("x.doc_id") < col("y.doc_id") && sizeBand)
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    val hot = sized.filter(col("bn") > HotBucket)
+      .withColumn("g", pmod(TextOps.portableHash(
+        concat(lit("slt:"), col("doc_id").cast("string"))), lit(G.toLong)).cast("int"))
+      .withColumn("p", explode(expr(s"sequence(0, ${G - 1})")))
+      .withColumn("klo", least(col("g"), col("p")))
+      .withColumn("khi", greatest(col("g"), col("p")))
+    val hotCand = hot.as("x")
+      .join(hot.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.klo") === col("y.klo") && col("x.khi") === col("y.khi") &&
+          (col("x.g") =!= col("y.g") ||
+            (col("x.p") === col("x.g") && col("y.p") === col("y.g"))) &&
+          col("x.doc_id") < col("y.doc_id") && sizeBand)
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    val cand = coldCand.union(hotCand)
     // Verify ONLY the candidates: re-attach the packed bitsets and
     // popcount the intersection — a few codegen'd ops per candidate.
-    val (docs, w) = docBitsets(sets)
     val icnt = (0 until w)
       .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
     cand

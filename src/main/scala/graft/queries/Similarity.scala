@@ -228,18 +228,27 @@ object Similarity {
   private def cosineKnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val K = 16
-    val Iters = 4
+    val Iters = 3
     val e = vecs(s, d)
-    // score_i = −2·v·c_i + |c_i|²  (∝ squared distance up to +|v|²)
-    def scores(cs: Array[Array[Double]]) = cs.zipWithIndex.map { case (c, i) =>
-      (call_function("graft_dot_fd", col("v"),
-        array(c.toSeq.map(lit): _*)) * -2.0 +
-        lit(c.map(x => x * x).sum)).as(s"s$i")
-    }
-    def ranked = array_sort(array((0 until K).map(i =>
-      struct(col(s"s$i").as("sc"), lit(i).as("cid"))): _*))
+    // K-row centroid frame: (cell id, components, |c|²). Scoring joins
+    // against this instead of embedding centroids as literals — literal
+    // embedding regenerates (and re-janino-compiles) the projection for
+    // every new centroid matrix, which costs more than the arithmetic;
+    // the join form compiles once. score = −2·v·c + |c|² (∝ squared
+    // distance up to the rank-invariant +|v|²).
+    def centFrame(cs: Array[Array[Double]]) = broadcast(
+      cs.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+        .toSeq.toDF("cid", "cv", "cn2"))
+    def scored(in: DataFrame, cs: Array[Array[Double]]) =
+      in.crossJoin(centFrame(cs))
+        .withColumn("score",
+          call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 + col("cn2"))
+    // the training sample is tiny by construction — pack it into a few
+    // partitions so each Lloyd job schedules a handful of tasks, not a
+    // full cluster width of near-empty ones
     val train = e.sample(withReplacement = false, fraction = 0.25, seed = 7)
-      .select(col("vec_id"), col("v")).cache()
+      .select(col("vec_id"), col("v")).repartition(4).cache()
     // deterministic data-driven init: the K sample vectors with the
     // smallest portable hash of their id (a seeded shuffle, engine-free)
     val cents: Array[Array[Double]] = train
@@ -247,22 +256,13 @@ object Similarity {
         graft.operators.TextOps.portableHash(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(K)
       .select(col("v")).as[Array[Float]].collect().map(_.map(_.toDouble))
-    // Lloyd rounds assign via a BROADCAST JOIN against a K-row centroid
-    // frame, not literal-embedded centroids: the round's physical plan
-    // is then byte-identical across iterations, so whole-stage codegen
-    // compiles ONCE and the per-round cost is two tiny shuffles
-    // (literal centroids would re-janino a fresh class every round —
-    // measured ~1 s/round, more than the data work).
+    // Lloyd rounds: assignment via the broadcast-join scorer, so the
+    // round's physical plan is structurally identical across iterations
+    // and whole-stage codegen compiles ONCE.
     val dimAvgs = (0 until Dim).map(i =>
       avg(col("v")(i).cast("double")).as(s"c$i"))
     for (_ <- 0 until Iters) {
-      val cdf = cents.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
-        .toSeq.toDF("cid", "cv", "cn2")
-      val upd = train.crossJoin(broadcast(cdf))
-        .select(col("vec_id"), col("v"), col("cid"),
-          (call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 +
-            col("cn2")).as("score"))
+      val upd = scored(train, cents)
         .groupBy(col("vec_id"))
         .agg(min(struct(col("score"), col("cid"), col("v"))).as("m"))
         .select(col("m.cid").as("cell"), col("m.v").as("v"))
@@ -274,11 +274,18 @@ object Similarity {
       }
     }
     train.unpersist(blocking = false)
-    val assigned = e
-      .select((Seq(col("vec_id"), col("v"), col("nrm")) ++ scores(cents)): _*)
-      .withColumn("cells", ranked)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cells")(0)("cid").as("cell"), col("cells")(1)("cid").as("cell2"))
+    // final index/probe assignment: top-2 cells per vector through the
+    // same compiled scorer + a thin window over K rows per vector
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("cid").asc)
+    val cells = scored(e.select(col("vec_id"), col("v")), cents)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rn") === 1, col("cid"))).as("cell"),
+        min(when(col("rn") === 2, col("cid"))).as("cell2"))
+    val assigned = e.join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell2"))
     val data = assigned.select(col("vec_id").as("id2"), col("v").as("v2"),
       col("nrm").as("n2"), col("cell"))
     // probe cells are distinct (top-2 of distinct cell ids), so a

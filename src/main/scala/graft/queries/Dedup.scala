@@ -520,19 +520,22 @@ object Dedup {
     // value exists as a node; the inner join loses nothing).
     // One round: min over self ∪ neighbor labels, then pointer jump —
     // follow the label one hop (labels are node ids, so every label
-    // value exists as a node; the inner join loses nothing). `prop` is
-    // localCheckpoint'ed because it feeds both jump sides AND the next
-    // round would otherwise re-run it through its own lineage.
-    while (!converged && rounds < 15) {
-      val prop = edges.join(labels, col("dst") === col("node"))
+    // value exists as a node; the inner join loses nothing). Each
+    // driver action costs a full job-scheduling round trip, which
+    // dominates the tiny per-round data — so TWO rounds run per
+    // materialization+probe (one localCheckpoint, one scalar agg), and
+    // the intermediate lineage is left to ReuseExchange.
+    def round(in: DataFrame): DataFrame = {
+      val prop = edges.join(in, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
-        .union(labels)
+        .union(in)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
       val jumpTo = prop.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val jumped = prop.join(jumpTo, col("label") === col("jnode"))
+      prop.join(jumpTo, col("label") === col("jnode"))
         .select(col("node"), col("jlabel").as("label"))
-        .localCheckpoint()
+    }
+    while (!converged && rounds < 8) {
+      val jumped = round(round(labels)).localCheckpoint()
       val s2 = jumped.agg(sum(col("label"))).head.getLong(0)
       converged = s2 == prevSum
       prevSum = s2

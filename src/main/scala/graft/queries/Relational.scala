@@ -579,7 +579,72 @@ object Relational {
       |                AND c3.c_acctbal < 0)
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------ q_grouping_sets
+  /** Explicit GROUPING SETS (completing the rollup/cube surface with
+    * the general form): per-(nation, priority), per-nation and
+    * per-priority aggregates in ONE pass — Catalyst expands the sets
+    * into a single Expand + hash aggregation, not three scans. gid
+    * disambiguates rows whose grouping keys are genuinely NULL. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql("""
+      SELECT n_name, o_orderpriority,
+        CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+        count(*) AS n,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+                    JOIN nation_v ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+      ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  private val groupingSetsSql =
+    """SELECT n_name, o_orderpriority,
+      |  CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+      |ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q_percentile
+  /** Exact percentiles (continuous interpolation) + median per group —
+    * the sort-based exact form next to ApproxAgg's sketches. Exact
+    * percentile shuffles every value to its group; at 100 TB the
+    * approx sketch (mergeable, bounded memory) is the default and this
+    * is the auditing path. Spark `percentile` and DuckDB
+    * `quantile_cont` use the same (n−1)·p linear interpolation; the
+    * 4-dp rounding absorbs last-ulp differences. */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        dround(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+        dround(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        dround(expr("percentile(l_extendedprice, 0.75) - " +
+          "percentile(l_extendedprice, 0.25)"), 4).as("iqr"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.75)
+      |        - quantile_cont(l_extendedprice, 0.25), 4) AS iqr,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q_percentile", percentiles, Some(percentilesSql)),
     QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),
     QueryDef("q_pivot", pivotByType, Some(pivotSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),

@@ -329,7 +329,46 @@ object Text {
       |ORDER BY c_bi DESC, tok, nxt
       |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q_array_fns
+  /** The higher-order array-function surface (filter / exists /
+    * transform / aggregate / sort / distinct / slice) over the token
+    * array — one narrow codegen'd-scan pass, no explode: the array ops
+    * run per row, so nothing is shuffled and row count never inflates
+    * (the explode-then-reaggregate alternative multiplies the scan by
+    * tokens-per-doc). Interpreted-lambda cost is bounded by tokens per
+    * row — fine in a projection, never in a join condition. */
+  private def arrayFns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", toks)
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        expr("size(filter(ts, t -> length(t) > 4))").as("n_long"),
+        array_contains(col("ts"), "spark").as("has_spark"),
+        expr("exists(ts, t -> length(t) > 8)").as("has_long"),
+        array_join(slice(sort_array(array_distinct(col("ts"))), 1, 3), ",")
+          .as("first3"),
+        expr("aggregate(transform(ts, t -> length(t)), 0, (a, x) -> a + x)")
+          .cast("int").as("total_chars"),
+        expr("array_max(transform(ts, t -> length(t)))").cast("int").as("max_len"))
+      .orderBy(col("doc_id"))
+
+  private val arrayFnsSql =
+    """WITH a AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ts) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(ts, t -> length(t) > 4)) AS INT) AS n_long,
+      |  list_contains(ts, 'spark') AS has_spark,
+      |  len(list_filter(ts, t -> length(t) > 8)) > 0 AS has_long,
+      |  array_to_string(list_sort(list_distinct(ts))[1:3], ',') AS first3,
+      |  CAST(list_reduce(list_transform(ts, t -> length(t)),
+      |    (a, b) -> a + b) AS INT) AS total_chars,
+      |  CAST(list_max(list_transform(ts, t -> length(t))) AS INT) AS max_len
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_array_fns", arrayFns, Some(arrayFnsSql)),
     QueryDef("q_ngram_lm", ngramLm, Some(ngramLmSql)),
     QueryDef("q_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),

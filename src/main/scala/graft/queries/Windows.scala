@@ -253,7 +253,59 @@ object Windows {
       |             ORDER BY c_acctbal ASC, c_custkey ASC)
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------ q_gapfill
+  /** Time-series resample + gap-fill: a complete (day × event_type)
+    * spine via `sequence`, left-joined daily aggregates, zero-filled
+    * counts and FORWARD-FILLED averages (`last(..., ignoreNulls)` over
+    * a running frame) — the standard shape for regularizing event data
+    * before feature extraction. The spine is generated, not scanned;
+    * the window partitions by type and its state is one value, so the
+    * fill is a single pass regardless of gap length. Days before a
+    * type's first observation stay null — honest, not zero-invented. */
+  private def gapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val daily = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Parity.dround(avg(col("value")), 2).as("avg_v"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+      .toDF("event_type")
+    val spine = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      .crossJoin(types)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val gapfillSql =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type, "value"
+      |            FROM events),
+      |daily AS (SELECT day, event_type, count(*) AS n,
+      |            round(avg("value"), 2) AS avg_v
+      |          FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+      |spine AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+      |            CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM b),
+      |grid AS (SELECT day, t AS event_type FROM spine
+      |         CROSS JOIN (VALUES ('click'), ('error'), ('purchase'),
+      |                            ('signup'), ('view')) v(t)),
+      |j AS (SELECT g.day, g.event_type, coalesce(n, 0) AS n, avg_v
+      |      FROM grid g LEFT JOIN daily d USING (day, event_type))
+      |SELECT day, event_type, n,
+      |  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS avg_filled
+      |FROM j
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_gapfill", gapfill, Some(gapfillSql)),
     QueryDef("q_window_distribution", windowDistribution,
       Some(windowDistributionSql)),
     QueryDef("q_join_asof", joinAsof, Some(joinAsofSql)),

@@ -642,7 +642,31 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q_histogram
+  /** Fixed-width histogram of event values per event type: bin =
+    * floor(value / 10), capped into [0, 10] so the bin count — and the
+    * output size — is a CONSTANT regardless of data scale (open-ended
+    * top bin catches outliers). One hash aggregation; integer bin
+    * arithmetic, no floating boundaries to disagree on. */
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / 10).cast("int"), lit(0)), lit(10))
+          .as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  private val histogramSql =
+    """SELECT event_type,
+      |  least(greatest(CAST(floor("value" / 10) AS INT), 0), 10) AS bin,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bin""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q_percentile", percentiles, Some(percentilesSql)),
     QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),

@@ -367,7 +367,47 @@ object Text {
       |FROM a
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_token_entropy
+  /** Shannon entropy of each document's token distribution — a standard
+    * corpus-quality signal (low entropy ⇒ repetitive/templated text;
+    * the distribution-level complement of q_text_quality's ratio
+    * features). Two narrow aggregations: per-(doc, tok) counts, then
+    * Σ −p·ln p per doc with p = tf/n. The log terms accumulate through
+    * SUM — order-insensitive enough at 4 dp that both engines agree
+    * (verified by the oracle hash). */
+  private def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * log(col("tf").cast("double"))).as("sum_tlogt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        graft.functions.Parity.dround(
+          log(col("n_tokens").cast("double")) -
+            col("sum_tlogt") / col("n_tokens"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenEntropySql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  round(ln(CAST(sum(tf) AS DOUBLE))
+      |        - sum(tf * ln(CAST(tf AS DOUBLE))) / sum(tf), 4) AS entropy
+      |FROM tf
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q_array_fns", arrayFns, Some(arrayFnsSql)),
     QueryDef("q_ngram_lm", ngramLm, Some(ngramLmSql)),
     QueryDef("q_rolling_hash", rollingHash, Some(rollingHashSql)),

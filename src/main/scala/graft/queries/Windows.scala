@@ -304,7 +304,57 @@ object Windows {
       |FROM j
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q_sessionize
+  /** Batch sessionization — the window-function twin of the streaming
+    * `session_window` query: a session break is a >5-minute gap to the
+    * previous event of the same user (lag), and the session id is the
+    * running count of breaks (an unbounded-preceding sum) — two window
+    * passes over the same (user_id, ts) sort, so Spark sorts once and
+    * pipelines both. Output aggregates per session; tie-free ordering
+    * via event_id. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .withColumn("brk",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(order) > 300, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("brk")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("t_start"),
+        max(col("ts_s")).as("t_end"),
+        graft.functions.Parity.dround(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionizeSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "value"
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN ts_s - lag(ts_s) OVER w > 300 THEN 1 ELSE 0 END AS brk
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_s) AS t_start, max(ts_s) AS t_end,
+      |  round(sum("value"), 2) AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_gapfill", gapfill, Some(gapfillSql)),
     QueryDef("q_window_distribution", windowDistribution,
       Some(windowDistributionSql)),

@@ -74,6 +74,18 @@ class StreamingSpec extends GraftSpec {
     assert(stream == batch)
   }
 
+  test("q_sessionize (batch windows) agrees with n_stream_session per user") {
+    // same 5-minute gap rule expressed two ways: session_window in a
+    // stream vs lag+running-sum in batch — session counts must agree
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, sfTiny)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stream = graft.SparkEntry.queries("n_stream_session")(spark, sfTiny)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch == stream)
+  }
+
   test("n_stream_dedup_state is bounded by batch distinct and total counts") {
     val stream = graft.SparkEntry.queries("n_stream_dedup_state")(spark, sfTiny)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

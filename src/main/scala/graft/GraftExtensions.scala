@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{DotProductF, DotProductFD}
+import graft.functions.{BitsetIntersectCount, DotProductF, DotProductFD}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_fd"),
       DotProductF.infoFD,
       (children: Seq[Expression]) => DotProductFD(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitset_icnt"),
+      BitsetIntersectCount.info,
+      (children: Seq[Expression]) => BitsetIntersectCount(children(0), children(1))))
   }
 }

@@ -140,7 +140,8 @@ object Dedup {
     *             `round(j,4) >= t` exactly */
   private def jaccardPairsFast(sets: DataFrame, tNum: Int, tDen: Int,
       tfE4: Int): DataFrame = {
-    val (docs, w) = docBitsets(sets)
+    graft.functions.BitsetIntersectCount.register(sets.sparkSession)
+    val (docs, _) = docBitsets(sets)
     // The probe side of the pair join carries only O(docs) rows, so AQE
     // coalesces it to ~1 partition — serializing the O(n²) loop. Pin the
     // partitioning to the cluster's parallelism: the WORK is quadratic
@@ -151,8 +152,10 @@ object Dedup {
         col("sz").as("sz1"))
     val b = docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
       col("sz").as("sz2"))
-    val icnt = (0 until w)
-      .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
+    // One fused codegen'd popcount loop over the packed words (native
+    // BitsetIntersectCount) — plan size stays constant however wide the
+    // vocabulary makes the masks, unlike a per-word unrolled chain.
+    val icnt = call_function("graft_bitset_icnt", col("m1"), col("m2"))
     // Explicit broadcast: the packed masks are ~100 B/doc, but Catalyst's
     // post-aggregation size estimate balloons past the auto-broadcast
     // threshold at sf0.1 and the planner falls back to CartesianProduct
@@ -209,11 +212,12 @@ object Dedup {
     * (1−j⁴)⁴ (≈0.1% at j=0.95) is inherent to LSH — the oracle runs the
     * identical pipeline so results still hash-match. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BitsetIntersectCount.register(s)
     val sets = tokenSet(s, d)
     // built FIRST: docBitsets releases the previous query's scoped
     // caches on entry, so this query's own tracked caches (sized, below)
     // must be registered after it
-    val (docs, w) = docBitsets(sets)
+    val (docs, _) = docBitsets(sets)
     val h = sets.select(col("doc_id"),
       TextOps.portableHash(col("tok")).as("th"))
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
@@ -288,9 +292,8 @@ object Dedup {
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
     val cand = coldCand.union(hotCand)
     // Verify ONLY the candidates: re-attach the packed bitsets and
-    // popcount the intersection — a few codegen'd ops per candidate.
-    val icnt = (0 until w)
-      .map(i => expr(s"bit_count(m1[$i] & m2[$i])")).reduce(_ + _)
+    // popcount the intersection with the fused native expression.
+    val icnt = call_function("graft_bitset_icnt", col("m1"), col("m2"))
     cand
       .join(broadcast(docs.select(col("doc_id").as("id1"), col("mask").as("m1"),
         col("sz").as("sz1"))), "id1")

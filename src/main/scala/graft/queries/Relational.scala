@@ -665,7 +665,37 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY event_type, bin""".stripMargin
 
+  // --------------------------------------------------------------- q_stats_agg
+  /** Statistical aggregate surface: Pearson correlation, sample
+    * covariance, sample stddev/variance per group — all single-pass
+    * mergeable moment sketches in both engines (sum, sum², sum·xy), so
+    * they scale exactly like plain sums. Sample (n−1) forms on both
+    * sides; 4-dp rounding absorbs accumulation-order ulps. */
+  private def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        dround(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qp"),
+        dround(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        dround(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val statsAggSql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stats_agg", statsAgg, Some(statsAggSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q_percentile", percentiles, Some(percentilesSql)),

@@ -109,8 +109,59 @@ object UdfSurface {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q_cogroup_agg
+  /** The typed `KeyValueGroupedDataset.cogroup` surface: orders and
+    * lineitems grouped by order key meet in ONE co-partitioned pass
+    * (both sides shuffle once on the key; no join row-multiplication),
+    * the per-key closure folds the line iterator imperatively, and the
+    * result is aggregated per customer back in Catalyst land. Use this
+    * shape when the per-key merge logic doesn't reduce to join+agg; the
+    * oracle proves this instance DOES reduce (left join + group by) —
+    * which is exactly what makes it verifiable. */
+  private def cogroupAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val lines = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val perOrder = orders.cogroup(lines) { (_, os, ls) =>
+      val oList = os.toSeq
+      if (oList.isEmpty) Iterator.empty // lines without an order: none in TPC-H
+      else {
+        val (_, cust, total) = oList.head
+        var n = 0L
+        var sq = 0.0
+        ls.foreach { l => n += 1; sq += l._2 }
+        Iterator((cust, total, n, sq))
+      }
+    }
+    perOrder.toDF("custkey", "total", "n_lines", "sum_qty")
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        Parity.dround(max(col("total")), 2).as("max_total"),
+        Parity.dround(sum(col("sum_qty")), 2).as("sum_qty"))
+      .orderBy(col("custkey"))
+  }
+
+  private val cogroupAggSql =
+    """WITH pl AS (
+      |  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_custkey AS custkey,
+      |  count(*) AS n_orders,
+      |  CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lines,
+      |  round(max(o_totalprice), 2) AS max_total,
+      |  round(sum(coalesce(sum_qty, 0)), 2) AS sum_qty
+      |FROM orders LEFT JOIN pl ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_udf_token", udfToken, Some(udfTokenSql)),
     QueryDef("n_udaf_agg", udafAgg, Some(udafAggSql)),
+    QueryDef("q_cogroup_agg", cogroupAgg, Some(cogroupAggSql)),
   )
 }

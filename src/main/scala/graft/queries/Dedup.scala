@@ -70,8 +70,8 @@ object Dedup {
     * from a broadcast dictionary, each doc becomes `W = ⌈vocab/64⌉`
     * packed longs. Set size = popcount of the own mask. The dictionary
     * is sized with one tiny driver-side count (like an optimizer stats
-    * pass). Returns (df, W). */
-  private def docBitsets(sets0: DataFrame): (DataFrame, Int) = {
+    * pass). */
+  private def docBitsets(sets0: DataFrame): DataFrame = {
     releaseCaches()
     // The set relation feeds the dictionary, the mask build AND both
     // sides of the downstream self-join — cache it (and the tiny mask
@@ -103,7 +103,7 @@ object Dedup {
         array((0 until w).map(i => col(s"w$i")): _*).as("mask"))
       .withColumn("sz",
         (0 until w).map(i => expr(s"bit_count(mask[$i])")).reduce(_ + _))
-    (tracked(masks), w)
+    tracked(masks)
   }
 
   /** Exact Jaccard-≥-threshold pairs over bitset-encoded sets.
@@ -115,8 +115,9 @@ object Dedup {
     * same few tokens (measured WORSE: 532 s with the array-intersect
     * verify). With a bounded vocabulary the exact answer is cheapest as a
     * size-band-filtered pair scan over packed bitmasks: intersection =
-    * unrolled Σ_w bit_count(m1[w] & m2[w]) — a handful of codegen'd
-    * instructions per pair, no shuffle wider than the doc list. For
+    * Σ_w bit_count(m1[w] & m2[w]) as ONE fused native expression
+    * (graft_bitset_icnt) — a tight popcount loop per pair, constant
+    * plan size at any W, no shuffle wider than the doc list. For
     * unbounded vocabularies (real web corpora) this degrades at
     * W ≈ vocab/64 ≫ 100, and the scale path is q_minhash_lsh's banding —
     * both live side by side here deliberately.
@@ -141,7 +142,7 @@ object Dedup {
   private def jaccardPairsFast(sets: DataFrame, tNum: Int, tDen: Int,
       tfE4: Int): DataFrame = {
     graft.functions.BitsetIntersectCount.register(sets.sparkSession)
-    val (docs, _) = docBitsets(sets)
+    val docs = docBitsets(sets)
     // The probe side of the pair join carries only O(docs) rows, so AQE
     // coalesces it to ~1 partition — serializing the O(n²) loop. Pin the
     // partitioning to the cluster's parallelism: the WORK is quadratic
@@ -217,7 +218,7 @@ object Dedup {
     // built FIRST: docBitsets releases the previous query's scoped
     // caches on entry, so this query's own tracked caches (sized, below)
     // must be registered after it
-    val (docs, _) = docBitsets(sets)
+    val docs = docBitsets(sets)
     val h = sets.select(col("doc_id"),
       TextOps.portableHash(col("tok")).as("th"))
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>

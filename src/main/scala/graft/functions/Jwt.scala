@@ -60,7 +60,11 @@ object Jwt {
         case _                      => ("valid", user)
       }
     } catch {
-      // undecodable base64 in the payload segment
+      // undecodable base64 in the payload segment; an exp claim too
+      // large for Long (NumberFormatException is a subclass of
+      // IllegalArgumentException, but keep the intent explicit) — both
+      // are malformed-token outcomes, never an escaping exception
+      case _: NumberFormatException    => ("invalid", "unknown_user")
       case _: IllegalArgumentException => ("invalid", "unknown_user")
     }
   }

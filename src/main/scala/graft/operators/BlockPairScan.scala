@@ -60,13 +60,18 @@ object BlockPairScan {
   }
 
   /** Split a block-pair group back into its two member blocks (the same
-    * buffer twice for a diagonal pair). */
-  private def sides(i: Int, it: Iterator[(Int, V)])
+    * buffer twice for a diagonal pair). Diagonality is decided by the
+    * KEY (i == j), never by emptiness: an off-diagonal group whose
+    * higher block happens to hold no vectors (sparse/filtered ids) has
+    * no cross pairs — treating it as diagonal would re-emit the true
+    * diagonal group's intra-block pairs. */
+  private def sides(key: (Int, Int), it: Iterator[(Int, V)])
       : (Seq[V], Seq[V], Boolean) = {
     val xs = scala.collection.mutable.ArrayBuffer.empty[V]
     val ys = scala.collection.mutable.ArrayBuffer.empty[V]
-    it.foreach { case (bi, v) => if (bi == i) xs += v else ys += v }
-    if (ys.isEmpty) (xs.toSeq, xs.toSeq, true) else (xs.toSeq, ys.toSeq, false)
+    it.foreach { case (bi, v) => if (bi == key._1) xs += v else ys += v }
+    if (key._1 == key._2) (xs.toSeq, xs.toSeq, true)
+    else (xs.toSeq, ys.toSeq, false)
   }
 
   /** Per-block-pair partial top-k: for every query vector, its k best
@@ -74,15 +79,16 @@ object BlockPairScan {
     * The global top-k is a subset of the union of partials (a global
     * winner wins in its own block pair), so a thin downstream window
     * over `(id1, id2, cos_sim)` finishes the job exactly. */
-  def knnPartials(raw: Dataset[(Long, Array[Float])], k: Int): DataFrame = {
+  def knnPartials(raw: Dataset[(Long, Array[Float])], k: Int,
+      blocks: Int = 0): DataFrame = {
     val sp = raw.sparkSession
     import sp.implicits._
-    val b = blockCount(raw)
+    val b = if (blocks > 0) blocks else blockCount(raw)
     keyed(raw, b)
       .groupByKey(_._1)
       .flatMapGroups { (key: (Int, Int),
           it: Iterator[((Int, Int), (Int, V))]) =>
-        val (ba, bb, diag) = sides(key._1, it.map(_._2))
+        val (ba, bb, diag) = sides(key, it.map(_._2))
         def partials(qs: Seq[V], cs: Seq[V]): Iterator[(Long, Long, Double)] =
           qs.iterator.flatMap { case (id1, v1, n1) =>
             val sims = cs.iterator.filter(_._1 != id1).map {
@@ -104,15 +110,15 @@ object BlockPairScan {
     * keyed by its blocks. Threshold on the raw double (callers round for
     * display), matching the oracle's WHERE-on-raw semantics. */
   def thresholdPairs(raw: Dataset[(Long, Array[Float])],
-      minSim: Double): DataFrame = {
+      minSim: Double, blocks: Int = 0): DataFrame = {
     val sp = raw.sparkSession
     import sp.implicits._
-    val b = blockCount(raw)
+    val b = if (blocks > 0) blocks else blockCount(raw)
     keyed(raw, b)
       .groupByKey(_._1)
       .flatMapGroups { (key: (Int, Int),
           it: Iterator[((Int, Int), (Int, V))]) =>
-        val (ba, bb, diag) = sides(key._1, it.map(_._2))
+        val (ba, bb, diag) = sides(key, it.map(_._2))
         ba.iterator.flatMap { case (ida, va, na) =>
           bb.iterator
             .filter { case (idb, _, _) => if (diag) ida < idb else ida != idb }

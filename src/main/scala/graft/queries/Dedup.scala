@@ -57,7 +57,11 @@ object Dedup {
   /** Caches created by the currently-running dedup query. Each query
     * scopes its caches: the next dedup query's docBitsets call releases
     * the previous one's, so a long-lived session running the whole suite
-    * never accumulates unreleased cached partitions (round-1 leak). */
+    * never accumulates unreleased cached partitions (round-1 leak).
+    * Assumes dedup-family queries are BUILT sequentially (the driver
+    * contract); concurrent builds would release a sibling's still-live
+    * caches — harmless for correctness (Spark recomputes) but it
+    * reintroduces the recompute cost the cache exists to avoid. */
   private val liveCaches = scala.collection.mutable.Buffer.empty[DataFrame]
   private def releaseCaches(): Unit = synchronized {
     liveCaches.foreach(_.unpersist(blocking = false)); liveCaches.clear()
@@ -507,8 +511,7 @@ object Dedup {
     * oracle computes the identical fixpoint declaratively with a
     * recursive CTE. */
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
-      .select(col("id1"), col("id2"))
+    val pairs = dupPairs(s, d).select(col("id1"), col("id2"))
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .select(col("id1").as("src"), col("id2").as("dst"))
@@ -516,8 +519,13 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
+    // sum() over an empty frame is NULL — an edgeless graph (no near
+    // dups at all) must yield an empty result, not an unboxing NPE
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == 0L && labels.isEmpty
     var rounds = 0
     // One round: min over self ∪ neighbor labels, then pointer jump —
     // follow the label one hop (labels are node ids, so every label
@@ -538,14 +546,20 @@ object Dedup {
       prop.join(jumpTo, col("label") === col("jnode"))
         .select(col("node"), col("jlabel").as("label"))
     }
-    while (!converged && rounds < 8) {
+    while (!converged && rounds < 12) {
       val jumped = round(round(labels)).localCheckpoint()
-      val s2 = jumped.agg(sum(col("label"))).head.getLong(0)
+      val s2 = labelSum(jumped)
       converged = s2 == prevSum
       prevSum = s2
       labels = jumped
       rounds += 1
     }
+    // unconverged labels are silently WRONG (non-minimal cluster ids);
+    // fail loudly rather than hash-mismatch mysteriously downstream —
+    // 12 probes = 24 pointer-jumped rounds covers any diameter the size
+    // of the observable universe
+    require(converged, s"dup-cluster label propagation did not converge " +
+      s"after $rounds probe rounds")
     labels
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))

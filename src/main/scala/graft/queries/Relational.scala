@@ -548,21 +548,31 @@ object Relational {
 
   // ------------------------------------------------------------ q_subquery_corr
   /** Correlated subqueries through the `spark.sql` surface: a correlated
-    * scalar subquery (per-nation average balance) and a correlated
-    * EXISTS, both of which Catalyst DECORRELATES into joins — the scalar
-    * subquery becomes an aggregate + equi-join on the correlation key,
-    * EXISTS a left-semi join — so the executed plan is ordinary shuffle
-    * relational algebra, not a per-row re-execution (the SQL-92 nested
-    * reading would be O(n²) scans at 100 TB). Also exercises temp-view
-    * registration, the entry path for SQL-first users of the library. */
+    * scalar subquery (balance above the per-nation average) and a
+    * correlated EXISTS, both of which Catalyst DECORRELATES into joins —
+    * the scalar subquery becomes an aggregate + equi-join on the
+    * correlation key, EXISTS a left-semi join — so the executed plan is
+    * ordinary shuffle relational algebra, not a per-row re-execution
+    * (the SQL-92 nested reading would be O(n²) scans at 100 TB). Also
+    * exercises temp-view registration, the SQL-first entry path.
+    *
+    * Parity discipline: "balance > nation average" is evaluated in
+    * INTEGER CENTS as bal_cents·n > Σcents — a raw `> avg(double)`
+    * compares against a value that differs between engines (and across
+    * Spark runs) by accumulation-order ulps, so a borderline customer
+    * could flip engines nondeterministically. Balances are 2-decimal by
+    * construction, so cents are exact. */
   private def subqueryCorr(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     Tables.nation(s, d).createOrReplaceTempView("nation_v")
     s.sql("""
       SELECT c_custkey, n_name, c_acctbal
       FROM customer_v c JOIN nation_v n ON c_nationkey = n_nationkey
-      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
-                         WHERE c2.c_nationkey = c.c_nationkey)
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+              (SELECT count(*) FROM customer_v c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+               FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
         AND EXISTS (SELECT 1 FROM customer_v c3
                     WHERE c3.c_nationkey = c.c_nationkey
                       AND c3.c_acctbal < 0)
@@ -572,8 +582,11 @@ object Relational {
   private val subqueryCorrSql =
     """SELECT c_custkey, n_name, c_acctbal
       |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+      |        (SELECT count(*) FROM customer c2
+      |         WHERE c2.c_nationkey = c.c_nationkey)
+      |      > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |  AND EXISTS (SELECT 1 FROM customer c3
       |              WHERE c3.c_nationkey = c.c_nationkey
       |                AND c3.c_acctbal < 0)

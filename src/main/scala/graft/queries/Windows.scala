@@ -306,27 +306,31 @@ object Windows {
 
   // ---------------------------------------------------------------- q_sessionize
   /** Batch sessionization — the window-function twin of the streaming
-    * `session_window` query: a session break is a >5-minute gap to the
+    * `session_window` query: a session break is a ≥5-minute gap to the
     * previous event of the same user (lag), and the session id is the
     * running count of breaks (an unbounded-preceding sum) — two window
     * passes over the same (user_id, ts) sort, so Spark sorts once and
-    * pipelines both. Output aggregates per session; tie-free ordering
-    * via event_id. */
+    * pipelines both. Gaps compare at full MICROSECOND precision with
+    * `>=` — exactly `session_window`'s end-exclusive [start, last+gap)
+    * semantics — so the StreamingSpec equivalence holds by construction,
+    * not by the data missing boundary gaps (truncating to whole seconds
+    * would merge a 300.8 s gap the stream splits). Output aggregates per
+    * session; tie-free ordering via event_id. */
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_s"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
-        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+        unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("brk",
-        when(col("ts_s") - lag(col("ts_s"), 1).over(order) > 300, 1L)
+        when(col("ts_us") - lag(col("ts_us"), 1).over(order) >= 300000000L, 1L)
           .otherwise(lit(0L)))
       .withColumn("session_id", sum(col("brk")).over(running))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts_s")).as("t_start"),
-        max(col("ts_s")).as("t_end"),
+        (min(col("ts_us")) / 1000000L).cast("bigint").as("t_start"),
+        (max(col("ts_us")) / 1000000L).cast("bigint").as("t_end"),
         graft.functions.Parity.dround(sum(col("value")), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
@@ -334,20 +338,21 @@ object Windows {
   private val sessionizeSql =
     """WITH ev AS (
       |  SELECT event_id, user_id,
-      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "value"
+      |    epoch_us(ts) AS ts_us, "value"
       |  FROM events),
       |flagged AS (
       |  SELECT *,
-      |    CASE WHEN ts_s - lag(ts_s) OVER w > 300 THEN 1 ELSE 0 END AS brk
+      |    CASE WHEN ts_us - lag(ts_us) OVER w >= 300000000 THEN 1 ELSE 0 END AS brk
       |  FROM ev
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sess AS (
       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
-      |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
       |    AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  min(ts_s) AS t_start, max(ts_s) AS t_end,
+      |  CAST(min(ts_us) // 1000000 AS BIGINT) AS t_start,
+      |  CAST(max(ts_us) // 1000000 AS BIGINT) AS t_end,
       |  round(sum("value"), 2) AS session_value
       |FROM sess
       |GROUP BY user_id, session_id

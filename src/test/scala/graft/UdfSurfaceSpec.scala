@@ -30,6 +30,19 @@ class UdfSurfaceSpec extends GraftSpec {
 
     assert(Jwt.verify("not-a-jwt", secret, now) == (("invalid", "unknown_user")))
     assert(Jwt.verify("a.b.c", secret, now) == (("invalid", "unknown_user")))
+
+    // exp claim larger than Long must classify, not throw
+    val hugeExpPayload = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(
+        """{"user_id":"u9","exp":99999999999999999999}""".getBytes("UTF-8"))
+    val si = s"${Jwt.Header}.$hugeExpPayload"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"),
+      "HmacSHA256"))
+    val sig = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(mac.doFinal(si.getBytes("UTF-8")))
+    assert(Jwt.verify(s"$si.$sig", secret, now) ==
+      (("invalid", "unknown_user")))
   }
 
   test("classifyToken covers all arms incl. null header") {

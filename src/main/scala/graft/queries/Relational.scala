@@ -520,6 +520,41 @@ object Relational {
       |GROUP BY ROLLUP (n_name, s_name)
       |ORDER BY gid, n_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- q_set_ops_all
+  /** MULTISET set operations — `intersectAll` keeps min(countL, countR)
+    * copies per value, `exceptAll` keeps countL − countR — the bag
+    * semantics `q_set_ops`'s distinct forms don't exercise. Catalyst
+    * plans both as a count-aggregation + generate (no distinct pass), so
+    * the shuffle still carries only the projected key; the per-branch
+    * count aggregation keeps the output bounded by |suppkeys|. */
+  private def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    def counted(branch: String, df: DataFrame) =
+      df.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .select(lit(branch).as("branch"), col("l_suppkey"), col("n"))
+    counted("intersect_all", a.intersectAll(b))
+      .unionByName(counted("except_all", a.exceptAll(b)))
+      .unionByName(counted("union_all", a.union(b)))
+      .orderBy(col("branch"), col("l_suppkey"))
+  }
+
+  private val setOpsAllSql =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+      |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+      |ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b),
+      |ua AS (SELECT l_suppkey FROM a UNION ALL SELECT l_suppkey FROM b)
+      |SELECT branch, l_suppkey, n FROM (
+      |  SELECT 'intersect_all' AS branch, l_suppkey, count(*) AS n
+      |  FROM ia GROUP BY l_suppkey
+      |  UNION ALL
+      |  SELECT 'except_all', l_suppkey, count(*) FROM ea GROUP BY l_suppkey
+      |  UNION ALL
+      |  SELECT 'union_all', l_suppkey, count(*) FROM ua GROUP BY l_suppkey)
+      |ORDER BY branch, l_suppkey""".stripMargin
+
   // -------------------------------------------------------------------- q_pivot
   /** Pivot (long → wide): per-user value totals with one column per
     * event type. The pivot values are an EXPLICIT literal list — without
@@ -728,6 +763,7 @@ object Relational {
     QueryDef("q_agg_rollup_cube", aggRollupCube, Some(aggRollupCubeSql)),
     QueryDef("q_agg_having", aggHaving, Some(aggHavingSql)),
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_set_ops_all", setOpsAll, Some(setOpsAllSql)),
     QueryDef("q_cast_norm", castNorm, Some(castNormSql)),
     QueryDef("q_datetime", datetimeFns, Some(datetimeSql)),
     QueryDef("q_math_fns", mathFns, Some(mathFnsSql)),

@@ -358,7 +358,45 @@ object Windows {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------- q_range_cooccur
+  /** PURE range self-join (no equi key): for every event, how many
+    * OTHER events — any user — happened within ±1 s. Naively this is an
+    * O(n²) comparison; the scale shape is TIME-BUCKETIZATION: the probe
+    * side replicates into its second-bucket and both neighbors, the
+    * build side keys by its own bucket, so the equi-join on the bucket
+    * makes candidate generation a hash join whose cost tracks events
+    * per 3-second window, and the exact ±1 s predicate is a cheap
+    * integer residual. Each true pair meets EXACTLY once (the build row
+    * owns one bucket), so no dedup pass. The oracle states the naive
+    * quadratic form — DuckDB's IEJoin handles it at oracle scale. */
+  private def rangeCooccur(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("b", (col("us") / 1000000L).cast("bigint"))
+    val probe = ev.select(col("event_id").as("id1"), col("us").as("us1"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val build = ev.select(col("event_id").as("id2"), col("us").as("us2"),
+      col("b"))
+    probe.join(build, Seq("b"))
+      .filter(col("id1") =!= col("id2") &&
+        abs(col("us1") - col("us2")) <= 1000000L)
+      .groupBy(col("id1"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(col("id1"))
+  }
+
+  private val rangeCooccurSql =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+      |SELECT a.event_id AS id1, count(*) AS n_cooccur
+      |FROM ev a JOIN ev b
+      |  ON a.event_id <> b.event_id
+      | AND b.us >= a.us - 1000000
+      | AND b.us <= a.us + 1000000
+      |GROUP BY a.event_id
+      |ORDER BY id1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_range_cooccur", rangeCooccur, Some(rangeCooccurSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_gapfill", gapfill, Some(gapfillSql)),
     QueryDef("q_window_distribution", windowDistribution,

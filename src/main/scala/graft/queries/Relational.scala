@@ -555,6 +555,32 @@ object Relational {
       |  SELECT 'union_all', l_suppkey, count(*) FROM ua GROUP BY l_suppkey)
       |ORDER BY branch, l_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- q_salted_agg
+  /** The skew-mitigation aggregation path as a first-class ORACLE'D
+    * query (round 1 had it spec-only): events aggregate per event_type —
+    * 5 keys over the whole table is exactly the hot-key shape — through
+    * `SkewOps.saltedAgg`'s two-phase deterministic salt (scatter each
+    * key over 32 sub-keys, partial-aggregate, merge). The result is
+    * identical to the direct groupBy by associativity — which is
+    * precisely what the DuckDB oracle asserts, on the PLAIN form. */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewOps.saltedAgg(
+      Tables.events(s, d),
+      key = col("event_type"),
+      saltBy = col("event_id"),
+      salts = 32,
+      partials = Seq(count(lit(1)).as("pn"), sum(col("value")).as("psum")),
+      merges = Seq(sum(col("pn")).as("n"),
+        dround(sum(col("psum")), 2).as("sum_value")))
+      .select(col("key").as("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_type"))
+
+  private val saltedAggSql =
+    """SELECT event_type, count(*) AS n, round(sum("value"), 2) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------------- q_pivot
   /** Pivot (long → wide): per-user value totals with one column per
     * event type. The pivot values are an EXPLICIT literal list — without
@@ -764,6 +790,7 @@ object Relational {
     QueryDef("q_agg_having", aggHaving, Some(aggHavingSql)),
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q_set_ops_all", setOpsAll, Some(setOpsAllSql)),
+    QueryDef("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     QueryDef("q_cast_norm", castNorm, Some(castNormSql)),
     QueryDef("q_datetime", datetimeFns, Some(datetimeSql)),
     QueryDef("q_math_fns", mathFns, Some(mathFnsSql)),

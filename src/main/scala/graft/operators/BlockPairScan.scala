@@ -105,6 +105,77 @@ object BlockPairScan {
       .toDF("id1", "id2", "cos_sim")
   }
 
+  /** (id, packed bitset words, set size = popcount of own mask) */
+  private type BS = (Long, Array[Long], Long)
+
+  /** Exact Jaccard-≥-threshold pairs over dictionary-encoded BITSETS via
+    * the same B×B block-pair grid — the de-broadcast form of the dedup
+    * pair scan. No full-relation broadcast and no BroadcastNestedLoopJoin:
+    * each doc's packed mask ships to the B block pairs containing its
+    * block (√-bounded replication), every unordered pair meets in exactly
+    * ONE block-pair task, and the intersection is a tight
+    * `Long.bitCount(a & b)` loop per pair — the mapPartitions-class twin
+    * of the fused `graft_bitset_icnt` expression, earned the same way
+    * (the declarative alternative is a BNLJ that must broadcast one full
+    * side, the round-2 scale-killer).
+    *
+    * Semantics are IDENTICAL to the former broadcast join: size-band
+    * prune first (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), integer form
+    * sz·tNum ≤ sz·tDen both ways), then the integer-exact rounded
+    * threshold round₄(icnt/union) ≥ t ⟺ icnt·20000 ≥ union·(2·tfE4−1)
+    * (see Dedup.jaccardPairsFast for the derivation). Emits
+    * (id1 < id2, icnt, sz1, sz2).
+    *
+    * Per-task memory is n/B masks (each W longs, W = ⌈vocab/64⌉) — set
+    * by B, not by cluster size, so the grid holds at 100× the docs by
+    * raising B; work stays the quadratic ground-truth contract. */
+  def bitsetJaccardPairs(raw: Dataset[(Long, Array[Long], Long)],
+      tNum: Int, tDen: Int, tfE4: Int, blocks: Int = 0): DataFrame = {
+    val sp = raw.sparkSession
+    import sp.implicits._
+    val b = if (blocks > 0) blocks else blockCount(raw)
+    raw.flatMap { case (id, mask, sz) =>
+      val bi = (((id % b) + b) % b).toInt
+      (0 until b).map { o =>
+        val k = if (o < bi) (o, bi) else (bi, o)
+        (k, (bi, id, mask, sz))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int),
+          it: Iterator[((Int, Int), (Int, Long, Array[Long], Long))]) =>
+        val xs = scala.collection.mutable.ArrayBuffer.empty[BS]
+        val ys = scala.collection.mutable.ArrayBuffer.empty[BS]
+        it.foreach { case (_, (bi, id, m, sz)) =>
+          if (bi == key._1) xs += ((id, m, sz)) else ys += ((id, m, sz))
+        }
+        // diagonality by KEY, not emptiness (see `sides`)
+        val diag = key._1 == key._2
+        val ba = xs
+        val bb = if (diag) xs else ys
+        val thr = 2L * tfE4 - 1 // 20000·t − 1
+        ba.iterator.flatMap { case (ida, ma, sa) =>
+          bb.iterator
+            .filter { case (idb, _, _) => if (diag) ida < idb else ida != idb }
+            .flatMap { case (idb, mb, sb) =>
+              if (sa * tNum <= sb * tDen && sb * tNum <= sa * tDen) {
+                var icnt = 0L
+                var w = 0
+                while (w < ma.length) {
+                  icnt += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
+                }
+                if (icnt * 20000L >= (sa + sb - icnt) * thr) {
+                  val (lo, hi, slo, shi) =
+                    if (ida < idb) (ida, idb, sa, sb) else (idb, ida, sb, sa)
+                  Some((lo, hi, icnt, slo, shi))
+                } else None
+              } else None
+            }
+        }
+      }
+      .toDF("id1", "id2", "icnt", "sz1", "sz2")
+  }
+
   /** All unordered pairs with RAW cosine ≥ minSim, each emitted exactly
     * once as (lo_id, hi_id, sim) — a pair meets only in the one group
     * keyed by its blocks. Threshold on the raw double (callers round for

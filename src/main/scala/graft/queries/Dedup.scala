@@ -119,9 +119,10 @@ object Dedup {
     * same few tokens (measured WORSE: 532 s with the array-intersect
     * verify). With a bounded vocabulary the exact answer is cheapest as a
     * size-band-filtered pair scan over packed bitmasks: intersection =
-    * Σ_w bit_count(m1[w] & m2[w]) as ONE fused native expression
-    * (graft_bitset_icnt) — a tight popcount loop per pair, constant
-    * plan size at any W, no shuffle wider than the doc list. For
+    * Σ_w bit_count(m1[w] & m2[w]) as a tight popcount loop per pair
+    * (the block-pair-grid kernel here; the fused native
+    * graft_bitset_icnt expression in the LSH verify join), constant
+    * cost at any W, no shuffle wider than the doc list. For
     * unbounded vocabularies (real web corpora) this degrades at
     * W ≈ vocab/64 ≫ 100, and the scale path is q_minhash_lsh's banding —
     * both live side by side here deliberately.
@@ -135,44 +136,31 @@ object Dedup {
     * (floor(x+0.5) ≥ k ⟺ x ≥ k−0.5, and with union ≤ 2·vocab the
     * rational grid spacing ≥ 1/union² is orders of magnitude coarser
     * than a double ulp, so the forms can never disagree). This matters
-    * for performance, not just style: a filter on the rounded double is
-    * pushed into the BNLJ join condition, where the whole when/floor/
-    * divide tree is evaluated INTERPRETED per pair — measured 28.7 s vs
-    * 1.4 s for the integer form on 25M pairs.
+    * for performance, not just style: a filter on the rounded double
+    * riding a join condition is evaluated INTERPRETED per pair —
+    * measured 28.7 s vs 1.4 s for the integer form on 25M pairs.
+    *
+    * The pair scan itself runs on the B×B BLOCK-PAIR GRID
+    * (BlockPairScan.bitsetJaccardPairs): docs land in B blocks by
+    * id mod B, every unordered block pair is one independent task,
+    * masks replicate √-bounded (B copies each), and NOTHING is
+    * broadcast whole — the round-2 form `a.join(broadcast(b), …)`
+    * shipped the entire doc-bitset relation to every executor: fine at
+    * sf0.1, impossible at 10⁹ docs. Same rows, same integer-exact
+    * filters, no full-relation broadcast, no BroadcastNestedLoopJoin
+    * (PlanSpec pins the shape).
     *
     * @param tfE4 output threshold ×10⁴ (9500 = Jaccard 0.95 after
     *             4-decimal rounding), matching the oracle's
     *             `round(j,4) >= t` exactly */
   private def jaccardPairsFast(sets: DataFrame, tNum: Int, tDen: Int,
       tfE4: Int): DataFrame = {
-    graft.functions.BitsetIntersectCount.register(sets.sparkSession)
+    val sp = sets.sparkSession
+    import sp.implicits._
     val docs = docBitsets(sets)
-    // The probe side of the pair join carries only O(docs) rows, so AQE
-    // coalesces it to ~1 partition — serializing the O(n²) loop. Pin the
-    // partitioning to the cluster's parallelism: the WORK is quadratic
-    // even though the INPUT is tiny.
-    val par = sets.sparkSession.sparkContext.defaultParallelism
-    val a = docs.repartition(par, col("doc_id"))
-      .select(col("doc_id").as("id1"), col("mask").as("m1"),
-        col("sz").as("sz1"))
-    val b = docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
-      col("sz").as("sz2"))
-    // One fused codegen'd popcount loop over the packed words (native
-    // BitsetIntersectCount) — plan size stays constant however wide the
-    // vocabulary makes the masks, unlike a per-word unrolled chain.
-    val icnt = call_function("graft_bitset_icnt", col("m1"), col("m2"))
-    // Explicit broadcast: the packed masks are ~100 B/doc, but Catalyst's
-    // post-aggregation size estimate balloons past the auto-broadcast
-    // threshold at sf0.1 and the planner falls back to CartesianProduct
-    // (whose right-side recompute cost 31 core-minutes, measured).
-    a.join(broadcast(b),
-        col("id1") < col("id2") &&
-        col("sz1") * tNum <= col("sz2") * tDen &&
-        col("sz2") * tNum <= col("sz1") * tDen)
-      .select(col("id1"), col("id2"), icnt.as("icnt"),
-        col("sz1"), col("sz2"))
-      .filter(col("icnt") * 20000L >=
-        (col("sz1") + col("sz2") - col("icnt")) * (2L * tfE4 - 1)) // 20000·t − 1
+      .select(col("doc_id"), col("mask"), col("sz").cast("long"))
+      .as[(Long, Array[Long], Long)]
+    graft.operators.BlockPairScan.bitsetJaccardPairs(docs, tNum, tDen, tfE4)
       .select(col("id1"), col("id2"), col("icnt"),
         dround(col("icnt").cast("double") /
           (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))

@@ -37,9 +37,14 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q_minhash_dup pair scan stays a broadcast BNLJ (no CartesianProduct)") {
+  test("q_minhash_dup pair scan is the block-pair grid: no full-relation " +
+      "broadcast, no BNLJ, no CartesianProduct") {
     val p = plan("q_minhash_dup")
     assert(!p.contains("CartesianProduct"), "planner fell back to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair scan regressed to a broadcast BNLJ")
+    // the grid kernel runs as a typed flatMapGroups over block-pair keys
+    assert(p.contains("MapGroups"), p.take(2000))
   }
 
   test("q_simhash_dup candidates come from the banded equi-join") {

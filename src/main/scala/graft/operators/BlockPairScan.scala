@@ -105,30 +105,135 @@ object BlockPairScan {
       .toDF("id1", "id2", "cos_sim")
   }
 
+  /** Exact Jaccard-≥-threshold pairs over per-doc DISTINCT token arrays
+    * via the same B×B block-pair grid — the de-broadcast, de-staged form
+    * of the dedup pair scan. No full-relation broadcast, no
+    * BroadcastNestedLoopJoin, and — unlike the round-2 bitset pipeline —
+    * NO global token dictionary: each block-pair task builds a LOCAL
+    * dictionary over just its group's tokens, packs each doc into a
+    * local bitset, and popcounts pairs with a tight `Long.bitCount`
+    * loop. Exactness is unchanged (token-string identity decides bit
+    * identity; the dictionary's scope only changes bit POSITIONS, which
+    * the intersection count never sees), but the three sequential
+    * global stages the shared dictionary cost — exploded token
+    * relation, distinct+zipWithIndex dictionary, mask aggregation,
+    * measured 3.8 s of mostly fixed latency at sf0.1 — disappear; the
+    * kernel's input is a narrow projection of the document scan.
+    *
+    * Work per pair: size-band prune first (J ≥ t ⇒ t·max(|A|,|B|) ≤
+    * min(|A|,|B|), integer form sz·tNum ≤ sz·tDen both ways), then
+    * popcount, then the integer-exact rounded threshold
+    * round₄(icnt/union) ≥ t ⟺ icnt·20000 ≥ union·(2·tfE4−1) (see
+    * Dedup.jaccardPairsFast for the derivation). Emits
+    * (id1 < id2, icnt, sz1, sz2); survivors only are materialized (the
+    * inner loops allocate nothing per rejected pair).
+    *
+    * Per-task memory is the group's docs (n/B token arrays) + the local
+    * dictionary + masks of W_local = ⌈group vocab/64⌉ words — all set
+    * by B, not by cluster size, so the grid holds at 100× the docs by
+    * raising B; work stays the quadratic ground-truth contract. */
+  def tokenJaccardPairs(raw: Dataset[(Long, Array[String])],
+      tNum: Int, tDen: Int, tfE4: Int, blocks: Int = 0): DataFrame = {
+    val sp = raw.sparkSession
+    import sp.implicits._
+    val b = if (blocks > 0) blocks else blockCount(raw)
+    raw.flatMap { case (id, toks) =>
+      val bi = (((id % b) + b) % b).toInt
+      (0 until b).map { o =>
+        val k = if (o < bi) (o, bi) else (bi, o)
+        (k, (bi, id, toks))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int),
+          it: Iterator[((Int, Int), (Int, Long, Array[String]))]) =>
+        val xs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
+        val ys = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
+        it.foreach { case (_, (bi, id, toks)) =>
+          if (bi == key._1) xs += ((id, toks)) else ys += ((id, toks))
+        }
+        // diagonality by KEY, not emptiness (see `sides`)
+        val diag = key._1 == key._2
+        val ba = xs
+        val bb = if (diag) xs else ys
+        // local dictionary: dense ids over THIS group's tokens only
+        val dict = new java.util.HashMap[String, Integer]()
+        def assign(docs: scala.collection.Seq[(Long, Array[String])]): Unit =
+          docs.foreach { case (_, toks) =>
+            var i = 0
+            while (i < toks.length) {
+              if (!dict.containsKey(toks(i))) dict.put(toks(i), dict.size)
+              i += 1
+            }
+          }
+        assign(ba); if (!diag) assign(bb)
+        val w = (dict.size + 63) >>> 6
+        def pack(docs: scala.collection.Seq[(Long, Array[String])])
+            : (Array[Long], Array[Long], Array[Array[Long]]) = {
+          val n = docs.length
+          val ids = new Array[Long](n); val szs = new Array[Long](n)
+          val masks = new Array[Array[Long]](n)
+          var i = 0
+          while (i < n) {
+            val (id, toks) = docs(i)
+            val m = new Array[Long](w)
+            var j = 0
+            while (j < toks.length) {
+              val t = dict.get(toks(j)).intValue()
+              m(t >>> 6) |= 1L << (t & 63)
+              j += 1
+            }
+            ids(i) = id; szs(i) = toks.length.toLong; masks(i) = m
+            i += 1
+          }
+          (ids, szs, masks)
+        }
+        val (aIds, aSzs, aMasks) = pack(ba)
+        val (bIds, bSzs, bMasks) =
+          if (diag) (aIds, aSzs, aMasks) else pack(bb)
+        val thr = 2L * tfE4 - 1 // 20000·t − 1
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < aIds.length) {
+          val ida = aIds(i); val sa = aSzs(i); val ma = aMasks(i)
+          var j = if (diag) i + 1 else 0
+          while (j < bIds.length) {
+            val sb = bSzs(j)
+            if (sa * tNum <= sb * tDen && sb * tNum <= sa * tDen) {
+              val mb = bMasks(j)
+              var icnt = 0L
+              var k = 0
+              while (k < w) { icnt += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
+              if (icnt * 20000L >= (sa + sb - icnt) * thr) {
+                val idb = bIds(j)
+                if (ida < idb) out += ((ida, idb, icnt, sa, sb))
+                else out += ((idb, ida, icnt, sb, sa))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id1", "id2", "icnt", "sz1", "sz2")
+  }
+
   /** (id, packed bitset words, set size = popcount of own mask) */
   private type BS = (Long, Array[Long], Long)
 
-  /** Exact Jaccard-≥-threshold pairs over dictionary-encoded BITSETS via
-    * the same B×B block-pair grid — the de-broadcast form of the dedup
-    * pair scan. No full-relation broadcast and no BroadcastNestedLoopJoin:
-    * each doc's packed mask ships to the B block pairs containing its
-    * block (√-bounded replication), every unordered pair meets in exactly
-    * ONE block-pair task, and the intersection is a tight
-    * `Long.bitCount(a & b)` loop per pair — the mapPartitions-class twin
-    * of the fused `graft_bitset_icnt` expression, earned the same way
-    * (the declarative alternative is a BNLJ that must broadcast one full
-    * side, the round-2 scale-killer).
-    *
-    * Semantics are IDENTICAL to the former broadcast join: size-band
-    * prune first (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), integer form
-    * sz·tNum ≤ sz·tDen both ways), then the integer-exact rounded
-    * threshold round₄(icnt/union) ≥ t ⟺ icnt·20000 ≥ union·(2·tfE4−1)
-    * (see Dedup.jaccardPairsFast for the derivation). Emits
-    * (id1 < id2, icnt, sz1, sz2).
-    *
-    * Per-task memory is n/B masks (each W longs, W = ⌈vocab/64⌉) — set
-    * by B, not by cluster size, so the grid holds at 100× the docs by
-    * raising B; work stays the quadratic ground-truth contract. */
+  /** Sibling of [[tokenJaccardPairs]] for GLOBALLY dictionary-encoded
+    * bitsets — the right kernel when per-doc sets are LARGE (character
+    * shingles: hundreds of elements per doc). There the local-dictionary
+    * form loses: every block-pair replica re-serializes the full string
+    * array and every group re-hashes it into its own dictionary
+    * (measured 3× slower than this form on 3-gram sets at sf0.1), while
+    * a one-off global dictionary encodes each doc ONCE into
+    * W = ⌈vocab/64⌉ packed words and the grid ships 8-byte words
+    * instead of strings. For small sets (whitespace tokens) the
+    * trade flips — see tokenJaccardPairs. Same grid, same size-band
+    * prune, same integer-exact threshold, same output columns. */
   def bitsetJaccardPairs(raw: Dataset[(Long, Array[Long], Long)],
       tNum: Int, tDen: Int, tfE4: Int, blocks: Int = 0): DataFrame = {
     val sp = raw.sparkSession
@@ -154,24 +259,32 @@ object BlockPairScan {
         val ba = xs
         val bb = if (diag) xs else ys
         val thr = 2L * tfE4 - 1 // 20000·t − 1
-        ba.iterator.flatMap { case (ida, ma, sa) =>
-          bb.iterator
-            .filter { case (idb, _, _) => if (diag) ida < idb else ida != idb }
-            .flatMap { case (idb, mb, sb) =>
-              if (sa * tNum <= sb * tDen && sb * tNum <= sa * tDen) {
-                var icnt = 0L
-                var w = 0
-                while (w < ma.length) {
-                  icnt += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
-                }
-                if (icnt * 20000L >= (sa + sb - icnt) * thr) {
-                  val (lo, hi, slo, shi) =
-                    if (ida < idb) (ida, idb, sa, sb) else (idb, ida, sb, sa)
-                  Some((lo, hi, icnt, slo, shi))
-                } else None
-              } else None
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < ba.length) {
+          val (ida, ma, sa) = ba(i)
+          var j = if (diag) i + 1 else 0
+          while (j < bb.length) {
+            val sb = bb(j)._3
+            if (sa * tNum <= sb * tDen && sb * tNum <= sa * tDen) {
+              val mb = bb(j)._2
+              var icnt = 0L
+              var k = 0
+              while (k < ma.length) {
+                icnt += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1
+              }
+              if (icnt * 20000L >= (sa + sb - icnt) * thr) {
+                val idb = bb(j)._1
+                if (ida < idb) out += ((ida, idb, icnt, sa, sb))
+                else out += ((idb, ida, icnt, sb, sa))
+              }
             }
+            j += 1
+          }
+          i += 1
         }
+        out.iterator
       }
       .toDF("id1", "id2", "icnt", "sz1", "sz2")
   }

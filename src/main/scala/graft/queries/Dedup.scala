@@ -47,12 +47,19 @@ object Dedup {
   /** Distinct (doc_id, tok) pairs — the token-set representation.
     * The docs file arrives as one scan partition at test scale; spread
     * it before the explode so tokenization parallelizes (at 100 TB the
-    * source is many files and this repartition is a no-op cost-wise). */
+    * source is many files and this repartition is a no-op cost-wise).
+    *
+    * Dedup is PER-ROW (`array_distinct` before the explode), not a
+    * global `.distinct()`: (doc_id, tok) duplicates can only occur
+    * within one document's array, so the narrow form produces the
+    * identical relation while skipping a full shuffle of the exploded
+    * token stream — the largest intermediate in the whole dedup family
+    * (tokens × docs rows; measured 1.7 s of pure shuffle at sf0.1). */
   private def tokenSet(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
 
   /** Caches created by the currently-running dedup query. Each query
     * scopes its caches: the next dedup query's docBitsets call releases
@@ -141,39 +148,66 @@ object Dedup {
     * measured 28.7 s vs 1.4 s for the integer form on 25M pairs.
     *
     * The pair scan itself runs on the B×B BLOCK-PAIR GRID
-    * (BlockPairScan.bitsetJaccardPairs): docs land in B blocks by
-    * id mod B, every unordered block pair is one independent task,
-    * masks replicate √-bounded (B copies each), and NOTHING is
+    * (BlockPairScan.tokenJaccardPairs): docs land in B blocks by
+    * id mod B, every unordered block pair is one independent task, each
+    * doc's token array replicates √-bounded (B copies), and NOTHING is
     * broadcast whole — the round-2 form `a.join(broadcast(b), …)`
     * shipped the entire doc-bitset relation to every executor: fine at
-    * sf0.1, impossible at 10⁹ docs. Same rows, same integer-exact
-    * filters, no full-relation broadcast, no BroadcastNestedLoopJoin
-    * (PlanSpec pins the shape).
+    * sf0.1, impossible at 10⁹ docs. The bitset dictionary is built
+    * LOCALLY per block-pair task (exactness is unaffected — bit
+    * positions never reach the intersection count), so the exact path
+    * has no global dictionary stages at all; its input is a narrow
+    * projection of the scan. Same rows, same integer-exact filters, no
+    * full-relation broadcast, no BroadcastNestedLoopJoin (PlanSpec pins
+    * the shape).
     *
+    * @param docSets (doc_id, per-doc distinct token array); empty docs
+    *                must be pre-filtered (they have no set rows in the
+    *                oracle's exploded relation)
     * @param tfE4 output threshold ×10⁴ (9500 = Jaccard 0.95 after
     *             4-decimal rounding), matching the oracle's
     *             `round(j,4) >= t` exactly */
-  private def jaccardPairsFast(sets: DataFrame, tNum: Int, tDen: Int,
+  private def jaccardPairsFast(docSets: org.apache.spark.sql.Dataset[(Long, Array[String])],
+      tNum: Int, tDen: Int, tfE4: Int): DataFrame =
+    withJaccard(graft.operators.BlockPairScan
+      .tokenJaccardPairs(docSets, tNum, tDen, tfE4))
+
+  /** Large-set variant (character shingles): global dictionary encode
+    * via [[docBitsets]], then the bitset block-pair grid — see
+    * BlockPairScan.bitsetJaccardPairs for why dictionary scope follows
+    * set size. */
+  private def jaccardPairsBitset(sets: DataFrame, tNum: Int, tDen: Int,
       tfE4: Int): DataFrame = {
     val sp = sets.sparkSession
     import sp.implicits._
     val docs = docBitsets(sets)
       .select(col("doc_id"), col("mask"), col("sz").cast("long"))
       .as[(Long, Array[Long], Long)]
-    graft.operators.BlockPairScan.bitsetJaccardPairs(docs, tNum, tDen, tfE4)
-      .select(col("id1"), col("id2"), col("icnt"),
-        dround(col("icnt").cast("double") /
-          (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
+    withJaccard(graft.operators.BlockPairScan
+      .bitsetJaccardPairs(docs, tNum, tDen, tfE4))
   }
+
+  private def withJaccard(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1"), col("id2"), col("icnt"),
+      dround(col("icnt").cast("double") /
+        (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
 
   // --------------------------------------------------------------- q_minhash_dup
   /** Ground-truth near-dup pairs: exact token-set Jaccard ≥ 0.95
     * (SURVEY §2.B q_minhash_dup). The oracle keeps the naive
     * explode-join formulation; the engine runs the bitset plan — same
     * rows, exact algorithm (see jaccardPairsFast). */
-  private def minhashDup(s: SparkSession, d: String): DataFrame =
-    jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
+  private def minhashDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .as[(Long, Array[String])]
+    jaccardPairsFast(raw, 949, 1000, 9500)
       .orderBy(col("id1"), col("id2"))
+  }
 
   private val tokSetSql =
     """SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
@@ -204,35 +238,74 @@ object Dedup {
     * on a full band meet in the shuffle. A miss probability of
     * (1−j⁴)⁴ (≈0.1% at j=0.95) is inherent to LSH — the oracle runs the
     * identical pipeline so results still hash-match. */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    lshDupPairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** The verified LSH near-dup pairs (id1 < id2, jaccard ≥ 0.95) WITHOUT
+    * the presentation sort — the sub-quadratic edge source shared by the
+    * clustering fixpoint (q_dup_clusters) and the corpus-curation loser
+    * set (Sampling.q_corpus_curate). Both composites ride the LSH
+    * candidate path end-to-end, so no stage of theirs is quadratic in
+    * docs; their oracles mirror the identical CTE chain
+    * ([[lshDupCtes]]), so hash-parity holds through the approximation. */
+  private[queries] def lshDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.BitsetIntersectCount.register(s)
     val sets = tokenSet(s, d)
     // built FIRST: docBitsets releases the previous query's scoped
     // caches on entry, so this query's own tracked caches (sized, below)
     // must be registered after it
     val docs = docBitsets(sets)
-    val h = sets.select(col("doc_id"),
-      TextOps.portableHash(col("tok")).as("th"))
-    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("th") * a + b, lit(P))).as(s"m$i")
-    }
+    // Signatures are computed NARROWLY: per-doc distinct token hashes as
+    // an array column (materialized once — transform() lambdas re-eval
+    // their input expression per element), then each permutation's min
+    // as array_min(transform(...)). Zero shuffles — the round-2 form
+    // exploded to (doc, tok) rows and paid a groupBy aggregation over
+    // tokens×docs rows for the same 16 numbers. min over the per-doc
+    // DISTINCT hash set ≡ min over the oracle's exploded set relation,
+    // value-identical (all hashes ≥ 0, a,b < 2³⁰ ⇒ no overflow, so
+    // plain % == pmod == DuckDB %).
+    //
     // sig also carries the set size — it rides along to the band join so
     // a size-band residual (same bound as jaccardPairsFast, lossless for
     // J ≥ 0.95 after rounding) prunes candidates BEFORE the distinct;
     // on a dense corpus the buckets are huge and the distinct dominates
     // otherwise.
-    val sig = h.groupBy(col("doc_id"))
-      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("sz")): _*)
+    val sigCols = AB.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("ths"),
+        th => pmod(th * a + b, lit(P)))).as(s"m$i")
+    }
+    val sig = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        transform(array_distinct(TextOps.tokens(col("text"))),
+          t => TextOps.portableHash(t)).as("ths"))
+      .filter(size(col("ths")) > 0) // empty doc has no set rows either
+      .select(Seq(col("doc_id"), size(col("ths")).cast("long").as("sz")) ++
+        sigCols: _*)
     // Band key = the raw 4-minhash tuple (an array column) — tuple
     // equality is exactly the oracle's string-concat equality (the
     // ','-join of decimals is injective) without materializing strings.
+    //
+    // VERIFY-IN-PLACE: each band row also carries its doc's packed
+    // bitset, so exact verification runs INSIDE the band join's output
+    // pipeline — popcount + integer threshold on each candidate as it
+    // is produced, no re-attach join afterwards. This removes the
+    // round-2 scale caveat (two broadcast joins shipping the ENTIRE
+    // mask table to every executor — impossible at web-scale vocab):
+    // each doc now replicates only its OWN mask to its ≤ Bands(×G)
+    // band rows, shuffle-bounded, no broadcast of any full relation.
+    // Measured at sf0.1 it is also the faster plan: the verify stage
+    // probed 4.15M candidate rows through two hash joins (3.2 s);
+    // in-place verification folds that into the join's codegen'd
+    // projection and the distinct runs on the ~190k survivors only.
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         array((0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("bkey"))
     }
-    val bands = sig
-      .select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("sz"), col("bs.band").as("band"),
+    val bands = sig.join(docs.select(col("doc_id"), col("mask")), "doc_id")
+      .select(col("doc_id"), col("sz"), col("mask"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sz"), col("mask"), col("bs.band").as("band"),
         col("bs.bkey").as("bkey"))
     // HOT-BUCKET SKEW SPLIT (adaptive): on a dense corpus one band
     // bucket can hold a large fraction of the docs (measured 2.6k of 5k
@@ -249,10 +322,11 @@ object Dedup {
     // join directly, so the split costs nothing where there is no skew.
     //
     // NOT distinct before verify: a pair colliding in k bands appears
-    // k ≤ 4 times. Verification is a broadcast hash join + popcount (no
-    // shuffle), so verifying duplicates is cheaper than a wide distinct
-    // over the full candidate set — the dedup runs AFTER the ≥0.95
-    // filter, on the few surviving rows.
+    // k ≤ 4 times. Verification is inlined in the join output pipeline
+    // (popcount + integer filter, no materialization), so verifying
+    // duplicates is cheaper than a wide distinct over the full
+    // candidate set — the dedup runs AFTER the ≥0.95 filter, on the
+    // few surviving rows.
     val G = 8
     val HotBucket = 256L
     // cached: feeds both sides of BOTH the cold and hot joins — without
@@ -263,12 +337,17 @@ object Dedup {
     val sizeBand =
       col("x.sz") * 949 <= col("y.sz") * 1000 &&
         col("y.sz") * 949 <= col("x.sz") * 1000
+    // exact verification, evaluated per joined row inside the band join
+    val icnt = call_function("graft_bitset_icnt", col("x.mask"), col("y.mask"))
+    val verifiedPair = Seq(
+      col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+      icnt.as("icnt"), col("x.sz").as("sz1"), col("y.sz").as("sz2"))
     val cold = sized.filter(col("bn") <= HotBucket)
     val coldCand = cold.as("x")
       .join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id") && sizeBand)
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .select(verifiedPair: _*)
     val hot = sized.filter(col("bn") > HotBucket)
       .withColumn("g", pmod(TextOps.portableHash(
         concat(lit("slt:"), col("doc_id").cast("string"))), lit(G.toLong)).cast("int"))
@@ -282,17 +361,8 @@ object Dedup {
           (col("x.g") =!= col("y.g") ||
             (col("x.p") === col("x.g") && col("y.p") === col("y.g"))) &&
           col("x.doc_id") < col("y.doc_id") && sizeBand)
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-    val cand = coldCand.union(hotCand)
-    // Verify ONLY the candidates: re-attach the packed bitsets and
-    // popcount the intersection with the fused native expression.
-    val icnt = call_function("graft_bitset_icnt", col("m1"), col("m2"))
-    cand
-      .join(broadcast(docs.select(col("doc_id").as("id1"), col("mask").as("m1"),
-        col("sz").as("sz1"))), "id1")
-      .join(broadcast(docs.select(col("doc_id").as("id2"), col("mask").as("m2"),
-        col("sz").as("sz2"))), "id2")
-      .withColumn("icnt", icnt)
+      .select(verifiedPair: _*)
+    coldCand.union(hotCand)
       // integer-exact rounded-threshold filter — see jaccardPairsFast
       .filter(col("icnt") * 20000L >=
         (col("sz1") + col("sz2") - col("icnt")) * 18999L)
@@ -300,10 +370,14 @@ object Dedup {
         dround(col("icnt").cast("double") /
           (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
       .distinct()
-      .orderBy(col("id1"), col("id2"))
   }
 
-  private val minhashLshSql = {
+  /** WITH-clause body reproducing [[lshDupPairs]] in DuckDB, ending in
+    * `lshdup(id1, id2, jaccard)` — shared by the q_minhash_lsh oracle
+    * and the composites that consume LSH edges (q_dup_clusters,
+    * q_corpus_curate), so the oracle follows the engine through the
+    * identical approximate pipeline. */
+  private[queries] val lshDupCtes: String = {
     val mins = AB.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*th+$b)%$P) AS m$i"
     }.mkString(",\n    ")
@@ -312,7 +386,7 @@ object Dedup {
         .mkString("||','||")
       s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sets AS ($tokSetSql),
+    s"""sets AS ($tokSetSql),
        |h AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,8) AS BIGINT) AS th
        |      FROM sets),
        |sig AS (SELECT doc_id,
@@ -324,12 +398,17 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |${jaccardPairsSql("sets")}
-       |SELECT p.id1, p.id2, p.jaccard
-       |FROM pairs p JOIN cand USING (id1, id2)
-       |WHERE p.jaccard >= 0.95
-       |ORDER BY id1, id2""".stripMargin
+       |${jaccardPairsSql("sets")},
+       |lshdup AS (
+       |  SELECT p.id1, p.id2, p.jaccard
+       |  FROM pairs p JOIN cand USING (id1, id2)
+       |  WHERE p.jaccard >= 0.95)""".stripMargin
   }
+
+  private val minhashLshSql =
+    s"""WITH $lshDupCtes
+       |SELECT id1, id2, jaccard FROM lshdup
+       |ORDER BY id1, id2""".stripMargin
 
   // --------------------------------------------------------------- q_simhash_dup
   /** SimHash near-dup: 32-bit sign-aggregated token fingerprint per doc
@@ -412,13 +491,14 @@ object Dedup {
     * to token-boundary edits. Shingling is a codegen'd transform over
     * sequence(1, len−2); same pair machinery as token Jaccard. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // per-row array_distinct instead of a global .distinct(): identical
+    // relation, no shuffle of the exploded shingle stream (see tokenSet)
     val sets = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
       .withColumn("nt", TextOps.normalize(col("text"))) // materialized once
       .select(col("doc_id"),
-        explode(TextOps.charShingles(col("nt"), 3)).as("tok"))
-      .distinct()
-    jaccardPairsFast(sets, 699, 1000, 7000)
+        explode(array_distinct(TextOps.charShingles(col("nt"), 3))).as("tok"))
+    jaccardPairsBitset(sets, 699, 1000, 7000)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -469,44 +549,73 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
-  /** The ≥ 0.95 exact-Jaccard near-dup pairs — shared with the corpus
-    * curation composite (Sampling.q_corpus_curate). */
-  private[queries] def dupPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsFast(tokenSet(s, d), 949, 1000, 9500)
-
-  /** Oracle-side SQL for [[dupPairs]] as WITH-clause body text. */
-  private[queries] val dupPairsCtes: String =
-    s"""sets AS ($tokSetSql),
-       |${jaccardPairsSql("sets")},
-       |dup AS (SELECT id1, id2 FROM pairs WHERE jaccard >= 0.95)""".stripMargin
+  /** Cut lineage for an iterative-fixpoint intermediate. Local
+    * checkpoints are fast but non-replicated — on a real cluster an
+    * executor loss mid-fixpoint kills the query. With
+    * `spark.graft.checkpoint.reliable=true` AND a checkpoint dir
+    * configured (`sparkContext.setCheckpointDir`, normally a DFS path),
+    * use a reliable `checkpoint()` instead: blocks persist to the DFS
+    * and survive executor loss — the right trade for a 100 TB run where
+    * a recompute costs more than the checkpoint write. Locally (conf
+    * unset) the non-replicated fast path is the right default. */
+  private def cutLineage(df: DataFrame): DataFrame = {
+    val sp = df.sparkSession
+    val reliable =
+      sp.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean &&
+        sp.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
 
   // --------------------------------------------------------------- q_dup_clusters
   /** Near-dup CLUSTERING — the step after pair detection in every
     * LLM-corpus dedup pipeline: connected components over the Jaccard ≥
     * 0.95 pair graph, labeling each involved doc with the minimum doc_id
     * of its component (the canonical "survivor" id) plus the component
-    * size. Implemented as distributed min-label propagation WITH
-    * POINTER JUMPING: each round takes the min over neighbors' labels
-    * (one shuffle join + min-agg), then shortcuts label[x] ←
-    * label[label[x]] — label chains halve every round, so convergence is
-    * O(log diameter) rounds instead of O(diameter) (the same doubling
-    * idea as small-star/large-star contraction). The edge list is
-    * localCheckpoint'ed once so the expensive pair scan never re-runs;
-    * per-round lineage is cut with a localCheckpoint; convergence is
-    * detected from SUM(label) — labels only ever decrease, so the sum is
-    * strictly monotone until fixpoint — one scalar agg per round, no
-    * join, nothing but an 8-byte value ever reaches the driver. The
-    * oracle computes the identical fixpoint declaratively with a
-    * recursive CTE. */
+    * size.
+    *
+    * The edge list comes from the SUB-QUADRATIC LSH candidate+verify
+    * path ([[lshDupPairs]]), not the exact quadratic pair scan — at
+    * 10⁹ docs the exact kernel cannot feed this query, and the oracle
+    * mirrors the identical LSH CTE chain so parity holds through the
+    * approximation (round-2 verdict item 2; the exact kernel remains
+    * q_minhash_dup's ground-truth contract).
+    *
+    * Clustering is distributed min-label propagation WITH POINTER
+    * JUMPING: each round takes the min over neighbors' labels (one
+    * shuffle join + min-agg), then shortcuts label[x] ← label[label[x]]
+    * — label chains halve every round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) (the same doubling idea as
+    * small-star/large-star contraction). The edge list is checkpointed
+    * once so the pair pipeline never re-runs; per-round lineage is cut
+    * with [[cutLineage]] (reliable checkpoint when a dir is configured,
+    * localCheckpoint otherwise); convergence is detected from
+    * SUM(label) — labels only ever decrease, so the sum is strictly
+    * monotone until fixpoint — one scalar agg per round, no join,
+    * nothing but an 8-byte value ever reaches the driver. The oracle
+    * computes the identical fixpoint declaratively with a recursive
+    * CTE. */
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dupPairs(s, d).select(col("id1"), col("id2"))
+    // checkpoint the PAIR LIST, not the symmetrized edge frame: the
+    // union references the pair pipeline twice, so cutting lineage
+    // after the union would run the whole LSH DAG twice in one job —
+    // pairs are materialized once and both edge directions project off
+    // the checkpointed buffer
+    val pairs = cutLineage(lshDupPairs(s, d).select(col("id1"), col("id2")))
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .select(col("id1").as("src"), col("id2").as("dst"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // The fixpoint shuffles label tables keyed by node — orders of
+    // magnitude smaller than the corpus (only docs with a near-dup
+    // appear). Scope the shuffle width DOWN to state size for the
+    // loop's duration (same rationale as Streaming.drain: per-round
+    // cost at this size is task scheduling, not data; a 100 TB edge
+    // set sizes this up with |edges|, independently of the session's
+    // batch width). Restored before the result frame is built.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val savedShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, "8")
+    var labels = cutLineage(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     // sum() over an empty frame is NULL — an edgeless graph (no near
     // dups at all) must yield an empty result, not an unboxing NPE
     def labelSum(df: DataFrame): Long =
@@ -515,9 +624,6 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = prevSum == 0L && labels.isEmpty
     var rounds = 0
-    // One round: min over self ∪ neighbor labels, then pointer jump —
-    // follow the label one hop (labels are node ids, so every label
-    // value exists as a node; the inner join loses nothing).
     // One round: min over self ∪ neighbor labels, then pointer jump —
     // follow the label one hop (labels are node ids, so every label
     // value exists as a node; the inner join loses nothing). Each
@@ -534,14 +640,16 @@ object Dedup {
       prop.join(jumpTo, col("label") === col("jnode"))
         .select(col("node"), col("jlabel").as("label"))
     }
-    while (!converged && rounds < 12) {
-      val jumped = round(round(labels)).localCheckpoint()
-      val s2 = labelSum(jumped)
-      converged = s2 == prevSum
-      prevSum = s2
-      labels = jumped
-      rounds += 1
-    }
+    try {
+      while (!converged && rounds < 12) {
+        val jumped = cutLineage(round(round(labels)))
+        val s2 = labelSum(jumped)
+        converged = s2 == prevSum
+        prevSum = s2
+        labels = jumped
+        rounds += 1
+      }
+    } finally s.conf.set(shufKey, savedShuf)
     // unconverged labels are silently WRONG (non-minimal cluster ids);
     // fail loudly rather than hash-mismatch mysteriously downstream —
     // 12 probes = 24 pointer-jumped rounds covers any diameter the size
@@ -557,11 +665,9 @@ object Dedup {
   }
 
   private val dupClustersSql =
-    s"""WITH RECURSIVE sets AS ($tokSetSql),
-       |${jaccardPairsSql("sets")},
-       |dup AS (SELECT id1, id2 FROM pairs WHERE jaccard >= 0.95),
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM dup
-       |          UNION ALL SELECT id2, id1 FROM dup),
+    s"""WITH RECURSIVE $lshDupCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM lshdup
+       |          UNION ALL SELECT id2, id1 FROM lshdup),
        |reach(node, lbl) AS (
        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
        |  UNION

@@ -69,7 +69,11 @@ object Sampling {
     *   3. near-dup survivor — anti-join against docs that have a
     *      SMALLER near-duplicate (Jaccard ≥ 0.95): the pairwise
     *      keep-the-first rule used by most production dedup passes
-    *      (q_dup_clusters holds the full component semantics);
+    *      (q_dup_clusters holds the full component semantics). The
+    *      loser set comes from the SUB-QUADRATIC LSH candidate+verify
+    *      path (Dedup.lshDupPairs) — no stage of the composite is
+    *      quadratic in docs — and the oracle mirrors the identical LSH
+    *      CTE chain, so parity holds through the approximation;
     *   4. deterministic per-language downsample — the dominant language
     *      (en) capped at 80% via the hash-mod sampler, others kept;
     *   5. per-language corpus accounting (docs, tokens, sources).
@@ -85,7 +89,7 @@ object Sampling {
     val quality = docs.filter(
       col("n_tokens") >= 20 && col("ttr") >= 0.3 &&
         col("lang").isin("en", "de", "fr", "es"))
-    val losers = Dedup.dupPairs(s, d)
+    val losers = Dedup.lshDupPairs(s, d)
       .select(col("id2").as("doc_id")).distinct()
     val keepE4 = when(col("lang") === "en", 8000L).otherwise(10000L)
     val bucket = pmod(TextOps.portableHash(
@@ -101,7 +105,7 @@ object Sampling {
   }
 
   private val corpusCurateSql =
-    s"""WITH ${Dedup.dupPairsCtes},
+    s"""WITH ${Dedup.lshDupCtes},
        |toks AS (SELECT doc_id, lang, source,
        |           regexp_split_to_array(text, '\\s+') AS ts
        |         FROM documents),
@@ -112,7 +116,7 @@ object Sampling {
        |qual AS (SELECT * FROM q
        |         WHERE n_tokens >= 20 AND ttr >= 0.3
        |           AND lang IN ('en', 'de', 'fr', 'es')),
-       |losers AS (SELECT DISTINCT id2 AS doc_id FROM dup),
+       |losers AS (SELECT DISTINCT id2 AS doc_id FROM lshdup),
        |surv AS (SELECT qual.* FROM qual
        |         LEFT JOIN losers USING (doc_id)
        |         WHERE losers.doc_id IS NULL),

@@ -92,4 +92,16 @@ class DedupSpec extends GraftSpec {
     assert(split == 0, "an edge crosses two clusters")
     clusters.unpersist()
   }
+
+  test("dup clusters: identical under reliable checkpointing") {
+    val base = q("q_dup_clusters").collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toAbsolutePath.toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val reliable = q("q_dup_clusters").collect().map(_.toSeq).toSeq
+      assert(reliable == base)
+    } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
+  }
 }

@@ -247,7 +247,18 @@ object Dedup {
     * set (Sampling.q_corpus_curate). Both composites ride the LSH
     * candidate path end-to-end, so no stage of theirs is quadratic in
     * docs; their oracles mirror the identical CTE chain
-    * ([[lshDupCtes]]), so hash-parity holds through the approximation. */
+    * ([[lshDupCtes]]), so hash-parity holds through the approximation.
+    *
+    * 100 TB verify story: verification is IN-PLACE (each band row
+    * carries its own doc's packed bitset; the popcount runs inside the
+    * band join's output pipeline), so no mask relation is ever
+    * broadcast — per-doc replication is bounded by Bands(×G for hot
+    * buckets). The one remaining vocabulary-bounded structure is the
+    * token DICTIONARY broadcast inside [[docBitsets]]; at genuinely
+    * unbounded vocab (masks stop fitting W words) the drop-in verify is
+    * a candidate-scoped token re-join — shuffle the ~|candidates| pairs
+    * against the (doc_id, tok) relation and count matches — which is
+    * exactly the shape the oracle's `inter` CTE models. */
   private[queries] def lshDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.BitsetIntersectCount.register(s)
     val sets = tokenSet(s, d)

@@ -47,6 +47,26 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("MapGroups"), p.take(2000))
   }
 
+  test("q_minhash_lsh verifies in-place: no full-relation mask broadcast, " +
+      "no BNLJ") {
+    val p = plan("q_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the only BroadcastHashJoins allowed are the vocab-bounded token
+    // dictionary and the doc_id-keyed mask attach (both small by
+    // contract); the round-2 plan re-attached the FULL mask table to the
+    // candidate stream through two broadcast joins AFTER the band join —
+    // that shape put a broadcast downstream of the band self-join, which
+    // the in-place verify eliminates. The band joins themselves must be
+    // shuffle joins (SortMerge or ShuffledHash), never broadcast: their
+    // inputs scale with the corpus.
+    val bandJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("band"))
+      .filter(l => l.contains("BroadcastHashJoin"))
+    assert(bandJoins.isEmpty, s"band self-join got broadcast: " +
+      s"${bandJoins.mkString("; ")}")
+  }
+
   test("q_simhash_dup candidates come from the banded equi-join") {
     val p = plan("q_simhash_dup")
     // the chunk join must be a real equi shuffle/broadcast hash join,

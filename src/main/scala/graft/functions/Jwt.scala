@@ -55,16 +55,18 @@ object Jwt {
       val payload = new String(Base64.getUrlDecoder.decode(parts(1)), UTF_8)
       val user = UserRe.findFirstMatchIn(payload).map(_.group(1))
         .getOrElse("unknown_user")
-      ExpRe.findFirstMatchIn(payload).map(_.group(1).toLong) match {
-        case Some(exp) if exp < now => ("expired", user)
-        case _                      => ("valid", user)
+      // RFC 7519 / PyJWT semantics: a token is expired the moment
+      // exp == now (`exp <= now`, not `<`), and the claim is an
+      // arbitrary-precision integer — parse via BigInt so an exp beyond
+      // Long range on a correctly-signed token is a far-future VALID,
+      // exactly as Python's unbounded int yields, not a parse failure.
+      ExpRe.findFirstMatchIn(payload).map(m => BigInt(m.group(1))) match {
+        case Some(exp) if exp <= BigInt(now) => ("expired", user)
+        case _                               => ("valid", user)
       }
     } catch {
-      // undecodable base64 in the payload segment; an exp claim too
-      // large for Long (NumberFormatException is a subclass of
-      // IllegalArgumentException, but keep the intent explicit) — both
-      // are malformed-token outcomes, never an escaping exception
-      case _: NumberFormatException    => ("invalid", "unknown_user")
+      // undecodable base64 in the payload segment — a malformed-token
+      // outcome, never an escaping exception
       case _: IllegalArgumentException => ("invalid", "unknown_user")
     }
   }

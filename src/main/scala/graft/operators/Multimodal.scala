@@ -49,7 +49,9 @@ object Multimodal {
     * 100-byte strides, per-frame mean byte value as the "feature". */
   private[graft] def decodeStub(r: MediaRecord): MediaFeatures = {
     val fp = java.lang.Long.parseLong(md5Hex(r.content).take(8), 16)
-    val nFrames = 1 + r.content.length / 100
+    // ceil(n_bytes/100) floored at 1 — matches MultimodalQ's n_frames;
+    // an exact multiple of 100 has no trailing zero-length frame
+    val nFrames = math.max(1, (r.content.length + 99) / 100)
     val frames = (0 until nFrames).map { i =>
       val slice = r.content.slice(i * 100, math.min((i + 1) * 100, r.content.length))
       if (slice.isEmpty) 0.0

@@ -33,14 +33,21 @@ object SkewOps {
   }
 
   /** Salted join of a skewed fact against a dim too big to broadcast:
-    * fact rows get a deterministic salt in [0, salts); the dim is
-    * replicated `salts` times so every (key, salt) pair matches. The
-    * shuffle then spreads each hot key over `salts` partitions at the
-    * cost of a `salts`× dim replication — the classic trade. */
+    * fact rows get a deterministic salt in [0, salts) derived from
+    * `saltBy` (a fact-side natural-key column — NOT rand() and NOT
+    * monotonically_increasing_id(), both of which re-roll under task
+    * retry/repartition and break the module's reproducibility
+    * contract); the dim is replicated `salts` times so every
+    * (key, salt) pair matches. The shuffle then spreads each hot key
+    * over `salts` partitions at the cost of a `salts`× dim
+    * replication — the classic trade.
+    *
+    * @param saltBy fact column(s hash) deciding the sub-partition; pick
+    *               a high-cardinality natural key so a hot join key's
+    *               rows spread evenly */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
-      dimKey: Column, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      dimKey: Column, salts: Int, saltBy: Column): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(explodedDim,

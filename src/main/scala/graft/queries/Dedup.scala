@@ -65,10 +65,17 @@ object Dedup {
     * scopes its caches: the next dedup query's docBitsets call releases
     * the previous one's, so a long-lived session running the whole suite
     * never accumulates unreleased cached partitions (round-1 leak).
-    * Assumes dedup-family queries are BUILT sequentially (the driver
-    * contract); concurrent builds would release a sibling's still-live
-    * caches — harmless for correctness (Spark recomputes) but it
-    * reintroduces the recompute cost the cache exists to avoid. */
+    *
+    * CONTRACT — build-then-execute-immediately: a dedup-family frame
+    * must be executed before the next dedup-family query is BUILT.
+    * Both the driver (Verify/Bench run queries sequentially) and the
+    * composites in this library (q_dup_clusters materializes its LSH
+    * pair input into a checkpoint inside its own build) honor this. A
+    * caller that builds a dedup frame, builds ANOTHER dedup query, and
+    * only then executes the first, still gets CORRECT rows — the
+    * unpersisted plan silently recomputes its pair scan — but pays the
+    * recompute the cache existed to avoid. Same for concurrent builds:
+    * correctness holds, the cache benefit does not. */
   private val liveCaches = scala.collection.mutable.Buffer.empty[DataFrame]
   private def releaseCaches(): Unit = synchronized {
     liveCaches.foreach(_.unpersist(blocking = false)); liveCaches.clear()

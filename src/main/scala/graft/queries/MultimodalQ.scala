@@ -29,7 +29,11 @@ object MultimodalQ {
         md5(content).as("content_md5"),
         (lit(64) + pmod(fp, lit(16)) * 32).as("width"),
         (lit(64) + pmod(expr("conv(substring(md5(encode(text, 'UTF-8')), 1, 8), 16, 10) div 16").cast("bigint"), lit(16)) * 32).as("height"),
-        (lit(1) + (length(content).cast("bigint") / lit(100)).cast("bigint")).as("n_frames"))
+        // ceil(n_bytes/100), floored at 1 for empty content: an exact
+        // multiple of 100 must NOT produce a trailing zero-length frame
+        greatest(lit(1L),
+          ((length(content).cast("bigint") + 99) / lit(100)).cast("bigint"))
+          .as("n_frames"))
       .orderBy(col("media_id"))
   }
 
@@ -40,7 +44,7 @@ object MultimodalQ {
       |  md5(text) AS content_md5,
       |  64 + (fp % 16) * 32 AS width,
       |  64 + ((fp // 16) % 16) * 32 AS height,
-      |  1 + octet_length(encode(text)) // 100 AS n_frames
+      |  greatest(1, (octet_length(encode(text)) + 99) // 100) AS n_frames
       |FROM (SELECT *, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS fp
       |      FROM documents)
       |ORDER BY media_id""".stripMargin
@@ -64,7 +68,10 @@ object MultimodalQ {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
         length(content).cast("bigint").as("n_bytes"))
-      .withColumn("n_frames", lit(1) + (col("n_bytes") / lit(100)).cast("bigint"))
+      // ceil(n_bytes/100) floored at 1 (see q_multimodal_meta): no
+      // zero-length trailing seek range on exact-multiple media
+      .withColumn("n_frames",
+        greatest(lit(1L), ((col("n_bytes") + 99) / lit(100)).cast("bigint")))
       .withColumn("frame_idx", explode(array_distinct(
         expr("transform(sequence(0, 3), j -> (j * n_frames) div 4)"))))
       .select(col("media_id"), col("kind"), col("n_frames"), col("frame_idx"),
@@ -78,7 +85,7 @@ object MultimodalQ {
       |  SELECT doc_id AS media_id,
       |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |    1 + octet_length(encode(text)) // 100 AS n_frames
+      |    greatest(1, (octet_length(encode(text)) + 99) // 100) AS n_frames
       |  FROM documents)
       |SELECT media_id, kind, n_frames, frame_idx,
       |  frame_idx * 100 AS byte_start,

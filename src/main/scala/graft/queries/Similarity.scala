@@ -309,8 +309,13 @@ object Similarity {
   private def vecQuantize(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      // greatest(·, 1e-30) guards the all-zero vector: without it the
+      // scale is Infinity and 0·Infinity = NaN inside floor, where
+      // Spark's and DuckDB's NaN orderings diverge — the guard is
+      // applied IDENTICALLY in the oracle so parity holds on any data
       .withColumn("scale",
-        lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+        lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))),
+          lit(1e-30)))
       .withColumn("q", transform(col("v"), x =>
         greatest(lit(-127.0), least(lit(127.0),
           when(x >= 0, floor(x * col("scale") + 0.5))
@@ -328,7 +333,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
       |s AS (SELECT vec_id, v,
-      |        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      |        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+      |          AS scale
       |      FROM e),
       |qz AS (SELECT vec_id, v, scale,
       |  list_transform(v, x -> greatest(-127.0, least(127.0,

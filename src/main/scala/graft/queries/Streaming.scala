@@ -27,11 +27,20 @@ import graft.sources.Tables
   */
 object Streaming {
 
+  /** Schema of `$d/events.parquet`, read ONCE per (session, dir) and
+    * memoized: every streaming query needs the explicit schema, and the
+    * round-2 shape re-listed the directory and re-read parquet footers
+    * per query — pure fixed overhead, 6× per suite run. The cache keys
+    * on the dir so multi-SF test sessions stay correct. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   /** Streaming scan of events.parquet with the same ns→µs timestamp
     * rebuild as `Tables.events` (file sources need an explicit schema). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = schemaCache.getOrElseUpdate(d,
+      s.read.parquet(s"$d/events.parquet").schema)
     // The streaming file source lists a DIRECTORY; pathGlobFilter selects
     // just the events file out of the sf dir (a single-file path throws
     // "Option 'basePath' must be a directory").

@@ -38,9 +38,33 @@ class ScaleOpsSpec extends GraftSpec {
     val fact = Tables.orders(spark, sfTiny).select($"o_orderkey", $"o_custkey")
     val dim = Tables.customer(spark, sfTiny).select($"c_custkey", $"c_name")
     val plain = fact.join(dim, $"o_custkey" === $"c_custkey").count()
-    val salted = SkewOps.saltedJoin(fact, dim, $"o_custkey", $"c_custkey", 4)
-      .count()
+    val salted = SkewOps.saltedJoin(fact, dim, $"o_custkey", $"c_custkey", 4,
+      saltBy = $"o_orderkey").count()
     assert(salted == plain)
+  }
+
+  test("saltedJoin salt assignment is stable across repartitions") {
+    val fact = Tables.orders(spark, sfTiny)
+      .select($"o_orderkey", $"o_custkey")
+    val dim = Tables.customer(spark, sfTiny).select($"c_custkey", $"c_name")
+    def saltOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.withColumn("__salt", pmod(hash($"o_orderkey"), lit(4)))
+        .select($"o_orderkey", $"__salt")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the salt is a pure function of the natural key: any physical
+    // layout — original, repartitioned, coalesced — yields the same
+    // assignment (monotonically_increasing_id would not)
+    assert(saltOf(fact) == saltOf(fact.repartition(7)))
+    // and the join result is layout-invariant row-for-row
+    val a = SkewOps.saltedJoin(fact, dim, $"o_custkey", $"c_custkey", 4,
+      saltBy = $"o_orderkey")
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = SkewOps.saltedJoin(fact.repartition(7), dim, $"o_custkey",
+      $"c_custkey", 4, saltBy = $"o_orderkey")
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange") {

@@ -17,6 +17,10 @@ class UdfSurfaceSpec extends GraftSpec {
     val old = Jwt.sign(secret, "u7", now - 1)
     assert(Jwt.verify(old, secret, now) == (("expired", "u7")))
 
+    // RFC 7519 / PyJWT edge: exp == now is already expired
+    val boundary = Jwt.sign(secret, "u8", now)
+    assert(Jwt.verify(boundary, secret, now) == (("expired", "u8")))
+
     // signed with the wrong key — structure fine, HMAC must reject
     val forged = Jwt.sign("forged-secret", "u42", now + 1000)
     assert(Jwt.verify(forged, secret, now) == (("invalid", "unknown_user")))
@@ -31,7 +35,9 @@ class UdfSurfaceSpec extends GraftSpec {
     assert(Jwt.verify("not-a-jwt", secret, now) == (("invalid", "unknown_user")))
     assert(Jwt.verify("a.b.c", secret, now) == (("invalid", "unknown_user")))
 
-    // exp claim larger than Long must classify, not throw
+    // an exp claim beyond Long range on a correctly-signed token is a
+    // far-future VALID (arbitrary-precision claim, as PyJWT parses it),
+    // not a parse failure
     val hugeExpPayload = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(
         """{"user_id":"u9","exp":99999999999999999999}""".getBytes("UTF-8"))
@@ -41,8 +47,7 @@ class UdfSurfaceSpec extends GraftSpec {
       "HmacSHA256"))
     val sig = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(mac.doFinal(si.getBytes("UTF-8")))
-    assert(Jwt.verify(s"$si.$sig", secret, now) ==
-      (("invalid", "unknown_user")))
+    assert(Jwt.verify(s"$si.$sig", secret, now) == (("valid", "u9")))
   }
 
   test("classifyToken covers all arms incl. null header") {

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   *   - downstream features are ordinary columns again, so joins/aggs on
   *     them stay in codegen'd Catalyst land.
   *
-  * The decode itself is a clearly-marked DETERMINISTIC STUB (this
-  * container ships no image/audio codecs): dimensions derive from the
-  * content digest, "frames" are fixed-stride byte slices. The plumbing —
-  * schema, batching, partition distribution, feature shape — is real and
-  * is what the specs test.
+  * The IMAGE path is a REAL codec: fixtures are genuine PNGs (encoded
+  * with `javax.imageio` from deterministic rasters — zero external
+  * deps, the JDK ships the codec) and `decodeAll` decodes them with
+  * `ImageIO.read`, so width/height/luminance features come from actual
+  * pixels. Audio/video decode remains a clearly-marked DETERMINISTIC
+  * STUB (no audio/video codecs in the JDK): dimensions derive from the
+  * content digest, "frames" are fixed-stride byte slices. The
+  * plumbing — schema, batching, partition distribution, feature
+  * shape — is identical for both and is what the specs test.
   */
 object Multimodal {
 
@@ -44,7 +48,71 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
-  /** STUB decode — stands in for an image/audio codec. Deterministic:
+  /** Fixture raster geometry: dimensions derived from the source text's
+    * md5 — small (16–31 px per side) so PNG encode/decode stays cheap at
+    * fixture scale while still exercising a real codec. */
+  private[graft] def fixtureDims(textBytes: Array[Byte]): (Int, Int) = {
+    val fp = java.lang.Long.parseLong(md5Hex(textBytes).take(8), 16)
+    ((16 + fp % 16).toInt, (16 + (fp / 16) % 16).toInt)
+  }
+
+  /** Encode a REAL PNG fixture from a deterministic raster: pixel (x,y)
+    * is a gray level that is a pure function of (x, y, text digest), so
+    * the bytes are identical across runs/retries/engines. `ImageIO` is
+    * JDK-resident — no external codec dependency. */
+  private[graft] def encodeFixturePng(textBytes: Array[Byte]): Array[Byte] = {
+    val (w, h) = fixtureDims(textBytes)
+    val fp = java.lang.Long.parseLong(md5Hex(textBytes).take(8), 16)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x * 31 + y * 17 + fp) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `ImageIO.read` over the PNG bytes; dimensions
+    * and the mean-luminance feature come from actual pixels. Fails
+    * loudly on undecodable content — a silent fallback to the stub
+    * would report digest-derived dimensions as if they were measured. */
+  private[graft] def decodeImage(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    require(img != null,
+      s"media_id=${r.media_id}: content is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(r.media_id, r.kind, r.content.length, w, h,
+      n_frames = 1, frame_means = Seq(sum / (w.toLong * h)))
+  }
+
+  /** Kind dispatch: real codec for images, stub for audio/video (the
+    * JDK ships no audio/video decoder; the stub is the documented
+    * stand-in). */
+  private[graft] def decode(r: MediaRecord): MediaFeatures =
+    if (r.kind == "image") decodeImage(r) else decodeStub(r)
+
+  /** STUB decode — stands in for an audio/video codec. Deterministic:
     * dimensions from the first 8 hex chars of the content md5, frames as
     * 100-byte strides, per-frame mean byte value as the "feature". */
   private[graft] def decodeStub(r: MediaRecord): MediaFeatures = {
@@ -64,14 +132,19 @@ object Multimodal {
       nFrames, frames)
   }
 
-  /** Batch decode: one task-level pass per partition. An expensive codec
-    * would be initialized HERE, once per partition, before the iterator
-    * is consumed — the whole point of the mapPartitions shape. */
+  /** Batch decode: one task-level pass per partition. Expensive codec
+    * bring-up happens HERE, once per partition, before the iterator is
+    * consumed — the whole point of the mapPartitions shape. For the
+    * image path that is `ImageIO`'s plugin-registry scan (lazy,
+    * first-use, JVM-wide); an audio/video codec or a model would load
+    * in the same slot. */
   def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition init would go here (codec / model load)
-      it.map(decodeStub)
+      // per-partition init: force the ImageIO plugin scan before the
+      // per-record loop so its cost is amortized task-wide
+      javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      it.map(decode)
     }
   }
 
@@ -93,25 +166,38 @@ object Multimodal {
       : Dataset[(MediaFeatures, Int, Int)] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png")
       it.map { r =>
-        val f = decodeStub(r)
+        val f = decode(r)
         val (rw, rh) = resizeFit(f.width, f.height, maxW, maxH)
         (f, rw, rh)
       }
     }
   }
 
-  /** Synthesize a media table from `documents` (UTF-8 bytes as content) —
-    * the test-fixture entry point while no real media exists. */
+  /** Synthesize a media table from `documents` — the test-fixture entry
+    * point while no real media exists. IMAGE records carry genuine PNG
+    * bytes (encoded per-partition from a deterministic raster keyed on
+    * the text digest — so the downstream decode exercises a real
+    * codec); audio/video records carry the UTF-8 text bytes for the
+    * stub. Encoding runs in the same mapPartitions batch shape as
+    * decoding: codec init once per task. */
   def mediaFromDocuments(s: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import s.implicits._
     graft.sources.Tables.documents(s, sfDir)
       .select(
-        col("doc_id").as("media_id"),
+        col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("content"),
-        col("source"))
-      .as[MediaRecord]
+        col("text"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        it.map { case (id, kind, text, source) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = if (kind == "image") encodeFixturePng(raw) else raw
+          MediaRecord(id, kind, content, source)
+        }
+      }
   }
 }

@@ -9,16 +9,52 @@ class MultimodalSpec extends GraftSpec {
   private val bytes = "hello world, this is a test payload that is longer than one hundred bytes so it spans two frames!!".getBytes("UTF-8")
 
   test("decodeStub is deterministic and shape-correct") {
-    val r = MediaRecord(1L, "image", bytes, "src")
+    val r = MediaRecord(1L, "audio", bytes, "src")
     val f1 = Multimodal.decodeStub(r)
     val f2 = Multimodal.decodeStub(r)
     assert(f1 == f2)
     assert(f1.n_bytes == bytes.length)
-    assert(f1.n_frames == 1 + bytes.length / 100)
+    assert(f1.n_frames == math.max(1, (bytes.length + 99) / 100))
     assert(f1.frame_means.size == f1.n_frames)
     assert(f1.frame_means.forall(m => m >= 0.0 && m <= 255.0))
     assert(f1.width >= 64 && f1.width <= 64 + 15 * 32)
     assert(f1.height >= 64 && f1.height <= 64 + 15 * 32)
+  }
+
+  test("image decode reads ACTUAL pixels: known raster round-trips") {
+    // hand-built 5×7 constant-gray PNG: decode must report the true
+    // dimensions and the exact mean luminance, proving the codec path
+    // reads pixels rather than digests
+    val img = new java.awt.image.BufferedImage(
+      5, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 5)
+      img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(MediaRecord(9L, "image", bos.toByteArray, "t"))
+    assert(f.width == 5 && f.height == 7)
+    assert(f.n_frames == 1)
+    assert(math.abs(f.frame_means.head - 100.0) < 1e-9)
+    // undecodable bytes fail loudly, never fall back to the stub
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(MediaRecord(10L, "image",
+        "not a png".getBytes("UTF-8"), "t"))
+    }
+  }
+
+  test("fixture PNGs decode to their synthesized dimensions") {
+    val media = Multimodal.mediaFromDocuments(spark, sfTiny)
+      .filter(_.kind == "image")
+    val feats = Multimodal.decodeAll(media).collect()
+    assert(feats.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach { f =>
+      val (w, h) = Multimodal.fixtureDims(texts(f.media_id).getBytes("UTF-8"))
+      assert(f.width == w && f.height == h,
+        s"media ${f.media_id}: decoded ${f.width}x${f.height}, raster ${w}x$h")
+    }
   }
 
   test("decodeAll distributes the stub decode over partitions") {
@@ -55,12 +91,17 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
-  test("media content bytes match the source text") {
+  test("media content: images are real PNGs, audio/video carry the text") {
     val media = Multimodal.mediaFromDocuments(spark, sfTiny)
-    val row = media.filter(_.media_id == 0L).head()
+    val img = media.filter(_.media_id == 0L).head()
+    assert(img.kind == "image")
+    // PNG magic number — the content is a genuine encoded image
+    assert(img.content.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val au = media.filter(_.media_id == 1L).head()
+    assert(au.kind == "audio")
     val txt = graft.sources.Tables.documents(spark, sfTiny)
-      .filter($"doc_id" === 0).select($"text").head().getString(0)
-    assert(new String(row.content, "UTF-8") == txt)
-    assert(row.kind == "image")
+      .filter($"doc_id" === 1).select($"text").head().getString(0)
+    assert(new String(au.content, "UTF-8") == txt)
   }
 }

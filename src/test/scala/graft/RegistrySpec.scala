@@ -38,6 +38,31 @@ class RegistrySpec extends GraftSpec {
     assert(missing.isEmpty, s"SURVEY §2.B ids missing from registry: $missing")
   }
 
+  test("SURVEY §2.D generated inventory matches the registry exactly") {
+    // registry ↔ doc sync is enforced both ways: an id added to the
+    // registry without regenerating §2.D (or edited in the doc without
+    // code) fails here — the stale-inventory bug class is structural
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    def section(tag: String): Set[String] = {
+      val begin = s"<!-- registry-$tag:begin -->"
+      val end = s"<!-- registry-$tag:end -->"
+      val i = survey.indexOf(begin); val j = survey.indexOf(end)
+      assert(i >= 0 && j > i, s"SURVEY.md markers for $tag missing")
+      "`([a-z0-9_]+)`".r.findAllMatchIn(survey.substring(i, j))
+        .map(_.group(1)).toSet
+    }
+    val oracled = section("oracled")
+    val noOracle = section("nooracle")
+    assert(oracled == SparkEntry.oracleSql.keySet,
+      s"§2.D oracled drift: doc-only=${oracled -- SparkEntry.oracleSql.keySet} " +
+        s"registry-only=${SparkEntry.oracleSql.keySet -- oracled}")
+    val regNoOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == regNoOracle,
+      s"§2.D no-oracle drift: doc-only=${noOracle -- regNoOracle} " +
+        s"registry-only=${regNoOracle -- noOracle}")
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

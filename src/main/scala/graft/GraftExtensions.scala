@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{BitsetIntersectCount, DotProductF, DotProductFD}
+import graft.functions.{BitsetIntersectCount, DotProductF, DotProductFD, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bitset_icnt"),
       BitsetIntersectCount.info,
       (children: Seq[Expression]) => BitsetIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_icnt"),
+      SortedIntersectCount.info,
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

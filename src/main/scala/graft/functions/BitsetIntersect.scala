@@ -8,8 +8,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Native Catalyst expression: popcount of the bitwise AND of two packed
-  * long-array bitmasks — the set-intersection cardinality kernel of the
-  * exact-Jaccard dedup suite (`graft.queries.Dedup`).
+  * long-array bitmasks — the declarative/SQL-facing form of the
+  * set-intersection kernel the dedup grid operators inline JVM-side
+  * (`BlockPairScan.bitsetJaccardPairs` runs the identical
+  * `Long.bitCount(a & b)` loop inside its block-pair tasks). Registered
+  * via `GraftExtensions` so SQL and Column users of the library can
+  * popcount packed bitsets without a grid operator.
   *
   * Why a custom Expression (SURVEY.md §2 preference (b)): the dedup
   * queries evaluate `Σ_w bit_count(m1[w] & m2[w])` for millions of

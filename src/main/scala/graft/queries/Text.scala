@@ -406,7 +406,48 @@ object Text {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_bpe_tokens
+  /** BPE-style token counting (north-star brief: "token counting —
+    * whitespace + a BPE-ish regex"): the GPT-2 pre-tokenizer pattern —
+    * contraction suffixes, space-prefixed letter runs, digit runs, and
+    * punctuation runs — against the whitespace count, plus the
+    * chars-per-token compression ratio a data team watches when
+    * budgeting training tokens. The pattern is RE2-compatible (no
+    * lookahead — the `\s+(?!\S)` trailing-space branch of the original
+    * is dropped, so pure-whitespace runs are simply not counted) and
+    * evaluates identically in Java regex and DuckDB, so the oracle
+    * checks the exact token counts. One narrow codegen'd pass — at
+    * 100 TB this is a map over the scan with no shuffle at all (the
+    * ORDER BY is presentational). */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("bigint").as("n_bpe_tokens"))
+      .withColumn("chars_per_tok",
+        dround(col("n_chars").cast("double") /
+          greatest(col("n_bpe_tokens"), lit(1L)), 2))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensSql = {
+    val pat = BpePattern.replace("\\", "\\").replace("'", "''")
+    s"""SELECT doc_id, lang,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe_tokens,
+       |  round(length(text) / greatest(len(regexp_extract_all(text, '$pat')), 1),
+       |        2) AS chars_per_tok
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q_array_fns", arrayFns, Some(arrayFnsSql)),
     QueryDef("q_ngram_lm", ngramLm, Some(ngramLmSql)),

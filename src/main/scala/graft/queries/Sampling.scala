@@ -131,8 +131,68 @@ object Sampling {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------- q_temp_resample
+  /** Temperature-based source re-weighting (the multinomial
+    * α-smoothing every multi-source training mix uses, α = 0.5): a
+    * source with n_s docs keeps docs at a rate ∝ n_s^α / n_max^α, so
+    * the dominant source keeps everything… relatively less and rare
+    * sources are up-weighted toward a flatter mix. Rates are derived
+    * per-source in one tiny aggregation (|sources| rows — broadcast),
+    * membership stays the deterministic hash-mod predicate (retry- and
+    * engine-stable), and the verdict per doc is a pure function of
+    * (doc_id, source stats) — reproducible across reruns and engines.
+    *
+    * Cross-engine parity of the rate itself: sqrt/divide/multiply are
+    * IEEE-754 exactly-rounded, so both engines compute bit-identical
+    * doubles from identical integers, and floor() of identical doubles
+    * is identical — the rate is then an exact integer comparison, the
+    * same discipline as the library's other samplers. */
+  private def tempResample(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max(col("n")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .withColumn("rate_e4",
+        floor(lit(10000.0) * sqrt(col("n").cast("double")) /
+          sqrt(col("n_max").cast("double"))).cast("bigint"))
+    val bucket = pmod(TextOps.portableHash(
+      concat(lit("tmp:"), col("doc_id").cast("string"))), lit(10000L))
+    Tables.documents(s, d)
+      .join(broadcast(rates), "source")
+      .filter(bucket < col("rate_e4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        first(col("n")).as("n_total"),
+        first(col("rate_e4")).as("rate_e4"))
+      .withColumn("kept_frac",
+        dround(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val tempResampleSql =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n,
+      |    CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE))
+      |               / sqrt(CAST((SELECT max(n) FROM counts) AS DOUBLE)))
+      |         AS BIGINT) AS rate_e4
+      |  FROM counts),
+      |kept AS (
+      |  SELECT d.source, r.n, r.rate_e4
+      |  FROM documents d JOIN rates r ON d.source = r.source
+      |  WHERE CAST('0x' || substr(md5('tmp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      |          AS BIGINT) % 10000 < r.rate_e4)
+      |SELECT source, count(*) AS n_kept,
+      |  any_value(n) AS n_total, any_value(rate_e4) AS rate_e4,
+      |  round(count(*) / CAST(any_value(n) AS DOUBLE), 4) AS kept_frac
+      |FROM kept
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q_temp_resample", tempResample, Some(tempResampleSql)),
     QueryDef("q_corpus_curate", corpusCurate, Some(corpusCurateSql)),
   )
 }

@@ -446,7 +446,69 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q_repetition
+  /** Repetition quality signal (the Gopher-style "fraction of duplicate
+    * n-grams" filter every corpus pipeline runs): per document, the
+    * token-3-gram count, its distinct count, the duplicated fraction
+    * (n − distinct)/n, and the hottest 3-gram's frequency. Docs whose
+    * text is internally repetitive (boilerplate, generated spam, scraper
+    * loops) score high and get culled before training.
+    *
+    * Shape: the 3-gram array builds NARROWLY (transform over an index
+    * sequence — no explode for the counts); only the hottest-gram
+    * statistic needs a per-(doc, gram) aggregation, and that shuffle is
+    * bounded by per-doc vocabulary, partitioned on high-cardinality
+    * doc_id — the 100 TB-safe layout. Docs with fewer than 3 tokens
+    * have no 3-grams and are excluded identically in both engines. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val grams3 = Tables.documents(s, d)
+      .withColumn("ts", toks)
+      .filter(size(col("ts")) >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"))
+    val hot = grams3
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id")).agg(max(col("tf")).as("max_gram_tf"))
+    grams3
+      .select(col("doc_id"),
+        size(col("grams")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("bigint").as("n_distinct"))
+      .withColumn("dup_frac",
+        dround((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 4))
+      .join(hot, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("dup_frac"), col("max_gram_tf"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ts) - 2),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |        FROM documents)
+      |  WHERE len(ts) >= 3),
+      |hot AS (
+      |  SELECT doc_id, max(tf) AS max_gram_tf
+      |  FROM (SELECT doc_id, gram, count(*) AS tf
+      |        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+      |        GROUP BY doc_id, gram)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |  round((len(grams) - len(list_distinct(grams)))
+      |        / CAST(len(grams) AS DOUBLE), 4) AS dup_frac,
+      |  max_gram_tf
+      |FROM g JOIN hot ON g.doc_id = hot.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q_array_fns", arrayFns, Some(arrayFnsSql)),

@@ -32,6 +32,32 @@ class SamplingSpec extends GraftSpec {
     assert(a == b)
   }
 
+  test("temperature resampling: dominant source kept whole, rates " +
+      "monotone in source size, kept within totals") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q_temp_resample")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("rate_e4")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (kept, total, rate) =>
+      assert(kept <= total)
+      assert(rate >= 1L && rate <= 10000L)
+    }
+    // the largest source's rate is exactly 10000 (n_max / n_max)
+    val maxTotal = rows.map(_._2).max
+    rows.filter(_._2 == maxTotal).foreach { case (kept, total, rate) =>
+      assert(rate == 10000L)
+      assert(kept == total, "rate 10000 must keep every doc")
+    }
+    // α-smoothing: rate never decreases as source size grows
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach {
+      case Array((_, _, r1), (_, _, r2)) => assert(r1 <= r2)
+      case _ =>
+    }
+  }
+
   test("corpus curation never yields more docs than the quality gate admits") {
     import org.apache.spark.sql.functions._
     val out = graft.SparkEntry.queries("q_corpus_curate")(spark, sfTiny)

@@ -258,19 +258,24 @@ object Similarity {
       .select(col("v")).as[Array[Float]].collect().map(_.map(_.toDouble))
     // Lloyd rounds: assignment via the broadcast-join scorer, so the
     // round's physical plan is structurally identical across iterations
-    // and whole-stage codegen compiles ONCE.
-    val dimAvgs = (0 until Dim).map(i =>
-      avg(col("v")(i).cast("double")).as(s"c$i"))
+    // and whole-stage codegen compiles ONCE. Centroid means aggregate
+    // over (cell, dim) AFTER a posexplode rather than as 64 parallel
+    // avg() columns: the wide form janino-compiles a multi-kilobyte
+    // aggregate method (several seconds of one-off codegen latency —
+    // most of the query's cold cost), while the exploded form is a
+    // 2-key/1-value textbook agg over sample×64 rows (~80k at sf0.1 —
+    // noise), identical means either way.
     for (_ <- 0 until Iters) {
       val upd = scored(train, cents)
         .groupBy(col("vec_id"))
         .agg(min(struct(col("score"), col("cid"), col("v"))).as("m"))
-        .select(col("m.cid").as("cell"), col("m.v").as("v"))
-        .groupBy(col("cell")).agg(dimAvgs.head, dimAvgs.tail: _*)
+        .select(col("m.cid").as("cell"), posexplode(col("m.v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("c"))
         .collect()
       // empty cells keep their previous centroid
       upd.foreach { r =>
-        cents(r.getInt(0)) = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+        cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
     }
     train.unpersist(blocking = false)

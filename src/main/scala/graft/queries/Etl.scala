@@ -316,7 +316,39 @@ object Etl {
       |)
       |ORDER BY branch""".stripMargin
 
+  // ---------------------------------------------------------------- q_pii_redact
+  /** PII-style redaction — the safety-filtering pass a training-data
+    * pipeline runs before anything leaves the raw zone: identifying
+    * digit sequences masked character-wise to '#', numeric runs
+    * collapsed to a '<NUM>' entity tag, plus a per-row count of
+    * redacted characters for the audit trail (the fixture corpus's
+    * digit-bearing string is the customer name; the expressions are
+    * the generic scrubbing kernel). Pure codegen'd string expressions
+    * (regexp_replace is global in Spark by default; the oracle passes
+    * the 'g' flag for the same semantics) — one narrow pass, no
+    * shuffle, pushdown-safe. At 100 TB this runs at scan speed on
+    * exactly the projected columns. */
+  private def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "<NUM>").as("tagged_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .cast("bigint").as("n_redacted_chars"))
+      .orderBy(col("c_custkey"))
+
+  private val piiRedactSql =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+      |  regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS tagged_name,
+      |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+      |    AS BIGINT) AS n_redacted_chars
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),
     QueryDef("q_regex", regexOps, Some(regexSql)),

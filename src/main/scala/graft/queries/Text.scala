@@ -507,7 +507,67 @@ object Text {
       |FROM g JOIN hot ON g.doc_id = hot.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q_lm_score
+  /** Model-based quality scoring — the perplexity-proxy filter
+    * (KenLM-style) corpus pipelines rank documents with: score each doc
+    * by its average bigram log-probability under the corpus's own
+    * bigram LM (the q_ngram_lm statistics, unsmoothed — every observed
+    * doc bigram exists in the corpus LM by construction, so the join is
+    * total). Low scores flag documents whose token transitions are
+    * improbable for the corpus: noise, other-language leakage,
+    * shuffled/generated text.
+    *
+    * Scale shape: the LM is an aggregation over distinct bigrams
+    * (≤ |vocab|², independent of corpus size); the score join keys on
+    * (tok, nxt) — AQE broadcasts the LM side while it is small and
+    * falls back to a shuffle join when a web-scale vocabulary grows it.
+    * ln of integer counts is value-identical cross-engine (same
+    * discipline as q_token_entropy/q_tfidf, both hash-green). */
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("ts", toks)
+      .filter(size(col("ts")) > 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("tok"),
+          element_at(col("ts"), i + 1).as("nxt")))).as("z"))
+      .select(col("doc_id"), col("z.tok").as("tok"), col("z.nxt").as("nxt"))
+    val lm = pairs.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c_bi"))
+      .withColumn("c_uni",
+        sum(col("c_bi")).over(Window.partitionBy(col("tok"))))
+      .select(col("tok"), col("nxt"),
+        (log(col("c_bi").cast("double")) -
+          log(col("c_uni").cast("double"))).as("logp"))
+    pairs.join(lm, Seq("tok", "nxt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        dround(avg(col("logp")), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql =
+    """WITH a AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |           FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'tok': ts[i], 'nxt': ts[i+1]})) AS z
+      |  FROM a WHERE len(ts) > 1),
+      |pairs AS (SELECT doc_id, z.tok AS tok, z.nxt AS nxt FROM bi),
+      |c2 AS (SELECT tok, nxt, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT tok, nxt,
+      |    ln(CAST(c_bi AS DOUBLE))
+      |      - ln(CAST(sum(c_bi) OVER (PARTITION BY tok) AS DOUBLE)) AS logp
+      |  FROM c2)
+      |SELECT p.doc_id AS doc_id, count(*) AS n_bigrams,
+      |  round(avg(logp), 4) AS avg_logp
+      |FROM pairs p JOIN lm USING (tok, nxt)
+      |GROUP BY p.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),

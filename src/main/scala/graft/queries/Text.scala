@@ -454,35 +454,32 @@ object Text {
     * text is internally repetitive (boilerplate, generated spam, scraper
     * loops) score high and get culled before training.
     *
-    * Shape: the 3-gram array builds NARROWLY (transform over an index
-    * sequence — no explode for the counts); only the hottest-gram
-    * statistic needs a per-(doc, gram) aggregation, and that shuffle is
-    * bounded by per-doc vocabulary, partitioned on high-cardinality
-    * doc_id — the 100 TB-safe layout. Docs with fewer than 3 tokens
-    * have no 3-grams and are excluded identically in both engines. */
-  private def repetition(s: SparkSession, d: String): DataFrame = {
-    val grams3 = Tables.documents(s, d)
+    * Shape: ONE pipeline — explode the 3-gram array, aggregate
+    * (doc, gram) term frequencies, then roll them up per doc (Σtf =
+    * total grams, row count = distinct grams, max tf = hottest gram) —
+    * no second pass over the gram arrays and no join. Both shuffles
+    * partition on high-cardinality doc_id(-prefixed) keys and are
+    * bounded by per-doc vocabulary — the 100 TB-safe layout. Docs with
+    * fewer than 3 tokens have no 3-grams and are excluded identically
+    * in both engines. */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("ts", toks)
       .filter(size(col("ts")) >= 3)
-      .withColumn("grams", expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 2), " +
-          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"))
-    val hot = grams3
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("doc_id")).agg(max(col("tf")).as("max_gram_tf"))
-    grams3
-      .select(col("doc_id"),
-        size(col("grams")).cast("bigint").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("bigint").as("n_distinct"))
-      .withColumn("dup_frac",
-        dround((col("n_grams") - col("n_distinct")).cast("double") /
-          col("n_grams"), 4))
-      .join(hot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("max_gram_tf"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        col("dup_frac"), col("max_gram_tf"))
+        dround((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 4).as("dup_frac"),
+        col("max_gram_tf"))
       .orderBy(col("doc_id"))
-  }
 
   private val repetitionSql =
     """WITH g AS (

@@ -23,8 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32 g default heap: local[32] runs 32 concurrent tasks whose shuffle
+// and aggregation buffers, cached frames, and streaming state stores
+// all share this one JVM — at 8 g the bench GC-thrashed (measured 28 s
+// of run-to-run variance on an idle box); the container has 128 GiB.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

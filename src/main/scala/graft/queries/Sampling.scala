@@ -89,7 +89,7 @@ object Sampling {
     val quality = docs.filter(
       col("n_tokens") >= 20 && col("ttr") >= 0.3 &&
         col("lang").isin("en", "de", "fr", "es"))
-    val losers = Dedup.lshDupPairs(s, d)
+    val losers = Dedup.lshDupPairsShared(s, d)
       .select(col("id2").as("doc_id")).distinct()
     val keepE4 = when(col("lang") === "en", 8000L).otherwise(10000L)
     val bucket = pmod(TextOps.portableHash(

@@ -93,6 +93,17 @@ class DedupSpec extends GraftSpec {
     clusters.unpersist()
   }
 
+  test("dup clusters: union-find and distributed fixpoint arms agree") {
+    // default gate picks the single-task union-find at this size;
+    // forcing the threshold to 0 exercises the distributed fixpoint
+    val local = q("q_dup_clusters").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try {
+      val dist = q("q_dup_clusters").collect().map(_.toSeq).toSeq
+      assert(dist == local)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
   test("dup clusters: identical under reliable checkpointing") {
     val base = q("q_dup_clusters").collect().map(_.toSeq).toSeq
     val dir = java.nio.file.Files

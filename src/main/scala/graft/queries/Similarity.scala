@@ -148,20 +148,33 @@ object Similarity {
         explode(array(bucketCols: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // Dedup candidate pairs on ids only — the wide vector payload is
-    // re-attached after the distinct so the shuffle carries 16 bytes per
-    // pair, not 2×64 doubles.
-    val candIds = bucketed.as("x").join(bucketed.as("y"),
+    // VERIFY-IN-PLACE (the pattern Dedup.lshDupPairs ships): score each
+    // candidate INSIDE the bucket join's output projection, while both
+    // payloads are in hand, then dedupe on the 24-byte (id1, id2, sim)
+    // row. The round-3 form deduped ids first and re-attached vectors
+    // via two `broadcast(e)` joins — shipping the ENTIRE embedding
+    // relation to every executor, impossible at 10⁹ vectors. Now no
+    // relation is broadcast anywhere: each vector replicates only to
+    // its own L=2 bucket rows (shuffle-bounded, like Dedup's Bands×G),
+    // and the dedup shuffle is thinner than the id-only form's
+    // re-attach ever was. A pair colliding in k ≤ L tables is scored k
+    // times — dot products are ~2·Dim flops on rows already in hand,
+    // cheaper than carrying payload through a distinct; duplicates
+    // carry identical sims, so min() is exact dedup, not selection.
+    val scoredPairs = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-      .distinct()
-    val cand = candIds
-      .join(broadcast(e.select(col("vec_id").as("id1"), col("v").as("v1"),
-        col("nrm").as("n1"))), "id1")
-      .join(broadcast(e.select(col("vec_id").as("id2"), col("v").as("v2"),
-        col("nrm").as("n2"))), "id2")
-    topK(cand, 3)
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        dround(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4)
+          .as("cos_sim"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("cos_sim")).as("cos_sim"))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cos_sim").desc, col("id2").asc)
+    scoredPairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("id1"), col("rn"))
   }
 
   private val cosineKnnLshSql = {

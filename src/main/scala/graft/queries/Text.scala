@@ -435,7 +435,10 @@ object Text {
       .orderBy(col("doc_id"))
 
   private val bpeTokensSql = {
-    val pat = BpePattern.replace("\\", "\\").replace("'", "''")
+    // single-quoted DuckDB strings don't process backslashes, so only
+    // quote doubling is needed (a "\\"→"\\" self-replace that used to
+    // sit here was a no-op — advisor round-3)
+    val pat = BpePattern.replace("'", "''")
     s"""SELECT doc_id, lang,
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,

@@ -71,6 +71,23 @@ class PlanSpec extends GraftSpec {
     // the corpus grows.)
   }
 
+  test("q_cosine_knn_lsh verifies in-place: no broadcast hint on any " +
+      "relation, no BNLJ, no cartesian") {
+    val df = SparkEntry.queries("q_cosine_knn_lsh")(spark, sfTiny)
+    // The round-3 form re-attached candidate vectors with two
+    // broadcast(e) joins of the ENTIRE embedding relation — fine at
+    // test scale, impossible at 10⁹ vectors. The fix scores candidates
+    // inside the bucket join's output projection, so nothing in the
+    // query may hint a broadcast; any BroadcastHashJoin that remains is
+    // Catalyst's size estimator choosing it at tiny SF, which flips to
+    // a shuffle join as the corpus grows.
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "ANN path re-introduced an explicit broadcast hint")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_simhash_dup candidates come from the banded equi-join") {
     val p = plan("q_simhash_dup")
     // the chunk join must be a real equi shuffle/broadcast hash join,

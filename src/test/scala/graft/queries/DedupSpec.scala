@@ -16,6 +16,33 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("dedup caches are released once the owning query's action completes") {
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // the release listener fires asynchronously on the listener bus —
+    // poll the storage registry instead of sleeping a fixed interval
+    def drainTo(before: Set[Int], label: String): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var extra = persisted -- before
+      while (extra.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); extra = persisted -- before
+      }
+      assert(extra.isEmpty, s"$label left cached RDDs pinned: $extra")
+    }
+    // bitset-dictionary path: sets/dict/masks caches (round-3 leaked
+    // these from the session's LAST dedup query for its whole remainder)
+    val before1 = persisted
+    q("q_ngram_jaccard").count()
+    drainTo(before1, "q_ngram_jaccard")
+    // non-memoized LSH path: the sized band cache
+    spark.conf.set("spark.graft.dedup.pairMemo", "false")
+    try {
+      val before2 = persisted
+      q("q_minhash_lsh").count()
+      drainTo(before2, "q_minhash_lsh")
+    } finally spark.conf.set("spark.graft.dedup.pairMemo", "true")
+  }
+
   test("jaccard values sit in (0, 1]") {
     val bad = q("q_minhash_dup")
       .filter("jaccard <= 0 OR jaccard > 1").count()

@@ -88,6 +88,14 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_salted_join joins through the salt sub-key") {
+    val p = plan("q_salted_join")
+    // the fact side must reach the join carrying its deterministic salt
+    // column — if a refactor drops the salt the query degenerates to the
+    // plain hot-key join and this query stops exercising SkewOps at all
+    assert(p.contains("__salt"), p.take(2000))
+  }
+
   test("q_simhash_dup candidates come from the banded equi-join") {
     val p = plan("q_simhash_dup")
     // the chunk join must be a real equi shuffle/broadcast hash join,

@@ -43,6 +43,22 @@ class DedupSpec extends GraftSpec {
     } finally spark.conf.set("spark.graft.dedup.pairMemo", "true")
   }
 
+  test("q_dedup_persist: on-disk pair-table path equals the in-session memo path") {
+    import org.apache.spark.sql.functions._
+    val onDisk = q("q_dedup_persist").collect().toSeq
+    // same survivor accounting computed straight off the memoized frame,
+    // no parquet round-trip — the sink/scan must be value-transparent
+    val losers = Dedup.lshDupPairsShared(spark, sfTiny)
+      .select(col("id2").as("doc_id")).distinct()
+    val direct = graft.sources.Tables.documents(spark, sfTiny)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy(col("lang")).collect().toSeq
+    assert(onDisk == direct)
+  }
+
   test("jaccard values sit in (0, 1]") {
     val bad = q("q_minhash_dup")
       .filter("jaccard <= 0 OR jaccard > 1").count()

@@ -37,6 +37,24 @@ object Bench {
           it.take(1)).count()
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // Streaming machinery warmup (stream-execution thread, incremental
+      // planner, state-store provider, offset/commit logs, memory sink):
+      // ~2 s of one-off class-load/JIT otherwise lands on whichever
+      // streaming query happens to run first. Synthetic data only.
+      val warmDir = java.nio.file.Files
+        .createTempDirectory("graft_warm_stream").toFile.getAbsolutePath
+      spark.range(1000)
+        .select(col("id"), (col("id") % 5).cast("string").as("k"),
+          timestamp_micros(col("id") * 1000000L).as("ts"))
+        .write.mode("overwrite").parquet(warmDir)
+      spark.readStream.schema(spark.read.parquet(warmDir).schema)
+        .parquet(warmDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 minute"), col("k")).count()
+        .writeStream.format("memory").queryName("graft_warm_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
     }
     // A failing query must be visible as a FAILURE, not timed as fast:
     // it reports -1 sec and lands in the "errors" map.

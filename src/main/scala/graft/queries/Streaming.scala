@@ -65,15 +65,41 @@ object Streaming {
     * later batch queries are unaffected). */
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(key)
-    try {
-      s.conf.set(key, "8")
+    withStreamConf(s) {
       df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-    } finally s.conf.set(key, saved)
+    }
     s.table(name)
+  }
+
+  /** Stream-lifetime conf scope (confs bind at stream start; the
+    * snapshot-restore keeps later batch queries unaffected):
+    *   - shuffle partitions → 8: each streaming shuffle partition owns a
+    *     state store whose per-batch commit cost is fixed (see [[drain]]
+    *     scaladoc) — partition count must track STATE SIZE;
+    *   - no-data micro-batches → off: AvailableNow on a finite input
+    *     otherwise appends an EMPTY finalization batch after the data
+    *     batch purely to advance the watermark — a full extra round of
+    *     incremental planning + state-store commits + log fsyncs per
+    *     query that changes nothing a drained finite stream returns
+    *     (complete-mode aggs re-emit everything each batch anyway;
+    *     append-mode rows here emit on arrival, not on watermark).
+    *     Roughly halves the suite's fixed bring-up cost; the
+    *     StreamingSpec batch-equivalence assertions are the guard. */
+  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.codegen.wholeStage" -> "false")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   // ------------------------------------------------------------- n_stream_tumble
@@ -169,17 +195,19 @@ object Streaming {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_sink_${UUID.randomUUID().toString.replace("-", "")}").getAbsolutePath
-    eventsStream(s, d)
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("sum_value"))
-      .writeStream.outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Sinks.writePartitioned(batch, out, Seq("event_type"))
-      }
-      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    withStreamConf(s) {
+      eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Sinks.writePartitioned(batch, out, Seq("event_type"))
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
     s.read.parquet(out)
       .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))

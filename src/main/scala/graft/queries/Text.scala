@@ -124,11 +124,13 @@ object Text {
     * (score = Σ tf_doc(t)·tf_lang(t)) so parity is exact, argmax via
     * ranking window with lang tiebreak.
     *
-    * Scale: the profile is |langs|×|vocab| rows → broadcast join; the
-    * per-doc aggregation shuffles O(docs×langs) rows. A production
-    * system would hold fixed pre-trained profiles; deriving them from
-    * the corpus here exercises the same plan shape (map-side join against
-    * a small dim + two-level agg). */
+    * Scale: the profile is |langs|×|vocab| rows → AQE-decided join
+    * (broadcast while the vocabulary is bounded, shuffle when it
+    * outgrows the threshold); the per-doc aggregation shuffles
+    * O(docs×langs) rows. A production system would hold fixed
+    * pre-trained profiles; deriving them from the corpus here exercises
+    * the same plan shape (map-side join against a small dim +
+    * two-level agg). */
   private def langId(s: SparkSession, d: String): DataFrame = {
     val docToks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("true_lang"), explode(toks).as("tok"))
@@ -140,7 +142,13 @@ object Text {
       .agg(count(lit(1)).as("ln_cnt"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang").asc)
-    docToks.join(broadcast(profile), "tok")
+    // No broadcast() hint (round-4): the profile is |langs|×|vocab| rows
+    // — bounded on this corpus, web-scale-vocab-sized in general. AQE
+    // decides broadcast-vs-shuffle from the profile's RUNTIME size, so
+    // the same query broadcasts at test scale and degrades gracefully to
+    // a shuffle join when the vocabulary outgrows the threshold, instead
+    // of OOMing on a hinted broadcast. PlanSpec pins both regimes.
+    docToks.join(profile, "tok")
       .groupBy(col("doc_id"), col("true_lang"), col("lang"))
       .agg(sum(col("dn") * col("ln_cnt")).as("score"))
       .withColumn("rn", row_number().over(w))
@@ -213,7 +221,7 @@ object Text {
     * corpus-relevance operator. idf = ln(N/df) with N the corpus size
     * (a tiny driver-side count, like a stats pass) and df from one
     * aggregation; the per-(doc,term) weight joins tf against the
-    * broadcast df table. Ranking is on the 4-dp-rounded weight with the
+    * AQE-sized df table. Ranking is on the 4-dp-rounded weight with the
     * term tiebreak (SURVEY.md §5.3 determinism discipline; ln is
     * computed on identical doubles in both engines). */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
@@ -224,7 +232,8 @@ object Text {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(broadcast(df), "tok")
+    // vocab-sized dim → AQE-decided join, same reasoning as q_lang_id
+    tf.join(df, "tok")
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         dround(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
       .withColumn("rn", row_number().over(w))

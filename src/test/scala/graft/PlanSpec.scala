@@ -88,6 +88,23 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_tfidf / q_lang_id vocab dims are AQE-decided, not hint-forced") {
+    for (name <- Seq("q_tfidf", "q_lang_id")) {
+      val df = SparkEntry.queries(name)(spark, sfTiny)
+      // no hint: at web-scale vocabulary the dim outgrows any broadcast,
+      // and a hinted plan would OOM instead of falling back to shuffle
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"$name re-introduced a broadcast hint")
+      // at test scale AQE's runtime stats should still FIND the
+      // broadcast — the hint removal must not cost the small-vocab
+      // regime its map-side join
+      df.count()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"$name lost its small-regime broadcast:\n${finalPlan.take(2000)}")
+    }
+  }
+
   test("q_salted_join joins through the salt sub-key") {
     val p = plan("q_salted_join")
     // the fact side must reach the join carrying its deterministic salt

@@ -190,9 +190,80 @@ object Sampling {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------- q_decontaminate
+  /** Benchmark DECONTAMINATION — the screen every training corpus runs
+    * before an eval is trustworthy: flag training docs sharing any
+    * 8-token n-gram with a held-out benchmark set (here: the `src0`
+    * source plays the benchmark; production swaps in the eval suite's
+    * text). The standard exact-substring screen (GPT-3's 13-gram /
+    * Llama-style n-gram overlap, published in their data cards) as one
+    * declarative DAG:
+    *
+    *   tokens → sliding 8-grams → 60-bit md5-prefix gram hash →
+    *   LEFT JOIN against the benchmark's DISTINCT gram hashes →
+    *   per-doc occurrence counts → contaminated docs + fraction.
+    *
+    * Scale shape: grams shuffle as 8-byte hashes, never strings (the
+    * join key is the hash; the oracle hashes identically so parity is
+    * exact by construction, the LSH-verify discipline). The benchmark
+    * side is DISTINCT'd and orders of magnitude smaller than the
+    * corpus — AQE broadcasts it at this scale and falls back to a
+    * shuffle join when a giant eval suite outgrows the threshold (no
+    * hint, the library's round-4 stance on dim sizing). 60-bit hashes
+    * keep the collision expectation ≪ 1 through corpus-scale gram
+    * counts (~2⁻⁶⁰·n²/2); a production screen can rehash survivors on
+    * the raw gram for certainty — the flagged set here is tiny. */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val Holdout = "src0"
+    val N = 8
+    val grams = Tables.documents(s, d)
+      .withColumn("ts", TextOps.tokens(col("text")))
+      .filter(size(col("ts")) >= N)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ts")) - (N - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice(col("ts"), i, lit(N)))), 1, 15),
+            16, 10).cast("bigint"))).as("gh"))
+    val bench = grams.filter(col("source") === Holdout)
+      .select(col("gh")).distinct().withColumn("is_ev", lit(1))
+    grams.filter(col("source") =!= Holdout)
+      .join(bench, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_ev"), lit(0))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contam_frac",
+        dround(col("n_hits").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    """WITH tk AS (
+      |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(generate_series(1, len(ts) - 7),
+      |      i -> CAST('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)
+      |           AS BIGINT))) AS gh
+      |  FROM tk WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT gh FROM grams WHERE source = 'src0'),
+      |agg AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits
+      |  FROM grams g LEFT JOIN bench b ON g.gh = b.gh
+      |  WHERE g.source <> 'src0'
+      |  GROUP BY g.doc_id)
+      |SELECT doc_id, n_grams, n_hits,
+      |  round(n_hits / CAST(n_grams AS DOUBLE), 4) AS contam_frac
+      |FROM agg
+      |WHERE n_hits > 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_temp_resample", tempResample, Some(tempResampleSql)),
     QueryDef("q_corpus_curate", corpusCurate, Some(corpusCurateSql)),
+    QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 }

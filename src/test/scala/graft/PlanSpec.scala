@@ -105,6 +105,17 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_decontaminate gram join is AQE-decided and hits the small-regime " +
+      "broadcast") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sfTiny)
+    // benchmark side must not be hint-forced: a giant eval suite has to
+    // fall back to a shuffle join instead of OOMing
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    df.count()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small benchmark side lost its runtime broadcast")
+  }
+
   test("q_salted_join joins through the salt sub-key") {
     val p = plan("q_salted_join")
     // the fact side must reach the join carrying its deterministic salt

@@ -39,4 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     case Some("g1") => "-XX:+UseG1GC"
     case _ => "-XX:+UseParallelGC"
   },
-)
+) ++
+  // Optional fixed young generation (e.g. SPARK_GRAFT_XMN=24g): nearly
+  // all bench allocation is short-lived shuffle/agg garbage, so a large
+  // fixed nursery keeps it from promoting and turns ParallelGC's lumpy
+  // full collections (the round-3 run-to-run variance — multi-second GC
+  // landing on random trivial queries) into cheap minor ones.
+  sys.env.get("SPARK_GRAFT_XMN").map(x => s"-Xmn$x").toSeq

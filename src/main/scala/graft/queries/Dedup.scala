@@ -343,6 +343,14 @@ object Dedup {
       })
     }
   }
+  /** Bench/test hook: drop this session's memo entries so a repeated
+    * in-process measurement pass re-pays (and re-times) the real pair
+    * build instead of memo-hitting — without this, a second pass would
+    * time n_dedup_pairs_build at ~0 s and per-query numbers would stop
+    * decomposing (round-3 verdict item 4's honesty contract). */
+  def evictMemo(s: SparkSession): Unit =
+    pairMemo.keys.filter(_._1 == sessionKey(s)).foreach(pairMemo.remove)
+
   private[queries] def lshDupPairsShared(s: SparkSession, d: String): DataFrame =
     if (!s.conf.get("spark.graft.dedup.pairMemo", "true").toBoolean) {
       val r = lshDupPairs(s, d)

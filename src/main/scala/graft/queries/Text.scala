@@ -575,7 +575,150 @@ object Text {
       |GROUP BY p.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q_boilerplate
+  /** Cross-document BOILERPLATE detection — the corpus-wide complement
+    * of q_repetition's within-doc signal (C4 drops lines repeated across
+    * the corpus; MassiveText counts duplicate-line fraction): a token
+    * 3-gram is boilerplate when it appears in ≥ 5 DISTINCT documents,
+    * and each doc reports what fraction of its gram positions are
+    * boilerplate (headers, navigation chrome, scraper artifacts,
+    * license blurbs score high).
+    *
+    * Scale shape: grams shuffle as 60-bit md5-prefix hashes, never
+    * strings (the q_decontaminate discipline — the oracle hashes
+    * identically so parity is exact by construction). Document
+    * frequency comes from a window over the per-(doc, gram) aggregate —
+    * the partition key `gh` is corpus-vocabulary-high-cardinality, so
+    * no skew; both shuffles are bounded by distinct grams, not
+    * positions. No joins, no broadcast: two hash aggs and one window. */
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val N = 3
+    val DfMin = 5
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("ts", toks)
+      .filter(size(col("ts")) >= N)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - (N - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(col("ts"), i, lit(N)))),
+          1, 15), 16, 10).cast("bigint"))).as("gh"))
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_grams"),
+        sum(when(col("df") >= DfMin, col("tf")).otherwise(lit(0L)))
+          .cast("bigint").as("n_boiler"))
+      .withColumn("boiler_frac",
+        dround(col("n_boiler").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateSql =
+    """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |            FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ts) - 2),
+      |      i -> CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+      |                1, 15) AS BIGINT))) AS gh
+      |  FROM tk WHERE len(ts) >= 3),
+      |pg AS (SELECT doc_id, gh, count(*) AS tf FROM grams GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, tf,
+      |         count(*) OVER (PARTITION BY gh) AS df
+      |       FROM pg)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN df >= 5 THEN tf ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  round(sum(CASE WHEN df >= 5 THEN tf ELSE 0 END)
+      |        / CAST(sum(tf) AS DOUBLE), 4) AS boiler_frac
+      |FROM wd
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- q_perplexity_bucket
+  /** CCNet-style PERPLEXITY BUCKETING — after model-based scoring
+    * (q_lm_score), corpus pipelines split each language into
+    * head/middle/tail thirds by LM score and train on (or re-weight)
+    * the buckets differently. Per (lang, tertile): doc count, mean and
+    * floor score of the bucket.
+    *
+    * Determinism: docs are ranked by the ROUNDED (4 dp) score with a
+    * doc_id tiebreak — the rounded score is exactly the quantity
+    * q_lm_score already proves hash-identical cross-engine, so NTILE
+    * membership is reproducible by construction.
+    *
+    * Scale shape: the LM join is the q_lm_score DAG (AQE-sized); the
+    * bucketing window partitions by lang over ONE ROW PER DOCUMENT —
+    * tiny relative to the gram relations. At web scale with few
+    * languages the per-lang sort would be the bottleneck; the scale
+    * path is two approx cut-points per lang (a broadcast-size agg) and
+    * a comparison instead of a full NTILE sort — same bucket semantics
+    * modulo quantile error, no global per-lang sort. */
+  private def perplexityBucket(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("ts", toks)
+      .filter(size(col("ts")) > 1)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("tok"),
+          element_at(col("ts"), i + 1).as("nxt")))).as("z"))
+      .select(col("doc_id"), col("lang"),
+        col("z.tok").as("tok"), col("z.nxt").as("nxt"))
+    val lm = pairs.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c_bi"))
+      .withColumn("c_uni",
+        sum(col("c_bi")).over(Window.partitionBy(col("tok"))))
+      .select(col("tok"), col("nxt"),
+        (log(col("c_bi").cast("double")) -
+          log(col("c_uni").cast("double"))).as("logp"))
+    pairs.join(lm, Seq("tok", "nxt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(dround(avg(col("logp")), 4).as("score"))
+      .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        dround(avg(col("score")), 4).as("avg_score"),
+        dround(min(col("score")), 4).as("min_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val perplexityBucketSql =
+    """WITH a AS (SELECT doc_id, lang,
+      |             regexp_split_to_array(text, '\s+') AS ts
+      |           FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(ts) - 1),
+      |      i -> {'tok': ts[i], 'nxt': ts[i+1]})) AS z
+      |  FROM a WHERE len(ts) > 1),
+      |pairs AS (SELECT doc_id, lang, z.tok AS tok, z.nxt AS nxt FROM bi),
+      |c2 AS (SELECT tok, nxt, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT tok, nxt,
+      |    ln(CAST(c_bi AS DOUBLE))
+      |      - ln(CAST(sum(c_bi) OVER (PARTITION BY tok) AS DOUBLE)) AS logp
+      |  FROM c2),
+      |scored AS (
+      |  SELECT p.doc_id AS doc_id, p.lang AS lang,
+      |    round(avg(logp), 4) AS score
+      |  FROM pairs p JOIN lm USING (tok, nxt)
+      |  GROUP BY p.doc_id, p.lang),
+      |bucketed AS (
+      |  SELECT lang, score,
+      |    ntile(3) OVER (PARTITION BY lang
+      |                   ORDER BY score DESC, doc_id ASC) AS bucket
+      |  FROM scored)
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  round(avg(score), 4) AS avg_score,
+      |  round(min(score), 4) AS min_score
+      |FROM bucketed
+      |GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
+    QueryDef("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("q_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),

@@ -131,4 +131,25 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("NestedLoop"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_boilerplate is join-free: two hash aggs and a window, grams " +
+      "shuffle as hashes") {
+    val p = plan("q_boilerplate")
+    // document frequency comes from a window over the (doc, gram-hash)
+    // aggregate — a refactor that reintroduces a self-join on the gram
+    // relation doubles the shuffled volume at corpus scale
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_perplexity_bucket LM join is AQE-decided, not hint-forced") {
+    val df = SparkEntry.queries("q_perplexity_bucket")(spark, sfTiny)
+    // same stance as q_tfidf/q_lang_id: the bigram LM is vocabulary-
+    // bounded, not corpus-bounded — small enough for AQE's runtime
+    // broadcast here, but a hint would OOM at web-scale vocabulary
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q_perplexity_bucket re-introduced a broadcast hint")
+    df.count()
+  }
 }

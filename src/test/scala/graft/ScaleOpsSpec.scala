@@ -20,6 +20,24 @@ class ScaleOpsSpec extends GraftSpec {
     }
   }
 
+  test("sketch union estimates match exact distincts within HLL error") {
+    val rows = SparkEntry.queries("n_sketch_union")(spark, sfTiny).collect()
+    // 5 event types + the ALL union row
+    assert(rows.length == 6, rows.mkString(","))
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    // the union row must cover at least the largest single type (a
+    // union that silently dropped sketches would undercount)
+    val all = rows.find(_.getString(0) == "ALL").get.getAs[Long]("approx_users")
+    val maxType = rows.filter(_.getString(0) != "ALL")
+      .map(_.getAs[Long]("approx_users")).max
+    assert(all >= maxType)
+  }
+
   test("saltedAgg matches the direct aggregation") {
     val ev = Tables.events(spark, sfTiny)
     val direct = ev.groupBy($"event_type")

@@ -238,25 +238,37 @@ object Similarity {
     * indexed ONCE (top-1 cell); each query fans out to its top-2 cells,
     * so the per-cell join touches 2 cells per query instead of leaving
     * recall to single-probe luck. */
-  private def cosineKnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** K-row centroid frame: (cell id, components, |c|²). Scoring joins
+    * against this instead of embedding centroids as literals — literal
+    * embedding regenerates (and re-janino-compiles) the projection for
+    * every new centroid matrix, which costs more than the arithmetic;
+    * the join form compiles once. score = −2·v·c + |c|² (∝ squared
+    * distance up to the rank-invariant +|v|²). */
+  private def centFrame(s: SparkSession, cs: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    val K = 16
-    val Iters = 3
-    val e = vecs(s, d)
-    // K-row centroid frame: (cell id, components, |c|²). Scoring joins
-    // against this instead of embedding centroids as literals — literal
-    // embedding regenerates (and re-janino-compiles) the projection for
-    // every new centroid matrix, which costs more than the arithmetic;
-    // the join form compiles once. score = −2·v·c + |c|² (∝ squared
-    // distance up to the rank-invariant +|v|²).
-    def centFrame(cs: Array[Array[Double]]) = broadcast(
-      cs.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
-        .toSeq.toDF("cid", "cv", "cn2"))
-    def scored(in: DataFrame, cs: Array[Array[Double]]) =
-      in.crossJoin(centFrame(cs))
-        .withColumn("score",
-          call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 + col("cn2"))
+    broadcast(cs.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toSeq.toDF("cid", "cv", "cn2"))
+  }
+
+  private def scoredAgainst(s: SparkSession, in: DataFrame,
+      cs: Array[Array[Double]]): DataFrame =
+    in.crossJoin(centFrame(s, cs))
+      .withColumn("score",
+        call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 + col("cn2"))
+
+  /** Sample-trained pure-DataFrame Lloyd's (shared by n_cosine_knn_ivf
+    * and n_semdedup — see n_cosine_knn_ivf's scaladoc for the design
+    * rationale): deterministic hash-ranked init, assignment via the
+    * broadcast-join scorer so the round's physical plan is structurally
+    * identical across iterations and codegen compiles ONCE, centroid
+    * means aggregated over (cell, dim) after a posexplode rather than as
+    * 64 wide avg() columns (the wide form janino-compiles a
+    * multi-kilobyte aggregate — several seconds of one-off codegen).
+    * Only K×Dim centroid values ever reach the driver. */
+  private def trainCentroids(s: SparkSession, e: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import s.implicits._
     // the training sample is tiny by construction — pack it into a few
     // partitions so each Lloyd job schedules a handful of tasks, not a
     // full cluster width of near-empty ones
@@ -267,19 +279,10 @@ object Similarity {
     val cents: Array[Array[Double]] = train
       .withColumn("h",
         graft.operators.TextOps.portableHash(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(K)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).as[Array[Float]].collect().map(_.map(_.toDouble))
-    // Lloyd rounds: assignment via the broadcast-join scorer, so the
-    // round's physical plan is structurally identical across iterations
-    // and whole-stage codegen compiles ONCE. Centroid means aggregate
-    // over (cell, dim) AFTER a posexplode rather than as 64 parallel
-    // avg() columns: the wide form janino-compiles a multi-kilobyte
-    // aggregate method (several seconds of one-off codegen latency —
-    // most of the query's cold cost), while the exploded form is a
-    // 2-key/1-value textbook agg over sample×64 rows (~80k at sf0.1 —
-    // noise), identical means either way.
-    for (_ <- 0 until Iters) {
-      val upd = scored(train, cents)
+    for (_ <- 0 until iters) {
+      val upd = scoredAgainst(s, train, cents)
         .groupBy(col("vec_id"))
         .agg(min(struct(col("score"), col("cid"), col("v"))).as("m"))
         .select(col("m.cid").as("cell"), posexplode(col("m.v")))
@@ -292,6 +295,16 @@ object Similarity {
       }
     }
     train.unpersist(blocking = false)
+    cents
+  }
+
+  private def cosineKnnIvf(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val Iters = 3
+    val e = vecs(s, d)
+    val cents = trainCentroids(s, e, K, Iters)
+    def scored(in: DataFrame, cs: Array[Array[Double]]) =
+      scoredAgainst(s, in, cs)
     // final index/probe assignment: top-2 cells per vector through the
     // same compiled scorer + a thin window over K rows per vector
     val wTop = Window.partitionBy(col("vec_id"))
@@ -368,10 +381,63 @@ object Similarity {
       |FROM qz
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ n_semdedup
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication by embedding clusters: k-means the embedding space,
+    * then remove, within each cluster, every vector that has a
+    * higher-priority (here: lower-id; production: higher-quality)
+    * in-cluster neighbor with cosine ≥ τ. The clustering makes the
+    * quadratic step tractable: pairs are only formed WITHIN a cell, so
+    * the per-task work is (n/K)² and K scales with the corpus — the
+    * exact trick that let the paper run on web-scale LAION/C4. Reuses
+    * the IVF trainer ([[trainCentroids]], deterministic sample-trained
+    * Lloyd's, only K×64 values on the driver); the in-cell pair scan is
+    * an equi-join on cell id — a plain shuffle join, no broadcast of
+    * the relation, no cross-cell pairs ever materialized.
+    *
+    * Survivor rule (deterministic, single-pass): drop v iff some
+    * lower-id u in the same cell has cos(u,v) ≥ τ. Survivors are then
+    * pairwise < τ within every cell (if sim(x,y) ≥ τ and x < y, y is
+    * dropped by x regardless of x's own fate) — SimilaritySpec asserts
+    * exactly this invariant plus the witness property for removed ids.
+    * Output: per-cell accounting (sizes, removals, kept). No DuckDB
+    * oracle: the learned centroids are a trained model (3 Lloyd
+    * iterations over a sampled frame), not SQL — correctness is
+    * spec-verified instead (the same stance as n_cosine_knn_ivf). */
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val Iters = 3
+    val Tau = 0.4
+    val e = vecs(s, d)
+    val cents = trainCentroids(s, e, K, Iters)
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("cid").asc)
+    val assigned = scoredAgainst(s, e, cents)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= Tau)
+      .select(col("cell"), col("id2").as("vec_id")).distinct()
+    assigned.select(col("cell"), col("vec_id"))
+      .join(removed.withColumn("is_rm", lit(1)), Seq("cell", "vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_rm"), lit(0))).cast("bigint").as("n_removed"))
+      .withColumn("n_kept", col("n_vecs") - col("n_removed"))
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_vec_quantize", vecQuantize, Some(vecQuantizeSql)),
     QueryDef("q_cosine_knn", cosineKnn, Some(cosineKnnSql)),
     QueryDef("q_cosine_knn_lsh", cosineKnnLsh, Some(cosineKnnLshSql)),
     QueryDef("n_cosine_knn_ivf", cosineKnnIvf, None),
+    QueryDef("n_semdedup", semDedup, None),
   )
 }

@@ -36,6 +36,30 @@ class SimilaritySpec extends GraftSpec {
     assert(plan.contains("MapGroups"), s"expected MapGroups kernel:\n$plan")
   }
 
+  test("semdedup: accounting is total, removals are witness-bounded, " +
+      "and the trained pipeline is deterministic") {
+    val run1 = graft.SparkEntry.queries("n_semdedup")(spark, sfTiny).collect()
+    val total = graft.sources.Tables.embeddings(spark, sfTiny).count()
+    // every vector lands in exactly one cell
+    assert(run1.map(_.getAs[Long]("n_vecs")).sum == total)
+    run1.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vecs") - r.getAs[Long]("n_removed"))
+    }
+    // a removed vector needs a lower-id IN-CELL neighbor with cos >= tau;
+    // in-cell pairs are a subset of the global tau-pairs, so removals
+    // are bounded by the distinct larger ids of q_embed_neardup (same
+    // threshold) — more removals than global witnesses means the join
+    // invented pairs
+    val witnesses = graft.SparkEntry.queries("q_embed_neardup")(spark, sfTiny)
+      .select("id2").distinct().count()
+    assert(run1.map(_.getAs[Long]("n_removed")).sum <= witnesses)
+    // sample-trained Lloyd's is seeded and hash-initialized — a second
+    // invocation must reproduce the exact accounting
+    val run2 = graft.SparkEntry.queries("n_semdedup")(spark, sfTiny).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+  }
+
   test("ivf knn: per-cell search recovers a sane share of exact top-3") {
     val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
       .filter("rn <= 3").selectExpr("id1", "id2").collect()

@@ -365,6 +365,60 @@ object Dedup {
       memo
     })
 
+  /** LSH band rows (doc_id, sz, shs, band, bkey) for any documents-shaped
+    * frame — the signature front half of the near-dup pipeline, shared by
+    * [[lshDupPairs]] (symmetric self-join over the whole corpus) and
+    * [[dedupIncr]] (asymmetric batch-vs-corpus screen).
+    *
+    * Band key = the raw 4-minhash tuple (an array column) — tuple
+    * equality is exactly the oracle's string-concat equality (the
+    * ','-join of decimals is injective) without materializing strings.
+    *
+    * VERIFY-IN-PLACE payload: each band row also carries its doc's
+    * sorted 60-bit token-hash array (`shs`), so verification runs INSIDE
+    * the band join's output pipeline — a fused merge-scan intersection
+    * (graft_sorted_icnt) + integer threshold on each candidate as it is
+    * produced, no re-attach join afterwards. This removed the round-2
+    * scale caveat (two broadcast joins shipping the ENTIRE mask table to
+    * every executor — impossible at web-scale vocab): each doc
+    * replicates only its OWN set to its ≤ Bands(×G) band rows,
+    * shuffle-bounded, no broadcast of any full relation, and no global
+    * dictionary anywhere. Measured at sf0.1 this is also the faster
+    * plan: the round-2 verify probed 4.15M candidate rows through two
+    * hash joins (3.2 s) fed by a 3-stage dictionary+mask build (3.8 s);
+    * now verification folds into the join's codegen'd projection and
+    * the distinct runs on the ~190k survivors only. */
+  private def bandRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sigCols = AB.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("ths"),
+        th => pmod(th * a + b, lit(P)))).as(s"m$i")
+    }
+    val sig = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0) // empty doc has no set rows either
+      // md5 computed ONCE per token; the 32-bit prefix feeds the
+      // minhash permutations, the 60-bit prefix the verify arrays
+      .select(col("doc_id"), transform(col("toks"), t => md5(t)).as("md5s"))
+      .select(col("doc_id"),
+        transform(col("md5s"),
+          m => conv(substring(m, 1, 8), 16, 10).cast("bigint")).as("ths"),
+        sort_array(array_distinct(transform(col("md5s"),
+          m => conv(substring(m, 1, 15), 16, 10).cast("bigint")))).as("shs"))
+      .select(Seq(col("doc_id"), size(col("ths")).cast("long").as("sz"),
+        col("shs")) ++ sigCols: _*)
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        array((0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), col("sz"), col("shs"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sz"), col("shs"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
+  }
+
   private[queries] def lshDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(s)
     releaseCaches() // scope: this query's caches replace the previous one's
@@ -396,52 +450,7 @@ object Dedup {
     // J ≥ 0.95 after rounding) prunes candidates BEFORE the distinct;
     // on a dense corpus the buckets are huge and the distinct dominates
     // otherwise.
-    val sigCols = AB.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("ths"),
-        th => pmod(th * a + b, lit(P)))).as(s"m$i")
-    }
-    val sig = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      .filter(size(col("toks")) > 0) // empty doc has no set rows either
-      // md5 computed ONCE per token; the 32-bit prefix feeds the
-      // minhash permutations, the 60-bit prefix the verify arrays
-      .select(col("doc_id"), transform(col("toks"), t => md5(t)).as("md5s"))
-      .select(col("doc_id"),
-        transform(col("md5s"),
-          m => conv(substring(m, 1, 8), 16, 10).cast("bigint")).as("ths"),
-        sort_array(array_distinct(transform(col("md5s"),
-          m => conv(substring(m, 1, 15), 16, 10).cast("bigint")))).as("shs"))
-      .select(Seq(col("doc_id"), size(col("ths")).cast("long").as("sz"),
-        col("shs")) ++ sigCols: _*)
-    // Band key = the raw 4-minhash tuple (an array column) — tuple
-    // equality is exactly the oracle's string-concat equality (the
-    // ','-join of decimals is injective) without materializing strings.
-    //
-    // VERIFY-IN-PLACE: each band row also carries its doc's sorted
-    // 60-bit token-hash array, so verification runs INSIDE the band
-    // join's output pipeline — a fused merge-scan intersection
-    // (graft_sorted_icnt) + integer threshold on each candidate as it
-    // is produced, no re-attach join afterwards. This removes the
-    // round-2 scale caveat (two broadcast joins shipping the ENTIRE
-    // mask table to every executor — impossible at web-scale vocab):
-    // each doc replicates only its OWN set to its ≤ Bands(×G) band
-    // rows, shuffle-bounded, no broadcast of any full relation, and no
-    // global dictionary anywhere. Measured at sf0.1 this is also the
-    // faster plan: the round-2 verify probed 4.15M candidate rows
-    // through two hash joins (3.2 s) fed by a 3-stage dictionary+mask
-    // build (3.8 s); now verification folds into the join's codegen'd
-    // projection and the distinct runs on the ~190k survivors only.
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        array((0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("bkey"))
-    }
-    val bands = sig
-      .select(col("doc_id"), col("sz"), col("shs"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("sz"), col("shs"), col("bs.band").as("band"),
-        col("bs.bkey").as("bkey"))
+    val bands = bandRows(s, Tables.documents(s, d))
     // HOT-BUCKET SKEW SPLIT (adaptive): on a dense corpus one band
     // bucket can hold a large fraction of the docs (measured 2.6k of 5k
     // at sf0.1 — 3.5M pair evaluations on the single task owning that
@@ -1012,9 +1021,114 @@ object Dedup {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q_dedup_incr
+  /** INCREMENTAL dedup screen — the daily-crawl production shape: a new
+    * batch (here: doc_id ≡ 0 mod 10 plays the incoming crawl; rest is
+    * the standing corpus) is LSH-screened against the corpus WITHOUT
+    * recomputing any corpus-corpus pair — the whole point of incremental
+    * ingest at 100 TB, where the corpus side's pair table is a settled
+    * artifact (q_dedup_persist) and each increment pays only
+    * batch×corpus band work. Both sides ride the shared signature front
+    * half ([[bandRows]]): same verify-in-place merge-scan discipline, no
+    * global dictionary, no full-relation broadcast.
+    *
+    * Skew: the asymmetric analogue of the pair build's adaptive
+    * hot-bucket split — corpus rows in a band bucket with > HotBucket
+    * members take a deterministic sub-group g ∈ [0,G); batch rows IN
+    * THOSE BUCKETS ONLY replicate once per group and the join adds
+    * g = p, spreading a dense bucket's batch×corpus work over G keys.
+    * Hot-bucket keys are detected with a window on the corpus side and
+    * reach the batch side through a (tiny by construction) bucket-key
+    * join that AQE broadcasts. Cold buckets — the overwhelming majority
+    * — join directly with zero replication. The split is a pure
+    * redistribution: each (batch, corpus) band collision meets exactly
+    * once, so the oracle models only the logical band join.
+    *
+    * Output: per batch doc with ≥1 verified corpus near-dup (Jaccard ≥
+    * 0.95 after 4-dp rounding, integer-exact threshold): how many
+    * corpus near-dups and the best score. The oracle reuses the
+    * IDENTICAL lshDupCtes chain and splits sides by the same mod-10
+    * predicate, so hash parity holds through the approximation. */
+  private def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
+    val docs = Tables.documents(s, d)
+    val batch = bandRows(s, docs.filter(pmod(col("doc_id"), lit(10L)) === 0))
+    val corpus = bandRows(s, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0))
+    val G = 8
+    val HotBucket = 256L
+    val sizedC = corpus.withColumn("bn", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey"))))
+    val coldC = sizedC.filter(col("bn") <= HotBucket)
+    val hotC = sizedC.filter(col("bn") > HotBucket)
+      .withColumn("g", pmod(TextOps.portableHash(
+        concat(lit("slt:"), col("doc_id").cast("string"))),
+        lit(G.toLong)).cast("int"))
+    val hotKeys = hotC.select(col("band"), col("bkey")).distinct()
+    val batchHot = batch.join(hotKeys, Seq("band", "bkey"))
+      .withColumn("p", explode(expr(s"sequence(0, ${G - 1})")))
+      .withColumn("p", col("p").cast("int"))
+    val batchCold = batch.join(hotKeys, Seq("band", "bkey"), "left_anti")
+    val sizeBand =
+      col("x.sz") * 949 <= col("y.sz") * 1000 &&
+        col("y.sz") * 949 <= col("x.sz") * 1000
+    val icnt = call_function("graft_sorted_icnt", col("x.shs"), col("y.shs"))
+    val verified = Seq(
+      col("x.doc_id").as("bdoc"), col("y.doc_id").as("cdoc"),
+      icnt.as("icnt"), col("x.sz").as("sz1"), col("y.sz").as("sz2"))
+    val coldCand = batchCold.as("x")
+      .join(coldC.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          sizeBand)
+      .select(verified: _*)
+    val hotCand = batchHot.as("x")
+      .join(hotC.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.p") === col("y.g") && sizeBand)
+      .select(verified: _*)
+    // integer-exact rounded threshold behind the typed pushdown barrier
+    // (see lshDupPairs — as a Column filter the merge-scan would sink
+    // into the join condition and evaluate interpreted, twice per row)
+    val sp2 = s
+    import sp2.implicits._
+    coldCand.union(hotCand)
+      .as[(Long, Long, Long, Long, Long)]
+      .filter(t => t._3 * 20000L >= (t._4 + t._5 - t._3) * 18999L)
+      .toDF("bdoc", "cdoc", "icnt", "sz1", "sz2")
+      .select(col("bdoc"), col("cdoc"),
+        dround(col("icnt").cast("double") /
+          (col("sz1") + col("sz2") - col("icnt")), 4).as("jaccard"))
+      .distinct()
+      .groupBy(col("bdoc").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(col("jaccard")).as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrSql =
+    s"""WITH $lshDupCtes,
+       |incr AS (
+       |  SELECT DISTINCT x.doc_id AS bdoc, y.doc_id AS cdoc
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+       |iver AS (
+       |  SELECT i.bdoc, h.jaccard
+       |  FROM (SELECT bdoc, cdoc,
+       |          least(bdoc, cdoc) AS id1, greatest(bdoc, cdoc) AS id2
+       |        FROM incr) i
+       |  JOIN hpairs h USING (id1, id2)
+       |  WHERE h.jaccard >= 0.95)
+       |SELECT bdoc AS doc_id, count(*) AS n_dups,
+       |  max(jaccard) AS best_jaccard
+       |FROM iver
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_dedup_pairs_build", dedupPairsBuild, None),
     QueryDef("q_cluster_rep", clusterRep, Some(clusterRepSql)),
+    QueryDef("q_dedup_incr", dedupIncr, Some(dedupIncrSql)),
     QueryDef("q_dedup_persist", dedupPersist, Some(dedupPersistSql)),
     QueryDef("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q_minhash_dup", minhashDup, Some(minhashDupSql)),

@@ -132,6 +132,18 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_dedup_incr screens batch against corpus through the band " +
+      "equi-join: no BNLJ, no cartesian, verify in place") {
+    val p = plan("q_dedup_incr")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the verify merge-scan must sit in the join's output projection,
+    // not ride a join condition (the interpreted-twice trap)
+    assert(!p.linesIterator.filter(_.contains("Join"))
+      .exists(_.contains("graft_sorted_icnt")),
+      "verify expression leaked into a join condition")
+  }
+
   test("q_boilerplate is join-free: two hash aggs and a window, grams " +
       "shuffle as hashes") {
     val p = plan("q_boilerplate")

@@ -97,22 +97,33 @@ object Bench {
     // (streaming drains and parquet sinks are already per-invocation
     // work).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // Wall-clock budget for EXTRA passes: on a pathological (host-noise)
+    // run a single pass can take 3x its normal time, and tripling that
+    // must not blow any outer harness timeout — after each pass, further
+    // passes run only while cumulative measured time stays under budget
+    // (min-of-whatever-completed is still far more stable than one pass).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_PASS_BUDGET", "300").toDouble
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // A failing query must be visible as a FAILURE, not timed as fast:
     // it reports -1 sec and lands in the "errors" map.
-    val perPass = (1 to passes).map { pass =>
-      if (pass > 1) graft.queries.Dedup.evictMemo(spark)
-      names.map { case (name, fn) =>
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+    val wall0 = System.nanoTime()
+    val perPass = (1 to passes).flatMap { pass =>
+      val elapsed = (System.nanoTime() - wall0) / 1e9
+      if (pass > 1 && elapsed > budgetSec) None
+      else Some {
+        if (pass > 1) graft.queries.Dedup.evictMemo(spark)
+        names.map { case (name, fn) =>
+          val g0 = gcMillis
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+          }
+          (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9,
+            (gcMillis - g0) / 1e3, err)
         }
-        (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9,
-          (gcMillis - g0) / 1e3, err)
       }
     }
     val results = names.indices.map { i =>
@@ -125,7 +136,7 @@ object Bench {
     def jmap(f: ((String, Double, Seq[Double], Double, Option[String])) => String) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2.toString)
-    val passMaps = (0 until passes).map(p =>
+    val passMaps = perPass.indices.map(p =>
       s""""queries_p${p + 1}":${jmap(_._3(p).toString)}""").mkString(",")
     val gcs = jmap(_._4.toString)
     val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"$k\":\"$m\"" }
@@ -137,7 +148,7 @@ object Bench {
     // pressure; a small stable count here (streaming memory sinks of the
     // final pass) proves the per-query release discipline held.
     val cachedAtEnd = spark.sparkContext.getPersistentRDDs.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"passes":$passes,$passMaps,"gc_sec":$gcTotal,"gc_queries":$gcs,"cached_rdds_at_end":$cachedAtEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"passes":${perPass.length},$passMaps,"gc_sec":$gcTotal,"gc_queries":$gcs,"cached_rdds_at_end":$cachedAtEnd,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -148,6 +148,101 @@ object Multimodal {
     }
   }
 
+  /** DCT-II basis for [[phash64]]: C(k,n) = √(2/N)·cos(π(2n+1)k/2N),
+    * row 0 scaled to √(1/N) — precomputed once per JVM. */
+  private val PhashN = 32
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = PhashN
+    Array.tabulate(n, n) { (k, x) =>
+      val s = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      s * math.cos(math.Pi * (2 * x + 1) * k / (2.0 * n))
+    }
+  }
+
+  /** REAL perceptual hash (classic DCT pHash) over decoded pixels:
+    * nearest-neighbor resample of the luminance plane to 32×32, 2-D
+    * DCT-II (separable, D = C·L·Cᵀ), keep the top-left 8×8
+    * low-frequency block minus the DC term, and set a bit per
+    * coefficient above the block median — 63 significant bits in a
+    * Long. Perceptually-close images (re-encodes, mild noise, small
+    * edits) land within a few bits; unrelated images differ in ~half.
+    * Pure JDK double math, fully deterministic. */
+  private[graft] def phash64(img: java.awt.image.BufferedImage): Long = {
+    val n = PhashN
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val rgb = img.getRGB(j * w / n, i * h / n)
+        lum(i)(j) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        j += 1
+      }
+      i += 1
+    }
+    // tmp = C·L ; d = tmp·Cᵀ (only the 8×8 corner of d is needed)
+    val tmp = Array.ofDim[Double](8, n)
+    var k = 0
+    while (k < 8) {
+      var x = 0
+      while (x < n) {
+        var acc = 0.0
+        var t = 0
+        while (t < n) { acc += dctBasis(k)(t) * lum(t)(x); t += 1 }
+        tmp(k)(x) = acc
+        x += 1
+      }
+      k += 1
+    }
+    val coef = new Array[Double](63)
+    var idx = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var acc = 0.0
+          var t = 0
+          while (t < n) { acc += tmp(u)(t) * dctBasis(v)(t); t += 1 }
+          coef(idx) = acc
+          idx += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone().sorted
+    val median = sorted(31) // 32nd smallest of 63
+    var hash = 0L
+    idx = 0
+    while (idx < 63) {
+      if (coef(idx) > median) hash |= (1L << idx)
+      idx += 1
+    }
+    hash
+  }
+
+  /** Batched decode → perceptual hash for IMAGE records: one
+    * mapPartitions pass (codec init amortized per task), emitting
+    * (media_id, source, phash). The dedup half then runs in Catalyst
+    * land — banding + popcount are plain integer expressions. */
+  def imagePhashes(ds: Dataset[MediaRecord]): Dataset[(Long, String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "image").mapPartitions { it =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null,
+          s"media_id=${r.media_id}: content is not a decodable image")
+        (r.media_id, r.source, phash64(img))
+      }
+    }
+  }
+
   /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the real
     * geometry of an image-resize stage (the pixel resampling itself
     * would live in the per-partition decode batch next to the codec;

@@ -96,8 +96,54 @@ object MultimodalQ {
       |  FROM base)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ----------------------------------------------------------------- n_phash_dup
+  /** IMAGE-LEVEL perceptual dedup — the multimodal half of the dedup
+    * suite: real PNG decode → real DCT pHash (Multimodal.phash64,
+    * 32×32 luminance DCT, 8×8 low-frequency block, median-thresholded
+    * bits) in one mapPartitions batch, then the SimHash banding trick
+    * in Catalyst land: the 64-bit hash splits into 4×16-bit chunks and
+    * by pigeonhole any pair at Hamming ≤ 3 agrees exactly on ≥ 1 chunk,
+    * so a (chunk, value) equi-join generates candidates without an
+    * all-pairs scan; bit_count(xor) verifies. Output: per-source image
+    * accounting (images, distinct hashes, verified within-source dup
+    * pairs) — the corpus report an image-dedup pass ships.
+    *
+    * No DuckDB oracle (no codec in SQL); MultimodalSpec pins the hash
+    * mechanics instead: identical rasters collide exactly, mild noise
+    * stays within the Hamming budget, unrelated images land far apart,
+    * and the fixture corpus accounting is internally consistent. */
+  private def phashDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ph = graft.operators.Multimodal.imagePhashes(
+      graft.operators.Multimodal.mediaFromDocuments(s, d))
+      .toDF("media_id", "source", "ph")
+    val chunks = ph.select(col("media_id"), col("source"), col("ph"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> struct(c AS c, shiftright(ph, CAST(c * 16 AS INT)) & 65535 AS v))"))
+        .as("ck"))
+      .select(col("media_id"), col("source"), col("ph"),
+        col("ck.c").as("c"), col("ck.v").as("v"))
+    val pairs = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.source") === col("y.source") &&
+          col("x.media_id") < col("y.media_id"))
+      .filter(bit_count(col("x.ph").bitwiseXOR(col("y.ph"))) <= 3)
+      .select(col("x.source").as("source"),
+        col("x.media_id").as("id1"), col("y.media_id").as("id2"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_pairs"))
+    ph.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("ph")).as("n_distinct_ph"))
+      .join(pairs, Seq("source"), "left")
+      .withColumn("n_dup_pairs", coalesce(col("n_dup_pairs"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("n_phash_dup", phashDup, None),
   )
 }

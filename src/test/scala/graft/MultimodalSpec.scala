@@ -91,6 +91,58 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  private def raster(w: Int, h: Int)(px: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash64: identical rasters collide, mild noise stays close, " +
+      "unrelated images land far apart") {
+    val base = raster(40, 30)((x, y) => (x * 5 + y * 3) % 256)
+    val same = raster(40, 30)((x, y) => (x * 5 + y * 3) % 256)
+    // mild noise: small gray shift on a sparse pixel grid
+    val noisy = raster(40, 30)((x, y) =>
+      ((x * 5 + y * 3) % 256) + (if ((x + y) % 7 == 0) 2 else 0))
+    // structurally different content
+    val other = raster(40, 30)((x, y) => (x * x * 13 + y * 29) % 256)
+    val hb = Multimodal.phash64(base)
+    assert(hb == Multimodal.phash64(same), "identical rasters must collide")
+    val hn = hamming(hb, Multimodal.phash64(noisy))
+    assert(hn <= 8, s"mild noise moved the hash $hn bits")
+    val ho = hamming(hb, Multimodal.phash64(other))
+    assert(ho >= 12, s"unrelated images only $ho bits apart")
+    // resolution robustness: the same pattern at 2x scale stays close
+    val scaled = raster(80, 60)((x, y) => ((x / 2) * 5 + (y / 2) * 3) % 256)
+    val hs = hamming(hb, Multimodal.phash64(scaled))
+    assert(hs <= 8, s"2x upscale moved the hash $hs bits")
+  }
+
+  test("n_phash_dup: per-source accounting is total and consistent") {
+    val rows = graft.SparkEntry.queries("n_phash_dup")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val nImages = rows.map(_.getAs[Long]("n_images")).sum
+    // fixture corpus: every doc_id % 3 == 0 document is an image
+    val expected = graft.sources.Tables.documents(spark, sfTiny)
+      .filter("doc_id % 3 = 0").count()
+    assert(nImages == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_ph") <= r.getAs[Long]("n_images"))
+      assert(r.getAs[Long]("n_dup_pairs") >= 0L)
+      // distinct texts at this SF produce distinct rasters; identical
+      // hashes would still be legitimate (pHash is lossy) but a dup
+      // EXPLOSION would mean the hash degenerated to a constant
+      assert(r.getAs[Long]("n_distinct_ph") > r.getAs[Long]("n_images") / 4,
+        s"pHash degenerating on ${r.getAs[String]("source")}")
+    }
+  }
+
   test("media content: images are real PNGs, audio/video carry the text") {
     val media = Multimodal.mediaFromDocuments(spark, sfTiny)
     val img = media.filter(_.media_id == 0L).head()

@@ -339,17 +339,32 @@ object Dedup {
           evictorsArmed.remove(appId)
           pairMemo.keys.filter(_._1.startsWith(appId + ":"))
             .foreach(pairMemo.remove)
+          memoRdds.keys.filter(_._1.startsWith(appId + ":"))
+            .foreach(memoRdds.remove)
         }
       })
     }
   }
-  /** Bench/test hook: drop this session's memo entries so a repeated
-    * in-process measurement pass re-pays (and re-times) the real pair
-    * build instead of memo-hitting — without this, a second pass would
-    * time n_dedup_pairs_build at ~0 s and per-query numbers would stop
-    * decomposing (round-3 verdict item 4's honesty contract). */
+  /** RDD ids of each memo entry's localCheckpoint blocks, tracked at
+    * build time so eviction can release the storage (dropping only the
+    * map entry would leave dead checkpoint blocks cached for the
+    * session's lifetime). */
+  private val memoRdds =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Set[Int]]
+
+  /** Bench/test hook: drop this session's memo entries — AND unpersist
+    * their checkpoint blocks — so a repeated in-process measurement pass
+    * re-pays (and re-times) the real pair build instead of memo-hitting;
+    * without this, a second pass would time n_dedup_pairs_build at ~0 s
+    * and per-query numbers would stop decomposing (round-3 verdict item
+    * 4's honesty contract). */
   def evictMemo(s: SparkSession): Unit =
-    pairMemo.keys.filter(_._1 == sessionKey(s)).foreach(pairMemo.remove)
+    pairMemo.keys.filter(_._1 == sessionKey(s)).foreach { k =>
+      pairMemo.remove(k)
+      memoRdds.remove(k).foreach(_.foreach(id =>
+        s.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))))
+    }
 
   private[queries] def lshDupPairsShared(s: SparkSession, d: String): DataFrame =
     if (!s.conf.get("spark.graft.dedup.pairMemo", "true").toBoolean) {
@@ -358,7 +373,13 @@ object Dedup {
       r
     } else pairMemo.getOrElseUpdate((sessionKey(s), d), {
       armEviction(s)
+      val before = s.sparkContext.getPersistentRDDs.keySet
       val memo = cutLineage(lshDupPairs(s, d))
+      // record which cached RDDs this build materialized (the checkpoint
+      // blocks; the build's own tracked caches are released just below,
+      // and unpersisting an already-released id is a harmless no-op)
+      memoRdds((sessionKey(s), d)) =
+        (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
       // the memo is an eagerly-materialized lineage cut — the build's
       // tracked caches are dead weight the moment it exists
       releaseCaches()

@@ -220,6 +220,104 @@ object BlockPairScan {
       .toDF("id1", "id2", "icnt", "sz1", "sz2")
   }
 
+  /** Sibling of [[tokenJaccardPairs]] thresholding CONTAINMENT —
+    * icnt / min(|A|,|B|) ≥ t — the asymmetric near-superset screen
+    * (quotes, excerpts, doc-in-doc concatenations) that a Jaccard
+    * threshold structurally misses: a small doc fully inside a huge one
+    * has jaccard ≈ |A|/|B| ≈ 0 but containment 1. NO size band (wildly
+    * different sizes are exactly the interesting case); the threshold
+    * is integer-exact (icnt·10⁴ ≥ min·tE4 ⟺ icnt/min ≥ t for t with
+    * ≤ 4 decimals — both sides integers, no rounding step needed).
+    * Same B×B grid, local dictionary, and packed-word popcount as the
+    * Jaccard form; quadratic flops by ground-truth contract — the
+    * sub-quadratic production screen for containment is prefix
+    * filtering over GLOBAL token frequencies (PPJoin-style), worth its
+    * own operator when a Zipfian vocabulary makes rare-token prefixes
+    * selective (this fixture corpus's ~30-word vocabulary would
+    * degenerate it to all-pairs). */
+  def tokenContainmentPairs(raw: Dataset[(Long, Array[String])],
+      tE4: Int, blocks: Int = 0): DataFrame = {
+    val sp = raw.sparkSession
+    import sp.implicits._
+    val b = if (blocks > 0) blocks else blockCount(raw)
+    raw.flatMap { case (id, toks) =>
+      val bi = (((id % b) + b) % b).toInt
+      (0 until b).map { o =>
+        val k = if (o < bi) (o, bi) else (bi, o)
+        (k, (bi, id, toks))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int),
+          it: Iterator[((Int, Int), (Int, Long, Array[String]))]) =>
+        val xs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
+        val ys = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
+        it.foreach { case (_, (bi, id, toks)) =>
+          if (bi == key._1) xs += ((id, toks)) else ys += ((id, toks))
+        }
+        val diag = key._1 == key._2
+        val ba = xs
+        val bb = if (diag) xs else ys
+        val dict = new java.util.HashMap[String, Integer]()
+        def assign(docs: scala.collection.Seq[(Long, Array[String])]): Unit =
+          docs.foreach { case (_, toks) =>
+            var i = 0
+            while (i < toks.length) {
+              if (!dict.containsKey(toks(i))) dict.put(toks(i), dict.size)
+              i += 1
+            }
+          }
+        assign(ba); if (!diag) assign(bb)
+        val w = (dict.size + 63) >>> 6
+        def pack(docs: scala.collection.Seq[(Long, Array[String])])
+            : (Array[Long], Array[Long], Array[Array[Long]]) = {
+          val n = docs.length
+          val ids = new Array[Long](n); val szs = new Array[Long](n)
+          val masks = new Array[Array[Long]](n)
+          var i = 0
+          while (i < n) {
+            val (id, toks) = docs(i)
+            val m = new Array[Long](w)
+            var j = 0
+            while (j < toks.length) {
+              val t = dict.get(toks(j)).intValue()
+              m(t >>> 6) |= 1L << (t & 63)
+              j += 1
+            }
+            ids(i) = id; szs(i) = toks.length.toLong; masks(i) = m
+            i += 1
+          }
+          (ids, szs, masks)
+        }
+        val (aIds, aSzs, aMasks) = pack(ba)
+        val (bIds, bSzs, bMasks) =
+          if (diag) (aIds, aSzs, aMasks) else pack(bb)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < aIds.length) {
+          val ida = aIds(i); val sa = aSzs(i); val ma = aMasks(i)
+          var j = if (diag) i + 1 else 0
+          while (j < bIds.length) {
+            val sb = bSzs(j)
+            val mb = bMasks(j)
+            var icnt = 0L
+            var k = 0
+            while (k < w) { icnt += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
+            if (icnt * 10000L >= math.min(sa, sb) * tE4) {
+              val idb = bIds(j)
+              if (ida < idb) out += ((ida, idb, icnt, sa, sb))
+              else out += ((idb, ida, icnt, sb, sa))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id1", "id2", "icnt", "sz1", "sz2")
+  }
+
   /** (id, packed bitset words, set size = popcount of own mask) */
   private type BS = (Long, Array[Long], Long)
 

@@ -129,7 +129,7 @@ object Dedup {
     // cost buys nothing.
     val dict = tracked(
       sets.select(col("tok")).distinct()
-        .as[String].rdd.zipWithIndex.toDF("tok", "tid"))
+        .as[String].rdd.zipWithIndex().toDF("tok", "tid"))
     val w = ((dict.count() + 63) / 64).toInt
     // One codegen'd hash aggregation builds all W words directly:
     // mask[i] = Σ bit over tokens whose id falls in word i (distinct
@@ -373,13 +373,13 @@ object Dedup {
       r
     } else pairMemo.getOrElseUpdate((sessionKey(s), d), {
       armEviction(s)
-      val before = s.sparkContext.getPersistentRDDs.keySet
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       val memo = cutLineage(lshDupPairs(s, d))
       // record which cached RDDs this build materialized (the checkpoint
       // blocks; the build's own tracked caches are released just below,
       // and unpersisting an already-released id is a harmless no-op)
       memoRdds((sessionKey(s), d)) =
-        (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+        s.sparkContext.getPersistentRDDs.keySet.toSet -- before
       // the memo is an eagerly-materialized lineage cut — the build's
       // tracked caches are dead weight the moment it exists
       releaseCaches()
@@ -877,7 +877,7 @@ object Dedup {
     // sum() over an empty frame is NULL — an edgeless graph (no near
     // dups at all) must yield an empty result, not an unboxing NPE
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).head.get(0))
+      Option(df.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var converged = prevSum == 0L && labels.isEmpty
@@ -1042,6 +1042,64 @@ object Dedup {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q_containment
+  /** CONTAINMENT near-superset screen — the asymmetric dedup signal a
+    * Jaccard threshold structurally misses: a short doc fully quoted
+    * inside a long one has jaccard ≈ |A|/|B| ≈ 0 but containment
+    * |A∩B|/min(|A|,|B|) = 1 (excerpts, doc-in-doc concatenations,
+    * boilerplate-wrapped reposts). Exact ground-truth form over the
+    * B×B block-pair grid (BlockPairScan.tokenContainmentPairs — no
+    * size band: wildly different sizes are exactly the interesting
+    * case), integer-exact threshold 0.95 on token sets. Per contained
+    * doc (the SMALLER side; equal sizes ⇒ the larger id): how many
+    * hosts contain it and the best score — the report a curation pass
+    * acts on. The oracle runs the identical intersection counts over
+    * the distinct token relation. */
+  private def containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .as[(Long, Array[String])]
+    graft.operators.BlockPairScan.tokenContainmentPairs(raw, 9500)
+      .select(
+        when(col("sz1") < col("sz2"), col("id1"))
+          .when(col("sz2") < col("sz1"), col("id2"))
+          .otherwise(greatest(col("id1"), col("id2"))).as("doc_id"),
+        dround(col("icnt").cast("double") /
+          least(col("sz1"), col("sz2")), 4).as("containment"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hosts"),
+        max(col("containment")).as("best_containment"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val containmentSql =
+    s"""WITH sets AS ($tokSetSql),
+       |hsz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS icnt
+       |  FROM sets a JOIN sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ia, ib, icnt, s1.sz AS sa, s2.sz AS sb
+       |  FROM inter JOIN hsz s1 ON ia = s1.doc_id
+       |             JOIN hsz s2 ON ib = s2.doc_id
+       |  WHERE icnt * 10000 >= least(s1.sz, s2.sz) * 9500),
+       |norm AS (
+       |  SELECT CASE WHEN sa < sb THEN ia
+       |              WHEN sb < sa THEN ib
+       |              ELSE greatest(ia, ib) END AS doc_id,
+       |    round(icnt / CAST(least(sa, sb) AS DOUBLE), 4) AS containment
+       |  FROM pairs)
+       |SELECT doc_id, count(*) AS n_hosts,
+       |  max(containment) AS best_containment
+       |FROM norm
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q_dedup_incr
   /** INCREMENTAL dedup screen — the daily-crawl production shape: a new
     * batch (here: doc_id ≡ 0 mod 10 plays the incoming crawl; rest is
@@ -1149,6 +1207,7 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_dedup_pairs_build", dedupPairsBuild, None),
     QueryDef("q_cluster_rep", clusterRep, Some(clusterRepSql)),
+    QueryDef("q_containment", containment, Some(containmentSql)),
     QueryDef("q_dedup_incr", dedupIncr, Some(dedupIncrSql)),
     QueryDef("q_dedup_persist", dedupPersist, Some(dedupPersistSql)),
     QueryDef("q_dup_clusters", dupClusters, Some(dupClustersSql)),

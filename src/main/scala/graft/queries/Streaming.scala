@@ -243,7 +243,33 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------------------- n_stream_static
+  /** STREAM-STATIC enrichment join — the lookup-table pattern every
+    * production stream runs (enrich events against a slowly-changing
+    * dimension): the events stream joins the STATIC customer table on
+    * user_id = c_custkey, then aggregates value by market segment.
+    * Structurally different from n_stream_join (stream-stream, two
+    * state stores per side): the static side holds NO streaming state —
+    * Spark re-plans it per micro-batch as an ordinary batch relation,
+    * so a small dim broadcast-joins each batch and a huge one falls
+    * back to shuffle, exactly like the batch planner decides. At 100 TB
+    * /day the dim refresh cadence is a reload of the static frame (or a
+    * Delta/Iceberg table picked up per batch), not a state rebuild.
+    * Batch equivalence asserted in StreamingSpec. */
+  private def streamStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    drain(s,
+      eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      "complete")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("n_stream_static", streamStatic, None),
     QueryDef("n_stream_tumble", streamTumble, None),
     QueryDef("n_stream_session", streamSession, None),
     QueryDef("n_stream_dedup_state", streamDedupState, None),

@@ -21,6 +21,23 @@ class StreamingSpec extends GraftSpec {
     assert(stream == batch)
   }
 
+  test("n_stream_static (stream-static enrichment join) equals batch") {
+    val stream = graft.SparkEntry.queries("n_stream_static")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Tables.events(spark, sfTiny)
+      .join(Tables.customer(spark, sfTiny)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(stream == batch)
+  }
+
   test("n_stream_sink (foreachBatch → partitioned parquet) equals batch") {
     val sink = graft.SparkEntry.queries("n_stream_sink")(spark, sfTiny)
       .selectExpr("w_start", "event_type", "n").collect()

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The `spark.sql.extensions` registration path: a session built with
+  * [[GraftExtensions]] must expose the native expressions to plain SQL
+  * (the cluster-wide `--conf spark.sql.extensions=graft.GraftExtensions`
+  * story) — distinct from the per-session `register(s)` helpers the
+  * query modules call themselves. */
+class ExtensionsSpec extends GraftSpec {
+
+  test("GraftExtensions registers the native expressions for SQL use") {
+    val old = spark // force TestSession's session (and context) to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // builder only applies extensions when it CREATES a session; with the
+    // default cleared it builds a fresh session over the EXISTING context
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+          "                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
+          "       graft_sorted_icnt(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i," +
+          "       graft_dot_fd(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+          "                    array(CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS fd")
+        .head()
+      assert(math.abs(r.getDouble(0) - 11.0) < 1e-9)
+      assert(r.getLong(1) == 2L)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      // the plain shared session must NOT have picked up the functions
+      // through this path alone (they arrive there via register(s))
+      assert(s2 ne old)
+    } finally {
+      // do NOT stop s2 — it shares TestSession's SparkContext
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}

@@ -14,7 +14,7 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     Relational.all ++ Etl.all ++ Windows.all ++ Text.all ++ Dedup.all ++
       Similarity.all ++ Streaming.all ++ UdfSurface.all ++ MultimodalQ.all ++
-      ApproxAgg.all ++ Sampling.all
+      ApproxAgg.all ++ Sampling.all ++ Corpus.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -145,8 +145,15 @@ object Bench {
     val gcTotal = results.map(_._4).sum
     val nFail = results.count(_._5.isDefined)
     // Leaked cache storage would re-create round-3's run-long memory
-    // pressure; a small stable count here (streaming memory sinks of the
-    // final pass) proves the per-query release discipline held.
+    // pressure. Release the two DOCUMENTED session-lifetime holders —
+    // the dedup pair-table memo (a materialized view by design) and the
+    // streaming memory-sink temp views (a test harness by design) — so
+    // the count below is exactly the LEAK count: anything nonzero is a
+    // query that failed to release storage it owns.
+    graft.queries.Dedup.evictMemo(spark)
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
     val cachedAtEnd = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"passes":${perPass.length},$passMaps,"gc_sec":$gcTotal,"gc_queries":$gcs,"cached_rdds_at_end":$cachedAtEnd,"sf":"$sfDir"}""")
     spark.stop()

@@ -112,7 +112,10 @@ object Bench {
       val elapsed = (System.nanoTime() - wall0) / 1e9
       if (pass > 1 && elapsed > budgetSec) None
       else Some {
-        if (pass > 1) graft.queries.Dedup.evictMemo(spark)
+        if (pass > 1) {
+          graft.queries.Dedup.evictMemo(spark)
+          graft.operators.Bucketing.evict(spark)
+        }
         names.map { case (name, fn) =>
           val g0 = gcMillis
           val t0 = System.nanoTime()
@@ -151,6 +154,7 @@ object Bench {
     // the count below is exactly the LEAK count: anything nonzero is a
     // query that failed to release storage it owns.
     graft.queries.Dedup.evictMemo(spark)
+    graft.operators.Bucketing.evict(spark)
     spark.catalog.listTables().collect()
       .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
       .foreach(t => spark.catalog.dropTempView(t.name))

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.sources.Tables
+
+/** Bucketed-table layout — the co-located-join technique that deletes
+  * the shuffle from a large⋈large equi-join: both sides are written
+  * ONCE, hash-clustered into the same number of buckets on their join
+  * key, and every subsequent join on that key reads matching buckets
+  * pairwise with NO Exchange on either side (Spark recognizes the
+  * scan's `HashPartitioning` as satisfying the join's distribution
+  * requirement). At 100 TB this converts the nightly fact⋈fact join
+  * from the cluster's largest shuffle into a partition-local merge —
+  * the layout cost is paid once per snapshot, amortized over every
+  * downstream query.
+  *
+  * Each side is `repartition(N, key)` before the write so every bucket
+  * is exactly ONE file — the layout a downstream engine can trust for
+  * sorted-scan reads (Spark itself re-sorts within the partition unless
+  * the legacy `bucketedTableScan.outputOrdering` flag is set; the
+  * Exchange, which is the cost that matters at scale, is gone either
+  * way, and PlanSpec pins exactly that).
+  *
+  * The written tables are memoized per (application, dataset dir) —
+  * the same once-per-snapshot contract as the dedup pair-table memo;
+  * [[evict]] is the bench/test hook that drops them so a fresh pass
+  * re-pays (and re-times) the layout cost.
+  */
+object Bucketing {
+
+  val NumBuckets = 8
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** Returns catalog table names `(lineitemBucketed, ordersBucketed)`,
+    * writing them on first use for this (application, dir). */
+  def bucketedJoinTables(s: SparkSession, d: String): (String, String) =
+    built.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits & Long.MaxValue)
+      val li = s"graft_li_bkt_$tag"
+      val ord = s"graft_ord_bkt_$tag"
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toFile.getAbsolutePath
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartition(NumBuckets, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$li").saveAsTable(li)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(NumBuckets, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$ord").saveAsTable(ord)
+      (li, ord)
+    })
+
+  /** Bench/test hook: drop this application's bucketed tables and memo
+    * entries so a repeated measurement pass re-times the real layout
+    * write (the round-3 per-query-decomposition honesty contract). */
+  def evict(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
+    built.keys.filter(_._1 == appId).foreach { k =>
+      built.remove(k).foreach { case (li, ord) =>
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $ord")
+      }
+    }
+  }
+}

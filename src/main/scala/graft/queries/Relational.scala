@@ -169,6 +169,39 @@ object Relational {
       |WHERE p_brand = 'Brand#1'
       |ORDER BY l_orderkey, l_linenumber, price, p_name""".stripMargin
 
+  // ------------------------------------------------------------ q_join_bucketed
+  /** Co-located large⋈large join over bucketed tables — the layout
+    * answer where q_join_broadcast's answer (ship the small side) stops
+    * applying because NEITHER side is small. Both sides are written once
+    * hash-clustered into the same bucket count on the join key
+    * (operators/Bucketing.scala); the join then reads matching buckets
+    * pairwise with NO Exchange on either side — at 100 TB that deletes
+    * the largest shuffle in the pipeline, paid for by a once-per-
+    * snapshot layout write amortized over every downstream join on the
+    * key. PlanSpec pins the zero-shuffle shape; the bench timing
+    * includes the layout write each pass (the memo is evicted between
+    * passes), so the number reported is the honest first-query cost.
+    * The oracle sees straight parquet — bucketing changes the physical
+    * plan, never the result. */
+  private def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = graft.operators.Bucketing.bucketedJoinTables(s, d)
+    s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dround(sum(col("l_quantity")), 2).as("sum_qty"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinBucketedSql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------------- q_join_multi
   /** TPC-H Q5-shaped 5-way join chain: lineitem⋈orders⋈customer⋈nation⋈region.
     * Scale: nation/region broadcast (tiny), customer broadcast at small SF /
@@ -824,6 +857,7 @@ object Relational {
     QueryDef("q_sort_limit", sortLimit, Some(sortLimitSql)),
     QueryDef("q_join_inner", joinInner, Some(joinInnerSql)),
     QueryDef("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
+    QueryDef("q_join_bucketed", joinBucketed, Some(joinBucketedSql)),
     QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),
     QueryDef("q_join_outer", joinOuter, Some(joinOuterSql)),
     QueryDef("q_join_semi_anti", joinSemiAnti, Some(joinSemiAntiSql)),

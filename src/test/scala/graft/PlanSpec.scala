@@ -164,4 +164,32 @@ class PlanSpec extends GraftSpec {
       "q_perplexity_bucket re-introduced a broadcast hint")
     df.count()
   }
+
+  test("bucketed join is a zero-Exchange sort-merge join") {
+    // the whole point of the bucketed layout: when broadcast is off the
+    // table (both sides large), the join must read matching buckets
+    // pairwise with NO shuffle on either side
+    val (li, ord) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.functions.col
+      val p = spark.table(li)
+        .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join shuffled — layout not recognized:\n${p.take(2000)}")
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      // (an in-partition Sort remains: Spark 3+ doesn't trust written
+      // bucket-file order unless the legacy outputOrdering flag is set —
+      // the scale cost was the Exchange, which is gone)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{BitsetIntersectCount, DotProductF, DotProductFD, SortedIntersectCount}
+import graft.functions.{BitsetIntersectCount, BloomContains, DotProductF, DotProductFD, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -27,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_icnt"),
       SortedIntersectCount.info,
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      BloomContains.info,
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

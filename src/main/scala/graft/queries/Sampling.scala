@@ -213,16 +213,23 @@ object Sampling {
     * keep the collision expectation ≪ 1 through corpus-scale gram
     * counts (~2⁻⁶⁰·n²/2); a production screen can rehash survivors on
     * the raw gram for certainty — the flagged set here is tiny. */
-  private def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val Holdout = "src0"
+  /** (doc_id, source, gh): every sliding 8-token gram of every doc as a
+    * 60-bit md5-prefix hash — the shared front half of the exact
+    * (q_decontaminate) and bloom (n_bloom_decontam) screens. */
+  private def gramHashes(s: SparkSession, d: String): DataFrame = {
     val N = 8
-    val grams = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("ts", TextOps.tokens(col("text")))
       .filter(size(col("ts")) >= N)
       .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(1), size(col("ts")) - (N - 1)),
           i => conv(substring(md5(concat_ws(" ", slice(col("ts"), i, lit(N)))), 1, 15),
             16, 10).cast("bigint"))).as("gh"))
+  }
+
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val Holdout = "src0"
+    val grams = gramHashes(s, d)
     val bench = grams.filter(col("source") === Holdout)
       .select(col("gh")).distinct().withColumn("is_ev", lit(1))
     grams.filter(col("source") =!= Holdout)
@@ -260,10 +267,51 @@ object Sampling {
       |WHERE n_hits > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- n_bloom_decontam
+  /** Bloom-filter decontamination — the SPACE-BOUNDED form of
+    * q_decontaminate for when the benchmark side must not be shuffled
+    * against the corpus at all: the held-out set's gram hashes are
+    * folded into ONE Bloom sketch (distributed `stat.bloomFilter`
+    * treeAggregate; ~24 bits/item at fpp=1e-5, so even a 10M-gram eval
+    * suite is a ~30 MB broadcast), and the corpus probes it at scan
+    * speed through the codegen'd `graft_bloom_contains` expression — no
+    * join, no shuffle of the corpus grams, one aggregation for the
+    * per-doc verdict. One-sided error: every exact hit is flagged
+    * (no false negatives), a ~1e-5 per-gram false-positive rate adds a
+    * bounded sliver of over-flagging — the right trade for a screen
+    * whose flagged set is re-checked exactly anyway (SamplingSpec pins
+    * the superset relation against q_decontaminate and the FP budget).
+    * No oracle: the FP set is implementation-defined (seed/hash of the
+    * sketch), so correctness is spec-verified against the exact screen
+    * instead. */
+  private def bloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val Holdout = "src0"
+    graft.functions.BloomContains.register(s)
+    val grams = gramHashes(s, d)
+    val bench = grams.filter(col("source") === Holdout).select(col("gh"))
+    val nBench = bench.count()
+    val bf = bench.stat.bloomFilter("gh", math.max(nBench, 1000L), 1e-5)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    grams.filter(col("source") =!= Holdout)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(call_function("graft_bloom_contains", lit(bytes), col("gh")),
+          1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contam_frac",
+        dround(col("n_hits").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_temp_resample", tempResample, Some(tempResampleSql)),
     QueryDef("q_corpus_curate", corpusCurate, Some(corpusCurateSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("n_bloom_decontam", bloomDecontam, None),
   )
 }

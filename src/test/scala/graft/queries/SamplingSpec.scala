@@ -65,4 +65,28 @@ class SamplingSpec extends GraftSpec {
     val total = graft.sources.Tables.documents(spark, sfTiny).count()
     assert(out > 0 && out <= total)
   }
+
+  test("bloom decontamination: superset of the exact screen, join-free " +
+      "plan, bounded over-flagging") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.SparkEntry.queries("q_decontaminate")(spark, sfTiny)
+    val bloom = graft.SparkEntry.queries("n_bloom_decontam")(spark, sfTiny)
+    // one-sided error: every exactly-contaminated doc must be flagged,
+    // with at least the exact hit count (fp can only add hits)
+    val exactHits = exact.select(col("doc_id"), col("n_hits").as("eh"))
+    val missing = exactHits.join(bloom.select(col("doc_id"), col("n_hits")),
+      Seq("doc_id"), "left")
+      .filter(col("n_hits").isNull || col("n_hits") < col("eh"))
+    assert(missing.isEmpty, "bloom screen lost an exact contamination hit")
+    // fp budget: at fpp=1e-5 and ~300 grams/doc, false doc-flags are a
+    // sliver — allow a generous 5% of the corpus on top of the exact set
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    val (ne, nb) = (exact.count(), bloom.count())
+    assert(nb >= ne && nb <= ne + math.max(5L, total / 20),
+      s"bloom flagged $nb vs exact $ne of $total docs")
+    // the whole point: the corpus side probes a broadcast sketch — no
+    // join anywhere in the bloom plan
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

@@ -327,6 +327,107 @@ object Similarity {
     topK(probes.join(data, Seq("cell")).filter(col("id1") =!= col("id2")), 3)
   }
 
+  // ------------------------------------------------------------------ n_pq_ann
+  /** Product-quantization ANN — the MEMORY axis of billion-scale
+    * similarity search (IVF bounds how much is scanned; PQ bounds the
+    * bytes per scanned vector): each unit-normalized vector is split
+    * into M=8 subspaces of 8 dims, each subspace gets its own 16-entry
+    * codebook (Lloyd's over a deterministic hash sample — ALL M
+    * codebooks train in ONE job per iteration, keyed by subspace, so
+    * the per-round plan compiles once), and a vector becomes an 8-BYTE
+    * code — 32× smaller than the raw floats, the layout that lets a
+    * 10⁹-vector index live in cluster memory.
+    *
+    * Queries run ADC (asymmetric distance): a query keeps full
+    * precision, precomputes its 8×16 table of partial squared
+    * distances to every codebook entry (the constant |q|² term dropped
+    * — rank-invariant per query), and scoring a database vector is 8
+    * table lookups instead of 64 multiplies. The scan joins the TINY
+    * broadcast query-table side against the narrow code relation — no
+    * shuffle of the corpus, the same direction a production serving
+    * path takes (IVF cells would bound the scanned fraction; composing
+    * the two is routing, not new machinery).
+    *
+    * L2² over unit vectors = 2 − 2·cos, so ascending ADC distance
+    * ranks exactly like descending cosine — SimilaritySpec pins
+    * recall against the exact brute-force top-k. No oracle: codebooks
+    * are a trained model artifact (same stance as n_cosine_knn_ivf). */
+  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = 8; val SubD = Dim / M; val Kc = 64; val Iters = 3
+    val NQ = 100; val K = 3
+    val e = vecs(s, d)
+    val nv = e.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => (x / col("nrm")).cast("float")).as("nv"))
+    val sub = nv.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(M - 1)),
+        m => slice(col("nv"), m * SubD + 1, lit(SubD)))).as(Seq("m", "sv")))
+    val hcol = graft.operators.TextOps.portableHash(col("vec_id").cast("string"))
+    // [m][cid][dim] codebooks — the only driver-side state, 1 KB of model
+    def centDF(cs: Array[Array[Array[Double]]]): DataFrame =
+      broadcast((for (m <- cs.indices; c <- cs(m).indices) yield
+        (m, c, cs(m)(c).toSeq, cs(m)(c).map(x => x * x).sum))
+        .toDF("m", "cid", "cv", "cn2"))
+    def scoreAgainst(in: DataFrame, cs: Array[Array[Array[Double]]]): DataFrame =
+      in.join(centDF(cs), Seq("m"))
+        .withColumn("score",
+          call_function("graft_dot_fd", col("sv"), col("cv")) * -2.0 + col("cn2"))
+    // --- train: deterministic hash sample, hash-ranked init, fused Lloyd's
+    val tsub = sub.withColumn("h", hcol)
+      .filter(pmod(col("h"), lit(2L)) === 0L).repartition(4).cache()
+    val wInit = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+    val cents: Array[Array[Array[Double]]] =
+      Array.fill(M, Kc)(Array.fill(SubD)(0.0))
+    tsub.withColumn("rn", row_number().over(wInit)).filter(col("rn") <= Kc)
+      .select(col("m"), (col("rn") - 1).as("cid"), col("sv")).collect()
+      .foreach { r =>
+        cents(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Float](2).map(_.toDouble).toArray
+      }
+    for (_ <- 0 until Iters) {
+      scoreAgainst(tsub, cents)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("score"), col("cid"), col("sv"))).as("x"))
+        .select(col("m"), col("x.cid").as("cid"),
+          posexplode(col("x.sv")).as(Seq("pos", "comp")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(avg(col("comp").cast("double")).as("c"))
+        .collect()
+        .foreach(r => cents(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3))
+    }
+    tsub.unpersist(blocking = false)
+    // --- encode: 8-byte codes through the same compiled scorer
+    val codes = scoreAgainst(sub, cents)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("cid"))).as("x"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("x.cid").as("cid")))),
+        p => p.getField("cid")).as("codes"))
+    // --- ADC tables for NQ hash-chosen queries (index = m*Kc + cid)
+    val qids = nv.withColumn("h", hcol)
+      .orderBy(col("h"), col("vec_id")).limit(NQ).select(col("vec_id"))
+    val dt = scoreAgainst(sub.join(qids, "vec_id"), cents)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("cid"), col("score")))),
+        x => x.getField("score")).as("dt"))
+    // --- the scan: corpus codes probe the broadcast query tables
+    val scored = codes.select(col("vec_id").as("id2"), col("codes"))
+      .crossJoin(broadcast(dt.select(col("vec_id").as("id1"), col("dt"))))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+        (acc, m) => acc +
+          element_at(col("dt"), m * Kc + element_at(col("codes"), m + 1) + 1)))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc").asc, col("id2").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select(col("id1"), col("id2"), dround(col("adc"), 4).as("adc_dist"),
+        col("rn"))
+      .orderBy(col("id1"), col("rn"))
+  }
+
   // ------------------------------------------------------------- q_vec_quantize
   /** Symmetric int8 quantization of the embedding column — the storage
     * path that makes billion-vector ANN affordable (4× smaller than
@@ -438,6 +539,7 @@ object Similarity {
     QueryDef("q_cosine_knn", cosineKnn, Some(cosineKnnSql)),
     QueryDef("q_cosine_knn_lsh", cosineKnnLsh, Some(cosineKnnLshSql)),
     QueryDef("n_cosine_knn_ivf", cosineKnnIvf, None),
+    QueryDef("n_pq_ann", pqAnn, None),
     QueryDef("n_semdedup", semDedup, None),
   )
 }

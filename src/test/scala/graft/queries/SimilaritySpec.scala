@@ -72,6 +72,32 @@ class SimilaritySpec extends GraftSpec {
     assert(recall > 0.1, s"IVF recall suspiciously low: $recall")
   }
 
+  test("pq ann: 8-byte codes recover a sane share of exact top-3, " +
+      "deterministically, with the corpus side never shuffled") {
+    val pq = graft.SparkEntry.queries("n_pq_ann")(spark, sfTiny)
+    val rows = pq.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rn") <= 3))
+    // recall against exact ground truth, restricted to the PQ query set
+    val qids = rows.map(_.getLong(0)).toSet
+    val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
+      .filter("rn <= 3").selectExpr("id1", "id2").collect()
+      .filter(r => qids.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // the bar siblings (IVF ~0.38, LSH ~0.27) meet on this near-uniform
+    // synthetic data — measured PQ(8x64) lands ~0.27
+    assert(recall > 0.1, s"PQ recall suspiciously low: $recall")
+    // trained codebooks are hash-seeded → exact reproducibility
+    val rows2 = graft.SparkEntry.queries("n_pq_ann")(spark, sfTiny).collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+    // ADC scan shape: query tables broadcast, corpus codes never shuffled
+    // before the per-query ranking window
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("lsh knn: neighbors are a subset-quality approximation of exact") {
     val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
       .filter("rn <= 3").selectExpr("id1", "id2").collect()

@@ -213,6 +213,65 @@ object Streaming {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  // ------------------------------------------------------------- n_stream_upsert
+  /** Keyed UPSERT sink — the merge pattern a serving table needs when
+    * the stream updates KEYS rather than appending facts (latest event
+    * per user here): the aggregation runs in UPDATE mode so each
+    * micro-batch emits only the keys that changed, and `foreachBatch`
+    * merges them into a bucket-partitioned parquet table under DYNAMIC
+    * partition overwrite — surviving rows of DIRTY buckets are kept via
+    * an anti-join, clean buckets are never read or rewritten. That
+    * bounds per-batch write amplification by the touched key-space
+    * (batch keys / B buckets), not the table size — the table-format-
+    * free upsert a Delta/Iceberg MERGE replaces at the next rung of the
+    * tooling ladder. The returned frame re-reads the table from disk,
+    * so the spec's batch-equivalence check (last event per user) audits
+    * the on-disk merge result, not the in-memory stream. */
+  private def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val B = 16
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_upsert_${UUID.randomUUID().toString.replace("-", "")}").getAbsolutePath
+    withStreamConf(s) {
+      eventsStream(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("ts"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          round(col("last.value"), 2).as("value"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val bk = batch.withColumn("bkt",
+            pmod(col("user_id"), lit(B.toLong)).cast("int"))
+          val dirty = bk.select(col("bkt")).distinct()
+            .collect().map(_.getInt(0)) // ≤B scalars: a pruning decision
+          val merged =
+            if (new java.io.File(out).exists()) {
+              val prev = sp.read.parquet(out).drop("bkt")
+                .withColumn("bkt", pmod(col("user_id"), lit(B.toLong)).cast("int"))
+              prev.filter(col("bkt").isin(dirty.map(Integer.valueOf): _*))
+                .join(bk.select(col("user_id")), Seq("user_id"), "left_anti")
+                .unionByName(bk)
+            } else bk
+          val prevMode =
+            sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+          try {
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.repartition(col("bkt"))
+              .write.mode("overwrite").partitionBy("bkt").parquet(out)
+          } finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    s.read.parquet(out)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
   // --------------------------------------------------------------- n_stream_join
   /** Stream-stream interval join: purchases within 10 minutes AFTER a
     * click by the same user. Both sides carry watermarks and the join
@@ -275,6 +334,7 @@ object Streaming {
     QueryDef("n_stream_dedup_state", streamDedupState, None),
     QueryDef("n_stream_custom_state", streamCustomState, None),
     QueryDef("n_stream_sink", streamSink, None),
+    QueryDef("n_stream_upsert", streamUpsert, None),
     QueryDef("n_stream_join", streamJoin, None),
   )
 }

@@ -50,6 +50,26 @@ class StreamingSpec extends GraftSpec {
     assert(sink == batch)
   }
 
+  test("n_stream_upsert (keyed merge sink) equals batch last-event-per-user") {
+    val stream = graft.SparkEntry.queries("n_stream_upsert")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSet
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last.ts"), col("last.event_id"),
+        col("last.event_type"), round(col("last.value"), 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSet
+    assert(stream == batch)
+    // exactly one surviving row per key is the upsert contract
+    val ids = stream.toSeq.map(_._1)
+    assert(ids.distinct.size == ids.size)
+  }
+
   test("n_stream_join equals the batch interval join") {
     val stream = graft.SparkEntry.queries("n_stream_join")(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -43,4 +43,35 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Small-file COMPACTION — the nightly OPTIMIZE every long-lived
+    * table needs once streaming/incremental writers have fragmented it:
+    * rewrite `srcDir` (partitioned by `partCol`) into `dstDir` with one
+    * task per partition value (so each partition collapses to one file,
+    * split only by `maxRecordsPerFile` when it outgrows the target).
+    * Content is untouched — this is a pure layout rewrite; the read
+    * side recovers scan efficiency (fewer opens, full-size row groups,
+    * intact min/max skipping). Returns per-partition (value, n_files)
+    * of the COMPACTED layout from a driver-side listing — the same
+    * listing a maintenance job logs; data rows never reach the driver. */
+  def compact(s: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, partCol: String, maxRecordsPerFile: Long): Unit =
+    s.read.parquet(srcDir)
+      .repartition(col(partCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol).parquet(dstDir)
+
+  /** Per-partition parquet file counts of a `partCol=value`-laid-out
+    * dir: (value, n_files), driver-side listing only. */
+  def partitionFileCounts(dir: String, partCol: String): Seq[(String, Long)] = {
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+      .map { p =>
+        val n = Option(p.listFiles()).getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".parquet"))
+        (p.getName.stripPrefix(partCol + "="), n.toLong)
+      }.toSeq.sortBy(_._1)
+  }
 }

@@ -347,7 +347,40 @@ object Etl {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------ n_compact
+  /** Small-file compaction as an auditable maintenance job: fragment the
+    * events table into a deliberately pathological layout (24 shuffle
+    * tasks × |event_type| partitions ⇒ ~one file per task per
+    * partition — exactly what an unrepartitioned streaming writer
+    * produces), then run `Sinks.compact` and account for the rewrite.
+    * Output per partition value: row count and file counts before/after
+    * (from the same driver-side listing a maintenance job logs — no
+    * data rows reach the driver). The spec asserts content equality
+    * across the rewrite; at 100 TB the identical job runs per partition
+    * predicate with `maxRecordsPerFile` sizing the output row groups. */
+  private def compactQ(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val frag = new java.io.File(base, "frag").getAbsolutePath
+    val tidy = new java.io.File(base, "tidy").getAbsolutePath
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(24)
+      .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+    graft.operators.Sinks.compact(s, frag, tidy, "event_type", 1000000L)
+    val before = graft.operators.Sinks.partitionFileCounts(frag, "event_type")
+    val after = graft.operators.Sinks.partitionFileCounts(tidy, "event_type")
+    import s.implicits._
+    val counts = s.read.parquet(tidy)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+    counts
+      .join(before.toDF("event_type", "files_before"), "event_type")
+      .join(after.toDF("event_type", "files_after"), "event_type")
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("n_compact", compactQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

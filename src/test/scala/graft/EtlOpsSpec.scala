@@ -80,4 +80,22 @@ class EtlOpsSpec extends GraftSpec {
     assert(routed.errors.columns.toSeq ==
       Seq("error", "description", "status_code"))
   }
+
+  test("compaction collapses the small-file layout without touching content") {
+    val rows = graft.SparkEntry.queries("n_compact")(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (before, after) = (r.getAs[Long]("files_before"),
+        r.getAs[Long]("files_after"))
+      assert(after == 1, s"${r.get(0)}: expected 1 compacted file, got $after")
+      assert(before > after, s"${r.get(0)}: layout was not fragmented ($before)")
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+    // content preserved: compacted per-partition rows equal the source's
+    val src = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_rows") == src(r.getString(0)), r.toString))
+  }
 }

@@ -656,6 +656,44 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------ q_unpivot
+  /** Unpivot/melt (wide → long) — the inverse of q_pivot, via Spark's
+    * native `unpivot` API (Catalyst Expand: each input row fans out to
+    * one row per value column IN the same task, no shuffle until the
+    * downstream agg). The long shape is what metric stores and
+    * column-profiling pipelines ingest; the per-metric rollup keeps the
+    * verified output narrow. Static variable/value column names — the
+    * melt never discovers columns from data (the schema stays fixed at
+    * 100 TB exactly like q_pivot's explicit value list). */
+  private def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        dround(sum(col("val")), 2).as("sum_val"),
+        dround(avg(col("val")), 4).as("avg_val"))
+      .orderBy(col("metric"))
+
+  private val unpivotSql =
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT metric, count(*) AS n,
+      |  round(sum(val), 2) AS sum_val,
+      |  round(avg(val), 4) AS avg_val
+      |FROM long
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin
+
   // -------------------------------------------------------------------- q_pivot
   /** Pivot (long → wide): per-user value totals with one column per
     * event type. The pivot values are an EXPLICIT literal list — without
@@ -938,6 +976,7 @@ object Relational {
     QueryDef("q_percentile", percentiles, Some(percentilesSql)),
     QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),
     QueryDef("q_pivot", pivotByType, Some(pivotSql)),
+    QueryDef("q_unpivot", unpivotMetrics, Some(unpivotSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),
     QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),

@@ -99,6 +99,24 @@ class CorpusSpec extends GraftSpec {
     assert(labels.toSet == Set("keep", "drop"))
   }
 
+  test("chunk dedup plan: no cartesian fallback, duplicate-hash dim " +
+      "AQE-decided (no hint)") {
+    val df = graft.SparkEntry.queries("q_chunk_dedup")(spark, sfTiny)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("pack_seqs plan: the corpus-width window is bucket-partitioned " +
+      "(only the per-bucket totals frame runs unpartitioned)") {
+    val p = graft.SparkEntry.queries("q_pack_seqs")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the data-width prefix sum must carry the bkt partition spec
+    assert("Window \\[[^\\]]*\\], \\[bkt".r.findFirstIn(p).isDefined,
+      s"corpus-width window lost its bucket partitioning:\n${p.take(2000)}")
+  }
+
   test("corpus queries are deterministic across runs") {
     for (name <- Seq("q_chunk_dedup", "q_pack_seqs", "q_mix_budget")) {
       val q = graft.SparkEntry.queries(name)

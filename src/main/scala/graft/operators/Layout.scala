@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout — Z-ORDER (Morton) clustering, the
+  * technique a 100 TB table uses to make parquet min/max file skipping
+  * work on TWO filter dimensions at once. Sorting by a single key makes
+  * that key's file ranges disjoint (perfect skipping) but leaves every
+  * other column's per-file range spanning the whole domain (zero
+  * skipping); sorting by the interleaved-bit Morton code gives every
+  * participating dimension locality ~√F of the file count — the
+  * standard trade (Delta/Iceberg OPTIMIZE ZORDER) expressed here as a
+  * pure column expression + range-partitioned sorted write, no table
+  * format required.
+  *
+  * The interleave is the classic shift-or-mask bit spread, entirely in
+  * codegen'd built-in long arithmetic — no UDF in the write path.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of a non-negative long so bit i lands at
+    * position 2i (0b1111 → 0b1010101). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two non-negative dimensions (low 16 bits
+    * each): a.bit(i) → bit 2i, b.bit(i) → bit 2i+1. */
+  def morton16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write `df` as `nFiles` parquet files Z-ordered on (a, b): range
+    * partition by the Morton code (each task owns a contiguous Z range)
+    * and sort within partitions so row groups inside a file are tight
+    * too. Both dimensions are first NORMALIZED onto the same 8-bit grid
+    * — raw interleave of unequal-cardinality dims parks the narrow
+    * dim's bits in the low positions, where they order nothing (a
+    * 15-value key interleaved raw against a 10-bit key gets ZERO
+    * locality; measured, and exactly why production Z-order
+    * implementations quantile/scale first). The min/max per dim is one
+    * aggregate — 4 scalars to the driver, a layout decision. The code
+    * column is dropped before write — the layout lives in the
+    * file/row-group min-max statistics, not the schema. */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      nFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(a).cast("long"), max(a).cast("long"),
+      min(b).cast("long"), max(b).cast("long")).collect()(0)
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi > lo) (((c - lit(lo)) * lit(255L)) / lit(hi - lo)).cast("bigint")
+      else lit(0L)
+    val z = morton16(
+      norm(a, bounds.getLong(0), bounds.getLong(1)),
+      norm(b, bounds.getLong(2), bounds.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file (min, max) of a column across a parquet dir — the same
+    * statistics the scanner's file-skipping consults, recomputed via a
+    * one-pass grouped aggregate on `input_file_name` (test-scale audit;
+    * a production audit reads footers). */
+  def fileRanges(s: SparkSession, path: String, dim: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(dim)).as("mn"), max(col(dim)).as("mx"))
+
+  /** Fraction of files whose [min,max] range overlaps [lo, hi] on `dim`
+    * — the fraction a min/max-skipping scan must READ. 1.0 means the
+    * layout gives that dimension nothing. */
+  def overlapFraction(s: SparkSession, path: String, dim: String,
+      lo: Long, hi: Long): Double = {
+    val r = fileRanges(s, path, dim)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("mn") <= hi && col("mx") >= lo, 1L).otherwise(0L))
+          .as("hit"))
+      .collect()(0)
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+}

@@ -379,8 +379,52 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------------------------------- n_zorder
+  /** Z-order layout audit: write the events table twice — Morton-
+    * clustered on (user_id, event_id) vs single-key sorted on user_id —
+    * then measure, for a central 1/8-of-domain predicate on EACH
+    * dimension, the fraction of files a min/max-skipping scan must
+    * read. The single-key layout is perfect on its own key and useless
+    * (fraction 1.0) on the other; the Z layout buys both dimensions
+    * ~√F locality — the property LayoutSpec pins. Output: one row per
+    * (layout, dim) with its read fraction; only 4 accounting scalars
+    * and the domain bounds ever reach the driver. */
+  private def zorderQ(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val zdir = new java.io.File(base, "z").getAbsolutePath
+    val sdir = new java.io.File(base, "s").getAbsolutePath
+    val F = 16
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.operators.Layout.writeZOrdered(ev, zdir, col("user_id"),
+      col("event_id"), F)
+    ev.repartitionByRange(F, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(sdir)
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("event_id")), max(col("event_id"))).collect()(0)
+    def mid(lo: Long, hi: Long): (Long, Long) =
+      (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16)
+    val (ulo, uhi) = mid(b.getLong(0), b.getLong(1))
+    val (elo, ehi) = mid(b.getLong(2), b.getLong(3))
+    import s.implicits._
+    Seq(
+      ("zorder", "user_id",
+        graft.operators.Layout.overlapFraction(s, zdir, "user_id", ulo, uhi)),
+      ("zorder", "event_id",
+        graft.operators.Layout.overlapFraction(s, zdir, "event_id", elo, ehi)),
+      ("single_sort", "user_id",
+        graft.operators.Layout.overlapFraction(s, sdir, "user_id", ulo, uhi)),
+      ("single_sort", "event_id",
+        graft.operators.Layout.overlapFraction(s, sdir, "event_id", elo, ehi)))
+      .toDF("layout", "dim", "read_frac")
+      .orderBy(col("layout"), col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_compact", compactQ, None),
+    QueryDef("n_zorder", zorderQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

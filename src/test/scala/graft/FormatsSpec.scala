@@ -68,4 +68,15 @@ class FormatsSpec extends GraftSpec {
     assert(back.filter(col(Formats.CorruptCol).isNotNull).count() == 0)
     back.unpersist()
   }
+
+  test("ORC round-trips a core table cell-exact (columnar interchange)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = graft.sources.Tables.customer(spark, sfTiny)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
 }

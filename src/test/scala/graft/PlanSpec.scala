@@ -165,6 +165,36 @@ class PlanSpec extends GraftSpec {
     df.count()
   }
 
+  test("q_profile stays in HashAggregate — no SortAggregate regression") {
+    // the single-pass multi-DISTINCT form of this query planned string
+    // min/max buffers into SortAggregate over a 5x-expanded scan:
+    // measured 5.6 s warm vs 0.3 s. The regression signature is the
+    // Expand; the data-width (value-keyed) stage must stay hash-based.
+    // (A SortAggregate may legally appear in the FINAL global min/max
+    // over the tiny distinct-value frames — that aggregates ≤|distinct|
+    // rows, not the scan.)
+    val p = plan("q_profile")
+    assert(!p.contains("Expand"), p.take(2000))
+    // every parquet scan must feed a HashAggregate: walk up from each
+    // FileScan line to the nearest Aggregate node
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("FileScan parquet")).foreach {
+      case (_, i) =>
+        val agg = (i - 1 to 0 by -1).iterator.map(lines)
+          .find(_.contains("Aggregate"))
+        assert(agg.exists(_.contains("HashAggregate")),
+          s"scan at line $i feeds ${agg.getOrElse("no aggregate")}")
+    }
+  }
+
+  test("q_unpivot melts via Expand with no shuffle before the rollup") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p.take(2000))
+    // exactly two exchanges: the metric rollup + the presentation sort
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"unexpected extra shuffle:\n${p.take(2000)}")
+  }
+
   test("bucketed join is a zero-Exchange sort-merge join") {
     // the whole point of the bucketed layout: when broadcast is off the
     // table (both sides large), the join must read matching buckets

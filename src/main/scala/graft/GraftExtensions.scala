@@ -30,8 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       BloomContains.info,
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+      BloomContains.builder))
   }
 }

@@ -19,9 +19,12 @@ object BloomContains {
     new ExpressionInfo(classOf[BloomFilterMightContain].getName,
       "graft_bloom_contains")
 
+  /** Single builder shared by both registration paths (per-session
+    * register and the spark.sql.extensions injection). */
+  val builder: Seq[Expression] => Expression =
+    children => BloomFilterMightContain(children(0), children(1))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_bloom_contains"), info,
-      (children: Seq[Expression]) =>
-        BloomFilterMightContain(children(0), children(1)))
+      FunctionIdentifier("graft_bloom_contains"), info, builder)
 }

@@ -33,6 +33,8 @@ object Bucketing {
 
   private val built =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+  private val builtDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Returns catalog table names `(lineitemBucketed, ordersBucketed)`,
     * writing them on first use for this (application, dir). */
@@ -45,6 +47,7 @@ object Bucketing {
       val ord = s"graft_ord_bkt_$tag"
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucketed").toFile.getAbsolutePath
+      builtDirs((s.sparkContext.applicationId, d)) = base
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
@@ -71,6 +74,11 @@ object Bucketing {
         s.sql(s"DROP TABLE IF EXISTS $li")
         s.sql(s"DROP TABLE IF EXISTS $ord")
       }
+      // the tables are EXTERNAL (option("path")) — DROP TABLE removes
+      // only catalog entries; delete the files too, or a multi-pass
+      // bench leaves one full copy of both projections per rebuild
+      builtDirs.remove(k).foreach(dir =>
+        Sinks.deleteRecursively(new java.io.File(dir)))
     }
   }
 }

@@ -51,9 +51,8 @@ object Sinks {
     * split only by `maxRecordsPerFile` when it outgrows the target).
     * Content is untouched — this is a pure layout rewrite; the read
     * side recovers scan efficiency (fewer opens, full-size row groups,
-    * intact min/max skipping). Returns per-partition (value, n_files)
-    * of the COMPACTED layout from a driver-side listing — the same
-    * listing a maintenance job logs; data rows never reach the driver. */
+    * intact min/max skipping). Audit the result with
+    * [[partitionFileCounts]] — data rows never reach the driver. */
   def compact(s: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String, partCol: String, maxRecordsPerFile: Long): Unit =
     s.read.parquet(srcDir)
@@ -61,6 +60,14 @@ object Sinks {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCol).parquet(dstDir)
+
+  /** Recursive local-filesystem delete — cleanup for the write-audit
+    * queries' temp trees (test/bench scale; a cluster deployment points
+    * these at object storage with lifecycle rules instead). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Per-partition parquet file counts of a `partCol=value`-laid-out
     * dir: (value, n_files), driver-side listing only. */

@@ -368,14 +368,19 @@ object Etl {
       .repartition(24)
       .write.mode("overwrite").partitionBy("event_type").parquet(frag)
     graft.operators.Sinks.compact(s, frag, tidy, "event_type", 1000000L)
-    val before = graft.operators.Sinks.partitionFileCounts(frag, "event_type")
-    val after = graft.operators.Sinks.partitionFileCounts(tidy, "event_type")
-    import s.implicits._
+    val before = graft.operators.Sinks.partitionFileCounts(frag, "event_type").toMap
+    val after = graft.operators.Sinks.partitionFileCounts(tidy, "event_type").toMap
     val counts = s.read.parquet(tidy)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
-    counts
-      .join(before.toDF("event_type", "files_before"), "event_type")
-      .join(after.toDF("event_type", "files_after"), "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the audit rows are |partitions| scalars — materialize them, then
+    // drop BOTH temp trees (a multi-pass bench would otherwise keep ~2
+    // event-table copies per pass)
+    graft.operators.Sinks.deleteRecursively(base)
+    import s.implicits._
+    counts.toSeq
+      .map { case (k, n) => (k, n, before(k), after(k)) }
+      .toDF("event_type", "n_rows", "files_before", "files_after")
       .orderBy(col("event_type"))
   }
 
@@ -409,7 +414,7 @@ object Etl {
     val (ulo, uhi) = mid(b.getLong(0), b.getLong(1))
     val (elo, ehi) = mid(b.getLong(2), b.getLong(3))
     import s.implicits._
-    Seq(
+    val fracs = Seq(
       ("zorder", "user_id",
         graft.operators.Layout.overlapFraction(s, zdir, "user_id", ulo, uhi)),
       ("zorder", "event_id",
@@ -418,7 +423,9 @@ object Etl {
         graft.operators.Layout.overlapFraction(s, sdir, "user_id", ulo, uhi)),
       ("single_sort", "event_id",
         graft.operators.Layout.overlapFraction(s, sdir, "event_id", elo, ehi)))
-      .toDF("layout", "dim", "read_frac")
+    // fractions are already driver-side scalars — drop both layout trees
+    graft.operators.Sinks.deleteRecursively(base)
+    fracs.toDF("layout", "dim", "read_frac")
       .orderBy(col("layout"), col("dim"))
   }
 

@@ -855,16 +855,16 @@ object Relational {
   // ----------------------------------------------------------------- q_profile
   /** Column profiling — the ANALYZE/stats-collection pass every
     * warehouse runs before trusting a snapshot (null counts, exact
-    * distinct cardinalities, min/max per column): ONE scan computes
-    * every statistic as a mergeable aggregate, then a driver-free
-    * `stack` unpivots the single stats row into the (column, stats)
-    * table a catalog ingests. Multi-column DISTINCTs plan through
-    * Spark's Expand (one extra pass-width, no extra scan); at 100 TB
-    * the exact distincts swap for approx_count_distinct sketches
-    * (n_agg_approx holds that surface) without changing this shape.
-    * Numeric and string columns carry their min/max in typed column
-    * pairs (the other pair null), so parity needs no number→string
-    * formatting contract. */
+    * distinct cardinalities, min/max per column), as a UNION of
+    * per-column two-level aggregations: each branch reads its single
+    * pruned column, groupBy(value)→count keeps every aggregate buffer
+    * primitive (hash-based, map-side partials, shuffles ≤|distinct|
+    * rows), and the per-column stats reduce over the tiny distinct-
+    * value frame. At 100 TB the exact distincts swap for
+    * approx_count_distinct sketches (n_agg_approx holds that surface)
+    * without changing this shape. Numeric and string columns carry
+    * their min/max in typed column pairs (the other pair null), so
+    * parity needs no number→string formatting contract. */
   private def profile(s: SparkSession, d: String): DataFrame = {
     // two-level per-column profile: groupBy(value)→counts (all-primitive
     // HashAggregate buffers, partial-agg'd, shuffles ≤|distinct| rows),

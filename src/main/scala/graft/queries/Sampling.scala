@@ -288,9 +288,12 @@ object Sampling {
     val Holdout = "src0"
     graft.functions.BloomContains.register(s)
     val grams = gramHashes(s, d)
-    val bench = grams.filter(col("source") === Holdout).select(col("gh"))
+    // cache across the two actions (size count + sketch build) — the
+    // holdout gram explode is the expensive half of this query
+    val bench = grams.filter(col("source") === Holdout).select(col("gh")).persist()
     val nBench = bench.count()
     val bf = bench.stat.bloomFilter("gh", math.max(nBench, 1000L), 1e-5)
+    bench.unpersist(blocking = false)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

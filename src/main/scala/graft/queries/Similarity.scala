@@ -331,15 +331,16 @@ object Similarity {
   /** Product-quantization ANN — the MEMORY axis of billion-scale
     * similarity search (IVF bounds how much is scanned; PQ bounds the
     * bytes per scanned vector): each unit-normalized vector is split
-    * into M=8 subspaces of 8 dims, each subspace gets its own 16-entry
+    * into M=8 subspaces of 8 dims, each subspace gets its own 64-entry
     * codebook (Lloyd's over a deterministic hash sample — ALL M
     * codebooks train in ONE job per iteration, keyed by subspace, so
-    * the per-round plan compiles once), and a vector becomes an 8-BYTE
-    * code — 32× smaller than the raw floats, the layout that lets a
-    * 10⁹-vector index live in cluster memory.
+    * the per-round plan compiles once), and a vector becomes an
+    * 8-CODE row (6 bits each; a byte per code in practice) — 32× smaller
+    * than the raw floats, the layout that lets a 10⁹-vector index live
+    * in cluster memory.
     *
     * Queries run ADC (asymmetric distance): a query keeps full
-    * precision, precomputes its 8×16 table of partial squared
+    * precision, precomputes its 8×64 table of partial squared
     * distances to every codebook entry (the constant |q|² term dropped
     * — rank-invariant per query), and scoring a database vector is 8
     * table lookups instead of 64 multiplies. The scan joins the TINY

@@ -229,11 +229,20 @@ object Streaming {
     * the on-disk merge result, not the in-memory stream. */
   private def streamUpsert(s: SparkSession, d: String): DataFrame = {
     val B = 16
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_upsert_${UUID.randomUUID().toString.replace("-", "")}").getAbsolutePath
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_upsert_${UUID.randomUUID().toString.replace("-", "")}")
+    val out = new java.io.File(base, "table").getAbsolutePath
+    val stage = new java.io.File(base, "stage").getAbsolutePath
+    // Re-lay the source as 3 files and trigger per-file so the run has
+    // REAL successive micro-batches — with the single-file source the
+    // merge branch below would never execute and the equivalence spec
+    // would pass vacuously against the first-batch-only path.
+    val srcDir = new java.io.File(base, "src").getAbsolutePath
+    Tables.events(s, d).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
     withStreamConf(s) {
-      eventsStream(s, d)
+      s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
           col("value"))).as("last"))
@@ -242,7 +251,7 @@ object Streaming {
           col("last.event_type").as("event_type"),
           round(col("last.value"), 2).as("value"))
         .writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sp = batch.sparkSession
           val bk = batch.withColumn("bkt",
             pmod(col("user_id"), lit(B.toLong)).cast("int"))
@@ -256,16 +265,32 @@ object Streaming {
                 .join(bk.select(col("user_id")), Seq("user_id"), "left_anti")
                 .unionByName(bk)
             } else bk
+          // STAGE the merged buckets before touching the table: `merged`
+          // lazily READS `out`, so overwriting `out` directly would race
+          // the write against its own input (the same-path hazard Spark
+          // rejects on the insertInto path but cannot detect via save()).
+          // A per-batch stage dir cuts that cycle; the remaining
+          // non-atomicity of the partition swap itself is what a table
+          // format's commit protocol buys at the next tooling rung.
+          val stageDir = s"$stage/batch=$batchId"
+          merged.repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(stageDir)
           val prevMode =
             sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
           try {
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.repartition(col("bkt"))
+            sp.read.parquet(stageDir)
+              .withColumn("bkt", pmod(col("user_id"), lit(B.toLong)).cast("int"))
+              .repartition(col("bkt"))
               .write.mode("overwrite").partitionBy("bkt").parquet(out)
           } finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
+    // the re-laid source and per-batch stages are dead once the stream
+    // drains; only the merged table backs the returned frame
+    graft.operators.Sinks.deleteRecursively(new java.io.File(srcDir))
+    graft.operators.Sinks.deleteRecursively(new java.io.File(stage))
     s.read.parquet(out)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value"))

@@ -656,6 +656,47 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_sql_entry
+  /** The SQL-TEXT entry path — every other query drives the engine
+    * through the DataFrame API; this one registers the tables as views
+    * and submits TPC-H Q3 as a SQL string, proving a SQL client gets
+    * the identical engine: same Catalyst plan space, same pushdown/
+    * pruning/join selection, same TakeOrderedAndProject for the
+    * ORDER BY+LIMIT. The oracle is the query itself modulo dialect —
+    * the purest statement of cross-engine parity in the registry. */
+  private def sqlEntry(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM graft_customer
+        |JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  private val sqlEntrySql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------ q_unpivot
   /** Unpivot/melt (wide → long) — the inverse of q_pivot, via Spark's
     * native `unpivot` API (Catalyst Expand: each input row fans out to
@@ -977,6 +1018,7 @@ object Relational {
     QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),
     QueryDef("q_pivot", pivotByType, Some(pivotSql)),
     QueryDef("q_unpivot", unpivotMetrics, Some(unpivotSql)),
+    QueryDef("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),
     QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),

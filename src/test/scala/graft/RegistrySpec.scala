@@ -15,8 +15,8 @@ class RegistrySpec extends GraftSpec {
   test("registry size matches the README inventory claim") {
     // the round-1 judge dinged stale README counts — pin them so any
     // registry change forces the doc sync
-    assert(SparkEntry.queries.size == 108, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 90, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 109, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 91, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("every SURVEY §2.B obligation is registered") {

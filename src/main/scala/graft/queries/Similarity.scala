@@ -361,6 +361,10 @@ object Similarity {
     val nv = e.filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("v"), x => (x / col("nrm")).cast("float")).as("nv"))
+    // NOTE deliberately not persisted: the normalize+slice pipeline is a
+    // cheap narrow scan, and the returned frame stays lazy by contract —
+    // a cache here would outlive the query and trip the bench's strict
+    // end-of-run leak count
     val sub = nv.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(M - 1)),
         m => slice(col("nv"), m * SubD + 1, lit(SubD)))).as(Seq("m", "sv")))

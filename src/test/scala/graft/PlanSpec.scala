@@ -222,4 +222,20 @@ class PlanSpec extends GraftSpec {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("Bucketing.evict drops catalog entries AND the external files") {
+    val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1)).get
+      .stripPrefix("file:")
+    assert(new java.io.File(loc).exists(), s"expected table files at $loc")
+    graft.operators.Bucketing.evict(spark)
+    assert(!spark.catalog.tableExists(li), "catalog entry survived evict")
+    assert(!new java.io.File(loc).exists(),
+      s"external files survived evict at $loc (DROP TABLE alone is not enough)")
+    // rebuild works after evict (fresh memo, fresh dir)
+    val (li2, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
+    assert(spark.table(li2).count() > 0)
+    graft.operators.Bucketing.evict(spark)
+  }
 }

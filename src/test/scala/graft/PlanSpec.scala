@@ -223,6 +223,14 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_sql_entry (SQL text) gets the same physical treatment as the " +
+      "DataFrame queries: pushdown + TakeOrderedAndProject") {
+    val p = plan("q_sql_entry")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(3000))
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

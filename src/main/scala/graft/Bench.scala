@@ -160,6 +160,14 @@ object Bench {
       .foreach(t => spark.catalog.dropTempView(t.name))
     val cachedAtEnd = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"passes":${perPass.length},$passMaps,"gc_sec":$gcTotal,"gc_queries":$gcs,"cached_rdds_at_end":$cachedAtEnd,"sf":"$sfDir"}""")
+    // The driver records only the last ~4000 chars of output; the full
+    // line above grew past that (round-4 verdict: BENCH_r04's total and
+    // per-query map were truncated away and the round had no readable
+    // number of record). This second, compact line (<300 chars) always
+    // lands inside the captured tail so the headline figures survive.
+    val top10 = results.filter(_._5.isEmpty).sortBy(-_._2).take(10)
+      .map(r => "\"" + r._1 + "\":" + f"${r._2}%.2f").mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"gc_sec":$gcTotal,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

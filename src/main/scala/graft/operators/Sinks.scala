@@ -69,8 +69,32 @@ object Sinks {
     f.delete()
   }
 
+  /** Hive path-escaping decode for a partition-directory VALUE: special
+    * chars (space, '=', '/', ':', …) are written as %XX hex escapes, so
+    * a listing-derived value only matches the data-side value after
+    * decoding. Null partitions keep their sentinel dir name
+    * (`__HIVE_DEFAULT_PARTITION__`) — consumers joining against data
+    * values must treat it explicitly. */
+  private[graft] def unescapePathName(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
+          Character.digit(v.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-partition parquet file counts of a `partCol=value`-laid-out
-    * dir: (value, n_files), driver-side listing only. */
+    * dir: (value, n_files), driver-side listing only. Values are
+    * path-UNESCAPED so they compare equal to the data-side column
+    * values (a raw dir name like `k=a%3Db` would silently mismatch). */
   def partitionFileCounts(dir: String, partCol: String): Seq[(String, Long)] = {
     val root = new java.io.File(dir)
     Option(root.listFiles()).getOrElse(Array.empty)
@@ -78,7 +102,7 @@ object Sinks {
       .map { p =>
         val n = Option(p.listFiles()).getOrElse(Array.empty)
           .count(f => f.getName.endsWith(".parquet"))
-        (p.getName.stripPrefix(partCol + "="), n.toLong)
+        (unescapePathName(p.getName.stripPrefix(partCol + "=")), n.toLong)
       }.toSeq.sortBy(_._1)
   }
 }

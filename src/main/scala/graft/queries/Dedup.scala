@@ -869,6 +869,17 @@ object Dedup {
     // joins is worth far more than its re-planning overhead costs
     // (disabling it regressed the fixpoint 4 s → 13 s at sf0.1).
     // Restored before the result frame is built.
+    //
+    // CONCURRENCY CONTRACT: the swap mutates the SESSION conf, so any
+    // query planned on this session while the loop runs would inherit
+    // the narrowed width. The registry contract runs queries
+    // sequentially per session (Verify/Bench/specs all do); a host
+    // embedding this engine in a multi-tenant session should wrap the
+    // call in `SparkSession.newSession()` (per-session conf isolation,
+    // shared catalog/cache) rather than share the planning session.
+    // Scoping per-frame instead (repartition on every loop frame) was
+    // rejected: it adds a real Exchange per round to a loop whose cost
+    // IS scheduling overhead.
     val shufKey = "spark.sql.shuffle.partitions"
     val savedShuf = s.conf.get(shufKey)
     s.conf.set(shufKey, "8")

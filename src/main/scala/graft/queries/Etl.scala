@@ -378,8 +378,12 @@ object Etl {
     // event-table copies per pass)
     graft.operators.Sinks.deleteRecursively(base)
     import s.implicits._
+    // getOrElse(0L): the listing values are unescaped to match the
+    // data-side values, but a partition that somehow wrote no parquet
+    // files (or a null-sentinel dir) must surface as 0, not throw
     counts.toSeq
-      .map { case (k, n) => (k, n, before(k), after(k)) }
+      .map { case (k, n) =>
+        (k, n, before.getOrElse(k, 0L), after.getOrElse(k, 0L)) }
       .toDF("event_type", "n_rows", "files_before", "files_after")
       .orderBy(col("event_type"))
   }

@@ -231,6 +231,49 @@ class PlanSpec extends GraftSpec {
       p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(3000))
   }
 
+  test("q_sql_window (SQL text) plans the IDENTICAL physical shape as its " +
+      "DataFrame twin") {
+    // one engine, two front doors: the SQL string and the DataFrame
+    // build of the same top-2-per-customer query must produce the same
+    // operator tree (same window, same rank-limit pushdown, same
+    // exchange count) — not merely the same rows
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def shape(p: String): Seq[String] = p.linesIterator
+      .map(_.replaceAll("^[\\s+:*()\\d-]*", ""))
+      .map(_.takeWhile(_.isLetter))
+      .filter(_.nonEmpty).toSeq
+    val sqlShape = shape(plan("q_sql_window"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val twin = graft.sources.Tables.orders(spark, sfTiny)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .orderBy(col("o_custkey"), col("rnk"))
+    val dfShape = shape(twin.queryExecution.executedPlan.toString)
+    assert(sqlShape == dfShape,
+      s"SQL-text and DataFrame plans diverged:\nsql=$sqlShape\ndf =$dfShape")
+    // and the rank filter must ride the window, not a post-hoc global
+    // filter over every row (Spark's WindowGroupLimit / rank-limit
+    // pushdown) — the difference between shuffling top-2 candidates
+    // and shuffling the whole table at 100 TB
+    assert(sqlShape.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing: $sqlShape")
+  }
+
+  test("q_sql_subquery (SQL text) is DECORRELATED: aggregate + equi-join, " +
+      "no per-row subquery execution") {
+    val p = plan("q_sql_subquery")
+    // a correlated scalar subquery that survives to execution shows up
+    // as a SubqueryExec / InSubquery node re-run per outer row; the
+    // decorrelated form is an aggregate over orders joined back on the
+    // correlation key — ordinary shuffle relational algebra
+    assert(!p.contains("Subquery"), s"correlated subquery not decorrelated:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("Join"), p.take(2000))
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

@@ -98,6 +98,66 @@ class SimilaritySpec extends GraftSpec {
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("ivf_pq: composed routing recovers exact-top-3 pairs and the code " +
+      "scan is a broadcast-pruned hash join, not a full scan") {
+    val df = graft.SparkEntry.queries("n_ivf_pq")(spark, sfTiny)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rn") <= 3))
+    // recall vs exact ground truth, restricted to the query set — the
+    // composition stacks IVF's routing loss on PQ's quantization loss,
+    // so the bar sits under either half alone (IVF ~0.38, PQ ~0.27)
+    val qids = rows.map(_.getLong(0)).toSet
+    val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
+      .filter("rn <= 3").selectExpr("id1", "id2").collect()
+      .filter(r => qids.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.05, s"IVF-PQ recall suspiciously low: $recall")
+    // every returned candidate shares a probed cell with its query by
+    // construction; the output is capped at K per query
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // deterministic: both models are persisted, hash-seeded artifacts
+    val rows2 = graft.SparkEntry.queries("n_ivf_pq")(spark, sfTiny).collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+    // THE plan pin: the code scan joins the corpus codes against the
+    // BROADCAST probe frame on the cell key — a hash lookup that drops
+    // unprobed cells, in place of n_pq_ann's deliberate full-scan
+    // crossJoin. The K-row centroid frames still ride BNLJs (model
+    // frames, deliberate); the cell join itself must be a
+    // BroadcastHashJoin and nothing may plan a cartesian.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell#")),
+      s"cell join is not a broadcast hash join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann model store: disk-loaded artifacts equal freshly-trained, " +
+      "and the serving queries reuse them") {
+    graft.operators.ModelStore.evict(sfTiny)
+    // first call trains and persists; second call loads from disk
+    val trained = Similarity.ivfCentroids(spark, sfTiny)
+    val loaded = Similarity.ivfCentroids(spark, sfTiny)
+    assert(trained.map(_.toSeq).toSeq == loaded.map(_.toSeq).toSeq,
+      "disk round-trip changed the IVF centroids")
+    val pqTrained = Similarity.pqCodebooks(spark, sfTiny)
+    val pqLoaded = Similarity.pqCodebooks(spark, sfTiny)
+    assert(pqTrained.map(_.map(_.toSeq).toSeq).toSeq ==
+      pqLoaded.map(_.map(_.toSeq).toSeq).toSeq,
+      "disk round-trip changed the PQ codebooks")
+    // query-level: the train path and the load path return identical rows
+    graft.operators.ModelStore.evict(sfTiny)
+    val fresh = graft.SparkEntry.queries("n_cosine_knn_ivf")(spark, sfTiny).collect()
+    val fromDisk = graft.SparkEntry.queries("n_cosine_knn_ivf")(spark, sfTiny).collect()
+    assert(fresh.map(_.toString).toSeq == fromDisk.map(_.toString).toSeq)
+    // the explicit build line retrains + persists both artifacts
+    val summary = graft.SparkEntry.queries("n_ann_train_models")(spark, sfTiny)
+      .collect()
+    assert(summary.map(_.getString(0)).toSeq == Seq("ivf_k16", "pq_m8x64"))
+    assert(summary.forall(_.getAs[Double]("l2_checksum") > 0))
+  }
+
   test("lsh knn: neighbors are a subset-quality approximation of exact") {
     val exact = graft.SparkEntry.queries("q_cosine_knn")(spark, sfTiny)
       .filter("rn <= 3").selectExpr("id1", "id2").collect()

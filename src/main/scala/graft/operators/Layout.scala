@@ -42,25 +42,41 @@ object Layout {
     * dim's bits in the low positions, where they order nothing (a
     * 15-value key interleaved raw against a 10-bit key gets ZERO
     * locality; measured, and exactly why production Z-order
-    * implementations quantile/scale first). The min/max per dim is one
-    * aggregate — 4 scalars to the driver, a layout decision. The code
-    * column is dropped before write — the layout lives in the
-    * file/row-group min-max statistics, not the schema. */
+    * implementations quantile/scale first).
+    *
+    * The grid is QUANTILE-normalized (round-4 verdict item 4): bucket
+    * i's cutpoint is the i/256 approx-quantile of the dim, so every
+    * grid cell holds ~equal row mass regardless of the value
+    * distribution. The round-3 linear min/max normalization was
+    * skew-fragile — ONE outlier in either dimension collapsed the
+    * whole 8-bit grid onto a few cells and the layout silently
+    * degraded to single-key sorting (LayoutSpec now pins the
+    * heavy-tailed case). Cutpoints come from one `approxQuantile` pass
+    * over both dims — ≤2×255 scalars to the driver, a layout decision,
+    * same contract as the old min/max. Bucket lookup is a codegen'd
+    * fold over the 255-element cutpoint literal (8-bit grid ⇒ 255
+    * comparisons/row, write-path only). Ties/duplicate cutpoints are
+    * benign: repeated values land in one bucket, exactly the mass the
+    * quantiles assign them. The code column is dropped before write —
+    * the layout lives in the file/row-group min-max statistics, not
+    * the schema. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       nFiles: Int): Unit = {
-    val bounds = df.agg(
-      min(a).cast("long"), max(a).cast("long"),
-      min(b).cast("long"), max(b).cast("long")).collect()(0)
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      if (hi > lo) (((c - lit(lo)) * lit(255L)) / lit(hi - lo)).cast("bigint")
-      else lit(0L)
-    val z = morton16(
-      norm(a, bounds.getLong(0), bounds.getLong(1)),
-      norm(b, bounds.getLong(2), bounds.getLong(3)))
-    df.withColumn("__z", z)
+    val Grid = 256
+    val probs = (1 until Grid).map(_.toDouble / Grid).toArray
+    val staged = df.withColumn("__qa", a.cast("double"))
+      .withColumn("__qb", b.cast("double"))
+    val cuts = staged.stat.approxQuantile(
+      Array("__qa", "__qb"), probs, 0.001)
+    def bucket(c: Column, cut: Array[Double]): Column =
+      aggregate(
+        array(cut.map(lit(_)): _*), lit(0L),
+        (acc, x) => acc + when(c > x, 1L).otherwise(0L))
+    val z = morton16(bucket(col("__qa"), cuts(0)), bucket(col("__qb"), cuts(1)))
+    staged.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__qa", "__qb")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -1,0 +1,67 @@
+package graft
+
+/** CI twin of the official bench's honesty contract (round-4 verdict
+  * item 10): catch CACHE-LIFETIME regressions — the round-3 bug class
+  * where a session-lifetime memo let whichever family query ran first
+  * absorb the shared cost and every later run ride its storage — before
+  * the official run mis-times a round.
+  *
+  * Two teeth, one generous and one sharp:
+  *   - timing: a second in-process run of each representative query,
+  *     with the documented memos evicted at the pass boundary exactly
+  *     like the bench does, must not be suspiciously free relative to
+  *     the first (wide factor — host noise and tiny-SF planning
+  *     dominance must never false-positive this);
+  *   - storage: after the documented end-of-run evictions, the
+  *     persistent-RDD map must drain to EMPTY. A deliberately-pinned
+  *     cache anywhere in these query paths fails this check
+  *     deterministically (verified by pinning one during development).
+  */
+class BenchSmokeSpec extends GraftSpec {
+
+  // one per cache-bearing family: exact token kernel, bitset kernel with
+  // one-shot release listeners, the memoized LSH pair build, and the
+  // ANN model-store path
+  private val names =
+    Seq("q_minhash_dup", "q_ngram_jaccard", "q_minhash_lsh", "n_cosine_knn_ivf")
+
+  test("second in-process run re-pays its own plan and the session " +
+      "drains to zero persisted RDDs") {
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfTiny).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (name <- names) {
+      val t1 = run(name)
+      // the bench evicts the documented memos between passes so each
+      // pass re-times the real build — mirror that boundary
+      graft.queries.Dedup.evictMemo(spark)
+      val t2 = run(name)
+      assert(t2 * 25 >= t1,
+        f"$name: second run $t2%.3f s vs first $t1%.3f s — riding a cache " +
+          "the first run left behind")
+    }
+    // the bench's full end-of-run protocol: memo + layout evictions AND
+    // the streaming memory-sink temp views (a documented session-
+    // lifetime holder — in the full suite, earlier streaming specs'
+    // sinks legitimately pin one cached RDD each)
+    graft.queries.Dedup.evictMemo(spark)
+    graft.operators.Bucketing.evict(spark)
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    // one trailing action lets any armed one-shot release listeners
+    // fire, then poll: listener dispatch is async on the listener bus
+    spark.range(16).count()
+    val deadline = System.nanoTime() + 15e9.toLong
+    var remaining = spark.sparkContext.getPersistentRDDs
+    while (remaining.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      spark.range(16).count()
+      remaining = spark.sparkContext.getPersistentRDDs
+    }
+    assert(remaining.isEmpty,
+      s"leaked cached RDDs at end of run: ${remaining.values.map(_.name).mkString(", ")}")
+  }
+}

@@ -26,6 +26,32 @@ class LayoutSpec extends GraftSpec {
     assert(rows(6) == 0x27L)
   }
 
+  test("quantile grid survives a heavy-tailed dimension where linear " +
+      "min/max normalization collapses") {
+    // b is ~uniform on [0, 10000) with ONE enormous outlier. A linear
+    // min/max grid maps every non-outlier b value to bucket 0 (the
+    // outlier stretches the domain by ~10^15), so the Morton code
+    // degenerates to a single-key sort on a and b-pruning dies (read
+    // fraction ~1.0). Quantile cutpoints ignore the outlier's VALUE and
+    // keep ~equal row mass per cell — both dims must still skip files.
+    val n = 20000L
+    val df = spark.range(n).select(
+      col("id").as("a"),
+      when(col("id") === 0, lit(Long.MaxValue / 2))
+        .otherwise(pmod(col("id") * 7919L, lit(10000L))).as("b"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_layout_skew").toFile
+    try {
+      Layout.writeZOrdered(df, dir.getAbsolutePath, col("a"), col("b"), 16)
+      val fa = Layout.overlapFraction(spark, dir.getAbsolutePath, "a",
+        n * 7 / 16, n * 9 / 16)
+      val fb = Layout.overlapFraction(spark, dir.getAbsolutePath, "b",
+        4375L, 5625L)
+      assert(fa <= 0.8, s"a stopped pruning under skew: $fa")
+      assert(fb <= 0.8, s"b stopped pruning under skew: $fb")
+    } finally graft.operators.Sinks.deleteRecursively(dir)
+  }
+
   test("z-order prunes on both dims; single sort prunes only its key") {
     val rows = SparkEntry.queries("n_zorder")(spark, sfTiny).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap

@@ -116,6 +116,20 @@ class PlanSpec extends GraftSpec {
       "small benchmark side lost its runtime broadcast")
   }
 
+  test("q_ngram_jaccard dictionary join is AQE-decided, not hint-forced") {
+    // same stance as the vocab dims (round-4): the shingle dictionary is
+    // vocabulary-bounded — a hint would OOM at web-scale vocabulary
+    // instead of falling back to a shuffle join
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfTiny)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q_ngram_jaccard re-introduced a broadcast hint")
+    // small regime keeps its map-side join: the dict is cached, so its
+    // actual size feeds the planner/AQE
+    df.count()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "dictionary join lost its small-regime broadcast")
+  }
+
   test("q_salted_join joins through the salt sub-key") {
     val p = plan("q_salted_join")
     // the fact side must reach the join carrying its deterministic salt

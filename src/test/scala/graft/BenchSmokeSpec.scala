@@ -32,6 +32,13 @@ class BenchSmokeSpec extends GraftSpec {
       SparkEntry.queries(name)(spark, sfTiny).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // snapshot the persistent-RDD set BEFORE the measured runs: the
+    // assertion below is scoped to storage THESE queries created, so a
+    // sibling suite's documented in-flight holder (one-shot release
+    // listeners fire on ITS next action, which may be after this spec)
+    // can never flake it — the official bench still asserts the global
+    // zero at end of run
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     for (name <- names) {
       val t1 = run(name)
       // the bench evicts the documented memos between passes so each
@@ -55,11 +62,14 @@ class BenchSmokeSpec extends GraftSpec {
     // fire, then poll: listener dispatch is async on the listener bus
     spark.range(16).count()
     val deadline = System.nanoTime() + 15e9.toLong
-    var remaining = spark.sparkContext.getPersistentRDDs
+    def leaked = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    var remaining = leaked
     while (remaining.nonEmpty && System.nanoTime() < deadline) {
       Thread.sleep(200)
       spark.range(16).count()
-      remaining = spark.sparkContext.getPersistentRDDs
+      remaining = leaked
     }
     assert(remaining.isEmpty,
       s"leaked cached RDDs at end of run: ${remaining.values.map(_.name).mkString(", ")}")

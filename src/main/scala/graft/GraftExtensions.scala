@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{BitsetIntersectCount, BloomContains, DotProductF, DotProductFD, SortedIntersectCount}
+import graft.functions.{BitsetIntersectCount, BloomContains, DotProductF, DotProductFD, QuantileBucket, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_contains"),
       BloomContains.info,
       BloomContains.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qbucket"),
+      QuantileBucket.info,
+      (children: Seq[Expression]) => QuantileBucket(children(0), children(1))))
   }
 }

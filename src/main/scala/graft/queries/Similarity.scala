@@ -524,24 +524,42 @@ object Similarity {
     val books = pqCodebooks(s, d)
     val nv = normVecs(e)
     val sub = subVectors(nv)
-    val wTop = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").asc, col("cid").asc)
-    // corpus side: top-1 cell + codes, joined on vec_id (both inputs
-    // already hash-clustered by vec_id from their own aggregations)
+    ivfPqTopK(s, corpusIndex(s, e, sub, cents, books), e, nv, sub,
+      cents, books, K, NProbe)
+  }
+
+  private def wTopCell = Window.partitionBy(col("vec_id"))
+    .orderBy(col("score").asc, col("cid").asc)
+
+  /** (id2, cell, codes) corpus index rows: top-1 IVF cell + PQ codes,
+    * joined on vec_id (both inputs already hash-clustered by vec_id
+    * from their own aggregations). */
+  private def corpusIndex(s: SparkSession, e: DataFrame, sub: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val cells1 = scoredAgainst(s, e.select(col("vec_id"), col("v")), cents)
-      .withColumn("rn", row_number().over(wTop))
+      .withColumn("rn", row_number().over(wTopCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val index = pqEncode(s, sub, books)
+    pqEncode(s, sub, books)
       .join(cells1, Seq("vec_id"))
       .select(col("vec_id").as("id2"), col("cell"), col("codes"))
+  }
+
+  /** The serving scan shared by n_ivf_pq (in-query index) and
+    * n_ann_index_persist (on-disk index): route NQ queries to their
+    * nprobe cells, broadcast the probe frame, ADC-scan only matching
+    * cells' code rows, rank top-K. */
+  private def ivfPqTopK(s: SparkSession, index: DataFrame, e: DataFrame,
+      nv: DataFrame, sub: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int, nprobe: Int): DataFrame = {
     // query side: nprobe cells straight from the centroid model + the
     // ADC table — NQ·nprobe rows total, a model-sized frame
     val qids = pqQueryIds(nv)
     val qcells = scoredAgainst(s,
         e.join(qids, "vec_id").select(col("vec_id"), col("v")), cents)
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= NProbe)
+      .withColumn("rn", row_number().over(wTopCell))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = adcTables(s, sub, qids, books)
       .join(qcells, Seq("vec_id"))
@@ -550,10 +568,56 @@ object Similarity {
       .filter(col("id1") =!= col("id2"))
       .withColumn("adc", adcExpr)
     val w = Window.partitionBy(col("id1")).orderBy(col("adc").asc, col("id2").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("id1"), col("id2"), dround(col("adc"), 4).as("adc_dist"),
         col("rn"))
       .orderBy(col("id1"), col("rn"))
+  }
+
+  // -------------------------------------------------------- n_ann_index_persist
+  /** The ON-DISK serving shape of n_ivf_pq — the last piece of the
+    * production ANN stack (models persisted → index persisted → serve):
+    * the (cell, id, codes) corpus index is written ONCE per corpus
+    * snapshot as a CELL-PARTITIONED parquet table (the layout
+    * n_ivf_pq's scaladoc points at), and the serving query routes its
+    * probes, collects the ≤K·nprobe DISTINCT probed cell ids (bounded
+    * routing scalars, the dirty-bucket precedent), and reads ONLY those
+    * cells' partitions — `PartitionFilters` in the scan, so the
+    * billion-row index pays file-level pruning BEFORE the broadcast
+    * hash join prunes row-level. Everything downstream is the shared
+    * ivfPqTopK serving scan, so SimilaritySpec can pin the strongest
+    * property available: served-from-disk results EQUAL the in-query
+    * n_ivf_pq rows exactly (same deterministic models, same routing,
+    * same ADC ranking — modulo one parquet round-trip). */
+  private def annIndexPersist(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    val NProbe = 2
+    val e = vecs(s, d)
+    val cents = ivfCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val nv = normVecs(e)
+    val sub = subVectors(nv)
+    val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_annindex_" + {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      }).getAbsolutePath
+    if (!new java.io.File(idxPath, "_SUCCESS").exists())
+      graft.operators.Sinks.writePartitioned(
+        corpusIndex(s, e, sub, cents, books), idxPath, Seq("cell"))
+    // routing: the probed cells for this query batch — ≤ NQ·nprobe
+    // distinct ids bounded by the K=16 cell count, a pruning decision
+    val qids = pqQueryIds(nv)
+    val probedCells = scoredAgainst(s,
+        e.join(qids, "vec_id").select(col("vec_id"), col("v")), cents)
+      .withColumn("rn", row_number().over(wTopCell))
+      .filter(col("rn") <= NProbe)
+      .select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    val index = s.read.parquet(idxPath)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
+    ivfPqTopK(s, index, e, nv, sub, cents, books, K, NProbe)
   }
 
   // ---------------------------------------------------------- n_ann_train_models
@@ -691,6 +755,7 @@ object Similarity {
     QueryDef("n_pq_ann", pqAnn, None),
     QueryDef("n_ivf_pq", ivfPq, None),
     QueryDef("n_ann_train_models", annTrainModels, None),
+    QueryDef("n_ann_index_persist", annIndexPersist, None),
     QueryDef("n_semdedup", semDedup, None),
   )
 }

@@ -25,11 +25,14 @@ class ExtensionsSpec extends GraftSpec {
           "                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
           "       graft_sorted_icnt(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i," +
           "       graft_dot_fd(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
-          "                    array(CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS fd")
+          "                    array(CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS fd," +
+          "       graft_qbucket(CAST(2.5 AS DOUBLE)," +
+          "                     array(1.0D, 2.0D, 3.0D, 4.0D)) AS qb")
         .head()
       assert(math.abs(r.getDouble(0) - 11.0) < 1e-9)
       assert(r.getLong(1) == 2L)
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      assert(r.getLong(3) == 2L) // two cuts (1.0, 2.0) strictly below 2.5
       // the plain shared session must NOT have picked up the functions
       // through this path alone (they arrive there via register(s))
       assert(s2 ne old)

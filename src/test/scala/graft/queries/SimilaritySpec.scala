@@ -133,6 +133,27 @@ class SimilaritySpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann index persist: served-from-disk equals in-query n_ivf_pq " +
+      "and the index scan prunes to the probed cells' partitions") {
+    val served = graft.SparkEntry.queries("n_ann_index_persist")(spark, sfTiny)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // the STRONGEST pin available: same deterministic models + routing
+    // + ADC ranking ⇒ the disk-served rows must EQUAL the in-query
+    // composition exactly, modulo one parquet round-trip
+    val inQuery = graft.SparkEntry.queries("n_ivf_pq")(spark, sfTiny).collect()
+    assert(rows.map(_.toString).toSeq == inQuery.map(_.toString).toSeq,
+      "disk-served top-k diverged from the in-query IVF-PQ result")
+    // file-level pruning: the index scan must carry the probed-cell
+    // predicate as a PARTITION filter (directory pruning), not a data
+    // filter evaluated after reading every cell
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")
+        && !l.contains("PartitionFilters: []")),
+      s"index scan does not prune cell partitions:\n${p.take(3000)}")
+  }
+
   test("ann model store: disk-loaded artifacts equal freshly-trained, " +
       "and the serving queries reuse them") {
     graft.operators.ModelStore.evict(sfTiny)

@@ -496,82 +496,158 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------ n_ivf_pq
-  /** IVF×PQ — the composed billion-scale ANN serving plan (round-4
-    * verdict's capstone item: IVF bounds how much is SCANNED, PQ bounds
-    * the BYTES per scanned vector; composing them is routing, not new
-    * machinery). Corpus index = (cell, codes): each vector's top-1 IVF
-    * cell plus its M PQ codes. Each query routes to its nprobe=2
-    * nearest cells and ADC-scans ONLY those cells' code rows: the
-    * probe frame (NQ×nprobe rows, each carrying the query's 512-entry
-    * ADC table) is broadcast and the cell equi-join drops every
-    * non-probed code row at the hash lookup — a BroadcastHashJoin in
-    * place of n_pq_ann's deliberate full-scan BNLJ (PlanSpec pins the
-    * difference). At 10⁹ vectors the index is additionally WRITTEN
-    * cell-partitioned (q_dedup_persist's partitioned-table shape) so
-    * the scan prunes at the file level too; the in-query join here is
-    * the same plan downstream of that pruning.
-    *
-    * Both models load from the dataset-keyed ModelStore (trained once
-    * by `n_ann_train_models` or on first use). Same ranking semantics
-    * as n_pq_ann (ascending ADC ≡ descending cosine on unit vectors);
-    * recall vs exact top-k pinned in SimilaritySpec. No oracle:
-    * trained-model stance of its siblings. */
-  private def ivfPq(s: SparkSession, d: String): DataFrame = {
-    val K = 3
-    val NProbe = 2
-    val e = vecs(s, d)
-    val cents = ivfCentroids(s, d)
-    val books = pqCodebooks(s, d)
-    val nv = normVecs(e)
-    val sub = subVectors(nv)
-    ivfPqTopK(s, corpusIndex(s, e, sub, cents, books), e, nv, sub,
-      cents, books, K, NProbe)
-  }
-
   private def wTopCell = Window.partitionBy(col("vec_id"))
     .orderBy(col("score").asc, col("cid").asc)
 
-  /** (id2, cell, codes) corpus index rows: top-1 IVF cell + PQ codes,
-    * joined on vec_id (both inputs already hash-clustered by vec_id
-    * from their own aggregations). */
-  private def corpusIndex(s: SparkSession, e: DataFrame, sub: DataFrame,
-      cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val cells1 = scoredAgainst(s, e.select(col("vec_id"), col("v")), cents)
+  /** Routing centroids over the UNIT-normalized vectors — the residual
+    * IVF-PQ composition must assign cells in the same space it encodes
+    * (n_cosine_knn_ivf's raw-v model routes magnitude+direction; the
+    * composition ranks by cosine ≡ unit-space L2, so its cells live on
+    * the unit sphere). Own persisted artifact, same ModelStore
+    * contract. */
+  private[graft] def ivfUnitCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.operators.ModelStore.loadOrTrain(s,
+      graft.operators.ModelStore.dir(d, "ivfn_k16"))(
+      Array(trainCentroids(s,
+        normVecs(vecs(s, d)).select(col("vec_id"), col("nv").as("v")), 16, 3))).head
+
+  /** (vec_id, cell): top-1 unit-space cell per vector. */
+  private def unitCells(s: SparkSession, nv: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    scoredAgainst(s, nv.select(col("vec_id"), col("nv").as("v")), cents)
       .withColumn("rn", row_number().over(wTopCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    pqEncode(s, sub, books)
+
+  /** RESIDUAL sub-vectors (vec_id, cell, m, sv) of a (vec_id, cell, nv)
+    * frame: r = nv − centroid(cell), sliced into the M subspaces. The
+    * K-row full-width centroid frame is broadcast; the subtraction is a
+    * narrow zip_with in the scan projection. */
+  private def residualSub(s: SparkSession, withCell: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val centFull = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cfull"))
+    withCell.join(centFull, Seq("cell"))
+      .withColumn("rv",
+        zip_with(col("nv"), col("cfull"), (x, c) => (x - c).cast("float")))
+      .select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(M - 1)),
+          m => slice(col("rv"), m * SubD + 1, lit(SubD)))).as(Seq("m", "sv")))
+  }
+
+  /** PQ codebooks trained on the RESIDUALS (own artifact, `pqr_m8x64`):
+    * residual magnitudes are ~cell-radius instead of unit-norm, so the
+    * 64-entry-per-subspace budget quantizes a far smaller volume — the
+    * reason FAISS-style IVFPQ encodes residuals (Jégou, Douze & Schmid
+    * 2011, the PQ paper's IVFADC variant). Measured here (nprobe=2,
+    * sf0.001): raw-space codes after routing recall 0.197 vs exact
+    * top-3; residual codes 0.210. The gain is modest BY CONSTRUCTION
+    * on this corpus — near-uniform synthetic vectors give centroids
+    * near the origin, so residual ≈ raw; on clustered real embedding
+    * corpora the residual volume shrinks with cell radius and the gap
+    * widens. SimilaritySpec pins the floor. */
+  private[graft] def pqResidualCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    graft.operators.ModelStore.loadOrTrain(s,
+      graft.operators.ModelStore.dir(d, "pqr_m8x64")) {
+      val nv = normVecs(vecs(s, d))
+      pqTrain(s, residualSub(s,
+        unitCells(s, nv, ivfUnitCentroids(s, d)).join(nv, Seq("vec_id")),
+        ivfUnitCentroids(s, d)))
+    }
+
+  /** (id2, cell, codes) corpus index rows: top-1 unit-space cell + the
+    * residual PQ codes, joined on vec_id (both inputs already
+    * hash-clustered by vec_id from their own aggregations). */
+  private def corpusIndex(s: SparkSession, nv: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val cells1 = unitCells(s, nv, cents)
+    pqEncode(s, residualSub(s, cells1.join(nv, Seq("vec_id")), cents), books)
       .join(cells1, Seq("vec_id"))
       .select(col("vec_id").as("id2"), col("cell"), col("codes"))
   }
 
-  /** The serving scan shared by n_ivf_pq (in-query index) and
-    * n_ann_index_persist (on-disk index): route NQ queries to their
-    * nprobe cells, broadcast the probe frame, ADC-scan only matching
-    * cells' code rows, rank top-K. */
-  private def ivfPqTopK(s: SparkSession, index: DataFrame, e: DataFrame,
-      nv: DataFrame, sub: DataFrame, cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], k: Int, nprobe: Int): DataFrame = {
-    // query side: nprobe cells straight from the centroid model + the
-    // ADC table — NQ·nprobe rows total, a model-sized frame
+  /** Probe frame (id1, cell, dt, qc2): each query's nprobe unit-space
+    * cells, each carrying the ADC table of the QUERY'S RESIDUAL AGAINST
+    * THAT CELL — per-(query, cell) tables are what make residual ADC
+    * exact: a candidate's codes quantize (cand − c_cell), so the lookup
+    * table must tabulate (query − c_cell) against the same codebooks.
+    *
+    * qc2 = |query − c_cell|² is NOT optional here: the raw pipeline
+    * drops the |q|² ADC term as rank-invariant per query, but in the
+    * residual form the dropped constant VARIES BY CELL — ranking
+    * candidates from different probed cells without it compares scores
+    * carrying different offsets (measured at sf0.001: recall 0.133
+    * with the term dropped vs 0.210 carried at nprobe=2; at nprobe=16,
+    * where every cell is probed and the distortion is maximal, 0.120
+    * dropped vs 0.247 carried ≈ the raw full-scan's 0.267). With it,
+    * adc = |（q−c) − Q(x−c)|² exactly, fully comparable across cells.
+    * NQ·nprobe rows, a model-sized frame. */
+  private def residualProbes(s: SparkSession, nv: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
     val qids = pqQueryIds(nv)
     val qcells = scoredAgainst(s,
-        e.join(qids, "vec_id").select(col("vec_id"), col("v")), cents)
+        nv.join(qids, "vec_id").select(col("vec_id"), col("nv").as("v")), cents)
       .withColumn("rn", row_number().over(wTopCell))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("cid").as("cell"))
-    val probes = adcTables(s, sub, qids, books)
-      .join(qcells, Seq("vec_id"))
-      .select(col("vec_id").as("id1"), col("cell"), col("dt"))
+    val rq = residualSub(s, qcells.join(nv, Seq("vec_id")), cents)
+      .withColumn("sn2", call_function("graft_dot_f", col("sv"), col("sv")))
+    val qc2 = rq.groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("sn2")).as("qc2"))
+    pqScoreAgainst(s, rq, books)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("cid"), col("score")))),
+        x => x.getField("score")).as("dt"))
+      .join(qc2, Seq("vec_id", "cell"))
+      .select(col("vec_id").as("id1"), col("cell"), col("dt"), col("qc2"))
+  }
+
+  /** The serving scan shared by n_ivf_pq (in-query index) and
+    * n_ann_index_persist (on-disk index): broadcast the probe frame,
+    * ADC-scan only matching cells' code rows, rank top-K. */
+  private def ivfPqTopK(index: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = index.join(broadcast(probes), Seq("cell"))
       .filter(col("id1") =!= col("id2"))
-      .withColumn("adc", adcExpr)
+      .withColumn("adc", col("qc2") + adcExpr)
     val w = Window.partitionBy(col("id1")).orderBy(col("adc").asc, col("id2").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("id1"), col("id2"), dround(col("adc"), 4).as("adc_dist"),
         col("rn"))
       .orderBy(col("id1"), col("rn"))
+  }
+
+  /** IVF×PQ — the composed billion-scale ANN serving plan (round-4
+    * verdict's capstone item: IVF bounds how much is SCANNED, PQ bounds
+    * the BYTES per scanned vector; composing them is routing plus ONE
+    * genuinely new piece, residual encoding — see
+    * [[pqResidualCodebooks]]). Corpus index = (cell, codes): each
+    * vector's top-1 unit-space IVF cell plus the M PQ codes of its
+    * residual. Each query routes to its nprobe=2 nearest cells and
+    * ADC-scans ONLY those cells' code rows: the probe frame (NQ×nprobe
+    * rows, each carrying a per-cell 512-entry ADC table) is broadcast
+    * and the cell equi-join drops every non-probed code row at the hash
+    * lookup — a BroadcastHashJoin in place of n_pq_ann's deliberate
+    * full-scan BNLJ (PlanSpec pins the difference). n_ann_index_persist
+    * is this exact scan downstream of the cell-partitioned ON-DISK
+    * index.
+    *
+    * All three models (routing centroids, residual codebooks) load from
+    * the dataset-keyed ModelStore (trained once by `n_ann_train_models`
+    * or on first use). Ascending residual-ADC ranks like descending
+    * cosine on unit vectors; recall vs exact top-k pinned in
+    * SimilaritySpec. No oracle: trained-model stance of its siblings. */
+  private def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    val NProbe = 2
+    val cents = ivfUnitCentroids(s, d)
+    val books = pqResidualCodebooks(s, d)
+    val nv = normVecs(vecs(s, d))
+    ivfPqTopK(corpusIndex(s, nv, cents, books),
+      residualProbes(s, nv, cents, books, NProbe), K)
   }
 
   // -------------------------------------------------------- n_ann_index_persist
@@ -592,32 +668,24 @@ object Similarity {
   private def annIndexPersist(s: SparkSession, d: String): DataFrame = {
     val K = 3
     val NProbe = 2
-    val e = vecs(s, d)
-    val cents = ivfCentroids(s, d)
-    val books = pqCodebooks(s, d)
-    val nv = normVecs(e)
-    val sub = subVectors(nv)
-    val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_annindex_" + {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      }).getAbsolutePath
+    val cents = ivfUnitCentroids(s, d)
+    val books = pqResidualCodebooks(s, d)
+    val nv = normVecs(vecs(s, d))
+    // the index lives under the ModelStore root: the Version bump that
+    // invalidates codebooks invalidates the codes built from them too
+    val idxPath = graft.operators.ModelStore.dir(d, "ann_index")
     if (!new java.io.File(idxPath, "_SUCCESS").exists())
       graft.operators.Sinks.writePartitioned(
-        corpusIndex(s, e, sub, cents, books), idxPath, Seq("cell"))
+        corpusIndex(s, nv, cents, books), idxPath, Seq("cell"))
+    val probes = residualProbes(s, nv, cents, books, NProbe)
     // routing: the probed cells for this query batch — ≤ NQ·nprobe
     // distinct ids bounded by the K=16 cell count, a pruning decision
-    val qids = pqQueryIds(nv)
-    val probedCells = scoredAgainst(s,
-        e.join(qids, "vec_id").select(col("vec_id"), col("v")), cents)
-      .withColumn("rn", row_number().over(wTopCell))
-      .filter(col("rn") <= NProbe)
-      .select(col("cid")).distinct()
+    val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val index = s.read.parquet(idxPath)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
-    ivfPqTopK(s, index, e, nv, sub, cents, books, K, NProbe)
+    ivfPqTopK(index, probes, K)
   }
 
   // ---------------------------------------------------------- n_ann_train_models
@@ -631,15 +699,25 @@ object Similarity {
     * Output: one audit row per artifact (sizes + value checksum) —
     * model parameters only, no data rows to the driver. */
   private def annTrainModels(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ModelStore
     val e = vecs(s, d)
+    val nv = normVecs(e)
     val ivf = Array(trainCentroids(s, e, 16, 3))
-    graft.operators.ModelStore.save(s,
-      graft.operators.ModelStore.dir(d, "ivf_k16"), ivf)
-    val pq = pqTrain(s, subVectors(normVecs(e)))
-    graft.operators.ModelStore.save(s,
-      graft.operators.ModelStore.dir(d, "pq_m8x64"), pq)
-    graft.operators.ModelStore.summary(s, "ivf_k16", ivf)
-      .unionByName(graft.operators.ModelStore.summary(s, "pq_m8x64", pq))
+    ModelStore.save(s, ModelStore.dir(d, "ivf_k16"), ivf)
+    val pq = pqTrain(s, subVectors(nv))
+    ModelStore.save(s, ModelStore.dir(d, "pq_m8x64"), pq)
+    // the residual-composition pair: unit-space routing centroids, then
+    // codebooks over the residuals they induce
+    val ivfn = Array(trainCentroids(s,
+      nv.select(col("vec_id"), col("nv").as("v")), 16, 3))
+    ModelStore.save(s, ModelStore.dir(d, "ivfn_k16"), ivfn)
+    val pqr = pqTrain(s, residualSub(s,
+      unitCells(s, nv, ivfn.head).join(nv, Seq("vec_id")), ivfn.head))
+    ModelStore.save(s, ModelStore.dir(d, "pqr_m8x64"), pqr)
+    ModelStore.summary(s, "ivf_k16", ivf)
+      .unionByName(ModelStore.summary(s, "ivfn_k16", ivfn))
+      .unionByName(ModelStore.summary(s, "pq_m8x64", pq))
+      .unionByName(ModelStore.summary(s, "pqr_m8x64", pqr))
       .orderBy(col("model"))
   }
 

@@ -113,7 +113,9 @@ class SimilaritySpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall > 0.05, s"IVF-PQ recall suspiciously low: $recall")
+    // measured 0.21 (residual encoding with the per-cell qc2 term; the
+    // term's absence is a cross-cell ranking bug this floor would catch)
+    assert(recall > 0.1, s"IVF-PQ recall suspiciously low: $recall")
     // every returned candidate shares a probed cell with its query by
     // construction; the output is capped at K per query
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 3))
@@ -175,7 +177,8 @@ class SimilaritySpec extends GraftSpec {
     // the explicit build line retrains + persists both artifacts
     val summary = graft.SparkEntry.queries("n_ann_train_models")(spark, sfTiny)
       .collect()
-    assert(summary.map(_.getString(0)).toSeq == Seq("ivf_k16", "pq_m8x64"))
+    assert(summary.map(_.getString(0)).toSeq ==
+      Seq("ivf_k16", "ivfn_k16", "pq_m8x64", "pqr_m8x64"))
     assert(summary.forall(_.getAs[Double]("l2_checksum") > 0))
   }
 

@@ -654,7 +654,9 @@ object Text {
     * path is two approx cut-points per lang (a broadcast-size agg) and
     * a comparison instead of a full NTILE sort — same bucket semantics
     * modulo quantile error, no global per-lang sort. */
-  private def perplexityBucket(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, lang, score): the q_lm_score bigram-LM scoring DAG shared
+    * by both bucketing forms. */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("ts", toks)
@@ -674,8 +676,39 @@ object Text {
     pairs.join(lm, Seq("tok", "nxt"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(dround(avg(col("logp")), 4).as("score"))
+  }
+
+  private def perplexityBucket(s: SparkSession, d: String): DataFrame =
+    lmScored(s, d)
       .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
         .orderBy(col("score").desc, col("doc_id").asc)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        dround(avg(col("score")), 4).as("avg_score"),
+        dround(min(col("score")), 4).as("min_score"))
+      .orderBy(col("lang"), col("bucket"))
+
+  // -------------------------------------------------------- n_perplexity_approx
+  /** The SCALE PATH q_perplexity_bucket's scaladoc promises, now a
+    * first-class query: per-lang APPROX tertile cutpoints (one
+    * `percentile_approx` aggregation — a |langs|-row broadcast-size
+    * dim) and a codegen'd comparison per doc, in place of NTILE's
+    * per-lang sort. At web scale with few languages the ntile window
+    * funnels each language's every doc-score through one sorting task;
+    * here no row is ever sorted — the only shuffles are the lang
+    * aggregation and the final rollup, both tiny. Bucket semantics
+    * match ntile modulo quantile error and boundary ties
+    * (TextSpec/SamplingSpec-style agreement pinned in TextOpsSpec). */
+  private def perplexityApprox(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScored(s, d)
+    val cuts = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+    scored.join(cuts, Seq("lang"))
+      .withColumn("bucket",
+        when(col("score") > element_at(col("cuts"), 2), 1)
+          .when(col("score") > element_at(col("cuts"), 1), 2)
+          .otherwise(3))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         dround(avg(col("score")), 4).as("avg_score"),
@@ -719,6 +752,7 @@ object Text {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
+    QueryDef("n_perplexity_approx", perplexityApprox, None),
     QueryDef("q_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),

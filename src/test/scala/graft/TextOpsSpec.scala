@@ -9,6 +9,33 @@ class TextOpsSpec extends GraftSpec {
   private def one[T](dfv: String, c: org.apache.spark.sql.Column): Any =
     Seq(dfv).toDF("t").select(c.as("v")).collect()(0).get(0)
 
+  test("n_perplexity_approx agrees with exact ntile bucketing and never " +
+      "sorts doc scores") {
+    def counts(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = counts("q_perplexity_bucket")
+    val approx = counts("n_perplexity_approx")
+    // same (lang, bucket) keys and the same total doc mass
+    assert(exact.keySet == approx.keySet,
+      s"bucket keys diverged: ${exact.keySet} vs ${approx.keySet}")
+    assert(exact.values.sum == approx.values.sum)
+    // per-bucket counts within quantile error + boundary-tie slack
+    // (ntile forces equal sizes; the cutpoint form puts ties on one side)
+    for ((k, n) <- exact) {
+      val na = approx(k)
+      assert(math.abs(na - n) <= math.max(2L, n / 5),
+        s"$k: exact=$n approx=$na — beyond quantile-error tolerance")
+    }
+    // the scale property itself: no ntile window anywhere in the plan —
+    // the per-lang sort is exactly what this variant exists to delete
+    val p = SparkEntry.queries("n_perplexity_approx")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // "ntile(" — the window function call; plain "ntile" would also
+    // match perce-ntile-_approx, the very aggregate this path uses
+    assert(!p.contains("ntile("), "approx path re-introduced the ntile sort")
+  }
+
   test("tokens splits on any whitespace run") {
     val all = Seq("a  b\tc").toDF("t")
       .select(explode(TextOps.tokens($"t")).as("v")).collect().map(_.getString(0))

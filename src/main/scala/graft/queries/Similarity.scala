@@ -551,9 +551,9 @@ object Similarity {
     graft.operators.ModelStore.loadOrTrain(s,
       graft.operators.ModelStore.dir(d, "pqr_m8x64")) {
       val nv = normVecs(vecs(s, d))
+      val cents = ivfUnitCentroids(s, d)
       pqTrain(s, residualSub(s,
-        unitCells(s, nv, ivfUnitCentroids(s, d)).join(nv, Seq("vec_id")),
-        ivfUnitCentroids(s, d)))
+        unitCells(s, nv, cents).join(nv, Seq("vec_id")), cents))
     }
 
   /** (id2, cell, codes) corpus index rows: top-1 unit-space cell + the

@@ -56,8 +56,11 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
       // the memory-sink table pins one cached RDD for the session — drop
-      // it so end-of-run cache accounting (below) starts from zero
+      // it so end-of-run cache accounting (below) starts from zero; the
+      // warmup's synthetic parquet tree is dead once the drain finishes
+      // (leaving it leaked one ~tiny dir per bench invocation)
       spark.catalog.dropTempView("graft_warm_stream")
+      graft.operators.Sinks.deleteRecursively(new java.io.File(warmDir))
       // Pair-kernel warmup: BlockPairScan's fused scans are plain Scala
       // whose first heavy invocation pays C1/C2 compilation — measured
       // ~10 s landing on q_ngram_jaccard (and smaller hits on the other

@@ -688,6 +688,75 @@ object Similarity {
     ivfPqTopK(index, probes, K)
   }
 
+  // ----------------------------------------------------------- n_ann_index_incr
+  /** INCREMENTAL INDEX MAINTENANCE — the operation that keeps a
+    * persisted vector index alive under ingest without rebuilding it:
+    * new vectors are encoded with the FROZEN models (routing centroids
+    * + residual codebooks do not move per batch — the standard
+    * production contract; drift is handled by a scheduled retrain +
+    * full rebuild), their DISTINCT cells become the dirty set, and
+    * only those cells' partitions are rewritten under dynamic
+    * partition overwrite — n_stream_upsert's bounded-write-
+    * amplification pattern applied to the ANN index, so a batch
+    * touching B of K cells rewrites B/K of the index regardless of
+    * index size.
+    *
+    * Harness shape: a deterministic hash-slice (~10%) of the corpus
+    * plays the arriving batch; the base index is built from the other
+    * ~90%, the batch is merged in, and the output is per-dirty-cell
+    * accounting. Because per-vector encoding is independent and the
+    * models are frozen, the merged index must equal the
+    * full-corpus index ROW FOR ROW — SimilaritySpec pins exactly that
+    * (the strongest possible correctness statement for an incremental
+    * maintenance op: increment ≡ rebuild). The same stage-then-swap
+    * discipline as the upsert cuts the self-read cycle. */
+  private def annIndexIncr(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfUnitCentroids(s, d)
+    val books = pqResidualCodebooks(s, d)
+    val nv = normVecs(vecs(s, d))
+    val isBatch = pmod(
+      graft.operators.TextOps.portableHash(col("vec_id").cast("string")),
+      lit(10L)) === 0L
+    val base = new java.io.File(
+      graft.operators.ModelStore.dir(d, "ann_index_incr"))
+    val idx = new java.io.File(base, "table").getAbsolutePath
+    val stage = new java.io.File(base, "stage").getAbsolutePath
+    // each invocation rebuilds the base (~90%) and replays the merge —
+    // the measured work IS the maintenance op, deterministic per pass
+    graft.operators.Sinks.deleteRecursively(new java.io.File(idx))
+    graft.operators.Sinks.writePartitioned(
+      corpusIndex(s, nv.filter(!isBatch), cents, books), idx, Seq("cell"))
+    val batchCodes = corpusIndex(s, nv.filter(isBatch), cents, books)
+    val dirty = batchCodes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤K scalars: the pruning decision
+    val prev = s.read.parquet(idx)
+      .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
+      .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
+    val merged = prev.unionByName(batchCodes)
+    merged.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    val prevMode =
+      s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.read.parquet(stage)
+        .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    } finally
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    graft.operators.Sinks.deleteRecursively(new java.io.File(stage))
+    // per-dirty-cell accounting from the merged on-disk table
+    val added = batchCodes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_added"))
+    s.read.parquet(idx)
+      .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_after"))
+      .join(added, Seq("cell"))
+      .select(col("cell"), (col("n_after") - col("n_added")).as("n_before"),
+        col("n_added"), col("n_after"))
+      .orderBy(col("cell"))
+  }
+
   // ---------------------------------------------------------- n_ann_train_models
   /** The explicit MODEL BUILD line (the ANN twin of
     * `n_dedup_pairs_build`): unconditionally retrain the IVF centroids
@@ -834,6 +903,7 @@ object Similarity {
     QueryDef("n_ivf_pq", ivfPq, None),
     QueryDef("n_ann_train_models", annTrainModels, None),
     QueryDef("n_ann_index_persist", annIndexPersist, None),
+    QueryDef("n_ann_index_incr", annIndexIncr, None),
     QueryDef("n_semdedup", semDedup, None),
   )
 }

@@ -156,6 +156,35 @@ class SimilaritySpec extends GraftSpec {
       s"index scan does not prune cell partitions:\n${p.take(3000)}")
   }
 
+  test("ann index incr: merged index equals the full rebuild row-for-row " +
+      "and the accounting is consistent") {
+    val acct = graft.SparkEntry.queries("n_ann_index_incr")(spark, sfTiny)
+      .collect()
+    assert(acct.nonEmpty)
+    acct.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") + r.getAs[Long]("n_added"))
+    }
+    // increment ≡ rebuild: per-vector encoding under frozen models is
+    // independent, so base(90%) + merged batch(10%) must reproduce the
+    // full-corpus index exactly. Read the table the query just merged
+    // and compare to n_ann_index_persist's full index (same models).
+    def rows(path: String) =
+      spark.read.parquet(path)
+        .selectExpr("id2", "CAST(cell AS INT) AS cell", "codes")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    // n_ann_index_persist builds/reuses the full index on disk
+    graft.SparkEntry.queries("n_ann_index_persist")(spark, sfTiny).count()
+    val full = rows(graft.operators.ModelStore.dir(sfTiny, "ann_index"))
+    val merged = rows(new java.io.File(
+      graft.operators.ModelStore.dir(sfTiny, "ann_index_incr"), "table")
+      .getAbsolutePath)
+    assert(merged == full,
+      s"incremental merge diverged from rebuild: merged=${merged.size} " +
+        s"full=${full.size} symm-diff=${(merged diff full).size + (full diff merged).size}")
+  }
+
   test("ann model store: disk-loaded artifacts equal freshly-trained, " +
       "and the serving queries reuse them") {
     graft.operators.ModelStore.evict(sfTiny)

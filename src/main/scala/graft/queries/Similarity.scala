@@ -702,14 +702,20 @@ object Similarity {
     * index size.
     *
     * Harness shape: a deterministic hash-slice (~10%) of the corpus
-    * plays the arriving batch; the base index is built from the other
-    * ~90%, the batch is merged in, and the output is per-dirty-cell
-    * accounting. Because per-vector encoding is independent and the
-    * models are frozen, the merged index must equal the
-    * full-corpus index ROW FOR ROW — SimilaritySpec pins exactly that
-    * (the strongest possible correctness statement for an incremental
-    * maintenance op: increment ≡ rebuild). The same stage-then-swap
-    * discipline as the upsert cuts the self-read cycle. */
+    * plays the arriving batch; the PRISTINE base index (the other
+    * ~90%) and the serving table are dataset-keyed and built once
+    * (the upsert's reused-scaffolding contract) — each invocation then
+    * pays ONLY the true maintenance cost: encode the batch, read the
+    * dirty cells of the base, dynamic-overwrite the table's dirty
+    * partitions. Merging base∪batch (never table∪batch) makes the op
+    * idempotent across invocations AND removes the upsert's
+    * stage-then-swap: the write's inputs live in a different tree than
+    * its outputs, so there is no self-read cycle to cut. Because
+    * per-vector encoding is independent and the models are frozen, the
+    * merged table must equal the full-corpus index ROW FOR ROW —
+    * SimilaritySpec pins exactly that (the strongest possible
+    * correctness statement for incremental maintenance: increment ≡
+    * rebuild). */
   private def annIndexIncr(s: SparkSession, d: String): DataFrame = {
     val cents = ivfUnitCentroids(s, d)
     val books = pqResidualCodebooks(s, d)
@@ -717,37 +723,35 @@ object Similarity {
     val isBatch = pmod(
       graft.operators.TextOps.portableHash(col("vec_id").cast("string")),
       lit(10L)) === 0L
-    val base = new java.io.File(
+    val root = new java.io.File(
       graft.operators.ModelStore.dir(d, "ann_index_incr"))
-    val idx = new java.io.File(base, "table").getAbsolutePath
-    val stage = new java.io.File(base, "stage").getAbsolutePath
-    // each invocation rebuilds the base (~90%) and replays the merge —
-    // the measured work IS the maintenance op, deterministic per pass
-    graft.operators.Sinks.deleteRecursively(new java.io.File(idx))
-    graft.operators.Sinks.writePartitioned(
-      corpusIndex(s, nv.filter(!isBatch), cents, books), idx, Seq("cell"))
+    val base = new java.io.File(root, "base").getAbsolutePath
+    val table = new java.io.File(root, "table").getAbsolutePath
+    if (!new java.io.File(base, "_SUCCESS").exists())
+      graft.operators.Sinks.writePartitioned(
+        corpusIndex(s, nv.filter(!isBatch), cents, books), base, Seq("cell"))
+    if (!new java.io.File(table, "_SUCCESS").exists())
+      s.read.parquet(base).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(table)
+    // --- the maintenance op itself, per arriving batch ---
     val batchCodes = corpusIndex(s, nv.filter(isBatch), cents, books)
     val dirty = batchCodes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // ≤K scalars: the pruning decision
-    val prev = s.read.parquet(idx)
+    val prev = s.read.parquet(base)
       .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
       .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
-    val merged = prev.unionByName(batchCodes)
-    merged.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage)
     val prevMode =
       s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try {
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      s.read.parquet(stage)
-        .write.mode("overwrite").partitionBy("cell").parquet(idx)
+      prev.unionByName(batchCodes).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(table)
     } finally
       s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    graft.operators.Sinks.deleteRecursively(new java.io.File(stage))
     // per-dirty-cell accounting from the merged on-disk table
     val added = batchCodes.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_added"))
-    s.read.parquet(idx)
+    s.read.parquet(table)
       .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_after"))

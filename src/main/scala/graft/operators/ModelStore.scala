@@ -38,8 +38,24 @@ object ModelStore {
   private def base(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_models_${Version}_${tag(d)}")
 
-  def dir(d: String, model: String): String =
+  /** A Version bump must not strand the previous version's trees in
+    * tmpdir forever — sweep non-current `graft_models_*` dirs once per
+    * JVM (cleanup-discipline contract: keyed stores own their
+    * lifecycle). */
+  private lazy val gcStaleVersions: Unit = {
+    val prefix = "graft_models_"
+    val keep = s"${prefix}${Version}_"
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        !f.getName.startsWith(keep))
+      .foreach(Sinks.deleteRecursively)
+  }
+
+  def dir(d: String, model: String): String = {
+    gcStaleVersions
     new java.io.File(base(d), model).getAbsolutePath
+  }
 
   /** Write an [m][cid][dim] artifact (overwrite). The frame is a few KB
     * of model parameters — single file, written to a sibling temp dir

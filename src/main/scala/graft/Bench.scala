@@ -168,8 +168,13 @@ object Bench {
     // per-query map were truncated away and the round had no readable
     // number of record). This second, compact line (<300 chars) always
     // lands inside the captured tail so the headline figures survive.
+    // Locale.ROOT: f"%.2f" under a comma-decimal default locale (de_DE,
+    // fr_FR) would emit 12,34 and malform exactly the JSON line that
+    // exists to survive the driver's tail capture
     val top10 = results.filter(_._5.isEmpty).sortBy(-_._2).take(10)
-      .map(r => "\"" + r._1 + "\":" + f"${r._2}%.2f").mkString("{", ",", "}")
+      .map(r => "\"" + r._1 + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r._2)))
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"gc_sec":$gcTotal,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)

@@ -76,19 +76,21 @@ object Bucketing {
   /** Bench/test hook: drop this application's bucketed tables and memo
     * entries so a repeated measurement pass re-times the real layout
     * write (the round-3 per-query-decomposition honesty contract). */
-  def evict(s: SparkSession): Unit = {
+  def evict(s: SparkSession): Unit = built.synchronized {
+    // drops happen INSIDE the lock: the table names are deterministic
+    // per dataset, so an evict whose DROPs ran after releasing the lock
+    // could race a concurrent rebuild of the same names and drop the
+    // fresh tables while the memo still returned them
     val appId = s.sparkContext.applicationId
-    val dropped = built.synchronized {
-      val ks = built.keys.filter(_._1 == appId).toSeq
-      ks.flatMap(built.remove)
-    }
-    dropped.foreach { case (li, ord, dir) =>
-      s.sql(s"DROP TABLE IF EXISTS $li")
-      s.sql(s"DROP TABLE IF EXISTS $ord")
-      // the tables are EXTERNAL (option("path")) — DROP TABLE removes
-      // only catalog entries; delete the files too, or a multi-pass
-      // bench leaves one full copy of both projections per rebuild
-      Sinks.deleteRecursively(new java.io.File(dir))
-    }
+    built.keys.filter(_._1 == appId).toSeq
+      .flatMap(built.remove)
+      .foreach { case (li, ord, dir) =>
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $ord")
+        // the tables are EXTERNAL (option("path")) — DROP TABLE removes
+        // only catalog entries; delete the files too, or a multi-pass
+        // bench leaves one full copy of both projections per rebuild
+        Sinks.deleteRecursively(new java.io.File(dir))
+      }
   }
 }

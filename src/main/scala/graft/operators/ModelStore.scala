@@ -30,13 +30,9 @@ object ModelStore {
 
   private val lock = new Object
 
-  private def tag(d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  }
-
   private def base(d: String): java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_models_${Version}_${tag(d)}")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_models_${Version}_${Sinks.datasetTag(d)}")
 
   /** A Version bump must not strand the previous version's trees in
     * tmpdir forever — sweep non-current `graft_models_*` dirs once per

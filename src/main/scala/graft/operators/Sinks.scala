@@ -69,6 +69,15 @@ object Sinks {
     f.delete()
   }
 
+  /** 6-hex md5 tag of a dataset dir — THE key for every per-dataset
+    * scratch/store path and temp-view name (pair tables, model store,
+    * upsert/sink trees, SQL views). One definition: a keying change
+    * (length, hash, salt) must not be synchronized across copies. */
+  def datasetTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   /** Hive path-escaping decode for a partition-directory VALUE: special
     * chars (space, '=', '/', ':', …) are written as %XX hex escapes, so
     * a listing-derived value only matches the data-side value after

@@ -1033,10 +1033,7 @@ object Dedup {
     * end (schema/value fidelity of the parquet sink included). */
   private def dedupPersist(s: SparkSession, d: String): DataFrame = {
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_pairtable_" + {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      }).getAbsolutePath
+      "graft_pairtable_" + graft.operators.Sinks.datasetTag(d)).getAbsolutePath
     graft.operators.Sinks.writePartitioned(
       lshDupPairsShared(s, d).withColumn("pt", pmod(col("id1"), lit(8L))),
       out, Seq("pt"))

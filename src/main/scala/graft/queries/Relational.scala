@@ -667,15 +667,15 @@ object Relational {
     * data is materialized — so leaving them registered for the session
     * costs nothing and keeps repeated SQL-text queries stable. */
   private def sqlViews(s: SparkSession, d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val tag = md.digest(d.getBytes("UTF-8")).take(6)
-      .map("%02x".format(_)).mkString
+    val tag = graft.operators.Sinks.datasetTag(d)
+    // exactly the tables the SQL-text strings reference — events was
+    // registered here once but never queried, paying its eager schema
+    // read + nanos-conf mutation per invocation for nothing
     Seq[(String, DataFrame)](
       "customer" -> Tables.customer(s, d),
       "orders" -> Tables.orders(s, d),
       "lineitem" -> Tables.lineitem(s, d),
-      "nation" -> Tables.nation(s, d),
-      "events" -> Tables.events(s, d))
+      "nation" -> Tables.nation(s, d))
       .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_${n}_$tag") }
     tag
   }

@@ -302,7 +302,7 @@ object Similarity {
     * loaded from the dataset-keyed [[graft.operators.ModelStore]] when
     * present, trained-and-saved otherwise — the once-per-corpus-snapshot
     * contract a production index follows (round-4 verdict item 3;
-    * `n_ann_train_models` is the explicit build line). Training is
+    * `n_ann_build_models` is the explicit build line). Training is
     * deterministic and doubles round-trip parquet exactly, so the two
     * paths are bit-identical (SimilaritySpec pins it). */
   private[graft] def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
@@ -557,14 +557,22 @@ object Similarity {
     }
 
   /** (id2, cell, codes) corpus index rows: top-1 unit-space cell + the
-    * residual PQ codes, joined on vec_id (both inputs already
-    * hash-clustered by vec_id from their own aggregations). */
+    * residual PQ codes. The cell rides THROUGH the encode aggregation
+    * as a grouping key (it is functionally dependent on vec_id) rather
+    * than being re-joined afterwards — the join form executed the
+    * unitCells window twice per index build. */
   private def corpusIndex(s: SparkSession, nv: DataFrame,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): DataFrame = {
-    val cells1 = unitCells(s, nv, cents)
-    pqEncode(s, residualSub(s, cells1.join(nv, Seq("vec_id")), cents), books)
-      .join(cells1, Seq("vec_id"))
+    val rsub = residualSub(s,
+      unitCells(s, nv, cents).join(nv, Seq("vec_id")), cents)
+    pqScoreAgainst(s, rsub, books)
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("score"), col("cid"))).as("x"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("x.cid").as("cid")))),
+        p => p.getField("cid")).as("codes"))
       .select(col("vec_id").as("id2"), col("cell"), col("codes"))
   }
 
@@ -636,7 +644,7 @@ object Similarity {
     * index.
     *
     * All three models (routing centroids, residual codebooks) load from
-    * the dataset-keyed ModelStore (trained once by `n_ann_train_models`
+    * the dataset-keyed ModelStore (trained once by `n_ann_build_models`
     * or on first use). Ascending residual-ADC ranks like descending
     * cosine on unit vectors; recall vs exact top-k pinned in
     * SimilaritySpec. No oracle: trained-model stance of its siblings. */
@@ -677,13 +685,18 @@ object Similarity {
     if (!new java.io.File(idxPath, "_SUCCESS").exists())
       graft.operators.Sinks.writePartitioned(
         corpusIndex(s, nv, cents, books), idxPath, Seq("cell"))
-    val probes = residualProbes(s, nv, cents, books, NProbe)
-    // routing: the probed cells for this query batch — ≤ NQ·nprobe
-    // distinct ids bounded by the K=16 cell count, a pruning decision
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
+    // the probe frame is model-sized (NQ·nprobe rows) and needed twice
+    // (the dirty-cell routing decision AND the broadcast scan side) —
+    // collect it ONCE and rebuild a local frame, instead of executing
+    // the full probe DAG for each consumer; same driver-traffic class
+    // as the broadcast it feeds
+    val probeDf = residualProbes(s, nv, cents, books, NProbe)
+    val probeRows = probeDf.collect()
+    import scala.jdk.CollectionConverters._
+    val probes = s.createDataFrame(probeRows.toSeq.asJava, probeDf.schema)
+    val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct
     val index = s.read.parquet(idxPath)
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
       .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
     ivfPqTopK(index, probes, K)
   }
@@ -734,11 +747,18 @@ object Similarity {
       s.read.parquet(base).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(table)
     // --- the maintenance op itself, per arriving batch ---
-    val batchCodes = corpusIndex(s, nv.filter(isBatch), cents, books)
-    val dirty = batchCodes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)) // ≤K scalars: the pruning decision
+    // the batch encode is corpus-bounded (not driver-sized), so it is
+    // persisted for the invocation instead of collected: without it the
+    // encode DAG executed three times (dirty scan, merge write,
+    // accounting); released before the result frame is built, which
+    // references only the written table and a ≤K-row local frame
+    val batchCodes = corpusIndex(s, nv.filter(isBatch), cents, books).persist()
+    val addedLocal = batchCodes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_added"))
+      .collect() // ≤K rows: the pruning decision AND the added counts
+    val dirty = addedLocal.map(_.getInt(0))
     val prev = s.read.parquet(base)
-      .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(dirty.map(Integer.valueOf).toSeq: _*))
       .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
     val prevMode =
       s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -748,11 +768,13 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(table)
     } finally
       s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    batchCodes.unpersist(blocking = false)
     // per-dirty-cell accounting from the merged on-disk table
-    val added = batchCodes.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_added"))
+    import s.implicits._
+    val added = addedLocal.toSeq
+      .map(r => (r.getInt(0), r.getLong(1))).toDF("cell", "n_added")
     s.read.parquet(table)
-      .filter(col("cell").isin(dirty.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(dirty.map(Integer.valueOf).toSeq: _*))
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_after"))
       .join(added, Seq("cell"))
@@ -761,7 +783,7 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  // ---------------------------------------------------------- n_ann_train_models
+  // ---------------------------------------------------------- n_ann_build_models
   /** The explicit MODEL BUILD line (the ANN twin of
     * `n_dedup_pairs_build`): unconditionally retrain the IVF centroids
     * and PQ codebooks and persist both to the dataset-keyed ModelStore.
@@ -905,7 +927,7 @@ object Similarity {
     QueryDef("n_cosine_knn_ivf", cosineKnnIvf, None),
     QueryDef("n_pq_ann", pqAnn, None),
     QueryDef("n_ivf_pq", ivfPq, None),
-    QueryDef("n_ann_train_models", annTrainModels, None),
+    QueryDef("n_ann_build_models", annTrainModels, None),
     QueryDef("n_ann_index_persist", annIndexPersist, None),
     QueryDef("n_ann_index_incr", annIndexIncr, None),
     QueryDef("n_semdedup", semDedup, None),

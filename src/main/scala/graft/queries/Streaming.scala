@@ -49,12 +49,10 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** 6-hex md5 tag of the dataset dir — keys every per-dataset scratch
-    * path below (the q_dedup_persist convention). */
-  private def dsTag(d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  }
+  /** Dataset-keyed scratch paths use the shared tag (the
+    * q_dedup_persist convention). */
+  private def dsTag(d: String): String =
+    graft.operators.Sinks.datasetTag(d)
 
   /** Checkpoint scratch root: tmpfs (`/dev/shm`) when available, else
     * the JVM tmpdir. A finite AvailableNow drain writes its offset/

@@ -16,14 +16,17 @@ class TextOpsSpec extends GraftSpec {
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val exact = counts("q_perplexity_bucket")
     val approx = counts("n_perplexity_approx")
-    // same (lang, bucket) keys and the same total doc mass
-    assert(exact.keySet == approx.keySet,
-      s"bucket keys diverged: ${exact.keySet} vs ${approx.keySet}")
+    // same langs and the same total doc mass; individual (lang, bucket)
+    // cells may be empty on ONE side only at boundary ties (ntile forces
+    // equal sizes, the cutpoint form puts ties on one side — a sparse
+    // lang can legally leave a middle bucket empty), so the per-cell
+    // comparison below uses getOrElse(0) with tolerance instead of
+    // demanding identical key sets
+    assert(exact.keys.map(_._1).toSet == approx.keys.map(_._1).toSet)
     assert(exact.values.sum == approx.values.sum)
-    // per-bucket counts within quantile error + boundary-tie slack
-    // (ntile forces equal sizes; the cutpoint form puts ties on one side)
-    for ((k, n) <- exact) {
-      val na = approx(k)
+    for (k <- exact.keySet ++ approx.keySet) {
+      val n = exact.getOrElse(k, 0L)
+      val na = approx.getOrElse(k, 0L)
       assert(math.abs(na - n) <= math.max(2L, n / 5),
         s"$k: exact=$n approx=$na — beyond quantile-error tolerance")
     }

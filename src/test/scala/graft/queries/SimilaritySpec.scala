@@ -204,7 +204,7 @@ class SimilaritySpec extends GraftSpec {
     val fromDisk = graft.SparkEntry.queries("n_cosine_knn_ivf")(spark, sfTiny).collect()
     assert(fresh.map(_.toString).toSeq == fromDisk.map(_.toString).toSeq)
     // the explicit build line retrains + persists both artifacts
-    val summary = graft.SparkEntry.queries("n_ann_train_models")(spark, sfTiny)
+    val summary = graft.SparkEntry.queries("n_ann_build_models")(spark, sfTiny)
       .collect()
     assert(summary.map(_.getString(0)).toSeq ==
       Seq("ivf_k16", "ivfn_k16", "pq_m8x64", "pqr_m8x64"))

@@ -102,36 +102,63 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     // Wall-clock budget for EXTRA passes: on a pathological (host-noise)
     // run a single pass can take 3x its normal time, and tripling that
-    // must not blow any outer harness timeout — after each pass, further
-    // passes run only while cumulative measured time stays under budget
-    // (min-of-whatever-completed is still far more stable than one pass).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_PASS_BUDGET", "300").toDouble
+    // must not blow any outer harness timeout. The budget is ADAPTIVE
+    // (round-5 verdict item 1): a fixed 300 s met a 1.5x noise window
+    // and the official r5 record became min-of-2 with phantom 6 s
+    // outliers in its top10. Defaulting to 3.5x the measured pass-1
+    // wall scales WITH the noise — a uniformly-slow host still gets its
+    // 3 passes (3 slow passes ≈ 3x slow-pass-1 < budget) — while a
+    // genuinely huge suite still stops before tripling a blowout.
+    // SPARK_GRAFT_PASS_BUDGET overrides with a fixed value when an
+    // outer harness needs a hard ceiling.
+    val budgetEnv = sys.env.get("SPARK_GRAFT_PASS_BUDGET").map(_.toDouble)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // A failing query must be visible as a FAILURE, not timed as fast:
     // it reports -1 sec and lands in the "errors" map.
     val wall0 = System.nanoTime()
-    val perPass = (1 to passes).flatMap { pass =>
-      val elapsed = (System.nanoTime() - wall0) / 1e9
-      if (pass > 1 && elapsed > budgetSec) None
-      else Some {
-        if (pass > 1) {
-          graft.queries.Dedup.evictMemo(spark)
-          graft.operators.Bucketing.evict(spark)
-        }
-        names.map { case (name, fn) =>
-          val g0 = gcMillis
-          val t0 = System.nanoTime()
-          val err = try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
-          }
-          (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9,
-            (gcMillis - g0) / 1e3, err)
-        }
+    val passBuf =
+      scala.collection.mutable.ArrayBuffer[Seq[(String, Double, Double, Option[String])]]()
+    var firstPassSec = 0.0
+    var lastPassSec = 0.0
+    var continue = true
+    while (passBuf.length < passes && continue) {
+      if (passBuf.nonEmpty) {
+        // Re-pay-the-build honesty: the dedup pair-table memo and the
+        // bucketed-table cache are evicted so every pass re-times the
+        // REAL build. ModelStore is deliberately NOT evicted — trained
+        // ANN models are a once-per-corpus-snapshot artifact and every
+        // serving query's number of record is the load-and-serve path;
+        // n_ann_build_models retrains unconditionally each pass, so
+        // training cost already has its own honest line. Do not "fix"
+        // this into per-pass retraining of the serving queries.
+        graft.queries.Dedup.evictMemo(spark)
+        graft.operators.Bucketing.evict(spark)
       }
+      val p0 = System.nanoTime()
+      passBuf += names.map { case (name, fn) =>
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+        }
+        (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9,
+          (gcMillis - g0) / 1e3, err)
+      }
+      lastPassSec = (System.nanoTime() - p0) / 1e9
+      if (passBuf.length == 1) firstPassSec = lastPassSec
+      // 3.5x the slowest pass seen so far: scales with uniform host
+      // drift (all passes slow -> budget slow) AND with drift that
+      // arrives mid-run (fast pass 1, slow pass 2 -> budget follows)
+      val budgetSec = budgetEnv.getOrElse(3.5 * firstPassSec.max(lastPassSec))
+      val elapsed = (System.nanoTime() - wall0) / 1e9
+      // allow the next pass only if it plausibly fits: assume it costs
+      // about what the one just measured did
+      continue = elapsed + lastPassSec <= budgetSec
     }
+    val perPass: Seq[Seq[(String, Double, Double, Option[String])]] = passBuf.toSeq
     val results = names.indices.map { i =>
       val runs = perPass.map(_(i))
       val (name, _, _, _) = runs.head

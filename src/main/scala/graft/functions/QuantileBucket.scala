@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -33,6 +34,22 @@ case class QuantileBucket(left: Expression, right: Expression)
     Seq(DoubleType, ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_qbucket"
+
+  /** A non-foldable or null cuts argument must fail ANALYSIS, not
+    * surface as an executor-side NPE when the first task forces the
+    * lazy val (ADVICE r5): the contract "cuts is a literal array the
+    * driver computed" is checkable at plan time, so check it there. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val basic = super.checkInputDataTypes()
+    if (basic.isFailure) basic
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_qbucket cuts must be a foldable literal array of doubles")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_qbucket cuts must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private lazy val cuts: Array[Double] = {
     require(right.foldable, "graft_qbucket cuts must be a literal array")

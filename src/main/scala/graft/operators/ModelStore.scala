@@ -37,14 +37,20 @@ object ModelStore {
   /** A Version bump must not strand the previous version's trees in
     * tmpdir forever — sweep non-current `graft_models_*` dirs once per
     * JVM (cleanup-discipline contract: keyed stores own their
-    * lifecycle). */
+    * lifecycle). AGE-GATED (ADVICE r5): tmpdir is shared, and a
+    * concurrently-running JVM on an older code version may be serving
+    * from the tree this JVM considers stale — deleting it mid-read
+    * fails that process's queries. Only trees untouched for an hour are
+    * swept; a live store's mtime refreshes on every write and its reads
+    * complete in seconds, so an hour-old non-current tree is garbage. */
   private lazy val gcStaleVersions: Unit = {
     val prefix = "graft_models_"
     val keep = s"${prefix}${Version}_"
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
-        !f.getName.startsWith(keep))
+        !f.getName.startsWith(keep) && f.lastModified() < cutoff)
       .foreach(Sinks.deleteRecursively)
   }
 
@@ -52,6 +58,47 @@ object ModelStore {
     gcStaleVersions
     new java.io.File(base(d), model).getAbsolutePath
   }
+
+  /** Content fingerprint of one or more model artifacts — the key for
+    * trees DERIVED from models (the persisted ANN index). Raw IEEE bits
+    * through md5, so ANY value change (including a 1-ulp retrain drift)
+    * changes the key. */
+  def fingerprint(arts: Array[Array[Array[Double]]]*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    for (a <- arts; book <- a; c <- book; x <- c) {
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(x))
+      md.update(buf.array())
+    }
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Path for a tree DERIVED from model artifacts (a persisted index,
+    * its incremental base/table), keyed by the models' content
+    * fingerprint (ADVICE r5): `n_ann_build_models` retrains and
+    * overwrites the models each bench pass, and a derived tree built
+    * behind a plain _SUCCESS guard would keep serving codes that only
+    * agree with the CURRENT models if retraining is bit-identical —
+    * which FP partial-aggregation merge order does not guarantee.
+    * Fingerprint-keying makes any model change force a rebuild; stale
+    * sibling fingerprints of the same tree are swept here so retrains
+    * don't accumulate dead indexes. */
+  def derivedDir(d: String, name: String, fp: String): String =
+    lock.synchronized {
+      gcStaleVersions
+      val b = base(d)
+      val keep = s"${name}_$fp"
+      // sweep ONLY stale fingerprints of THIS tree: the pattern is
+      // anchored to exactly one 12-hex suffix, so "ann_index_<fp>"
+      // never matches (and never deletes) "ann_index_incr_<fp>"
+      val stale = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(name) + "_[0-9a-f]{12}")
+      Option(b.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && stale.matcher(f.getName).matches() &&
+          f.getName != keep)
+        .foreach(Sinks.deleteRecursively)
+      new java.io.File(b, keep).getAbsolutePath
+    }
 
   /** Write an [m][cid][dim] artifact (overwrite). The frame is a few KB
     * of model parameters — single file, written to a sibling temp dir

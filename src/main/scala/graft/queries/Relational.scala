@@ -918,6 +918,29 @@ object Relational {
       |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
       |ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------- q_grouping_sets_df
+  /** The DataFrame-API twin of q_grouping_sets (round-5 verdict item 6
+    * — the Expand-based grouping-sets plan was the last major plan
+    * family covered by only one of the two front doors):
+    * `Dataset.groupingSets` must compile to the SAME single
+    * Expand + hash-aggregation tree the SQL text gets — one engine, two
+    * entry surfaces. PlanSpec pins operator-sequence identity between
+    * the two; the oracle is the identical GROUPING SETS statement. */
+  private def groupingSetsDf(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderpriority")), Seq(col("n_name")),
+          Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg((grouping(col("n_name")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dround(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // -------------------------------------------------------------- q_percentile
   /** Exact percentiles (continuous interpolation) + median per group —
     * the sort-based exact form next to ApproxAgg's sketches. Exact
@@ -1094,6 +1117,7 @@ object Relational {
     QueryDef("q_profile", profile, Some(profileSql)),
     QueryDef("q_histogram", histogram, Some(histogramSql)),
     QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q_grouping_sets_df", groupingSetsDf, Some(groupingSetsSql)),
     QueryDef("q_percentile", percentiles, Some(percentilesSql)),
     QueryDef("q_subquery_corr", subqueryCorr, Some(subqueryCorrSql)),
     QueryDef("q_pivot", pivotByType, Some(pivotSql)),

@@ -276,6 +276,27 @@ class PlanSpec extends GraftSpec {
       s"rank-limit pushdown missing: $sqlShape")
   }
 
+  test("q_grouping_sets_df (DataFrame) plans the IDENTICAL physical shape " +
+      "as the SQL-text GROUPING SETS — one Expand, one aggregation pass") {
+    // the Expand-based grouping-sets plan was the last major plan
+    // family covered by only one front door (round-5 verdict item 6):
+    // Dataset.groupingSets and the GROUP BY GROUPING SETS text must
+    // compile to the same operator tree, and that tree must be a
+    // SINGLE Expand feeding one hash aggregation — not three scans
+    def shape(p: String): Seq[String] = p.linesIterator
+      .map(_.replaceAll("^[\\s+:*()\\d-]*", ""))
+      .map(_.takeWhile(_.isLetter))
+      .filter(_.nonEmpty).toSeq
+    val sqlShape = shape(plan("q_grouping_sets"))
+    val dfShape = shape(plan("q_grouping_sets_df"))
+    assert(sqlShape == dfShape,
+      s"SQL-text and DataFrame grouping-sets plans diverged:\nsql=$sqlShape\ndf =$dfShape")
+    assert(dfShape.count(_ == "Expand") == 1,
+      s"expected exactly one Expand: $dfShape")
+    assert(dfShape.count(_.startsWith("Scan")) <= 3,
+      s"grouping sets must not multiply the scans: $dfShape")
+  }
+
   test("q_sql_subquery (SQL text) is DECORRELATED: aggregate + equi-join, " +
       "no per-row subquery execution") {
     val p = plan("q_sql_subquery")

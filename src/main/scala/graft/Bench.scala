@@ -47,19 +47,49 @@ object Bench {
         .select(col("id"), (col("id") % 5).cast("string").as("k"),
           timestamp_micros(col("id") * 1000000L).as("ts"))
         .write.mode("overwrite").parquet(warmDir)
-      spark.readStream.schema(spark.read.parquet(warmDir).schema)
-        .parquet(warmDir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 minute"), col("k")).count()
-        .writeStream.format("memory").queryName("graft_warm_stream")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-      // the memory-sink table pins one cached RDD for the session — drop
-      // it so end-of-run cache accounting (below) starts from zero; the
-      // warmup's synthetic parquet tree is dead once the drain finishes
-      // (leaving it leaked one ~tiny dir per bench invocation)
-      spark.catalog.dropTempView("graft_warm_stream")
+      // One warm drain per STATEFUL SHAPE the suite uses (round-5
+      // verdict item 4): each shape's first execution pays its own
+      // one-off class-load/JIT (window agg, session-window merge,
+      // watermark dedup, typed mapGroupsWithState, and the
+      // stream-stream join's symmetric state managers) — without the
+      // warms those land on whichever timed query runs the shape first.
+      val warmSchema = spark.read.parquet(warmDir).schema
+      def warmSource = spark.readStream.schema(warmSchema).parquet(warmDir)
+      def warmDrain(df: org.apache.spark.sql.DataFrame, mode: String): Unit = {
+        df.writeStream.format("memory").queryName("graft_warm_stream")
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        // the memory-sink table pins one cached RDD for the session —
+        // drop it so end-of-run cache accounting (below) starts at zero
+        spark.catalog.dropTempView("graft_warm_stream")
+      }
+      warmDrain(warmSource.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 minute"), col("k")).count(), "complete")
+      warmDrain(warmSource.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "1 minute"), col("k")).count(),
+        "complete")
+      warmDrain(warmSource.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("k"), "append")
+      warmDrain(warmSource.select(col("k"), col("id"))
+        .as[(String, Long)].groupByKey(_._1)
+        .mapGroupsWithState[Long, (String, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (k, rows, st) =>
+            val n = st.getOption.getOrElse(0L) + rows.size
+            st.update(n); (k, n)
+        }.toDF("k", "n"), "update")
+      locally {
+        val l = warmSource.select(col("k").as("lk"), col("ts").as("lts"))
+          .withWatermark("lts", "10 minutes")
+        val r = warmSource.select(col("k").as("rk"), col("ts").as("rts"))
+          .withWatermark("rts", "10 minutes")
+        warmDrain(l.join(r, col("lk") === col("rk") &&
+          col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 1 MINUTE")), "append")
+      }
+      // the warmup's synthetic parquet tree is dead once the drains
+      // finish (leaving it leaked one ~tiny dir per bench invocation)
       graft.operators.Sinks.deleteRecursively(new java.io.File(warmDir))
       // Pair-kernel warmup: BlockPairScan's fused scans are plain Scala
       // whose first heavy invocation pays C1/C2 compilation — measured

@@ -27,26 +27,39 @@ import graft.sources.Tables
   */
 object Streaming {
 
-  /** Schema of `$d/events.parquet`, read ONCE per (session, dir) and
-    * memoized: every streaming query needs the explicit schema, and the
-    * round-2 shape re-listed the directory and re-read parquet footers
-    * per query — pure fixed overhead, 6× per suite run. The cache keys
-    * on the dir so multi-SF test sessions stay correct. */
+  /** Schema of the re-laid stream source, read ONCE per (session, dir)
+    * and memoized: every streaming query needs the explicit schema, and
+    * the round-2 shape re-listed the directory and re-read parquet
+    * footers per query — pure fixed overhead, 6× per suite run. The
+    * cache keys on the dir so multi-SF test sessions stay correct. */
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
-  /** Streaming scan of events.parquet with the same ns→µs timestamp
-    * rebuild as `Tables.events` (file sources need an explicit schema). */
+  /** Dataset-keyed SOURCE RELAYOUT shared by every streaming query
+    * (round-5 verdict item 4): events re-written ONCE as 3 parquet
+    * files with the µs timestamp already materialized. Each drain then
+    * skips the full-dataset-dir glob listing AND the per-row ns→µs
+    * rebuild expression the raw NANOS file forces (both were paid per
+    * query; n_stream_join paid the listing twice). The 3-file layout
+    * doubles as the upsert's multi-batch source: with
+    * maxFilesPerTrigger=1 it yields 3 REAL micro-batches, while
+    * AvailableNow without the option drains all files in one batch, so
+    * the other queries see identical single-batch semantics. Test
+    * scaffolding, not the measured operator — row content is exactly
+    * `Tables.events`. */
+  private def streamSrc(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${dsTag(d)}").getAbsolutePath
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.events(s, d).repartition(3).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Streaming scan of the re-laid events source. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(d,
-      s.read.parquet(s"$d/events.parquet").schema)
-    // The streaming file source lists a DIRECTORY; pathGlobFilter selects
-    // just the events file out of the sf dir (a single-file path throws
-    // "Option 'basePath' must be a directory").
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = streamSrc(s, d)
+    val schema = schemaCache.getOrElseUpdate(d, s.read.parquet(src).schema)
+    s.readStream.schema(schema).parquet(src)
   }
 
   /** Dataset-keyed scratch paths use the shared tag (the
@@ -289,18 +302,15 @@ object Streaming {
     // the previous invocation's table must not satisfy this run's
     // "merge into existing" branch — start from an absent table
     graft.operators.Sinks.deleteRecursively(new java.io.File(out))
-    // Re-lay the source as 3 files and trigger per-file so the run has
-    // REAL successive micro-batches — with the single-file source the
+    // drop the pre-round-6 private source relayout if one lingers in
+    // tmpdir (the shared streamSrc replaced it)
+    graft.operators.Sinks.deleteRecursively(new java.io.File(base, "src"))
+    // The shared 3-file source + maxFilesPerTrigger=1 gives the run
+    // REAL successive micro-batches — with a single-file source the
     // merge branch below would never execute and the equivalence spec
-    // would pass vacuously against the first-batch-only path. The
-    // layout is test scaffolding, not the measured operator: it is
-    // dataset-keyed and reused across invocations (any 3-way split
-    // exercises the same merge; the running aggregate makes the final
-    // table split-invariant).
-    val srcDir = new java.io.File(base, "src").getAbsolutePath
-    if (!new java.io.File(srcDir, "_SUCCESS").exists())
-      Tables.events(s, d).repartition(3)
-        .write.mode("overwrite").parquet(srcDir)
+    // would pass vacuously against the first-batch-only path (the
+    // running aggregate makes the final table split-invariant).
+    val srcDir = streamSrc(s, d)
     withStreamConf(s) {
       withCheckpoint { cp =>
       s.readStream.schema(s.read.parquet(srcDir).schema)

@@ -181,8 +181,16 @@ object Bench {
       if (passBuf.length == 1) firstPassSec = lastPassSec
       // 3.5x the slowest pass seen so far: scales with uniform host
       // drift (all passes slow -> budget slow) AND with drift that
-      // arrives mid-run (fast pass 1, slow pass 2 -> budget follows)
-      val budgetSec = budgetEnv.getOrElse(3.5 * firstPassSec.max(lastPassSec))
+      // arrives mid-run (fast pass 1, slow pass 2 -> budget follows).
+      // Hard ceiling regardless: a catastrophic window (measured: one
+      // pass at 3-6x normal) must not stretch the run past the outer
+      // harness timeout — losing the summary line entirely is far worse
+      // than a min-of-fewer record. 540 s keeps a noisy-but-sane run's
+      // 3 passes (r5's official noisy pass was ~123 s; 3.5x fits) while
+      // bounding the blowout case to pass-1 + whatever fits.
+      val capSec = sys.env.getOrElse("SPARK_GRAFT_PASS_BUDGET_MAX", "540").toDouble
+      val budgetSec = budgetEnv.getOrElse(
+        (3.5 * firstPassSec.max(lastPassSec)).min(capSec))
       val elapsed = (System.nanoTime() - wall0) / 1e9
       // allow the next pass only if it plausibly fits: assume it costs
       // about what the one just measured did

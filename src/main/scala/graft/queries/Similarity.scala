@@ -844,18 +844,41 @@ object Similarity {
     // leak count stays exact.
     val nv = normVecs(e).persist()
     try {
-      val ivf = Array(trainCentroids(s, e, 16, 3))
-      ModelStore.save(s, ModelStore.dir(d, "ivf_k16"), ivf)
-      val pq = pqTrain(s, subVectors(nv))
-      ModelStore.save(s, ModelStore.dir(d, "pq_m8x64"), pq)
+      // materialize the cache ONCE before concurrent consumers attach
+      nv.count()
+      // The build's wall-clock is ~20 driver-synchronized TINY jobs
+      // (per-iteration Lloyd collects), not data volume — the driver
+      // round-trip gaps dominate. The three trainings with no mutual
+      // dependency (ivf, pq, ivfn) run CONCURRENTLY so their job gaps
+      // overlap (Spark schedules concurrent jobs from one session
+      // fine; each training's own DAG and merge structure is exactly
+      // the sequential one). pqr waits only on ivfn, whose cells its
+      // residuals need. On a cluster the same overlap hides per-job
+      // scheduling latency; the models are unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fIvf = Future {
+        val m = Array(trainCentroids(s, e, 16, 3))
+        ModelStore.save(s, ModelStore.dir(d, "ivf_k16"), m); m
+      }
+      val fPq = Future {
+        val m = pqTrain(s, subVectors(nv))
+        ModelStore.save(s, ModelStore.dir(d, "pq_m8x64"), m); m
+      }
+      val fIvfn = Future {
+        val m = Array(trainCentroids(s,
+          nv.select(col("vec_id"), col("nv").as("v")), 16, 3))
+        ModelStore.save(s, ModelStore.dir(d, "ivfn_k16"), m); m
+      }
       // the residual-composition pair: unit-space routing centroids, then
       // codebooks over the residuals they induce
-      val ivfn = Array(trainCentroids(s,
-        nv.select(col("vec_id"), col("nv").as("v")), 16, 3))
-      ModelStore.save(s, ModelStore.dir(d, "ivfn_k16"), ivfn)
+      val ivfn = Await.result(fIvfn, Duration.Inf)
       val pqr = pqTrain(s, residualSub(s,
         unitCells(s, nv, ivfn.head).join(nv, Seq("vec_id")), ivfn.head))
       ModelStore.save(s, ModelStore.dir(d, "pqr_m8x64"), pqr)
+      val ivf = Await.result(fIvf, Duration.Inf)
+      val pq = Await.result(fPq, Duration.Inf)
       ModelStore.summary(s, "ivf_k16", ivf)
         .unionByName(ModelStore.summary(s, "ivfn_k16", ivfn))
         .unionByName(ModelStore.summary(s, "pq_m8x64", pq))

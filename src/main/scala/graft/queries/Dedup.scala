@@ -1219,7 +1219,71 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ q_substring_dup
+  /** Cross-document duplicated-SPAN detection — the Spark re-expression
+    * of exact substring dedup (Lee, Ippolito et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * builds a corpus-wide suffix array): every 8-token window is
+    * fingerprinted, a fingerprint seen in ≥2 DISTINCT documents marks a
+    * duplicated span, and each document reports its duplicated-window
+    * count and fraction — the signal used to cut docs or mask spans.
+    * The suffix array's linear scan becomes the window explode
+    * (|tokens| rows — the same asymptotic cost), suffix SORTING becomes
+    * a hash-shuffle groupBy (cheaper: no global order needed for
+    * fixed-width spans), and document text never travels: window rows
+    * carry (doc_id, 64-bit fingerprint) only. Scale: the duplicated-
+    * fingerprint table is churn-sized, so the join back is AQE's choice
+    * (broadcast when small); per-doc aggregation shuffles the slim
+    * (doc_id, flag) pairs once. Window width 8 trades recall for span
+    * precision exactly like the reference algorithm's 50-token
+    * threshold — a constant, not a data-dependent knob. */
+  private def substringDup(s: SparkSession, d: String): DataFrame = {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), (size(col("ts")) - 7).as("n_windows"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 7),
+          i => TextOps.portableHash(concat_ws(" ", slice(col("ts"), i, lit(8))))))
+          .as("whash"))
+    val dup = wins.groupBy(col("whash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("whash"), lit(1L).as("is_dup"))
+    wins.join(dup, Seq("whash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_ratio",
+        dround(col("n_dup").cast("double") / col("n_windows"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val substringDupSql =
+    """WITH a AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, len(ts) - 7 AS n_windows,
+      |    unnest(list_transform(generate_series(1, len(ts) - 7),
+      |      i -> CAST('0x' || substr(md5(
+      |             list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 8)
+      |           AS BIGINT))) AS whash
+      |  FROM a WHERE len(ts) >= 8),
+      |dup AS (
+      |  SELECT whash FROM w GROUP BY whash
+      |  HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id,
+      |  CAST(max(n_windows) AS INT) AS n_windows,
+      |  CAST(sum(CASE WHEN whash IN (SELECT whash FROM dup)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(sum(CASE WHEN whash IN (SELECT whash FROM dup)
+      |    THEN 1 ELSE 0 END) / CAST(max(n_windows) AS DOUBLE), 4) AS dup_ratio
+      |FROM w
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_substring_dup", substringDup, Some(substringDupSql)),
     QueryDef("n_dedup_pairs_build", dedupPairsBuild, None),
     QueryDef("q_cluster_rep", clusterRep, Some(clusterRepSql)),
     QueryDef("q_containment", containment, Some(containmentSql)),

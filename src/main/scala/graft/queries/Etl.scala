@@ -433,7 +433,73 @@ object Etl {
       .orderBy(col("layout"), col("dim"))
   }
 
+  // ------------------------------------------------------------ q_snapshot_diff
+  /** CDC-style snapshot reconciliation: the keyed delta between two
+    * snapshots of a table — added / removed / changed rows with both
+    * sides' payloads. Snapshots derive deterministically from `orders`:
+    * "old" is the pre-2000 cut; "new" is a sliding retention window
+    * (≥ 1996) with a price correction applied to still-pending orders —
+    * so all three change classes occur. Plan: ONE full-outer sort-merge
+    * join on the key (both snapshots shuffle by o_orderkey exactly
+    * once), then narrow codegen'd null-safe payload compares; unchanged
+    * rows are filtered, so output size tracks churn, not table size.
+    * At 100 TB this is the canonical reconciliation shape — no
+    * broadcast of either snapshot, and with both snapshots bucketed by
+    * the key (q_join_bucketed's layout) the shuffle disappears
+    * entirely. Presence markers (in_old/in_new) rather than payload
+    * null-tests keep the classification correct even for genuinely
+    * null payload columns. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val old = o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), lit(1).as("in_old"),
+        col("o_orderstatus").as("old_status"), col("o_totalprice").as("old_price"))
+    val nw = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), lit(1).as("in_new"),
+        col("o_orderstatus").as("new_status"),
+        when(col("o_orderstatus") === "P",
+          graft.functions.Parity.dround(col("o_totalprice") * 1.05, 2))
+          .otherwise(col("o_totalprice")).as("new_price"))
+    old.join(nw, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("in_new").isNull, lit("removed"))
+          .when(col("in_old").isNull, lit("added"))
+          .when(col("old_status") <=> col("new_status") &&
+            col("old_price") <=> col("new_price"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("o_orderkey"), col("change"),
+        col("old_status"), col("new_status"), col("old_price"), col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (
+      |  SELECT o_orderkey, 1 AS in_old, o_orderstatus AS old_status,
+      |    o_totalprice AS old_price
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |nw AS (
+      |  SELECT o_orderkey, 1 AS in_new, o_orderstatus AS new_status,
+      |    CASE WHEN o_orderstatus = 'P' THEN round(o_totalprice * 1.05, 2)
+      |         ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      |j AS (
+      |  SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+      |    in_old, in_new, old_status, new_status, old_price, new_price
+      |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+      |SELECT o_orderkey,
+      |  CASE WHEN in_new IS NULL THEN 'removed'
+      |       WHEN in_old IS NULL THEN 'added'
+      |       ELSE 'changed' END AS change,
+      |  old_status, new_status, old_price, new_price
+      |FROM j
+      |WHERE in_new IS NULL OR in_old IS NULL
+      |  OR old_status IS DISTINCT FROM new_status
+      |  OR old_price IS DISTINCT FROM new_price
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("n_compact", compactQ, None),
     QueryDef("n_zorder", zorderQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

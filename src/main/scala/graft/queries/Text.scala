@@ -749,7 +749,55 @@ object Text {
       |GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q_bpe_pairs
+  /** One BPE-training iteration's statistic, distributed: adjacent
+    * character-pair frequencies over the corpus, each pair weighted by
+    * its word's corpus frequency — the merge-candidate table a BPE
+    * trainer ranks (Sennrich, Haddow & Birch 2016). The scale trick is
+    * the one every real BPE implementation uses: count pairs over
+    * DISTINCT words with the word's frequency as weight, so the pair
+    * explode touches |vocab|·avg_len rows instead of corpus-tokens ·
+    * avg_len — at 100 TB the vocab is millions of rows where the
+    * corpus is trillions of tokens. Two hash shuffles (word count with
+    * map-side partial agg, then pair sum over the vocab-bounded
+    * frame); the explode sits on the already-aggregated side.
+    * Single-char words carry no pair and are filtered BEFORE the
+    * transform — `sequence(1, 0)` would otherwise step DOWNWARD. */
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("w_cnt"))
+    words
+      .select(col("w_cnt"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => struct(col("word").substr(i, lit(1)).as("a"),
+          col("word").substr(i + 1, lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("w_cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  private val bpePairsSql =
+    """WITH t AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |  FROM documents),
+      |w AS (
+      |  SELECT word, count(*) AS w_cnt FROM t
+      |  WHERE len(word) > 1 GROUP BY word),
+      |p AS (
+      |  SELECT w_cnt, unnest(list_transform(generate_series(1, len(word) - 1),
+      |    i -> {'a': substr(word, i, 1), 'b': substr(word, i + 1, 1)})) AS z
+      |  FROM w)
+      |SELECT z.a AS a, z.b AS b, CAST(sum(w_cnt) AS BIGINT) AS cnt
+      |FROM p
+      |GROUP BY 1, 2
+      |ORDER BY cnt DESC, a, b
+      |LIMIT 100""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("n_perplexity_approx", perplexityApprox, None),

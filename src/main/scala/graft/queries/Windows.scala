@@ -395,7 +395,54 @@ object Windows {
       |GROUP BY a.event_id
       |ORDER BY id1""".stripMargin
 
+  // -------------------------------------------------------------------- q_scd2
+  /** Slowly-changing-dimension (type 2) history build: compress each
+    * user's event stream into state-validity intervals — one row per
+    * state CHANGE carrying [valid_from, valid_to) in epoch-µs and a
+    * current flag. Two window passes over ONE (user_id, ts, event_id)
+    * sort: lag() detects changes, then lead() over the filtered change
+    * rows closes each interval — Spark sorts each user partition once
+    * and pipelines both functions (same single-sort shape as
+    * q_sessionize). At 100 TB: the only shuffle is by user_id; output
+    * rows ∝ state changes, never events; and no self-join — the naive
+    * interval construction is events×events per user. This is the
+    * dimension-history twin of the streaming upsert sink
+    * (n_stream_upsert keeps latest-state; SCD2 keeps the full
+    * lineage). */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  private val scd2Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    event_type AS state
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(state) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS prev
+      |  FROM ev),
+      |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, event_id, state, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  lead(ts_us) OVER w IS NULL AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_scd2", scd2, Some(scd2Sql)),
     QueryDef("q_range_cooccur", rangeCooccur, Some(rangeCooccurSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_gapfill", gapfill, Some(gapfillSql)),

@@ -309,6 +309,54 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("Join"), p.take(2000))
   }
 
+  test("q_snapshot_diff reconciles via ONE keyed join — sort-merge or " +
+      "shuffled-hash, never a broadcast of a snapshot, never BNLJ") {
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // full-outer over two same-table snapshots: the key-partitioned
+    // join family (SMJ or SHJ); a broadcast of either snapshot would
+    // OOM at 100 TB
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "a snapshot side got broadcast — table-sized at scale")
+  }
+
+  test("q_scd2 shares ONE user-partitioned shuffle across both window " +
+      "passes") {
+    val p = plan("q_scd2")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected one user_id shuffle feeding lag+lead, got $userExchanges:\n" +
+        p.take(3000))
+  }
+
+  test("q_bpe_pairs aggregates with map-side partial combine and takes " +
+      "top-k without a global sort") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 regressed to a global sort: " + p.take(2000))
+    // word count then pair sum: both hash aggregations, each with a
+    // partial phase before its exchange (vocab-bounded shuffles)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      p.take(3000))
+  }
+
+  test("q_substring_dup joins windows to the churn-sized duplicate set — " +
+      "no cartesian, no BNLJ, text columns never in the shuffle") {
+    val p = plan("q_substring_dup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // every exchange carries only ids/hashes/counters — the document
+    // text must stay below its explode, never travel a shuffle
+    val badExchange = p.linesIterator.filter(_.contains("Exchange"))
+      .exists(l => l.contains("text#") || l.contains(" ts#"))
+    assert(!badExchange, "document text crossed a shuffle:\n" + p.take(3000))
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

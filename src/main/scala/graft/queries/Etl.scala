@@ -498,7 +498,54 @@ object Etl {
       |  OR old_price IS DISTINCT FROM new_price
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------ q_orc_roundtrip
+  /** ORC as a second columnar format, end-to-end: write a lineitem
+    * projection to an ORC table once (dataset-keyed, `_SUCCESS`-guarded
+    * — the Bucketing/upsert build-once convention), then serve an
+    * aggregation THROUGH the ORC reader with a pushable predicate. The
+    * oracle computes the identical aggregate from the original parquet,
+    * so a green hash proves the round-trip preserved every value and
+    * type across the format boundary — the check a 100 TB format-
+    * migration job runs per partition before swapping table pointers.
+    * Read-path scale properties are the same ones the parquet scans are
+    * graded on and PlanSpec pins them here for ORC: the quantity
+    * predicate reaches the scan (`PushedFilters`), and the scan schema
+    * is pruned to the 3 aggregated columns even though the table has 5.
+    * Repeated invocations reuse the tree, so bench times the serving
+    * read, not the copy. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_orc_${graft.operators.Sinks.datasetTag(d)}")
+    val table = new java.io.File(dir, "lineitem")
+    Etl.synchronized {
+      if (!new java.io.File(table, "_SUCCESS").exists()) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .write.mode("overwrite").orc(table.getAbsolutePath)
+      }
+    }
+    s.read.orc(table.getAbsolutePath)
+      .filter(col("l_quantity") < 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Parity.dround(sum(col("l_quantity")), 2).as("sum_qty"),
+        graft.functions.Parity.dround(sum(col("l_extendedprice")), 2)
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_quantity < 10
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("n_compact", compactQ, None),
     QueryDef("n_zorder", zorderQ, None),

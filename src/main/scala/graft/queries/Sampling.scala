@@ -310,7 +310,58 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------- q_weighted_sample
+  /** Weighted sampling WITHOUT replacement, per stratum — the
+    * quality-weighted subset selection step of corpus curation (keep
+    * the best-k docs per language, where "best" is stochastic but
+    * longer/higher-quality docs are proportionally likelier). Uses the
+    * Efraimidis–Spirakis (2006) exponential-key trick: each row draws
+    * u ∈ (0,1) and ranks by u^(1/w); the top-k per stratum is then an
+    * exact weighted sample without replacement. Two library
+    * disciplines make it engine-portable and retry-safe: (1) u comes
+    * from the deterministic md5-prefix hash of the row key, not
+    * `rand()` — reproducible across reruns, task retries, and engines
+    * (the file-header contract); (2) ranking uses ln(u)/w (monotone in
+    * u^(1/w), no underflow for large w) rounded to 8 dp with a doc_id
+    * tiebreak, the same rounded-rank determinism rule as q_tfidf.
+    * Plan: one narrow codegen'd map computes the key, one lang-hash
+    * shuffle feeds the per-stratum top-k window; output is k·|langs|
+    * rows. At 100 TB: no global sort, no driver involvement, and the
+    * sample is coordinated — rerunning on any subset of partitions
+    * selects the same winners. */
+  private def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (TextOps.portableHash(concat(lit("ws:"),
+      col("doc_id").cast("string"))) + lit(0.5)) / lit(4294967296.0)
+    val key = dround(log(u) / col("n_chars"), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("es_key").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("es_key"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val weightedSampleSql =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(ln((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+      |          1, 8) AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 8)
+      |      AS es_key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY es_key DESC, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT lang, rn, doc_id, n_chars, es_key
+      |FROM ranked
+      |WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_temp_resample", tempResample, Some(tempResampleSql)),
     QueryDef("q_corpus_curate", corpusCurate, Some(corpusCurateSql)),

@@ -796,7 +796,130 @@ object Text {
       |ORDER BY cnt DESC, a, b
       |LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------------- q_bm25
+  /** BM25 retrieval scoring (Robertson & Zaragoza 2009): rank documents
+    * against a fixed term query with the k1/b length-normalized
+    * saturation formula — the scoring pass of a sparse-retrieval
+    * pipeline. Plan shape: tokens are filtered to the query terms
+    * IMMEDIATELY after the explode, so the per-(doc, term) shuffle is
+    * |docs|·|Q| rows, never corpus-tokens; doc length rides along from
+    * the same scan (no second pass over text); df is a |Q|-row frame
+    * the per-doc score join gets via AQE broadcast; the final top-20 is
+    * TakeOrderedAndProject, not a global sort. N and avgdl are two
+    * driver scalars from one stats action — exact longs, so the
+    * avgdl ratio is bit-identical in both engines. FP discipline: each
+    * term's contribution is rounded to a µ-unit BIGINT before the
+    * per-doc sum, making the sum exact and order-independent (the
+    * library's integer-exact determinism rule; a raw double sum would
+    * be partial-agg-order dependent). */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "hash")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, d)
+    // one stats action: corpus size + total token count (exact longs)
+    val stats = docs.agg(count(lit(1)), sum(size(toks))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(df, "tok")
+      .select(col("doc_id"),
+        dround(contrib * 1e6, 0).cast("bigint").as("c_us"))
+      .groupBy(col("doc_id"))
+      .agg(dround(sum(col("c_us")) / 1e6, 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n, sum(len(ts)) AS sum_dl FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM docs)
+      |  WHERE tok IN ('spark', 'join', 'hash')
+      |  GROUP BY doc_id, dl, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |c AS (
+      |  SELECT doc_id, CAST(round(
+      |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1)) /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+      |    * 1e6, 0) AS BIGINT) AS c_us
+      |  FROM tf JOIN df USING (tok), stats)
+      |SELECT doc_id, round(sum(c_us) / 1e6, 4) AS score,
+      |  count(*) AS n_terms
+      |FROM c
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------- q_inverted_index
+  /** Inverted-index build: token → document frequency + the first 10
+    * posting doc_ids — the artifact a sparse retriever serves. The
+    * scale discipline is bounding per-token state BEFORE any collect:
+    * a naive `collect_list(doc_id)` materializes a corpus-sized array
+    * for stop-word tokens (the classic posting-list skew OOM); here a
+    * doc_id-ordered row_number caps each token at 10 rows first, so no
+    * aggregation buffer ever exceeds 10 entries while df is counted on
+    * the full pair set. Both aggregations and the window hash-partition
+    * by token, so the (tok, doc_id) pair table shuffles once and the
+    * final df⋈postings join is AQE-sized on vocab-bounded frames.
+    * Postings render as a comma-joined string (engine-portable; arrays
+    * hash differently across engines). */
+  private def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val df = pairs.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val top = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .groupBy(col("tok"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("doc_id"))),
+          v => v.cast("string"))).as("postings"))
+    df.join(top, "tok")
+      .select(col("tok"), col("df"), col("cf"), col("postings"))
+      .orderBy(col("tok"))
+  }
+
+  private val invertedIndexSql =
+    """WITH pairs AS (
+      |  SELECT tok, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok, doc_id),
+      |df AS (
+      |  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |  FROM pairs GROUP BY tok),
+      |top AS (
+      |  SELECT tok, array_to_string(list_sort(list(doc_id))[1:10], ',')
+      |    AS postings
+      |  FROM (SELECT tok, doc_id, row_number() OVER (PARTITION BY tok
+      |          ORDER BY doc_id) AS rn FROM pairs)
+      |  WHERE rn <= 10
+      |  GROUP BY tok)
+      |SELECT tok, df, cf, postings
+      |FROM df JOIN top USING (tok)
+      |ORDER BY tok""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bm25", bm25, Some(bm25Sql)),
+    QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),

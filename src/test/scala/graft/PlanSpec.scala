@@ -357,6 +357,59 @@ class PlanSpec extends GraftSpec {
     assert(!badExchange, "document text crossed a shuffle:\n" + p.take(3000))
   }
 
+  test("q_bm25 filters to query terms below the first shuffle and takes " +
+      "top-20 without a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 regressed to a global sort: " + p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the |Q|-row df frame must come back to the per-doc side broadcast,
+    // never shuffling the doc side an extra time
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_inverted_index shares the (tok,doc) aggregation across df and " +
+      "postings and caps posting state before collect_list") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the row_number cap must run BELOW the collect_list aggregate:
+    // Window(tok) then filter rn<=10 then objecthashagg — if collect_list
+    // ever aggregates the uncapped pair table, stop-word posting lists
+    // become corpus-sized agg buffers
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.lastIndexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("collect_list"))
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx < winIdx,
+      s"collect_list not above the rn cap (agg@$aggIdx win@$winIdx):\n" +
+        p.take(3000))
+  }
+
+  test("q_weighted_sample is one narrow map + one lang shuffle — the " +
+      "hash key never drives an extra exchange") {
+    val p = plan("q_weighted_sample")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one lang shuffle, got $exchanges:\n" + p.take(3000))
+    assert(!p.contains("rand("), "nondeterministic rand() in the sample path")
+  }
+
+  test("q_orc_roundtrip pushes the quantity predicate into the ORC scan " +
+      "and prunes the read schema") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.contains("Format: orc") || p.contains("OrcScan") ||
+      p.toLowerCase.contains("orc"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "LessThan(l_quantity,10.0)]") ||
+      (p.contains("LessThan(l_quantity") && p.contains("PushedFilters")),
+      "quantity predicate did not reach the ORC scan:\n" + p.take(3000))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"),
+      s"ORC scan not pruned to the aggregated columns: $read")
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

@@ -22,16 +22,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects. Read it as a raw long (legacy nanosAsLong) and rebuild a
-    * microsecond timestamp with integer division — all testdata values are
-    * µs-aligned so this is lossless, and avoiding double division keeps full
-    * precision (ns-since-epoch exceeds a double's 53-bit mantissa). */
+  /** Normalize `events.ts` to session-TZ `TIMESTAMP` across the schemas the
+    * driver has generated so far — adapt to what the file actually holds
+    * rather than assuming a generation:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read as a
+    *    raw long (legacy nanosAsLong) and rebuild a microsecond timestamp
+    *    with integer division (values are µs-aligned → lossless; integer div
+    *    keeps full precision where a double's 53-bit mantissa would not).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP. The session TZ is pinned to UTC everywhere
+    *    (Bench/Verify/specs), so the cast re-tags the same wall-clock
+    *    micros — identical epoch values to the NANOS path.
+    *  - TIMESTAMP: already what downstream expects. */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Schema-drift resilience of the `events` loader.
+  *
+  * The driver has regenerated `events.parquet` with different physical `ts`
+  * encodings across rounds: TIMESTAMP(NANOS) (which Spark's vectorized
+  * reader only surfaces as a raw long under `nanosAsLong`), then plain
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). A
+  * loader pinned to one generation silently breaks EVERY events-based query
+  * when the testdata is regenerated — exactly the round-6 bench/verify
+  * regression. This spec pins `Tables.events` to normalize all encodings the
+  * driver has produced (plus the already-normalized TIMESTAMP case) to the
+  * same session-TZ TIMESTAMP micros.
+  */
+class TablesSchemaSpec extends GraftSpec {
+
+  private def writeVariant(ts: org.apache.spark.sql.Column): String = {
+    val root = Files.createTempDirectory("graft_events_schema").toString
+    Tables.events(spark, sfTiny)
+      .limit(200)
+      .withColumn("ts", ts)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    root
+  }
+
+  private def epochMicros(sfDir: String): Array[(Long, Long)] = {
+    val df = Tables.events(spark, sfDir)
+    assert(df.schema("ts").dataType == TimestampType,
+      s"loader must normalize to TIMESTAMP, got ${df.schema("ts").dataType}")
+    df.select(col("event_id"), unix_micros(col("ts")))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("events.ts normalizes identically across the driver's parquet encodings") {
+    // Reference values straight from the current testdata generation.
+    val want = epochMicros(sfTiny).take(200)
+
+    // Raw long nanos-since-epoch: what the legacy nanosAsLong reader yields
+    // for a TIMESTAMP(NANOS) column.
+    val asNanosLong = writeVariant(unix_micros(col("ts")) * 1000L)
+    // TIMESTAMP_NTZ micros: the current generation's encoding.
+    val asNtz = writeVariant(col("ts").cast(TimestampNTZType))
+    // Already session-TZ TIMESTAMP: the no-op case.
+    val asLtz = writeVariant(col("ts"))
+
+    for (dir <- Seq(asNanosLong, asNtz, asLtz)) {
+      assert(epochMicros(dir).toSeq == want.toSeq,
+        s"variant at $dir did not normalize to the reference epoch micros")
+    }
+  }
+}

@@ -544,7 +544,219 @@ object Etl {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ q_csv_roundtrip
+  /** CSV as the text ingest format, end-to-end: write an events
+    * projection to a headered CSV table once (dataset-keyed,
+    * `_SUCCESS`-guarded like q_orc_roundtrip), read it back through an
+    * explicit schema (schema-on-read — the reference's gateway
+    * validation posture, R25), and aggregate THROUGH the CSV reader.
+    * The oracle computes the identical aggregate from the original
+    * parquet, so a green hash proves every value survived the
+    * text serialization: bigint/string/double/date all round-trip
+    * (doubles via shortest-decimal printing, which Java and the
+    * parser invert exactly). This is the 100 TB ingest-edge check —
+    * most raw corpora arrive as delimited text, and the first
+    * pipeline stage must be provably lossless into columnar. Repeated
+    * invocations reuse the tree, so bench times the serving read. */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_csvrt_${graft.operators.Sinks.datasetTag(d)}")
+    val table = new java.io.File(dir, "events")
+    Etl.synchronized {
+      if (!new java.io.File(table, "_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            to_date(col("ts")).as("day"))
+          .write.mode("overwrite").option("header", "true")
+          .csv(table.getAbsolutePath)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("day", DateType)))
+    s.read.schema(schema).option("header", "true")
+      .csv(table.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Parity.dround(sum(col("value")), 2).as("sum_value"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  private val csvRoundtripSql =
+    """SELECT event_type, count(*) AS n_rows,
+      |  round(sum("value"), 2) AS sum_value,
+      |  min(CAST(ts AS DATE)) AS first_day,
+      |  max(CAST(ts AS DATE)) AS last_day
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- q_json_roundtrip
+  /** JSON-lines as the second text ingest format, with a NESTED column
+    * riding along: the `props` JSON text is parsed to a typed struct
+    * BEFORE the write, so the round-trip covers struct
+    * re-serialization (R17/R18 both directions), not just scalars.
+    * Same build-once + aggregate-through-the-reader shape as
+    * q_csv_roundtrip; the oracle reads the original parquet and
+    * extracts `k` with DuckDB's JSON path, so the hash pins Spark's
+    * struct→JSON→struct round trip against an independent parser.
+    * 100 TB relevance: JSONL is the lingua franca of crawl/LLM corpus
+    * interchange and nested fields are the norm — the engine must
+    * prove typed-lossless ingest, not assume it. */
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_jsonrt_${graft.operators.Sinks.datasetTag(d)}")
+    val table = new java.io.File(dir, "events")
+    Etl.synchronized {
+      if (!new java.io.File(table, "_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+              .as("props"))
+          .write.mode("overwrite").json(table.getAbsolutePath)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StructType(Seq(StructField("k", IntegerType))))))
+    s.read.schema(schema).json(table.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Parity.dround(sum(col("value")), 2).as("sum_value"),
+        sum(col("props.k").cast("bigint")).as("sum_k"),
+        count(col("props.k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT event_type, count(*) AS n_rows,
+      |  round(sum("value"), 2) AS sum_value,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- q_merge_upsert
+  /** Batch MERGE (the Delta/Iceberg `MERGE INTO` shape) applied with
+    * plain relational operators: a standing `orders` target (the
+    * pre-1997 snapshot) merged with a CDC batch carrying all three ops
+    * — deletes (key % 11), updates (key % 7, a +10% price correction
+    * computed against the TARGET payload, so the join is load-bearing),
+    * inserts (post-1997 keys % 13). Plan: ONE full-outer sort-merge
+    * join on the key; the merged table is `when(D) drop / when(U|I)
+    * batch-derived / else target`, and the emitted audit (touched keys
+    * with post-merge state) is ∝ batch size, never ∝ table size.
+    * At 100 TB: both sides shuffle by the merge key exactly once (zero
+    * times if the target is bucketed — q_join_bucketed's layout); the
+    * write side pairs with dynamic partition overwrite so only
+    * partitions containing touched keys rewrite (n_stream_upsert
+    * demonstrates that half on this engine). No broadcast: a CDC batch
+    * can be arbitrarily large, so the plan must not assume it fits. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val o = Tables.orders(s, d)
+    val target = o.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val batch = o
+      .withColumn("op",
+        when(col("o_orderdate") < cut && col("o_orderkey") % 11 === 0, "D")
+          .when(col("o_orderdate") < cut && col("o_orderkey") % 7 === 0, "U")
+          .when(col("o_orderdate") >= cut && col("o_orderkey") % 13 === 0, "I"))
+      .filter(col("op").isNotNull)
+      .select(col("o_orderkey"), col("op"),
+        when(col("op") === "I", col("o_totalprice")).as("ins_price"))
+    target.join(batch, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNotNull) // audit grain: touched keys only
+      .select(col("o_orderkey"),
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .otherwise("insert").as("action"),
+        when(col("op") === "U",
+          graft.functions.Parity.dround(col("o_totalprice") * 1.10, 2))
+          .when(col("op") === "I", col("ins_price")).as("merged_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 11 = 0
+      |           THEN 'D'
+      |         WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 7 = 0
+      |           THEN 'U'
+      |         WHEN o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 13 = 0
+      |           THEN 'I' END AS op,
+      |    o_totalprice AS ins_price
+      |  FROM orders)
+      |SELECT b.o_orderkey,
+      |  CASE b.op WHEN 'D' THEN 'delete' WHEN 'U' THEN 'update'
+      |    ELSE 'insert' END AS action,
+      |  CASE b.op WHEN 'U' THEN round(t.o_totalprice * 1.10, 2)
+      |    WHEN 'I' THEN b.ins_price END AS merged_price
+      |FROM b LEFT JOIN t USING (o_orderkey)
+      |WHERE b.op IS NOT NULL
+      |ORDER BY b.o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- q_checksum_audit
+  /** Order-independent table fingerprint: every row folds to a
+    * 32-bit engine-portable hash (md5-prefix — the library-wide
+    * portable hash, computable by ANY engine from the same bytes), and
+    * the table reduces to 64 bucketed (count, hash-sum) pairs keyed by
+    * `hash % 64`. Two tables are byte-equal iff the 64-row digests
+    * match; a mismatch localizes to a bucket, so re-verification
+    * re-reads 1/64 of the data. Doubles enter the row string as exact
+    * integer µ-units (quantity is integral, price is 2-dec — both cast
+    * losslessly), never as engine-formatted decimal text. This query IS
+    * its own cross-engine proof: DuckDB recomputes the digests from the
+    * same parquet and the hashes must collide. At 100 TB this is the
+    * migration/replication acceptance check — one narrow codegen'd map
+    * + one 64-group aggregate, no sort, no shuffle wider than 64 rows
+    * after partial aggregation, and the only driver traffic is the
+    * 64-row digest. */
+  private def checksumAudit(s: SparkSession, d: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("bigint"),
+      graft.functions.Parity.dround(col("l_extendedprice") * 100, 0)
+        .cast("bigint"))
+    Tables.lineitem(s, d)
+      .select(graft.operators.TextOps.portableHash(rowStr).as("h"))
+      .groupBy(pmod(col("h"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"))
+      .orderBy(col("bucket"))
+  }
+
+  private val checksumAuditSql =
+    """WITH r AS (
+      |  SELECT CAST('0x' || substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' ||
+      |    CAST(l_linenumber AS VARCHAR) || '|' ||
+      |    l_returnflag || '|' || l_linestatus || '|' ||
+      |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+      |    CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)
+      |  ), 1, 8) AS BIGINT) AS h
+      |  FROM lineitem)
+      |SELECT h % 64 AS bucket, count(*) AS n_rows,
+      |  CAST(sum(h) AS BIGINT) AS hash_sum
+      |FROM r
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("q_checksum_audit", checksumAudit, Some(checksumAuditSql)),
     QueryDef("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("n_compact", compactQ, None),

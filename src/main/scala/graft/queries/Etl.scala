@@ -648,16 +648,19 @@ object Etl {
     * pre-1997 snapshot) merged with a CDC batch carrying all three ops
     * — deletes (key % 11), updates (key % 7, a +10% price correction
     * computed against the TARGET payload, so the join is load-bearing),
-    * inserts (post-1997 keys % 13). Plan: ONE full-outer sort-merge
-    * join on the key; the merged table is `when(D) drop / when(U|I)
-    * batch-derived / else target`, and the emitted audit (touched keys
-    * with post-merge state) is ∝ batch size, never ∝ table size.
-    * At 100 TB: both sides shuffle by the merge key exactly once (zero
-    * times if the target is bucketed — q_join_bucketed's layout); the
-    * write side pairs with dynamic partition overwrite so only
-    * partitions containing touched keys rewrite (n_stream_upsert
-    * demonstrates that half on this engine). No broadcast: a CDC batch
-    * can be arbitrarily large, so the plan must not assume it fits. */
+    * inserts (post-1997 keys % 13). Plan: ONE keyed join; the merged
+    * table is `when(D) drop / when(U|I) batch-derived / else target`,
+    * and the emitted audit (touched keys with post-merge state) is
+    * ∝ batch size, never ∝ table size. Catalyst does two good things
+    * unasked: the declared full-outer narrows to an outer join on the
+    * batch side (the audit filter proves target-only rows dead), and
+    * the join strategy follows size statistics — broadcast at tiny SF,
+    * sort-merge once neither side fits (PlanSpec pins the no-broadcast
+    * regime is SMJ, never BNLJ). At 100 TB: both sides shuffle by the
+    * merge key exactly once (zero times if the target is bucketed —
+    * q_join_bucketed's layout); the write side pairs with dynamic
+    * partition overwrite so only partitions containing touched keys
+    * rewrite (n_stream_upsert demonstrates that half on this engine). */
   private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val cut = lit("1997-01-01").cast("timestamp")
     val o = Tables.orders(s, d)

@@ -410,6 +410,57 @@ class PlanSpec extends GraftSpec {
       s"ORC scan not pruned to the aggregated columns: $read")
   }
 
+  test("q_merge_upsert is ONE keyed join that degrades to sort-merge when " +
+      "neither side fits a broadcast — never BNLJ") {
+    // Catalyst narrows the audit-grain full-outer to an outer join on
+    // the batch side (op.isNotNull kills target-only rows) and, at tiny
+    // SF, broadcasts the statistics-small side. Both are the right
+    // calls. The 100 TB property to pin is the fallback: with broadcast
+    // off (= both sides huge), the merge must be the key-partitioned
+    // join family, never a nested loop.
+    val p = plan("q_merge_upsert")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val big = plan("q_merge_upsert")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        "merge does not survive unbroadcastable sides:\n" + big.take(3000))
+      assert(!big.contains("BroadcastNestedLoopJoin") &&
+        !big.contains("CartesianProduct"), big.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q_checksum_audit reduces to the 64-bucket digest with map-side " +
+      "partial aggregation and no join") {
+    val p = plan("q_checksum_audit")
+    assert(!p.contains("Join"), "checksum must be a single-table fold")
+    // partial + final hash aggregate around exactly one 64-key exchange:
+    // the only shuffled bytes are per-task digests
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      p.take(3000))
+    val hashExchanges = p.linesIterator.count(
+      _.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected one digest shuffle, got $hashExchanges:\n" + p.take(3000))
+    // no sort anywhere below the final 64-row orderBy
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("text-format roundtrips aggregate THROUGH their readers with " +
+      "partial combine (csv + json)") {
+    for (name <- Seq("q_csv_roundtrip", "q_json_roundtrip")) {
+      val p = plan(name)
+      val fmt = if (name.contains("csv")) "csv" else "json"
+      assert(p.toLowerCase.contains(fmt),
+        s"$name does not read through the $fmt source:\n" + p.take(2000))
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$name lost map-side partial aggregation:\n" + p.take(3000))
+    }
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

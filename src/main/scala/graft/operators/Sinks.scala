@@ -72,10 +72,50 @@ object Sinks {
   /** 6-hex md5 tag of a dataset dir — THE key for every per-dataset
     * scratch/store path and temp-view name (pair tables, model store,
     * upsert/sink trees, SQL views). One definition: a keying change
-    * (length, hash, salt) must not be synchronized across copies. */
-  def datasetTag(d: String): String = {
+    * (length, hash, salt) must not be synchronized across copies.
+    *
+    * CONTENT-keyed, not path-keyed (round-7 ADVICE): the tag folds in
+    * the recursive (name, size, mtime) listing of the dataset dir, so
+    * when the driver regenerates `/root/testdata` IN PLACE (the round-6
+    * incident class) every `_SUCCESS`-guarded scratch tree keyed by the
+    * tag — roundtrip tables, stream relayouts, pair tables, model
+    * stores — is structurally invalidated instead of serving stale
+    * bytes against a fresh-parquet oracle. Memoized per JVM: the walk
+    * is cheap but the tag is requested per query; a mid-JVM
+    * regeneration is not a supported scenario (the incident was
+    * between JVMs). */
+  def datasetTag(d: String): String = tagCache.getOrElseUpdate(d, {
+    gcStaleScratch
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    md.update(d.getBytes("UTF-8"))
+    def walk(f: java.io.File): Unit =
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach { c =>
+        if (c.isDirectory) walk(c)
+        else md.update(s"${c.getName}|${c.length}|${c.lastModified}\n"
+          .getBytes("UTF-8"))
+      }
+    walk(new java.io.File(d))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  })
+
+  private val tagCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Content-keyed tags strand the PREVIOUS generation's scratch trees
+    * when the testdata regenerates — sweep `graft_*` tmpdir trees
+    * untouched for 6 h, once per JVM, before the first tag is ever used
+    * to build a path (keyed stores own their lifecycle — the ModelStore
+    * version-sweep contract, generalized). Age-gated for the same
+    * reason as ModelStore's sweep: tmpdir is shared and a concurrent
+    * JVM may still be serving from a tree this JVM considers stale; a
+    * live tree's mtime refreshes on rebuild and all current-generation
+    * trees are younger than a round. */
+  private lazy val gcStaleScratch: Unit = {
+    val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+        f.lastModified() < cutoff)
+      .foreach(deleteRecursively)
   }
 
   /** Hive path-escaping decode for a partition-directory VALUE: special

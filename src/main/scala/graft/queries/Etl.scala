@@ -729,7 +729,11 @@ object Etl {
     val rowStr = concat_ws("|",
       col("l_orderkey"), col("l_linenumber"),
       col("l_returnflag"), col("l_linestatus"),
-      col("l_quantity").cast("bigint"),
+      // dround BOTH doubles (round-7 ADVICE): a bare double→bigint cast
+      // truncates in Spark but rounds half-even in DuckDB, so parity held
+      // only while quantity stayed exactly integral — a silent-divergence
+      // risk each time the driver regenerates value encodings
+      graft.functions.Parity.dround(col("l_quantity"), 0).cast("bigint"),
       graft.functions.Parity.dround(col("l_extendedprice") * 100, 0)
         .cast("bigint"))
     Tables.lineitem(s, d)
@@ -745,7 +749,7 @@ object Etl {
       |    CAST(l_orderkey AS VARCHAR) || '|' ||
       |    CAST(l_linenumber AS VARCHAR) || '|' ||
       |    l_returnflag || '|' || l_linestatus || '|' ||
-      |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+      |    CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) || '|' ||
       |    CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)
       |  ), 1, 8) AS BIGINT) AS h
       |  FROM lineitem)

@@ -81,6 +81,32 @@ class RegistrySpec extends GraftSpec {
         s"registry-only=${regNoOracle -- noOracle}")
   }
 
+  test("events reads go through Tables.events only (round-6 drift class)") {
+    // The driver regenerates /root/testdata between rounds and has
+    // changed events.ts's physical encoding twice; `Tables.events` is
+    // the one place that normalizes every observed encoding
+    // (TablesSchemaSpec pins them). A raw `read.parquet(.../events
+    // .parquet)` anywhere else would silently re-open the round-6
+    // wipeout — make that structurally impossible: no main-source file
+    // other than the loader may name the events parquet or pass
+    // "events" to Tables.load.
+    import scala.jdk.CollectionConverters._
+    val raw = java.util.regex.Pattern.compile(
+      """events\.parquet|load\([^)]*"events"""")
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.endsWith(java.nio.file.Paths.get("sources/Tables.scala")))
+      .filter { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        raw.matcher(src).find()
+      }
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"direct events reads outside Tables.scala: $offenders")
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -22,7 +22,12 @@ class TablesSchemaSpec extends GraftSpec {
 
   private def writeVariant(ts: org.apache.spark.sql.Column): String = {
     val root = Files.createTempDirectory("graft_events_schema").toString
+    // orderBy before limit (round-7 ADVICE): an unordered limit samples
+    // whatever physical row order the parquet happens to have, which the
+    // driver's regeneration does not guarantee matches event_id order —
+    // the `want` values below are the FIRST 200 rows BY event_id.
     Tables.events(spark, sfTiny)
+      .orderBy(col("event_id"))
       .limit(200)
       .withColumn("ts", ts)
       .write.mode("overwrite").parquet(s"$root/events.parquet")

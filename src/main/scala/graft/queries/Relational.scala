@@ -780,6 +780,75 @@ object Relational {
       |       WHERE o.o_custkey = c.c_custkey) >= 5
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------- q_merge_upsert_sql
+  /** SQL-TEXT twin of the batch MERGE (round-7 verdict item 7): the
+    * last big ETL shape the SQL-entry family didn't cover. The CTE form
+    * mirrors q_merge_upsert (Etl.scala) clause for clause — target CTE,
+    * CDC-batch CTE with D/U/I derivation, one keyed full-outer join,
+    * audit filter — submitted as a `spark.sql` string against the keyed
+    * views, so a SQL client gets the identical merge plan a DataFrame
+    * caller gets (PlanSpec pins physical-shape identity with the
+    * DataFrame twin: same narrowed join, same no-BNLJ guarantee). The
+    * update arm spells out the DuckDB-parity round (Parity.dround's
+    * definition) in SQL text — Spark's own `round` half-ups the
+    * SHORTEST-DECIMAL string, not the IEEE double (Parity.scala), and
+    * the oracle would catch the divergence. */
+  private def mergeUpsertSqlText(s: SparkSession, d: String): DataFrame = {
+    val t = sqlViews(s, d)
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_totalprice FROM graft_orders_$t
+         |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         |b AS (
+         |  SELECT o_orderkey, op,
+         |    CASE WHEN op = 'I' THEN o_totalprice END AS ins_price
+         |  FROM (
+         |    SELECT o_orderkey, o_totalprice,
+         |      CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+         |             AND o_orderkey % 11 = 0 THEN 'D'
+         |           WHEN o_orderdate < TIMESTAMP '1997-01-01'
+         |             AND o_orderkey % 7 = 0 THEN 'U'
+         |           WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderkey % 13 = 0 THEN 'I' END AS op
+         |    FROM graft_orders_$t)
+         |  WHERE op IS NOT NULL)
+         |SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  CASE WHEN b.op = 'D' THEN 'delete' WHEN b.op = 'U' THEN 'update'
+         |    ELSE 'insert' END AS action,
+         |  CASE WHEN b.op = 'U' THEN
+         |         CASE WHEN t.o_totalprice * 1.10 >= 0
+         |           THEN floor(t.o_totalprice * 1.10 * 100.0 + 0.5) / 100.0
+         |           ELSE -(floor(-(t.o_totalprice * 1.10) * 100.0 + 0.5) / 100.0)
+         |         END
+         |       WHEN b.op = 'I' THEN b.ins_price END AS merged_price
+         |FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+         |WHERE b.op IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val mergeUpsertSqlTextSql =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 11 = 0
+      |           THEN 'D'
+      |         WHEN o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 7 = 0
+      |           THEN 'U'
+      |         WHEN o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 13 = 0
+      |           THEN 'I' END AS op,
+      |    o_totalprice AS ins_price
+      |  FROM orders)
+      |SELECT b.o_orderkey,
+      |  CASE b.op WHEN 'D' THEN 'delete' WHEN 'U' THEN 'update'
+      |    ELSE 'insert' END AS action,
+      |  CASE b.op WHEN 'U' THEN round(t.o_totalprice * 1.10, 2)
+      |    WHEN 'I' THEN b.ins_price END AS merged_price
+      |FROM b LEFT JOIN t USING (o_orderkey)
+      |WHERE b.op IS NOT NULL
+      |ORDER BY b.o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ q_unpivot
   /** Unpivot/melt (wide → long) — the inverse of q_pivot, via Spark's
     * native `unpivot` API (Catalyst Expand: each input row fans out to
@@ -1125,6 +1194,7 @@ object Relational {
     QueryDef("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     QueryDef("q_sql_window", sqlWindow, Some(sqlWindowSql)),
     QueryDef("q_sql_subquery", sqlSubquery, Some(sqlSubquerySql)),
+    QueryDef("q_merge_upsert_sql", mergeUpsertSqlText, Some(mergeUpsertSqlTextSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),
     QueryDef("q_scan_project", scanProject, Some(scanProjectSql)),

@@ -305,16 +305,21 @@ object Streaming {
     // drop the pre-round-6 private source relayout if one lingers in
     // tmpdir (the shared streamSrc replaced it)
     graft.operators.Sinks.deleteRecursively(new java.io.File(base, "src"))
-    // The shared 3-file source + maxFilesPerTrigger=1 gives the run
-    // REAL successive micro-batches — with a single-file source the
-    // merge branch below would never execute and the equivalence spec
-    // would pass vacuously against the first-batch-only path (the
-    // running aggregate makes the final table split-invariant).
+    // The shared 3-file source + maxFilesPerTrigger=2 gives the run
+    // REAL successive micro-batches (files [2, 1] → two triggers) —
+    // with a single-batch drain the merge branch below would never
+    // execute and the equivalence spec would pass vacuously against
+    // the first-batch-only path (the running aggregate makes the final
+    // table split-invariant). TWO batches, not three (round-7 verdict
+    // item 2): each extra micro-batch costs a fixed ~1 s of stage +
+    // dynamic-partition swap, and the second batch already proves
+    // everything the third did — the direct-write branch, the
+    // merge-into-existing branch, and dirty-bucket pruning.
     val srcDir = streamSrc(s, d)
     withStreamConf(s) {
       withCheckpoint { cp =>
       s.readStream.schema(s.read.parquet(srcDir).schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
           col("value"))).as("last"))

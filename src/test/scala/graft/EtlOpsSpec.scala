@@ -98,4 +98,56 @@ class EtlOpsSpec extends GraftSpec {
     rows.foreach(r =>
       assert(r.getAs[Long]("n_rows") == src(r.getString(0)), r.toString))
   }
+
+  test("merge apply: post-apply table equals the merge-predicted state " +
+      "row-for-row; clean partitions are byte-untouched") {
+    import graft.queries.Etl
+    // first invocation: builds the scaffolding and applies the batch
+    val audit1 = graft.SparkEntry.queries("n_merge_apply")(spark, sfTiny)
+      .collect()
+    assert(audit1.nonEmpty)
+    val dirty = Etl.mergeApplyDirty.toSet
+    assert(audit1.map(_.getAs[Long]("pt")).toSet.subsetOf(dirty),
+      "audit rows outside the dirty partition set")
+    val root = Etl.mergeApplyRoot(spark, sfTiny)
+    val tableDir = new java.io.File(root, "table")
+    def ptFiles(): Map[Long, Map[String, Long]] =
+      Option(tableDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("pt="))
+        .map(f => f.getName.stripPrefix("pt=").toLong ->
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(x => x.getName -> x.lastModified()).toMap)
+        .toMap
+    val before = ptFiles()
+    graft.SparkEntry.queries("n_merge_apply")(spark, sfTiny).collect()
+    val after = ptFiles()
+    // the MERGE INTO write contract, half 1: write amplification is
+    // bounded by the dirty set — clean partitions' files byte-untouched
+    // (same names, same mtimes) across a full apply
+    for (p <- before.keySet ++ after.keySet; if !dirty.contains(p))
+      assert(before.get(p) == after.get(p), s"clean partition $p rewritten")
+    assert(dirty.exists(p => before.get(p) != after.get(p)),
+      "no dirty partition changed — the apply wrote nothing")
+    // half 2: the applied table equals the predicted merged state —
+    // dirty partitions carry f(base, batch), clean partitions carry
+    // base unchanged — row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_totalprice"),
+        col("pt").cast("long").as("pt"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val applied = rows(spark.read.parquet(tableDir.getAbsolutePath))
+    val baseClean = spark.read
+      .parquet(new java.io.File(root, "base").getAbsolutePath)
+      .filter(!col("pt").isin(Etl.mergeApplyDirty.map(Long.box): _*))
+    val predicted = rows(Etl.mergeApplyMerged(spark, sfTiny)
+      .unionByName(baseClean))
+    assert(applied == predicted,
+      s"applied table diverged from prediction: applied=${applied.size} " +
+        s"predicted=${predicted.size}")
+    // the audit actions must cover all three merge ops at this SF
+    assert(audit1.map(_.getAs[String]("action")).toSet ==
+      Set("delete", "update", "insert"))
+  }
 }

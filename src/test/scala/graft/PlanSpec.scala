@@ -433,6 +433,32 @@ class PlanSpec extends GraftSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("q_merge_upsert_sql (SQL text) plans the IDENTICAL physical shape " +
+      "as the DataFrame merge — and survives unbroadcastable sides") {
+    // the MERGE CTE submitted as a SQL string must land in the same
+    // plan space as the DataFrame form: same narrowed join, same
+    // no-BNLJ fallback. Shape-compare (operator names in order), the
+    // q_sql_window/q_grouping_sets_df convention.
+    def shape(p: String): Seq[String] = p.linesIterator
+      .map(_.replaceAll("^[\\s+:*()\\d-]*", ""))
+      .map(_.takeWhile(_.isLetter))
+      .filter(_.nonEmpty).toSeq
+    assert(shape(plan("q_merge_upsert_sql")) == shape(plan("q_merge_upsert")),
+      s"SQL-text and DataFrame merge plans diverged:\n" +
+        s"sql=${shape(plan("q_merge_upsert_sql"))}\n" +
+        s"df =${shape(plan("q_merge_upsert"))}")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val big = plan("q_merge_upsert_sql")
+      assert(!big.contains("BroadcastNestedLoopJoin") &&
+        !big.contains("CartesianProduct"), big.take(2000))
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        big.take(3000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("q_checksum_audit reduces to the 64-bucket digest with map-side " +
       "partial aggregation and no join") {
     val p = plan("q_checksum_audit")

@@ -60,4 +60,24 @@ class TablesSchemaSpec extends GraftSpec {
         s"variant at $dir did not normalize to the reference epoch micros")
     }
   }
+
+  test("user-table schema evolution: mergeSchema read unions the two " +
+      "generations and null-defaults the added column") {
+    // the round-6 drift class applied to DATA tables: snapshot gen=2
+    // adds o_orderpriority; one mergeSchema scan must surface the union
+    // schema with gen-1 rows carrying the null default — the read
+    // contract q_snapshot_diff_evolve's oracle'd diff builds on
+    val dir = graft.queries.Etl.evolveTree(spark, sfTiny)
+    val m = spark.read.option("mergeSchema", "true").parquet(dir)
+    val names = m.schema.fieldNames.toSet
+    assert(Set("o_orderkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority", "gen").subsetOf(names), names.toString)
+    val g1 = m.filter(col("gen") === 1)
+    assert(g1.filter(col("o_orderpriority").isNotNull).count() == 0,
+      "gen-1 rows must surface the added column as its null default")
+    assert(g1.count() > 0)
+    val g2 = m.filter(col("gen") === 2)
+    assert(g2.filter(col("o_orderpriority").isNull).count() == 0,
+      "gen-2 rows lost their evolved-column values through the merge")
+  }
 }

@@ -42,7 +42,7 @@ object Streaming {
     * rebuild expression the raw NANOS file forces (both were paid per
     * query; n_stream_join paid the listing twice). The 3-file layout
     * doubles as the upsert's multi-batch source: with
-    * maxFilesPerTrigger=1 it yields 3 REAL micro-batches, while
+    * maxFilesPerTrigger=2 it yields 2 REAL micro-batches, while
     * AvailableNow without the option drains all files in one batch, so
     * the other queries see identical single-batch semantics. Test
     * scaffolding, not the measured operator — row content is exactly
@@ -125,9 +125,10 @@ object Streaming {
 
   /** Stream-lifetime conf scope (confs bind at stream start; the
     * snapshot-restore keeps later batch queries unaffected):
-    *   - shuffle partitions → 8: each streaming shuffle partition owns a
+    *   - shuffle partitions → 4: each streaming shuffle partition owns a
     *     state store whose per-batch commit cost is fixed (see [[drain]]
-    *     scaladoc) — partition count must track STATE SIZE;
+    *     scaladoc) — partition count must track STATE SIZE (re-measured
+    *     round 8: 4 edges out 8 by ~2% on this suite's tiny state);
     *   - no-data micro-batches → off: AvailableNow on a finite input
     *     otherwise appends an EMPTY finalization batch after the data
     *     batch purely to advance the watermark — a full extra round of
@@ -139,7 +140,7 @@ object Streaming {
     *     StreamingSpec batch-equivalence assertions are the guard. */
   private def withStreamConf[T](s: SparkSession)(body: => T): T = {
     val keys = Seq(
-      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
       // a drained finite stream never restarts: retain the minimum WAL
       // history instead of the 100-batch default (fewer log rewrites)

@@ -44,12 +44,12 @@ class BenchSmokeSpec extends GraftSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     for (name <- names) {
       val t1 = run(name)
-      // the bench evicts the documented memos between passes so each
-      // pass re-times the real build — mirror that boundary.
-      // ModelStore is deliberately NOT evicted, here or in the bench:
-      // trained models are once-per-corpus-snapshot artifacts and the
-      // serving queries' honest number is load-and-serve (training is
-      // billed on n_ann_build_models' own line)
+      // mirror the bench's between-pass boundary: only the dedup memo's
+      // session reader is dropped (it re-opens the persisted table).
+      // The once-per-snapshot artifacts — ModelStore models, the
+      // persisted pair table, the bucketed layout — deliberately
+      // survive: serving queries' honest number is load-and-serve;
+      // builds carry their own pass-1 lines (Bench.scala scaladoc)
       graft.queries.Dedup.evictMemo(spark)
       val t2 = run(name)
       assert(t2 * 25 >= t1,

@@ -40,9 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     case _ => "-XX:+UseParallelGC"
   },
 ) ++
-  // Optional fixed young generation (e.g. SPARK_GRAFT_XMN=24g): nearly
-  // all bench allocation is short-lived shuffle/agg garbage, so a large
-  // fixed nursery keeps it from promoting and turns ParallelGC's lumpy
-  // full collections (the round-3 run-to-run variance — multi-second GC
-  // landing on random trivial queries) into cheap minor ones.
-  sys.env.get("SPARK_GRAFT_XMN").map(x => s"-Xmn$x").toSeq
+  // Fixed 24 g young generation by default (round-8 A/B on the full
+  // sf0.1 bench: gc 15.9 s → 7.6 s, steady pass walls ~100 s → ~90 s):
+  // nearly all bench allocation is short-lived shuffle/agg garbage, so
+  // a large fixed nursery keeps it from promoting and turns
+  // ParallelGC's lumpy full collections (the round-3 run-to-run
+  // variance — multi-second GC landing on random trivial queries) into
+  // cheap minor ones. Override with SPARK_GRAFT_XMN=<size>, disable
+  // with SPARK_GRAFT_XMN=off (e.g. when shrinking SPARK_DRIVER_MEM —
+  // the nursery must stay well under the heap).
+  (sys.env.getOrElse("SPARK_GRAFT_XMN", "24g") match {
+    case "off" => Seq.empty
+    case x => Seq(s"-Xmn$x")
+  })

@@ -459,6 +459,43 @@ class PlanSpec extends GraftSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("q_checksum_incr unions stored digests with the dirty re-scan — " +
+      "no join, partial aggregation preserved") {
+    val p = plan("q_checksum_incr")
+    assert(!p.contains("Join"), "incremental checksum must be join-free")
+    // fresh-dirty partial aggs + the final 64-bucket fold
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
+    assert(p.contains("Union"), p.take(2000))
+  }
+
+  test("q_snapshot_diff_evolve prunes each generation to its own files " +
+      "and keeps the keyed-join family under unbroadcastable sides") {
+    val p = plan("q_snapshot_diff_evolve")
+    // the gen filters must reach partition pruning, not post-scan filters
+    assert(p.contains("PartitionFilters: [isnotnull(gen"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val big = plan("q_snapshot_diff_evolve")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        big.take(3000))
+      assert(big.contains("FullOuter"), big.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q_error_split_text folds both branches in ONE pass over the raw " +
+      "json scan — no second file read") {
+    val p = plan("q_error_split_text")
+    assert(p.toLowerCase.contains("json"), p.take(2000))
+    // exactly one file scan feeds the branch split
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"branch split re-read the tree:\n" + p.take(3000))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
+  }
+
   test("q_checksum_audit reduces to the 64-bucket digest with map-side " +
       "partial aggregation and no join") {
     val p = plan("q_checksum_audit")

@@ -102,15 +102,18 @@ object Sinks {
 
   /** Content-keyed tags strand the PREVIOUS generation's scratch trees
     * when the testdata regenerates — sweep `graft_*` tmpdir trees
-    * untouched for 6 h, once per JVM, before the first tag is ever used
-    * to build a path (keyed stores own their lifecycle — the ModelStore
-    * version-sweep contract, generalized). Age-gated for the same
-    * reason as ModelStore's sweep: tmpdir is shared and a concurrent
-    * JVM may still be serving from a tree this JVM considers stale; a
-    * live tree's mtime refreshes on rebuild and all current-generation
-    * trees are younger than a round. */
+    * untouched for 12 h, once per JVM, before the first tag is ever
+    * used to build a path (keyed stores own their lifecycle — the
+    * ModelStore version-sweep contract, generalized). Age-gated for the
+    * same reason as ModelStore's sweep: tmpdir is shared and a
+    * concurrent JVM may still be serving from a tree this JVM considers
+    * stale. 12 h > one ~6 h round, so a round never re-sweeps its own
+    * live artifacts; an orphaned generation (tag changed) survives at
+    * most into the round after next. A still-valid tree that outlives
+    * the window merely rebuilds once — content keying makes reuse safe
+    * and staleness impossible either way. */
   private lazy val gcStaleScratch: Unit = {
-    val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
+    val cutoff = System.currentTimeMillis() - 12L * 60 * 60 * 1000
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&

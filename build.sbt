@@ -40,16 +40,26 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     case _ => "-XX:+UseParallelGC"
   },
 ) ++
-  // Fixed 24 g young generation by default (round-8 A/B on the full
+  // Large fixed young generation by default (round-8 A/B on the full
   // sf0.1 bench: gc 15.9 s → 7.6 s, steady pass walls ~100 s → ~90 s):
   // nearly all bench allocation is short-lived shuffle/agg garbage, so
   // a large fixed nursery keeps it from promoting and turns
   // ParallelGC's lumpy full collections (the round-3 run-to-run
   // variance — multi-second GC landing on random trivial queries) into
-  // cheap minor ones. Override with SPARK_GRAFT_XMN=<size>, disable
-  // with SPARK_GRAFT_XMN=off (e.g. when shrinking SPARK_DRIVER_MEM —
-  // the nursery must stay well under the heap).
-  (sys.env.getOrElse("SPARK_GRAFT_XMN", "24g") match {
-    case "off" => Seq.empty
-    case x => Seq(s"-Xmn$x")
+  // cheap minor ones. The default is DERIVED from the resolved heap
+  // (¾ of -Xmx, only when the heap is ≥ 12 g) so shrinking
+  // SPARK_DRIVER_MEM alone can never produce an unbootable
+  // nursery > heap configuration. Override with SPARK_GRAFT_XMN=<size>,
+  // disable with SPARK_GRAFT_XMN=off.
+  (sys.env.get("SPARK_GRAFT_XMN") match {
+    case Some("off") => Seq.empty
+    case Some(x) => Seq(s"-Xmn$x")
+    case None =>
+      val gigs = "(?i)^(\\d+)([gm])$".r
+      sys.env.getOrElse("SPARK_DRIVER_MEM", "32g").trim match {
+        case gigs(n, u) =>
+          val g = if (u.equalsIgnoreCase("g")) n.toDouble else n.toDouble / 1024
+          if (g >= 12) Seq(s"-Xmn${(g * 3 / 4).toInt}g") else Seq.empty
+        case _ => Seq.empty
+      }
   })

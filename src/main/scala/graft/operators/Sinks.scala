@@ -100,6 +100,72 @@ object Sinks {
 
   private val tagCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Bump when ANY persisted artifact's value semantics change (row
+    * hashes, scores, pair thresholds, layouts…): the version rides in
+    * every [[artifact]] path, so old trees are simply never read again
+    * (and age-sweep collects them) instead of serving stale values
+    * against updated oracles under an unchanged content tag — the
+    * ModelStore `Version` discipline, generalized (round-8 review
+    * finding: this round itself changed the checksum row hash, which
+    * would have silently invalidated a pre-existing digest store). */
+  private val ArtifactVersion = "v1"
+
+  /** Marker the artifact protocol writes AFTER a successful build —
+    * deliberately NOT parquet's `_SUCCESS`, so multi-subtree artifacts
+    * (several parquet writes, raw files) share one completion
+    * contract. */
+  private val ArtifactMarker = "_GRAFT_COMPLETE"
+
+  private val artifactLock = new Object
+
+  /** Build-once PERSISTED ARTIFACT protocol — the one definition of the
+    * pattern every once-per-snapshot store uses (pair table, LM scores,
+    * Bloom sketch, roundtrip trees, stream relayout, digest store…).
+    * Returns the artifact directory path, guaranteed complete.
+    *
+    *  - Path: `tmpdir/graft_<name>_<ArtifactVersion>_<contentTag(d)>` —
+    *    content keying invalidates on testdata regeneration, the
+    *    version segment on semantics changes.
+    *  - Reuse: a completed tree is TOUCHED (root mtime refresh) so the
+    *    age-gated sweep never collects an artifact a long-lived JVM is
+    *    actively serving from (reads alone don't update mtimes).
+    *  - Build: `build(tmpPath)` writes the WHOLE tree at a sibling
+    *    temp path; the helper stamps the completion marker and
+    *    atomically renames into place. Two JVMs racing the build can
+    *    each complete a private tree, but only one rename wins and the
+    *    loser discards its copy and serves the winner's — no torn
+    *    double-write of a shared path (the in-JVM lock serializes the
+    *    cheap case without Spark-job-level cost).
+    */
+  def artifact(name: String, d: String)(build: String => Unit): String =
+    artifactLock.synchronized {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_${name}_${ArtifactVersion}_${datasetTag(d)}")
+      if (new java.io.File(dir, ArtifactMarker).exists()) {
+        dir.setLastModified(System.currentTimeMillis())
+        dir.getAbsolutePath
+      } else {
+        val tmp = new java.io.File(dir.getPath + ".build_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        deleteRecursively(tmp)
+        build(tmp.getAbsolutePath)
+        java.nio.file.Files.write(
+          new java.io.File(tmp, ArtifactMarker).toPath, Array.empty[Byte])
+        if (!tmp.renameTo(dir)) {
+          if (new java.io.File(dir, ArtifactMarker).exists())
+            deleteRecursively(tmp) // a concurrent builder won — serve theirs
+          else {
+            // a half-dead previous tree (no marker) blocks the rename:
+            // replace it
+            deleteRecursively(dir)
+            if (!tmp.renameTo(dir))
+              sys.error(s"artifact commit failed: $tmp -> $dir")
+          }
+        }
+        dir.getAbsolutePath
+      }
+    }
+
   /** Content-keyed tags strand the PREVIOUS generation's scratch trees
     * when the testdata regenerates — sweep `graft_*` tmpdir trees
     * untouched for 12 h, once per JVM, before the first tag is ever

@@ -396,16 +396,11 @@ object Dedup {
       // per-pass maps are emitted verbatim. 4 serving files: the table
       // is KB-scale; at 100 TB it is Sinks.writePartitioned by an id
       // bucket (q_dedup_persist demonstrates exactly that layout).
-      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_pairshared_" + graft.operators.Sinks.datasetTag(d))
-      Dedup.synchronized {
-        if (!new java.io.File(tbl, "_SUCCESS").exists()) {
-          lshDupPairs(s, d).coalesce(4)
-            .write.mode("overwrite").parquet(tbl.getAbsolutePath)
-          releaseCaches() // the build's tracked caches die with the build
-        }
+      val tbl = graft.operators.Sinks.artifact("pairshared", d) { p =>
+        lshDupPairs(s, d).coalesce(4).write.mode("overwrite").parquet(p)
+        releaseCaches() // the build's tracked caches die with the build
       }
-      s.read.parquet(tbl.getAbsolutePath)
+      s.read.parquet(tbl)
         .select(col("id1"), col("id2"), col("jaccard"))
     })
 

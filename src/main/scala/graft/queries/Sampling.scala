@@ -297,30 +297,22 @@ object Sampling {
     // OR-s bits, so the treeAggregate's merge order cannot change the
     // sketch — disk-loaded ≡ freshly built, and SamplingSpec's
     // superset/FP pins hold identically.
-    val bfDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bloom_${graft.operators.Sinks.datasetTag(d)}")
-    val bfFile = new java.io.File(bfDir, "bf.bin")
-    val bytes = Sampling.synchronized {
-      if (bfFile.exists()) java.nio.file.Files.readAllBytes(bfFile.toPath)
-      else {
-        // cache across the two actions (size count + sketch build) —
-        // the holdout gram explode is the expensive half of the build
-        val bench = grams.filter(col("source") === Holdout)
-          .select(col("gh")).persist()
-        val nBench = bench.count()
-        val bf = bench.stat.bloomFilter("gh", math.max(nBench, 1000L), 1e-5)
-        bench.unpersist(blocking = false)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val b = bos.toByteArray
-        bfDir.mkdirs()
-        val tmp = new java.io.File(bfDir, "bf.bin.tmp")
-        java.nio.file.Files.write(tmp.toPath, b)
-        if (!tmp.renameTo(bfFile))
-          sys.error(s"bloom artifact rename failed: $tmp -> $bfFile")
-        b
-      }
+    val bfDir = graft.operators.Sinks.artifact("bloom", d) { p =>
+      // cache across the two actions (size count + sketch build) —
+      // the holdout gram explode is the expensive half of the build
+      val bench = grams.filter(col("source") === Holdout)
+        .select(col("gh")).persist()
+      val nBench = bench.count()
+      val bf = bench.stat.bloomFilter("gh", math.max(nBench, 1000L), 1e-5)
+      bench.unpersist(blocking = false)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(p, "bf.bin").toPath, bos.toByteArray)
     }
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(bfDir, "bf.bin").toPath)
     grams.filter(col("source") =!= Holdout)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -47,13 +47,10 @@ object Streaming {
     * the other queries see identical single-batch semantics. Test
     * scaffolding, not the measured operator — row content is exactly
     * `Tables.events`. */
-  private def streamSrc(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_src_${dsTag(d)}").getAbsolutePath
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      Tables.events(s, d).repartition(3).write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private def streamSrc(s: SparkSession, d: String): String =
+    graft.operators.Sinks.artifact("stream_src", d) { p =>
+      Tables.events(s, d).repartition(3).write.mode("overwrite").parquet(p)
+    }
 
   /** Streaming scan of the re-laid events source. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {

@@ -545,10 +545,7 @@ object Text {
     * cutpoints); the build cost sits on n_lm_score_build's own
     * pass-1-auditable line (the n_dedup_pairs_build contract). */
   private[queries] def lmScoresTable(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_lmscores_${graft.operators.Sinks.datasetTag(d)}")
-    Text.synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir = graft.operators.Sinks.artifact("lmscores", d) { p =>
         val pairs = Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .withColumn("ts", toks)
@@ -571,10 +568,9 @@ object Text {
           .agg(count(lit(1)).as("n_bigrams"),
             dround(avg(col("logp")), 4).as("score"))
           .coalesce(4)
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
-      }
+          .write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(dir.getAbsolutePath)
+    s.read.parquet(dir)
   }
 
   private def lmScore(s: SparkSession, d: String): DataFrame =

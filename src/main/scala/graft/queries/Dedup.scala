@@ -963,6 +963,74 @@ object Dedup {
        |FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_split_leakfree
+  /** LEAK-FREE train/val/test split — the assignment rule that makes
+    * eval contamination STRUCTURALLY impossible: a near-duplicate of a
+    * test document sitting in train defeats the held-out measurement
+    * (the standard LLM-benchmark leakage failure), so the split key is
+    * not the document but its near-dup CLUSTER (component of the LSH
+    * pair graph via the shared [[clusterLabels]] kernel; a doc with no
+    * near-dup is its own cluster). Every component lands whole in one
+    * split by construction — transitivity included, which pairwise
+    * checks miss. Assignment is the library's deterministic hash-mod
+    * discipline (retry-safe, engine-portable, coordinated): cluster
+    * hash mod 10 → 8/1/1 train/val/test. Output: per (split, lang)
+    * doc/char accounting; the oracle reproduces the identical
+    * recursive-CTE components and md5 assignment, so the whole
+    * split — components included — is hash-checked cross-engine.
+    * DedupSpec additionally pins the leak-free property itself: no
+    * verified near-dup pair straddles splits. At 100 TB: the labels
+    * table is ∝ docs-with-duplicates (≪ corpus), the left join is one
+    * keyed shuffle (zero with both sides bucketed by doc_id), and the
+    * split verdict is a pure per-row expression — no global
+    * coordination. */
+  private[queries] def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val bucket = pmod(graft.operators.TextOps.portableHash(
+      concat(lit("split:"), col("cluster").cast("string"))), lit(10L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+  }
+
+  private def splitLeakfree(s: SparkSession, d: String): DataFrame =
+    splitAssign(s, d)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  private val splitLeakfreeSql =
+    s"""WITH RECURSIVE $lshDupCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM lshdup
+       |          UNION ALL SELECT id2, id1 FROM lshdup),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |assign AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars,
+       |    coalesce(c.cluster_id, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |s AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+       |            1, 8) AS BIGINT) % 10 AS b
+       |        FROM assign))
+       |SELECT split, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM s
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
   // --------------------------------------------------------------- q_cluster_rep
   /** Quality-based SURVIVOR SELECTION per near-dup cluster — the step
     * production dedup runs after clustering: instead of keeping the
@@ -1305,6 +1373,7 @@ object Dedup {
     QueryDef("q_dedup_incr", dedupIncr, Some(dedupIncrSql)),
     QueryDef("q_dedup_persist", dedupPersist, Some(dedupPersistSql)),
     QueryDef("q_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_minhash_dup", minhashDup, Some(minhashDupSql)),
     QueryDef("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_simhash_dup", simhashDup, Some(simhashDupSql)),

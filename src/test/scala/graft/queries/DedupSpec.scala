@@ -158,4 +158,30 @@ class DedupSpec extends GraftSpec {
       assert(reliable == base)
     } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
   }
+
+  test("q_split_leakfree: no verified near-dup pair straddles splits, " +
+      "and the 8/1/1 partition is total") {
+    import org.apache.spark.sql.functions._
+    val assign = Dedup.splitAssign(spark, sfTiny)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.lshDupPairsShared(spark, sfTiny)
+      .select(col("id1"), col("id2"))
+    // the leak-free contract itself: both ends of every near-dup edge
+    // carry the same split label (transitively guaranteed through the
+    // cluster key — this catches a regression in the coalesce/labeling)
+    val straddling = pairs
+      .join(assign.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("split", "s1"), "id1")
+      .join(assign.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("split", "s2"), "id2")
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(straddling == 0L, s"$straddling near-dup pairs straddle splits")
+    // the split is a total partition of the corpus into the 3 labels
+    val bynSplit = assign.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bynSplit.keySet == Set("train", "val", "test"), bynSplit.toString)
+    assert(bynSplit.values.sum ==
+      graft.sources.Tables.documents(spark, sfTiny).count())
+  }
 }

@@ -995,6 +995,87 @@ object Etl {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q_url_canon
+  /** URL CANONICALIZATION + canonical-URL dedup — the first dedup pass
+    * every crawl pipeline runs, BEFORE any content-based method: the
+    * same resource arrives under scheme/host case variants, `www.`
+    * prefixes, tracking parameters and fragments, and fetching or
+    * keeping each variant wastes the crawl budget N× over. URLs derive
+    * deterministically from `documents` (host case, a www. prefix,
+    * `utm_`/`ref` params and a fragment keyed off doc_id so every
+    * variant class occurs). The kernel is four codegen'd regex/string
+    * steps — lowercase the scheme+authority only (paths are
+    * case-sensitive, authorities are not), strip `www.`, drop the
+    * fragment, drop tracking params with separator repair — all plain
+    * regexp_replace, no lookaround, so DuckDB's RE2 reproduces them
+    * byte-for-byte. Output per source: URL count, distinct canonical
+    * count, and collapsed-variant count (the crawl-budget saving).
+    * At 100 TB this is a pure narrow map + one groupBy — scan-speed,
+    * pushdown-safe, and the canonical string is the natural bucketing/
+    * dedup key downstream. */
+  private def urlCanon(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "WWW.").otherwise(""),
+      upper(col("source")), lit(".Example.COM/Docs/"),
+      expr("doc_id DIV 10").cast("string"),
+      lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(2)).cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("&ref=r"), pmod(col("doc_id"), lit(7)).cast("string")))
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("#sec"), pmod(col("doc_id"), lit(4)).cast("string")))
+        .otherwise(""))
+    // 1. authority lowercased in place (scheme://host is the only
+    //    case-insensitive span); 2. www. stripped; 3. fragment dropped;
+    //    4. tracking params dropped with the separator repaired
+    //    (?utm=x&id=1 → ?id=1; ?id=1&ref=r → ?id=1); 5. dangling ?/& cut
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      concat(lower(regexp_extract(raw, "^[A-Za-z]+://[^/]+", 0)),
+        regexp_replace(raw, "^[A-Za-z]+://[^/]+", "")),
+      "^([a-z]+://)www\\.", "$1"),
+      "#.*$", ""),
+      "[?&](utm_[^&#=]*|ref)=[^&#]*", ""),
+      "^([^?#]*)&", "$1?")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), canon.as("canon"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        (count(lit(1)) - countDistinct(col("canon"))).as("n_collapsed"))
+      .orderBy(col("source"))
+  }
+
+  private val urlCanonSql =
+    """WITH raw AS (
+      |  SELECT source, doc_id,
+      |    'HTTPS://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |    upper(source) || '.Example.COM/Docs/' ||
+      |    CAST(doc_id // 10 AS VARCHAR) ||
+      |    '?utm_source=feed&page=' || CAST(doc_id % 2 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN '&ref=r' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS u
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(regexp_extract(u, '^[A-Za-z]+://[^/]+')) ||
+      |        regexp_replace(u, '^[A-Za-z]+://[^/]+', ''),
+      |      '^([a-z]+://)www\.', '\1'),
+      |      '#.*$', ''),
+      |      '[?&](utm_[^&#=]*|ref)=[^&#]*', '', 'g'),
+      |      '^([^?#]*)&', '\1?') AS canon
+      |  FROM raw)
+      |SELECT source, count(*) AS n_urls,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      |  CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS n_collapsed
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- n_merge_apply
   /** The COMPOSED batch `MERGE INTO` (round-7 verdict item 3):
     * q_merge_upsert emits the merge decision, n_stream_upsert
@@ -1098,6 +1179,7 @@ object Etl {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_error_split_text", errorSplitText, Some(errorSplitTextSql)),
+    QueryDef("q_url_canon", urlCanon, Some(urlCanonSql)),
     QueryDef("q_snapshot_diff_evolve", snapshotDiffEvolve,
       Some(snapshotDiffEvolveSql)),
     QueryDef("q_checksum_incr", checksumIncr, Some(checksumIncrSql)),

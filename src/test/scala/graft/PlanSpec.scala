@@ -496,6 +496,33 @@ class PlanSpec extends GraftSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
   }
 
+  test("q_url_canon is a join-free narrow map over ONE scan — the " +
+      "canonicalization runs at scan speed") {
+    val p = plan("q_url_canon")
+    assert(!p.contains("Join"), "url canonicalization must not join")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(3000))
+    // per-source rollup with the distinct-canonical count: partial
+    // aggregation must survive under the regex kernel
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
+  }
+
+  test("q_split_leakfree joins docs to the label table through the keyed " +
+      "family — never BNLJ, never a cartesian") {
+    val p = plan("q_split_leakfree")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val big = plan("q_split_leakfree")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        big.take(3000))
+      assert(!big.contains("BroadcastNestedLoopJoin") &&
+        !big.contains("CartesianProduct"), big.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("q_checksum_audit reduces to the 64-bucket digest with map-side " +
       "partial aggregation and no join") {
     val p = plan("q_checksum_audit")

@@ -143,9 +143,13 @@ object ModelStore {
   def loadOrTrain(s: SparkSession, path: String)(
       train: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
     load(s, path).getOrElse {
-      val t = train
-      save(s, path, t)
-      t
+      // first-use training is a one-time build — bill it to the BuildLog
+      // so a cold bench record names it (round-8 verdict item 3)
+      BuildLog.timed("train_" + new java.io.File(path).getName) {
+        val t = train
+        save(s, path, t)
+        t
+      }
     }
 
   /** Drop every artifact for the dataset (test/bench hook — the same

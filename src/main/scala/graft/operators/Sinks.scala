@@ -69,6 +69,19 @@ object Sinks {
     f.delete()
   }
 
+  /** Byte-level recursive tree copy — for seeding a mutable table from
+    * a pristine base that was JUST written: a clone of finished parquet
+    * needs no Spark job (no scan, no shuffle, no re-encode), only IO. */
+  def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => copyTree(c, new java.io.File(dst, c.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** 6-hex md5 tag of a dataset dir — THE key for every per-dataset
     * scratch/store path and temp-view name (pair tables, model store,
     * upsert/sink trees, SQL views). One definition: a keying change
@@ -85,7 +98,15 @@ object Sinks {
     * regeneration is not a supported scenario (the incident was
     * between JVMs). */
   def datasetTag(d: String): String = tagCache.getOrElseUpdate(d, {
-    gcStaleScratch
+    val tag = tagOf(d)
+    liveTags.add(tag)
+    sweepOnce(d)
+    tag
+  })
+
+  /** The pure content walk behind [[datasetTag]] — also used by the
+    * sweep to mark SIBLING datasets' current tags live. */
+  private def tagOf(d: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(d.getBytes("UTF-8"))
     def walk(f: java.io.File): Unit =
@@ -96,9 +117,15 @@ object Sinks {
       }
     walk(new java.io.File(d))
     md.digest().take(6).map("%02x".format(_)).mkString
-  })
+  }
 
   private val tagCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Content tags of every CURRENT dataset generation seen (or sibling
+    * to one seen) in this JVM — the sweep's keep-set. */
+  private val liveTags =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** Bump when ANY persisted artifact's value semantics change (row
     * hashes, scores, pair thresholds, layouts…): the version rides in
@@ -144,7 +171,7 @@ object Sinks {
       if (new java.io.File(dir, ArtifactMarker).exists()) {
         dir.setLastModified(System.currentTimeMillis())
         dir.getAbsolutePath
-      } else {
+      } else BuildLog.timed(name) {
         val tmp = new java.io.File(dir.getPath + ".build_" +
           java.util.UUID.randomUUID().toString.replace("-", ""))
         deleteRecursively(tmp)
@@ -167,25 +194,49 @@ object Sinks {
     }
 
   /** Content-keyed tags strand the PREVIOUS generation's scratch trees
-    * when the testdata regenerates — sweep `graft_*` tmpdir trees
-    * untouched for 12 h, once per JVM, before the first tag is ever
-    * used to build a path (keyed stores own their lifecycle — the
-    * ModelStore version-sweep contract, generalized). Age-gated for the
-    * same reason as ModelStore's sweep: tmpdir is shared and a
-    * concurrent JVM may still be serving from a tree this JVM considers
-    * stale. 12 h > one ~6 h round, so a round never re-sweeps its own
-    * live artifacts; an orphaned generation (tag changed) survives at
-    * most into the round after next. A still-valid tree that outlives
-    * the window merely rebuilds once — content keying makes reuse safe
-    * and staleness impossible either way. */
-  private lazy val gcStaleScratch: Unit = {
-    val cutoff = System.currentTimeMillis() - 12L * 60 * 60 * 1000
-    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
-        f.lastModified() < cutoff)
-      .foreach(deleteRecursively)
-  }
+    * when the testdata regenerates — sweep `graft_*` tmpdir trees once
+    * per JVM, before the first tag is ever used to build a path (keyed
+    * stores own their lifecycle — the ModelStore version-sweep
+    * contract, generalized).
+    *
+    * TAG-MISMATCH-keyed, age-gated (round-8 verdict item 7 / ADVICE):
+    * the previous pure-12 h age gate swept every artifact tree at the
+    * start of each driver round (cadence ≥ 12 h), which is exactly what
+    * made round 8's official pass 1 a 391 s cold-build record. A tree
+    * whose trailing 12-hex tag matches the CURRENT content tag of any
+    * live dataset is still valid (content keying makes staleness
+    * impossible) and is KEPT regardless of age — unchanged testdata now
+    * stays warm across rounds. Trees with an unknown or stale tag are
+    * garbage from a previous data generation (or a dead temp dataset)
+    * and go after 12 h untouched; the age gate stays because tmpdir is
+    * shared and a concurrent JVM may still be serving from a tree this
+    * JVM cannot vouch for.
+    *
+    * "Live" = the first dataset this JVM keys PLUS its sibling dirs
+    * (sf0.001/sf0.01/sf0.1 share a parent): a test JVM whose first tag
+    * is sf0.001 must not sweep the bench's sf0.1 trees, so every
+    * sibling's current tag is computed (a cheap metadata walk) and
+    * protected before anything is deleted. */
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def sweepOnce(firstDataset: String): Unit =
+    if (sweptOnce.compareAndSet(false, true)) {
+      Option(new java.io.File(firstDataset).getParentFile)
+        .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .foreach(sib => liveTags.add(tagOf(sib.getAbsolutePath)))
+      val tagRe = java.util.regex.Pattern.compile(".*_([0-9a-f]{12})$")
+      val cutoff = System.currentTimeMillis() - 12L * 60 * 60 * 1000
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter { f =>
+          val m = tagRe.matcher(f.getName)
+          val liveTagged = m.matches() && liveTags.contains(m.group(1))
+          f.isDirectory && f.getName.startsWith("graft_") &&
+            !liveTagged && f.lastModified() < cutoff
+        }
+        .foreach(deleteRecursively)
+    }
 
   /** Hive path-escaping decode for a partition-directory VALUE: special
     * chars (space, '=', '/', ':', …) are written as %XX hex escapes, so

@@ -156,6 +156,36 @@ class SimilaritySpec extends GraftSpec {
       s"index scan does not prune cell partitions:\n${p.take(3000)}")
   }
 
+  test("ann incr build: scaffold components partition the corpus and a " +
+      "second invocation rebuilds nothing") {
+    val acct = graft.SparkEntry.queries("n_ann_incr_build")(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acct.keySet == Set("base", "batch_ids", "table"))
+    // base excludes exactly the batch ids: the two together are the corpus
+    val corpus = graft.sources.Tables.embeddings(spark, sfTiny).count()
+    assert(acct("base") + acct("batch_ids") == corpus,
+      s"base ${acct("base")} + batch ${acct("batch_ids")} != corpus $corpus")
+    // table starts as a byte clone of base and only ever grows by the
+    // merged batch (if n_ann_index_incr already ran in this JVM)
+    assert(acct("table") == acct("base") || acct("table") == corpus,
+      s"table ${acct("table")} matches neither pristine base nor merged corpus")
+    // idempotent: the scaffold's _SUCCESS guards mean a second build
+    // invocation touches no base file (the 51 s cold line must be
+    // once-per-snapshot, not once-per-invocation)
+    def baseFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(
+        new java.io.File(Similarity.annIncrRoot(spark, sfTiny)), "base"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = baseFiles()
+    graft.SparkEntry.queries("n_ann_incr_build")(spark, sfTiny).collect()
+    assert(baseFiles() == before, "second build invocation rewrote the base")
+  }
+
   test("ann index incr: cell-sparse batch rewrites ONLY dirty partitions, " +
       "merged index equals the full rebuild, accounting independently verified") {
     val acct1 = graft.SparkEntry.queries("n_ann_index_incr")(spark, sfTiny)

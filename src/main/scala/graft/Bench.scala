@@ -227,7 +227,11 @@ object Bench {
       // 3 passes (r5's official noisy pass was ~123 s; 3.5x fits) while
       // bounding the blowout case to pass-1 + whatever fits.
       val capSec = sys.env.getOrElse("SPARK_GRAFT_PASS_BUDGET_MAX", "540").toDouble
-      val budgetSec = budgetEnv.getOrElse((3.5 * passWalls.max).min(capSec))
+      // the untimed pre-build stage consumes real wall but must not eat
+      // the PASS budget (3.5x scales the passes, not the one-time
+      // builds); the hard cap still bounds total elapsed including it
+      val budgetSec = budgetEnv.getOrElse(
+        (prebuildSec + 3.5 * passWalls.max).min(capSec))
       val elapsed = (System.nanoTime() - wall0) / 1e9
       // Continue predicate (round-8 verdict item 1b): the previous rule
       // — "next pass costs about what the last one did" — let a

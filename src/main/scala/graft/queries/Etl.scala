@@ -1097,8 +1097,11 @@ object Etl {
     * merge-predicted state row-for-row, and clean partitions' files are
     * byte-untouched across an invocation. At 100 TB: write
     * amplification ∝ dirty-partition count, never table size; the
-    * read side is partition-pruned; a table format's commit protocol
-    * is the only missing rung (atomicity of the swap). */
+    * read side is partition-pruned; and the partition replacement is
+    * an ATOMIC snapshot commit (`TableCommit`: append-only data files
+    * + manifest publish + retention vacuum), so a racing reader pins a
+    * consistent snapshot — the table-format rung that used to be the
+    * one missing piece. */
   private[graft] val mergeApplyDirty = Seq(2L, 5L, 11L)
 
   private[graft] def mergeApplyRoot(s: SparkSession, d: String): java.io.File = {
@@ -1113,10 +1116,10 @@ object Etl {
           .select(col("o_orderkey"), col("o_totalprice"),
             pmod(col("o_orderkey"), lit(16L)).as("pt")),
         base, Seq("pt"))
-      s.read.parquet(base)
-        .repartition(col("pt"))
-        .write.mode("overwrite").partitionBy("pt")
-        .parquet(new java.io.File(p, "table").getAbsolutePath)
+      // the table seeds as a FILE-LEVEL clone of the just-written base —
+      // byte-identical parquet needs no second Spark write
+      graft.operators.Sinks.copyTree(new java.io.File(base),
+        new java.io.File(p, "table"))
     })
   }
 
@@ -1156,17 +1159,15 @@ object Etl {
     val root = mergeApplyRoot(s, d)
     val table = new java.io.File(root, "table").getAbsolutePath
     val merged = mergeApplyMerged(s, d)
-    val prevMode =
-      s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // `merged` holds ONLY dirty-partition rows, so the dynamic
-      // overwrite swaps exactly those partitions; clean partitions are
-      // never read or written
-      merged.repartition(col("pt"))
-        .write.mode("overwrite").partitionBy("pt").parquet(table)
-    } finally
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // `merged` holds ONLY dirty-partition rows; the manifest commit
+    // (TableCommit) replaces exactly those partitions ATOMICALLY —
+    // fresh files appended, snapshot published in one rename — closing
+    // the "table format's commit protocol" rung this scaladoc used to
+    // name as missing: a reader racing this apply resolves either the
+    // old or the new manifest, never a torn mix. Clean partitions are
+    // still never read or written.
+    graft.operators.TableCommit.replacePartitions(s, table, "pt",
+      mergeApplyDirty.map(v => s"pt=$v"), merged)
     // audit grain: touched keys per (partition, action) — ∝ batch size
     mergeApplyBatch(s, d)
       .groupBy(pmod(col("o_orderkey"), lit(16L)).as("pt"),

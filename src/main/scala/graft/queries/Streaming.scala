@@ -281,11 +281,13 @@ object Streaming {
     * partition overwrite — surviving rows of DIRTY buckets are kept via
     * an anti-join, clean buckets are never read or rewritten. That
     * bounds per-batch write amplification by the touched key-space
-    * (batch keys / B buckets), not the table size — the table-format-
-    * free upsert a Delta/Iceberg MERGE replaces at the next rung of the
-    * tooling ladder. The returned frame re-reads the table from disk,
-    * so the spec's batch-equivalence check (last event per user) audits
-    * the on-disk merge result, not the in-memory stream. */
+    * (batch keys / B buckets), not the table size — and each batch's
+    * replacement publishes ATOMICALLY through `TableCommit`'s manifest
+    * snapshot (the minimal Delta/Iceberg commit rung), so a reader
+    * racing a micro-batch never observes a torn table. The returned
+    * frame re-reads the table from disk via the pinned snapshot, so the
+    * spec's batch-equivalence check (last event per user) audits the
+    * on-disk merge result, not the in-memory stream. */
   private def streamUpsert(s: SparkSession, d: String): DataFrame = {
     val B = 16
     // Deterministic dataset-keyed base (round-4 verdict item 5: the
@@ -335,50 +337,41 @@ object Streaming {
             .collect().map(_.getInt(0)) // ≤B scalars: a pruning decision
           if (!new java.io.File(out).exists()) {
             // first batch: no existing table to merge — write directly
-            // (nothing below reads `out`, so no self-read hazard and no
-            // stage round-trip to pay)
+            // and adopt the tree as manifest snapshot 0
             bk.repartition(col("bkt"))
               .write.mode("overwrite").partitionBy("bkt").parquet(out)
+            graft.operators.TableCommit.initIfAbsent(out)
           } else {
-            val prev = sp.read.parquet(out).drop("bkt")
+            // read the PINNED current snapshot (manifest-resolved file
+            // list, not the raw directory — past-retention generations
+            // may still be on disk for in-flight readers)
+            val prev = graft.operators.TableCommit.read(sp, out).drop("bkt")
               .withColumn("bkt", pmod(col("user_id"), lit(B.toLong)).cast("int"))
             val merged = prev
               .filter(col("bkt").isin(dirty.map(Integer.valueOf): _*))
               .join(bk.select(col("user_id")), Seq("user_id"), "left_anti")
               .unionByName(bk)
-            // STAGE the merged buckets before touching the table:
-            // `merged` lazily READS `out`, so overwriting `out` directly
-            // would race the write against its own input (the same-path
-            // hazard Spark rejects on the insertInto path but cannot
-            // detect via save()). A per-batch stage dir cuts that cycle;
-            // the remaining non-atomicity of the partition swap itself
-            // is what a table format's commit protocol buys at the next
-            // tooling rung.
-            val stageDir = s"$stage/batch=$batchId"
-            merged.repartition(col("bkt"))
-              .write.mode("overwrite").partitionBy("bkt").parquet(stageDir)
-            val prevMode =
-              sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            try {
-              sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-              // the stage is already one file per bucket with `bkt` as
-              // its partition column — the swap copies it bucket-wise;
-              // re-deriving/re-shuffling here paid an extra Exchange per
-              // batch for nothing
-              sp.read.parquet(stageDir)
-                .write.mode("overwrite").partitionBy("bkt").parquet(out)
-            } finally
-              sp.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+            // ATOMIC dirty-bucket replacement (TableCommit): the merge
+            // appends fresh files and publishes the next manifest in one
+            // rename. This both closes the torn-read window the old
+            // stage-then-dynamic-swap carried AND deletes the stage
+            // round-trip entirely — `merged` reads the current
+            // snapshot's immutable files while the append only creates
+            // new ones, so there is no self-read hazard left to stage
+            // around (one parquet write per batch instead of two).
+            graft.operators.TableCommit.replacePartitions(sp, out, "bkt",
+              dirty.map(c => s"bkt=$c").toSeq, merged)
           }
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
       }
     }
-    // the per-batch stages are dead once the stream drains; the re-laid
-    // source is kept for reuse and only the merged table backs the
-    // returned frame
+    // a pre-protocol stage tree may linger from an older build — sweep;
+    // the re-laid source is kept for reuse and only the merged table
+    // backs the returned frame (snapshot-pinned read: the raw dir may
+    // hold a retained previous generation)
     graft.operators.Sinks.deleteRecursively(new java.io.File(stage))
-    s.read.parquet(out)
+    graft.operators.TableCommit.read(s, out)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value"))
       .orderBy(col("user_id"))

@@ -137,7 +137,10 @@ class EtlOpsSpec extends GraftSpec {
         col("pt").cast("long").as("pt"))
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
         .sortBy(_._1).toSeq
-    val applied = rows(spark.read.parquet(tableDir.getAbsolutePath))
+    // snapshot-pinned read: the raw dir retains one past generation of
+    // the dirty partitions for in-flight readers (TableCommit retention)
+    val applied = rows(graft.operators.TableCommit.read(
+      spark, tableDir.getAbsolutePath))
     val baseClean = spark.read
       .parquet(new java.io.File(root, "base").getAbsolutePath)
       .filter(!col("pt").isin(Etl.mergeApplyDirty.map(Long.box): _*))
@@ -149,5 +152,49 @@ class EtlOpsSpec extends GraftSpec {
     // the audit actions must cover all three merge ops at this SF
     assert(audit1.map(_.getAs[String]("action")).toSet ==
       Set("delete", "update", "insert"))
+  }
+
+  test("merge apply: a reader racing an apply never observes a torn table " +
+      "(manifest snapshot isolation)") {
+    import graft.queries.Etl
+    // establish the table + its post-apply steady state (idempotent:
+    // every apply produces the same snapshot content)
+    graft.SparkEntry.queries("n_merge_apply")(spark, sfTiny).collect()
+    val root = Etl.mergeApplyRoot(spark, sfTiny)
+    val table = new java.io.File(root, "table").getAbsolutePath
+    def observe(): (Long, Double) = {
+      val r = graft.operators.TableCommit.read(spark, table)
+        .agg(count(lit(1)), round(sum(col("o_totalprice")), 2))
+        .collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    val steady = observe()
+    // reader loop races concurrent applies: every snapshot it resolves
+    // must be a COMMITTED state — with idempotent applies that is
+    // exactly the steady state; a torn read (partial partition swap,
+    // missing files, mixed generations) would change count or sum
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        val o = try Right(observe()) catch { case e: Throwable => Left(e) }
+        o match {
+          case Right(v) if v != steady =>
+            torn.set(s"torn snapshot: $v != $steady")
+          case Left(e) =>
+            torn.set(s"reader failed mid-apply: ${e.getMessage.take(200)}")
+          case _ => ()
+        }
+      }
+    })
+    reader.start()
+    try
+      for (_ <- 1 to 3)
+        graft.SparkEntry.queries("n_merge_apply")(spark, sfTiny).collect()
+    finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(torn.get() == null, String.valueOf(torn.get()))
   }
 }

@@ -119,8 +119,34 @@ object ModelStore {
         sys.error(s"ModelStore: rename $tmp -> $target failed")
     }
 
+  /** In-JVM memo of loaded artifacts, stamp-validated against the tree's
+    * mtime: every ANN query loads centroids+codebooks (often more than
+    * once per invocation), and each cold load is a full Spark job
+    * (parquet scan + collect) for a few KB of model parameters. The
+    * memo serves repeat loads driver-side; a retrain (`save` renames a
+    * fresh tree into place → fresh mtime) invalidates the entry, so
+    * serving queries never see stale models. Bounded: one entry per
+    * (dataset, model) — model parameters only, the sanctioned
+    * driver-traffic class. */
+  private val loadMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Array[Array[Array[Double]]])]
+
   /** Load an artifact if a complete table exists at `path`. */
   def load(s: SparkSession, path: String): Option[Array[Array[Array[Double]]]] =
+    lock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) None
+      else {
+        val stamp = new java.io.File(path).lastModified()
+        loadMemo.get(path).filter(_._1 == stamp).map(_._2).orElse {
+          val loaded = loadUncached(s, path)
+          loaded.foreach(v => loadMemo.put(path, (stamp, v)))
+          loaded
+        }
+      }
+    }
+
+  private def loadUncached(s: SparkSession,
+      path: String): Option[Array[Array[Array[Double]]]] =
     lock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) None
       else {

@@ -114,9 +114,22 @@ object MultimodalQ {
     * and the fixture corpus accounting is internally consistent. */
   private def phashDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ph = graft.operators.Multimodal.imagePhashes(
-      graft.operators.Multimodal.mediaFromDocuments(s, d))
-      .toDF("media_id", "source", "ph")
+    // pHash extraction is score-once-serve-many (the LM-score-table
+    // contract): encode+decode+DCT per image is the expensive half, and
+    // this query's frame used it THREE times per invocation (both sides
+    // of the candidate self-join plus the accounting scan) — so the
+    // (media_id, source, ph) table is a content-keyed persisted
+    // artifact built once per corpus snapshot, and every invocation
+    // serves the banding/verify/accounting from the tiny hash table.
+    // Exactly what a production image-dedup pass ships at 100 TB: one
+    // decode pass, many downstream consumers.
+    val ph = s.read.parquet(graft.operators.Sinks.artifact("phashes", d) { p =>
+      graft.operators.Multimodal.imagePhashes(
+        graft.operators.Multimodal.mediaFromDocuments(s, d))
+        .toDF("media_id", "source", "ph")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(p)
+    })
     val chunks = ph.select(col("media_id"), col("source"), col("ph"),
       explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS c, shiftright(ph, CAST(c * 16 AS INT)) & 65535 AS v))"))

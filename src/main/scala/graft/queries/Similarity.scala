@@ -730,11 +730,13 @@ object Similarity {
     * + residual codebooks do not move per batch — the standard
     * production contract; drift is handled by a scheduled retrain +
     * full rebuild), their DISTINCT cells become the dirty set, and
-    * only those cells' partitions are rewritten under dynamic
-    * partition overwrite — n_stream_upsert's bounded-write-
-    * amplification pattern applied to the ANN index, so a batch
-    * touching B of K cells rewrites B/K of the index regardless of
-    * index size.
+    * only those cells' partitions are replaced — atomically, through
+    * `TableCommit`'s manifest snapshot (the same commit rung the
+    * merge-apply and stream-upsert tables use) — n_stream_upsert's
+    * bounded-write-amplification pattern applied to the ANN index, so
+    * a batch touching B of K cells rewrites B/K of the index
+    * regardless of index size, and a serving reader racing the
+    * maintenance op pins a consistent snapshot.
     *
     * Harness shape: the arriving batch is CELL-SPARSE (round-5 verdict
     * item 3) — a hash-half of the vectors in 3 of the K=16 frozen cells
@@ -823,7 +825,7 @@ object Similarity {
     Seq(
       ("base", s.read.parquet(base).count()),
       ("batch_ids", batchIds.count()),
-      ("table", s.read.parquet(table).count()))
+      ("table", graft.operators.TableCommit.read(s, table).count()))
       .toDF("component", "n_rows")
   }
 
@@ -847,20 +849,20 @@ object Similarity {
     val prev = s.read.parquet(base)
       .filter(col("cell").isin(dirty.map(Integer.valueOf).toSeq: _*))
       .select(col("id2"), col("cell").cast("int").as("cell"), col("codes"))
-    val prevMode =
-      s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      prev.unionByName(batchCodes).repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(table)
-    } finally
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // ATOMIC dirty-cell replacement (TableCommit, the same manifest
+    // commit the merge-apply and stream-upsert tables use): the merged
+    // cells append as fresh files and the snapshot publishes in one
+    // rename, so a serving reader racing this maintenance op pins a
+    // consistent index — non-dirty cells' files remain byte-untouched.
+    graft.operators.TableCommit.replacePartitions(s, table, "cell",
+      dirty.toSeq.map(c => s"cell=$c"), prev.unionByName(batchCodes))
     batchCodes.unpersist(blocking = false)
     // per-dirty-cell accounting from the merged on-disk table
+    // (snapshot-pinned read: the raw dir retains one past generation)
     import s.implicits._
     val added = addedLocal.toSeq
       .map(r => (r.getInt(0), r.getLong(1))).toDF("cell", "n_added")
-    s.read.parquet(table)
+    graft.operators.TableCommit.read(s, table)
       .filter(col("cell").isin(dirty.map(Integer.valueOf).toSeq: _*))
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_after"))

@@ -238,15 +238,18 @@ class SimilaritySpec extends GraftSpec {
     // independent, so base + merged batch must reproduce the
     // full-corpus index exactly. Read the table the query just merged
     // and compare to n_ann_index_persist's full index (same models).
-    def rows(path: String) =
-      spark.read.parquet(path)
-        .selectExpr("id2", "CAST(cell AS INT) AS cell", "codes")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("id2", "CAST(cell AS INT) AS cell", "codes")
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
     // n_ann_index_persist builds/reuses the full index on disk
     graft.SparkEntry.queries("n_ann_index_persist")(spark, sfTiny).count()
-    val full = rows(Similarity.annIndexPath(spark, sfTiny))
-    val merged = rows(tableDir.getAbsolutePath)
+    val full = rowsOf(spark.read.parquet(Similarity.annIndexPath(spark, sfTiny)))
+    // the mutable serving table reads through its pinned manifest
+    // snapshot (the raw dir retains one past generation for in-flight
+    // readers — TableCommit's retention contract)
+    val merged = rowsOf(graft.operators.TableCommit.read(
+      spark, tableDir.getAbsolutePath))
     assert(merged == full,
       s"incremental merge diverged from rebuild: merged=${merged.size} " +
         s"full=${full.size} symm-diff=${(merged diff full).size + (full diff merged).size}")

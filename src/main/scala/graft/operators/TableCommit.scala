@@ -56,11 +56,14 @@ object TableCommit {
         case _ => None
       })
 
+  private def filesOf(f: java.io.File): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+
   /** Newest snapshot: (manifest id, relative data-file paths). */
   def resolve(table: String): Option[(Long, Seq[String])] =
     manifests(table).sortBy(-_._1).headOption.map { case (id, f) =>
-      id -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .linesIterator.filter(_.nonEmpty).toSeq
+      id -> filesOf(f)
     }
 
   /** Relative paths of all data files under `table` (manifest dir,
@@ -105,6 +108,20 @@ object TableCommit {
         s.read.option("basePath", table)
           .parquet(files.map(f => s"$table/$f"): _*)
       case None => s.read.parquet(table)
+    }
+
+  /** TIME-TRAVEL read: the snapshot as of manifest `id` — available
+    * while the manifest is inside the retention window (newest and
+    * newest−1; older snapshots are vacuumed). The capability a
+    * manifest log gives for free: an auditor or a slow consumer pins a
+    * specific committed state instead of "whatever is newest". */
+  def readAt(s: SparkSession, table: String, id: Long): DataFrame =
+    manifests(table).find(_._1 == id) match {
+      case Some((_, f)) =>
+        s.read.option("basePath", table)
+          .parquet(filesOf(f).map(p => s"$table/$p"): _*)
+      case None => sys.error(
+        s"snapshot $id of $table is outside the retention window")
     }
 
   /** First path segment of a relative data-file path — its partition

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableCommit
+
+/** Unit contract of the minimal atomic commit protocol (TableCommit):
+  * adoption, partition replacement, snapshot pinning, time travel,
+  * retention vacuum and orphan sweep — on a tiny synthetic partitioned
+  * table, independent of the three production call sites (which carry
+  * their own integration pins: EtlOpsSpec's reader-vs-apply race,
+  * SimilaritySpec's increment≡rebuild, StreamingSpec's batch
+  * equivalence). */
+class TableCommitSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1),
+      (5L, "e", 2))
+      .toDF("id", "v", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    t
+  }
+
+  private def snapshot(t: String): Set[(Long, String, Int)] =
+    TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  test("initIfAbsent adopts a plain tree as manifest-0; read equals raw read") {
+    val t = freshTable()
+    assert(TableCommit.resolve(t).isEmpty)
+    TableCommit.initIfAbsent(t)
+    val Some((id, files)) = TableCommit.resolve(t)
+    assert(id == 0L && files.nonEmpty)
+    assert(files.forall(_.endsWith(".parquet")), files.toString)
+    assert(snapshot(t) ==
+      spark.read.parquet(t).select(col("id"), col("v"), col("pt").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
+
+  test("replacePartitions swaps exactly the dirty partitions, atomically " +
+      "bumping the manifest; clean partitions' files byte-untouched") {
+    val t = freshTable()
+    def files(p: Int): Map[String, Long] =
+      Option(new java.io.File(t, s"pt=$p").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    TableCommit.initIfAbsent(t)
+    val clean0 = files(0)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1), (60L, "F", 1)).toDF("id", "v", "pt"))
+    assert(TableCommit.resolve(t).get._1 == 1L)
+    assert(files(0) == clean0, "clean partition rewritten")
+    assert(snapshot(t) == Set(
+      (1L, "a", 0), (2L, "b", 0), (30L, "C", 1), (60L, "F", 1), (5L, "e", 2)))
+  }
+
+  test("retention: previous snapshot stays time-travel readable; the one " +
+      "before it is vacuumed (manifest and files)") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val gen0 = snapshot(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    val gen1 = snapshot(t)
+    // newest-1 (= gen0) is still pinned — a slow reader's grace window
+    assert(TableCommit.readAt(spark, t, 0L)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      == gen0)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2)).toDF("id", "v", "pt"))
+    // manifest-0 and the files only it referenced are gone
+    assert(intercept[RuntimeException](
+      TableCommit.readAt(spark, t, 0L)).getMessage.contains("retention"))
+    val disk = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t)).map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val live = (TableCommit.resolve(t).get._2 ++
+      TableCommit.readAt(spark, t, 1L).inputFiles.map(
+        f => f.substring(f.lastIndexOf('/') + 1)).toSeq)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(disk == live,
+      s"disk holds files outside the retention window: ${disk -- live}")
+    // both retained snapshots stay readable and correct
+    assert(TableCommit.readAt(spark, t, 1L)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      == gen1)
+    assert(snapshot(t) == Set(
+      (1L, "a", 0), (2L, "b", 0), (30L, "C", 1), (50L, "E", 2)))
+  }
+
+  test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
+      "(a concurrent in-flight append's files)") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val staleOrphan = new java.io.File(t, "pt=0/orphan-stale.parquet")
+    java.nio.file.Files.write(staleOrphan.toPath, Array[Byte](1, 2, 3))
+    staleOrphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val freshOrphan = new java.io.File(t, "pt=0/orphan-fresh.parquet")
+    java.nio.file.Files.write(freshOrphan.toPath, Array[Byte](1, 2, 3))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    assert(!staleOrphan.exists(), "hour-old unreferenced orphan not swept")
+    assert(freshOrphan.exists(), "fresh orphan swept under an in-flight writer")
+    // the orphans never entered any manifest: reads are unaffected
+    assert(snapshot(t) == Set(
+      (1L, "a", 0), (2L, "b", 0), (30L, "C", 1), (5L, "e", 2)))
+  }
+}

@@ -551,6 +551,33 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("settled signature artifacts serve WITHOUT recomputing: " +
+      "q_simhash_dup / q_dedup_incr / n_phash_dup plans never touch the " +
+      "raw corpus once the artifact exists") {
+    // build the artifacts (first invocation), then pin the SERVE plan:
+    // the expensive half (tf explode / band signatures / PNG decode)
+    // must come from the persisted table, not re-derive from documents
+    for (q <- Seq("q_simhash_dup", "q_dedup_incr", "n_phash_dup"))
+      SparkEntry.queries(q)(spark, sfTiny).count()
+    // q_simhash_dup: fingerprints load from the artifact — no documents
+    // scan, no explode, no 32-way aggregate at serve time
+    val sh = plan("q_simhash_dup")
+    assert(!sh.contains("documents.parquet"), sh.take(3000))
+    assert(sh.contains("graft_simhash_"), "serve plan not on the artifact")
+    // n_phash_dup: no decode mapPartitions at serve time
+    val ph = plan("n_phash_dup")
+    assert(!ph.contains("documents.parquet"), ph.take(3000))
+    assert(ph.contains("graft_phashes_"), "serve plan not on the artifact")
+    // q_dedup_incr: the corpus side reads the persisted band rows WITH
+    // precomputed bucket sizes — the serve plan carries no Window (the
+    // corpus bn window moved into the build); the batch side still
+    // derives per invocation, so documents IS scanned, once, filtered
+    // to the batch predicate
+    val di = plan("q_dedup_incr")
+    assert(di.contains("graft_incr_corpus_"), "corpus side not on the artifact")
+    assert(!di.contains("Window"), "corpus bucket-size window leaked into serve")
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

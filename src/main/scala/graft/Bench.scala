@@ -244,7 +244,7 @@ object Bench {
       // just-finished pass only over-estimates when it was the inflated
       // one.
       continue =
-        if (passWalls.length == 1) elapsed <= capSec
+        if (passWalls.length == 1) elapsed <= budgetEnv.getOrElse(capSec)
         else elapsed + passWalls.min <= budgetSec
     }
     val perPass: Seq[Seq[(String, Double, Double, Option[String])]] = passBuf.toSeq

@@ -99,6 +99,57 @@ class TableCommitSpec extends GraftSpec {
       (1L, "a", 0), (2L, "b", 0), (30L, "C", 1), (50L, "E", 2)))
   }
 
+  test("an aborted writer (files appended, no manifest committed) is " +
+      "invisible to readers and swept by the next successful commit") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val before = snapshot(t)
+    // simulate a crash mid-append: data files land, the commit never
+    // happens — exactly what a killed job leaves behind
+    Seq((99L, "Z", 1)).toDF("id", "v", "pt")
+      .write.mode("append").partitionBy("pt").parquet(t)
+    assert(snapshot(t) == before,
+      "uncommitted files leaked into the pinned snapshot")
+    // age the abandoned files past the orphan window; the next commit's
+    // vacuum reclaims them
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val live = TableCommit.resolve(t).get._2.map(p =>
+      p.substring(p.lastIndexOf('/') + 1)).toSet
+    val orphans = walk(new java.io.File(t))
+      .filter(f => f.getName.endsWith(".parquet") && !live.contains(f.getName))
+    assert(orphans.nonEmpty)
+    orphans.foreach(_.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2)).toDF("id", "v", "pt"))
+    assert(orphans.forall(!_.exists()), "aborted append's files not reclaimed")
+    assert(snapshot(t) == before.filterNot(_._3 == 2) + ((50L, "E", 2)))
+  }
+
+  test("model-checked commit sequence: every snapshot equals the " +
+      "in-memory model after each of a randomized replace series") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    var model: Map[Int, Set[(Long, String, Int)]] =
+      snapshot(t).groupBy(_._3).view.mapValues(_.toSet).toMap
+    val rnd = new scala.util.Random(20260814L)
+    for (step <- 1 to 6) {
+      // replace 1-2 random partitions with fresh content
+      val dirty = rnd.shuffle((0 to 2).toList).take(1 + rnd.nextInt(2))
+      val rows = dirty.flatMap(p =>
+        (0 until 1 + rnd.nextInt(3)).map(i =>
+          (step * 100L + p * 10L + i, s"s$step-$p-$i", p)))
+      TableCommit.replacePartitions(spark, t, "pt", dirty.map(p => s"pt=$p"),
+        rows.toDF("id", "v", "pt"))
+      model = model -- dirty ++ rows.groupBy(_._3).view.mapValues(_.toSet).toMap
+      assert(snapshot(t) == model.values.flatten.toSet,
+        s"snapshot diverged from model at step $step")
+    }
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

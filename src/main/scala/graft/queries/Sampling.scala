@@ -230,8 +230,18 @@ object Sampling {
   private def decontaminate(s: SparkSession, d: String): DataFrame = {
     val Holdout = "src0"
     val grams = gramHashes(s, d)
-    val bench = grams.filter(col("source") === Holdout)
-      .select(col("gh")).distinct().withColumn("is_ev", lit(1))
+    // the holdout's distinct gram set is folded ONCE per snapshot (the
+    // same fold-holdout-once contract as n_bloom_decontam's persisted
+    // Bloom — that is the whole point of a benchmark screen: the eval
+    // side is settled, each incoming batch pays only its own grams +
+    // the probe join); previously both sides re-ran the full n-gram
+    // explode per invocation
+    val bench = s.read.parquet(
+      graft.operators.Sinks.artifact("evgrams", d) { p =>
+        grams.filter(col("source") === Holdout)
+          .select(col("gh")).distinct()
+          .coalesce(4).write.mode("overwrite").parquet(p)
+      }).withColumn("is_ev", lit(1))
     grams.filter(col("source") =!= Holdout)
       .join(bench, Seq("gh"), "left")
       .groupBy(col("doc_id"))

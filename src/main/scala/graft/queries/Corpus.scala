@@ -296,7 +296,56 @@ object Corpus {
       |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS label
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q_doc_windows
+  /** Context-window SHARDING with stride — the step between curation
+    * and batching in every pretraining pipeline: long documents fan out
+    * into overlapping fixed-size token windows (W=64, stride S=48, so a
+    * 16-token overlap preserves cross-boundary context), short tails
+    * kept as partial windows. One narrow map + explode, no shuffle
+    * until the final presentation order-by — embarrassingly parallel at
+    * 100 TB, output rows ∝ Σ tokens / S. Distinct from `q_pack_seqs`
+    * (which PACKS short docs into fixed budgets) and `q_chunk_dedup`
+    * (non-overlapping chunks keyed for dedup): this op turns long docs
+    * into training samples. Output per window: index, token count, and
+    * the boundary tokens (cheap content witnesses the oracle can
+    * reproduce without hashing). */
+  private def docWindows(s: SparkSession, d: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(1L), col("n"), lit(S.toLong))).as("st"))
+      .select(col("doc_id"),
+        expr(s"CAST((st - 1) DIV $S AS BIGINT)").as("win_idx"),
+        least(lit(W.toLong), col("n") - col("st") + 1).as("n_tok"),
+        element_at(col("ts"), col("st").cast("int")).as("first_tok"),
+        element_at(col("ts"),
+          least(col("st") + lit((W - 1).toLong), col("n")).cast("int"))
+          .as("last_tok"))
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  private val docWindowsSql =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, ts, len(ts) AS n,
+      |    unnest(generate_series(1, len(ts), 48)) AS st
+      |  FROM tk WHERE len(ts) > 0)
+      |SELECT doc_id,
+      |  CAST((st - 1) // 48 AS BIGINT) AS win_idx,
+      |  CAST(least(64, n - st + 1) AS BIGINT) AS n_tok,
+      |  ts[st] AS first_tok,
+      |  ts[least(st + 63, n)] AS last_tok
+      |FROM w
+      |ORDER BY doc_id, win_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_doc_windows", docWindows, Some(docWindowsSql)),
     QueryDef("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     QueryDef("q_pack_seqs", packSeqs, Some(packSeqsSql)),
     QueryDef("q_mix_budget", mixBudget, Some(mixBudgetSql)),

@@ -384,7 +384,56 @@ object Sampling {
       |WHERE rn <= 5
       |ORDER BY lang, rn""".stripMargin
 
+  // -------------------------------------------------------------- q_epoch_shuffle
+  /** Deterministic EPOCH SHUFFLE — the data-ordering contract a
+    * multi-epoch training run needs: each epoch presents the corpus in
+    * a different but fully REPRODUCIBLE order (job restarts, preemption
+    * and re-runs resume the exact same sequence — the same
+    * retry-stability argument as the stratified sampler, applied to
+    * ordering). Sample order is a pure function of (epoch, doc_id):
+    * shard = hash mod 8 spreads the corpus over writers, and the
+    * within-shard rank orders each shard file. One narrow map + one
+    * shuffle by (epoch, shard) + a per-shard sort — exactly the work a
+    * shard writer pays at 100 TB, with shard count scaled to the
+    * cluster, never a global single-partition sort. The window
+    * partitions on (epoch, shard), so no WindowExec-on-one-partition
+    * degradation. Two epochs emitted to make the different-order
+    * property visible in the output itself. */
+  private def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val Shards = 8
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("sequence(0, 1)")).as("epoch"))
+      .withColumn("k", TextOps.portableHash(
+        concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("k"), lit(Shards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("pos").cast("long").as("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  private val epochShuffleSql =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(generate_series(0, 1)) AS epoch
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, epoch,
+      |    CAST('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS k
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, k % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, k % 8
+      |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM k
+      |ORDER BY epoch, shard, pos""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_temp_resample", tempResample, Some(tempResampleSql)),

@@ -578,6 +578,21 @@ class PlanSpec extends GraftSpec {
     assert(!di.contains("Window"), "corpus bucket-size window leaked into serve")
   }
 
+  test("q_doc_windows is a join-free narrow fan-out over ONE scan; " +
+      "q_epoch_shuffle's rank window is partitioned, never global") {
+    val dw = plan("q_doc_windows")
+    assert(!dw.contains("Join"), dw.take(3000))
+    assert("documents\\.parquet".r.findAllIn(dw).size == 1,
+      "doc-windows scanned the corpus more than once")
+    val es = plan("q_epoch_shuffle")
+    // the shard rank must run under a (epoch, shard) partition spec —
+    // an unpartitioned Window here would serialize the corpus through
+    // one task (the WindowExec-single-partition failure class)
+    val winLine = es.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("epoch") && winLine.contains("shard"),
+      s"epoch-shuffle window lost its partition spec: $winLine")
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

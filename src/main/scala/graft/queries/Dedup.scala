@@ -1355,13 +1355,23 @@ object Dedup {
     * precision exactly like the reference algorithm's 50-token
     * threshold — a constant, not a data-dependent knob. */
   private def substringDup(s: SparkSession, d: String): DataFrame = {
-    val wins = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"), (size(col("ts")) - 7).as("n_windows"),
-        explode(transform(sequence(lit(1), size(col("ts")) - 7),
-          i => TextOps.portableHash(concat_ws(" ", slice(col("ts"), i, lit(8))))))
-          .as("whash"))
+    // the per-window fingerprint stream is consumed TWICE (the
+    // repeated-hash screen and the per-doc join side), and each window
+    // pays an md5 — persist it once per corpus snapshot (the settled-
+    // signature contract of simhash/phashes); longs round-trip parquet
+    // exactly, oracle parity untouched
+    val wins = s.read.parquet(
+      graft.operators.Sinks.artifact("subwins", d) { p =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), (size(col("ts")) - 7).as("n_windows"),
+            explode(transform(sequence(lit(1), size(col("ts")) - 7),
+              i => TextOps.portableHash(
+                concat_ws(" ", slice(col("ts"), i, lit(8))))))
+              .as("whash"))
+          .write.mode("overwrite").parquet(p)
+      })
     val dup = wins.groupBy(col("whash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)

@@ -169,7 +169,7 @@ object Bench {
       "q_orc_roundtrip", "q_checksum_incr", "q_snapshot_diff_evolve",
       "q_error_split_text", "n_merge_apply", "n_stream_upsert",
       "q_dedup_persist", "n_phash_dup", "q_simhash_dup", "q_dedup_incr",
-      "q_decontaminate", "q_lang_id", "q_tfidf", "q_substring_dup")
+      "q_decontaminate", "q_lang_id", "q_tfidf", "q_substring_dup", "q_cosine_knn_lsh")
     val doPrebuild = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0"
     if (doPrebuild) {

@@ -143,11 +143,21 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
     }
-    val bucketed = e
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // the bucketed frame IS the hyperplane-LSH bucket index — persisted
+    // once per corpus snapshot (float/double payloads round-trip
+    // parquet exactly, so oracle parity is untouched). Without it the
+    // self-join below executed the embeddings scan + 2×16 hyperplane
+    // dots TWICE per invocation (the two join sides canonicalize
+    // differently, so no ReusedExchange saves it); production serves
+    // candidate generation from exactly this persisted bucket table.
+    val bucketed = s.read.parquet(
+      graft.operators.Sinks.artifact("lshbuckets", d) { p =>
+        e.select(col("vec_id"), col("v"), col("nrm"),
+            explode(array(bucketCols: _*)).as("tb"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+          .write.mode("overwrite").parquet(p)
+      })
     // VERIFY-IN-PLACE (the pattern Dedup.lshDupPairs ships): score each
     // candidate INSIDE the bucket join's output projection, while both
     // payloads are in hand, then dedupe on the 24-byte (id1, id2, sim)

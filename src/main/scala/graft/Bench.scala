@@ -162,26 +162,50 @@ object Bench {
     // steady-state serving, which is the number of record by the
     // min-of-N contract. Skipped under a SPARK_GRAFT_ONLY filter
     // (local iteration keeps build-on-first-use behavior).
-    val prebuildNames = Seq(
-      "n_ann_build_models", "n_ann_incr_build", "n_ann_index_persist",
-      "n_dedup_pairs_build", "n_lm_score_build", "n_bloom_decontam",
-      "q_join_bucketed", "q_csv_roundtrip", "q_json_roundtrip",
-      "q_orc_roundtrip", "q_checksum_incr", "q_snapshot_diff_evolve",
-      "q_error_split_text", "n_merge_apply", "n_stream_upsert",
-      "q_dedup_persist", "n_phash_dup", "q_simhash_dup", "q_dedup_incr",
-      "q_decontaminate", "q_lang_id", "q_tfidf", "q_substring_dup", "q_cosine_knn_lsh")
+    // The builds are largely INDEPENDENT (each keyed to its own artifact
+    // tree), so the stage runs them as concurrent chains — sequential
+    // within a chain where one build consumes another's tree (ANN models
+    // → persisted index → incr scaffold; pair table → its serving memo),
+    // concurrent across chains on one session (local[32] absorbs the
+    // overlap; `Sinks.artifact` locks per artifact, so no double-build).
+    // Measured: the sequential stage's 173 s cold wall was mostly
+    // driver-synchronized gaps between small jobs — overlap collapses
+    // it, which is what keeps prebuild + 3 steady passes inside the
+    // 540 s hard cap on a noisy driver window. n_stream_upsert swaps
+    // SESSION confs for its drain (withStreamConf) and therefore runs
+    // alone after the pool — a concurrent query must never plan under
+    // the stream's narrowed shuffle width.
+    val prebuildChains: Seq[Seq[String]] = Seq(
+      Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build"),
+      Seq("n_dedup_pairs_build", "q_dedup_persist"),
+      Seq("n_lm_score_build"), Seq("n_bloom_decontam"), Seq("q_decontaminate"),
+      Seq("q_join_bucketed"), Seq("q_csv_roundtrip"), Seq("q_json_roundtrip"),
+      Seq("q_orc_roundtrip"), Seq("q_checksum_incr"), Seq("q_snapshot_diff_evolve"),
+      Seq("q_error_split_text"), Seq("n_merge_apply"),
+      Seq("n_phash_dup"), Seq("q_simhash_dup"), Seq("q_dedup_incr"),
+      Seq("q_lang_id"), Seq("q_tfidf"), Seq("q_substring_dup"),
+      Seq("q_cosine_knn_lsh"))
+    val prebuildSequential = Seq("n_stream_upsert")
     val doPrebuild = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0"
     if (doPrebuild) {
       val qmap = SparkEntry.queries
-      prebuildNames.foreach { n =>
+      def runOne(n: String): Unit =
         qmap.get(n).foreach { fn =>
           // a pre-build failure is not swallowed silently — the same
           // query fails on its timed line and lands in the errors map
           try fn(spark, sfDir).count()
           catch { case _: Throwable => () }
         }
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "8").toInt)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val done = scala.concurrent.Future.sequence(prebuildChains.map(chain =>
+        scala.concurrent.Future(chain.foreach(runOne))))
+      scala.concurrent.Await.result(done, scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+      prebuildSequential.foreach(runOne)
     }
     val prebuildSec = (System.nanoTime() - wall0) / 1e9
     val passBuf =

@@ -9,7 +9,13 @@ package graft.operators
   * 4000-char tail: a 50 s query line next to a 48 s `builds` entry reads
   * as a one-time build, not an engine regression, without a judge
   * re-run. Accumulating (not last-write) so a build retried across
-  * passes shows its total billed cost. */
+  * passes shows its total billed cost.
+  *
+  * Billing is WALL seconds: when the bench pre-build stage overlaps
+  * independent builds, each entry includes time spent waiting on the
+  * shared scheduler, so concurrent builds' entries overlap and their
+  * SUM exceeds the stage wall (`prebuild_sec` is the stage's true
+  * cost; the map ranks relative weight and names what was cold). */
 object BuildLog {
 
   private val times = scala.collection.concurrent.TrieMap.empty[String, Double]

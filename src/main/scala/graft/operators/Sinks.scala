@@ -143,7 +143,13 @@ object Sinks {
     * contract. */
   private val ArtifactMarker = "_GRAFT_COMPLETE"
 
-  private val artifactLock = new Object
+  /** Per-artifact build locks (keyed by the final dir name): two
+    * DIFFERENT artifacts may build concurrently — the bench pre-build
+    * stage overlaps independent builds from one session — while two
+    * in-JVM requests for the SAME artifact still serialize (the second
+    * finds the completed tree and serves it). Cross-JVM races stay
+    * resolved by the atomic-rename protocol below. */
+  private val artifactLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Build-once PERSISTED ARTIFACT protocol — the one definition of the
     * pattern every once-per-snapshot store uses (pair table, LM scores,
@@ -164,10 +170,10 @@ object Sinks {
     *    double-write of a shared path (the in-JVM lock serializes the
     *    cheap case without Spark-job-level cost).
     */
-  def artifact(name: String, d: String)(build: String => Unit): String =
-    artifactLock.synchronized {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_${name}_${ArtifactVersion}_${datasetTag(d)}")
+  def artifact(name: String, d: String)(build: String => Unit): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${ArtifactVersion}_${datasetTag(d)}")
+    artifactLocks.getOrElseUpdate(dir.getName, new Object).synchronized {
       if (new java.io.File(dir, ArtifactMarker).exists()) {
         dir.setLastModified(System.currentTimeMillis())
         dir.getAbsolutePath
@@ -192,6 +198,7 @@ object Sinks {
         dir.getAbsolutePath
       }
     }
+  }
 
   /** Content-keyed tags strand the PREVIOUS generation's scratch trees
     * when the testdata regenerates — sweep `graft_*` tmpdir trees once

@@ -53,8 +53,50 @@ object ApproxAgg {
     perType.unionByName(overall).orderBy(col("event_type"))
   }
 
+  /** Misra–Gries heavy hitters — the MERGEABLE frequent-items summary
+    * (Misra & Gries 1982; mergeability per Agarwal et al. 2012,
+    * "Mergeable Summaries") that finds the corpus's top tokens in ONE
+    * narrow pass with O(capacity) state per partition, where the exact
+    * top-k (q_text_topk's corpus form) shuffles the full
+    * vocabulary. Each partition keeps ≤ `Capacity` counters (decrement-
+    * all on overflow, at most N/Capacity triggers → amortized O(1) per
+    * token); the per-partition summaries are merged by summation — each
+    * partition undercounts any token by at most ⌊Nₚ/(Capacity+1)⌋, so
+    * the merged estimate `est_freq` is a LOWER bound with total error
+    * ≤ N/(Capacity+1), carried per row as `max_freq` (est + bound).
+    * Every token with true frequency > N/(Capacity+1) is guaranteed
+    * present. Top-k via TakeOrderedAndProject over the ≤
+    * Capacity×|partitions| merged rows — the corpus never shuffles.
+    *
+    * `no-oracle`: counter contents depend on arrival order within each
+    * partition (deterministic for a fixed file layout, but not a
+    * cross-engine value); ScaleOpsSpec pins the guarantee instead —
+    * exact heavy hitters are all present with exact ∈ [est, max_freq]. */
+  private def topkSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Capacity = 64
+    val K = 20
+    val docs = Tables.documents(s, d)
+    // total token count: one narrow scan, no explode — the audit scalar
+    // that turns the per-row estimates into a certified error interval
+    val total = docs
+      .agg(sum(size(graft.operators.TextOps.tokens(col("text")))))
+      .head().getLong(0)
+    val bound = total / (Capacity + 1)
+    val partials = docs
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      .as[String]
+      .mapPartitions(it => graft.operators.FreqSketch.mgPartials(it, Capacity))
+      .toDF("tok", "w")
+    partials.groupBy(col("tok")).agg(sum(col("w")).as("est_freq"))
+      .withColumn("max_freq", col("est_freq") + lit(bound))
+      .orderBy(col("est_freq").desc, col("tok"))
+      .limit(K)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_agg_approx", approxAgg, None),
     QueryDef("n_sketch_union", sketchUnion, None),
+    QueryDef("n_topk_sketch", topkSketch, None),
   )
 }

@@ -954,6 +954,207 @@ object Text {
       |FROM df JOIN top USING (tok)
       |ORDER BY tok""".stripMargin
 
+  // ------------------------------------------------------------------- q_winnow
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS local document fingerprinting algorithm): hash every
+    * K=4-token gram, then in each sliding window of W=5 consecutive gram
+    * hashes keep the MINIMUM (rightmost position on ties — the paper's
+    * robust-winnowing tie rule), and emit the distinct selected
+    * (position, fingerprint) pairs per document. Guarantees: any shared
+    * token run of ≥ W+K-1 = 8 tokens yields at least one common selected
+    * fingerprint in both documents, and selection density is ≤ 2/(W+1)
+    * of positions — the property that makes winnowed fingerprints a
+    * sub-linear, alignment-free dedup signature where the full window
+    * stream (q_substring_dup) is linear in tokens.
+    *
+    * The min-with-rightmost-tie selection is ONE window min over the
+    * packed key gh·2²¹ + (2²¹−1−pos): gram hashes are 32-bit, positions
+    * < 2²¹, so ordering by the key orders by (hash asc, pos desc) and
+    * both engines decode the same winner. Trailing positions whose
+    * window would be truncated are excluded (pos ≤ n_grams−W+1) except
+    * the short-document case, where position 1's truncated window IS
+    * the whole gram stream — matching the algorithm on docs with fewer
+    * than W grams. Scale: narrow explode + one (doc_id)-partitioned
+    * running window + distinct — no joins; rows out ∝ 2·tokens/(W+1). */
+  private def winnow(s: SparkSession, d: String): DataFrame = {
+    val K = 4; val W = 5; val M = 1L << 21
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= K)
+      .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("n_grams"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => TextOps.portableHash(concat_ws(" ", slice(col("ts"), i, lit(K)))))))
+      .select(col("doc_id"), col("n_grams"),
+        (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    grams
+      .withColumn("selkey",
+        min(col("gh") * M + (lit(M - 1) - col("pos"))).over(wspec))
+      .filter(col("pos") <= greatest(lit(1), col("n_grams") - (W - 1)))
+      .select(col("doc_id"),
+        (lit(M - 1) - pmod(col("selkey"), lit(M))).cast("int").as("sel_pos"),
+        expr(s"selkey div $M").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("sel_pos"), col("fp"))
+  }
+
+  private val winnowSql =
+    """WITH a AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(ts) - 3 AS n_grams,
+      |    unnest(generate_series(1, len(ts) - 3)) AS pos,
+      |    unnest(list_transform(generate_series(1, len(ts) - 3),
+      |      i -> CAST('0x' || substr(md5(
+      |             list_aggregate(ts[i:i+3], 'string_agg', ' ')), 1, 8)
+      |           AS BIGINT))) AS gh
+      |  FROM a WHERE len(ts) >= 4),
+      |sel AS (
+      |  SELECT doc_id, n_grams, pos,
+      |    min(gh * 2097152 + (2097151 - pos)) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS selkey
+      |  FROM g)
+      |SELECT DISTINCT doc_id,
+      |  CAST(2097151 - (selkey % 2097152) AS INT) AS sel_pos,
+      |  selkey // 2097152 AS fp
+      |FROM sel
+      |WHERE pos <= greatest(1, n_grams - 4)
+      |ORDER BY doc_id, sel_pos, fp""".stripMargin
+
+  // ---------------------------------------------------------------- q_pmi_cooc
+  /** Pointwise mutual information over window-2 skipgram co-occurrence
+    * (Church & Hanks 1990) — the word-association statistic behind
+    * count-based embeddings and collocation extraction: unordered token
+    * pairs at distance ≤ 2, PMI = ln(p(a,b)/(p(a)·p(b))), top-100 by
+    * pair count with a ≥5 support floor. Pairs come from one array pass
+    * (adjacent + skip-one structs via transform — no positional
+    * self-join; the distance-2 arm reuses the SAFE 1..n−1 sequence with
+    * a lambda filter, because Spark's `sequence(1, 0)` counts DOWN).
+    * The unigram table and both scalar totals are vocabulary-bounded /
+    * 1-row frames, so every join is an explicit broadcast — the pair
+    * aggregation is the only corpus-sized shuffle at any scale. The PMI
+    * ratio multiplies exact BIGINT counts inside explicitly-parenthesized
+    * double arithmetic (identical operation order both engines) so the
+    * ln sees bit-identical inputs. */
+  private def pmiCooc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("ts", toks)
+    val uni = docs.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val tUni = uni.agg(sum(col("n_tok")).as("t_uni"))
+    def pairAt(i: org.apache.spark.sql.Column, gap: Int) = struct(
+      least(element_at(col("ts"), i),
+        element_at(col("ts"), i + gap)).as("a"),
+      greatest(element_at(col("ts"), i),
+        element_at(col("ts"), i + gap)).as("b"))
+    val pairs = docs.filter(size(col("ts")) >= 2)
+      .select(explode(concat(
+        transform(sequence(lit(1), size(col("ts")) - 1), i => pairAt(i, 1)),
+        transform(
+          filter(sequence(lit(1), size(col("ts")) - 1),
+            i => i <= size(col("ts")) - 2),
+          i => pairAt(i, 2)))).as("z"))
+      .select(col("z.a").as("a"), col("z.b").as("b"))
+    val cnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val tPairs = cnt.agg(sum(col("n_ab")).as("t_pairs"))
+    cnt
+      .join(broadcast(uni.select(col("tok").as("a"), col("n_tok").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("n_tok").as("n_b"))), "b")
+      .crossJoin(broadcast(tUni))
+      .crossJoin(broadcast(tPairs))
+      .filter(col("n_ab") >= 5)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        dround(log(
+          ((col("n_ab").cast("double") * col("t_uni")) * col("t_uni")) /
+            ((col("t_pairs").cast("double") * col("n_a")) * col("n_b"))), 4)
+          .as("pmi"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  private val pmiCoocSql =
+    """WITH a AS (SELECT regexp_split_to_array(text, '\s+') AS ts
+      |           FROM documents),
+      |uni AS (
+      |  SELECT tok, count(*) AS n_tok
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t_uni FROM uni),
+      |pr AS (
+      |  SELECT unnest(list_concat(
+      |    list_transform(generate_series(1, len(ts) - 1),
+      |      i -> {'a': least(ts[i], ts[i+1]), 'b': greatest(ts[i], ts[i+1])}),
+      |    list_transform(list_filter(generate_series(1, len(ts) - 1),
+      |        i -> i <= len(ts) - 2),
+      |      i -> {'a': least(ts[i], ts[i+2]), 'b': greatest(ts[i], ts[i+2])})))
+      |    AS z
+      |  FROM a WHERE len(ts) >= 2),
+      |c AS (SELECT z.a AS a, z.b AS b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+      |tp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_pairs FROM c)
+      |SELECT c.a, c.b, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+      |  round(ln(((CAST(n_ab AS DOUBLE) * t_uni) * t_uni)
+      |    / ((CAST(t_pairs AS DOUBLE) * ua.n_tok) * ub.n_tok)), 4) AS pmi
+      |FROM c
+      |CROSS JOIN tot CROSS JOIN tp
+      |JOIN uni ua ON c.a = ua.tok
+      |JOIN uni ub ON c.b = ub.tok
+      |WHERE n_ab >= 5
+      |ORDER BY n_ab DESC, c.a, c.b
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ q_freq_spectrum
+  /** Token frequency-of-frequencies spectrum — the corpus statistic
+    * behind Zipf/Heaps diagnostics and tokenizer-vocabulary sizing: for
+    * each corpus frequency f, how many distinct types occur exactly f
+    * times, how many running tokens they account for, and the
+    * cumulative head-coverage fraction reading from the most frequent
+    * band down (the "top vocabulary band covers X% of the corpus"
+    * number a BPE vocab-size decision reads off). Two hash
+    * aggregations: (tok)→freq is vocabulary-bounded, (freq)→types is
+    * bounded by distinct frequency values — both tiny at any corpus
+    * scale. The running window is deliberately unpartitioned: it runs
+    * on the already-aggregated spectrum frame (|distinct freqs| rows,
+    * hundreds at 100 TB), the q_pack_seqs bucket-totals pattern. */
+  private def freqSpectrum(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val spec = counts.groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("n_tokens", col("freq") * col("n_types"))
+    val run = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    spec
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+      .withColumn("coverage", dround(
+        col("cum_tokens").cast("double") / sum(col("n_tokens")).over(all), 4))
+      .orderBy(col("freq").desc)
+  }
+
+  private val freqSpectrumSql =
+    """WITH tc AS (
+      |  SELECT tok, count(*) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |sp AS (
+      |  SELECT freq, count(*) AS n_types, freq * count(*) AS n_tokens
+      |  FROM tc GROUP BY freq)
+      |SELECT freq, n_types, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY freq DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_tokens,
+      |  round(CAST(sum(n_tokens) OVER (ORDER BY freq DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS coverage
+      |FROM sp
+      |ORDER BY freq DESC""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
@@ -975,5 +1176,8 @@ object Text {
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QueryDef("q_winnow", winnow, Some(winnowSql)),
+    QueryDef("q_freq_spectrum", freqSpectrum, Some(freqSpectrumSql)),
+    QueryDef("q_pmi_cooc", pmiCooc, Some(pmiCoocSql)),
   )
 }

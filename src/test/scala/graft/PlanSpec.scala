@@ -593,6 +593,32 @@ class PlanSpec extends GraftSpec {
       s"epoch-shuffle window lost its partition spec: $winLine")
   }
 
+  test("q_winnow is join-free over ONE scan with a doc-partitioned " +
+      "selection window; q_freq_spectrum is join-free with its running " +
+      "window above the aggregated spectrum frame") {
+    val w = plan("q_winnow")
+    assert(!w.contains("Join"), w.take(3000))
+    assert("documents\\.parquet".r.findAllIn(w).size == 1,
+      "winnow scanned the corpus more than once")
+    // the sliding min must stay partitioned by doc_id — an unpartitioned
+    // frame here would serialize every gram through one task
+    val winLine = w.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"winnow selection window lost its doc partition: $winLine")
+    val fs = plan("q_freq_spectrum")
+    assert(!fs.contains("Join"), fs.take(3000))
+    assert("documents\\.parquet".r.findAllIn(fs).size == 1,
+      "freq-spectrum scanned the corpus more than once")
+    // the deliberately-unpartitioned running window must sit ABOVE both
+    // hash aggregations (vocab → freq → spectrum), never over raw tokens
+    val lines = fs.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window "))
+    val aggIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") => i }
+    assert(winIdx >= 0 && aggIdxs.count(_ > winIdx) >= 2,
+      "running window is not above the two aggregation levels")
+  }
+
   test("Bucketing.evict drops catalog entries AND the external files") {
     val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()

@@ -38,6 +38,48 @@ class ScaleOpsSpec extends GraftSpec {
     assert(all >= maxType)
   }
 
+  test("n_topk_sketch: exact heavy hitters all present with exact " +
+      "inside [est_freq, max_freq]") {
+    val sketch = SparkEntry.queries("n_topk_sketch")(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sketch.nonEmpty)
+    val exact = Tables.documents(spark, sfTiny)
+      .select(explode(split($"text", "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (tok, n) =>
+      val (est, maxF) = sketch.getOrElse(tok,
+        fail(s"heavy hitter '$tok' (freq $n) missing from sketch top-k"))
+      assert(est <= n && n <= maxF,
+        s"'$tok': exact $n outside [est $est, max $maxF]")
+    }
+  }
+
+  test("Misra–Gries kernel honors capacity and the undercount bound " +
+      "under forced eviction (vocabulary >> capacity)") {
+    // skewed synthetic stream: 3 heavy items in a sea of 500 singletons
+    val heavy = Seq("a" -> 400L, "b" -> 250L, "c" -> 120L)
+    val stream = new scala.util.Random(7).shuffle(
+      heavy.flatMap { case (t, n) => Seq.fill(n.toInt)(t) } ++
+        (1 to 500).map(i => s"rare$i"))
+    val cap = 16
+    val out = graft.operators.FreqSketch.mgPartials(stream.iterator, cap).toMap
+    assert(out.size <= cap, s"summary exceeded capacity: ${out.size}")
+    val n = stream.length
+    val bound = n / (cap + 1)
+    // every item's estimate is a lower bound within n/(cap+1) of truth
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    out.foreach { case (t, est) =>
+      val tr = truth(t)
+      assert(est <= tr && tr - est <= bound, s"'$t': est $est true $tr bound $bound")
+    }
+    // items above the guarantee threshold must survive eviction
+    heavy.filter(_._2 > bound).foreach { case (t, tr) =>
+      assert(out.contains(t), s"guaranteed heavy hitter '$t' ($tr > $bound) evicted")
+    }
+  }
+
   test("saltedAgg matches the direct aggregation") {
     val ev = Tables.events(spark, sfTiny)
     val direct = ev.groupBy($"event_type")

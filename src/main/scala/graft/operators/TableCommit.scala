@@ -35,14 +35,30 @@ import org.apache.spark.sql.functions.col
   *    hour old (a concurrent in-flight append's fresh files are
   *    younger and survive).
   *
-  * Single-writer-per-table, many-reader — the deployment shape both
-  * call sites have (one maintenance job mutates; serving reads). On a
-  * cluster the ATOMIC_MOVE becomes the object store's
-  * put-if-absent/rename primitive; everything else is unchanged. */
+  * Many-reader, MULTI-writer via optimistic concurrency (the Delta
+  * protocol's commit rule, partition-granularity conflict detection):
+  * a writer stages its data files under a private `_stage_<uuid>` tree,
+  * moves them into the partition dirs under writer-unique names, and
+  * then tries to publish manifest base+1 with a PUT-IF-ABSENT. Losing
+  * the race means another commit became base+1 first — the writer
+  * re-resolves, and either REBASES (the winner touched none of this
+  * writer's dirty partitions: retry on top of the winner's file list —
+  * both changes land) or ABORTS with a conflict (the winner modified an
+  * overlapping partition: this writer's inputs are stale and retrying
+  * would silently drop the winner's rows — the caller must re-read and
+  * re-derive). The put-if-absent is a hard-link create (EEXIST-atomic
+  * on POSIX) because `ATOMIC_MOVE` onto an existing path silently
+  * REPLACES on Unix rename(2) semantics — it cannot arbitrate a race.
+  * On a cluster the link becomes the object store's if-none-match put;
+  * everything else is unchanged. */
 object TableCommit {
 
   private val ManifestDir = "_manifests"
-  private val lock = new Object
+
+  /** Raised when a concurrent commit modified one of this writer's
+    * dirty partitions between its snapshot read and its publish. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private def manifestDir(table: String) = new java.io.File(table, ManifestDir)
 
@@ -79,24 +95,37 @@ object TableCommit {
     walk(root, "")
   }
 
-  /** Publish `files` as manifest `id` — atomic via temp + ATOMIC_MOVE. */
-  private def publish(table: String, id: Long, files: Seq[String]): Unit = {
+  /** Publish `files` as manifest `id` with PUT-IF-ABSENT semantics:
+    * write the complete manifest at a temp path, then hard-LINK it to
+    * its final name — link creation is atomic and fails with
+    * FileAlreadyExistsException when `id` was already published, the
+    * CAS that arbitrates racing commits (ATOMIC_MOVE would silently
+    * replace the winner). Returns false when the CAS lost. */
+  private def publish(table: String, id: Long, files: Seq[String]): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
-    val tmp = new java.io.File(dir, f".manifest-$id%09d.tmp")
+    val tmp = new java.io.File(dir,
+      f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
     java.nio.file.Files.write(tmp.toPath,
       files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, f"manifest-$id%09d").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val won =
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(dir, f"manifest-$id%09d").toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    java.nio.file.Files.delete(tmp.toPath)
+    won
   }
 
   /** Ensure the table has a snapshot: if no manifest exists yet,
     * publish manifest-0 listing the current tree (adopting a table
-    * written by a plain batch writer into the protocol). */
-  def initIfAbsent(table: String): Unit = lock.synchronized {
+    * written by a plain batch writer into the protocol). A lost CAS
+    * means a concurrent adopter won — equally fine. */
+  def initIfAbsent(table: String): Unit =
     if (manifests(table).isEmpty) publish(table, 0L, listDataFiles(table))
-  }
 
   /** Snapshot read: the newest manifest's files, pinned — immune to a
     * concurrent commit. Falls back to a plain directory read for a
@@ -129,26 +158,87 @@ object TableCommit {
   private def partDir(rel: String): String = rel.takeWhile(_ != '/')
 
   /** Atomically replace the contents of `dirtyDirs` (partition-dir
-    * names like `pt=5`) with `df`'s rows: append `df` as fresh files,
-    * commit a manifest carrying the previous snapshot minus the dirty
-    * partitions plus the fresh files, then vacuum past-retention
-    * generations. `df` must hold ONLY rows of the dirty partitions. */
+    * names like `pt=5`) with `df`'s rows: stage `df` as fresh immutable
+    * files, commit a manifest carrying the base snapshot minus the
+    * dirty partitions plus the fresh files (optimistic-concurrency
+    * loop: rebase over disjoint winners, conflict on overlapping ones),
+    * then vacuum past-retention generations. `df` must hold ONLY rows
+    * of the dirty partitions.
+    *
+    * The stage dir makes fresh-file identification EXACT under
+    * concurrent writers: each writer knows its own files by
+    * construction (its private stage tree, moved in under a
+    * writer-unique prefix), where an append-then-list-diff would
+    * attribute a concurrent writer's files to this commit. */
   def replacePartitions(s: SparkSession, table: String, partCol: String,
-      dirtyDirs: Seq[String], df: DataFrame): Unit = {
+      dirtyDirs: Seq[String], df: DataFrame,
+      readSnapshot: Option[Long] = None): Unit = {
     initIfAbsent(table)
-    val (prevId, prevFiles) = resolve(table).get
-    val before = listDataFiles(table).toSet
-    // the append's inputs may include the table's own current snapshot
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    // the write's inputs may include the table's own current snapshot
     // (a merge reads prev state); that is safe by construction — the
-    // snapshot's files are immutable and the append only creates new ones
+    // snapshot's files are immutable and this only creates new ones
+    val stage = new java.io.File(table, s"_stage_$writerId")
     df.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(table)
-    val fresh = listDataFiles(table).filterNot(before)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(stage.getAbsolutePath)
+    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isDirectory && p.getName.contains("="))
+      .flatMap { p =>
+        Option(p.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val destDir = new java.io.File(table, p.getName)
+            destDir.mkdirs()
+            val rel = s"${p.getName}/${writerId}_${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(table, rel).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }
+    Sinks.deleteRecursively(stage)
     val dirty = dirtyDirs.toSet
-    lock.synchronized {
-      val next = prevFiles.filterNot(f => dirty.contains(partDir(f))) ++ fresh
-      publish(table, prevId + 1, next)
-      vacuum(table, prevId + 1)
+    var (baseId, baseFiles) = resolve(table).get
+    // Lost-update guard: when the caller pins the snapshot its `df` was
+    // DERIVED from, a commit that landed between that read and this
+    // write and touched a dirty partition is a conflict even though it
+    // precedes our loop (committing over it would silently drop its
+    // rows). Without the pin, the current newest is trusted as base —
+    // the single-writer callers' behavior, unchanged.
+    readSnapshot.filter(_ != baseId).foreach { readId =>
+      val readFiles = manifests(table).find(_._1 == readId).map(m => filesOf(m._2))
+        .getOrElse(throw new CommitConflictException(
+          s"snapshot $readId of $table left the retention window while " +
+            "this writer computed its change — re-read and re-derive"))
+      def dirtyView(fs: Seq[String]) =
+        fs.filter(f => dirty.contains(partDir(f))).sorted
+      if (dirtyView(baseFiles) != dirtyView(readFiles))
+        throw new CommitConflictException(
+          s"commit(s) after snapshot $readId of $table modified dirty " +
+            s"partitions ${dirtyDirs.mkString(",")} — re-read and re-derive")
+    }
+    var committed = false
+    while (!committed) {
+      val next = baseFiles.filterNot(f => dirty.contains(partDir(f))) ++ fresh
+      if (publish(table, baseId + 1, next)) {
+        vacuum(table, baseId + 1)
+        committed = true
+      } else {
+        // a concurrent commit became base+1 first — rebase or conflict
+        val (winId, winFiles) = resolve(table).get
+        def dirtyView(fs: Seq[String]) =
+          fs.filter(f => dirty.contains(partDir(f))).sorted
+        if (dirtyView(winFiles) != dirtyView(baseFiles)) {
+          // this writer's fresh files are unreferenced orphans now;
+          // the age-gated orphan sweep of a future vacuum collects them
+          throw new CommitConflictException(
+            s"concurrent commit $winId of $table modified dirty " +
+              s"partitions ${dirtyDirs.mkString(",")} — re-read and re-derive")
+        }
+        baseId = winId
+        baseFiles = winFiles
+      }
     }
   }
 

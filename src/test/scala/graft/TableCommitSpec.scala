@@ -150,6 +150,54 @@ class TableCommitSpec extends GraftSpec {
     }
   }
 
+  test("optimistic concurrency: concurrent writers of DISJOINT partitions " +
+      "all commit (CAS losers rebase); every change lands") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 to 2).map { p =>
+      new Thread(() =>
+        try TableCommit.replacePartitions(spark, t, "pt", Seq(s"pt=$p"),
+          Seq((900L + p, s"occ$p", p)).toDF("id", "v", "pt"))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint concurrent commits failed: ${errs.peek()}")
+    // three successful commits on top of manifest-0
+    assert(TableCommit.resolve(t).get._1 == 3L)
+    assert(snapshot(t) == Set(
+      (900L, "occ0", 0), (901L, "occ1", 1), (902L, "occ2", 2)))
+  }
+
+  test("optimistic concurrency: a writer whose pinned read snapshot was " +
+      "overtaken on a dirty partition CONFLICTS; disjoint overtake rebases") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val readId = TableCommit.resolve(t).get._1
+    // another commit lands on pt=1 between the read and the write
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    // overlapping dirty partition → lost-update conflict, table untouched
+    val before = snapshot(t)
+    val e = intercept[TableCommit.CommitConflictException] {
+      TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+        Seq((31L, "X", 1)).toDF("id", "v", "pt"), readSnapshot = Some(readId))
+    }
+    assert(e.getMessage.contains("pt=1"))
+    assert(snapshot(t) == before, "conflicted commit mutated the table")
+    // disjoint dirty partition from the same stale read → rebases fine
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2)).toDF("id", "v", "pt"), readSnapshot = Some(readId))
+    assert(snapshot(t) == before.filterNot(_._3 == 2) + ((50L, "E", 2)))
+    // a read snapshot that fell out of retention is itself a conflict
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      Seq((10L, "A", 0)).toDF("id", "v", "pt"))
+    assert(intercept[TableCommit.CommitConflictException] {
+      TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+        Seq((11L, "B", 0)).toDF("id", "v", "pt"), readSnapshot = Some(readId))
+    }.getMessage.contains("retention"))
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

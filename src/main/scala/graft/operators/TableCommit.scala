@@ -82,6 +82,12 @@ object TableCommit {
       id -> filesOf(f)
     }
 
+  /** The manifest log within the retention window, newest first —
+    * (snapshot id, relative data-file paths). The DESCRIBE HISTORY
+    * surface: what a time-travel reader can still pin. */
+  def history(table: String): Seq[(Long, Seq[String])] =
+    manifests(table).sortBy(-_._1).map { case (id, f) => id -> filesOf(f) }
+
   /** Relative paths of all data files under `table` (manifest dir,
     * markers and hidden files excluded). */
   private def listDataFiles(table: String): Seq[String] = {

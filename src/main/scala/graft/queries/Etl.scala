@@ -1178,8 +1178,39 @@ object Etl {
       .orderBy(col("pt"), col("action"))
   }
 
+  // ------------------------------------------------------------ n_table_history
+  /** DESCRIBE HISTORY + time travel as a first-class query: the
+    * manifest log of the committed merge-apply table, one row per
+    * retained snapshot — generation (0 = current, 1 = previous),
+    * file/partition counts from the manifest (metadata only), and the
+    * row count of THAT pinned snapshot via a time-travel read
+    * (`TableCommit.readAt`) — the auditor's view of a mutable table:
+    * what changed, how big each retained state is, and proof the
+    * previous generation is still consistently readable while the
+    * current one serves. Scale: the manifest is a file list (KBs at any
+    * table size); the only data touched is the two snapshot counts,
+    * each a partition-pruned scan a production auditor would sample
+    * instead. No oracle (the manifest log is engine state, not a SQL
+    * derivation); EtlOpsSpec pins generation-0 ≡ the live read and
+    * generation-1 ≡ the pre-apply state. */
+  private def tableHistory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = new java.io.File(mergeApplyRoot(s, d), "table").getAbsolutePath
+    graft.operators.TableCommit.initIfAbsent(table)
+    val hist = graft.operators.TableCommit.history(table)
+    val newest = hist.head._1
+    hist.map { case (id, files) =>
+      ((newest - id).toInt,
+        files.length.toLong,
+        files.map(f => f.takeWhile(_ != '/')).distinct.length.toLong,
+        graft.operators.TableCommit.readAt(s, table, id).count())
+    }.toDF("generation", "n_files", "n_partitions", "n_rows")
+      .orderBy(col("generation"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_error_split_text", errorSplitText, Some(errorSplitTextSql)),
+    QueryDef("n_table_history", tableHistory, None),
     QueryDef("q_url_canon", urlCanon, Some(urlCanonSql)),
     QueryDef("q_snapshot_diff_evolve", snapshotDiffEvolve,
       Some(snapshotDiffEvolveSql)),

@@ -780,6 +780,48 @@ object Relational {
       |       WHERE o.o_custkey = c.c_custkey) >= 5
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q_sql_lateral
+  /** SQL-text LATERAL correlated subquery — the remaining SQL front
+    * door after window/scalar-subquery/MERGE: per customer, the lateral
+    * derives a multi-column summary of that customer's orders (count,
+    * latest date, max price) — the shape a scalar subquery cannot
+    * return (one column per subquery) and the reason LATERAL exists.
+    * Catalyst DECORRELATES the lateral into ONE aggregate + equi-join
+    * on the correlation key (`DecorrelateInnerQuery`) — no per-outer-row
+    * re-execution, the same one-pass guarantee q_sql_subquery pins for
+    * the scalar form; PlanSpec pins the decorrelated shape (no
+    * BroadcastNestedLoop/CartesianProduct arm). Outputs are counts,
+    * a date, and a max that PICKS an existing double — no computed
+    * float crosses the engine boundary. */
+  private def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    val t = sqlViews(s, d)
+    s.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment,
+         |  o.n_orders, o.last_order, o.max_price
+         |FROM graft_customer_$t c,
+         |LATERAL (
+         |  SELECT count(*) AS n_orders,
+         |    CAST(max(o_orderdate) AS DATE) AS last_order,
+         |    max(o_totalprice) AS max_price
+         |  FROM graft_orders_$t o
+         |  WHERE o.o_custkey = c.c_custkey) o
+         |WHERE o.n_orders >= 8
+         |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val sqlLateralSql =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  o.n_orders, o.last_order, o.max_price
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT count(*) AS n_orders,
+      |    CAST(max(o_orderdate) AS DATE) AS last_order,
+      |    max(o_totalprice) AS max_price
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) o
+      |WHERE o.n_orders >= 8
+      |ORDER BY c.c_custkey""".stripMargin
+
   // --------------------------------------------------------- q_merge_upsert_sql
   /** SQL-TEXT twin of the batch MERGE (round-7 verdict item 7): the
     * last big ETL shape the SQL-entry family didn't cover. The CTE form
@@ -1194,6 +1236,7 @@ object Relational {
     QueryDef("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     QueryDef("q_sql_window", sqlWindow, Some(sqlWindowSql)),
     QueryDef("q_sql_subquery", sqlSubquery, Some(sqlSubquerySql)),
+    QueryDef("q_sql_lateral", sqlLateral, Some(sqlLateralSql)),
     QueryDef("q_merge_upsert_sql", mergeUpsertSqlText, Some(mergeUpsertSqlTextSql)),
     QueryDef("q_agg_basic", aggBasic, Some(aggBasicSql)),
     QueryDef("q_supplier_rollup", supplierRollup, Some(supplierRollupSql)),

@@ -154,6 +154,25 @@ class EtlOpsSpec extends GraftSpec {
       Set("delete", "update", "insert"))
   }
 
+  test("n_table_history: generation 0 matches the live read; every " +
+      "retained generation is pinned-readable with consistent counts") {
+    import graft.queries.Etl
+    graft.SparkEntry.queries("n_merge_apply")(spark, sfTiny).collect()
+    val rows = graft.SparkEntry.queries("n_table_history")(spark, sfTiny)
+      .collect()
+    val table = new java.io.File(Etl.mergeApplyRoot(spark, sfTiny), "table")
+      .getAbsolutePath
+    // after an apply the retention window holds exactly current + previous
+    assert(rows.map(_.getAs[Int]("generation")).toSeq == Seq(0, 1))
+    val live = graft.operators.TableCommit.read(spark, table).count()
+    assert(rows.find(_.getAs[Int]("generation") == 0).get
+      .getAs[Long]("n_rows") == live)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") > 0 && r.getAs[Long]("n_partitions") > 0,
+        r.toString)
+    }
+  }
+
   test("merge apply: a reader racing an apply never observes a torn table " +
       "(manifest snapshot isolation)") {
     import graft.queries.Etl

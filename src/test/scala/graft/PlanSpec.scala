@@ -593,6 +593,16 @@ class PlanSpec extends GraftSpec {
       s"epoch-shuffle window lost its partition spec: $winLine")
   }
 
+  test("q_sql_lateral decorrelates to aggregate + equi-join: no " +
+      "nested-loop or cartesian arm, no per-outer-row re-execution") {
+    val p = plan("q_sql_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), "lateral summary not aggregated")
+    assert(p.contains("Join") && p.contains("c_custkey"),
+      "expected the decorrelated equi-join on the correlation key")
+  }
+
   test("q_winnow is join-free over ONE scan with a doc-partitioned " +
       "selection window; q_freq_spectrum is join-free with its running " +
       "window above the aggregated spectrum frame") {

@@ -72,9 +72,31 @@ object TableCommit {
         case _ => None
       })
 
-  private def filesOf(f: java.io.File): Seq[String] =
+  private def manifestLines(f: java.io.File): Seq[String] =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .linesIterator.filter(_.nonEmpty).toSeq
+
+  /** Data-file paths of a manifest (directive lines excluded). */
+  private def filesOf(f: java.io.File): Seq[String] =
+    manifestLines(f).filterNot(_.startsWith("#"))
+
+  /** Writer-transaction watermarks a manifest carries forward:
+    * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
+    * idempotent-writer ledger. Every commit copies the newest
+    * manifest's ledger (merging its own entry at max), so the highest
+    * version each application has committed survives retention. */
+  private def txnsOf(f: java.io.File): Map[String, Long] =
+    manifestLines(f).filter(_.startsWith("#txn ")).flatMap { l =>
+      l.stripPrefix("#txn ").split("=", 2) match {
+        case Array(app, v) => scala.util.Try(app -> v.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Highest version `appId` has committed to `table`, if any. */
+  def lastTxnVersion(table: String, appId: String): Option[Long] =
+    manifests(table).sortBy(-_._1).headOption
+      .flatMap(m => txnsOf(m._2).get(appId))
 
   /** Newest snapshot: (manifest id, relative data-file paths). */
   def resolve(table: String): Option[(Long, Seq[String])] =
@@ -107,13 +129,16 @@ object TableCommit {
     * FileAlreadyExistsException when `id` was already published, the
     * CAS that arbitrates racing commits (ATOMIC_MOVE would silently
     * replace the winner). Returns false when the CAS lost. */
-  private def publish(table: String, id: Long, files: Seq[String]): Boolean = {
+  private def publish(table: String, id: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
       f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
+    val header = txns.toSeq.sortBy(_._1)
+      .map { case (app, v) => s"#txn $app=$v" }
     java.nio.file.Files.write(tmp.toPath,
-      files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
       try {
         java.nio.file.Files.createLink(
@@ -178,8 +203,21 @@ object TableCommit {
     * attribute a concurrent writer's files to this commit. */
   def replacePartitions(s: SparkSession, table: String, partCol: String,
       dirtyDirs: Seq[String], df: DataFrame,
-      readSnapshot: Option[Long] = None): Unit = {
+      readSnapshot: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     initIfAbsent(table)
+    // EXACTLY-ONCE writer guard (the Delta `txn` action): when the
+    // caller identifies this commit as (appId, version) — a streaming
+    // foreachBatch passes its query name + batchId — a version the
+    // table has already recorded is a REPLAY (checkpoint recovery
+    // re-delivering a batch whose commit already landed) and must be a
+    // no-op, not a second application. Checked before any work; checked
+    // again after a lost CAS (a twin writer may land the same version
+    // mid-race).
+    def alreadyApplied: Boolean = txn.exists { case (app, v) =>
+      lastTxnVersion(table, app).exists(_ >= v)
+    }
+    if (alreadyApplied) return
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     // the write's inputs may include the table's own current snapshot
     // (a merge reads prev state); that is safe by construction — the
@@ -227,8 +265,21 @@ object TableCommit {
     var committed = false
     while (!committed) {
       val next = baseFiles.filterNot(f => dirty.contains(partDir(f))) ++ fresh
-      if (publish(table, baseId + 1, next)) {
+      // carry the writer-transaction ledger forward, merging this
+      // commit's (appId, version) at max — survives retention because
+      // every manifest copies the previous newest's ledger
+      val baseTxns = manifests(table).find(_._1 == baseId)
+        .map(m => txnsOf(m._2)).getOrElse(Map.empty)
+      val nextTxns = txn.fold(baseTxns) { case (app, v) =>
+        baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
+      }
+      if (publish(table, baseId + 1, next, nextTxns)) {
         vacuum(table, baseId + 1)
+        committed = true
+      } else if (alreadyApplied) {
+        // a twin writer committed this very (appId, version) while we
+        // raced — the replay contract says stop; our staged files are
+        // unreferenced orphans the age-gated sweep collects
         committed = true
       } else {
         // a concurrent commit became base+1 first — rebase or conflict

@@ -359,8 +359,15 @@ object Streaming {
             // snapshot's immutable files while the append only creates
             // new ones, so there is no self-read hazard left to stage
             // around (one parquet write per batch instead of two).
+            // (queryName, batchId) as the commit's txn identity: a
+            // checkpoint-recovery REPLAY of this micro-batch finds its
+            // version already in the manifest ledger and no-ops — the
+            // exactly-once rung on top of snapshot atomicity (this
+            // merge happens to be idempotent; the guard is what makes
+            // the pattern safe for sinks that are not)
             graft.operators.TableCommit.replacePartitions(sp, out, "bkt",
-              dirty.map(c => s"bkt=$c").toSeq, merged)
+              dirty.map(c => s"bkt=$c").toSeq, merged,
+              txn = Some(("stream_upsert", batchId)))
           }
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()

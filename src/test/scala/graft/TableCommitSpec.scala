@@ -198,6 +198,40 @@ class TableCommitSpec extends GraftSpec {
     }.getMessage.contains("retention"))
   }
 
+  test("exactly-once txn guard: a replayed (appId, version) commit is a " +
+      "no-op; newer versions apply; the ledger survives other commits " +
+      "and retention") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"), txn = Some(("appA", 1L)))
+    val afterFirst = snapshot(t)
+    val idAfterFirst = TableCommit.resolve(t).get._1
+    // replay of version 1 — even with DIFFERENT rows — must not apply
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((99L, "REPLAY", 1)).toDF("id", "v", "pt"), txn = Some(("appA", 1L)))
+    assert(TableCommit.resolve(t).get._1 == idAfterFirst,
+      "replayed txn bumped the manifest")
+    assert(snapshot(t) == afterFirst, "replayed txn mutated the table")
+    // an unrelated commit (no txn) must not erase the ledger…
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2)).toDF("id", "v", "pt"))
+    // …and several commits later (past retention of appA's manifest)
+    // the replay is still recognized
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      Seq((10L, "A", 0)).toDF("id", "v", "pt"))
+    val beforeReplay = snapshot(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((98L, "REPLAY2", 1)).toDF("id", "v", "pt"), txn = Some(("appA", 1L)))
+    assert(snapshot(t) == beforeReplay,
+      "txn ledger lost across commits/retention — replay re-applied")
+    // a NEWER version from the same app applies normally
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((31L, "D", 1)).toDF("id", "v", "pt"), txn = Some(("appA", 2L)))
+    assert(snapshot(t).contains((31L, "D", 1)))
+    assert(TableCommit.lastTxnVersion(t, "appA").contains(2L))
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

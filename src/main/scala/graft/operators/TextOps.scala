@@ -63,4 +63,39 @@ object TextOps {
     * arithmetic — exact parity across engines). */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003)
+    * over a frame carrying `doc_id` and a token-array column `ts`:
+    * K-token gram hashes, min per sliding window of W with the
+    * rightmost-tie rule, distinct selected (position, fingerprint) rows.
+    * Shared by `q_winnow` (the corpus query) and the property spec,
+    * which drives synthetic documents through the SAME code to pin the
+    * paper's guarantees (common fingerprint for any shared ≥ W+K−1
+    * token run; ≤ 2/(W+1) selection density). The min-with-rightmost-tie
+    * is ONE window min over the packed key gh·2²¹ + (2²¹−1−pos): gram
+    * hashes are 32-bit, positions < 2²¹, so key order is (hash asc,
+    * pos desc) and the packing is reproducible in SQL (q_winnow's
+    * oracle decodes the identical key). */
+  def winnowSelect(docs: org.apache.spark.sql.DataFrame, K: Int, W: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val M = 1L << 21
+    val grams = docs
+      .filter(size(col("ts")) >= K)
+      .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("n_grams"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => portableHash(concat_ws(" ", slice(col("ts"), i, lit(K)))))))
+      .select(col("doc_id"), col("n_grams"),
+        (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
+    grams
+      .withColumn("selkey",
+        min(col("gh") * M + (lit(M - 1) - col("pos"))).over(wspec))
+      .filter(col("pos") <= greatest(lit(1), col("n_grams") - (W - 1)))
+      .select(col("doc_id"),
+        (lit(M - 1) - pmod(col("selkey"), lit(M))).cast("int").as("sel_pos"),
+        expr(s"selkey div $M").as("fp"))
+      .distinct()
+  }
 }

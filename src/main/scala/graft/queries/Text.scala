@@ -976,28 +976,10 @@ object Text {
     * the whole gram stream — matching the algorithm on docs with fewer
     * than W grams. Scale: narrow explode + one (doc_id)-partitioned
     * running window + distinct — no joins; rows out ∝ 2·tokens/(W+1). */
-  private def winnow(s: SparkSession, d: String): DataFrame = {
-    val K = 4; val W = 5; val M = 1L << 21
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("ts"))
-      .filter(size(col("ts")) >= K)
-      .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("n_grams"),
-        posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
-          i => TextOps.portableHash(concat_ws(" ", slice(col("ts"), i, lit(K)))))))
-      .select(col("doc_id"), col("n_grams"),
-        (col("pos") + 1).as("pos"), col("col").as("gh"))
-    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, W - 1)
-    grams
-      .withColumn("selkey",
-        min(col("gh") * M + (lit(M - 1) - col("pos"))).over(wspec))
-      .filter(col("pos") <= greatest(lit(1), col("n_grams") - (W - 1)))
-      .select(col("doc_id"),
-        (lit(M - 1) - pmod(col("selkey"), lit(M))).cast("int").as("sel_pos"),
-        expr(s"selkey div $M").as("fp"))
-      .distinct()
+  private def winnow(s: SparkSession, d: String): DataFrame =
+    TextOps.winnowSelect(
+      Tables.documents(s, d).select(col("doc_id"), toks.as("ts")), 4, 5)
       .orderBy(col("doc_id"), col("sel_pos"), col("fp"))
-  }
 
   private val winnowSql =
     """WITH a AS (

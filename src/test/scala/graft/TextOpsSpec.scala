@@ -78,4 +78,34 @@ class TextOpsSpec extends GraftSpec {
       .collect()(0).getInt(0)
     assert(out == 3)
   }
+
+  test("winnowing guarantee: every pair sharing a >= W+K-1 token run has " +
+      "a common selected fingerprint; corpus density stays near 2/(W+1)") {
+    // 20 synthetic pairs, each embedding the same 8-token run (W+K-1
+    // with K=4, W=5 — the paper's guarantee threshold) at random
+    // offsets inside otherwise-unrelated filler; seeded → deterministic
+    val rnd = new scala.util.Random(42)
+    def filler(n: Int) = Seq.fill(n)("f" + rnd.nextInt(5000))
+    val docs = (0 until 20).flatMap { i =>
+      val shared = Seq.tabulate(8)(j => s"s${i}_${rnd.nextInt(50)}_$j")
+      Seq(
+        (i * 2L, filler(rnd.nextInt(40)) ++ shared ++ filler(rnd.nextInt(40))),
+        (i * 2L + 1, filler(rnd.nextInt(40)) ++ shared ++ filler(rnd.nextInt(40))))
+    }
+    val df = docs.toDF("doc_id", "ts")
+    val sel = TextOps.winnowSelect(df, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 20).foreach { i =>
+      assert((byDoc(i * 2L) & byDoc(i * 2L + 1)).nonEmpty,
+        s"pair $i shares an 8-token run but selected no common fingerprint")
+    }
+    // density: expected 2/(W+1) = 0.33 of gram positions for random
+    // hashes; assert a loose corpus-average ceiling that a broken
+    // selector (every position, or every window emitting its edge)
+    // would blow through
+    val nPositions = docs.map(_._2.length - 3).sum.toDouble
+    assert(sel.length / nPositions < 0.5,
+      s"selection density ${sel.length / nPositions} far above 2/(W+1)")
+  }
 }

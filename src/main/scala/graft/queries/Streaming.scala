@@ -235,6 +235,68 @@ object Streaming {
     drain(s, updated, "update").orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------- n_stream_topk
+  /** Streaming heavy hitters — the Misra–Gries summary (the
+    * n_topk_sketch kernel contract) maintained as TYPED per-key state:
+    * per event_type, an MG counter map over user_ids with bounded
+    * capacity, updated incrementally across REAL micro-batches
+    * (maxFilesPerTrigger gives two triggers over the shared source) —
+    * frequent-user tracking whose state per key is O(capacity) forever,
+    * where the exact form's state grows with distinct users seen. Each
+    * batch emits the type's running top-3 plus its processed count; the
+    * final answer keeps each type's highest-count emission (monotone in
+    * rows processed, so "latest" needs no batch ordering column).
+    * StreamingSpec pins the MG interval contract against exact batch
+    * counts: every surviving estimate is a lower bound within
+    * n_type/(capacity+1) of the true count, and processed counts match
+    * the batch aggregation exactly. */
+  private def streamTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Capacity = 16
+    val srcDir = streamSrc(s, d)
+    val ev = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+    val emitted = ev.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[Long, Long]), (String, Long, Seq[String])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state) =>
+          val (n0, mg0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          var n = n0
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          m ++= mg0
+          rows.foreach { case (_, uid) =>
+            n += 1
+            m.get(uid) match {
+              case Some(c) => m(uid) = c + 1
+              case None if m.size < Capacity => m(uid) = 1L
+              case None =>
+                // decrement-all, evict zeros (FreqSketch.mgPartials
+                // semantics, carried across micro-batches in state)
+                m.keys.toArray.foreach { k =>
+                  val c = m(k) - 1
+                  if (c == 0) m.remove(k) else m(k) = c
+                }
+            }
+          }
+          state.update((n, m.toMap))
+          val top = m.toSeq.sortBy { case (u, c) => (-c, u) }.take(3)
+            .map { case (u, c) => s"$u:$c" }
+          (etype, n, top)
+      }
+      .toDF("event_type", "n_processed", "top")
+    val fin = drain(s, emitted, "update")
+    // per type, the emission after the most rows processed IS the final
+    // state (n_processed is monotone across a type's emissions)
+    fin.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("n_processed").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_processed"),
+        concat_ws(",", col("top")).as("top_users"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------- n_stream_sink
   /** The production sink path the memory-sink queries stand in for: the
     * tumbling-window aggregation written through `foreachBatch` into
@@ -448,5 +510,6 @@ object Streaming {
     QueryDef("n_stream_sink", streamSink, None),
     QueryDef("n_stream_upsert", streamUpsert, None),
     QueryDef("n_stream_join", streamJoin, None),
+    QueryDef("n_stream_topk", streamTopk, None),
   )
 }

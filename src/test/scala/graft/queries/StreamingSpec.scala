@@ -153,6 +153,33 @@ class StreamingSpec extends GraftSpec {
     assert(batch == stream)
   }
 
+  test("n_stream_topk: processed counts match batch exactly; every " +
+      "surviving estimate is a lower bound within n/(capacity+1) of the " +
+      "true per-(type, user) count") {
+    val Capacity = 16
+    val rows = graft.SparkEntry.queries("n_stream_topk")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val exactType = Tables.events(spark, sfTiny)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == exactType.keySet)
+    val exactUser = Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"), col("user_id")).count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (etype, n, topStr) =>
+      assert(n == exactType(etype),
+        s"$etype processed $n rows, batch says ${exactType(etype)}")
+      val bound = n / (Capacity + 1)
+      topStr.split(",").filter(_.nonEmpty).foreach { entry =>
+        val Array(uid, est) = entry.split(":").map(_.toLong)
+        val tr = exactUser((etype, uid))
+        assert(est <= tr && tr - est <= bound,
+          s"$etype user $uid: est $est true $tr bound $bound")
+      }
+    }
+  }
+
   test("n_stream_dedup_state is bounded by batch distinct and total counts") {
     val stream = graft.SparkEntry.queries("n_stream_dedup_state")(spark, sfTiny)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

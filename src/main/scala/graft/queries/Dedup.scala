@@ -238,7 +238,10 @@ object Dedup {
     * (SURVEY §2.B q_minhash_dup). The oracle keeps the naive
     * explode-join formulation; the engine runs the bitset plan — same
     * rows, exact algorithm (see jaccardPairsFast). */
-  private def minhashDup(s: SparkSession, d: String): DataFrame = {
+  /** Exact token-set Jaccard ≥ 0.95 pairs — the ground truth shared by
+    * q_minhash_dup (presentation) and q_lsh_eval (the recall screen's
+    * reference side). */
+  private def exactDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val raw = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -247,8 +250,10 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .as[(Long, Array[String])]
     jaccardPairsFast(raw, 949, 1000, 9500)
-      .orderBy(col("id1"), col("id2"))
   }
+
+  private def minhashDup(s: SparkSession, d: String): DataFrame =
+    exactDupPairs(s, d).orderBy(col("id1"), col("id2"))
 
   private val tokSetSql =
     """SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
@@ -615,6 +620,59 @@ object Dedup {
     s"""WITH $lshDupCtes
        |SELECT id1, id2, jaccard FROM lshdup
        |ORDER BY id1, id2""".stripMargin
+
+  // ------------------------------------------------------------------ q_lsh_eval
+  /** Dedup-pipeline QA — the measurement that TUNES an LSH deployment
+    * (bands × rows trade recall for candidate volume; you choose them
+    * from MEASURED recall, not the closed-form estimate): the verified
+    * LSH pair set scored against exact ground-truth pairs in one
+    * full-outer set-compare — pair counts, hits, misses, precision and
+    * recall as a single report row. Verification makes false positives
+    * structurally impossible (every emitted pair re-checks exact
+    * Jaccard), so the interesting number is recall: 1 − (1−j^r)^b
+    * banding misses, measured. Scale: both sides are pair tables
+    * (churn-sized); the exact side at 100 TB is itself sampled — run
+    * the eval on a hash-sample of documents and the measured recall
+    * estimates the population's (the standard production recall
+    * monitor). The ORACLE runs the identical two pipelines (the exact
+    * CTE chain and the full LSH chain) and the same set-compare —
+    * the eval itself is hash-verified cross-engine. */
+  private def lshEval(s: SparkSession, d: String): DataFrame = {
+    val e = exactDupPairs(s, d).select(col("id1"), col("id2"))
+      .withColumn("in_e", lit(1L))
+    val l = lshDupPairsShared(s, d).select(col("id1"), col("id2"))
+      .withColumn("in_l", lit(1L))
+    e.join(l, Seq("id1", "id2"), "full_outer")
+      .select(coalesce(col("in_e"), lit(0L)).as("in_e"),
+        coalesce(col("in_l"), lit(0L)).as("in_l"))
+      .agg(sum(col("in_e")).as("n_exact"),
+        sum(col("in_l")).as("n_lsh"),
+        sum(col("in_e") * col("in_l")).as("n_common"),
+        sum(col("in_e") * (lit(1L) - col("in_l"))).as("n_missed"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"), col("n_missed"),
+        dround(col("n_common").cast("double") / col("n_lsh"), 4).as("prec"),
+        dround(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
+      .orderBy(col("n_exact"))
+  }
+
+  private val lshEvalSql =
+    s"""WITH $lshDupCtes,
+       |${jaccardPairsSql("sets")},
+       |e AS (SELECT id1, id2 FROM pairs WHERE jaccard >= 0.95),
+       |l AS (SELECT id1, id2 FROM lshdup),
+       |u AS (
+       |  SELECT
+       |    CASE WHEN e.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+       |    CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_l
+       |  FROM e FULL OUTER JOIN l ON e.id1 = l.id1 AND e.id2 = l.id2)
+       |SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+       |  CAST(sum(in_l) AS BIGINT) AS n_lsh,
+       |  CAST(sum(in_e * in_l) AS BIGINT) AS n_common,
+       |  CAST(sum(in_e * (1 - in_l)) AS BIGINT) AS n_missed,
+       |  round(sum(in_e * in_l) / CAST(sum(in_l) AS DOUBLE), 4) AS prec,
+       |  round(sum(in_e * in_l) / CAST(sum(in_e) AS DOUBLE), 4) AS recall
+       |FROM u
+       |ORDER BY n_exact""".stripMargin
 
   // --------------------------------------------------------------- q_simhash_dup
   /** SimHash near-dup: 32-bit sign-aggregated token fingerprint per doc
@@ -1420,6 +1478,7 @@ object Dedup {
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_minhash_dup", minhashDup, Some(minhashDupSql)),
     QueryDef("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("q_lsh_eval", lshEval, Some(lshEvalSql)),
     QueryDef("q_simhash_dup", simhashDup, Some(simhashDupSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),

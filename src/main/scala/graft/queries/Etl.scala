@@ -1178,6 +1178,64 @@ object Etl {
       .orderBy(col("pt"), col("action"))
   }
 
+  // --------------------------------------------------------------- q_dq_report
+  /** Declarative data-quality gate over `orders` — six constraint
+    * classes through `operators.QualityChecks` (the Deequ-style
+    * validation report): key not-null + unique, a derived-column range
+    * window, a value-domain check, a format regex, and referential
+    * integrity against `customer`. The date-window check FAILS on this
+    * data (orders extend past the declared window) — the report shows
+    * a real violation count, not a wall of greens. One scan carries
+    * all row-local checks (map-generator explode of a single
+    * aggregate); Unique adds its distinct count, the FK adds one
+    * broadcast anti-probe. Oracle recomputes each metric
+    * independently. */
+  private def dqReport(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityChecks._
+    val orders = Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+    report(orders, Seq(
+      NotNull("orderkey_notnull", "o_orderkey"),
+      Unique("orderkey_unique", Seq("o_orderkey")),
+      InRange("orderdate_window", "o_year", 1995, 2000),
+      Accepted("priority_domain", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      Matches("status_format", "o_orderstatus", "^[A-Z]$"),
+      ForeignKey("custkey_fk", "o_custkey",
+        Tables.customer(s, d), "c_custkey")))
+  }
+
+  private val dqReportSql =
+    """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+      |m AS (
+      |  SELECT 'orderkey_notnull' AS check_name,
+      |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+      |  UNION ALL
+      |  SELECT 'orderkey_unique',
+      |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orderdate_window',
+      |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL
+      |       OR year(o_orderdate) NOT BETWEEN 1995 AND 2000)
+      |  UNION ALL
+      |  SELECT 'priority_domain',
+      |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+      |       OR o_orderpriority NOT IN
+      |         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+      |  UNION ALL
+      |  SELECT 'status_format',
+      |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+      |       OR NOT regexp_matches(o_orderstatus, '^[A-Z]$'))
+      |  UNION ALL
+      |  SELECT 'custkey_fk',
+      |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)))
+      |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+      |  CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed
+      |FROM m CROSS JOIN n
+      |ORDER BY check_name""".stripMargin
+
   // ------------------------------------------------------------ n_table_history
   /** DESCRIBE HISTORY + time travel as a first-class query: the
     * manifest log of the committed merge-apply table, one row per
@@ -1211,6 +1269,7 @@ object Etl {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_error_split_text", errorSplitText, Some(errorSplitTextSql)),
     QueryDef("n_table_history", tableHistory, None),
+    QueryDef("q_dq_report", dqReport, Some(dqReportSql)),
     QueryDef("q_url_canon", urlCanon, Some(urlCanonSql)),
     QueryDef("q_snapshot_diff_evolve", snapshotDiffEvolve,
       Some(snapshotDiffEvolveSql)),

@@ -154,6 +154,34 @@ class EtlOpsSpec extends GraftSpec {
       Set("delete", "update", "insert"))
   }
 
+  test("QualityChecks: each constraint class counts its violations " +
+      "exactly on a synthetic table with known defects") {
+    import graft.operators.QualityChecks._
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Seq(
+      (Option(1L), Option("A"), Option(5.0), "x1", 1L),
+      (Option(1L), Option("B"), Option(50.0), "y2", 2L),
+      (Option.empty[Long], Option.empty[String], Option.empty[Double], "zz", 3L))
+      .toDF("id", "status", "price", "code", "fkc")
+    val rep = report(df, Seq(
+      NotNull("nn", "id"),
+      Unique("uq", Seq("id")),
+      InRange("rg", "price", 0, 10),
+      Accepted("ac", "status", Seq("A", "B")),
+      Matches("mt", "code", "^[a-z][0-9]$"),
+      ForeignKey("fk", "fkc", dim, "k")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rep("nn") == ((1L, false)), rep.toString) // one null id
+    assert(rep("uq") == ((1L, false))) // 1,1,null -> 2 distinct (null counts)
+    assert(rep("rg") == ((2L, false))) // 50 out of range + null
+    assert(rep("ac") == ((1L, false))) // null status
+    assert(rep("mt") == ((1L, false))) // "zz" fails the format
+    assert(rep("fk") == ((1L, false))) // fkc=3 has no dim key
+    assert(rep.size == 6 && rep.values.forall(_._1 >= 0))
+  }
+
   test("n_table_history: generation 0 matches the live read; every " +
       "retained generation is pinned-readable with consistent counts") {
     import graft.queries.Etl

@@ -693,15 +693,14 @@ object Dedup {
     * shuffle, the same layout as MinHash-LSH banding but with a
     * LOSSLESS guarantee. A pair matching in k chunks appears k ≤ 4
     * times; dedup runs after the cheap hamming filter. */
-  private def simhashDup(s: SparkSession, d: String): DataFrame = {
-    // The (doc_id, simhash) signature table is a SETTLED corpus
-    // artifact (the LM-score-table contract): the tf explode + 32-way
-    // sign aggregation dominates the query, and the self-join below
-    // consumed that DAG TWICE per invocation. Built once per corpus
-    // snapshot (content-keyed), served from the tiny fingerprint table
-    // afterwards — longs round-trip parquet exactly, so oracle hash
-    // parity is untouched.
-    val sh = s.read.parquet(graft.operators.Sinks.artifact("simhash", d) { p =>
+  /** The settled (doc_id, simhash) signature table — the LM-score-table
+    * contract: the tf explode + 32-way sign aggregation dominates the
+    * query, built once per corpus snapshot (content-keyed), served from
+    * the tiny fingerprint table afterwards — longs round-trip parquet
+    * exactly, so oracle hash parity is untouched. Shared by
+    * q_simhash_dup and q_mine_pairs. */
+  private def simhashTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.operators.Sinks.artifact("simhash", d) { p =>
       val tf = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -719,6 +718,12 @@ object Dedup {
         .coalesce(4)
         .write.mode("overwrite").parquet(p)
     })
+
+  /** Byte-chunk candidate pairs over the simhash table with their
+    * Hamming distance — the shared banding front half (lossless for
+    * Hamming ≤ 3 by pigeonhole; a recall-bounded candidate source
+    * beyond that, which is exactly what pair MINING wants). */
+  private def simhashChunkPairs(sh: DataFrame): DataFrame = {
     val chunkStructs = (0 until 4).map(i =>
       struct(lit(i).as("ci"),
         expr(s"shiftright(simhash, ${8 * i}) & 255").as("cv")))
@@ -733,10 +738,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+  }
+
+  private def simhashDup(s: SparkSession, d: String): DataFrame =
+    simhashChunkPairs(simhashTable(s, d))
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("id1"), col("id2"))
-  }
 
   private val simhashDupSql =
     """WITH tf AS (
@@ -760,6 +768,92 @@ object Dedup {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY id1, id2""".stripMargin
+
+  // -------------------------------------------------------------- q_mine_pairs
+  /** Contrastive training-pair mining — the step that turns a dedup
+    * pipeline's by-products into an embedding-model training set
+    * (anchor/positive pairs + HARD negatives, the pairs that make
+    * contrastive losses learn):
+    *   - positives: verified near-dup pairs (Jaccard ≥ 0.95) served
+    *     from the persisted pair table;
+    *   - hard negatives: simhash byte-chunk CANDIDATES at Hamming 4–12
+    *     — structurally similar fingerprints that are NOT near-dups
+    *     (anti-joined against the positives), capped at 2 per anchor by
+    *     (hamming asc, id2) so the mined set stays balanced.
+    * Both sides are served from settled artifacts (pair table, simhash
+    * table); the chunk join is the q_simhash_dup banding — candidate
+    * generation is never all-pairs, and beyond Hamming 3 the chunk
+    * collisions are deliberately recall-bounded (mining wants a good
+    * negative SAMPLE, not an enumeration). The oracle replicates the
+    * identical candidate rule (chunk collision + Hamming band + the
+    * same anti-join and per-anchor cap), so the mined set itself is
+    * hash-verified cross-engine. */
+  private def minePairs(s: SparkSession, d: String): DataFrame = {
+    val posPairs = lshDupPairsShared(s, d)
+    val pos = posPairs
+      .select(col("id1"), col("id2"), lit("positive").as("label"),
+        col("jaccard"), lit(null).cast("int").as("hamming"))
+    val negCand = simhashChunkPairs(simhashTable(s, d))
+      .filter(col("hamming").between(4, 12))
+      .distinct()
+      .join(posPairs.select(col("id1"), col("id2")),
+        Seq("id1", "id2"), "left_anti")
+    val wAnchor = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"))
+      .orderBy(col("hamming").asc, col("id2").asc)
+    val negs = negCand
+      .withColumn("rn", row_number().over(wAnchor))
+      .filter(col("rn") <= 2)
+      .select(col("id1"), col("id2"), lit("hard_negative").as("label"),
+        lit(null).cast("double").as("jaccard"), col("hamming"))
+    pos.unionByName(negs)
+      .orderBy(col("label"), col("id1"), col("id2"))
+  }
+
+  private val minePairsSql =
+    s"""WITH $lshDupCtes,
+       |tfm AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |hm AS (SELECT doc_id, tf, CAST('0x'||substr(md5(tok),1,8) AS BIGINT) AS th
+       |       FROM tfm),
+       |bitsm AS (
+       |  SELECT doc_id, i, sum(tf * (2*((th >> i) & 1) - 1)) AS contrib
+       |  FROM hm CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+       |  GROUP BY 1, 2),
+       |shm AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN contrib > 0 THEN (1::BIGINT << i) ELSE 0 END)
+       |         AS BIGINT) AS simhash
+       |  FROM bitsm GROUP BY 1),
+       |chm AS (
+       |  SELECT doc_id, simhash, i AS ci, (simhash >> (8*i)) & 255 AS cv
+       |  FROM shm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+       |candm AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |  FROM chm x JOIN chm y
+       |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 4 AND 12),
+       |negm AS (
+       |  SELECT id1, id2, hamming FROM candm c
+       |  WHERE NOT EXISTS (SELECT 1 FROM lshdup l
+       |                    WHERE l.id1 = c.id1 AND l.id2 = c.id2)),
+       |topm AS (
+       |  SELECT id1, id2, hamming FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY id1 ORDER BY hamming ASC, id2 ASC) AS rn
+       |    FROM negm)
+       |  WHERE rn <= 2)
+       |SELECT id1, id2, 'positive' AS label, jaccard,
+       |  CAST(NULL AS INT) AS hamming
+       |FROM lshdup
+       |UNION ALL
+       |SELECT id1, id2, 'hard_negative', CAST(NULL AS DOUBLE), hamming
+       |FROM topm
+       |ORDER BY label, id1, id2""".stripMargin
 
   // ------------------------------------------------------------- q_ngram_jaccard
   /** Character 3-gram shingle Jaccard ≥ 0.7 — near-dup detection robust
@@ -1480,6 +1574,7 @@ object Dedup {
     QueryDef("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_lsh_eval", lshEval, Some(lshEvalSql)),
     QueryDef("q_simhash_dup", simhashDup, Some(simhashDupSql)),
+    QueryDef("q_mine_pairs", minePairs, Some(minePairsSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
   )

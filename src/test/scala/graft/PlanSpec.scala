@@ -593,6 +593,45 @@ class PlanSpec extends GraftSpec {
       s"epoch-shuffle window lost its partition spec: $winLine")
   }
 
+  test("q_pmi_cooc: unigram sides broadcast-hash-join; the only " +
+      "nested-loop arms are the two 1-row scalar totals") {
+    val p = plan("q_pmi_cooc")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram joins lost their broadcast")
+    // exactly the two crossJoins against 1-row totals frames — any
+    // third nested-loop arm means a real join degraded
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
+  test("q_lsh_eval serves the LSH side from the persisted pair table; " +
+      "q_mine_pairs serves BOTH settled artifacts — no all-pairs arm") {
+    val le = plan("q_lsh_eval")
+    assert(le.contains("graft_pairshared_"),
+      "LSH side not served from the pair-table artifact")
+    assert(!le.contains("CartesianProduct") &&
+      !le.contains("BroadcastNestedLoopJoin"), le.take(3000))
+    val mp = plan("q_mine_pairs")
+    assert(mp.contains("graft_pairshared_") && mp.contains("graft_simhash_"),
+      "mining is not serving from the settled artifacts")
+    assert(!mp.contains("CartesianProduct") &&
+      !mp.contains("BroadcastNestedLoopJoin"), mp.take(3000))
+    // the per-anchor cap must stay partitioned by the anchor
+    val winLine = mp.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("id1"),
+      s"anchor cap window lost its partition spec: $winLine")
+  }
+
+  test("q_dq_report: all row-local checks fold into ONE orders scan " +
+      "(4 scans total: scalar agg, unique, FK probe, FK count)") {
+    val p = plan("q_dq_report")
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans <= 4,
+      s"row-local checks no longer share a scan: $scans orders scans")
+    assert(p.contains("Generate explode"),
+      "single-aggregate map-generator report shape lost")
+  }
+
   test("q_sql_lateral decorrelates to aggregate + equi-join: no " +
       "nested-loop or cartesian arm, no per-outer-row re-execution") {
     val p = plan("q_sql_lateral")

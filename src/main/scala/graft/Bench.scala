@@ -190,13 +190,18 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0"
     if (doPrebuild) {
       val qmap = SparkEntry.queries
-      def runOne(n: String): Unit =
-        qmap.get(n).foreach { fn =>
-          // a pre-build failure is not swallowed silently — the same
-          // query fails on its timed line and lands in the errors map
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
-        }
+      // a renamed registry entry must not silently drop its pre-build
+      // (the build would land back inside timed pass 1)
+      val missing = (prebuildChains.flatten ++ prebuildSequential)
+        .filterNot(qmap.contains)
+      require(missing.isEmpty, s"prebuild names not in registry: $missing")
+      def runOne(n: String): Unit = {
+        // a pre-build QUERY failure is not swallowed silently — the
+        // same query fails on its timed line and lands in the errors
+        // map; fatal JVM errors (OOM) still propagate and fail fast
+        try qmap(n)(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "8").toInt)
       implicit val ec: scala.concurrent.ExecutionContext =

@@ -30,6 +30,18 @@ object ModelStore {
 
   private val lock = new Object
 
+  /** Per-artifact-path locks: save/load of ONE artifact serialize (a
+    * reader never races its own writer's delete+rename), but a cold
+    * load's Spark job must not hold a JVM-wide lock — the bench's
+    * concurrent pre-build chains each load different models, and a
+    * global lock would serialize every chain on one chain's parquet
+    * scan. The global `lock` remains only for cross-path mutation
+    * (derivedDir's sibling sweep, evict — both quiescent-path hooks). */
+  private val pathLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    pathLocks.getOrElseUpdate(path, new Object)
+
   private def base(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_models_${Version}_${Sinks.datasetTag(d)}")
@@ -104,7 +116,7 @@ object ModelStore {
     * of model parameters — single file, written to a sibling temp dir
     * then atomically renamed into place. */
   def save(s: SparkSession, path: String, books: Array[Array[Array[Double]]]): Unit =
-    lock.synchronized {
+    lockFor(path).synchronized {
       import s.implicits._
       val rows = for (m <- books.indices; c <- books(m).indices)
         yield (m, c, books(m)(c).toSeq)
@@ -131,38 +143,40 @@ object ModelStore {
   private val loadMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Array[Array[Array[Double]]])]
 
-  /** Load an artifact if a complete table exists at `path`. */
-  def load(s: SparkSession, path: String): Option[Array[Array[Array[Double]]]] =
-    lock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) None
-      else {
-        val stamp = new java.io.File(path).lastModified()
-        loadMemo.get(path).filter(_._1 == stamp).map(_._2).orElse {
-          val loaded = loadUncached(s, path)
-          loaded.foreach(v => loadMemo.put(path, (stamp, v)))
-          loaded
+  /** Load an artifact if a complete table exists at `path`. Memo hits
+    * are lock-free; a cold load takes only THIS path's lock (double-
+    * checked against the memo under it), so concurrent loads of
+    * different models proceed in parallel. */
+  def load(s: SparkSession, path: String): Option[Array[Array[Array[Double]]]] = {
+    if (!new java.io.File(path, "_SUCCESS").exists()) None
+    else {
+      val stamp = new java.io.File(path).lastModified()
+      loadMemo.get(path).filter(_._1 == stamp).map(_._2).orElse {
+        lockFor(path).synchronized {
+          loadMemo.get(path).filter(_._1 == stamp).map(_._2).orElse {
+            val loaded = loadUncached(s, path)
+            loaded.foreach(v => loadMemo.put(path, (stamp, v)))
+            loaded
+          }
         }
       }
     }
+  }
 
   private def loadUncached(s: SparkSession,
-      path: String): Option[Array[Array[Array[Double]]]] =
-    lock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) None
-      else {
-        val rows = s.read.parquet(path)
-          .select(col("m"), col("cid"), col("cv"))
-          .collect()
-        val nm = rows.map(_.getInt(0)).max + 1
-        val out = Array.ofDim[Array[Array[Double]]](nm)
-        rows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
-          val book = Array.ofDim[Array[Double]](rs.map(_.getInt(1)).max + 1)
-          rs.foreach(r => book(r.getInt(1)) = r.getSeq[Double](2).toArray)
-          out(m) = book
-        }
-        Some(out)
-      }
+      path: String): Option[Array[Array[Array[Double]]]] = {
+    val rows = s.read.parquet(path)
+      .select(col("m"), col("cid"), col("cv"))
+      .collect()
+    val nm = rows.map(_.getInt(0)).max + 1
+    val out = Array.ofDim[Array[Array[Double]]](nm)
+    rows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+      val book = Array.ofDim[Array[Double]](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => book(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      out(m) = book
     }
+    Some(out)
+  }
 
   /** Load `path` or run `train`, persist its result, and return it —
     * the once-per-snapshot contract every ANN query goes through. */

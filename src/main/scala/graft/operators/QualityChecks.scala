@@ -51,7 +51,10 @@ object QualityChecks {
     * (check_name, violations, n_rows, passed), one per check, ordered
     * by check name. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // coalesce: sum over ZERO rows is NULL, and a zero-row upstream is
+    // exactly the breakage a gate must report as 0 violations / passed
+    // (consistent with Unique/ForeignKey, whose counts are 0 when empty)
+    def viol(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val rowLocal: Seq[(String, Column)] = checks.collect {
       case NotNull(n, c) => n -> viol(col(c).isNull)
       case InRange(n, c, lo, hi) =>

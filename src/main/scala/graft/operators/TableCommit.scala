@@ -80,6 +80,27 @@ object TableCommit {
   private def filesOf(f: java.io.File): Seq[String] =
     manifestLines(f).filterNot(_.startsWith("#"))
 
+  /** Table schema a manifest carries (`#schema <json>` directive) —
+    * what makes a ZERO-FILE snapshot (a commit that emptied the table)
+    * readable: with no data files there is nothing to infer from, so
+    * the manifest itself is the schema of record, exactly the role of
+    * the metadata action in a real table format's log. */
+  private val SchemaPrefix = "#schema "
+  private def schemaOf(f: java.io.File): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(f).find(_.startsWith(SchemaPrefix)).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def emptySnapshot(s: SparkSession, table: String,
+      f: java.io.File): DataFrame =
+    schemaOf(f) match {
+      case Some(sch) =>
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+      case None => sys.error(
+        s"snapshot ${f.getName} of $table has no data files and carries " +
+          "no #schema directive — nothing to infer a schema from")
+    }
+
   /** Writer-transaction watermarks a manifest carries forward:
     * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
     * idempotent-writer ledger. Every commit copies the newest
@@ -120,7 +141,8 @@ object TableCommit {
           .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
           .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
       else Seq(rel)
-    walk(root, "")
+    // a missing/not-yet-written root is an EMPTY table, not Seq("")
+    if (root.isDirectory) walk(root, "") else Seq.empty
   }
 
   /** Publish `files` as manifest `id` with PUT-IF-ABSENT semantics:
@@ -130,13 +152,14 @@ object TableCommit {
     * CAS that arbitrates racing commits (ATOMIC_MOVE would silently
     * replace the winner). Returns false when the CAS lost. */
   private def publish(table: String, id: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
       f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
-    val header = txns.toSeq.sortBy(_._1)
-      .map { case (app, v) => s"#txn $app=$v" }
+    val header = schemaJson.map(SchemaPrefix + _).toSeq ++
+      txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" }
     java.nio.file.Files.write(tmp.toPath,
       (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
@@ -163,9 +186,11 @@ object TableCommit {
     * table that predates the protocol. basePath keeps the partition
     * directories' columns in the schema. */
   def read(s: SparkSession, table: String): DataFrame =
-    resolve(table) match {
-      case Some((_, files)) =>
-        s.read.option("basePath", table)
+    manifests(table).sortBy(-_._1).headOption match {
+      case Some((_, m)) =>
+        val files = filesOf(m)
+        if (files.isEmpty) emptySnapshot(s, table, m)
+        else s.read.option("basePath", table)
           .parquet(files.map(f => s"$table/$f"): _*)
       case None => s.read.parquet(table)
     }
@@ -178,8 +203,10 @@ object TableCommit {
   def readAt(s: SparkSession, table: String, id: Long): DataFrame =
     manifests(table).find(_._1 == id) match {
       case Some((_, f)) =>
-        s.read.option("basePath", table)
-          .parquet(filesOf(f).map(p => s"$table/$p"): _*)
+        val files = filesOf(f)
+        if (files.isEmpty) emptySnapshot(s, table, f)
+        else s.read.option("basePath", table)
+          .parquet(files.map(p => s"$table/$p"): _*)
       case None => sys.error(
         s"snapshot $id of $table is outside the retention window")
     }
@@ -273,7 +300,7 @@ object TableCommit {
       val nextTxns = txn.fold(baseTxns) { case (app, v) =>
         baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
       }
-      if (publish(table, baseId + 1, next, nextTxns)) {
+      if (publish(table, baseId + 1, next, nextTxns, Some(df.schema.json))) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -305,14 +332,13 @@ object TableCommit {
   private def vacuum(table: String, newest: Long): Unit = {
     val all = manifests(table)
     val (keepM, dropM) = all.partition(_._1 >= newest - 1)
-    def filesOf(ms: Seq[(Long, java.io.File)]): Set[String] =
-      ms.flatMap { case (_, f) =>
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty)
-      }.toSet
-    val live = filesOf(keepM)
+    // filesOf, not raw lines: a `#txn`/`#schema` directive must never
+    // enter the live/dead DATA-FILE sets (a ledger line is not a path)
+    def fileSet(ms: Seq[(Long, java.io.File)]): Set[String] =
+      ms.flatMap { case (_, f) => filesOf(f) }.toSet
+    val live = fileSet(keepM)
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    val dead = filesOf(dropM) -- live
+    val dead = fileSet(dropM) -- live
     dead.foreach(f => new java.io.File(table, f).delete())
     // orphans: on-disk data files no kept manifest references — an
     // aborted append's leftovers — swept once stale

@@ -650,8 +650,13 @@ object Dedup {
         sum(col("in_e") * col("in_l")).as("n_common"),
         sum(col("in_e") * (lit(1L) - col("in_l"))).as("n_missed"))
       .select(col("n_exact"), col("n_lsh"), col("n_common"), col("n_missed"),
-        dround(col("n_common").cast("double") / col("n_lsh"), 4).as("prec"),
-        dround(col("n_common").cast("double") / col("n_exact"), 4).as("recall"))
+        // NULL, not NaN, on a zero denominator (a corpus with no LSH or
+        // no exact pairs): Spark's x/0 is NaN while SQL engines yield
+        // NULL — guard both sides identically for cross-engine parity
+        when(col("n_lsh") > 0L,
+          dround(col("n_common").cast("double") / col("n_lsh"), 4)).as("prec"),
+        when(col("n_exact") > 0L,
+          dround(col("n_common").cast("double") / col("n_exact"), 4)).as("recall"))
       .orderBy(col("n_exact"))
   }
 
@@ -669,8 +674,12 @@ object Dedup {
        |  CAST(sum(in_l) AS BIGINT) AS n_lsh,
        |  CAST(sum(in_e * in_l) AS BIGINT) AS n_common,
        |  CAST(sum(in_e * (1 - in_l)) AS BIGINT) AS n_missed,
-       |  round(sum(in_e * in_l) / CAST(sum(in_l) AS DOUBLE), 4) AS prec,
-       |  round(sum(in_e * in_l) / CAST(sum(in_e) AS DOUBLE), 4) AS recall
+       |  CASE WHEN sum(in_l) > 0
+       |    THEN round(sum(in_e * in_l) / CAST(sum(in_l) AS DOUBLE), 4)
+       |  END AS prec,
+       |  CASE WHEN sum(in_e) > 0
+       |    THEN round(sum(in_e * in_l) / CAST(sum(in_e) AS DOUBLE), 4)
+       |  END AS recall
        |FROM u
        |ORDER BY n_exact""".stripMargin
 

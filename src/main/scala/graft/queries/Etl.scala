@@ -1212,7 +1212,11 @@ object Etl {
       |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
       |  UNION ALL
       |  SELECT 'orderkey_unique',
-      |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |    -- SELECT DISTINCT (nulls compare equal) rather than
+      |    -- count(DISTINCT ...) (which SKIPS nulls): matches the engine's
+      |    -- nulls-count-as-values Unique semantics on nullable keys
+      |    (SELECT count(*) FROM orders)
+      |      - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
       |  UNION ALL
       |  SELECT 'orderdate_window',
       |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL

@@ -182,6 +182,25 @@ class EtlOpsSpec extends GraftSpec {
     assert(rep.size == 6 && rep.values.forall(_._1 >= 0))
   }
 
+  test("QualityChecks: a ZERO-ROW table reports 0 violations / passed " +
+      "for every check class (no NULL sums — the broken-upstream case " +
+      "a gate exists to catch must read consistently)") {
+    import graft.operators.QualityChecks._
+    import spark.implicits._
+    val dim = Seq(1L).toDF("k")
+    val df = Seq.empty[(Option[Long], Option[String], Long)]
+      .toDF("id", "status", "fkc")
+    val rep = report(df, Seq(
+      NotNull("nn", "id"),
+      Unique("uq", Seq("id")),
+      Accepted("ac", "status", Seq("A")),
+      ForeignKey("fk", "fkc", dim, "k")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rep.size == 4)
+    assert(rep.values.forall(_ == ((0L, true))), rep.toString)
+  }
+
   test("n_table_history: generation 0 matches the live read; every " +
       "retained generation is pinned-readable with consistent counts") {
     import graft.queries.Etl

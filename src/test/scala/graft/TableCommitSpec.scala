@@ -232,6 +232,32 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.lastTxnVersion(t, "appA").contains(2L))
   }
 
+  test("a commit that empties the table yields a READABLE zero-row " +
+      "snapshot (schema from the manifest's #schema directive); the " +
+      "previous generation still time-travels") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val before = TableCommit.resolve(t).get._1
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1", "pt=2"),
+      Seq.empty[(Long, String, Int)].toDF("id", "v", "pt"))
+    val Some((id, files)) = TableCommit.resolve(t)
+    assert(id == before + 1 && files.isEmpty)
+    val empty = TableCommit.read(spark, t)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "v", "pt"))
+    // previous generation is inside retention and fully readable
+    assert(TableCommit.readAt(spark, t, before).count() == 5L)
+  }
+
+  test("initIfAbsent on a not-yet-written root adopts an EMPTY manifest " +
+      "(no phantom \"\" entry from the missing-dir walk)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile
+    val t = new java.io.File(dir, "never_written").getAbsolutePath
+    TableCommit.initIfAbsent(t)
+    val Some((id, files)) = TableCommit.resolve(t)
+    assert(id == 0L && files.isEmpty, files.toString)
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

@@ -1137,7 +1137,87 @@ object Text {
       |FROM sp
       |ORDER BY freq DESC""".stripMargin
 
+  // ------------------------------------------------------------- q_pii_entities
+  /** ENTITY-level PII redaction — the curation pass every released
+    * training corpus runs (the Dolma pipeline's PII tagger class,
+    * Soldaini et al. 2024): emails, IPv4 addresses and phone numbers
+    * replaced with typed placeholder tokens, with per-document
+    * detection counts for the removal audit. Complements q_pii_redact
+    * (Etl.scala), the character-level digit-masking kernel — together
+    * they are the two standard scrubbing granularities. Patterns are written to the
+    * RE2-compatible subset (no backreferences/lookaround, ASCII `\b`) —
+    * the q_url_canon discipline — so Java regex and the DuckDB oracle
+    * match byte-for-byte.
+    *
+    * The synthetic corpus carries no PII, so the query DERIVES a
+    * deterministic fixture first (the q_error_split_text precedent: the
+    * fixture is constructed, the operator is general): docs on three
+    * modular lattices get an email / IP / phone appended, reproduced
+    * identically in the oracle, so the redaction accounting is proven
+    * non-zero and hash-verified cross-engine.
+    *
+    * Scale: injection aside, this is a pure narrow map — regexp count +
+    * three-stage replace at scan speed, embarrassingly parallel at
+    * 100 TB, no shuffle (the final sort exists only for the oracle's
+    * total order). */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val phoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+
+  private def piiEntities(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex-data.org"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 50).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("itext"))
+    injected.select(col("doc_id"),
+      size(regexp_extract_all(col("itext"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("itext"), lit(ipRe), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("itext"), lit(phoneRe), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("itext"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"),
+        phoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiEntitiesSql =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-data.org'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |        || '.0.' || CAST(doc_id % 50 AS VARCHAR)
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS itext
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(itext,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(itext,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |  len(regexp_extract_all(itext, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(itext,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+      |FROM inj
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_entities", piiEntities, Some(piiEntitiesSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),

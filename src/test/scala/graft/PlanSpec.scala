@@ -506,6 +506,15 @@ class PlanSpec extends GraftSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
   }
 
+  test("q_pii_entities is a join-free narrow map over ONE scan — " +
+      "entity redaction runs at scan speed with no shuffle before the " +
+      "presentation sort") {
+    val p = plan("q_pii_entities")
+    assert(!p.contains("Join"), "PII redaction must not join")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(3000))
+    assert(!p.contains("HashAggregate"), "no aggregation belongs here")
+  }
+
   test("q_split_leakfree joins docs to the label table through the keyed " +
       "family — never BNLJ, never a cartesian") {
     val p = plan("q_split_leakfree")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{BitsetIntersectCount, BloomContains, DotProductF, DotProductFD, QuantileBucket, SortedIntersectCount}
+import graft.functions.{BitsetIntersectCount, BloomContains, DotProductF, DotProductFD, NfcNormalize, QuantileBucket, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: activate with
   * `--conf spark.sql.extensions=graft.GraftExtensions` so every session
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_qbucket"),
       QuantileBucket.info,
       (children: Seq[Expression]) => QuantileBucket(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -1216,7 +1216,61 @@ object Text {
       |FROM inj
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q_unicode_norm
+  /** Unicode NFC canonicalization at ingest — the normalization pass a
+    * mixed-provenance corpus needs BEFORE any hashing/dedup/shingling:
+    * the same glyph arrives composed (U+00E9) and decomposed
+    * (`e`+U+0301) and the two forms hash, join and deduplicate as
+    * different strings until canonically composed. Runs the native
+    * `graft_nfc` expression (functions/NfcNormalize.scala — codegen'd,
+    * ASCII fast path allocates nothing), reporting per-doc code-point
+    * counts before/after and whether composition changed the text.
+    *
+    * The synthetic corpus is pure ASCII, so a deterministic fixture
+    * appends DECOMPOSED sequences on two modular lattices and an
+    * already-COMPOSED one on a third (the q_pii_entities precedent):
+    * the changed flag is proven true for decomposed docs, false for
+    * composed-only ones, and the code-point count provably SHRINKS
+    * under composition — all hash-verified against DuckDB's
+    * `nfc_normalize`. Scale: pure narrow map, one scan, no shuffle. */
+  private def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    val injected = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        // decomposed (explicit escapes, never editor glyphs — a
+        // normalizing editor would silently destroy the fixture):
+        // e + COMBINING ACUTE (U+0301), u + COMBINING DIAERESIS (U+0308)
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" u\u0308ber")).otherwise(lit("")),
+        // already composed: must survive byte-identical (fast path)
+        when(col("doc_id") % 5 === 0, lit(" d\u00e9j\u00e0")).otherwise(lit("")))
+        .as("itext"))
+    injected.select(col("doc_id"),
+      length(col("itext")).as("n_cp_raw"),
+      length(call_function("graft_nfc", col("itext"))).as("n_cp_nfc"),
+      (call_function("graft_nfc", col("itext")) =!= col("itext")).as("changed"),
+      call_function("graft_nfc", col("itext")).as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unicodeNormSql =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' u' || chr(776) || 'ber' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' d' || chr(233) || 'j' || chr(224) ELSE '' END AS itext
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(itext) AS INT) AS n_cp_raw,
+      |  CAST(length(nfc_normalize(itext)) AS INT) AS n_cp_nfc,
+      |  nfc_normalize(itext) <> itext AS changed,
+      |  nfc_normalize(itext) AS norm_text
+      |FROM inj
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     QueryDef("q_pii_entities", piiEntities, Some(piiEntitiesSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),

@@ -506,6 +506,15 @@ class PlanSpec extends GraftSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(3000))
   }
 
+  test("q_unicode_norm is a join-free narrow map over ONE scan with the " +
+      "native graft_nfc expression inside the codegen span") {
+    val p = plan("q_unicode_norm")
+    assert(!p.contains("Join"), "normalization must not join")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(3000))
+    assert(!p.contains("HashAggregate"), "no aggregation belongs here")
+    assert(p.contains("graft_nfc"), p.take(3000))
+  }
+
   test("q_pii_entities is a join-free narrow map over ONE scan — " +
       "entity redaction runs at scan speed with no shuffle before the " +
       "presentation sort") {

@@ -38,6 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       NfcNormalize.info,
-      (children: Seq[Expression]) => NfcNormalize(children.head)))
+      NfcNormalize.builder))
   }
 }

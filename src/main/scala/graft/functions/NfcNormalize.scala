@@ -58,8 +58,16 @@ object NfcNormalize {
 
   val info = new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
 
+  /** Shared by both registration paths (the BloomContains precedent).
+    * Arity is checked HERE: `children.head` would silently drop extra
+    * arguments and crash unhelpfully on zero. */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(c) => NfcNormalize(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_nfc expects exactly 1 argument, got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_nfc"), info,
-      (children: Seq[Expression]) => NfcNormalize(children.head))
+      FunctionIdentifier("graft_nfc"), info, builder)
 }

@@ -27,12 +27,14 @@ class ExtensionsSpec extends GraftSpec {
           "       graft_dot_fd(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
           "                    array(CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS fd," +
           "       graft_qbucket(CAST(2.5 AS DOUBLE)," +
-          "                     array(1.0D, 2.0D, 3.0D, 4.0D)) AS qb")
+          "                     array(1.0D, 2.0D, 3.0D, 4.0D)) AS qb," +
+          "       graft_nfc('cafe\u0301') AS nfc")
         .head()
       assert(math.abs(r.getDouble(0) - 11.0) < 1e-9)
       assert(r.getLong(1) == 2L)
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
       assert(r.getLong(3) == 2L) // two cuts (1.0, 2.0) strictly below 2.5
+      assert(r.getString(4) == "caf\u00e9") // decomposed e+U+0301 composed
       // the plain shared session must NOT have picked up the functions
       // through this path alone (they arrive there via register(s))
       assert(s2 ne old)

@@ -50,12 +50,23 @@ class NfcNormalizeSpec extends GraftSpec {
 
   test("stays inside whole-stage codegen (no interpreted fallback)") {
     NfcNormalize.register(spark)
-    val plan = graft.sources.Tables.documents(spark, sfTiny)
+    val q = graft.sources.Tables.documents(spark, sfTiny)
       .select(call_function("graft_nfc", col("text")).as("n"))
-      .queryExecution.executedPlan.toString
+    val plan = q.queryExecution.executedPlan.toString
     // the `*(n)` stage prefix is the codegen marker in this rendering;
     // an interpreted fallback would print a bare Project
     assert(plan.contains("WholeStageCodegen") ||
       "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan.take(2000))
+    // the planning-time marker cannot see a Janino COMPILE failure
+    // (codegen.fallback silently interprets at runtime) — execute with
+    // the fallback disabled so broken generated code fails the test
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(q.limit(5).collect().length == 5)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
   }
 }

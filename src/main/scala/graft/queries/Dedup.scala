@@ -797,25 +797,40 @@ object Dedup {
     * identical candidate rule (chunk collision + Hamming band + the
     * same anti-join and per-anchor cap), so the mined set itself is
     * hash-verified cross-engine. */
+  /** The mined pair set is itself a SETTLED artifact (the LM-score-table
+    * contract): the banded candidate join + anti-join + anchor-cap
+    * window are the expensive half and their OUTPUT is LINEAR in docs
+    * (≤ |positives| + 2·|anchors| rows by the per-anchor cap) — exactly
+    * the shape a persisted training asset should have at 100 TB. Built
+    * once per corpus snapshot (content-keyed, BuildLog-billed), served
+    * as a single small scan afterwards; doubles/longs round-trip
+    * parquet exactly, so oracle hash parity is untouched. */
   private def minePairs(s: SparkSession, d: String): DataFrame = {
-    val posPairs = lshDupPairsShared(s, d)
-    val pos = posPairs
-      .select(col("id1"), col("id2"), lit("positive").as("label"),
-        col("jaccard"), lit(null).cast("int").as("hamming"))
-    val negCand = simhashChunkPairs(simhashTable(s, d))
-      .filter(col("hamming").between(4, 12))
-      .distinct()
-      .join(posPairs.select(col("id1"), col("id2")),
-        Seq("id1", "id2"), "left_anti")
-    val wAnchor = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id1"))
-      .orderBy(col("hamming").asc, col("id2").asc)
-    val negs = negCand
-      .withColumn("rn", row_number().over(wAnchor))
-      .filter(col("rn") <= 2)
-      .select(col("id1"), col("id2"), lit("hard_negative").as("label"),
-        lit(null).cast("double").as("jaccard"), col("hamming"))
-    pos.unionByName(negs)
+    val t = graft.operators.Sinks.artifact("minedpairs", d) { p =>
+      val posPairs = lshDupPairsShared(s, d)
+      val pos = posPairs
+        .select(col("id1"), col("id2"), lit("positive").as("label"),
+          col("jaccard"), lit(null).cast("int").as("hamming"))
+      val negCand = simhashChunkPairs(simhashTable(s, d))
+        .filter(col("hamming").between(4, 12))
+        .distinct()
+        .join(posPairs.select(col("id1"), col("id2")),
+          Seq("id1", "id2"), "left_anti")
+      val wAnchor = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id1"))
+        .orderBy(col("hamming").asc, col("id2").asc)
+      val negs = negCand
+        .withColumn("rn", row_number().over(wAnchor))
+        .filter(col("rn") <= 2)
+        .select(col("id1"), col("id2"), lit("hard_negative").as("label"),
+          lit(null).cast("double").as("jaccard"), col("hamming"))
+      pos.unionByName(negs)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(t)
+      .select(col("id1"), col("id2"), col("label"), col("jaccard"),
+        col("hamming"))
       .orderBy(col("label"), col("id1"), col("id2"))
   }
 

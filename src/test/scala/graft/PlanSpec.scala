@@ -629,15 +629,17 @@ class PlanSpec extends GraftSpec {
       "LSH side not served from the pair-table artifact")
     assert(!le.contains("CartesianProduct") &&
       !le.contains("BroadcastNestedLoopJoin"), le.take(3000))
+    // q_mine_pairs: the mined set is ITSELF a settled artifact now —
+    // the serve plan is a single artifact scan (no candidate join, no
+    // anchor-cap window, no raw-corpus scan at serve time); the banded
+    // build shape is exercised (and billed) on the build-side closure
     val mp = plan("q_mine_pairs")
-    assert(mp.contains("graft_pairshared_") && mp.contains("graft_simhash_"),
-      "mining is not serving from the settled artifacts")
+    assert(mp.contains("graft_minedpairs_"),
+      "mining is not serving from the settled mined-pair artifact")
+    assert(!mp.contains("documents.parquet"), mp.take(3000))
+    assert(!mp.contains("Window"), "mining window leaked into serve")
     assert(!mp.contains("CartesianProduct") &&
       !mp.contains("BroadcastNestedLoopJoin"), mp.take(3000))
-    // the per-anchor cap must stay partitioned by the anchor
-    val winLine = mp.linesIterator.find(_.contains("Window ")).getOrElse("")
-    assert(winLine.contains("id1"),
-      s"anchor cap window lost its partition spec: $winLine")
   }
 
   test("q_dq_report: all row-local checks fold into ONE orders scan " +

@@ -170,14 +170,25 @@ object Sinks {
     *    double-write of a shared path (the in-JVM lock serializes the
     *    cheap case without Spark-job-level cost).
     */
-  def artifact(name: String, d: String)(build: String => Unit): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${name}_${ArtifactVersion}_${datasetTag(d)}")
-    artifactLocks.getOrElseUpdate(dir.getName, new Object).synchronized {
+  def artifact(name: String, d: String)(build: String => Unit): String =
+    artifactAt(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${ArtifactVersion}_${datasetTag(d)}"), name)(build)
+
+  /** [[artifact]] for a caller-supplied target directory — the same
+    * lock + marker + build-at-temp + atomic-rename protocol for trees
+    * whose path is keyed by something richer than the dataset tag
+    * (the fingerprint-keyed ANN index/scaffold under ModelStore roots).
+    * A bare `_SUCCESS` guard with an in-place overwrite has two holes
+    * this closes: a crash mid-build can leave a marker over a torn
+    * tree (file copy order is arbitrary), and two JVMs racing the
+    * build delete each other's in-flight writes. */
+  def artifactAt(dir: java.io.File, logName: String)(
+      build: String => Unit): String =
+    artifactLocks.getOrElseUpdate(dir.getAbsolutePath, new Object).synchronized {
       if (new java.io.File(dir, ArtifactMarker).exists()) {
         dir.setLastModified(System.currentTimeMillis())
         dir.getAbsolutePath
-      } else BuildLog.timed(name) {
+      } else BuildLog.timed(logName) {
         val tmp = new java.io.File(dir.getPath + ".build_" +
           java.util.UUID.randomUUID().toString.replace("-", ""))
         deleteRecursively(tmp)
@@ -198,7 +209,30 @@ object Sinks {
         dir.getAbsolutePath
       }
     }
-  }
+
+  /** FORCED tree replacement under the artifact protocol — for the one
+    * caller whose contract is "a fresh tree even at the same path"
+    * (the staleness-triggered index rebuild): build at a temp sibling,
+    * stamp the marker, then swap via rename-old-aside + rename-in —
+    * the unreadable window is two renames, not the whole build. */
+  def replaceTree(dir: java.io.File, logName: String)(
+      build: String => Unit): String =
+    artifactLocks.getOrElseUpdate(dir.getAbsolutePath, new Object).synchronized {
+      BuildLog.timed(logName) {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val tmp = new java.io.File(dir.getPath + ".build_" + tag)
+        deleteRecursively(tmp)
+        build(tmp.getAbsolutePath)
+        java.nio.file.Files.write(
+          new java.io.File(tmp, ArtifactMarker).toPath, Array.empty[Byte])
+        val old = new java.io.File(dir.getPath + ".old_" + tag)
+        if (dir.exists() && !dir.renameTo(old))
+          sys.error(s"replaceTree: could not move aside $dir")
+        if (!tmp.renameTo(dir)) sys.error(s"replaceTree: $tmp -> $dir failed")
+        deleteRecursively(old)
+        dir.getAbsolutePath
+      }
+    }
 
   /** Content-keyed tags strand the PREVIOUS generation's scratch trees
     * when the testdata regenerates — sweep `graft_*` tmpdir trees once

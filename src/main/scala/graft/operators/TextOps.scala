@@ -33,6 +33,18 @@ object TextOps {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
 
+  /** Deterministic 1e4-bucket assignment for coordinated sampling —
+    * THE one definition of the hash-mod discipline every sampler keys
+    * on (curation keep-rate, temperature resample, mixture fractional
+    * pass): bucket(prefix, key) = portableHash(prefix||key) mod 10000,
+    * compared against a per-stratum rate×1e4 threshold. The prefix
+    * namespaces samplers so their decisions are independent; the same
+    * (prefix, key) always lands in the same bucket — retry-stable and
+    * coordinated across tables. DuckDB twin:
+    * `CAST('0x'||substr(md5(prefix||key),1,8) AS BIGINT) % 10000`. */
+  def hashBucket(prefix: String, key: Column): Column =
+    pmod(portableHash(concat(lit(prefix), key.cast("string"))), lit(10000L))
+
   /** One MinHash permutation: h_i(x) = (a*portableHash(x) + b) mod p with
     * p = 2^31-1 (Mersenne prime). a,b < p and hash < 2^32 keep the product
     * within 63 bits — no overflow in either engine. */

@@ -198,8 +198,7 @@ object Corpus {
         floor((col("rate") - floor(col("rate"))) * 10000).cast("bigint"))
       .select(col("source"), col("n_docs_in"), col("tokens_in"),
         col("epochs"), col("rem_e4"))
-    val bucket = pmod(TextOps.portableHash(
-      concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000L))
+    val bucket = TextOps.hashBucket("mix:", col("doc_id"))
     val copies = dn.join(broadcast(rates), "source")
       .withColumn("n_copies",
         col("epochs") + when(bucket < col("rem_e4"), 1L).otherwise(0L))

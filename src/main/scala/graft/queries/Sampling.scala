@@ -92,8 +92,7 @@ object Sampling {
     val losers = Dedup.lshDupPairsShared(s, d)
       .select(col("id2").as("doc_id")).distinct()
     val keepE4 = when(col("lang") === "en", 8000L).otherwise(10000L)
-    val bucket = pmod(TextOps.portableHash(
-      concat(lit("cur:"), col("doc_id").cast("string"))), lit(10000L))
+    val bucket = TextOps.hashBucket("cur:", col("doc_id"))
     quality
       .join(losers, Seq("doc_id"), "left_anti")
       .filter(bucket < keepE4)
@@ -155,8 +154,7 @@ object Sampling {
       .withColumn("rate_e4",
         floor(lit(10000.0) * sqrt(col("n").cast("double")) /
           sqrt(col("n_max").cast("double"))).cast("bigint"))
-    val bucket = pmod(TextOps.portableHash(
-      concat(lit("tmp:"), col("doc_id").cast("string"))), lit(10000L))
+    val bucket = TextOps.hashBucket("tmp:", col("doc_id"))
     Tables.documents(s, d)
       .join(broadcast(rates), "source")
       .filter(bucket < col("rate_e4"))

@@ -287,8 +287,7 @@ object Similarity {
     // deterministic data-driven init: the K sample vectors with the
     // smallest portable hash of their id (a seeded shuffle, engine-free)
     val cents: Array[Array[Double]] = train
-      .withColumn("h",
-        graft.operators.TextOps.portableHash(col("vec_id").cast("string")))
+      .withColumn("h", hcol)
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).as[Array[Float]].collect().map(_.map(_.toDouble))
     for (_ <- 0 until iters) {
@@ -327,10 +326,8 @@ object Similarity {
       scoredAgainst(s, in, cs)
     // final index/probe assignment: top-2 cells per vector through the
     // same compiled scorer + a thin window over K rows per vector
-    val wTop = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").asc, col("cid").asc)
     val cells = scored(e.select(col("vec_id"), col("v")), cents)
-      .withColumn("rn", row_number().over(wTop))
+      .withColumn("rn", row_number().over(wTopCell))
       .filter(col("rn") <= 2)
       .groupBy(col("vec_id"))
       .agg(min(when(col("rn") === 1, col("cid"))).as("cell"),
@@ -470,10 +467,15 @@ object Similarity {
 
   /** Per-query ADC lookup table: dt[m*Kc + cid] = partial squared
     * distance of the query's m-th subvector to codebook entry cid (the
-    * constant |q|² term dropped — rank-invariant per query). */
-  private def adcTables(s: SparkSession, sub: DataFrame, qids: DataFrame,
+    * constant |q|² term dropped — rank-invariant per query). Takes the
+    * NORMALIZED vectors and restricts to `qids` BELOW the subvector
+    * explode (the residualProbes shape): joining a full-corpus `sub`
+    * against NQ query ids sits above the Generate, which Catalyst
+    * cannot push down — the M-way slice+explode would run for every
+    * corpus vector only to keep 100 queries' rows. */
+  private def adcTables(s: SparkSession, nv: DataFrame, qids: DataFrame,
       cents: Array[Array[Array[Double]]]): DataFrame =
-    pqScoreAgainst(s, sub.join(qids, "vec_id"), cents)
+    pqScoreAgainst(s, subVectors(nv.join(qids, "vec_id")), cents)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("m"), col("cid"), col("score")))),
@@ -492,7 +494,7 @@ object Similarity {
     val sub = subVectors(nv)
     val cents = pqCodebooks(s, d)
     val codes = pqEncode(s, sub, cents)
-    val dt = adcTables(s, sub, pqQueryIds(nv), cents)
+    val dt = adcTables(s, nv, pqQueryIds(nv), cents)
     // --- the scan: corpus codes probe the broadcast query tables
     val scored = codes.select(col("vec_id").as("id2"), col("codes"))
       .crossJoin(broadcast(dt.select(col("vec_id").as("id1"), col("dt"))))
@@ -711,12 +713,11 @@ object Similarity {
     // the index lives under the ModelStore root, keyed by the models'
     // content fingerprint: a Version bump OR a model retrain invalidates
     // the codes built from them
-    val idxPath = annIndexPath(s, d)
-    if (!new java.io.File(idxPath, "_SUCCESS").exists())
-      graft.operators.BuildLog.timed("ann_index") {
-        graft.operators.Sinks.writePartitioned(
-          corpusIndex(s, nv, cents, books), idxPath, Seq("cell"))
-      }
+    val idxPath = graft.operators.Sinks.artifactAt(
+      new java.io.File(annIndexPath(s, d)), "ann_index") { p =>
+      graft.operators.Sinks.writePartitioned(
+        corpusIndex(s, nv, cents, books), p, Seq("cell"))
+    }
     // the probe frame is model-sized (NQ·nprobe rows) and needed twice
     // (the dirty-cell routing decision AND the broadcast scan side) —
     // collect it ONCE and rebuild a local frame, instead of executing
@@ -800,27 +801,25 @@ object Similarity {
     // 1, 6, 11 — computed ONCE (a full-corpus assignment job is harness
     // scaffolding, not maintenance cost) and persisted as a tiny id
     // list the per-invocation encode joins against
-    if (!new java.io.File(idsPath, "_SUCCESS").exists())
-      graft.operators.BuildLog.timed("ann_incr_ids") {
-        unitCells(s, nv, cents)
-          .filter(pmod(col("cell"), lit(5)) === 1)
-          .filter(pmod(graft.operators.TextOps.portableHash(
-            col("vec_id").cast("string")), lit(2L)) === 0L)
-          .select(col("vec_id"))
-          .coalesce(1).write.mode("overwrite").parquet(idsPath)
-      }
+    graft.operators.Sinks.artifactAt(
+      new java.io.File(idsPath), "ann_incr_ids") { p =>
+      unitCells(s, nv, cents)
+        .filter(pmod(col("cell"), lit(5)) === 1)
+        .filter(pmod(hcol, lit(2L)) === 0L)
+        .select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val batchIds = s.read.parquet(idsPath)
-    if (!new java.io.File(base, "_SUCCESS").exists())
-      graft.operators.BuildLog.timed("ann_incr_base") {
-        graft.operators.Sinks.writePartitioned(
-          corpusIndex(s, nv.join(batchIds, Seq("vec_id"), "left_anti"),
-            cents, books), base, Seq("cell"))
-      }
-    if (!new java.io.File(table, "_SUCCESS").exists())
-      graft.operators.BuildLog.timed("ann_incr_table") {
-        graft.operators.Sinks.copyTree(
-          new java.io.File(base), new java.io.File(table))
-      }
+    graft.operators.Sinks.artifactAt(
+      new java.io.File(base), "ann_incr_base") { p =>
+      graft.operators.Sinks.writePartitioned(
+        corpusIndex(s, nv.join(batchIds, Seq("vec_id"), "left_anti"),
+          cents, books), p, Seq("cell"))
+    }
+    graft.operators.Sinks.artifactAt(
+      new java.io.File(table), "ann_incr_table") { p =>
+      graft.operators.Sinks.copyTree(new java.io.File(base), new java.io.File(p))
+    }
     (batchIds, base, table)
   }
 
@@ -1029,11 +1028,14 @@ object Similarity {
           ModelStore.save(s, ModelStore.dir(d, "pqr_m8x64"), pqr)
           // rebuild from scratch even if retraining reproduced the
           // models bit-for-bit (same fingerprint -> same path): a stale
-          // verdict's contract is a fresh tree, not a reused one
-          val idxPath = annIndexPath(s, d)
-          graft.operators.Sinks.deleteRecursively(new java.io.File(idxPath))
-          graft.operators.Sinks.writePartitioned(
-            corpusIndex(s, nv, ivfn.head, pqr), idxPath, Seq("cell"))
+          // verdict's contract is a fresh tree, not a reused one —
+          // replaceTree builds at a temp sibling and swaps in two
+          // renames, so a concurrent reader never sees a half-built dir
+          graft.operators.Sinks.replaceTree(
+            new java.io.File(annIndexPath(s, d)), "ann_index_rebuild") { p =>
+            graft.operators.Sinks.writePartitioned(
+              corpusIndex(s, nv, ivfn.head, pqr), p, Seq("cell"))
+          }
           ModelStore.save(s, ModelStore.derivedDir(d, "ann_stats",
             ModelStore.fingerprint(ivfn, pqr)), Array(cellStats(s, nv, ivfn.head)))
           ("retrain_rebuild", b)
@@ -1128,10 +1130,8 @@ object Similarity {
     val Tau = 0.4
     val e = vecs(s, d)
     val cents = ivfCentroids(s, d)
-    val wTop = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").asc, col("cid").asc)
     val assigned = scoredAgainst(s, e, cents)
-      .withColumn("rn", row_number().over(wTop))
+      .withColumn("rn", row_number().over(wTopCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),

@@ -48,10 +48,15 @@ object EtlOps {
   def effect(authorized: Column): Column =
     when(authorized, lit("Allow")).otherwise(lit("Deny"))
 
-  /** R16 (`api_gateway.py:86-92`): header-map overlay, right wins. Requires
-    * spark.sql.mapKeyDedupPolicy=LAST_WIN (dict.update semantics). */
+  /** R16 (`api_gateway.py:86-92`): header-map overlay, right wins
+    * (dict.update semantics). Duplicate keys are removed BEFORE the
+    * concat (defaults filtered to keys absent from extra), so the
+    * semantics are self-contained — independent of the session's
+    * `spark.sql.mapKeyDedupPolicy`, which stays at its fail-loud
+    * EXCEPTION default for every other map in the session. */
   def mergeHeaders(defaults: Column, extra: Column): Column =
-    map_concat(defaults, extra)
+    map_concat(map_filter(defaults, (k, _) => !map_contains_key(extra, k)),
+      extra)
 
   /** R20 (`api_gateway.py:95`): status-code normalization str(int(x)). */
   def normStatus(code: Column): Column =
@@ -65,11 +70,17 @@ object EtlOps {
     * Both sides stay lazy DataFrames; at scale this is one scan feeding two
     * filter branches, not two scans (Spark reuses the exchange under AQE). */
   def errorSplit(df: DataFrame, isError: Column, error: Column,
-      description: Column, statusCode: Column): Routed =
+      description: Column, statusCode: Column): Routed = {
+    // NULL-total contract: a row whose predicate evaluates to NULL
+    // (three-valued logic) must not vanish from BOTH branches — the
+    // split's invariant is good + errors = input. An undecidable row
+    // is not an error, so NULL routes to `good`.
+    val err = coalesce(isError, lit(false))
     Routed(
-      good = df.filter(!isError),
-      errors = df.filter(isError).select(
+      good = df.filter(!err),
+      errors = df.filter(err).select(
         error.as("error"),
         description.as("description"),
         normStatus(statusCode).as("status_code")))
+  }
 }

@@ -158,7 +158,9 @@ object Etl {
     * `handlers.py:51-64`), header-map merge with later-wins semantics
     * (`api_gateway.py:86-92`), array+explode, sorted map_keys. */
   private def structMap(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // no session-conf mutation: mergeHeaders is policy-independent
+    // (filter-then-concat), so mapKeyDedupPolicy stays at its
+    // fail-loud EXCEPTION default for every other query
     val defaults = map(
       lit("Content-Type"), lit("application/json"),
       lit("Access-Control-Allow-Origin"), lit("*"))
@@ -374,16 +376,18 @@ object Etl {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val tidy = new java.io.File(base, "tidy").getAbsolutePath
-    graft.operators.Sinks.compact(s, frag, tidy, "event_type", 1000000L)
-    val before = graft.operators.Sinks.partitionFileCounts(frag, "event_type").toMap
-    val after = graft.operators.Sinks.partitionFileCounts(tidy, "event_type").toMap
-    val counts = s.read.parquet(tidy)
-      .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // the audit rows are |partitions| scalars — materialize them, then
-    // drop the compacted tree (a multi-pass bench would otherwise keep
-    // one event-table copy per pass); the fragmented source is reused
-    graft.operators.Sinks.deleteRecursively(base)
+    // try/finally: a mid-query failure (disk-full rewrite, task error
+    // in the listing) must not strand an events-table copy in tmpdir
+    // until a future JVM's age sweep — the withCheckpoint discipline
+    val (before, after, counts) = try {
+      graft.operators.Sinks.compact(s, frag, tidy, "event_type", 1000000L)
+      val b = graft.operators.Sinks.partitionFileCounts(frag, "event_type").toMap
+      val a = graft.operators.Sinks.partitionFileCounts(tidy, "event_type").toMap
+      val c = s.read.parquet(tidy)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (b, a, c)
+    } finally graft.operators.Sinks.deleteRecursively(base)
     import s.implicits._
     // getOrElse(0L): the listing values are unescaped to match the
     // data-side values, but a partition that somehow wrote no parquet
@@ -413,6 +417,7 @@ object Etl {
     val F = 16
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    try {
     graft.operators.Layout.writeZOrdered(ev, zdir, col("user_id"),
       col("event_id"), F)
     ev.repartitionByRange(F, col("user_id"))
@@ -446,10 +451,11 @@ object Etl {
       ("zorder", "event_id", frac(zStats, _._3, _._4, elo, ehi)),
       ("single_sort", "user_id", frac(sStats, _._1, _._2, ulo, uhi)),
       ("single_sort", "event_id", frac(sStats, _._3, _._4, elo, ehi)))
-    // fractions are already driver-side scalars — drop both layout trees
-    graft.operators.Sinks.deleteRecursively(base)
+    // fractions are already driver-side scalars — drop both layout
+    // trees; finally-scoped so a failed write/stats pass cleans up too
     fracs.toDF("layout", "dim", "read_frac")
       .orderBy(col("layout"), col("dim"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
   // ------------------------------------------------------------ q_snapshot_diff

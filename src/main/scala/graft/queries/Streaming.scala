@@ -74,12 +74,22 @@ object Streaming {
     * deployment points checkpointLocation at durable storage because it
     * needs recovery — this harness needs exactly the opposite. */
   private lazy val checkpointRoot: java.io.File = {
-    val shm = new java.io.File("/dev/shm")
-    val base = if (shm.isDirectory && shm.canWrite) shm
-      else new java.io.File(sys.props("java.io.tmpdir"))
-    val root = new java.io.File(base, "graft_stream_ckpt")
-    root.mkdirs()
-    root
+    // per-user dir name (a world-shared fixed path under /dev/shm is a
+    // permission trap on multi-user hosts: another user's 755 root
+    // would fail every streaming query here), and the writability that
+    // matters is the ROOT's, not /dev/shm's — fall back to tmpdir when
+    // the shm root cannot actually be created or written
+    val name = "graft_stream_ckpt_" +
+      sys.props.getOrElse("user.name", "anon")
+    def usable(r: java.io.File): Boolean =
+      (r.isDirectory || r.mkdirs()) && r.canWrite
+    val shmRoot = new java.io.File("/dev/shm", name)
+    if (new java.io.File("/dev/shm").isDirectory && usable(shmRoot)) shmRoot
+    else {
+      val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"), name)
+      if (!usable(tmpRoot)) sys.error(s"cannot create checkpoint root $tmpRoot")
+      tmpRoot
+    }
   }
 
   /** Run `body` with a fresh checkpoint dir under [[checkpointRoot]],
@@ -254,7 +264,8 @@ object Streaming {
     import s.implicits._
     val Capacity = 16
     val srcDir = streamSrc(s, d)
-    val ev = s.readStream.schema(s.read.parquet(srcDir).schema)
+    val ev = s.readStream
+      .schema(schemaCache.getOrElseUpdate(d, s.read.parquet(srcDir).schema))
       .option("maxFilesPerTrigger", "2").parquet(srcDir)
       .select(col("event_type"), col("user_id")).as[(String, Long)]
     val emitted = ev.groupByKey(_._1)
@@ -380,7 +391,8 @@ object Streaming {
     val srcDir = streamSrc(s, d)
     withStreamConf(s) {
       withCheckpoint { cp =>
-      s.readStream.schema(s.read.parquet(srcDir).schema)
+      s.readStream
+        .schema(schemaCache.getOrElseUpdate(d, s.read.parquet(srcDir).schema))
         .option("maxFilesPerTrigger", "2").parquet(srcDir)
         .groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),

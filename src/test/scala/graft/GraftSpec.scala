@@ -12,7 +12,9 @@ object TestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // deliberately NO mapKeyDedupPolicy override: mergeHeaders is
+      // policy-independent and the default EXCEPTION must stay the
+      // fail-loud contract the tests run under
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

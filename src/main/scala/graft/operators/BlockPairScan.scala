@@ -44,17 +44,27 @@ object BlockPairScan {
 
   /** One row per (block-pair, member): key (i,j) with i ≤ j, payload the
     * member's own block id + vector. A vector in block b replicates to
-    * every pair containing b — including (b,b), once. */
+    * every pair containing b — including (b,b), once.
+    *
+    * ZERO-NORM contract: a zero vector has no cosine to anything —
+    * sim = 0/0 = NaN, which Java comparisons silently drop while SQL
+    * engines (DuckDB: NaN > everything) silently KEEP, a cross-engine
+    * parity trap. Excluded from pairing entirely, here at the fan-out
+    * so every kernel (threshold, knn) inherits the rule; the oracles
+    * carry the mirroring `nrm > 0` guard. */
   private def keyed(raw: Dataset[(Long, Array[Float])], b: Int)
       : Dataset[((Int, Int), (Int, V))] = {
     val sp = raw.sparkSession
     import sp.implicits._
     raw.flatMap { case (id, emb) =>
       val v = toV(id, emb)
-      val bi = (((id % b) + b) % b).toInt
-      (0 until b).map { o =>
-        val k = if (o < bi) (o, bi) else (bi, o)
-        (k, (bi, v))
+      if (v._3 == 0.0) Seq.empty
+      else {
+        val bi = (((id % b) + b) % b).toInt
+        (0 until b).map { o =>
+          val k = if (o < bi) (o, bi) else (bi, o)
+          (k, (bi, v))
+        }
       }
     }
   }
@@ -105,35 +115,18 @@ object BlockPairScan {
       .toDF("id1", "id2", "cos_sim")
   }
 
-  /** Exact Jaccard-≥-threshold pairs over per-doc DISTINCT token arrays
-    * via the same B×B block-pair grid — the de-broadcast, de-staged form
-    * of the dedup pair scan. No full-relation broadcast, no
-    * BroadcastNestedLoopJoin, and — unlike the round-2 bitset pipeline —
-    * NO global token dictionary: each block-pair task builds a LOCAL
-    * dictionary over just its group's tokens, packs each doc into a
-    * local bitset, and popcounts pairs with a tight `Long.bitCount`
-    * loop. Exactness is unchanged (token-string identity decides bit
-    * identity; the dictionary's scope only changes bit POSITIONS, which
-    * the intersection count never sees), but the three sequential
-    * global stages the shared dictionary cost — exploded token
-    * relation, distinct+zipWithIndex dictionary, mask aggregation,
-    * measured 3.8 s of mostly fixed latency at sf0.1 — disappear; the
-    * kernel's input is a narrow projection of the document scan.
-    *
-    * Work per pair: size-band prune first (J ≥ t ⇒ t·max(|A|,|B|) ≤
-    * min(|A|,|B|), integer form sz·tNum ≤ sz·tDen both ways), then
-    * popcount, then the integer-exact rounded threshold
-    * round₄(icnt/union) ≥ t ⟺ icnt·20000 ≥ union·(2·tfE4−1) (see
-    * Dedup.jaccardPairsFast for the derivation). Emits
-    * (id1 < id2, icnt, sz1, sz2); survivors only are materialized (the
-    * inner loops allocate nothing per rejected pair).
-    *
-    * Per-task memory is the group's docs (n/B token arrays) + the local
-    * dictionary + masks of W_local = ⌈group vocab/64⌉ words — all set
-    * by B, not by cluster size, so the grid holds at 100× the docs by
-    * raising B; work stays the quadratic ground-truth contract. */
-  def tokenJaccardPairs(raw: Dataset[(Long, Array[String])],
-      tNum: Int, tDen: Int, tfE4: Int, blocks: Int = 0): DataFrame = {
+  /** Shared scaffold of the two token-set kernels: B×B fan-out, group
+    * split (diagonality by KEY — see `sides`), per-group LOCAL
+    * dictionary, bitset pack, and the popcount pair loop. The kernels
+    * differ ONLY in `prune` (size-band pre-filter, checked before the
+    * popcount) and `accept` (the integer-exact threshold on
+    * (icnt, sa, sb)) — parameterizing them keeps the diagonality rule,
+    * id-order normalization and packing in ONE definition. Both
+    * closures are cheap arithmetic; the shared call site stays
+    * bimorphic and JIT-inlined. */
+  private def tokenPairScan(raw: Dataset[(Long, Array[String])], blocks: Int)(
+      prune: (Long, Long) => Boolean)(
+      accept: (Long, Long, Long) => Boolean): DataFrame = {
     val sp = raw.sparkSession
     import sp.implicits._
     val b = if (blocks > 0) blocks else blockCount(raw)
@@ -191,7 +184,6 @@ object BlockPairScan {
         val (aIds, aSzs, aMasks) = pack(ba)
         val (bIds, bSzs, bMasks) =
           if (diag) (aIds, aSzs, aMasks) else pack(bb)
-        val thr = 2L * tfE4 - 1 // 20000·t − 1
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long, Long)]
         var i = 0
@@ -200,12 +192,12 @@ object BlockPairScan {
           var j = if (diag) i + 1 else 0
           while (j < bIds.length) {
             val sb = bSzs(j)
-            if (sa * tNum <= sb * tDen && sb * tNum <= sa * tDen) {
+            if (prune(sa, sb)) {
               val mb = bMasks(j)
               var icnt = 0L
               var k = 0
               while (k < w) { icnt += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
-              if (icnt * 20000L >= (sa + sb - icnt) * thr) {
+              if (accept(icnt, sa, sb)) {
                 val idb = bIds(j)
                 if (ida < idb) out += ((ida, idb, icnt, sa, sb))
                 else out += ((idb, ida, icnt, sb, sa))
@@ -218,6 +210,41 @@ object BlockPairScan {
         out.iterator
       }
       .toDF("id1", "id2", "icnt", "sz1", "sz2")
+  }
+
+  /** Exact Jaccard-≥-threshold pairs over per-doc DISTINCT token arrays
+    * via the same B×B block-pair grid — the de-broadcast, de-staged form
+    * of the dedup pair scan. No full-relation broadcast, no
+    * BroadcastNestedLoopJoin, and — unlike the round-2 bitset pipeline —
+    * NO global token dictionary: each block-pair task builds a LOCAL
+    * dictionary over just its group's tokens, packs each doc into a
+    * local bitset, and popcounts pairs with a tight `Long.bitCount`
+    * loop. Exactness is unchanged (token-string identity decides bit
+    * identity; the dictionary's scope only changes bit POSITIONS, which
+    * the intersection count never sees), but the three sequential
+    * global stages the shared dictionary cost — exploded token
+    * relation, distinct+zipWithIndex dictionary, mask aggregation,
+    * measured 3.8 s of mostly fixed latency at sf0.1 — disappear; the
+    * kernel's input is a narrow projection of the document scan.
+    *
+    * Work per pair: size-band prune first (J ≥ t ⇒ t·max(|A|,|B|) ≤
+    * min(|A|,|B|), integer form sz·tNum ≤ sz·tDen both ways), then
+    * popcount, then the integer-exact rounded threshold
+    * round₄(icnt/union) ≥ t ⟺ icnt·20000 ≥ union·(2·tfE4−1) (see
+    * Dedup.jaccardPairsFast for the derivation). Emits
+    * (id1 < id2, icnt, sz1, sz2); survivors only are materialized (the
+    * inner loops allocate nothing per rejected pair).
+    *
+    * Per-task memory is the group's docs (n/B token arrays) + the local
+    * dictionary + masks of W_local = ⌈group vocab/64⌉ words — all set
+    * by B, not by cluster size, so the grid holds at 100× the docs by
+    * raising B; work stays the quadratic ground-truth contract. */
+  def tokenJaccardPairs(raw: Dataset[(Long, Array[String])],
+      tNum: Int, tDen: Int, tfE4: Int, blocks: Int = 0): DataFrame = {
+    val thr = 2L * tfE4 - 1 // 20000·t − 1
+    tokenPairScan(raw, blocks)(
+      (sa, sb) => sa * tNum <= sb * tDen && sb * tNum <= sa * tDen)(
+      (icnt, sa, sb) => icnt * 20000L >= (sa + sb - icnt) * thr)
   }
 
   /** Sibling of [[tokenJaccardPairs]] thresholding CONTAINMENT —
@@ -236,87 +263,11 @@ object BlockPairScan {
     * selective (this fixture corpus's ~30-word vocabulary would
     * degenerate it to all-pairs). */
   def tokenContainmentPairs(raw: Dataset[(Long, Array[String])],
-      tE4: Int, blocks: Int = 0): DataFrame = {
-    val sp = raw.sparkSession
-    import sp.implicits._
-    val b = if (blocks > 0) blocks else blockCount(raw)
-    raw.flatMap { case (id, toks) =>
-      val bi = (((id % b) + b) % b).toInt
-      (0 until b).map { o =>
-        val k = if (o < bi) (o, bi) else (bi, o)
-        (k, (bi, id, toks))
-      }
-    }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: (Int, Int),
-          it: Iterator[((Int, Int), (Int, Long, Array[String]))]) =>
-        val xs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
-        val ys = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[String])]
-        it.foreach { case (_, (bi, id, toks)) =>
-          if (bi == key._1) xs += ((id, toks)) else ys += ((id, toks))
-        }
-        val diag = key._1 == key._2
-        val ba = xs
-        val bb = if (diag) xs else ys
-        val dict = new java.util.HashMap[String, Integer]()
-        def assign(docs: scala.collection.Seq[(Long, Array[String])]): Unit =
-          docs.foreach { case (_, toks) =>
-            var i = 0
-            while (i < toks.length) {
-              if (!dict.containsKey(toks(i))) dict.put(toks(i), dict.size)
-              i += 1
-            }
-          }
-        assign(ba); if (!diag) assign(bb)
-        val w = (dict.size + 63) >>> 6
-        def pack(docs: scala.collection.Seq[(Long, Array[String])])
-            : (Array[Long], Array[Long], Array[Array[Long]]) = {
-          val n = docs.length
-          val ids = new Array[Long](n); val szs = new Array[Long](n)
-          val masks = new Array[Array[Long]](n)
-          var i = 0
-          while (i < n) {
-            val (id, toks) = docs(i)
-            val m = new Array[Long](w)
-            var j = 0
-            while (j < toks.length) {
-              val t = dict.get(toks(j)).intValue()
-              m(t >>> 6) |= 1L << (t & 63)
-              j += 1
-            }
-            ids(i) = id; szs(i) = toks.length.toLong; masks(i) = m
-            i += 1
-          }
-          (ids, szs, masks)
-        }
-        val (aIds, aSzs, aMasks) = pack(ba)
-        val (bIds, bSzs, bMasks) =
-          if (diag) (aIds, aSzs, aMasks) else pack(bb)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long)]
-        var i = 0
-        while (i < aIds.length) {
-          val ida = aIds(i); val sa = aSzs(i); val ma = aMasks(i)
-          var j = if (diag) i + 1 else 0
-          while (j < bIds.length) {
-            val sb = bSzs(j)
-            val mb = bMasks(j)
-            var icnt = 0L
-            var k = 0
-            while (k < w) { icnt += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
-            if (icnt * 10000L >= math.min(sa, sb) * tE4) {
-              val idb = bIds(j)
-              if (ida < idb) out += ((ida, idb, icnt, sa, sb))
-              else out += ((idb, ida, icnt, sb, sa))
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
-      .toDF("id1", "id2", "icnt", "sz1", "sz2")
-  }
+      tE4: Int, blocks: Int = 0): DataFrame =
+    // NO size band: wildly different sizes are exactly the interesting
+    // case; threshold icnt·10⁴ ≥ min·tE4 ⟺ icnt/min ≥ t, integer-exact
+    tokenPairScan(raw, blocks)((_, _) => true)(
+      (icnt, sa, sb) => icnt * 10000L >= math.min(sa, sb) * tE4)
 
   /** (id, packed bitset words, set size = popcount of own mask) */
   private type BS = (Long, Array[Long], Long)

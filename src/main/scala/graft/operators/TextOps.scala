@@ -45,11 +45,17 @@ object TextOps {
   def hashBucket(prefix: String, key: Column): Column =
     pmod(portableHash(concat(lit(prefix), key.cast("string"))), lit(10000L))
 
-  /** One MinHash permutation: h_i(x) = (a*portableHash(x) + b) mod p with
-    * p = 2^31-1 (Mersenne prime). a,b < p and hash < 2^32 keep the product
-    * within 63 bits — no overflow in either engine. */
-  def permutedHash(c: Column, a: Long, b: Long): Column =
-    pmod(portableHash(c) * lit(a) + lit(b), lit(2147483647L))
+  /** Adjacent-bigram structs over a token-array column: one array pass
+    * (no positional self-join), elements named (tok, nxt). THE one
+    * definition both the corpus bigram LM (q_ngram_lm) and the CCNet
+    * score table (lmScoresTable) extract with — the scorer's totality
+    * invariant ("every observed doc bigram exists in the corpus LM")
+    * holds BECAUSE both sides run this same expression. Callers filter
+    * size(ts) > 1 first (a 1-token doc has no bigrams). */
+  def bigrams(ts: Column): Column =
+    transform(sequence(lit(1), size(ts) - 1),
+      i => struct(element_at(ts, i).as("tok"),
+        element_at(ts, i + 1).as("nxt")))
 
   /** Character n-gram shingles as an array column, via sequence +
     * transform (codegen'd; no explode until the caller wants one row per

@@ -262,9 +262,9 @@ object Dedup {
   private def jaccardPairsSql(sets: String): String =
     s"""inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS icnt
-       |  FROM sets a JOIN sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  FROM $sets a JOIN $sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM $sets GROUP BY 1),
        |pairs AS (
        |  SELECT id1, id2, icnt,
        |    round(icnt / (s1.sz + s2.sz - icnt), 4) AS jaccard
@@ -351,33 +351,18 @@ object Dedup {
           evictorsArmed.remove(appId)
           pairMemo.keys.filter(_._1.startsWith(appId + ":"))
             .foreach(pairMemo.remove)
-          memoRdds.keys.filter(_._1.startsWith(appId + ":"))
-            .foreach(memoRdds.remove)
         }
       })
     }
   }
-  /** RDD ids of each memo entry's localCheckpoint blocks, tracked at
-    * build time so eviction can release the storage (dropping only the
-    * map entry would leave dead checkpoint blocks cached for the
-    * session's lifetime). */
-  private val memoRdds =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Set[Int]]
-
-  /** Bench/test hook: drop this session's memo entries (and unpersist
-    * any legacy checkpoint blocks — the disk-backed table holds none) so
-    * a repeated measurement pass re-opens the persisted table instead of
-    * holding a session-lifetime reader, keeping end-of-run cache
-    * accounting at zero. The table itself persists per corpus snapshot
+  /** Bench/test hook: drop this session's memo entries so a repeated
+    * measurement pass re-opens the persisted table instead of holding a
+    * session-lifetime reader, keeping end-of-run cache accounting at
+    * zero. The table itself persists per corpus snapshot
     * by design (round-7 verdict item 1) — eviction here does NOT re-pay
     * the build, exactly as ModelStore artifacts survive passes. */
   def evictMemo(s: SparkSession): Unit =
-    pairMemo.keys.filter(_._1 == sessionKey(s)).foreach { k =>
-      pairMemo.remove(k)
-      memoRdds.remove(k).foreach(_.foreach(id =>
-        s.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(blocking = false))))
-    }
+    pairMemo.keys.filter(_._1 == sessionKey(s)).foreach(pairMemo.remove)
 
   private[queries] def lshDupPairsShared(s: SparkSession, d: String): DataFrame =
     if (!s.conf.get("spark.graft.dedup.pairMemo", "true").toBoolean) {
@@ -939,7 +924,10 @@ object Dedup {
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |-- nrm > 0: zero vectors pair with nothing (the engine kernel's
+      |-- contract; NaN would silently diverge between engines)
+      |WHERE a.nrm > 0 AND b.nrm > 0
+      |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
   /** Cut lineage for an iterative-fixpoint intermediate. Local

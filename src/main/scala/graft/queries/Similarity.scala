@@ -123,7 +123,10 @@ object Similarity {
       |      PARTITION BY a.vec_id
       |      ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) DESC,
       |               b.vec_id ASC) AS rn
-      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      |  -- nrm > 0: zero vectors pair with nothing (the engine kernel's
+      |  -- contract; NaN would silently diverge between engines)
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      |  WHERE a.nrm > 0 AND b.nrm > 0)
       |WHERE rn <= 5
       |ORDER BY id1, rn""".stripMargin
 
@@ -195,13 +198,16 @@ object Similarity {
           .mkString(",")
         s"(CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, v, nrm, $t AS tbl, $bits AS bucket FROM e"
+      s"SELECT vec_id, v, nrm, $t AS tbl, $bits AS bucket FROM nz"
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                          CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
+       |-- nrm > 0: the engine's normVecs drops zero vectors before
+       |-- bucketing; the oracle must too (NaN sims diverge cross-engine)
+       |nz AS (SELECT * FROM e WHERE nrm > 0),
        |bucketed AS (
        |  $bucketSelects),
        |cand_ids AS (

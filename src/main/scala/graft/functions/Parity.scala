@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * sign(x) * floor(|x|*10^n + 0.5) / 10^n — verified cell-exact against
   * DuckDB on all computed lineitem/customer doubles at sf0.01.
   *
-  * Use `dround` for any *computed* double (products, divisions, powers);
-  * plain `round` is fine for doubles that are already n-decimal in the data
-  * (round is then the identity) and for post-aggregation values already
-  * verified green.
+  * Use `dround` for EVERY computed double — products, divisions, powers,
+  * AND post-aggregation sums/avgs (an accumulated sum can land on a
+  * .xx5-boundary even when its inputs are 2-decimal; "verified green on
+  * the current fixtures" is fixture luck, not a contract, and the driver
+  * regenerates testdata between rounds). Plain `round` remains fine only
+  * for doubles already n-decimal in the DATA, where round is the identity.
   */
 object Parity {
 

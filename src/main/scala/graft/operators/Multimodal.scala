@@ -52,8 +52,15 @@ object Multimodal {
     * md5 — small (16–31 px per side) so PNG encode/decode stays cheap at
     * fixture scale while still exercising a real codec. */
   private[graft] def fixtureDims(textBytes: Array[Byte]): (Int, Int) = {
+    val (w, h, _) = fixtureGeom(textBytes)
+    (w, h)
+  }
+
+  /** (w, h, digest-fingerprint) in ONE md5 pass — the encode path needs
+    * all three and must not digest the same bytes twice per record. */
+  private def fixtureGeom(textBytes: Array[Byte]): (Int, Int, Long) = {
     val fp = java.lang.Long.parseLong(md5Hex(textBytes).take(8), 16)
-    ((16 + fp % 16).toInt, (16 + (fp / 16) % 16).toInt)
+    ((16 + fp % 16).toInt, (16 + (fp / 16) % 16).toInt, fp)
   }
 
   /** Encode a REAL PNG fixture from a deterministic raster: pixel (x,y)
@@ -61,8 +68,7 @@ object Multimodal {
     * the bytes are identical across runs/retries/engines. `ImageIO` is
     * JDK-resident — no external codec dependency. */
   private[graft] def encodeFixturePng(textBytes: Array[Byte]): Array[Byte] = {
-    val (w, h) = fixtureDims(textBytes)
-    val fp = java.lang.Long.parseLong(md5Hex(textBytes).take(8), 16)
+    val (w, h, fp) = fixtureGeom(textBytes)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -84,11 +90,19 @@ object Multimodal {
     * and the mean-luminance feature come from actual pixels. Fails
     * loudly on undecodable content — a silent fallback to the stub
     * would report digest-derived dimensions as if they were measured. */
-  private[graft] def decodeImage(r: MediaRecord): MediaFeatures = {
+  /** ImageIO decode with the module's one error policy: undecodable
+    * content fails LOUDLY (a silent fallback would report digest-derived
+    * dimensions as measured). Shared by every decode path. */
+  private def readImage(r: MediaRecord): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.content))
     require(img != null,
       s"media_id=${r.media_id}: content is not a decodable image")
+    img
+  }
+
+  private[graft] def decodeImage(r: MediaRecord): MediaFeatures = {
+    val img = readImage(r)
     val w = img.getWidth
     val h = img.getHeight
     var sum = 0.0
@@ -233,13 +247,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "image").mapPartitions { it =>
       javax.imageio.ImageIO.getImageReadersByFormatName("png")
-      it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
-        require(img != null,
-          s"media_id=${r.media_id}: content is not a decodable image")
-        (r.media_id, r.source, phash64(img))
-      }
+      it.map(r => (r.media_id, r.source, phash64(readImage(r))))
     }
   }
 
@@ -260,13 +268,11 @@ object Multimodal {
   def decodeAndResize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int)
       : Dataset[(MediaFeatures, Int, Int)] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      javax.imageio.ImageIO.getImageReadersByFormatName("png")
-      it.map { r =>
-        val f = decode(r)
-        val (rw, rh) = resizeFit(f.width, f.height, maxW, maxH)
-        (f, rw, rh)
-      }
+    // decodeAll's mapPartitions + this map pipeline in the SAME task —
+    // no second pass, and the decode loop has exactly one definition
+    decodeAll(ds).map { f =>
+      val (rw, rh) = resizeFit(f.width, f.height, maxW, maxH)
+      (f, rw, rh)
     }
   }
 

@@ -24,6 +24,7 @@ object SkewOps {
     *             associative combiner of the partial. */
   def saltedAgg(df: DataFrame, key: Column, saltBy: Column, salts: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val salted = df.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val partial = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)
@@ -47,6 +48,9 @@ object SkewOps {
     *               rows spread evenly */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, salts: Int, saltBy: Column): DataFrame = {
+    // salts=0 is a runtime DIVIDE_BY_ZERO under ANSI, or a silently
+    // EMPTY join under non-ANSI (null salt never matches) — fail here
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -814,10 +814,7 @@ object Etl {
     // (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a bare `count()` over
     // the branch split prunes exactly to that. Key values: 1 = bad
     // line, 0 = good line.
-    s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(tree)
+    graft.sources.Formats.readJsonLines(s, tree, schema)
       .groupBy(when(col("_corrupt_record").isNotNull, lit(1L))
         .otherwise(col("event_id") * 0L).as("is_bad"))
       .agg(count(lit(1)).as("n"),

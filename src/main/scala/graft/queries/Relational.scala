@@ -32,13 +32,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(rev), 2).as("sum_disc_price"),
-        round(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 2).as("avg_disc"),
+        dround(sum(col("l_quantity")), 2).as("sum_qty"),
+        dround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        dround(sum(rev), 2).as("sum_disc_price"),
+        dround(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        dround(avg(col("l_quantity")), 2).as("avg_qty"),
+        dround(avg(col("l_extendedprice")), 2).as("avg_price"),
+        dround(avg(col("l_discount")), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -217,7 +217,7 @@ object Relational {
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("n_name"))
-      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(dround(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   private val joinMultiSql =
@@ -315,7 +315,7 @@ object Relational {
       .agg(
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
-        round(sum_distinct(col("value")), 2).as("sum_distinct_value"))
+        dround(sum_distinct(col("value")), 2).as("sum_distinct_value"))
       .orderBy(col("event_type"))
 
   private val aggDistinctSql =
@@ -338,7 +338,7 @@ object Relational {
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
         count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        dround(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
@@ -358,7 +358,7 @@ object Relational {
   private def aggHaving(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .agg(count(lit(1)).as("n"), dround(avg(col("value")), 2).as("avg_value"))
       .where(col("n") > 100)
       .orderBy(col("event_type"))
 
@@ -468,12 +468,12 @@ object Relational {
     Tables.customer(s, d)
       .select(
         col("c_custkey"),
-        round(col("c_acctbal"), 1).as("bal_r1"),
+        dround(col("c_acctbal"), 1).as("bal_r1"),
         floor(col("c_acctbal")).as("bal_floor"),
         ceil(col("c_acctbal")).as("bal_ceil"),
         round(abs(col("c_acctbal")), 2).as("bal_abs"),
-        round(pow(col("c_acctbal") / 1000.0, 2), 2).as("bal_pow"),
-        round(sqrt(abs(col("c_acctbal"))), 2).as("bal_sqrt"),
+        dround(pow(col("c_acctbal") / 1000.0, 2), 2).as("bal_pow"),
+        dround(sqrt(abs(col("c_acctbal"))), 2).as("bal_sqrt"),
         pmod(col("c_custkey"), lit(7)).as("key_pmod"),
         round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_pos"),
         round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap"))
@@ -535,9 +535,9 @@ object Relational {
       .rollup(col("n_name"), col("s_name"))
       .agg(
         (grouping(col("n_name")) * 2 + grouping(col("s_name"))).as("gid"),
-        round(sum(rev), 2).as("revenue"),
+        dround(sum(rev), 2).as("revenue"),
         count(lit(1)).as("n_items"),
-        round(avg(col("s_acctbal")), 2).as("avg_bal"))
+        dround(avg(col("s_acctbal")), 2).as("avg_bal"))
       .orderBy(col("gid"), col("n_name").asc_nulls_first,
         col("s_name").asc_nulls_first)
 

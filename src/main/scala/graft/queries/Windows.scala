@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.functions.Parity.dround
 import graft.sources.Tables
 
 /** Phase 3 — window functions, deterministic dedup, theta/range join
@@ -63,7 +64,7 @@ object Windows {
         round(lag(col("value"), 1).over(w), 2).as("prev_v"),
         round(lead(col("value"), 1).over(w), 2).as("next_v"),
         round(first(col("value")).over(running), 2).as("first_v"),
-        round(sum(col("value")).over(running), 2).as("running_sum"),
+        dround(sum(col("value")).over(running), 2).as("running_sum"),
         count(lit(1)).over(running).as("seq_no"))
       .orderBy(col("user_id"), col("seq_no"))
   }
@@ -91,7 +92,7 @@ object Windows {
       .withColumn("ts_s", unix_timestamp(col("ts")))
       .select(col("event_id"), col("user_id"), col("ts_s"),
         count(lit(1)).over(wr).as("n_10m"),
-        round(sum(col("value")).over(wr), 2).as("sum_10m"))
+        dround(sum(col("value")).over(wr), 2).as("sum_10m"))
       .orderBy(col("event_id"))
   }
 
@@ -147,7 +148,7 @@ object Windows {
         col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("id1"))
       .agg(count(lit(1)).as("n_follow"),
-        round(sum(col("v2")), 2).as("follow_value"))
+        dround(sum(col("v2")), 2).as("follow_value"))
       .orderBy(col("id1"))
   }
 

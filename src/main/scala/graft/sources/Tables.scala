@@ -37,8 +37,15 @@ object Tables {
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, sfDir, "events")
+    // nanosAsLong is scoped to THIS read, then restored: leaving it set
+    // session-wide would silently read any FUTURE source's
+    // TIMESTAMP(NANOS) column as raw longs, with the schema depending
+    // on whether an events query happened to run first
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    val df =
+      try { spark.conf.set(key, "true"); load(spark, sfDir, "events") }
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -238,10 +238,17 @@ object Bench {
       passBuf += names.map { case (name, fn) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/StackOverflow must abort the record, not
+        // be logged as an ordinary failure while every later query times
+        // a corrupted JVM (the prebuild stage's contract, mirrored).
+// Sanitize ALL control chars (<0x20), not just the named few -
+        // one raw form-feed or backspace in an exception message
+        // malforms the whole JSON line (Verify.q's escaping discipline).
         val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+            Option(e.getMessage).getOrElse("")
+              .replaceAll("[\"\\\\]|[\\x00-\\x1f]", " ").take(160))
         }
         (name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9,
           (gcMillis - g0) / 1e3, err)

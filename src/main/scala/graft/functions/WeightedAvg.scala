@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * cross-checked against in UdfSurfaceSpec. */
 case class WAvgBuf(var sum: Double, var wsum: Double)
 
-object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
+object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, java.lang.Double] {
   override def zero: WAvgBuf = WAvgBuf(0.0, 0.0)
   override def reduce(b: WAvgBuf, in: (Double, Double)): WAvgBuf = {
     b.sum += in._1 * in._2
@@ -26,8 +26,12 @@ object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
     a.wsum += b.wsum
     a
   }
-  override def finish(b: WAvgBuf): Double =
-    if (b.wsum == 0.0) Double.NaN else b.sum / b.wsum
+  // NULL, not NaN, on an all-zero-weight group: the built-in
+  // sum(x*w)/sum(w) this Aggregator is cross-checked against yields
+  // NULL there (non-ANSI x/0), and so does the DuckDB oracle — NaN
+  // would diverge from both in the very query proving their equality
+  override def finish(b: WAvgBuf): java.lang.Double =
+    if (b.wsum == 0.0) null else b.sum / b.wsum
   override def bufferEncoder: Encoder[WAvgBuf] = Encoders.product[WAvgBuf]
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

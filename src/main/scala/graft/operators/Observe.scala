@@ -15,6 +15,7 @@ object Observe {
     * observation handle). Call `obs.get` after an action. */
   def withMetrics(df: DataFrame, name: String, metrics: Seq[Column])
       : (DataFrame, Observation) = {
+    require(metrics.nonEmpty, s"observation '$name' needs at least one metric")
     val obs = Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

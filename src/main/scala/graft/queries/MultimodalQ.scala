@@ -28,7 +28,10 @@ object MultimodalQ {
         length(content).as("n_bytes"),
         md5(content).as("content_md5"),
         (lit(64) + pmod(fp, lit(16)) * 32).as("width"),
-        (lit(64) + pmod(expr("conv(substring(md5(encode(text, 'UTF-8')), 1, 8), 16, 10) div 16").cast("bigint"), lit(16)) * 32).as("height"),
+        // height derives from the SAME fp column (shiftright 4 ==
+        // div 16 for the non-negative 32-bit hash) — the fingerprint
+        // formula must have exactly one definition per side
+        (lit(64) + pmod(shiftright(fp, 4), lit(16)) * 32).as("height"),
         // ceil(n_bytes/100), floored at 1 for empty content: an exact
         // multiple of 100 must NOT produce a trailing zero-length frame
         greatest(lit(1L),

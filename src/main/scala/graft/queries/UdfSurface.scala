@@ -57,6 +57,9 @@ object UdfSurface {
     val mk = udf((uid: String, exp: Long, forge: Boolean) =>
       Jwt.sign(if (forge) "forged-secret" else Secret, uid, exp))
     val classify = udf(classifyToken _)
+    // deliberately exercises the REGISTERED-name UDF path (`udf.register`
+    // + `call_udf`) alongside `mk`'s direct-Column form — the module's
+    // purpose is the UDF API surface, and these are its two halves
     s.udf.register("graft_verify_jwt", classify)
     val exp = when(col("value") < 1.0, lit(Now - 3600L))
       .otherwise(lit(Now + 3600L))

@@ -34,24 +34,42 @@ object Tables {
     *    (Bench/Verify/specs), so the cast re-tags the same wall-clock
     *    micros — identical epoch values to the NANOS path.
     *  - TIMESTAMP: already what downstream expects. */
-  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // nanosAsLong is scoped to THIS read, then restored: leaving it set
-    // session-wide would silently read any FUTURE source's
-    // TIMESTAMP(NANOS) column as raw longs, with the schema depending
-    // on whether an events query happened to run first
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    val df =
-      try { spark.conf.set(key, "true"); load(spark, sfDir, "events") }
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+  /** Normalized events frames, one per (session, dir): the conf-scoped
+    * load below is NOT safe to run concurrently (two threads' set/
+    * restore of a shared session conf interleave — the bench's
+    * concurrent pre-build chains all touch events), so the load runs
+    * once under a lock and every caller shares the resulting frame. */
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val eventsLock = new Object
+
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
+    eventsLock.synchronized {
+      eventsCache.getOrElseUpdate(
+        (System.identityHashCode(spark), sfDir), {
+          import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+          import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+          // nanosAsLong is scoped to THIS load, then restored: leaving
+          // it set session-wide would silently read any FUTURE source's
+          // TIMESTAMP(NANOS) column as raw longs, with the schema
+          // depending on whether an events query ran first. The conf is
+          // consumed at load time (schema resolution), so restoring
+          // here does not affect the frame's later execution — the
+          // genuine-NANOS fixture spec pins exactly that.
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          val df =
+            try { spark.conf.set(key, "true"); load(spark, sfDir, "events") }
+            finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+          df.schema("ts").dataType match {
+            case LongType =>
+              df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case TimestampNTZType =>
+              df.withColumn("ts", col("ts").cast(TimestampType))
+            case _ => df
+          }
+        })
     }
-  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -75,6 +75,9 @@ class UdfSurfaceSpec extends GraftSpec {
       WeightedAvg.reduce(WeightedAvg.zero, (10.0, 2.0)),
       WeightedAvg.reduce(WeightedAvg.zero, (20.0, 6.0)))
     assert(WeightedAvg.finish(b) == (10.0 * 2 + 20.0 * 6) / 8.0)
-    assert(WeightedAvg.finish(WeightedAvg.zero).isNaN)
+    // all-zero-weight group → NULL, matching the built-in
+    // sum(x*w)/sum(w) (non-ANSI x/0) and the DuckDB oracle — NaN here
+    // would diverge from both in the equality-proving query
+    assert(WeightedAvg.finish(WeightedAvg.zero) == null)
   }
 }

@@ -81,6 +81,16 @@ class RegistrySpec extends GraftSpec {
         s"registry-only=${regNoOracle -- noOracle}")
   }
 
+  test("every oracle SQL carries an ORDER BY (total-order discipline)") {
+    // the driver's compare hashes values in row order, so an oracle
+    // without a total ORDER BY is row-order roulette — the SURVEY §5.3
+    // discipline, made structural (a new query can't forget it)
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+  }
+
   test("events reads go through Tables.events only (round-6 drift class)") {
     // The driver regenerates /root/testdata between rounds and has
     // changed events.ts's physical encoding twice; `Tables.events` is

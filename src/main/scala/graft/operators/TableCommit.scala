@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
 
 /** Minimal ATOMIC COMMIT protocol for the engine's mutable partitioned
   * tables (round-8 verdict item 4) — the "table format's commit
@@ -101,6 +101,31 @@ object TableCommit {
           "no #schema directive — nothing to infer a schema from")
     }
 
+  /** Per-file column statistics a manifest carries (`#stats` directive
+    * lines, round-9 verdict item 2 — the Delta/Iceberg add-action's
+    * min/max stats, reduced to one declared sort/cluster column): a
+    * snapshot read that knows each file's value range for a predicate
+    * column can drop non-overlapping files BEFORE parquet ever opens
+    * them — the biggest read-side lever a manifest log buys at 100 TB,
+    * where "open every footer to check row-group stats" is itself a
+    * full metadata scan. Line format (tab-separated, path LAST so a
+    * partition value containing the separator cannot shift fields):
+    * `#stats <col>\t<min>\t<max>\t<relpath>`. Values are the column's
+    * min/max rendered as strings and compared numerically (BigDecimal)
+    * — the engine's partition/cluster keys are numeric. Files with no
+    * entry for the requested column (all-null file, pre-stats commit,
+    * adopted manifest-0) are conservatively KEPT. */
+  private val StatsPrefix = "#stats "
+
+  /** rel-path -> (col, min, max) entries of a manifest. */
+  private def statsOf(f: java.io.File): Map[String, (String, String, String)] =
+    manifestLines(f).filter(_.startsWith(StatsPrefix)).flatMap { l =>
+      l.stripPrefix(StatsPrefix).split("\t", 4) match {
+        case Array(c, mn, mx, rel) => Some(rel -> (c, mn, mx))
+        case _ => None
+      }
+    }.toMap
+
   /** Writer-transaction watermarks a manifest carries forward:
     * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
     * idempotent-writer ledger. Every commit copies the newest
@@ -153,13 +178,16 @@ object TableCommit {
     * replace the winner). Returns false when the CAS lost. */
   private def publish(table: String, id: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      stats: Map[String, (String, String, String)] = Map.empty): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
       f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
-      txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" }
+      txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
+      stats.toSeq.sortBy(_._1).map { case (rel, (c, mn, mx)) =>
+        s"$StatsPrefix$c\t$mn\t$mx\t$rel" }
     java.nio.file.Files.write(tmp.toPath,
       (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
@@ -181,17 +209,38 @@ object TableCommit {
   def initIfAbsent(table: String): Unit =
     if (manifests(table).isEmpty) publish(table, 0L, listDataFiles(table))
 
+  /** Read an explicit file subset of manifest `m` under the table's
+    * basePath. When the manifest carries a `#schema` directive, that
+    * schema is THE schema of record (the Delta metadata-action rule):
+    * files written before a column-add commit read the new column as
+    * null, files after carry it — a MIXED-generation snapshot reads
+    * deterministically, where footer inference would resolve the
+    * schema to whichever file it sampled. Files lacking a schema'd
+    * column cost nothing extra (the parquet reader emits nulls); extra
+    * columns a directive no longer names are simply not read. */
+  private def readFiles(s: SparkSession, table: String, m: java.io.File,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptySnapshot(s, table, m)
+    else {
+      val rd = s.read.option("basePath", table)
+      schemaOf(m) match {
+        case Some(sch) =>
+          // re-project to the directive's column order: Spark appends
+          // partition columns at the END of a file-source read
+          // regardless of their position in the provided schema
+          rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
+            .select(sch.fieldNames.map(col): _*)
+        case None => rd.parquet(files.map(f => s"$table/$f"): _*)
+      }
+    }
+
   /** Snapshot read: the newest manifest's files, pinned — immune to a
     * concurrent commit. Falls back to a plain directory read for a
     * table that predates the protocol. basePath keeps the partition
     * directories' columns in the schema. */
   def read(s: SparkSession, table: String): DataFrame =
     manifests(table).sortBy(-_._1).headOption match {
-      case Some((_, m)) =>
-        val files = filesOf(m)
-        if (files.isEmpty) emptySnapshot(s, table, m)
-        else s.read.option("basePath", table)
-          .parquet(files.map(f => s"$table/$f"): _*)
+      case Some((_, m)) => readFiles(s, table, m, filesOf(m))
       case None => s.read.parquet(table)
     }
 
@@ -202,14 +251,112 @@ object TableCommit {
     * specific committed state instead of "whatever is newest". */
   def readAt(s: SparkSession, table: String, id: Long): DataFrame =
     manifests(table).find(_._1 == id) match {
-      case Some((_, f)) =>
-        val files = filesOf(f)
-        if (files.isEmpty) emptySnapshot(s, table, f)
-        else s.read.option("basePath", table)
-          .parquet(files.map(p => s"$table/$p"): _*)
+      case Some((_, f)) => readFiles(s, table, f, filesOf(f))
       case None => sys.error(
         s"snapshot $id of $table is outside the retention window")
     }
+
+  /** DATA-SKIPPING read (round-9 verdict item 2): the snapshot as of
+    * manifest `id`, with every file whose recorded `#stats` range for
+    * `column` is DISJOINT from [lo, hi] dropped before parquet sees it
+    * — manifest-metadata pruning, zero data IO for excluded files.
+    * Files without stats for `column` are conservatively kept, so the
+    * row filter applied on top makes the result EQUAL to
+    * `readAt(...).filter(lo <= column <= hi)` regardless of stats
+    * coverage — stats only ever remove provably-excluded IO
+    * (`df.inputFiles.length` vs the manifest's file count is the
+    * audit). Numeric ranges (BigDecimal compare) — the engine's
+    * partition/cluster keys. */
+  def readWhereAt(s: SparkSession, table: String, id: Long, column: String,
+      lo: BigDecimal, hi: BigDecimal): DataFrame =
+    manifests(table).find(_._1 == id) match {
+      case Some((_, m)) =>
+        val kept = pruneFiles(m, column, lo, hi)
+        readFiles(s, table, m, kept)
+          .filter(col(column) >= lit(lo.underlying) &&
+            col(column) <= lit(hi.underlying))
+      case None => sys.error(
+        s"snapshot $id of $table is outside the retention window")
+    }
+
+  /** [[readWhereAt]] on the newest snapshot. */
+  def readWhere(s: SparkSession, table: String, column: String,
+      lo: BigDecimal, hi: BigDecimal): DataFrame =
+    resolve(table) match {
+      case Some((id, _)) => readWhereAt(s, table, id, column, lo, hi)
+      case None => sys.error(s"$table has no snapshot to prune")
+    }
+
+  /** (kept, total) file counts of the metadata-only pruning decision
+    * for a [lo, hi] predicate on `column` — the audit twin of
+    * [[readWhereAt]] (`n_table_history`'s files-skipped column);
+    * touches no data. */
+  def pruneAudit(table: String, id: Long, column: String,
+      lo: BigDecimal, hi: BigDecimal): (Int, Int) =
+    manifests(table).find(_._1 == id) match {
+      case Some((_, m)) =>
+        (pruneFiles(m, column, lo, hi).length, filesOf(m).length)
+      case None => sys.error(
+        s"snapshot $id of $table is outside the retention window")
+    }
+
+  /** Global [min, max] of `column` across a snapshot's `#stats`
+    * entries — metadata-only; None when the manifest records no
+    * (numeric) stats for it. What an auditor derives a representative
+    * probe band from without scanning anything. */
+  def statsRange(table: String, id: Long,
+      column: String): Option[(BigDecimal, BigDecimal)] =
+    manifests(table).find(_._1 == id).flatMap { case (_, m) =>
+      val vs = statsOf(m).values.collect { case (c, mn, mx) if c == column =>
+        (scala.util.Try(BigDecimal(mn)).toOption,
+          scala.util.Try(BigDecimal(mx)).toOption)
+      }.collect { case (Some(a), Some(b)) => (a, b) }.toSeq
+      if (vs.isEmpty) None else Some((vs.map(_._1).min, vs.map(_._2).max))
+    }
+
+  /** Manifest-only pruning decision behind [[readWhereAt]]. */
+  private def pruneFiles(m: java.io.File, column: String,
+      lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+    val st = statsOf(m)
+    filesOf(m).filter { rel =>
+      st.get(rel) match {
+        case Some((c, mn, mx)) if c == column =>
+          // a malformed/non-numeric recorded range keeps the file —
+          // stats may only ever EXCLUDE on proof
+          scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
+            .getOrElse(true)
+        case _ => true
+      }
+    }
+  }
+
+  /** LOG-INCREMENTAL (CDC-feed) read (round-9 verdict item 4): the
+    * rows of the data files ADDED between snapshot `sinceId` and the
+    * newest snapshot — a pure manifest diff (metadata-only file-set
+    * subtraction), then a pinned read of exactly those files. This is
+    * the consumer side of the commit protocol: a downstream feed that
+    * processed snapshot N needs only these files to catch up to N+1,
+    * never a full-table rescan. With partition-replacement semantics
+    * the newest snapshot ≡ (since-snapshot rows OUTSIDE the replaced
+    * partitions) ∪ changesSince — TableCommitSpec pins exactly that
+    * row-for-row. `sinceId` must still be inside the retention
+    * window. */
+  def changesSince(s: SparkSession, table: String, sinceId: Long): DataFrame = {
+    val (m, added) = changedFiles(table, sinceId)
+    readFiles(s, table, m, added)
+  }
+
+  /** The manifest diff behind [[changesSince]]: (newest manifest,
+    * files the newest snapshot added since `sinceId`). */
+  private def changedFiles(table: String,
+      sinceId: Long): (java.io.File, Seq[String]) = {
+    val all = manifests(table)
+    val since = all.find(_._1 == sinceId).getOrElse(sys.error(
+      s"snapshot $sinceId of $table is outside the retention window"))
+    val (_, newest) = all.maxBy(_._1)
+    val before = filesOf(since._2).toSet
+    (newest, filesOf(newest).filterNot(before))
+  }
 
   /** First path segment of a relative data-file path — its partition
     * directory (`pt=5/part-x.parquet` → `pt=5`). */
@@ -231,7 +378,10 @@ object TableCommit {
   def replacePartitions(s: SparkSession, table: String, partCol: String,
       dirtyDirs: Seq[String], df: DataFrame,
       readSnapshot: Option[Long] = None,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      statsCol: Option[String] = None,
+      filesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L): Unit = {
     initIfAbsent(table)
     // EXACTLY-ONCE writer guard (the Delta `txn` action): when the
     // caller identifies this commit as (appId, version) — a streaming
@@ -250,9 +400,25 @@ object TableCommit {
     // (a merge reads prev state); that is safe by construction — the
     // snapshot's files are immutable and this only creates new ones
     val stage = new java.io.File(table, s"_stage_$writerId")
-    df.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(stage.getAbsolutePath)
+    // Layout of the fresh files: by default one shuffle task (→ one
+    // file) per dirty partition. With a declared stats column and
+    // filesPerPartition > 1, range-partition on (partition, statsCol)
+    // instead — each task owns a CONTIGUOUS key slice of its
+    // partition, so the per-file `#stats` ranges it records are
+    // disjoint and a predicate on the key can actually skip files
+    // (stats over a hash-shuffled layout span the whole domain per
+    // file and prune nothing — layout and stats are one decision).
+    val shaped = statsCol match {
+      case Some(c) if filesPerPartition > 1 =>
+        df.repartitionByRange(
+          math.max(1, dirtyDirs.size * filesPerPartition),
+          col(partCol), col(c))
+      case _ => df.repartition(col(partCol))
+    }
+    val writer = shaped.write.mode("overwrite").partitionBy(partCol)
+    (if (maxRecordsPerFile > 0L)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(stage.getAbsolutePath)
     val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
       .filter(p => p.isDirectory && p.getName.contains("="))
       .flatMap { p =>
@@ -269,6 +435,11 @@ object TableCommit {
           }
       }
     Sinks.deleteRecursively(stage)
+    // `#stats` capture for the just-written files: one narrow grouped
+    // aggregate over ONLY the fresh files, |fresh| scalar rows to the
+    // driver — commit-time metadata, the price of read-side skipping
+    val freshStats = statsCol.filter(_ => fresh.nonEmpty)
+      .map(c => fileStats(s, table, fresh, c)).getOrElse(Map.empty)
     val dirty = dirtyDirs.toSet
     var (baseId, baseFiles) = resolve(table).get
     // Lost-update guard: when the caller pins the snapshot its `df` was
@@ -295,12 +466,32 @@ object TableCommit {
       // carry the writer-transaction ledger forward, merging this
       // commit's (appId, version) at max — survives retention because
       // every manifest copies the previous newest's ledger
-      val baseTxns = manifests(table).find(_._1 == baseId)
-        .map(m => txnsOf(m._2)).getOrElse(Map.empty)
+      val baseM = manifests(table).find(_._1 == baseId)
+      val baseTxns = baseM.map(m => txnsOf(m._2)).getOrElse(Map.empty)
       val nextTxns = txn.fold(baseTxns) { case (app, v) =>
         baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
       }
-      if (publish(table, baseId + 1, next, nextTxns, Some(df.schema.json))) {
+      // stats carry forward for retained files exactly like the ledger;
+      // entries for files this commit replaced drop with their files
+      val retainedSet = next.toSet
+      val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => retainedSet.contains(rel) } ++ freshStats
+      // SCHEMA EVOLUTION (round-9 verdict item 6): the published schema
+      // of record MERGES the base snapshot's #schema with this commit's
+      // — base column order kept (types updated where this writer
+      // re-declares them), new columns appended. A column-add commit
+      // leaves retained files readable (null-defaulted via the
+      // schema-of-record read), and a NARROWER later writer cannot
+      // silently drop an evolved column from the table (its own files
+      // simply read null for it). An adopted manifest-0 has no
+      // directive — first commit's schema starts the record.
+      val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
+        org.apache.spark.sql.types.StructType(
+          bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
+            df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
+      }
+      if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
+          nextStats)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -324,6 +515,57 @@ object TableCommit {
         baseFiles = winFiles
       }
     }
+  }
+
+  /** Per-file (min, max) of `c` across the just-written `rels` — maps
+    * `input_file_name` back to the relative path by its (writer-unique)
+    * file name. All-null files get no entry (conservatively kept by
+    * [[pruneFiles]]); values render as strings, compared numerically
+    * on the read side. */
+  private def fileStats(s: SparkSession, table: String, rels: Seq[String],
+      c: String): Map[String, (String, String, String)] = {
+    val byName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    s.read.option("basePath", table).parquet(rels.map(r => s"$table/$r"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).cast("string").as("mn"),
+        max(col(c)).cast("string").as("mx"))
+      .collect()
+      .flatMap { r =>
+        val f = r.getString(0)
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        byName.get(name).filter(_ => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(rel => rel -> (c, r.getString(1), r.getString(2)))
+      }.toMap
+  }
+
+  /** COMPACTION AS A COMMIT (round-9 verdict item 3): rewrite the
+    * current contents of `dirtyDirs` as fewer, full-size files and
+    * publish the result through the same optimistic-concurrency loop
+    * as any other partition replacement — a same-rows/fewer-files
+    * commit. The snapshot the rewrite READ is pinned (`readSnapshot`),
+    * so a concurrent commit that modified one of the compacted
+    * partitions mid-rewrite CONFLICTS (committing over it would
+    * silently resurrect the pre-commit rows), while commits to
+    * disjoint partitions rebase — both land. A racing reader pins
+    * either the fragmented or the compacted snapshot, never a torn
+    * mix, and the row set is invariant by construction (the rewrite's
+    * input is the pinned snapshot itself). Fresh files re-record
+    * `#stats` when a stats column is declared — compaction is exactly
+    * when the stats layout is (re)established. */
+  def compactPartitions(s: SparkSession, table: String, partCol: String,
+      dirtyDirs: Seq[String], statsCol: Option[String] = None,
+      filesPerPartition: Int = 1, maxRecordsPerFile: Long = 0L): Unit = {
+    initIfAbsent(table)
+    val (baseId, baseFiles) = resolve(table).get
+    val dirty = dirtyDirs.toSet
+    val m = manifests(table).find(_._1 == baseId).get._2
+    val dirtyFiles = baseFiles.filter(f => dirty.contains(partDir(f)))
+    if (dirtyFiles.nonEmpty)
+      replacePartitions(s, table, partCol, dirtyDirs,
+        readFiles(s, table, m, dirtyFiles),
+        readSnapshot = Some(baseId), statsCol = statsCol,
+        filesPerPartition = filesPerPartition,
+        maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Retention: keep manifests `newest` and `newest - 1`; delete older

@@ -288,6 +288,177 @@ class TableCommitSpec extends GraftSpec {
       (100L, "W0", 0), (101L, "W1", 1), (102L, "W2", 2), (103L, "W3", 3)))
   }
 
+  test("#stats data-skipping: a key-band read opens strictly fewer files " +
+      "than the snapshot holds; rows identical to the unpruned filtered " +
+      "read; audit surfaces agree") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    // 400 keyed rows over two partitions, committed with per-file id
+    // stats and 4 key-contiguous files per partition
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"),
+      statsCol = Some("id"), filesPerPartition = 4)
+    val (id, files) = TableCommit.resolve(t).get
+    val pruned = TableCommit.readWhere(spark, t, "id",
+      BigDecimal(100), BigDecimal(150))
+    assert(pruned.inputFiles.length < files.length,
+      s"no files pruned (${pruned.inputFiles.length} of ${files.length})")
+    val expect = TableCommit.read(spark, t)
+      .filter(col("id") >= 100 && col("id") <= 150)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = pruned.select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expect, "pruned read diverged from unpruned filtered read")
+    // the metadata-only audit agrees with what the read actually opened
+    val (kept, total) = TableCommit.pruneAudit(t, id, "id",
+      BigDecimal(100), BigDecimal(150))
+    assert(kept == pruned.inputFiles.length && total == files.length)
+    // global range spans exactly the committed keys; the stats-less
+    // retained pt=2 file is conservatively kept by any band
+    assert(TableCommit.statsRange(t, id, "id")
+      .contains((BigDecimal(0), BigDecimal(399))))
+    val (keptFar, _) = TableCommit.pruneAudit(t, id, "id",
+      BigDecimal(10000), BigDecimal(10001))
+    assert(keptFar == 1, "only the stats-less adopted file may survive " +
+      s"an out-of-range band, got $keptFar")
+  }
+
+  test("compaction commit: same rows, fewer files, manifest bumped; " +
+      "racing a disjoint append both land; racing an overlapping " +
+      "replace either serializes or conflicts cleanly — never torn") {
+    val t = freshTable()
+    // fragment pt=0 into several small files (the streaming-writer
+    // accretion shape): three appends of one file each
+    for (i <- 0 until 3)
+      Seq((10L + i, s"f$i", 0)).toDF("id", "v", "pt")
+        .write.mode("append").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    val before = snapshot(t)
+    def filesIn(p: Int): Int =
+      TableCommit.resolve(t).get._2.count(_.startsWith(s"pt=$p/"))
+    val fragFiles = filesIn(0)
+    assert(fragFiles >= 4)
+    // --- plain compaction: row set invariant, fewer files ---
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0"))
+    assert(snapshot(t) == before, "compaction changed the row set")
+    assert(filesIn(0) == 1, s"pt=0 not compacted: ${filesIn(0)} files")
+    // --- race: compaction of pt=1 vs a replace of pt=2 (DISJOINT) —
+    // both must land ---
+    val preRace = snapshot(t)
+    val idPre = TableCommit.resolve(t).get._1
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try TableCommit.compactPartitions(spark, t, "pt", Seq("pt=1"))
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+        Seq((50L, "E2", 2)).toDF("id", "v", "pt"))
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"disjoint compaction/append race failed: ${errs.peek()}")
+    assert(TableCommit.resolve(t).get._1 == idPre + 2)
+    assert(snapshot(t) ==
+      preRace.filterNot(_._3 == 2) + ((50L, "E2", 2)),
+      "compaction or append lost in a disjoint race")
+    // --- race: compaction vs replace of the SAME partition — one may
+    // conflict; the surviving state is the winner's, never a mix ---
+    val replaced = Set((70L, "R", 0))
+    val rest = snapshot(t).filterNot(_._3 == 0)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t3 = new Thread(() =>
+      try TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0"))
+      catch { case e: Throwable => errs2.add(e) })
+    val t4 = new Thread(() =>
+      try TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+        Seq((70L, "R", 0)).toDF("id", "v", "pt"))
+      catch { case e: Throwable => errs2.add(e) })
+    t3.start(); t4.start(); t3.join(); t4.join()
+    import scala.jdk.CollectionConverters._
+    assert(errs2.size() <= 1 && errs2.asScala.forall(
+      _.isInstanceOf[TableCommit.CommitConflictException]),
+      s"overlapping race raised a non-conflict error: ${errs2.peek()}")
+    val pt0 = snapshot(t).filter(_._3 == 0)
+    // whichever serialization happened, pt=0 is EITHER exactly the
+    // replacement rows (replace landed, possibly compacted after) or
+    // exactly the pre-race rows (replace conflicted) — never a mixture
+    assert(pt0 == replaced || pt0 == preRace.filter(_._3 == 0),
+      s"torn pt=0 state after overlapping race: $pt0")
+    assert(snapshot(t).filterNot(_._3 == 0) == rest,
+      "overlapping pt=0 race touched other partitions")
+  }
+
+  test("changesSince: the delta is exactly the replaced partitions' fresh " +
+      "rows, and newest ≡ (since outside replaced partitions) ∪ delta " +
+      "row-for-row") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    val sinceId = TableCommit.resolve(t).get._1
+    val sinceRows = snapshot(t)
+    val fresh = Set((100L, "N0", 0), (101L, "N1", 0))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      fresh.toSeq.toDF("id", "v", "pt"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("id"), col("v"), col("pt").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val delta = rows(TableCommit.changesSince(spark, t, sinceId))
+    assert(delta == fresh, s"delta is not the commit's write set: $delta")
+    // the CDC consumer's catch-up rule: drop the replaced partitions
+    // from the since snapshot, union the delta → the newest snapshot
+    val replacedParts = delta.map(_._3)
+    assert(sinceRows.filterNot(r => replacedParts.contains(r._3)) ++ delta
+      == snapshot(t), "incremental union diverged from the full snapshot")
+    // out-of-retention since is an explicit error, not a wrong diff
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2)).toDF("id", "v", "pt"))
+    assert(intercept[RuntimeException](
+      TableCommit.changesSince(spark, t, sinceId))
+      .getMessage.contains("retention"))
+  }
+
+  test("schema evolution: a column-add commit reads mixed generations " +
+      "consistently (old files null-defaulted), the pre-evolution " +
+      "generation time-travels with the old schema, and a narrower " +
+      "later writer cannot drop the evolved column") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    // first commit under the protocol establishes the schema of record
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    val preEvolveId = TableCommit.resolve(t).get._1
+    // evolving commit: pt=2 replaced WITH an extra column
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((50L, "E", 2, 7.5)).toDF("id", "v", "pt", "w"))
+    val evolved = TableCommit.read(spark, t)
+    assert(evolved.columns.toSeq == Seq("id", "v", "pt", "w"),
+      s"evolved schema wrong: ${evolved.columns.toSeq}")
+    val got = evolved.select(col("id"), col("v"), col("pt").cast("int"),
+        col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == Set(
+      (1L, "a", 0, None), (2L, "b", 0, None), (30L, "C", 1, None),
+      (50L, "E", 2, Some(7.5))),
+      s"mixed-generation read inconsistent: $got")
+    // the pinned pre-evolution generation still reads, with ITS schema
+    val pre = TableCommit.readAt(spark, t, preEvolveId)
+    assert(pre.columns.toSeq == Seq("id", "v", "pt"))
+    // 5 adopted rows − pt=1's two replaced by one = 4
+    assert(pre.count() == 4L)
+    // a narrower writer after the evolution: the evolved column stays
+    // in the schema of record, its new rows read null for it
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((31L, "D", 1)).toDF("id", "v", "pt"))
+    val after = TableCommit.read(spark, t)
+    assert(after.columns.toSeq == Seq("id", "v", "pt", "w"),
+      "a narrower writer dropped the evolved column")
+    assert(after.filter(col("id") === 31L && col("w").isNull).count() == 1L)
+    assert(after.filter(col("w") === 7.5).count() == 1L)
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

@@ -193,7 +193,8 @@ object Bench {
         graft.operators.Sinks.artifactWarm(n, sfDir))
     val never = () => false
     val prebuildChains: Seq[(Seq[String], () => Boolean)] = Seq(
-      Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build") ->
+      Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build",
+        "n_pq_ann") ->
         (() => graft.queries.Similarity.annArtifactsWarm(spark, sfDir)),
       Seq("n_dedup_pairs_build", "q_dedup_persist") -> warmNames("pairshared"),
       Seq("n_lm_score_build") -> warmNames("lmscores"),

@@ -287,9 +287,17 @@ object Similarity {
     import s.implicits._
     // the training sample is tiny by construction — pack it into a few
     // partitions so each Lloyd job schedules a handful of tasks, not a
-    // full cluster width of near-empty ones
+    // full cluster width of near-empty ones. HASH-partitioned on the
+    // aggregation key (round-9 verdict item 5): the per-iteration
+    // argmin groupBy(vec_id) then reuses the cached partitioning and
+    // plans NO Exchange — each Lloyd round drops from two shuffle
+    // stages to one tiny (cell, pos) one, and the driver-synchronized
+    // gap between them (the build line's dominant cost) goes with it.
+    // Content-hash partitioning also makes the aggregation's merge
+    // order independent of the upstream layout, so retrains converge
+    // bit-identically regardless of which pipeline fed the sample.
     val train = e.sample(withReplacement = false, fraction = 0.25, seed = 7)
-      .select(col("vec_id"), col("v")).repartition(4).cache()
+      .select(col("vec_id"), col("v")).repartition(4, col("vec_id")).cache()
     // deterministic data-driven init: the K sample vectors with the
     // smallest portable hash of their id (a seeded shuffle, engine-free)
     val cents: Array[Array[Double]] = train
@@ -417,11 +425,24 @@ object Similarity {
       .withColumn("score",
         call_function("graft_dot_fd", col("sv"), col("cv")) * -2.0 + col("cn2"))
 
+  /** The PQ training-sample predicate applied at the SOURCE (round-9
+    * verdict item 5): `pqTrain` keeps the hash-half of its input
+    * anyway, and the per-vector pipelines feeding the RESIDUAL training
+    * (cell-assignment window, re-join, residual slice) are all
+    * row-independent — so filtering the corpus BEFORE them halves that
+    * work while producing the exact same training rows. */
+  private def pqSampleHalf(nv: DataFrame): DataFrame =
+    nv.filter(pmod(hcol, lit(2L)) === 0L)
+
   /** Train all M codebooks in ONE job per Lloyd iteration (rows keyed by
     * subspace): deterministic hash sample, hash-ranked init. */
   private def pqTrain(s: SparkSession, sub: DataFrame): Array[Array[Array[Double]]] = {
+    // hash-partitioned on the argmin keys (the trainCentroids note):
+    // the per-iteration groupBy(vec_id, m) reuses the cached
+    // partitioning — no Exchange per Lloyd round
     val tsub = sub.withColumn("h", hcol)
-      .filter(pmod(col("h"), lit(2L)) === 0L).repartition(4).cache()
+      .filter(pmod(col("h"), lit(2L)) === 0L)
+      .repartition(4, col("vec_id"), col("m")).cache()
     val wInit = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
     val cents: Array[Array[Array[Double]]] =
       Array.fill(M, Kc)(Array.fill(SubD)(0.0))
@@ -487,19 +508,45 @@ object Similarity {
         array_sort(collect_list(struct(col("m"), col("cid"), col("score")))),
         x => x.getField("score")).as("dt"))
 
-  /** ADC score of a codes row against a dt table: M table lookups. */
+  /** ADC score of a codes row against a dt table: M table lookups —
+    * UNROLLED into M explicit element_at terms (round-9 verdict item
+    * 5) instead of a higher-order `aggregate` fold: the fold's lambda
+    * evaluates interpreted per row on the NQ×corpus scan, the unrolled
+    * sum stays inside whole-stage codegen; left-to-right addition
+    * order is unchanged (0.0 + t₀ ≡ t₀), so scores are bit-identical. */
   private def adcExpr: Column =
-    aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
-      (acc, m) => acc +
-        element_at(col("dt"), m * Kc + element_at(col("codes"), m + 1) + 1))
+    (0 until M).map(m =>
+      element_at(col("dt"),
+        lit(m * Kc) + element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+
+  /** RAW-PQ corpus codes settled once per (snapshot, codebook) — the
+    * production PQ contract: codes ARE the index, built at ingest and
+    * SERVED by queries, never re-encoded per query (round-9 verdict
+    * item 5: n_pq_ann re-ran the full-corpus encode on every timed
+    * invocation). Fingerprint-keyed like the residual index
+    * (`ann_index`), so a codebook retrain forces a rebuild; encoding
+    * is deterministic and the int codes round-trip parquet exactly, so
+    * served ≡ in-query and SimilaritySpec's recall/reproducibility
+    * pins hold unchanged. */
+  private def pqCodesServed(s: SparkSession, d: String,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
+    val path = graft.operators.ModelStore.derivedDir(d, "pq_codes",
+      graft.operators.ModelStore.fingerprint(cents))
+    val built = graft.operators.Sinks.artifactAt(
+      new java.io.File(path), "pq_codes") { p =>
+      pqEncode(s, subVectors(normVecs(vecs(s, d))), cents)
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(built)
+  }
 
   private def pqAnn(s: SparkSession, d: String): DataFrame = {
     val K = 3
     val e = vecs(s, d)
     val nv = normVecs(e)
-    val sub = subVectors(nv)
     val cents = pqCodebooks(s, d)
-    val codes = pqEncode(s, sub, cents)
+    val codes = pqCodesServed(s, d, cents)
     val dt = adcTables(s, nv, pqQueryIds(nv), cents)
     // --- the scan: corpus codes probe the broadcast query tables
     val scored = codes.select(col("vec_id").as("id2"), col("codes"))
@@ -568,10 +615,12 @@ object Similarity {
   private[graft] def pqResidualCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     graft.operators.ModelStore.loadOrTrain(s,
       graft.operators.ModelStore.dir(d, "pqr_m8x64")) {
-      val nv = normVecs(vecs(s, d))
+      // sample at the source: the residual pipeline runs on the
+      // training half only (pqSampleHalf scaladoc)
+      val half = pqSampleHalf(normVecs(vecs(s, d)))
       val cents = ivfUnitCentroids(s, d)
       pqTrain(s, residualSub(s,
-        unitCells(s, nv, cents).join(nv, Seq("vec_id")), cents))
+        unitCells(s, half, cents).join(half, Seq("vec_id")), cents))
     }
 
   /** (id2, cell, codes) corpus index rows: top-1 unit-space cell + the
@@ -725,8 +774,11 @@ object Similarity {
       val incrRoot = new java.io.File(annIncrRoot(s, d))
       val idsPath = ModelStore.derivedDir(d, "ann_incr_ids",
         ModelStore.fingerprint(Array(ivfUnitCentroids(s, d))))
+      val codesPath = ModelStore.derivedDir(d, "pq_codes",
+        ModelStore.fingerprint(pqCodebooks(s, d)))
       Seq(new java.io.File(annIndexPath(s, d)), new java.io.File(idsPath),
-        new java.io.File(incrRoot, "base"), new java.io.File(incrRoot, "table"))
+        new java.io.File(incrRoot, "base"), new java.io.File(incrRoot, "table"),
+        new java.io.File(codesPath))
         .forall(Sinks.artifactWarmAt)
     }
   }
@@ -961,8 +1013,11 @@ object Similarity {
       // the residual-composition pair: unit-space routing centroids, then
       // codebooks over the residuals they induce
       val ivfn = Await.result(fIvfn, Duration.Inf)
+      // sample at the source (pqSampleHalf scaladoc): same training
+      // rows, half the residual-pipeline work feeding them
+      val nvHalf = pqSampleHalf(nv)
       val pqr = pqTrain(s, residualSub(s,
-        unitCells(s, nv, ivfn.head).join(nv, Seq("vec_id")), ivfn.head))
+        unitCells(s, nvHalf, ivfn.head).join(nvHalf, Seq("vec_id")), ivfn.head))
       ModelStore.save(s, ModelStore.dir(d, "pqr_m8x64"), pqr)
       val ivf = Await.result(fIvf, Duration.Inf)
       val pq = Await.result(fPq, Duration.Inf)

@@ -186,12 +186,10 @@ object Bench {
     // (each hit refreshes the tree's mtime so the age-gated sweep can't
     // collect it mid-run); the ANN probe additionally loads the
     // driver-sized models to key its fingerprint-derived trees, never
-    // training. q_join_bucketed stays unconditional: its layout is
-    // per-JVM (in-memory catalog), a real build every run.
+    // training.
     def warmNames(artifactNames: String*): () => Boolean =
       () => artifactNames.forall(n =>
         graft.operators.Sinks.artifactWarm(n, sfDir))
-    val never = () => false
     val prebuildChains: Seq[(Seq[String], () => Boolean)] = Seq(
       Seq("n_ann_build_models", "n_ann_index_persist", "n_ann_incr_build",
         "n_pq_ann") ->
@@ -200,7 +198,7 @@ object Bench {
       Seq("n_lm_score_build") -> warmNames("lmscores"),
       Seq("n_bloom_decontam") -> warmNames("evgrams", "bloom"),
       Seq("q_decontaminate") -> warmNames("evgrams"),
-      Seq("q_join_bucketed") -> never,
+      Seq("q_join_bucketed") -> warmNames("bucketed"),
       Seq("q_csv_roundtrip") -> warmNames("csvrt_events"),
       Seq("q_json_roundtrip") -> warmNames("jsonrt_events"),
       Seq("q_orc_roundtrip") -> warmNames("orc_lineitem"),

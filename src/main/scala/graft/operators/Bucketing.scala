@@ -22,79 +22,96 @@ import graft.sources.Tables
   * Exchange, which is the cost that matters at scale, is gone either
   * way, and PlanSpec pins exactly that).
   *
-  * The written tables are memoized per (application, dataset dir) —
-  * the once-per-snapshot artifact contract (ModelStore, dedup pair
-  * table): the layout survives bench passes, pass 1 pays (and its
-  * verbatim per-pass map shows) the build, and the steady-state number
-  * is the zero-Exchange join itself. [[evict]] is the END-of-run /
-  * test-teardown hook that drops the catalog entries and files for
-  * leak accounting.
+  * The written LAYOUT is a content-tag-keyed persisted artifact
+  * (round-10; previously per-JVM under a fresh temp dir, so every
+  * driver run re-paid the two bucketed writes): the file trees build
+  * once per corpus snapshot through the `Sinks.artifact` protocol and
+  * survive across JVMs — only the catalog REGISTRATION (a `CREATE
+  * TABLE … CLUSTERED BY … LOCATION` over the existing files, pure
+  * metadata) is per-session. Bucket identity lives in the bucketed
+  * part-file names, which the tree rename preserves byte-for-byte, so
+  * a re-registered table scans with full bucketing info — PlanSpec's
+  * zero-Exchange pin holds on the served path. [[evict]] is the
+  * END-of-run / test-teardown hook that drops the catalog entries for
+  * leak accounting; the artifact tree stays (the age-gated sweep owns
+  * its lifecycle, like every other content-keyed store).
   */
 object Bucketing {
 
   val NumBuckets = 8
 
-  /** Memoized (li table, ord table, external dir) per (application,
-    * dataset dir). The dir lives INSIDE the memoized value (not a second
-    * map) so evict always sees exactly the tree its entry owns, and the
-    * build runs under a lock: `TrieMap.getOrElseUpdate` does not
-    * guarantee a single evaluation of the thunk, and two sessions of one
-    * application racing the build would double-write the same catalog
-    * table names and orphan one temp directory. Builds are
-    * once-per-snapshot, so the coarse lock costs nothing. */
+  /** Memoized (li table, ord table) per (application, dataset dir) —
+    * the registration, not the files. The build runs under a lock:
+    * `TrieMap.getOrElseUpdate` does not guarantee a single evaluation
+    * of the thunk, and two sessions of one application racing would
+    * double-issue the same CREATE TABLE names. */
   private val built =
-    scala.collection.mutable.Map.empty[(String, String), (String, String, String)]
+    scala.collection.mutable.Map.empty[(String, String), (String, String)]
 
   /** Returns catalog table names `(lineitemBucketed, ordersBucketed)`,
-    * writing them on first use for this (application, dir). */
-  def bucketedJoinTables(s: SparkSession, d: String): (String, String) = {
-    val (li, ord, _) = built.synchronized {
+    * building the persisted layout on first use for this snapshot and
+    * registering it on first use in this session. */
+  def bucketedJoinTables(s: SparkSession, d: String): (String, String) =
+    built.synchronized {
       built.getOrElseUpdate((s.sparkContext.applicationId, d), {
         val tag = java.lang.Long.toHexString(
           java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
             .getMostSignificantBits & Long.MaxValue)
         val li = s"graft_li_bkt_$tag"
         val ord = s"graft_ord_bkt_$tag"
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_bucketed").toFile.getAbsolutePath
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"))
-          .repartition(NumBuckets, col("l_orderkey"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/$li").saveAsTable(li)
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(NumBuckets, col("o_orderkey"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/$ord").saveAsTable(ord)
-        (li, ord, base)
+        val root = Sinks.artifact("bucketed", d) { p =>
+          // bucketBy REQUIRES saveAsTable — write through a throwaway
+          // catalog name pointed at the build tree, then drop the
+          // entry (external table: the files remain)
+          def buildOne(df: org.apache.spark.sql.DataFrame, key: String,
+              sub: String): Unit = {
+            val tmpName = s"${sub}_build_$tag"
+            df.repartition(NumBuckets, col(key))
+              .write.mode("overwrite").format("parquet")
+              .bucketBy(NumBuckets, key).sortBy(key)
+              .option("path", s"$p/$sub").saveAsTable(tmpName)
+            s.sql(s"DROP TABLE IF EXISTS $tmpName")
+          }
+          buildOne(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount")), "l_orderkey", "li")
+          buildOne(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+            "o_orderkey", "ord")
+        }
+        // metadata-only registration of the served trees: schema from
+        // one footer read, bucket spec re-declared — Spark maps files
+        // to buckets by their (preserved) bucketed part-file names
+        def register(name: String, sub: String, key: String): Unit = {
+          val path = s"$root/$sub"
+          val ddl = s.read.parquet(path).schema.toDDL
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
+            s"LOCATION '$path'")
+        }
+        register(li, "li", "l_orderkey")
+        register(ord, "ord", "o_orderkey")
+        (li, ord)
       })
     }
-    (li, ord)
-  }
 
-  /** End-of-run/test-teardown hook: drop this application's bucketed
-    * tables and memo entries (catalog + external files) so cache/leak
-    * accounting ends at zero. NOT called between bench passes — the
-    * layout is a once-per-snapshot artifact (see object scaladoc). */
+  /** End-of-run/test-teardown hook: drop this application's catalog
+    * entries and memo so cache/leak accounting ends at zero. The
+    * persisted layout tree is NOT deleted — it is a content-keyed
+    * once-per-snapshot artifact served across JVMs. NOT called between
+    * bench passes. */
   def evict(s: SparkSession): Unit = built.synchronized {
     // drops happen INSIDE the lock: the table names are deterministic
     // per dataset, so an evict whose DROPs ran after releasing the lock
-    // could race a concurrent rebuild of the same names and drop the
-    // fresh tables while the memo still returned them
+    // could race a concurrent re-registration of the same names and
+    // drop the fresh entries while the memo still returned them
     val appId = s.sparkContext.applicationId
     built.keys.filter(_._1 == appId).toSeq
       .flatMap(built.remove)
-      .foreach { case (li, ord, dir) =>
+      .foreach { case (li, ord) =>
         s.sql(s"DROP TABLE IF EXISTS $li")
         s.sql(s"DROP TABLE IF EXISTS $ord")
-        // the tables are EXTERNAL (option("path")) — DROP TABLE removes
-        // only catalog entries; delete the files too, or a multi-pass
-        // bench leaves one full copy of both projections per rebuild
-        Sinks.deleteRecursively(new java.io.File(dir))
       }
   }
 }

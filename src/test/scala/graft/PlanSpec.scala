@@ -688,19 +688,49 @@ class PlanSpec extends GraftSpec {
       "running window is not above the two aggregation levels")
   }
 
-  test("Bucketing.evict drops catalog entries AND the external files") {
-    val (li, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
+  test("Bucketing.evict drops catalog entries; the persisted layout tree " +
+      "survives and re-registration serves the SAME files zero-Exchange") {
+    val (li, ord) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li").collect()
       .find(_.getString(0) == "Location").map(_.getString(1)).get
       .stripPrefix("file:")
     assert(new java.io.File(loc).exists(), s"expected table files at $loc")
+    val rows = spark.table(li).count()
     graft.operators.Bucketing.evict(spark)
     assert(!spark.catalog.tableExists(li), "catalog entry survived evict")
-    assert(!new java.io.File(loc).exists(),
-      s"external files survived evict at $loc (DROP TABLE alone is not enough)")
-    // rebuild works after evict (fresh memo, fresh dir)
-    val (li2, _) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
-    assert(spark.table(li2).count() > 0)
+    // the layout is a content-keyed once-per-snapshot artifact: files
+    // persist across evict (and across JVMs) — only the catalog entry
+    // is session state
+    assert(new java.io.File(loc).exists(),
+      s"persisted bucketed layout deleted by evict at $loc")
+    val files = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // re-registration serves the SAME files (no rebuild) with bucketing
+    // metadata intact: the fact⋈fact join still plans no Exchange
+    val (li2, ord2) = graft.operators.Bucketing.bucketedJoinTables(spark, sfTiny)
+    assert(spark.table(li2).count() == rows)
+    assert(spark.table(li2).inputFiles.map(f =>
+      f.substring(f.lastIndexOf('/') + 1)).toSet == files,
+      "re-registration rebuilt the layout instead of serving it")
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // broadcast off, AQE off — same harness as the zero-Exchange pin
+      // above: the property must hold on the RE-REGISTERED tables
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val p = spark.table(li2)
+        .join(spark.table(ord2),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"re-registered bucketed tables lost zero-Exchange:\n${p.take(2000)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     graft.operators.Bucketing.evict(spark)
   }
 }

@@ -518,22 +518,35 @@ object TableCommit {
   }
 
   /** Per-file (min, max) of `c` across the just-written `rels` — maps
-    * `input_file_name` back to the relative path by its (writer-unique)
-    * file name. All-null files get no entry (conservatively kept by
+    * `input_file_name` back to the relative path by its last TWO path
+    * segments (partition dir + file name): the file NAME alone is NOT
+    * unique across partitions — a range-partitioned write's task can
+    * straddle two partition dirs and write same-named part files in
+    * both, and a name-keyed match would misattribute one file's range
+    * to the other, which can wrongly EXCLUDE an overlapping file on
+    * the read side (silent row loss the on-top row filter cannot
+    * repair). All-null files get no entry (conservatively kept by
     * [[pruneFiles]]); values render as strings, compared numerically
     * on the read side. */
   private def fileStats(s: SparkSession, table: String, rels: Seq[String],
       c: String): Map[String, (String, String, String)] = {
-    val byName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    def lastTwo(p: String): String =
+      p.split('/').takeRight(2).mkString("/")
+    val byKey = rels.map(r => lastTwo(r) -> r).toMap
+    require(byKey.size == rels.size,
+      s"non-unique partition-dir/file-name keys among fresh files: $rels")
     s.read.option("basePath", table).parquet(rels.map(r => s"$table/$r"): _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(c)).cast("string").as("mn"),
         max(col(c)).cast("string").as("mx"))
       .collect()
       .flatMap { r =>
-        val f = r.getString(0)
-        val name = f.substring(f.lastIndexOf('/') + 1)
-        byName.get(name).filter(_ => !r.isNullAt(1) && !r.isNullAt(2))
+        val key = lastTwo(r.getString(0))
+        // URI-vs-raw defence: input_file_name may percent-encode
+        // characters the on-disk (Hive-escaped) dir name carries raw
+        byKey.get(key)
+          .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+          .filter(_ => !r.isNullAt(1) && !r.isNullAt(2))
           .map(rel => rel -> (c, r.getString(1), r.getString(2)))
       }.toMap
   }

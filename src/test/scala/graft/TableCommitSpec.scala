@@ -323,6 +323,21 @@ class TableCommitSpec extends GraftSpec {
       BigDecimal(10000), BigDecimal(10001))
     assert(keptFar == 1, "only the stats-less adopted file may survive " +
       s"an out-of-range band, got $keptFar")
+    // band SWEEP: a misattributed per-file range (the straddling-task
+    // same-file-name class — a range-partitioned task can write
+    // same-named part files into TWO partition dirs) would wrongly
+    // exclude an overlapping file in SOME band; every band must read
+    // exactly the filtered rows
+    for (lo <- 0 to 350 by 50) {
+      val hi = lo + 49
+      val p = TableCommit.readWhere(spark, t, "id",
+          BigDecimal(lo), BigDecimal(hi))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val e = TableCommit.read(spark, t)
+        .filter(col("id") >= lo && col("id") <= hi)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(p == e, s"pruned band [$lo,$hi] diverged from filtered read")
+    }
   }
 
   test("compaction commit: same rows, fewer files, manifest bumped; " +

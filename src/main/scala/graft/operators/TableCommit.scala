@@ -343,7 +343,12 @@ object TableCommit {
     * window. */
   def changesSince(s: SparkSession, table: String, sinceId: Long): DataFrame = {
     val (m, added) = changedFiles(table, sinceId)
-    readFiles(s, table, m, added)
+    // a no-change poll (sinceId == newest) against an ADOPTED table is
+    // legitimate: its manifest-0 carries no #schema directive, so an
+    // empty delta takes its schema from the live read instead of
+    // failing the emptySnapshot path
+    if (added.isEmpty && schemaOf(m).isEmpty) read(s, table).limit(0)
+    else readFiles(s, table, m, added)
   }
 
   /** The manifest diff behind [[changesSince]]: (newest manifest,

@@ -426,6 +426,13 @@ class TableCommitSpec extends GraftSpec {
     val replacedParts = delta.map(_._3)
     assert(sinceRows.filterNot(r => replacedParts.contains(r._3)) ++ delta
       == snapshot(t), "incremental union diverged from the full snapshot")
+    // a no-change poll (since == newest) is an EMPTY delta, not an
+    // error — including on an adopted schema-less manifest
+    val newestId = TableCommit.resolve(t).get._1
+    assert(TableCommit.changesSince(spark, t, newestId).count() == 0L)
+    val t2 = freshTable()
+    TableCommit.initIfAbsent(t2)
+    assert(TableCommit.changesSince(spark, t2, 0L).count() == 0L)
     // out-of-retention since is an explicit error, not a wrong diff
     TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
       Seq((50L, "E", 2)).toDF("id", "v", "pt"))

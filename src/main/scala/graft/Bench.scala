@@ -213,7 +213,8 @@ object Bench {
       Seq("q_tfidf") -> warmNames("tokpairs", "idf"),
       Seq("q_substring_dup") -> warmNames("subwins"),
       Seq("q_ngram_jaccard") -> warmNames("ngrammasks"),
-      Seq("q_cosine_knn_lsh") -> warmNames("lshbuckets"))
+      Seq("q_cosine_knn_lsh") -> warmNames("lshbuckets"),
+      Seq("n_zorder") -> warmNames("zorder_events"))
     val prebuildSequential: Seq[(Seq[String], () => Boolean)] =
       Seq(Seq("n_stream_upsert") -> warmNames("stream_src"))
     val doPrebuild = only.isEmpty &&

@@ -65,26 +65,36 @@ object Layout {
     * quantiles assign them. The code column is dropped before write —
     * the layout lives in the file/row-group min-max statistics, not
     * the schema. */
-  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
-      nFiles: Int): Unit = {
+  /** Quantile-normalized Morton code of (a, b) over `df`'s OWN value
+    * distribution — the clustering expression [[writeZOrdered]] sorts
+    * by, exposed so a table-format commit can Z-cluster its fresh
+    * files the same way (TableCommit's OPTIMIZE ZORDER path). Costs
+    * one `approxQuantile` pass over df (≤2×255 scalars to the driver —
+    * a layout decision, paid at write/commit time). */
+  def mortonColumnOf(df: DataFrame, a: Column, b: Column): Column = {
     graft.functions.QuantileBucket.register(df.sparkSession)
     val Grid = 256
     val probs = (1 until Grid).map(_.toDouble / Grid).toArray
-    val staged = df.withColumn("__qa", a.cast("double"))
-      .withColumn("__qb", b.cast("double"))
     // relativeError 0.01 ≈ ±2-3 buckets of boundary slack on a 256-cell
     // grid — invisible to file-skipping locality, and the summaries are
     // ~10× lighter than the 0.001 default pass (measured 1.5 s → sub-
     // second on sf0.1 events)
-    val cuts = staged.stat.approxQuantile(
-      Array("__qa", "__qb"), probs, 0.01)
+    val cuts = df.select(a.cast("double").as("__qa"),
+        b.cast("double").as("__qb"))
+      .stat.approxQuantile(Array("__qa", "__qb"), probs, 0.01)
     def bucket(c: Column, cut: Array[Double]): Column =
       call_function("graft_qbucket", c, array(cut.map(lit(_)): _*))
-    val z = morton16(bucket(col("__qa"), cuts(0)), bucket(col("__qb"), cuts(1)))
-    staged.withColumn("__z", z)
+    morton16(bucket(a.cast("double"), cuts(0)),
+      bucket(b.cast("double"), cuts(1)))
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      nFiles: Int): Unit = {
+    val z = mortonColumnOf(df, a, b)
+    df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__qa", "__qb")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -103,7 +103,7 @@ object TableCommit {
 
   /** Per-file column statistics a manifest carries (`#stats` directive
     * lines, round-9 verdict item 2 — the Delta/Iceberg add-action's
-    * min/max stats, reduced to one declared sort/cluster column): a
+    * min/max stats, reduced to the declared cluster column(s)): a
     * snapshot read that knows each file's value range for a predicate
     * column can drop non-overlapping files BEFORE parquet ever opens
     * them — the biggest read-side lever a manifest log buys at 100 TB,
@@ -117,11 +117,13 @@ object TableCommit {
     * adopted manifest-0) are conservatively KEPT. */
   private val StatsPrefix = "#stats "
 
-  /** rel-path -> (col, min, max) entries of a manifest. */
-  private def statsOf(f: java.io.File): Map[String, (String, String, String)] =
+  /** (rel-path, col) -> (min, max) entries of a manifest — keyed by
+    * BOTH file and column, so a snapshot can carry ranges for several
+    * cluster dimensions per file (the Z-order commit records two). */
+  private def statsOf(f: java.io.File): Map[(String, String), (String, String)] =
     manifestLines(f).filter(_.startsWith(StatsPrefix)).flatMap { l =>
       l.stripPrefix(StatsPrefix).split("\t", 4) match {
-        case Array(c, mn, mx, rel) => Some(rel -> (c, mn, mx))
+        case Array(c, mn, mx, rel) => Some((rel, c) -> (mn, mx))
         case _ => None
       }
     }.toMap
@@ -179,14 +181,14 @@ object TableCommit {
   private def publish(table: String, id: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      stats: Map[String, (String, String, String)] = Map.empty): Boolean = {
+      stats: Map[(String, String), (String, String)] = Map.empty): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
       f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
-      stats.toSeq.sortBy(_._1).map { case (rel, (c, mn, mx)) =>
+      stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
         s"$StatsPrefix$c\t$mn\t$mx\t$rel" }
     java.nio.file.Files.write(tmp.toPath,
       (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -307,7 +309,7 @@ object TableCommit {
   def statsRange(table: String, id: Long,
       column: String): Option[(BigDecimal, BigDecimal)] =
     manifests(table).find(_._1 == id).flatMap { case (_, m) =>
-      val vs = statsOf(m).values.collect { case (c, mn, mx) if c == column =>
+      val vs = statsOf(m).collect { case (((_, c)), (mn, mx)) if c == column =>
         (scala.util.Try(BigDecimal(mn)).toOption,
           scala.util.Try(BigDecimal(mx)).toOption)
       }.collect { case (Some(a), Some(b)) => (a, b) }.toSeq
@@ -319,8 +321,8 @@ object TableCommit {
       lo: BigDecimal, hi: BigDecimal): Seq[String] = {
     val st = statsOf(m)
     filesOf(m).filter { rel =>
-      st.get(rel) match {
-        case Some((c, mn, mx)) if c == column =>
+      st.get((rel, column)) match {
+        case Some((mn, mx)) =>
           // a malformed/non-numeric recorded range keeps the file —
           // stats may only ever EXCLUDE on proof
           scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
@@ -384,7 +386,7 @@ object TableCommit {
       dirtyDirs: Seq[String], df: DataFrame,
       readSnapshot: Option[Long] = None,
       txn: Option[(String, Long)] = None,
-      statsCol: Option[String] = None,
+      clusterBy: Seq[String] = Nil,
       filesPerPartition: Int = 1,
       maxRecordsPerFile: Long = 0L): Unit = {
     initIfAbsent(table)
@@ -406,18 +408,26 @@ object TableCommit {
     // snapshot's files are immutable and this only creates new ones
     val stage = new java.io.File(table, s"_stage_$writerId")
     // Layout of the fresh files: by default one shuffle task (→ one
-    // file) per dirty partition. With a declared stats column and
-    // filesPerPartition > 1, range-partition on (partition, statsCol)
-    // instead — each task owns a CONTIGUOUS key slice of its
-    // partition, so the per-file `#stats` ranges it records are
-    // disjoint and a predicate on the key can actually skip files
-    // (stats over a hash-shuffled layout span the whole domain per
-    // file and prune nothing — layout and stats are one decision).
-    val shaped = statsCol match {
-      case Some(c) if filesPerPartition > 1 =>
-        df.repartitionByRange(
-          math.max(1, dirtyDirs.size * filesPerPartition),
-          col(partCol), col(c))
+    // file) per dirty partition. With `clusterBy` and
+    // filesPerPartition > 1, each task instead owns a CONTIGUOUS slice
+    // of its partition's cluster-key space, so the per-file `#stats`
+    // ranges it records are tight and a predicate on the key can
+    // actually skip files (stats over a hash-shuffled layout span the
+    // whole domain per file and prune nothing — layout and stats are
+    // one decision). One column = range clustering; two = Z-ORDER (the
+    // quantile-normalized Morton code, `Layout.mortonColumnOf`), which
+    // buys BOTH dimensions ~√F locality — Delta's OPTIMIZE ZORDER as a
+    // manifest commit. Stats are recorded for every clusterBy column.
+    val nShape = math.max(1, dirtyDirs.size * filesPerPartition)
+    val shaped = clusterBy match {
+      case Seq(c) if filesPerPartition > 1 =>
+        df.repartitionByRange(nShape, col(partCol), col(c))
+      case Seq(a, b) if filesPerPartition > 1 =>
+        val z = Layout.mortonColumnOf(df, col(a), col(b))
+        df.withColumn("__zc", z)
+          .repartitionByRange(nShape, col(partCol), col("__zc"))
+          .sortWithinPartitions(col(partCol), col("__zc"))
+          .drop("__zc")
       case _ => df.repartition(col(partCol))
     }
     val writer = shaped.write.mode("overwrite").partitionBy(partCol)
@@ -441,10 +451,13 @@ object TableCommit {
       }
     Sinks.deleteRecursively(stage)
     // `#stats` capture for the just-written files: one narrow grouped
-    // aggregate over ONLY the fresh files, |fresh| scalar rows to the
-    // driver — commit-time metadata, the price of read-side skipping
-    val freshStats = statsCol.filter(_ => fresh.nonEmpty)
-      .map(c => fileStats(s, table, fresh, c)).getOrElse(Map.empty)
+    // aggregate over ONLY the fresh files (all clusterBy columns at
+    // once), |fresh| scalar rows to the driver — commit-time metadata,
+    // the price of read-side skipping
+    val freshStats =
+      if (clusterBy.nonEmpty && fresh.nonEmpty)
+        fileStats(s, table, fresh, clusterBy)
+      else Map.empty[(String, String), (String, String)]
     val dirty = dirtyDirs.toSet
     var (baseId, baseFiles) = resolve(table).get
     // Lost-update guard: when the caller pins the snapshot its `df` was
@@ -480,7 +493,8 @@ object TableCommit {
       // entries for files this commit replaced drop with their files
       val retainedSet = next.toSet
       val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty)
-        .filter { case (rel, _) => retainedSet.contains(rel) } ++ freshStats
+        .filter { case ((rel, _), _) => retainedSet.contains(rel) } ++
+        freshStats
       // SCHEMA EVOLUTION (round-9 verdict item 6): the published schema
       // of record MERGES the base snapshot's #schema with this commit's
       // — base column order kept (types updated where this writer
@@ -534,16 +548,18 @@ object TableCommit {
     * [[pruneFiles]]); values render as strings, compared numerically
     * on the read side. */
   private def fileStats(s: SparkSession, table: String, rels: Seq[String],
-      c: String): Map[String, (String, String, String)] = {
+      cols: Seq[String]): Map[(String, String), (String, String)] = {
     def lastTwo(p: String): String =
       p.split('/').takeRight(2).mkString("/")
     val byKey = rels.map(r => lastTwo(r) -> r).toMap
     require(byKey.size == rels.size,
       s"non-unique partition-dir/file-name keys among fresh files: $rels")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
     s.read.option("basePath", table).parquet(rels.map(r => s"$table/$r"): _*)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(c)).cast("string").as("mn"),
-        max(col(c)).cast("string").as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .flatMap { r =>
         val key = lastTwo(r.getString(0))
@@ -551,8 +567,12 @@ object TableCommit {
         // characters the on-disk (Hive-escaped) dir name carries raw
         byKey.get(key)
           .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
-          .filter(_ => !r.isNullAt(1) && !r.isNullAt(2))
-          .map(rel => rel -> (c, r.getString(1), r.getString(2)))
+          .toSeq.flatMap { rel =>
+            cols.zipWithIndex.collect {
+              case (c, i) if !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i) =>
+                (rel, c) -> (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            }
+          }
       }.toMap
   }
 
@@ -571,7 +591,7 @@ object TableCommit {
     * `#stats` when a stats column is declared — compaction is exactly
     * when the stats layout is (re)established. */
   def compactPartitions(s: SparkSession, table: String, partCol: String,
-      dirtyDirs: Seq[String], statsCol: Option[String] = None,
+      dirtyDirs: Seq[String], clusterBy: Seq[String] = Nil,
       filesPerPartition: Int = 1, maxRecordsPerFile: Long = 0L): Unit = {
     initIfAbsent(table)
     val (baseId, baseFiles) = resolve(table).get
@@ -581,7 +601,7 @@ object TableCommit {
     if (dirtyFiles.nonEmpty)
       replacePartitions(s, table, partCol, dirtyDirs,
         readFiles(s, table, m, dirtyFiles),
-        readSnapshot = Some(baseId), statsCol = statsCol,
+        readSnapshot = Some(baseId), clusterBy = clusterBy,
         filesPerPartition = filesPerPartition,
         maxRecordsPerFile = maxRecordsPerFile)
   }

@@ -367,19 +367,21 @@ object Etl {
     * directory listing. The spec asserts content equality across the
     * rewrite; at 100 TB the identical job runs per partition predicate
     * with `maxRecordsPerFile` sizing the output row groups. */
-  private def compactQ(s: SparkSession, d: String): DataFrame = {
-    // The FRAGMENTED source is harness scaffolding — it stands in for
-    // the layout an unrepartitioned streaming writer accretes over
-    // time, which no maintenance job pays to CREATE. Built once per
-    // dataset (content-tag-keyed, the streamSrc convention); the timed
-    // op is what the nightly job actually runs: seed-clone + the
-    // compaction commit + the audit.
-    val frag = graft.operators.Sinks.artifact("frag_events", d) { p =>
+  /** The FRAGMENTED events layout shared by n_compact and
+    * n_optimize_zorder — harness scaffolding standing in for the
+    * layout an unrepartitioned streaming writer accretes over time,
+    * which no maintenance job pays to CREATE. Built once per dataset
+    * (content-tag-keyed, the streamSrc convention). */
+  private def fragEvents(s: SparkSession, d: String): String =
+    graft.operators.Sinks.artifact("frag_events", d) { p =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartition(24)
         .write.mode("overwrite").partitionBy("event_type").parquet(p)
     }
+
+  private def compactQ(s: SparkSession, d: String): DataFrame = {
+    val frag = fragEvents(s, d)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -422,6 +424,59 @@ object Etl {
         (k, n, before.getOrElse(k, 0L), after.getOrElse(k, 0L)) }
       .toDF("event_type", "n_rows", "files_before", "files_after")
       .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------- n_optimize_zorder
+  /** OPTIMIZE ZORDER as a COMMIT (round-10; composes the two rungs the
+    * engine already carries): seed a committed table from the
+    * fragmented events layout, then run
+    * `TableCommit.compactPartitions(clusterBy = (user_id, event_id))`
+    * — the same optimistic-concurrency same-rows commit as n_compact,
+    * but the fresh files are clustered by the quantile-normalized
+    * MORTON code of both dimensions and the manifest records per-file
+    * `#stats` for EACH of them, so a committed table skips files on
+    * either predicate dimension from metadata alone — exactly Delta's
+    * `OPTIMIZE … ZORDER BY (a, b)`. Output: one audit row per
+    * dimension with total files, files a central-band predicate must
+    * read, and the read fraction — all derived from the manifest
+    * (`statsRange` + `pruneAudit`), zero data IO; a row count proves
+    * the rewrite invariant. TableCommitSpec pins both-dimension
+    * pruning with pruned ≡ filtered on an independent (x, y) grid; at
+    * 100 TB this is the nightly clustering job whose write
+    * amplification is the compacted partitions, never table size. */
+  private def optimizeZorder(s: SparkSession, d: String): DataFrame = {
+    val frag = fragEvents(s, d)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_optz_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(new java.io.File(frag),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        // 16 = 2^4 z-splits per partition: an EVEN power of two gives both
+        // interleaved dimensions the same number of leading Morton bits
+        // (an odd power hands the second dimension one extra bit and its
+        // pruning is structurally ~2x better than the first's)
+        dirs, clusterBy = Seq("user_id", "event_id"), filesPerPartition = 16)
+      val (id, _) = graft.operators.TableCommit.resolve(table).get
+      val nRows = graft.operators.TableCommit.read(s, table).count()
+      val audit = Seq("user_id", "event_id").map { dim =>
+        val (mn, mx) = graft.operators.TableCommit
+          .statsRange(table, id, dim).get
+        val lo = mn + (mx - mn) * 7 / 16
+        val hi = mn + (mx - mn) * 9 / 16
+        val (kept, total) = graft.operators.TableCommit.pruneAudit(
+          table, id, dim, lo, hi)
+        (dim, nRows, total.toLong, kept.toLong,
+          math.rint(kept.toDouble / total * 10000) / 10000)
+      }
+      import s.implicits._
+      audit.toDF("dim", "n_rows", "n_files", "n_files_read", "read_frac")
+        .orderBy(col("dim"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
   // ------------------------------------------------------------------- n_zorder
@@ -1206,7 +1261,7 @@ object Etl {
     // alone — clean partitions keep whatever stats they carried
     graft.operators.TableCommit.replacePartitions(s, table, "pt",
       mergeApplyDirty.map(v => s"pt=$v"), merged,
-      statsCol = Some("o_orderkey"), filesPerPartition = 4)
+      clusterBy = Seq("o_orderkey"), filesPerPartition = 4)
     table
   }
 
@@ -1386,6 +1441,7 @@ object Etl {
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("n_compact", compactQ, None),
     QueryDef("n_zorder", zorderQ, None),
+    QueryDef("n_optimize_zorder", optimizeZorder, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

@@ -298,7 +298,7 @@ class TableCommitSpec extends GraftSpec {
     val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
     TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
       rows.toDF("id", "v", "pt"),
-      statsCol = Some("id"), filesPerPartition = 4)
+      clusterBy = Seq("id"), filesPerPartition = 4)
     val (id, files) = TableCommit.resolve(t).get
     val pruned = TableCommit.readWhere(spark, t, "id",
       BigDecimal(100), BigDecimal(150))
@@ -402,6 +402,39 @@ class TableCommitSpec extends GraftSpec {
       s"torn pt=0 state after overlapping race: $pt0")
     assert(snapshot(t).filterNot(_._3 == 0) == rest,
       "overlapping pt=0 race touched other partitions")
+  }
+
+  test("Z-order commit: two-dimensional #stats prune files on BOTH " +
+      "dimensions, rows invariant, pruned ≡ filtered on either dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    // 1024 rows on a 32×32 (x, y) grid in one partition — x and y are
+    // independent, so single-key clustering on either dim would give
+    // the OTHER dim nothing; Z-order must buy both
+    val rows = (0 until 1024).map(i => (i.toLong, i % 32, i / 32, 0))
+    rows.toDF("id", "x", "y", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0"),
+      clusterBy = Seq("x", "y"), filesPerPartition = 16)
+    val (id, files) = TableCommit.resolve(t).get
+    assert(files.length > 4, s"Z commit produced too few files: ${files.length}")
+    assert(TableCommit.read(spark, t).count() == 1024L, "rows not invariant")
+    for (c <- Seq("x", "y")) {
+      // a central band on EACH dimension must skip files from metadata
+      val (kept, total) = TableCommit.pruneAudit(t, id, c,
+        BigDecimal(12), BigDecimal(19))
+      assert(kept < total,
+        s"no files pruned on $c ($kept of $total) — Z stats not biting")
+      val pruned = TableCommit.readWhere(spark, t, c,
+          BigDecimal(12), BigDecimal(19))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val full = TableCommit.read(spark, t)
+        .filter(col(c) >= 12 && col(c) <= 19)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(pruned == full, s"pruned read diverged on $c")
+    }
   }
 
   test("changesSince: the delta is exactly the replaced partitions' fresh " +

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, not}
 
 /** Minimal ATOMIC COMMIT protocol for the engine's mutable partitioned
   * tables (round-8 verdict item 4) — the "table format's commit
@@ -604,6 +604,147 @@ object TableCommit {
         readSnapshot = Some(baseId), clusterBy = clusterBy,
         filesPerPartition = filesPerPartition,
         maxRecordsPerFile = maxRecordsPerFile)
+  }
+
+  /** Audit counters [[deleteWhere]] returns — every field derived from
+    * manifest metadata or a scalar aggregate; nothing table-sized. */
+  final case class DeleteAudit(snapshotBefore: Long, snapshotAfter: Long,
+      filesTotal: Int, filesCandidates: Int, filesRewritten: Int,
+      rowsDeleted: Long)
+
+  /** ROW-LEVEL DELETE as a COPY-ON-WRITE commit — the remaining DML
+    * verb (Delta's `DELETE FROM t WHERE k BETWEEN lo AND hi`, i.e. the
+    * remove-action/add-action pair of Armbrust VLDB 2020 §3.1): drop
+    * every row with `column` ∈ [lo, hi] from the newest snapshot by
+    * rewriting ONLY the files that actually hold such rows. Three-stage
+    * narrowing keeps write amplification proportional to the MATCHING
+    * data, never the table:
+    *
+    *  1. `#stats` pruning (metadata-only): files whose recorded range
+    *     for `column` is disjoint from the band are untouched AND
+    *     unread — what makes a key-band delete a small job at 100 TB;
+    *     files without stats are conservatively candidates.
+    *  2. A hit scan over just the candidates (one grouped count by
+    *     `input_file_name`) drops candidates holding no matching row —
+    *     stats overlap is necessary, not sufficient; near-miss files
+    *     are retained untouched too.
+    *  3. The hit files' SURVIVOR rows (null-keyed rows survive — a
+    *     null never matches a band) are rewritten as fresh files,
+    *     range-clustered on the manifest's existing stats columns so
+    *     the rewrite re-records tight `#stats`, and the commit swaps
+    *     exactly (hit → fresh) in the manifest. Every other file entry,
+    *     its stats, the txn ledger and the schema of record carry
+    *     forward; a no-match delete publishes NOTHING.
+    *
+    * Concurrency is FILE-granularity OCC: the predicate was evaluated
+    * against the pinned base snapshot, so the commit REBASES over any
+    * winner that kept all hit files intact — a concurrent append to
+    * the same partition lands alongside, its rows deliberately not
+    * scanned (snapshot-predicate semantics, Delta's WriteSerializable
+    * append-vs-delete rule) — and CONFLICTS when a winner removed or
+    * rewrote a hit file (committing our survivors would resurrect rows
+    * that commit deleted or compacted away). */
+  def deleteWhere(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal): DeleteAudit = {
+    initIfAbsent(table)
+    val (baseId0, baseFiles0) = resolve(table).get
+    val m = manifests(table).find(_._1 == baseId0).get._2
+    val total = filesOf(m).length
+    val candidates = pruneFiles(m, column, lo, hi)
+    def matchPred = col(column) >= lit(lo.underlying) &&
+      col(column) <= lit(hi.underlying)
+    if (candidates.isEmpty)
+      return DeleteAudit(baseId0, baseId0, total, 0, 0, 0L)
+    // stage-2 hit scan: matching-row count per candidate file, mapped
+    // back to relative paths by the last TWO segments (file names alone
+    // collide across partition dirs — the fileStats lesson)
+    def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val byKey = candidates.map(r => lastTwo(r) -> r).toMap
+    require(byKey.size == candidates.length,
+      s"non-unique partition-dir/file-name keys among candidates: $candidates")
+    val hitCounts: Map[String, Long] =
+      readFiles(s, table, m, candidates)
+        .filter(matchPred)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect()
+        .flatMap { r =>
+          val key = lastTwo(r.getString(0))
+          byKey.get(key)
+            .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+            .map(_ -> r.getLong(1))
+        }.toMap
+    val hit = candidates.filter(hitCounts.contains)
+    val rowsDeleted = hitCounts.valuesIterator.sum
+    if (hit.isEmpty)
+      return DeleteAudit(baseId0, baseId0, total, candidates.length, 0, 0L)
+    // stage-3 rewrite: survivors of the hit files only — null-safe
+    // complement (filter(!pred) would also drop null-keyed rows)
+    val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+    val survivors = readFiles(s, table, m, hit)
+      .filter(not(coalesce(matchPred, lit(false))))
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new java.io.File(table, s"_stage_$writerId")
+    val shaped = statsCols.headOption match {
+      case Some(c) => survivors
+        .repartitionByRange(math.max(1, hit.length), col(partCol), col(c))
+        .sortWithinPartitions(col(partCol), col(c))
+      case None => survivors.repartition(col(partCol))
+    }
+    shaped.write.mode("overwrite").partitionBy(partCol)
+      .parquet(stage.getAbsolutePath)
+    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isDirectory && p.getName.contains("="))
+      .flatMap { p =>
+        Option(p.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val destDir = new java.io.File(table, p.getName)
+            destDir.mkdirs()
+            val rel = s"${p.getName}/${writerId}_${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(table, rel).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }
+    Sinks.deleteRecursively(stage)
+    val freshStats =
+      if (statsCols.nonEmpty && fresh.nonEmpty)
+        fileStats(s, table, fresh, statsCols)
+      else Map.empty[(String, String), (String, String)]
+    val hitSet = hit.toSet
+    var (baseId, baseFiles) = (baseId0, baseFiles0)
+    var published = baseId0
+    var committed = false
+    while (!committed) {
+      if (!hitSet.subsetOf(baseFiles.toSet))
+        throw new CommitConflictException(
+          s"concurrent commit of $table removed or rewrote file(s) this " +
+            "delete read — re-read and re-derive")
+      val next = baseFiles.filterNot(hitSet) ++ fresh
+      val baseM = manifests(table).find(_._1 == baseId)
+      val retained = next.toSet
+      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
+        .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
+      // carry the schema of record; an adopted stats-less table gains
+      // one from the survivors' read schema (keeps an emptied-partition
+      // snapshot readable)
+      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
+        .getOrElse(survivors.schema.json)
+      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
+      if (publish(table, baseId + 1, next, txns, Some(schemaJson),
+          nextStats)) {
+        vacuum(table, baseId + 1)
+        published = baseId + 1
+        committed = true
+      } else {
+        val (winId, winFiles) = resolve(table).get
+        baseId = winId
+        baseFiles = winFiles
+      }
+    }
+    DeleteAudit(baseId0, published, total, candidates.length, hit.length,
+      rowsDeleted)
   }
 
   /** Retention: keep manifests `newest` and `newest - 1`; delete older

@@ -479,6 +479,59 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ------------------------------------------------------------- n_table_delete
+  /** ROW-LEVEL DELETE as a copy-on-write commit (round-10; the DML verb
+    * the protocol still lacked — append, replace, merge, compact and
+    * Z-order all existed, but "drop these rows" forced a whole-
+    * partition rewrite): `TableCommit.deleteWhere` drops a central
+    * event_id band from a COMMITTED, event_id-clustered events table,
+    * rewriting only the files that actually hold matching rows.
+    * Scaffolding (content-tag-keyed artifact): the fragmented events
+    * layout committed and compacted with `clusterBy = event_id`, 8
+    * key-contiguous files per partition — the `#stats` layout that
+    * makes stage-1 pruning real. The per-invocation op: byte-clone the
+    * artifact (a delete MUTATES; the measured op must own its table),
+    * delete the band, and emit one audit row of manifest-derived file
+    * accounting + row counts. The audit's inequality chain
+    * (rewritten ≤ candidates < total) is the three-stage narrowing
+    * made visible; TableCommitSpec pins the equality, byte-untouched,
+    * no-op and race contracts. At 100 TB: a GDPR-style key-band purge
+    * reads candidates only and rewrites hit files only — write
+    * amplification ∝ matching data, with a racing reader pinning
+    * either snapshot, never a torn mix. */
+  private def tableDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val art = graft.operators.Sinks.artifact("delete_base", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_del_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, _) = graft.operators.TableCommit.resolve(table).get
+      val (mn, mx) = graft.operators.TableCommit
+        .statsRange(table, id0, "event_id").get
+      val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      val before = graft.operators.TableCommit.read(s, table).count()
+      val a = graft.operators.TableCommit.deleteWhere(
+        s, table, "event_type", "event_id", lo, hi)
+      val after = graft.operators.TableCommit.read(s, table).count()
+      import s.implicits._
+      Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
+          a.filesRewritten.toLong, before, a.rowsDeleted, after))
+        .toDF("n_files", "n_candidates", "n_rewritten",
+          "rows_before", "rows_deleted", "rows_after")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ------------------------------------------------------------------- n_zorder
   /** Z-order layout audit: write the events table twice — Morton-
     * clustered on (user_id, event_id) vs single-key sorted on user_id —
@@ -1442,6 +1495,7 @@ object Etl {
     QueryDef("n_compact", compactQ, None),
     QueryDef("n_zorder", zorderQ, None),
     QueryDef("n_optimize_zorder", optimizeZorder, None),
+    QueryDef("n_table_delete", tableDeleteQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

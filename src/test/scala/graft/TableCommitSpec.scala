@@ -404,6 +404,124 @@ class TableCommitSpec extends GraftSpec {
       "overlapping pt=0 race touched other partitions")
   }
 
+  test("row-level delete: copy-on-write of only the hit files — rows " +
+      "equal the filtered read, untouched files byte-identical, the " +
+      "three-stage narrowing audit holds, a no-match band publishes " +
+      "nothing, and stats keep skipping after the delete") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"), filesPerPartition = 4)
+    val (id1, files1) = TableCommit.resolve(t).get
+    def fileIds(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.map { rel =>
+        val f = new java.io.File(t, rel)
+        rel -> (f.length(), f.lastModified())
+      }.toMap
+    val beforeIds = fileIds(files1)
+    val expect = TableCommit.read(spark, t)
+      .filter(col("id").isNull || col("id") < 100 || col("id") > 150)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val a = TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(150))
+    // audit: manifest bumped once; 51 matching rows; the narrowing
+    // chain is strict at both stages (band-disjoint files pruned by
+    // stats; the stats-less pt=2 candidate holds no matching row)
+    assert(a.snapshotBefore == id1 && a.snapshotAfter == id1 + 1)
+    assert(a.rowsDeleted == 51L, s"rowsDeleted=${a.rowsDeleted}")
+    assert(a.filesCandidates < a.filesTotal,
+      s"stats pruned nothing (${a.filesCandidates} of ${a.filesTotal})")
+    assert(a.filesRewritten < a.filesCandidates,
+      "the no-match candidate was rewritten anyway")
+    assert(snapshot(t) == expect, "post-delete rows diverged")
+    // every retained pre-delete file is byte-untouched
+    val (id2, files2) = TableCommit.resolve(t).get
+    val retained = files2.toSet.intersect(files1.toSet).toSeq
+    assert(retained.nonEmpty)
+    assert(fileIds(retained) == beforeIds.filter(kv => retained.contains(kv._1)),
+      "a retained file was modified in place")
+    assert(files1.toSet.diff(files2.toSet).size == a.filesRewritten)
+    // fresh files re-recorded #stats: a later band still prunes and
+    // matches the filtered read
+    val (kept, total) = TableCommit.pruneAudit(t, id2, "id",
+      BigDecimal(300), BigDecimal(350))
+    assert(kept < total, "post-delete stats no longer skip")
+    val pruned = TableCommit.readWhere(spark, t, "id",
+        BigDecimal(300), BigDecimal(350))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(pruned == (300L to 350L).toSet, "post-delete pruned read diverged")
+    // no-match band: nothing published, audit reports the unchanged id
+    val b = TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(5000), BigDecimal(6000))
+    assert(b.snapshotAfter == b.snapshotBefore && b.filesRewritten == 0 &&
+      b.rowsDeleted == 0L)
+    assert(TableCommit.resolve(t).get._1 == id2, "no-match delete committed")
+  }
+
+  test("row-level delete racing a DISJOINT-partition replace: both land; " +
+      "racing a replace of a hit partition: serializes or conflicts " +
+      "cleanly — never torn") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"), filesPerPartition = 4)
+    // --- disjoint: delete hits pt=0/pt=1 files; replace swaps pt=2 ---
+    val idPre = TableCommit.resolve(t).get._1
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val d1 = new Thread(() =>
+      try TableCommit.deleteWhere(spark, t, "pt", "id",
+        BigDecimal(100), BigDecimal(150))
+      catch { case e: Throwable => errs.add(e) })
+    val r1 = new Thread(() =>
+      try TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+        Seq((900L, "Z", 2)).toDF("id", "v", "pt"))
+      catch { case e: Throwable => errs.add(e) })
+    d1.start(); r1.start(); d1.join(); r1.join()
+    assert(errs.isEmpty, s"disjoint delete/replace race failed: ${errs.peek()}")
+    assert(TableCommit.resolve(t).get._1 == idPre + 2)
+    val want = rows.filterNot(r => r._1 >= 100 && r._1 <= 150)
+      .map(r => (r._1, r._2, r._3)).toSet + ((900L, "Z", 2))
+    assert(snapshot(t) == want, "delete or disjoint replace lost")
+    // --- overlapping: delete's hit files live in pt=0/pt=1; a replace
+    // of pt=0 removes some of them — one side may conflict; the final
+    // state is a legal serialization, never a mixture ---
+    val pre = snapshot(t)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val d2 = new Thread(() =>
+      try TableCommit.deleteWhere(spark, t, "pt", "id",
+        BigDecimal(200), BigDecimal(250))
+      catch { case e: Throwable => errs2.add(e) })
+    val r2 = new Thread(() =>
+      try TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+        Seq((901L, "R", 0)).toDF("id", "v", "pt"))
+      catch { case e: Throwable => errs2.add(e) })
+    d2.start(); r2.start(); d2.join(); r2.join()
+    import scala.jdk.CollectionConverters._
+    assert(errs2.asScala.forall(
+      _.isInstanceOf[TableCommit.CommitConflictException]),
+      s"overlapping delete/replace race raised a non-conflict error: " +
+        s"${errs2.peek()}")
+    val fin = snapshot(t)
+    // legal outcomes: both serialized (delete then replace, or replace
+    // then delete-with-fresh-read conflict → delete absent), or one
+    // conflicted — enumerate the admissible states
+    val deleted = pre.filterNot(r => r._1 >= 200 && r._1 <= 250)
+    val legal = Set(
+      // both landed, delete first then replace of pt=0
+      deleted.filterNot(_._3 == 0) + ((901L, "R", 0)),
+      // replace landed first, delete then saw its files gone → conflict
+      pre.filterNot(_._3 == 0) + ((901L, "R", 0)),
+      // delete landed, replace conflicted
+      deleted,
+      // replace landed, delete conflicted (lost CAS)
+      pre.filterNot(_._3 == 0) + ((901L, "R", 0))
+    )
+    assert(legal.contains(fin), s"torn state after overlapping race: $fin")
+  }
+
   test("Z-order commit: two-dimensional #stats prune files on BOTH " +
       "dimensions, rows invariant, pruned ≡ filtered on either dim") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile

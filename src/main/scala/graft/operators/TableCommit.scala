@@ -612,6 +612,118 @@ object TableCommit {
       filesTotal: Int, filesCandidates: Int, filesRewritten: Int,
       rowsDeleted: Long)
 
+  /** [[DeleteAudit]]'s twin for [[updateWhere]]. */
+  final case class UpdateAudit(snapshotBefore: Long, snapshotAfter: Long,
+      filesTotal: Int, filesCandidates: Int, filesRewritten: Int,
+      rowsUpdated: Long)
+
+  /** Stage-2 of a copy-on-write DML commit (shared by [[deleteWhere]]
+    * and [[updateWhere]]): matching-row count per candidate file — one
+    * grouped scan over ONLY the candidates, |candidates| scalar rows to
+    * the driver. Paths map back to manifest-relative form by their last
+    * TWO segments (file names alone collide across partition dirs —
+    * the [[fileStats]] lesson), with the URI-vs-raw decode defence. */
+  private def hitScan(s: SparkSession, table: String, m: java.io.File,
+      candidates: Seq[String],
+      pred: org.apache.spark.sql.Column): Map[String, Long] = {
+    def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val byKey = candidates.map(r => lastTwo(r) -> r).toMap
+    require(byKey.size == candidates.length,
+      s"non-unique partition-dir/file-name keys among candidates: $candidates")
+    readFiles(s, table, m, candidates)
+      .filter(pred)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .flatMap { r =>
+        val key = lastTwo(r.getString(0))
+        byKey.get(key)
+          .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+          .map(_ -> r.getLong(1))
+      }.toMap
+  }
+
+  /** Stage-3 of a copy-on-write DML commit (shared by [[deleteWhere]]
+    * and [[updateWhere]]): write `replacement` — the hit files' FULL
+    * post-DML content — as fresh files range-clustered on the
+    * manifest's existing stats columns (so the rewrite re-records
+    * tight `#stats` and skipping keeps working), then publish
+    * (base − hit + fresh) through the FILE-granularity OCC loop: the
+    * DML predicate was evaluated against the pinned base snapshot, so
+    * the commit REBASES over any winner that kept every hit file
+    * intact — a concurrent same-partition APPEND lands alongside, its
+    * rows deliberately not touched (snapshot-predicate semantics,
+    * Delta's WriteSerializable rule) — and CONFLICTS when a winner
+    * removed or rewrote a hit file (committing our rewrite would
+    * resurrect rows that commit deleted or compacted away). Stats for
+    * retained files, the txn ledger and the schema of record carry
+    * forward. Returns the published snapshot id. */
+  private def commitRewrite(s: SparkSession, table: String, partCol: String,
+      baseId0: Long, baseFiles0: Seq[String], hit: Seq[String],
+      replacement: DataFrame, statsCols: Seq[String]): Long = {
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new java.io.File(table, s"_stage_$writerId")
+    val shaped = statsCols.headOption match {
+      case Some(c) => replacement
+        .repartitionByRange(math.max(1, hit.length), col(partCol), col(c))
+        .sortWithinPartitions(col(partCol), col(c))
+      case None => replacement.repartition(col(partCol))
+    }
+    shaped.write.mode("overwrite").partitionBy(partCol)
+      .parquet(stage.getAbsolutePath)
+    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isDirectory && p.getName.contains("="))
+      .flatMap { p =>
+        Option(p.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val destDir = new java.io.File(table, p.getName)
+            destDir.mkdirs()
+            val rel = s"${p.getName}/${writerId}_${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(table, rel).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }
+    Sinks.deleteRecursively(stage)
+    val freshStats =
+      if (statsCols.nonEmpty && fresh.nonEmpty)
+        fileStats(s, table, fresh, statsCols)
+      else Map.empty[(String, String), (String, String)]
+    val hitSet = hit.toSet
+    var (baseId, baseFiles) = (baseId0, baseFiles0)
+    var published = baseId0
+    var committed = false
+    while (!committed) {
+      if (!hitSet.subsetOf(baseFiles.toSet))
+        throw new CommitConflictException(
+          s"concurrent commit of $table removed or rewrote file(s) this " +
+            "DML rewrite read — re-read and re-derive")
+      val next = baseFiles.filterNot(hitSet) ++ fresh
+      val baseM = manifests(table).find(_._1 == baseId)
+      val retained = next.toSet
+      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
+        .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
+      // carry the schema of record; an adopted stats-less table gains
+      // one from the rewrite's read schema (keeps an emptied-partition
+      // snapshot readable)
+      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
+        .getOrElse(replacement.schema.json)
+      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
+      if (publish(table, baseId + 1, next, txns, Some(schemaJson),
+          nextStats)) {
+        vacuum(table, baseId + 1)
+        published = baseId + 1
+        committed = true
+      } else {
+        val (winId, winFiles) = resolve(table).get
+        baseId = winId
+        baseFiles = winFiles
+      }
+    }
+    published
+  }
+
   /** ROW-LEVEL DELETE as a COPY-ON-WRITE commit — the remaining DML
     * verb (Delta's `DELETE FROM t WHERE k BETWEEN lo AND hi`, i.e. the
     * remove-action/add-action pair of Armbrust VLDB 2020 §3.1): drop
@@ -655,24 +767,7 @@ object TableCommit {
       col(column) <= lit(hi.underlying)
     if (candidates.isEmpty)
       return DeleteAudit(baseId0, baseId0, total, 0, 0, 0L)
-    // stage-2 hit scan: matching-row count per candidate file, mapped
-    // back to relative paths by the last TWO segments (file names alone
-    // collide across partition dirs — the fileStats lesson)
-    def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
-    val byKey = candidates.map(r => lastTwo(r) -> r).toMap
-    require(byKey.size == candidates.length,
-      s"non-unique partition-dir/file-name keys among candidates: $candidates")
-    val hitCounts: Map[String, Long] =
-      readFiles(s, table, m, candidates)
-        .filter(matchPred)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect()
-        .flatMap { r =>
-          val key = lastTwo(r.getString(0))
-          byKey.get(key)
-            .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
-            .map(_ -> r.getLong(1))
-        }.toMap
+    val hitCounts = hitScan(s, table, m, candidates, matchPred)
     val hit = candidates.filter(hitCounts.contains)
     val rowsDeleted = hitCounts.valuesIterator.sum
     if (hit.isEmpty)
@@ -682,69 +777,70 @@ object TableCommit {
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val survivors = readFiles(s, table, m, hit)
       .filter(not(coalesce(matchPred, lit(false))))
-    val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new java.io.File(table, s"_stage_$writerId")
-    val shaped = statsCols.headOption match {
-      case Some(c) => survivors
-        .repartitionByRange(math.max(1, hit.length), col(partCol), col(c))
-        .sortWithinPartitions(col(partCol), col(c))
-      case None => survivors.repartition(col(partCol))
-    }
-    shaped.write.mode("overwrite").partitionBy(partCol)
-      .parquet(stage.getAbsolutePath)
-    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isDirectory && p.getName.contains("="))
-      .flatMap { p =>
-        Option(p.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .map { f =>
-            val destDir = new java.io.File(table, p.getName)
-            destDir.mkdirs()
-            val rel = s"${p.getName}/${writerId}_${f.getName}"
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(table, rel).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            rel
-          }
-      }
-    Sinks.deleteRecursively(stage)
-    val freshStats =
-      if (statsCols.nonEmpty && fresh.nonEmpty)
-        fileStats(s, table, fresh, statsCols)
-      else Map.empty[(String, String), (String, String)]
-    val hitSet = hit.toSet
-    var (baseId, baseFiles) = (baseId0, baseFiles0)
-    var published = baseId0
-    var committed = false
-    while (!committed) {
-      if (!hitSet.subsetOf(baseFiles.toSet))
-        throw new CommitConflictException(
-          s"concurrent commit of $table removed or rewrote file(s) this " +
-            "delete read — re-read and re-derive")
-      val next = baseFiles.filterNot(hitSet) ++ fresh
-      val baseM = manifests(table).find(_._1 == baseId)
-      val retained = next.toSet
-      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
-        .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
-      // carry the schema of record; an adopted stats-less table gains
-      // one from the survivors' read schema (keeps an emptied-partition
-      // snapshot readable)
-      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
-        .getOrElse(survivors.schema.json)
-      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
-      if (publish(table, baseId + 1, next, txns, Some(schemaJson),
-          nextStats)) {
-        vacuum(table, baseId + 1)
-        published = baseId + 1
-        committed = true
-      } else {
-        val (winId, winFiles) = resolve(table).get
-        baseId = winId
-        baseFiles = winFiles
-      }
-    }
+    val published = commitRewrite(s, table, partCol, baseId0, baseFiles0,
+      hit, survivors, statsCols)
     DeleteAudit(baseId0, published, total, candidates.length, hit.length,
       rowsDeleted)
+  }
+
+  /** ROW-LEVEL UPDATE as a COPY-ON-WRITE commit — [[deleteWhere]]'s
+    * sibling, completing the DML surface (append, replace, merge,
+    * compact, Z-order, delete, update): apply `set` to every row with
+    * `column` ∈ [lo, hi] by rewriting ONLY the files that actually
+    * hold such rows, through the same three-stage narrowing (stats
+    * prune → hit scan → hit-file rewrite) and the same
+    * file-granularity OCC publish — write amplification ∝ matching
+    * data, row COUNT invariant by construction (the rewrite keeps
+    * every hit-file row, transformed or not).
+    *
+    * SQL UPDATE semantics: every SET expression is evaluated against
+    * the PRE-update row (one projection computes all assignments — a
+    * sequential `withColumn` chain would let a later assignment read
+    * an earlier one's result), and each assignment is cast to the
+    * column's declared type so the table's schema of record is
+    * INVARIANT across the commit (Delta's implicit-cast rule — a
+    * widening SET cannot silently fork the schema between retained
+    * and fresh files). Updating the stats column itself is safe from
+    * the Halloween problem by construction — matches are decided ONCE
+    * against the pinned base snapshot, never against the rewrite —
+    * and the fresh files re-record stats over the NEW values, so a
+    * post-update band read finds the moved rows. */
+  def updateWhere(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit = {
+    initIfAbsent(table)
+    val (baseId0, baseFiles0) = resolve(table).get
+    val m = manifests(table).find(_._1 == baseId0).get._2
+    val total = filesOf(m).length
+    val candidates = pruneFiles(m, column, lo, hi)
+    def matchPred = col(column) >= lit(lo.underlying) &&
+      col(column) <= lit(hi.underlying)
+    if (candidates.isEmpty)
+      return UpdateAudit(baseId0, baseId0, total, 0, 0, 0L)
+    val hitCounts = hitScan(s, table, m, candidates, matchPred)
+    val hit = candidates.filter(hitCounts.contains)
+    val rowsUpdated = hitCounts.valuesIterator.sum
+    if (hit.isEmpty)
+      return UpdateAudit(baseId0, baseId0, total, candidates.length, 0, 0L)
+    val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+    val src = readFiles(s, table, m, hit)
+    set.keys.foreach(c => require(src.columns.contains(c),
+      s"SET column $c is not a column of $table"))
+    require(!set.contains(partCol),
+      s"SET of partition column $partCol would move rows across " +
+        "partition dirs — use delete + append (the Delta rule)")
+    val pred = coalesce(matchPred, lit(false))
+    val replacement = src.select(src.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(expr) => org.apache.spark.sql.functions
+          .when(pred, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val published = commitRewrite(s, table, partCol, baseId0, baseFiles0,
+      hit, replacement, statsCols)
+    UpdateAudit(baseId0, published, total, candidates.length, hit.length,
+      rowsUpdated)
   }
 
   /** Retention: keep manifests `newest` and `newest - 1`; delete older

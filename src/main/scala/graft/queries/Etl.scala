@@ -532,6 +532,60 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ------------------------------------------------------------- n_table_update
+  /** ROW-LEVEL UPDATE as a copy-on-write commit ([[tableDeleteQ]]'s
+    * sibling — together they complete the DML triad on the committed
+    * table): `TableCommit.updateWhere` rewrites a central event_id
+    * band's hit files with `value` negated and `user_id` shifted,
+    * touching nothing else. Shares the delete query's content-tag-keyed
+    * scaffold (the compacted, event_id-clustered committed events
+    * clone — an update MUTATES, so the measured op owns its table) and
+    * emits one audit row: the three-stage narrowing counts plus two
+    * post-update scalars — rows_updated re-counted FROM the table
+    * (shifted user_id marker) and the row-count invariance check — so
+    * the emitted row itself witnesses that exactly the matched rows
+    * changed and none vanished. TableCommitSpec pins the full
+    * contracts (pre-update-row SET semantics, schema invariance,
+    * stats-column self-update re-recording stats, byte-untouched
+    * retained files, no-match no-op). */
+  private def tableUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val art = graft.operators.Sinks.artifact("delete_base", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, _) = graft.operators.TableCommit.resolve(table).get
+      val (mn, mx) = graft.operators.TableCommit
+        .statsRange(table, id0, "event_id").get
+      val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      val marker = 10000000L
+      val before = graft.operators.TableCommit.read(s, table).count()
+      val a = graft.operators.TableCommit.updateWhere(
+        s, table, "event_type", "event_id", lo, hi,
+        Map("user_id" -> (col("user_id") + lit(marker)),
+          "value" -> -col("value")))
+      val post = graft.operators.TableCommit.read(s, table)
+      val after = post.count()
+      val shifted = post.filter(col("user_id") >= lit(marker)).count()
+      import s.implicits._
+      Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
+          a.filesRewritten.toLong, a.rowsUpdated, shifted, before - after))
+        .toDF("n_files", "n_candidates", "n_rewritten",
+          "rows_updated", "rows_marked", "rows_lost")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ------------------------------------------------------------------- n_zorder
   /** Z-order layout audit: write the events table twice — Morton-
     * clustered on (user_id, event_id) vs single-key sorted on user_id —
@@ -1496,6 +1550,7 @@ object Etl {
     QueryDef("n_zorder", zorderQ, None),
     QueryDef("n_optimize_zorder", optimizeZorder, None),
     QueryDef("n_table_delete", tableDeleteQ, None),
+    QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

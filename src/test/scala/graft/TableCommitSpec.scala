@@ -460,6 +460,78 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.resolve(t).get._1 == id2, "no-match delete committed")
   }
 
+  test("row-level update: copy-on-write of only the hit files with " +
+      "pre-update-row SET semantics, row count invariant, schema and " +
+      "stats contracts held, untouched files byte-identical, no-match " +
+      "publishes nothing") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i * 10L, i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "w", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 4)
+    val (id1, files1) = TableCommit.resolve(t).get
+    def fileIds(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.map { rel =>
+        val f = new java.io.File(t, rel)
+        rel -> (f.length(), f.lastModified())
+      }.toMap
+    val beforeIds = fileIds(files1)
+    // SET w = id (the PRE-update id), id = id + 1000: if assignments
+    // were applied sequentially, w would read the shifted id
+    val a = TableCommit.updateWhere(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(150),
+      Map("w" -> col("id"), "id" -> (col("id") + lit(1000L))))
+    assert(a.snapshotBefore == id1 && a.snapshotAfter == id1 + 1)
+    assert(a.rowsUpdated == 51L, s"rowsUpdated=${a.rowsUpdated}")
+    assert(a.filesCandidates < a.filesTotal,
+      s"stats pruned nothing (${a.filesCandidates} of ${a.filesTotal})")
+    // pt=2's adopted row predates the w column — the evolved schema of
+    // record reads it null (sentinel −1 below), untouched by the update
+    val expect = rows.map { case (id, v, w, pt) =>
+      if (id >= 100 && id <= 150) (id + 1000L, v, id, pt) else (id, v, w, pt)
+    }.toSet + ((5L, "e", -1L, 2))
+    val got = TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("w"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).toSet
+    assert(got == expect, "post-update rows diverged from SQL semantics")
+    // schema of record invariant: id stayed LongType through the cast rule
+    assert(TableCommit.read(spark, t).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // retained pre-update files byte-untouched
+    val (id2, files2) = TableCommit.resolve(t).get
+    val retained = files2.toSet.intersect(files1.toSet).toSeq
+    assert(retained.nonEmpty)
+    assert(fileIds(retained) == beforeIds.filter(kv => retained.contains(kv._1)),
+      "a retained file was modified in place")
+    assert(files1.toSet.diff(files2.toSet).size == a.filesRewritten)
+    // Halloween-safety + fresh stats over NEW values: the band moved to
+    // [1100,1150] and a pruned read there finds exactly the moved rows
+    val moved = TableCommit.readWhere(spark, t, "id",
+        BigDecimal(1100), BigDecimal(1150))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(moved == (1100L to 1150L).toSet, "moved band not re-statted")
+    val (kept, total) = TableCommit.pruneAudit(t, id2, "id",
+      BigDecimal(300), BigDecimal(350))
+    assert(kept < total, "post-update stats no longer skip")
+    // no-match band: nothing published
+    val b = TableCommit.updateWhere(spark, t, "pt", "id",
+      BigDecimal(5000), BigDecimal(6000), Map("w" -> lit(0L)))
+    assert(b.snapshotAfter == b.snapshotBefore && b.filesRewritten == 0 &&
+      b.rowsUpdated == 0L)
+    assert(TableCommit.resolve(t).get._1 == id2, "no-match update committed")
+    // guard rails: unknown SET column and partition-column SET both refuse
+    intercept[IllegalArgumentException] {
+      TableCommit.updateWhere(spark, t, "pt", "id",
+        BigDecimal(0), BigDecimal(10), Map("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.updateWhere(spark, t, "pt", "id",
+        BigDecimal(0), BigDecimal(10), Map("pt" -> lit(9)))
+    }
+  }
+
   test("row-level delete racing a DISJOINT-partition replace: both land; " +
       "racing a replace of a hit partition: serializes or conflicts " +
       "cleanly — never torn") {

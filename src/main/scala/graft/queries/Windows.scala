@@ -442,7 +442,129 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  // ------------------------------------------------------------------- q_funnel
+  /** Ordered conversion funnel (view → click → purchase), the product-
+    * analytics staple the engine lacked: a user reaches step N only
+    * with an event STRICTLY AFTER their step-N−1 time — "clicked, then
+    * viewed" does not convert, which is why a per-type min() agg alone
+    * is wrong. Three chained conditional window-mins over the SAME
+    * user partition resolve the stages: `v` = first view, `c` = first
+    * click after `v`, `p` = first purchase after `c` — each frame is
+    * the whole partition (no ORDER BY ⇒ no sort), so the plan is ONE
+    * exchange by user_id with three pipelined window passes, then a
+    * per-user collapse and a scalar aggregate. Output: 3 step rows
+    * with reached-counts and step-over-step conversion (step 1
+    * converts against the total user base). At 100 TB: user_id is the
+    * only shuffle key; the step table is 3 rows. */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("us") > col("v"),
+          col("us"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("us") > col("c"),
+          col("us"))).over(w))
+    val t = staged.groupBy(col("user_id"))
+      .agg(min(col("v")).as("v"), min(col("c")).as("c"), min(col("p")).as("p"))
+      .agg(count(lit(1)).as("n_total"), count(col("v")).as("nv"),
+        count(col("c")).as("nc"), count(col("p")).as("np"))
+    def conv(n: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      when(prev === 0L, lit(null).cast("double"))
+        .otherwise(graft.functions.Parity.dround(n * lit(1.0) / prev, 4))
+    t.select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("stage"),
+          col("nv").as("n_users"), conv(col("nv"), col("n_total")).as("conversion")),
+        struct(lit(2L).as("step"), lit("click").as("stage"),
+          col("nc").as("n_users"), conv(col("nc"), col("nv")).as("conversion")),
+        struct(lit(3L).as("step"), lit("purchase").as("stage"),
+          col("np").as("n_users"), conv(col("np"), col("nc")).as("conversion"))))
+        .as("r"))
+      .select(col("r.step"), col("r.stage"), col("r.n_users"),
+        col("r.conversion"))
+      .orderBy(col("step"))
+  }
+
+  private val funnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS v FROM ev),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > v
+      |         THEN us END) OVER (PARTITION BY user_id) AS c FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c
+      |         THEN us END) OVER (PARTITION BY user_id) AS p FROM s2),
+      |u AS (SELECT user_id, min(v) AS v, min(c) AS c, min(p) AS p
+      |      FROM s3 GROUP BY user_id),
+      |t AS (SELECT count(*) AS n_total, count(v) AS nv, count(c) AS nc,
+      |        count(p) AS np FROM u)
+      |SELECT step, stage, n_users, conversion FROM (
+      |  SELECT 1 AS step, 'view' AS stage, nv AS n_users,
+      |    CASE WHEN n_total = 0 THEN NULL
+      |      ELSE round(nv * 1.0 / n_total, 4) END AS conversion FROM t
+      |  UNION ALL
+      |  SELECT 2, 'click', nc,
+      |    CASE WHEN nv = 0 THEN NULL ELSE round(nc * 1.0 / nv, 4) END FROM t
+      |  UNION ALL
+      |  SELECT 3, 'purchase', np,
+      |    CASE WHEN nc = 0 THEN NULL ELSE round(np * 1.0 / nc, 4) END FROM t)
+      |ORDER BY step""".stripMargin
+
+  // --------------------------------------------------------- q_retention_cohort
+  /** Cohort retention matrix — the other product-analytics staple: each
+    * user's cohort is the epoch-WEEK of their first event (a
+    * whole-partition window min, no sort), each activity row lands in
+    * (cohort_week, week_offset), and retention is that cell's distinct
+    * users over the cohort's size (its offset-0 cell — every user is
+    * active in their own first week by definition, so offset 0 IS the
+    * cohort size). Week bucketing is integer `div` on epoch-µs — a
+    * double division rounds UP at exact week boundaries and would fork
+    * the two engines' floors. Plan: one exchange by user_id (window),
+    * the distinct-count agg, then the cohort size as a WINDOW MAX over
+    * the aggregated |cohorts × offsets|-row frame (the q_freq_spectrum
+    * bucket-totals pattern) — a self-JOIN back to the base frame would
+    * duplicate the whole corpus subtree into the join's build side and
+    * scan 100 TB twice. */
+  private def retentionCohort(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+    val byCohort = Window.partitionBy(col("cohort_wk"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("wk", expr(s"us div ${weekUs}L"))
+      .withColumn("cohort_wk", min(col("wk")).over(w))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("n0",
+        max(when(col("week_offset") === 0L, col("n_users"))).over(byCohort))
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        graft.functions.Parity.dround(col("n_users") * lit(1.0) / col("n0"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  private val retentionCohortSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      |      FROM ev),
+      |r AS (SELECT cohort_wk, wk - cohort_wk AS week_offset,
+      |        count(DISTINCT user_id) AS n_users
+      |      FROM c GROUP BY 1, 2),
+      |z AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+      |        OVER (PARTITION BY cohort_wk) AS n0 FROM r)
+      |SELECT cohort_wk, week_offset, n_users,
+      |  round(n_users * 1.0 / n0, 4) AS retention
+      |FROM z
+      |ORDER BY cohort_wk, week_offset""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel", funnel, Some(funnelSql)),
+    QueryDef("q_retention_cohort", retentionCohort, Some(retentionCohortSql)),
     QueryDef("q_scd2", scd2, Some(scd2Sql)),
     QueryDef("q_range_cooccur", rangeCooccur, Some(rangeCooccurSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),

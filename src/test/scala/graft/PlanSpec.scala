@@ -334,6 +334,32 @@ class PlanSpec extends GraftSpec {
         p.take(3000))
   }
 
+  test("q_funnel shares ONE user-partitioned shuffle across all three " +
+      "stage windows and the per-user collapse — no join, no sort") {
+    val p = plan("q_funnel")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected one user_id shuffle feeding the three window passes " +
+        s"and the per-user agg, got $userExchanges:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_retention_cohort: ONE user_id window shuffle, the rate from a " +
+      "window over the aggregated cohort frame — no join, no second scan") {
+    val p = plan("q_retention_cohort")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "rate computation regressed to a self-join (double corpus scan): " +
+        p.take(2000))
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected one user_id shuffle, got $userExchanges:\n" + p.take(3000))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "events scanned more than once: " + p.take(3000))
+  }
+
   test("q_bpe_pairs aggregates with map-side partial combine and takes " +
       "top-k without a global sort") {
     val p = plan("q_bpe_pairs")

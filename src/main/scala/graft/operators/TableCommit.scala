@@ -365,6 +365,46 @@ object TableCommit {
     (newest, filesOf(newest).filterNot(before))
   }
 
+  /** BOTH directions of the manifest diff since `sinceId` —
+    * (files added, files removed), metadata-only. What an incremental
+    * consumer needs to classify a source commit: a partition whose
+    * files were only ADDED can be folded in as a delta; one that had
+    * files REMOVED (replace / compact / delete / update rewrote it)
+    * cannot — its rows changed in place and the consumer must
+    * recompute it from the newest snapshot ([[IncrementalView]]'s
+    * routing decision). */
+  def changedFileSets(table: String,
+      sinceId: Long): (Seq[String], Seq[String]) = {
+    val all = manifests(table)
+    val since = all.find(_._1 == sinceId).getOrElse(sys.error(
+      s"snapshot $sinceId of $table is outside the retention window"))
+    val (_, newest) = all.maxBy(_._1)
+    val before = filesOf(since._2)
+    val after = filesOf(newest)
+    (after.filterNot(before.toSet), before.filterNot(after.toSet))
+  }
+
+  /** Read an explicit file subset of snapshot `id` — the pinned-read
+    * primitive an incremental consumer uses for its added-file delta.
+    * Every path must be listed by that manifest. */
+  def readFileSubset(s: SparkSession, table: String, id: Long,
+      files: Seq[String]): DataFrame =
+    manifests(table).find(_._1 == id) match {
+      case Some((_, m)) =>
+        val listed = filesOf(m).toSet
+        val unknown = files.filterNot(listed)
+        require(unknown.isEmpty,
+          s"file(s) not in snapshot $id of $table: $unknown")
+        readFiles(s, table, m, files)
+      case None => sys.error(
+        s"snapshot $id of $table is outside the retention window")
+    }
+
+  /** First path segment of a manifest-relative data-file path — its
+    * partition directory (`pt=5/part-x.parquet` → `pt=5`); the public
+    * twin of [[partDir]] for consumers classifying a manifest diff. */
+  def partitionDirOf(rel: String): String = partDir(rel)
+
   /** First path segment of a relative data-file path — its partition
     * directory (`pt=5/part-x.parquet` → `pt=5`). */
   private def partDir(rel: String): String = rel.takeWhile(_ != '/')
@@ -530,6 +570,86 @@ object TableCommit {
             s"concurrent commit $winId of $table modified dirty " +
               s"partitions ${dirtyDirs.mkString(",")} — re-read and re-derive")
         }
+        baseId = winId
+        baseFiles = winFiles
+      }
+    }
+  }
+
+  /** BLIND APPEND as a commit — the INSERT INTO verb: add `df`'s rows
+    * to the table without removing anything. An append reads no table
+    * state, so it can NEVER conflict (Delta's append rule — appends
+    * serialize with every concurrent commit): the OCC loop always
+    * rebases, simply adding its fresh files to whatever the winner
+    * published. Existing files and their stats are untouched; fresh
+    * files record `#stats` for `clusterBy` columns (sorted within
+    * their partition file so the ranges are tight); the txn ledger
+    * gives streaming/replayed appenders the same exactly-once guard as
+    * [[replacePartitions]]; the schema of record evolves by the same
+    * merge rule. This is the commit class an incremental consumer
+    * ([[IncrementalView]]) can fold in as a pure delta. */
+  def appendRows(s: SparkSession, table: String, partCol: String,
+      df: DataFrame, txn: Option[(String, Long)] = None,
+      clusterBy: Seq[String] = Nil): Unit = {
+    initIfAbsent(table)
+    def alreadyApplied: Boolean = txn.exists { case (app, v) =>
+      lastTxnVersion(table, app).exists(_ >= v)
+    }
+    if (alreadyApplied) return
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new java.io.File(table, s"_stage_$writerId")
+    val shaped = clusterBy.headOption match {
+      case Some(c) => df.repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(c))
+      case None => df.repartition(col(partCol))
+    }
+    shaped.write.mode("overwrite").partitionBy(partCol)
+      .parquet(stage.getAbsolutePath)
+    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isDirectory && p.getName.contains("="))
+      .flatMap { p =>
+        Option(p.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val destDir = new java.io.File(table, p.getName)
+            destDir.mkdirs()
+            val rel = s"${p.getName}/${writerId}_${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(table, rel).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }
+    Sinks.deleteRecursively(stage)
+    val freshStats =
+      if (clusterBy.nonEmpty && fresh.nonEmpty)
+        fileStats(s, table, fresh, clusterBy)
+      else Map.empty[(String, String), (String, String)]
+    var (baseId, baseFiles) = resolve(table).get
+    var committed = false
+    while (!committed) {
+      val next = baseFiles ++ fresh
+      val baseM = manifests(table).find(_._1 == baseId)
+      val baseTxns = baseM.map(m => txnsOf(m._2)).getOrElse(Map.empty)
+      val nextTxns = txn.fold(baseTxns) { case (app, v) =>
+        baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
+      }
+      val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty) ++
+        freshStats
+      val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
+        org.apache.spark.sql.types.StructType(
+          bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
+            df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
+      }
+      if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
+          nextStats)) {
+        vacuum(table, baseId + 1)
+        committed = true
+      } else if (alreadyApplied) {
+        committed = true
+      } else {
+        // an append never conflicts — rebase unconditionally
+        val (winId, winFiles) = resolve(table).get
         baseId = winId
         baseFiles = winFiles
       }

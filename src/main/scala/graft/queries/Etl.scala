@@ -586,6 +586,86 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // --------------------------------------------------------------- n_incr_view
+  /** Incremental materialized-view maintenance — the CDC feed's
+    * consumer ([[graft.operators.IncrementalView]]): a per-
+    * (event_type, user_id) count/sum view over the committed events
+    * table is advanced through two source commits, each sync
+    * processing ONLY the manifest diff. Cycle 1 is a blind APPEND (a
+    * deterministic ~1% slice of real events re-keyed above the id
+    * domain) → the sync folds the added files into the view's current
+    * state (partsRecomputed = 0); cycle 2 is a row-level DELETE → the
+    * rewritten partitions recompute from the pinned newest snapshot.
+    * After each cycle the view is diffed against a from-scratch
+    * recompute (the emitted n_mismatch — integer aggregates, so the
+    * fold order cannot fork doubles); positions ride the sink's txn
+    * ledger, so a replayed cycle is a no-op (spec-pinned). At 100 TB:
+    * view maintenance cost tracks the COMMIT's write set, never the
+    * table — the reason a manifest log exists. */
+  private def incrViewQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{IncrementalView, TableCommit}
+    val art = graft.operators.Sinks.artifact("delete_base", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      TableCommit.initIfAbsent(table)
+      val dirs = TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_iv_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val view = new java.io.File(base, "view").getAbsolutePath
+    val aggFn: DataFrame => DataFrame = df =>
+      df.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+    val combineFn: (DataFrame, DataFrame) => DataFrame = (cur, part) =>
+      cur.unionByName(part).groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("id_sum")).as("id_sum"))
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(src))
+      IncrementalView.sync(s, src, view, "ev_counts", "event_type",
+        aggFn, combineFn)
+      def mismatch(): Long = {
+        val v = TableCommit.read(s, view)
+        val r = aggFn(TableCommit.read(s, src))
+        v.exceptAll(r).count() + r.exceptAll(v).count()
+      }
+      val (_, mx) = TableCommit.statsRange(src,
+        TableCommit.resolve(src).get._1, "event_id").get
+      // cycle 1: blind append of a deterministic slice, re-keyed past
+      // the live id domain so the rows are genuinely new
+      val delta = Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(97)) === 0)
+        .select((col("event_id") + lit(mx.toLong + 1)).as("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      TableCommit.appendRows(s, src, "event_type", delta,
+        clusterBy = Seq("event_id"))
+      val a1 = IncrementalView.sync(s, src, view, "ev_counts", "event_type",
+        aggFn, combineFn)
+      val m1 = mismatch()
+      // cycle 2: row-level delete rewrites hit files → recompute route
+      val lo = mx.toLong * 3 / 16
+      TableCommit.deleteWhere(s, src, "event_type", "event_id",
+        BigDecimal(lo), BigDecimal(mx.toLong * 4 / 16))
+      val a2 = IncrementalView.sync(s, src, view, "ev_counts", "event_type",
+        aggFn, combineFn)
+      val m2 = mismatch()
+      import s.implicits._
+      Seq(
+        (1L, a1.mode, a1.filesProcessed.toLong, a1.partsRecomputed.toLong,
+          a1.partsDelta.toLong, m1),
+        (2L, a2.mode, a2.filesProcessed.toLong, a2.partsRecomputed.toLong,
+          a2.partsDelta.toLong, m2))
+        .toDF("cycle", "mode", "n_files", "n_parts_recomputed",
+          "n_parts_delta", "n_mismatch")
+        .orderBy(col("cycle"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ------------------------------------------------------------------- n_zorder
   /** Z-order layout audit: write the events table twice — Morton-
     * clustered on (user_id, event_id) vs single-key sorted on user_id —
@@ -1551,6 +1631,7 @@ object Etl {
     QueryDef("n_optimize_zorder", optimizeZorder, None),
     QueryDef("n_table_delete", tableDeleteQ, None),
     QueryDef("n_table_update", tableUpdateQ, None),
+    QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

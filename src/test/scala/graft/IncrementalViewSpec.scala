@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalView, TableCommit}
+
+/** Contract of incremental materialized-view maintenance over the
+  * commit protocol: a view synced per source commit processes only the
+  * manifest diff (append-only partitions fold in as deltas; rewritten
+  * partitions recompute from the pinned newest snapshot), its position
+  * advances atomically with its data through the sink's txn ledger
+  * (replay = structural no-op), and a position that left the source's
+  * retention window degrades to a full rebuild — never a wrong
+  * answer. */
+class IncrementalViewSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshPair(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv").toFile
+    (new java.io.File(dir, "src").getAbsolutePath,
+      new java.io.File(dir, "view").getAbsolutePath)
+  }
+
+  private val aggFn: DataFrame => DataFrame = df =>
+    df.groupBy(col("pt")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+
+  private val combineFn: (DataFrame, DataFrame) => DataFrame = (cur, part) =>
+    cur.unionByName(part).groupBy(col("pt"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+
+  private def viewRows(t: String): Set[(Int, Long, Long)] =
+    TableCommit.read(spark, t)
+      .select(col("pt").cast("int"), col("n"), col("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def recompute(src: String): Set[(Int, Long, Long)] =
+    aggFn(TableCommit.read(spark, src))
+      .select(col("pt").cast("int"), col("n"), col("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def seed(src: String): Unit =
+    TableCommit.replacePartitions(spark, src, "pt",
+      Seq("pt=0", "pt=1", "pt=2"),
+      (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 4)
+
+  test("first sync is a full build; a re-sync with no source commit is " +
+      "a noop; an append-only commit folds in as a delta touching ONLY " +
+      "the appended partitions") {
+    val (src, view) = freshPair()
+    seed(src)
+    val a1 = IncrementalView.sync(spark, src, view, "v1", "pt",
+      aggFn, combineFn)
+    assert(a1.mode == "full", a1.toString)
+    assert(viewRows(view) == recompute(src), "full build diverged")
+    val a2 = IncrementalView.sync(spark, src, view, "v1", "pt",
+      aggFn, combineFn)
+    assert(a2.mode == "noop", a2.toString)
+    // blind append: two files into pt=0 (existing) and pt=3 (new)
+    val (vid1, vfiles1) = TableCommit.resolve(view).get
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((1000L, 0), (1001L, 0), (1002L, 3)).toDF("id", "pt"),
+      clusterBy = Seq("id"))
+    val a3 = IncrementalView.sync(spark, src, view, "v1", "pt",
+      aggFn, combineFn)
+    assert(a3.mode == "incremental" && a3.partsRecomputed == 0 &&
+      a3.partsDelta == 2, a3.toString)
+    assert(viewRows(view) == recompute(src), "delta fold diverged")
+    // view partitions the delta never touched (pt=1, pt=2) are the
+    // SAME files, byte-untouched
+    val (_, vfiles2) = TableCommit.resolve(view).get
+    val untouched = Set("pt=1", "pt=2")
+    assert(vfiles1.filter(f => untouched(TableCommit.partitionDirOf(f)))
+      .toSet.subsetOf(vfiles2.toSet),
+      "an untouched view partition was rewritten")
+    // replayed cycle: structural no-op
+    val a4 = IncrementalView.sync(spark, src, view, "v1", "pt",
+      aggFn, combineFn)
+    assert(a4.mode == "noop", a4.toString)
+  }
+
+  test("a rewrite commit (row-level delete) routes its partitions to " +
+      "RECOMPUTE — a delta fold over removed files would be wrong") {
+    val (src, view) = freshPair()
+    seed(src)
+    IncrementalView.sync(spark, src, view, "v2", "pt", aggFn, combineFn)
+    val d = TableCommit.deleteWhere(spark, src, "pt", "id",
+      BigDecimal(50), BigDecimal(80))
+    assert(d.filesRewritten > 0)
+    val a = IncrementalView.sync(spark, src, view, "v2", "pt",
+      aggFn, combineFn)
+    assert(a.mode == "incremental" && a.partsRecomputed > 0, a.toString)
+    assert(viewRows(view) == recompute(src), "recompute routing diverged")
+    // and a subsequent append still takes the cheap path
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((3000L, 1)).toDF("id", "pt"), clusterBy = Seq("id"))
+    val b = IncrementalView.sync(spark, src, view, "v2", "pt",
+      aggFn, combineFn)
+    assert(b.mode == "incremental" && b.partsRecomputed == 0 &&
+      b.partsDelta == 1, b.toString)
+    assert(viewRows(view) == recompute(src))
+  }
+
+  test("a position that left the source's retention window degrades to " +
+      "a FULL rebuild, never a wrong answer") {
+    val (src, view) = freshPair()
+    seed(src)
+    IncrementalView.sync(spark, src, view, "v3", "pt", aggFn, combineFn)
+    // two more source commits push the synced snapshot out of the
+    // newest/newest-1 retention window
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((5000L, 0)).toDF("id", "pt"), clusterBy = Seq("id"))
+    TableCommit.replacePartitions(spark, src, "pt", Seq("pt=2"),
+      (600 until 650).map(i => (i.toLong, 2)).toDF("id", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 2)
+    val a = IncrementalView.sync(spark, src, view, "v3", "pt",
+      aggFn, combineFn)
+    assert(a.mode == "full", a.toString)
+    assert(viewRows(view) == recompute(src), "fallback rebuild diverged")
+  }
+
+  test("blind append commit: prior files untouched and retained, rows " +
+      "unioned, two RACING appends both land without conflict, a " +
+      "replayed (appId, version) append is a no-op") {
+    val (src, _) = freshPair()
+    seed(src)
+    val (id1, files1) = TableCommit.resolve(src).get
+    val before = TableCommit.read(spark, src).count()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try TableCommit.appendRows(spark, src, "pt",
+        Seq((9001L, 0)).toDF("id", "pt"))
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try TableCommit.appendRows(spark, src, "pt",
+        Seq((9002L, 0)).toDF("id", "pt"))
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"racing appends failed: ${errs.peek()}")
+    val (id2, files2) = TableCommit.resolve(src).get
+    assert(id2 == id1 + 2, "both appends must commit")
+    assert(files1.toSet.subsetOf(files2.toSet),
+      "an append removed or rewrote an existing file")
+    assert(TableCommit.read(spark, src).count() == before + 2)
+    // exactly-once: replaying a version the ledger already carries
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((9003L, 0)).toDF("id", "pt"), txn = Some(("app-x", 7L)))
+    val afterTxn = TableCommit.read(spark, src).count()
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((9003L, 0)).toDF("id", "pt"), txn = Some(("app-x", 7L)))
+    assert(TableCommit.read(spark, src).count() == afterTxn,
+      "a replayed append applied twice")
+  }
+}

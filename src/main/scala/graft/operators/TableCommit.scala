@@ -128,6 +128,48 @@ object TableCommit {
       }
     }.toMap
 
+  /** Per-file ROW COUNTS a manifest carries (`#rows <n>\t<relpath>`
+    * directive lines — the Delta add-action's `numRecords`): every
+    * commit records the count for its fresh files from the same
+    * grouped scan that collects their `#stats`, and carries retained
+    * files' entries forward, so "how many rows is this snapshot /
+    * partition" is MANIFEST METADATA — the audit reads the table-format
+    * queries (history, compaction, OPTIMIZE) otherwise pay a data scan
+    * for. Files without an entry (adopted manifest-0) make the total
+    * unknowable — accessors return None and callers fall back to a
+    * real count. */
+  private val RowsPrefix = "#rows "
+
+  private def rowsOf(f: java.io.File): Map[String, Long] =
+    manifestLines(f).filter(_.startsWith(RowsPrefix)).flatMap { l =>
+      l.stripPrefix(RowsPrefix).split("\t", 2) match {
+        case Array(n, rel) => scala.util.Try(rel -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Snapshot row count from manifest metadata alone — Some iff EVERY
+    * data file of snapshot `id` carries a `#rows` entry. */
+  def rowCount(table: String, id: Long): Option[Long] =
+    manifests(table).find(_._1 == id).flatMap { case (_, m) =>
+      val rows = rowsOf(m)
+      val files = filesOf(m)
+      if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
+    }
+
+  /** Per-partition-dir row counts of snapshot `id`, metadata-only —
+    * Some iff every file has a `#rows` entry. */
+  def partitionRowCounts(table: String, id: Long): Option[Map[String, Long]] =
+    manifests(table).find(_._1 == id).flatMap { case (_, m) =>
+      val rows = rowsOf(m)
+      val files = filesOf(m)
+      if (files.forall(rows.contains))
+        Some(files.groupBy(partDir).map { case (dir, fs) =>
+          dir -> fs.map(rows).sum
+        })
+      else None
+    }
+
   /** Writer-transaction watermarks a manifest carries forward:
     * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
     * idempotent-writer ledger. Every commit copies the newest
@@ -181,7 +223,8 @@ object TableCommit {
   private def publish(table: String, id: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      stats: Map[(String, String), (String, String)] = Map.empty): Boolean = {
+      stats: Map[(String, String), (String, String)] = Map.empty,
+      rows: Map[String, Long] = Map.empty): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
@@ -189,7 +232,8 @@ object TableCommit {
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
-        s"$StatsPrefix$c\t$mn\t$mx\t$rel" }
+        s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
+      rows.toSeq.sortBy(_._1).map { case (rel, n) => s"$RowsPrefix$n\t$rel" }
     java.nio.file.Files.write(tmp.toPath,
       (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
@@ -498,6 +542,7 @@ object TableCommit {
       if (clusterBy.nonEmpty && fresh.nonEmpty)
         fileStats(s, table, fresh, clusterBy)
       else Map.empty[(String, String), (String, String)]
+    val freshRows = footerRows(table, fresh)
     val dirty = dirtyDirs.toSet
     var (baseId, baseFiles) = resolve(table).get
     // Lost-update guard: when the caller pins the snapshot its `df` was
@@ -535,6 +580,8 @@ object TableCommit {
       val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty)
         .filter { case ((rel, _), _) => retainedSet.contains(rel) } ++
         freshStats
+      val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => retainedSet.contains(rel) } ++ freshRows
       // SCHEMA EVOLUTION (round-9 verdict item 6): the published schema
       // of record MERGES the base snapshot's #schema with this commit's
       // — base column order kept (types updated where this writer
@@ -550,7 +597,7 @@ object TableCommit {
             df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
       }
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats)) {
+          nextStats, nextRows)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -625,6 +672,7 @@ object TableCommit {
       if (clusterBy.nonEmpty && fresh.nonEmpty)
         fileStats(s, table, fresh, clusterBy)
       else Map.empty[(String, String), (String, String)]
+    val freshRows = footerRows(table, fresh)
     var (baseId, baseFiles) = resolve(table).get
     var committed = false
     while (!committed) {
@@ -636,13 +684,15 @@ object TableCommit {
       }
       val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty) ++
         freshStats
+      val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty) ++
+        freshRows
       val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
         org.apache.spark.sql.types.StructType(
           bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
             df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
       }
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats)) {
+          nextStats, nextRows)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -655,6 +705,20 @@ object TableCommit {
       }
     }
   }
+
+  /** Exact row counts of just-written files from their parquet FOOTER
+    * metadata — a driver-side read of |rels| footers (local commits are
+    * small write sets), no Spark job. The source of each `#rows`
+    * manifest entry. */
+  private def footerRows(table: String, rels: Seq[String]): Map[String, Long] =
+    rels.map { rel =>
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(table, rel).toURI)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rel -> r.getRecordCount finally r.close()
+    }.toMap
 
   /** Per-file (min, max) of `c` across the just-written `rels` — maps
     * `input_file_name` back to the relative path by its last TWO path
@@ -810,6 +874,7 @@ object TableCommit {
       if (statsCols.nonEmpty && fresh.nonEmpty)
         fileStats(s, table, fresh, statsCols)
       else Map.empty[(String, String), (String, String)]
+    val freshRows = footerRows(table, fresh)
     val hitSet = hit.toSet
     var (baseId, baseFiles) = (baseId0, baseFiles0)
     var published = baseId0
@@ -824,6 +889,8 @@ object TableCommit {
       val retained = next.toSet
       val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
         .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
+      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => retained.contains(rel) } ++ freshRows
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -831,7 +898,7 @@ object TableCommit {
         .getOrElse(replacement.schema.json)
       val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
       if (publish(table, baseId + 1, next, txns, Some(schemaJson),
-          nextStats)) {
+          nextStats, nextRows)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true

@@ -462,7 +462,10 @@ object Etl {
         // pruning is structurally ~2x better than the first's)
         dirs, clusterBy = Seq("user_id", "event_id"), filesPerPartition = 16)
       val (id, _) = graft.operators.TableCommit.resolve(table).get
-      val nRows = graft.operators.TableCommit.read(s, table).count()
+      // every file of the clustering commit is fresh → `#rows` metadata
+      // covers the snapshot; the same-rows invariant costs no scan
+      val nRows = graft.operators.TableCommit.rowCount(table, id)
+        .getOrElse(graft.operators.TableCommit.read(s, table).count())
       val audit = Seq("user_id", "event_id").map { dim =>
         val (mn, mx) = graft.operators.TableCommit
           .statsRange(table, id, dim).get
@@ -500,7 +503,7 @@ object Etl {
     * amplification ∝ matching data, with a racing reader pinning
     * either snapshot, never a torn mix. */
   private def tableDeleteQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base", d) { p =>
+    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
       val table = new java.io.File(p, "table").getAbsolutePath
       graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
         new java.io.File(table))
@@ -520,10 +523,17 @@ object Etl {
       val (mn, mx) = graft.operators.TableCommit
         .statsRange(table, id0, "event_id").get
       val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
-      val before = graft.operators.TableCommit.read(s, table).count()
+      // #rows manifest metadata (footer-derived at commit time — ground
+      // truth independent of the delete's own hit accounting); the
+      // compacted artifact's files are all protocol-written, so the
+      // metadata covers both snapshots and the invariant costs no scan
+      def metaCount(id: Long): Long =
+        graft.operators.TableCommit.rowCount(table, id).getOrElse(
+          graft.operators.TableCommit.readAt(s, table, id).count())
+      val before = metaCount(id0)
       val a = graft.operators.TableCommit.deleteWhere(
         s, table, "event_type", "event_id", lo, hi)
-      val after = graft.operators.TableCommit.read(s, table).count()
+      val after = metaCount(a.snapshotAfter)
       import s.implicits._
       Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
           a.filesRewritten.toLong, before, a.rowsDeleted, after))
@@ -549,7 +559,7 @@ object Etl {
     * stats-column self-update re-recording stats, byte-untouched
     * retained files, no-match no-op). */
   private def tableUpdateQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base", d) { p =>
+    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
       val table = new java.io.File(p, "table").getAbsolutePath
       graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
         new java.io.File(table))
@@ -570,14 +580,17 @@ object Etl {
         .statsRange(table, id0, "event_id").get
       val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
       val marker = 10000000L
-      val before = graft.operators.TableCommit.read(s, table).count()
+      def metaCount(id: Long): Long =
+        graft.operators.TableCommit.rowCount(table, id).getOrElse(
+          graft.operators.TableCommit.readAt(s, table, id).count())
+      val before = metaCount(id0)
       val a = graft.operators.TableCommit.updateWhere(
         s, table, "event_type", "event_id", lo, hi,
         Map("user_id" -> (col("user_id") + lit(marker)),
           "value" -> -col("value")))
-      val post = graft.operators.TableCommit.read(s, table)
-      val after = post.count()
-      val shifted = post.filter(col("user_id") >= lit(marker)).count()
+      val after = metaCount(a.snapshotAfter)
+      val shifted = graft.operators.TableCommit.read(s, table)
+        .filter(col("user_id") >= lit(marker)).count()
       import s.implicits._
       Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
           a.filesRewritten.toLong, a.rowsUpdated, shifted, before - after))
@@ -1588,7 +1601,11 @@ object Etl {
       ((newest - id).toInt,
         files.length.toLong,
         files.map(f => f.takeWhile(_ != '/')).distinct.length.toLong,
-        graft.operators.TableCommit.readAt(s, table, id).count(),
+        // `#rows` manifest metadata when every file carries it (any
+        // snapshot fully written under the protocol); a pinned
+        // time-travel count only for mixed adopted generations
+        graft.operators.TableCommit.rowCount(table, id).getOrElse(
+          graft.operators.TableCommit.readAt(s, table, id).count()),
         skipped)
     }.toDF("generation", "n_files", "n_partitions", "n_rows",
         "n_files_skipped")

@@ -460,6 +460,46 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.resolve(t).get._1 == id2, "no-match delete committed")
   }
 
+  test("#rows manifest metadata: every commit verb records footer-exact " +
+      "per-file counts, carried forward with its files; an adopted " +
+      "snapshot reports None until fully rewritten") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    // adopted manifest-0: no #rows entries → unknowable
+    assert(TableCommit.rowCount(t, 0L).isEmpty)
+    val rows = (0 until 200).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 4)
+    val id1 = TableCommit.resolve(t).get._1
+    // pt=2's adopted file still has no entry → total still None, but
+    // the fresh files' partition sums are exact once the adopted one
+    // is replaced
+    assert(TableCommit.rowCount(t, id1).isEmpty)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((900L, "z", 2)).toDF("id", "v", "pt"))
+    val id2 = TableCommit.resolve(t).get._1
+    assert(TableCommit.rowCount(t, id2).contains(201L))
+    assert(TableCommit.partitionRowCounts(t, id2).contains(
+      Map("pt=0" -> 100L, "pt=1" -> 100L, "pt=2" -> 1L)))
+    // append adds its count on top
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((901L, "a", 0), (902L, "b", 1)).toDF("id", "v", "pt"))
+    assert(TableCommit.rowCount(t, TableCommit.resolve(t).get._1)
+      .contains(203L))
+    // delete rewrites hit files; metadata tracks the survivors
+    val d = TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(50), BigDecimal(59))
+    assert(d.rowsDeleted == 10L)
+    assert(TableCommit.rowCount(t, d.snapshotAfter).contains(193L))
+    // update keeps the count invariant
+    val u = TableCommit.updateWhere(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(9), Map("v" -> lit("x")))
+    assert(TableCommit.rowCount(t, u.snapshotAfter).contains(193L))
+    // and the metadata agrees with a real count throughout
+    assert(TableCommit.read(spark, t).count() == 193L)
+  }
+
   test("row-level update: copy-on-write of only the hit files with " +
       "pre-update-row SET semantics, row count invariant, schema and " +
       "stats contracts held, untouched files byte-identical, no-match " +

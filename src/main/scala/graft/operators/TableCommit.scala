@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, element_at, input_file_name, lit, max, min, not, split => fsplit}
 
 /** Minimal ATOMIC COMMIT protocol for the engine's mutable partitioned
   * tables (round-8 verdict item 4) — the "table format's commit
@@ -170,6 +170,64 @@ object TableCommit {
       else None
     }
 
+  /** DELETION-VECTOR directives a manifest carries (`#dv <dvdir>\t
+    * <datafile-rel>` lines — Delta's deletion vectors / Iceberg v2
+    * position deletes): a MERGE-ON-READ delete ([[deleteWhereMor]])
+    * marks dead ROW POSITIONS of a data file in a parquet sidecar tree
+    * under `_dv/<writerId>` instead of rewriting the file — write cost
+    * ∝ deleted rows, zero data-file churn — and every snapshot read
+    * anti-joins the file's registered vectors on
+    * (`_metadata.file_path`'s last two segments, `_metadata.row_index`).
+    * A file may accumulate several vectors across commits (each line
+    * adds one); any copy-on-write rewrite of the file (compaction,
+    * CoW delete/update) reads THROUGH the vectors and drops the
+    * entries with the file — materialization for free. */
+  private val DvPrefix = "#dv "
+
+  /** data-file rel → its registered DV dirs (order = commit order). */
+  private def dvOf(f: java.io.File): Map[String, Seq[String]] =
+    manifestLines(f).filter(_.startsWith(DvPrefix)).flatMap { l =>
+      l.stripPrefix(DvPrefix).split("\t", 2) match {
+        case Array(dv, rel) => Some(rel -> dv)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) }
+
+  /** The (last-two-path-segments, row-position) key both sides of the
+    * DV anti-join compute — executor-side string ops on the hidden
+    * `_metadata` column, so writer and reader derive the key from the
+    * SAME URI rendering and no driver-side decode can skew it. */
+  private def dvKeyCols(df: DataFrame): DataFrame = {
+    val segs = fsplit(col("_metadata").getField("file_path"), "/")
+    df.withColumn("__graft_dvk",
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .withColumn("__graft_dvp", col("_metadata").getField("row_index"))
+  }
+
+  /** Drop rows of `keyed` (a [[dvKeyCols]]-tagged frame) that any of
+    * the manifest's vectors covering `files` mark dead. */
+  private def applyDv(s: SparkSession, table: String, m: java.io.File,
+      files: Seq[String], keyed: DataFrame): DataFrame = {
+    val want = files.toSet
+    val dirs = dvOf(m).filter { case (rel, _) => want(rel) }
+      .values.flatten.toSeq.distinct.sorted
+    if (dirs.isEmpty) keyed
+    else {
+      val dv = s.read.parquet(dirs.map(dir => s"$table/$dir"): _*)
+        .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
+      keyed.join(dv,
+        keyed("__graft_dvk") === col("__dv_k") &&
+          keyed("__graft_dvp") === col("__dv_p"),
+        "left_anti")
+    }
+  }
+
+  /** True iff the manifest registers a vector for any of `files`. */
+  private def dvCovers(m: java.io.File, files: Seq[String]): Boolean = {
+    val want = files.toSet
+    dvOf(m).keysIterator.exists(want)
+  }
+
   /** Writer-transaction watermarks a manifest carries forward:
     * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
     * idempotent-writer ledger. Every commit copies the newest
@@ -224,7 +282,8 @@ object TableCommit {
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       stats: Map[(String, String), (String, String)] = Map.empty,
-      rows: Map[String, Long] = Map.empty): Boolean = {
+      rows: Map[String, Long] = Map.empty,
+      dv: Map[String, Seq[String]] = Map.empty): Boolean = {
     val dir = manifestDir(table)
     dir.mkdirs()
     val tmp = new java.io.File(dir,
@@ -233,7 +292,9 @@ object TableCommit {
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
         s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
-      rows.toSeq.sortBy(_._1).map { case (rel, n) => s"$RowsPrefix$n\t$rel" }
+      rows.toSeq.sortBy(_._1).map { case (rel, n) => s"$RowsPrefix$n\t$rel" } ++
+      dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
+        dirs.map(d => s"$DvPrefix$d\t$rel") }
     java.nio.file.Files.write(tmp.toPath,
       (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
@@ -269,14 +330,24 @@ object TableCommit {
     if (files.isEmpty) emptySnapshot(s, table, m)
     else {
       val rd = s.read.option("basePath", table)
+      val raw = schemaOf(m) match {
+        case Some(sch) => rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
+        case None => rd.parquet(files.map(f => s"$table/$f"): _*)
+      }
+      // deletion vectors: anti-join the registered dead positions
+      // before any projection (the key needs the hidden _metadata col)
+      val live =
+        if (dvCovers(m, files))
+          applyDv(s, table, m, files, dvKeyCols(raw))
+            .drop("__graft_dvk", "__graft_dvp")
+        else raw
       schemaOf(m) match {
         case Some(sch) =>
           // re-project to the directive's column order: Spark appends
           // partition columns at the END of a file-source read
           // regardless of their position in the provided schema
-          rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
-            .select(sch.fieldNames.map(col): _*)
-        case None => rd.parquet(files.map(f => s"$table/$f"): _*)
+          live.select(sch.fieldNames.map(col): _*)
+        case None => live
       }
     }
 
@@ -425,7 +496,16 @@ object TableCommit {
     val (_, newest) = all.maxBy(_._1)
     val before = filesOf(since._2)
     val after = filesOf(newest)
-    (after.filterNot(before.toSet), before.filterNot(after.toSet))
+    // a file whose deletion-vector coverage changed between the two
+    // snapshots was REWRITTEN in place (its live rows shrank) — it
+    // must appear on both sides of the diff, or an incremental
+    // consumer would fold it as if nothing happened
+    val dvBefore = dvOf(since._2)
+    val dvAfter = dvOf(newest)
+    val dvChanged = before.toSet.intersect(after.toSet).filter(f =>
+      dvBefore.getOrElse(f, Nil) != dvAfter.getOrElse(f, Nil))
+    (after.filter(f => !before.toSet(f) || dvChanged(f)),
+      before.filter(f => !after.toSet(f) || dvChanged(f)))
   }
 
   /** Read an explicit file subset of snapshot `id` — the pinned-read
@@ -551,14 +631,21 @@ object TableCommit {
     // precedes our loop (committing over it would silently drop its
     // rows). Without the pin, the current newest is trusted as base —
     // the single-writer callers' behavior, unchanged.
+    // dirty-partition state of a snapshot: its files AND their DV
+    // coverage — a merge-on-read delete changes no file list, but it
+    // changes the live rows this writer's replacement must reflect
+    def dirtyViewAt(id: Long, fs: Seq[String]): Seq[(String, Seq[String])] = {
+      val dv = manifests(table).find(_._1 == id)
+        .map(m => dvOf(m._2)).getOrElse(Map.empty)
+      fs.filter(f => dirty.contains(partDir(f))).sorted
+        .map(f => (f, dv.getOrElse(f, Nil)))
+    }
     readSnapshot.filter(_ != baseId).foreach { readId =>
       val readFiles = manifests(table).find(_._1 == readId).map(m => filesOf(m._2))
         .getOrElse(throw new CommitConflictException(
           s"snapshot $readId of $table left the retention window while " +
             "this writer computed its change — re-read and re-derive"))
-      def dirtyView(fs: Seq[String]) =
-        fs.filter(f => dirty.contains(partDir(f))).sorted
-      if (dirtyView(baseFiles) != dirtyView(readFiles))
+      if (dirtyViewAt(baseId, baseFiles) != dirtyViewAt(readId, readFiles))
         throw new CommitConflictException(
           s"commit(s) after snapshot $readId of $table modified dirty " +
             s"partitions ${dirtyDirs.mkString(",")} — re-read and re-derive")
@@ -582,6 +669,11 @@ object TableCommit {
         freshStats
       val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty)
         .filter { case (rel, _) => retainedSet.contains(rel) } ++ freshRows
+      // DV entries ride with their data files: a replaced file's
+      // vectors drop here — the rewrite read through them (readFiles
+      // is DV-aware), so this IS the materialization
+      val nextDv = baseM.map(m => dvOf(m._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => retainedSet.contains(rel) }
       // SCHEMA EVOLUTION (round-9 verdict item 6): the published schema
       // of record MERGES the base snapshot's #schema with this commit's
       // — base column order kept (types updated where this writer
@@ -597,7 +689,7 @@ object TableCommit {
             df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
       }
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats, nextRows)) {
+          nextStats, nextRows, nextDv)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -608,9 +700,7 @@ object TableCommit {
       } else {
         // a concurrent commit became base+1 first — rebase or conflict
         val (winId, winFiles) = resolve(table).get
-        def dirtyView(fs: Seq[String]) =
-          fs.filter(f => dirty.contains(partDir(f))).sorted
-        if (dirtyView(winFiles) != dirtyView(baseFiles)) {
+        if (dirtyViewAt(winId, winFiles) != dirtyViewAt(baseId, baseFiles)) {
           // this writer's fresh files are unreferenced orphans now;
           // the age-gated orphan sweep of a future vacuum collects them
           throw new CommitConflictException(
@@ -686,13 +776,14 @@ object TableCommit {
         freshStats
       val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty) ++
         freshRows
+      val nextDv = baseM.map(m => dvOf(m._2)).getOrElse(Map.empty)
       val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
         org.apache.spark.sql.types.StructType(
           bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
             df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
       }
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats, nextRows)) {
+          nextStats, nextRows, nextDv)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -814,12 +905,22 @@ object TableCommit {
     val byKey = candidates.map(r => lastTwo(r) -> r).toMap
     require(byKey.size == candidates.length,
       s"non-unique partition-dir/file-name keys among candidates: $candidates")
-    readFiles(s, table, m, candidates)
+    // grouped by the DV key (the same last-two-segments form, taken
+    // from _metadata BEFORE any deletion-vector anti-join —
+    // input_file_name() refuses multi-source plans); counts are LIVE
+    // matches, prior vectors applied
+    val rd = s.read.option("basePath", table)
+    val raw = schemaOf(m) match {
+      case Some(sch) =>
+        rd.schema(sch).parquet(candidates.map(f => s"$table/$f"): _*)
+      case None => rd.parquet(candidates.map(f => s"$table/$f"): _*)
+    }
+    applyDv(s, table, m, candidates, dvKeyCols(raw))
       .filter(pred)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .groupBy(col("__graft_dvk")).agg(count(lit(1)).as("n"))
       .collect()
       .flatMap { r =>
-        val key = lastTwo(r.getString(0))
+        val key = r.getString(0)
         byKey.get(key)
           .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
           .map(_ -> r.getLong(1))
@@ -844,6 +945,13 @@ object TableCommit {
   private def commitRewrite(s: SparkSession, table: String, partCol: String,
       baseId0: Long, baseFiles0: Seq[String], hit: Seq[String],
       replacement: DataFrame, statsCols: Seq[String]): Long = {
+    // the hit files' DV coverage as this rewrite READ it: a winner that
+    // registers a new vector on a hit file changes its live row set,
+    // and committing our rewrite would resurrect those rows — conflict
+    val hitSet0 = hit.toSet
+    val baseDvSig = manifests(table).find(_._1 == baseId0)
+      .map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+      .filter { case (rel, _) => hitSet0(rel) }
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val stage = new java.io.File(table, s"_stage_$writerId")
     val shaped = statsCols.headOption match {
@@ -886,11 +994,19 @@ object TableCommit {
             "DML rewrite read — re-read and re-derive")
       val next = baseFiles.filterNot(hitSet) ++ fresh
       val baseM = manifests(table).find(_._1 == baseId)
+      val winDvSig = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => hitSet(rel) }
+      if (winDvSig != baseDvSig)
+        throw new CommitConflictException(
+          s"concurrent commit of $table changed deletion-vector coverage " +
+            "of file(s) this DML rewrite read — re-read and re-derive")
       val retained = next.toSet
       val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
         .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
       val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
         .filter { case (rel, _) => retained.contains(rel) } ++ freshRows
+      val nextDv = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+        .filter { case (rel, _) => retained.contains(rel) }
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -898,7 +1014,7 @@ object TableCommit {
         .getOrElse(replacement.schema.json)
       val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
       if (publish(table, baseId + 1, next, txns, Some(schemaJson),
-          nextStats, nextRows)) {
+          nextStats, nextRows, nextDv)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -967,6 +1083,103 @@ object TableCommit {
     val published = commitRewrite(s, table, partCol, baseId0, baseFiles0,
       hit, survivors, statsCols)
     DeleteAudit(baseId0, published, total, candidates.length, hit.length,
+      rowsDeleted)
+  }
+
+  /** [[deleteWhereMor]]'s audit — `filesVectored` counts the hit files
+    * that gained a deletion vector; no data file is ever rewritten. */
+  final case class MorDeleteAudit(snapshotBefore: Long, snapshotAfter: Long,
+      filesTotal: Int, filesCandidates: Int, filesVectored: Int,
+      rowsDeleted: Long)
+
+  /** MERGE-ON-READ DELETE — [[deleteWhere]]'s deletion-vector twin
+    * (Delta deletion vectors / Iceberg v2 position deletes): instead of
+    * rewriting the hit files, mark their matching rows' POSITIONS dead
+    * in a parquet sidecar tree (`_dv/<writerId>`: one (key, pos) row
+    * per dead row) and publish a manifest that keeps the SAME file list
+    * but registers the vector against each hit file. Write cost ∝
+    * deleted rows — the latency-optimal half of the delete trade
+    * (copy-on-write pays the rewrite once and reads clean;
+    * merge-on-read commits in O(matches) and every reader pays a small
+    * anti-join until a compaction rewrite materializes the vectors —
+    * which happens automatically here, because every rewrite reads
+    * THROUGH [[readFiles]] and the replaced file's `#dv` entries drop
+    * with it). Narrowing stages 1-2 are shared with [[deleteWhere]];
+    * the hit scan and the position scan both run against the LIVE row
+    * set (prior vectors applied), so repeated MoR deletes stack without
+    * double-counting, and `#rows` entries are adjusted by the exact
+    * live match counts so [[rowCount]] stays metadata-exact. Stats are
+    * left as-is: dead rows only shrink a file's content, so recorded
+    * min/max remain CONSERVATIVE bounds and pruning stays sound.
+    * Conflicts: a winner that removed, rewrote, or re-vectored a hit
+    * file invalidates our position scan — conflict; anything else
+    * rebases (including appends and MoR deletes on OTHER files). */
+  def deleteWhereMor(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal): MorDeleteAudit = {
+    initIfAbsent(table)
+    val (baseId0, baseFiles0) = resolve(table).get
+    val m = manifests(table).find(_._1 == baseId0).get._2
+    val total = filesOf(m).length
+    val candidates = pruneFiles(m, column, lo, hi)
+    def matchPred = col(column) >= lit(lo.underlying) &&
+      col(column) <= lit(hi.underlying)
+    if (candidates.isEmpty)
+      return MorDeleteAudit(baseId0, baseId0, total, 0, 0, 0L)
+    val hitCounts = hitScan(s, table, m, candidates, matchPred)
+    val hit = candidates.filter(hitCounts.contains)
+    val rowsDeleted = hitCounts.valuesIterator.sum
+    if (hit.isEmpty)
+      return MorDeleteAudit(baseId0, baseId0, total, candidates.length, 0, 0L)
+    // dead positions among the LIVE rows of the hit files (prior
+    // vectors applied — stacked MoR deletes never re-kill a position)
+    val rd = s.read.option("basePath", table)
+    val raw = schemaOf(m) match {
+      case Some(sch) => rd.schema(sch).parquet(hit.map(f => s"$table/$f"): _*)
+      case None => rd.parquet(hit.map(f => s"$table/$f"): _*)
+    }
+    val live = applyDv(s, table, m, hit, dvKeyCols(raw))
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"_dv/$writerId"
+    live.filter(coalesce(matchPred, lit(false)))
+      .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
+      .write.mode("overwrite").parquet(s"$table/$dvRel")
+    val hitSet = hit.toSet
+    val baseDvSig = dvOf(m).filter { case (rel, _) => hitSet(rel) }
+    var (baseId, baseFiles) = (baseId0, baseFiles0)
+    var published = baseId0
+    var committed = false
+    while (!committed) {
+      if (!hitSet.subsetOf(baseFiles.toSet))
+        throw new CommitConflictException(
+          s"concurrent commit of $table removed or rewrote file(s) this " +
+            "MoR delete read — re-read and re-derive")
+      val baseM = manifests(table).find(_._1 == baseId)
+      val winDv = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+      if (winDv.filter { case (rel, _) => hitSet(rel) } != baseDvSig)
+        throw new CommitConflictException(
+          s"concurrent commit of $table changed deletion-vector coverage " +
+            "of file(s) this MoR delete read — re-read and re-derive")
+      val nextDv = winDv ++ hit.map(rel =>
+        rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
+      // exact metadata: each hit file's #rows entry shrinks by its
+      // live match count (files without an entry stay unknowable)
+      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
+        .map { case (rel, n) => rel -> (n - hitCounts.getOrElse(rel, 0L)) }
+      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
+      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
+      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
+      if (publish(table, baseId + 1, baseFiles, txns, schemaJson,
+          nextStats, nextRows, nextDv)) {
+        vacuum(table, baseId + 1)
+        published = baseId + 1
+        committed = true
+      } else {
+        val (winId, winFiles) = resolve(table).get
+        baseId = winId
+        baseFiles = winFiles
+      }
+    }
+    MorDeleteAudit(baseId0, published, total, candidates.length, hit.length,
       rowsDeleted)
   }
 
@@ -1050,6 +1263,17 @@ object TableCommit {
       .map(f => new java.io.File(table, f))
       .filter(f => f.lastModified() < cutoff)
       .foreach(_.delete())
+    // deletion-vector trees: keep every dir a kept manifest references;
+    // sweep the rest once stale (in-flight MoR writers' fresh trees are
+    // younger than the age gate, like data-file orphans)
+    val liveDv = keepM.flatMap { case (_, f) =>
+      dvOf(f).values.flatten
+    }.map(d => d.stripPrefix("_dv/")).toSet
+    Option(new java.io.File(table, "_dv").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => !liveDv.contains(d.getName) &&
+        d.lastModified() < cutoff)
+      .foreach(Sinks.deleteRecursively)
     dropM.foreach(_._2.delete())
   }
 }

@@ -599,6 +599,65 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------- n_table_delete_dv
+  /** MERGE-ON-READ DELETE over the committed events table —
+    * [[tableDeleteQ]]'s deletion-vector twin (same scaffold, same
+    * band): `TableCommit.deleteWhereMor` marks the matching rows'
+    * positions dead in a parquet sidecar and publishes a manifest that
+    * keeps the SAME data files, so the commit's write cost is the
+    * vector, not a rewrite. The emitted row carries the narrowing
+    * counts, metadata row accounting (before − deleted = after, all
+    * from `#rows`), and `n_files_touched` — a byte-level (length,
+    * mtime) sweep of every data file across the commit, which a
+    * merge-on-read delete must leave at ZERO (the copy-on-write twin
+    * rewrites `n_rewritten` files for the same band). Spec pins read ≡
+    * filtered, vector stacking, and rewrite materialization. */
+  private def tableDeleteDvQ(s: SparkSession, d: String): DataFrame = {
+    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dvdel_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, files0) = graft.operators.TableCommit.resolve(table).get
+      def fileSig(rels: Seq[String]): Map[String, (Long, Long)] =
+        rels.map { rel =>
+          val f = new java.io.File(table, rel)
+          rel -> (f.length(), f.lastModified())
+        }.toMap
+      val sig0 = fileSig(files0)
+      val (mn, mx) = graft.operators.TableCommit
+        .statsRange(table, id0, "event_id").get
+      val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      def metaCount(id: Long): Long =
+        graft.operators.TableCommit.rowCount(table, id).getOrElse(
+          graft.operators.TableCommit.readAt(s, table, id).count())
+      val before = metaCount(id0)
+      val a = graft.operators.TableCommit.deleteWhereMor(
+        s, table, "event_type", "event_id", lo, hi)
+      val after = metaCount(a.snapshotAfter)
+      val files1 = graft.operators.TableCommit.resolve(table).get._2
+      val touched = files1.count(rel =>
+        sig0.get(rel).forall(_ != fileSig(Seq(rel))(rel)))
+      import s.implicits._
+      Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
+          a.filesVectored.toLong, before, a.rowsDeleted, after,
+          touched.toLong))
+        .toDF("n_files", "n_candidates", "n_vectored",
+          "rows_before", "rows_deleted", "rows_after", "n_files_touched")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -1670,6 +1729,7 @@ object Etl {
     QueryDef("n_table_delete", tableDeleteQ, None),
     QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("n_incr_view", incrViewQ, None),
+    QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

@@ -101,6 +101,21 @@ class IncrementalViewSpec extends GraftSpec {
     assert(viewRows(view) == recompute(src))
   }
 
+  test("a merge-on-read delete on the source routes the vectored " +
+      "partitions to RECOMPUTE — the diff shows the files as rewritten " +
+      "even though no byte of data changed") {
+    val (src, view) = freshPair()
+    seed(src)
+    IncrementalView.sync(spark, src, view, "v4", "pt", aggFn, combineFn)
+    val a = TableCommit.deleteWhereMor(spark, src, "pt", "id",
+      BigDecimal(50), BigDecimal(80))
+    assert(a.filesVectored > 0 && a.rowsDeleted > 0, a.toString)
+    val b = IncrementalView.sync(spark, src, view, "v4", "pt",
+      aggFn, combineFn)
+    assert(b.mode == "incremental" && b.partsRecomputed > 0, b.toString)
+    assert(viewRows(view) == recompute(src), "MoR routing diverged")
+  }
+
   test("a position that left the source's retention window degrades to " +
       "a FULL rebuild, never a wrong answer") {
     val (src, view) = freshPair()

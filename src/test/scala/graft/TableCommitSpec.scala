@@ -500,6 +500,88 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).count() == 193L)
   }
 
+  test("merge-on-read delete: deletion vectors kill rows without " +
+      "touching a byte of data — read ≡ filtered, file list unchanged, " +
+      "#rows metadata exact, vectors stack on the live set, and a " +
+      "rewrite materializes them") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 4)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((900L, "z", 2)).toDF("id", "v", "pt"))
+    val (id1, files1) = TableCommit.resolve(t).get
+    assert(TableCommit.rowCount(t, id1).contains(401L))
+    def fileIds(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.map { rel =>
+        val f = new java.io.File(t, rel)
+        rel -> (f.length(), f.lastModified())
+      }.toMap
+    val before = fileIds(files1)
+    val a = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(150))
+    assert(a.snapshotBefore == id1 && a.snapshotAfter == id1 + 1)
+    assert(a.rowsDeleted == 51L, a.toString)
+    assert(a.filesVectored <= a.filesCandidates &&
+      a.filesCandidates < a.filesTotal, a.toString)
+    val (id2, files2) = TableCommit.resolve(t).get
+    assert(files2.toSet == files1.toSet, "MoR delete changed the file list")
+    assert(fileIds(files2) == before, "MoR delete touched a data file")
+    val expect1 = rows.filterNot(r => r._1 >= 100 && r._1 <= 150).toSet +
+      ((900L, "z", 2))
+    assert(snapshot(t) == expect1, "post-MoR rows diverged")
+    assert(TableCommit.rowCount(t, id2).contains(350L),
+      "#rows not adjusted by the vector")
+    // stacked vectors: the overlapping band kills only LIVE matches
+    val b = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(140), BigDecimal(160))
+    assert(b.rowsDeleted == 10L, b.toString)
+    val expect2 = rows.filterNot(r => r._1 >= 100 && r._1 <= 160).toSet +
+      ((900L, "z", 2))
+    assert(snapshot(t) == expect2, "stacked vectors diverged")
+    assert(TableCommit.rowCount(t, b.snapshotAfter).contains(340L))
+    // the pruned (stats) read path applies vectors too
+    val pruned = TableCommit.readWhere(spark, t, "id",
+        BigDecimal(150), BigDecimal(200))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(pruned == (161L to 200L).toSet, "pruned read ignored a vector")
+    // no-match band publishes nothing
+    val c = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(5000), BigDecimal(6000))
+    assert(c.snapshotAfter == c.snapshotBefore && c.filesVectored == 0)
+    // materialization: compaction reads THROUGH the vectors and drops
+    // them with the replaced files — rows invariant, metadata exact
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      clusterBy = Seq("id"), filesPerPartition = 2)
+    assert(snapshot(t) == expect2, "compaction resurrected vectored rows")
+    val idC = TableCommit.resolve(t).get._1
+    assert(TableCommit.rowCount(t, idC).contains(340L))
+    // and a copy-on-write delete now works on the clean files
+    val d = TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(9))
+    assert(d.rowsDeleted == 10L)
+    assert(TableCommit.rowCount(t, d.snapshotAfter).contains(330L))
+  }
+
+  test("a MoR delete surfaces in the manifest diff as a rewrite of the " +
+      "vectored files — the CDC/incremental-consumer contract") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 4)
+    val (idA, _) = TableCommit.resolve(t).get
+    val a = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(150))
+    val (added, removed) = TableCommit.changedFileSets(t, idA)
+    assert(added.toSet == removed.toSet && added.nonEmpty,
+      s"vectored files must appear on BOTH diff sides: +$added -$removed")
+    assert(added.length == a.filesVectored, s"+$added vs $a")
+  }
+
   test("row-level update: copy-on-write of only the hit files with " +
       "pre-update-row SET semantics, row count invariant, schema and " +
       "stats contracts held, untouched files byte-identical, no-match " +

@@ -116,6 +116,28 @@ class IncrementalViewSpec extends GraftSpec {
     assert(viewRows(view) == recompute(src), "MoR routing diverged")
   }
 
+  test("with graft.retention.generations raised, a consumer can lag " +
+      "several commits and still sync INCREMENTALLY") {
+    val (src, view) = freshPair()
+    seed(src)
+    TableCommit.setProperties(src,
+      Map("graft.retention.generations" -> "5"))
+    IncrementalView.sync(spark, src, view, "v5", "pt", aggFn, combineFn)
+    // three commits while the consumer sleeps — under the default
+    // retention its position would leave the window and force a full
+    // rebuild (the test below); here the manifest diff still resolves
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((7000L, 0)).toDF("id", "pt"), clusterBy = Seq("id"))
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((7001L, 1)).toDF("id", "pt"), clusterBy = Seq("id"))
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((7002L, 3)).toDF("id", "pt"), clusterBy = Seq("id"))
+    val a = IncrementalView.sync(spark, src, view, "v5", "pt",
+      aggFn, combineFn)
+    assert(a.mode == "incremental" && a.partsDelta == 3, a.toString)
+    assert(viewRows(view) == recompute(src), "deep-lag delta diverged")
+  }
+
   test("a position that left the source's retention window degrades to " +
       "a FULL rebuild, never a wrong answer") {
     val (src, view) = freshPair()

@@ -500,6 +500,40 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).count() == 193L)
   }
 
+  test("table properties: a metadata-only commit sets them, every verb " +
+      "carries them, and graft.retention.generations widens the vacuum " +
+      "window (deeper time travel)") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.setProperties(t, Map(
+      "graft.retention.generations" -> "4", "owner" -> "pipeline-a"))
+    assert(TableCommit.properties(t) == Map(
+      "graft.retention.generations" -> "4", "owner" -> "pipeline-a"))
+    // a later set merges per key, last writer wins
+    TableCommit.setProperties(t, Map("owner" -> "pipeline-b"))
+    assert(TableCommit.properties(t)("owner") == "pipeline-b")
+    assert(TableCommit.properties(t)("graft.retention.generations") == "4")
+    // data commits of every verb carry the properties forward
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      Seq((10L, "x", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((11L, "y", 0)).toDF("id", "v", "pt"))
+    TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(11), BigDecimal(11))
+    assert(TableCommit.properties(t)("owner") == "pipeline-b")
+    // retention 4: the last four snapshots are retained and readable —
+    // under the default (2) only newest and newest-1 would survive
+    val ids = TableCommit.history(t).map(_._1)
+    assert(ids.length == 4, s"retained $ids")
+    val oldest = ids.min
+    assert(TableCommit.readAt(spark, t, oldest).count() >= 0)
+    // dropping retention back to 2 shrinks the window on the next commit
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "2"))
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((12L, "z", 0)).toDF("id", "v", "pt"))
+    assert(TableCommit.history(t).map(_._1).length == 2)
+  }
+
   test("merge-on-read delete: deletion vectors kill rows without " +
       "touching a byte of data — read ≡ filtered, file list unchanged, " +
       "#rows metadata exact, vectors stack on the live set, and a " +

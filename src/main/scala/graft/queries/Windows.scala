@@ -562,7 +562,65 @@ object Windows {
       |FROM z
       |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  // ----------------------------------------------------------- q_rolling_active
+  /** Rolling active users — DAU, trailing-7-day WAU and the
+    * DAU/WAU stickiness ratio per day: the third product-analytics
+    * staple (funnel, retention, engagement). A rolling DISTINCT count
+    * has no window-function form (frames can't deduplicate), and the
+    * naive day×activity range self-join is quadratic in the window —
+    * the scale shape is BOUNDED FAN-OUT: each distinct (user, day)
+    * activity row contributes to exactly the ≤7 trailing windows it
+    * covers, so it explodes into (user, day+0..6) and ONE aggregation
+    * counts both measures — `wau7` as the plain distinct and `dau` as
+    * the distinct over the offset-0 arm (CASE-null excludes the rest).
+    * Day bucketing is integer `div` (the q_retention_cohort boundary
+    * rule); the end-of-range guard joins ONE scalar max row. Plan: the
+    * (user, day) distinct shuffle, the 7× fan-out (narrow), one
+    * grouped agg — output ∝ observed days. */
+  private def rollingActive(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), expr(s"us div ${dayUs}L").as("day"))
+      .distinct()
+    val mx = broadcast(Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"))
+      .agg(max(expr(s"us div ${dayUs}L")).as("mx")))
+    act.select(col("user_id"), col("day"),
+        explode(sequence(lit(0L), lit(6L))).as("o"))
+      .withColumn("wday", col("day") + col("o"))
+      .crossJoin(mx).filter(col("wday") <= col("mx"))
+      .groupBy(col("wday").as("day"))
+      .agg(
+        countDistinct(when(col("o") === 0L, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .select(col("day"), col("dau"), col("wau7"),
+        graft.functions.Parity.dround(
+          col("dau") * lit(1.0) / col("wau7"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingActiveSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |b AS (SELECT max(epoch_us(ts) // 86400000000) AS mx FROM events),
+      |fan AS (
+      |  SELECT a.user_id, a.day + o.o AS wday, o.o
+      |  FROM act a
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+      |  CROSS JOIN b
+      |  WHERE a.day + o.o <= b.mx)
+      |SELECT wday AS day,
+      |  count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+      |  count(DISTINCT user_id) AS wau7,
+      |  round(count(DISTINCT CASE WHEN o = 0 THEN user_id END) * 1.0
+      |    / count(DISTINCT user_id), 4) AS stickiness
+      |FROM fan GROUP BY wday
+      |ORDER BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_active", rollingActive, Some(rollingActiveSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
     QueryDef("q_retention_cohort", retentionCohort, Some(retentionCohortSql)),
     QueryDef("q_scd2", scd2, Some(scd2Sql)),

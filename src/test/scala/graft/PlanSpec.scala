@@ -334,6 +334,16 @@ class PlanSpec extends GraftSpec {
         p.take(3000))
   }
 
+  test("q_rolling_active: the only join arm is the 1-row scalar max " +
+      "broadcast — the rolling distinct never becomes a range self-join") {
+    val p = plan("q_rolling_active")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "rolling window regressed to a range self-join: " + p.take(2000))
+    // the fan-out is a narrow explode; the two distinct counts share
+    // one aggregation over it
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
   test("q_funnel shares ONE user-partitioned shuffle across all three " +
       "stage windows and the per-user collapse — no join, no sort") {
     val p = plan("q_funnel")

@@ -622,7 +622,6 @@ object TableCommit {
     // the write's inputs may include the table's own current snapshot
     // (a merge reads prev state); that is safe by construction — the
     // snapshot's files are immutable and this only creates new ones
-    val stage = new java.io.File(table, s"_stage_$writerId")
     // Layout of the fresh files: by default one shuffle task (→ one
     // file) per dirty partition. With `clusterBy` and
     // filesPerPartition > 1, each task instead owns a CONTIGUOUS slice
@@ -646,26 +645,7 @@ object TableCommit {
           .drop("__zc")
       case _ => df.repartition(col(partCol))
     }
-    val writer = shaped.write.mode("overwrite").partitionBy(partCol)
-    (if (maxRecordsPerFile > 0L)
-      writer.option("maxRecordsPerFile", maxRecordsPerFile)
-    else writer).parquet(stage.getAbsolutePath)
-    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isDirectory && p.getName.contains("="))
-      .flatMap { p =>
-        Option(p.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .map { f =>
-            val destDir = new java.io.File(table, p.getName)
-            destDir.mkdirs()
-            val rel = s"${p.getName}/${writerId}_${f.getName}"
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(table, rel).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            rel
-          }
-      }
-    Sinks.deleteRecursively(stage)
+    val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile)
     // `#stats` capture for the just-written files: one narrow grouped
     // aggregate over ONLY the fresh files (all clusterBy columns at
     // once), |fresh| scalar rows to the driver — commit-time metadata,
@@ -787,30 +767,12 @@ object TableCommit {
     }
     if (alreadyApplied) return
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new java.io.File(table, s"_stage_$writerId")
     val shaped = clusterBy.headOption match {
       case Some(c) => df.repartition(col(partCol))
         .sortWithinPartitions(col(partCol), col(c))
       case None => df.repartition(col(partCol))
     }
-    shaped.write.mode("overwrite").partitionBy(partCol)
-      .parquet(stage.getAbsolutePath)
-    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isDirectory && p.getName.contains("="))
-      .flatMap { p =>
-        Option(p.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .map { f =>
-            val destDir = new java.io.File(table, p.getName)
-            destDir.mkdirs()
-            val rel = s"${p.getName}/${writerId}_${f.getName}"
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(table, rel).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            rel
-          }
-      }
-    Sinks.deleteRecursively(stage)
+    val fresh = stageMove(table, writerId, shaped, partCol)
     val freshStats =
       if (clusterBy.nonEmpty && fresh.nonEmpty)
         fileStats(s, table, fresh, clusterBy)
@@ -849,6 +811,39 @@ object TableCommit {
         baseFiles = winFiles
       }
     }
+  }
+
+  /** Stage-and-move of a commit's fresh data files, shared by every
+    * writing verb: write `shaped` under the writer's private
+    * `_stage_<writerId>` tree (fresh-file identification stays EXACT
+    * under concurrent writers — each knows its own files by
+    * construction), then move each part file into its partition dir
+    * under a writer-unique name. Returns the manifest-relative
+    * paths. */
+  private def stageMove(table: String, writerId: String, shaped: DataFrame,
+      partCol: String, maxRecordsPerFile: Long = 0L): Seq[String] = {
+    val stage = new java.io.File(table, s"_stage_$writerId")
+    val writer = shaped.write.mode("overwrite").partitionBy(partCol)
+    (if (maxRecordsPerFile > 0L)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(stage.getAbsolutePath)
+    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isDirectory && p.getName.contains("="))
+      .flatMap { p =>
+        Option(p.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val destDir = new java.io.File(table, p.getName)
+            destDir.mkdirs()
+            val rel = s"${p.getName}/${writerId}_${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(table, rel).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }
+    Sinks.deleteRecursively(stage)
+    fresh
   }
 
   /** Exact row counts of just-written files from their parquet FOOTER
@@ -1007,31 +1002,13 @@ object TableCommit {
       .map(bm => dvOf(bm._2)).getOrElse(Map.empty)
       .filter { case (rel, _) => hitSet0(rel) }
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new java.io.File(table, s"_stage_$writerId")
     val shaped = statsCols.headOption match {
       case Some(c) => replacement
         .repartitionByRange(math.max(1, hit.length), col(partCol), col(c))
         .sortWithinPartitions(col(partCol), col(c))
       case None => replacement.repartition(col(partCol))
     }
-    shaped.write.mode("overwrite").partitionBy(partCol)
-      .parquet(stage.getAbsolutePath)
-    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isDirectory && p.getName.contains("="))
-      .flatMap { p =>
-        Option(p.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .map { f =>
-            val destDir = new java.io.File(table, p.getName)
-            destDir.mkdirs()
-            val rel = s"${p.getName}/${writerId}_${f.getName}"
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(table, rel).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            rel
-          }
-      }
-    Sinks.deleteRecursively(stage)
+    val fresh = stageMove(table, writerId, shaped, partCol)
     val freshStats =
       if (statsCols.nonEmpty && fresh.nonEmpty)
         fileStats(s, table, fresh, statsCols)
@@ -1237,6 +1214,120 @@ object TableCommit {
     }
     MorDeleteAudit(baseId0, published, total, candidates.length, hit.length,
       rowsDeleted)
+  }
+
+  /** [[updateWhereMor]]'s audit — the old versions are vectored dead
+    * in `filesVectored` files and the new versions land in
+    * `filesAdded` fresh files; no existing file is rewritten. */
+  final case class MorUpdateAudit(snapshotBefore: Long, snapshotAfter: Long,
+      filesTotal: Int, filesCandidates: Int, filesVectored: Int,
+      filesAdded: Int, rowsUpdated: Long)
+
+  /** MERGE-ON-READ UPDATE — the deletion-vector form of UPDATE and the
+    * kernel of a MoR MERGE (how Delta/Iceberg write-optimized updates
+    * work): ONE commit that (a) marks the matching rows' positions
+    * dead in a new vector and (b) appends their transformed versions
+    * as fresh files — commit cost ∝ matching rows, zero data-file
+    * churn, row count invariant by construction (every killed position
+    * has exactly one appended successor). SET semantics match
+    * [[updateWhere]] (all assignments see the pre-update row; each
+    * casts to the column's declared type so the schema of record is
+    * invariant) with one MoR-only capability: the PARTITION column may
+    * be SET — a merge-on-read update moves a row across partitions by
+    * killing it in place and appending it where it now belongs, which
+    * the copy-on-write form refuses. Conflicts are [[deleteWhereMor]]'s
+    * (a winner that removed, rewrote, or re-vectored a hit file). */
+  def updateWhereMor(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit = {
+    initIfAbsent(table)
+    val (baseId0, baseFiles0) = resolve(table).get
+    val m = manifests(table).find(_._1 == baseId0).get._2
+    val total = filesOf(m).length
+    val candidates = pruneFiles(m, column, lo, hi)
+    def matchPred = col(column) >= lit(lo.underlying) &&
+      col(column) <= lit(hi.underlying)
+    if (candidates.isEmpty)
+      return MorUpdateAudit(baseId0, baseId0, total, 0, 0, 0, 0L)
+    val hitCounts = hitScan(s, table, m, candidates, matchPred)
+    val hit = candidates.filter(hitCounts.contains)
+    val rowsUpdated = hitCounts.valuesIterator.sum
+    if (hit.isEmpty)
+      return MorUpdateAudit(baseId0, baseId0, total, candidates.length, 0,
+        0, 0L)
+    val rd = s.read.option("basePath", table)
+    val raw = schemaOf(m) match {
+      case Some(sch) => rd.schema(sch).parquet(hit.map(f => s"$table/$f"): _*)
+      case None => rd.parquet(hit.map(f => s"$table/$f"): _*)
+    }
+    set.keys.foreach(c => require(raw.columns.contains(c),
+      s"SET column $c is not a column of $table"))
+    val matches = applyDv(s, table, m, hit, dvKeyCols(raw))
+      .filter(coalesce(matchPred, lit(false)))
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"_dv/$writerId"
+    matches.select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
+      .write.mode("overwrite").parquet(s"$table/$dvRel")
+    // the successors: every projected row already matches, so each SET
+    // column is just the expression (cast to the declared type)
+    val updated = matches.select(raw.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+    val shaped = statsCols.headOption match {
+      case Some(c) => updated.repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(c))
+      case None => updated.repartition(col(partCol))
+    }
+    val fresh = stageMove(table, writerId, shaped, partCol)
+    val freshStats =
+      if (statsCols.nonEmpty && fresh.nonEmpty)
+        fileStats(s, table, fresh, statsCols)
+      else Map.empty[(String, String), (String, String)]
+    val freshRows = footerRows(table, fresh)
+    val hitSet = hit.toSet
+    val baseDvSig = dvOf(m).filter { case (rel, _) => hitSet(rel) }
+    var (baseId, baseFiles) = (baseId0, baseFiles0)
+    var published = baseId0
+    var committed = false
+    while (!committed) {
+      if (!hitSet.subsetOf(baseFiles.toSet))
+        throw new CommitConflictException(
+          s"concurrent commit of $table removed or rewrote file(s) this " +
+            "MoR update read — re-read and re-derive")
+      val baseM = manifests(table).find(_._1 == baseId)
+      val winDv = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+      if (winDv.filter { case (rel, _) => hitSet(rel) } != baseDvSig)
+        throw new CommitConflictException(
+          s"concurrent commit of $table changed deletion-vector coverage " +
+            "of file(s) this MoR update read — re-read and re-derive")
+      val next = baseFiles ++ fresh
+      val nextDv = winDv ++ hit.map(rel =>
+        rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
+      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
+        .map { case (rel, n) => rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++
+        freshRows
+      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty) ++
+        freshStats
+      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
+      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
+      val nextProps = baseM.map(bm => propsOf(bm._2)).getOrElse(Map.empty)
+      if (publish(table, baseId + 1, next, txns, schemaJson,
+          nextStats, nextRows, nextDv, nextProps)) {
+        vacuum(table, baseId + 1)
+        published = baseId + 1
+        committed = true
+      } else {
+        val (winId, winFiles) = resolve(table).get
+        baseId = winId
+        baseFiles = winFiles
+      }
+    }
+    MorUpdateAudit(baseId0, published, total, candidates.length, hit.length,
+      fresh.length, rowsUpdated)
   }
 
   /** ROW-LEVEL UPDATE as a COPY-ON-WRITE commit — [[deleteWhere]]'s

@@ -658,6 +658,65 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------- n_table_update_dv
+  /** MERGE-ON-READ UPDATE over the committed events table —
+    * [[tableUpdateQ]]'s deletion-vector twin and the MoR-MERGE kernel:
+    * one `TableCommit.updateWhereMor` commit vectors the matching
+    * rows' old versions dead and appends their transformed versions as
+    * fresh files — commit cost ∝ matching rows, zero churn of existing
+    * files (`n_files_touched` = 0 by the same byte sweep as the MoR
+    * delete), row count invariant by construction (before − after = 0
+    * from `#rows` metadata: each killed position has one successor).
+    * Spec pins pre-update SET semantics, untouched existing files,
+    * invariant counts, and the MoR-only partition-moving SET. */
+  private def tableUpdateDvQ(s: SparkSession, d: String): DataFrame = {
+    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dvupd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, files0) = graft.operators.TableCommit.resolve(table).get
+      def fileSig(rels: Seq[String]): Map[String, (Long, Long)] =
+        rels.map { rel =>
+          val f = new java.io.File(table, rel)
+          rel -> (f.length(), f.lastModified())
+        }.toMap
+      val sig0 = fileSig(files0)
+      val (mn, mx) = graft.operators.TableCommit
+        .statsRange(table, id0, "event_id").get
+      val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      def metaCount(id: Long): Long =
+        graft.operators.TableCommit.rowCount(table, id).getOrElse(
+          graft.operators.TableCommit.readAt(s, table, id).count())
+      val before = metaCount(id0)
+      val a = graft.operators.TableCommit.updateWhereMor(
+        s, table, "event_type", "event_id", lo, hi,
+        Map("value" -> -col("value")))
+      val after = metaCount(a.snapshotAfter)
+      val retained = graft.operators.TableCommit.resolve(table).get._2
+        .filter(sig0.contains)
+      val touched = retained.count(rel =>
+        sig0(rel) != fileSig(Seq(rel))(rel))
+      import s.implicits._
+      Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
+          a.filesVectored.toLong, a.filesAdded.toLong, a.rowsUpdated,
+          before - after, touched.toLong))
+        .toDF("n_files", "n_candidates", "n_vectored", "n_added",
+          "rows_updated", "rows_lost", "n_files_touched")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -1730,6 +1789,7 @@ object Etl {
     QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
+    QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_error_split_parse", errorSplitParse, Some(errorSplitParseSql)),
     QueryDef("q_extract_default", extractDefault, Some(extractDefaultSql)),

@@ -599,6 +599,57 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.rowCount(t, d.snapshotAfter).contains(330L))
   }
 
+  test("merge-on-read update: ONE commit vectors the old versions and " +
+      "appends the new — existing files untouched, row count invariant, " +
+      "pre-update SET semantics, and a partition-moving SET works (the " +
+      "MoR-only capability)") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i * 10L, i % 2))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "w", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 4)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
+      Seq((900L, "z", 9000L, 2)).toDF("id", "v", "w", "pt"))
+    val (id1, files1) = TableCommit.resolve(t).get
+    assert(TableCommit.rowCount(t, id1).contains(401L))
+    def fileIds(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.map { rel =>
+        val f = new java.io.File(t, rel)
+        rel -> (f.length(), f.lastModified())
+      }.toMap
+    val sig1 = fileIds(files1)
+    // SET w = id (the PRE-update id), id = id + 1000, pt = 5: the
+    // matched rows MOVE to a brand-new partition
+    val a = TableCommit.updateWhereMor(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(150),
+      Map("w" -> col("id"), "id" -> (col("id") + lit(1000L)),
+        "pt" -> lit(5)))
+    assert(a.rowsUpdated == 51L && a.filesVectored > 0 && a.filesAdded > 0,
+      a.toString)
+    val (id2, files2) = TableCommit.resolve(t).get
+    assert(files1.toSet.subsetOf(files2.toSet),
+      "MoR update removed an existing file")
+    assert(fileIds(files1) == sig1, "MoR update touched an existing file")
+    assert(files2.length == files1.length + a.filesAdded)
+    val expect = rows.map { case (id, v, w, pt) =>
+      if (id >= 100 && id <= 150) (id + 1000L, v, id, 5)
+      else (id, v, w, pt)
+    }.toSet + ((900L, "z", 9000L, 2))
+    val got = TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("w"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == expect, "post-MoR-update rows diverged")
+    // row count invariant: every killed position has one successor
+    assert(TableCommit.rowCount(t, id2).contains(401L))
+    // the successors' fresh #stats serve a pruned read of the new band
+    val moved = TableCommit.readWhere(spark, t, "id",
+        BigDecimal(1100), BigDecimal(1150))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(moved == (1100L to 1150L).toSet, "moved band not re-statted")
+  }
+
   test("a MoR delete surfaces in the manifest diff as a rewrite of the " +
       "vectored files — the CDC/incremental-consumer contract") {
     val t = freshTable()

@@ -746,6 +746,36 @@ object TableCommit {
     }
   }
 
+  /** RESTORE as a commit (Delta's `RESTORE TABLE … VERSION AS OF`):
+    * re-publish a retained snapshot's full DATA state — files, stats,
+    * rows, vectors, schema — as the newest generation. Restore rolls
+    * back data, not bookkeeping: the writer-transaction ledger keeps
+    * its high-water marks (a replayed streaming batch must stay a
+    * no-op even after a rollback — otherwise restore would double-apply
+    * it) and table properties keep their current values (the Delta
+    * rule). The restore is itself a commit, so the pre-restore state
+    * remains time-travelable within retention, and the restored-to
+    * files are safe by construction — a retained manifest's files and
+    * vector trees are exactly what vacuum preserves. Restoring to the
+    * current snapshot is a no-op. */
+  def restore(table: String, id: Long): Unit = {
+    var committed = false
+    while (!committed) {
+      val (newestId, _) = resolve(table).getOrElse(
+        sys.error(s"$table has no snapshot to restore"))
+      if (newestId == id) return
+      val src = manifests(table).find(_._1 == id).getOrElse(sys.error(
+        s"snapshot $id of $table is outside the retention window"))._2
+      val cur = manifests(table).find(_._1 == newestId).get._2
+      if (publish(table, newestId + 1, filesOf(src), txnsOf(cur),
+          schemaOf(src).map(_.json), statsOf(src), rowsOf(src), dvOf(src),
+          propsOf(cur))) {
+        vacuum(table, newestId + 1)
+        committed = true
+      }
+    }
+  }
+
   /** BLIND APPEND as a commit — the INSERT INTO verb: add `df`'s rows
     * to the table without removing anything. An append reads no table
     * state, so it can NEVER conflict (Delta's append rule — appends

@@ -534,6 +534,48 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.history(t).map(_._1).length == 2)
   }
 
+  test("restore: a retained snapshot republishes as the newest commit — " +
+      "data rolls back, the txn ledger and properties do not, and the " +
+      "pre-restore state still time-travels") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "4"))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      Seq((1L, "one", 0)).toDF("id", "v", "pt"),
+      txn = Some(("app-r", 1L)))
+    val stateA = snapshot(t)
+    val idA = TableCommit.resolve(t).get._1
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(1), BigDecimal(1))
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7L, "seven", 0)).toDF("id", "v", "pt"),
+      txn = Some(("app-r", 2L)))
+    val stateC = snapshot(t)
+    TableCommit.setProperties(t, Map("owner" -> "me"))
+    val idPre = TableCommit.resolve(t).get._1
+    TableCommit.restore(t, idA)
+    assert(snapshot(t) == stateA, "restore did not roll data back")
+    // the ledger survives the rollback: a replayed (appId, version)
+    // whose data the restore undid must STILL be a no-op
+    val n0 = TableCommit.read(spark, t).count()
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7L, "seven", 0)).toDF("id", "v", "pt"),
+      txn = Some(("app-r", 2L)))
+    assert(TableCommit.read(spark, t).count() == n0,
+      "a replayed append re-applied after restore")
+    // properties survive (the Delta RESTORE rule)
+    assert(TableCommit.properties(t)("owner") == "me")
+    // the pre-restore newest is itself still a retained generation
+    val pre = TableCommit.readAt(spark, t, idPre)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(pre == stateC, "pre-restore state lost")
+    // restore to the current snapshot is a no-op
+    val cur = TableCommit.resolve(t).get._1
+    TableCommit.restore(t, cur)
+    assert(TableCommit.resolve(t).get._1 == cur)
+  }
+
   test("merge-on-read delete: deletion vectors kill rows without " +
       "touching a byte of data — read ≡ filtered, file list unchanged, " +
       "#rows metadata exact, vectors stack on the live set, and a " +

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableCommit
+
+/** MODEL-BASED randomized testing of the table format: drive the
+  * committed table through seeded-random sequences of every DML verb —
+  * blind append, copy-on-write delete/update, merge-on-read
+  * delete/update, compaction — and after EVERY step assert the table's
+  * snapshot read equals an in-memory reference model and the `#rows`
+  * manifest metadata equals the model's size. Single-op specs pin each
+  * verb's contract in isolation; this pins their COMPOSITION — the
+  * interleavings (a vector on a file a later CoW rewrite must
+  * materialize, an update of rows an earlier vector killed, compaction
+  * over mixed clean/vectored files) where latent protocol bugs live.
+  * Seeds are fixed, so a failure is a deterministic repro. */
+class TableCommitModelSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcm").toFile
+    new java.io.File(dir, "table").getAbsolutePath
+  }
+
+  private def tableRows(t: String): Set[(Long, Long, Int)] =
+    TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("randomized verb sequences: snapshot read ≡ reference model and " +
+      "#rows metadata ≡ model size after every step") {
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshDir()
+      var nextId = 300L
+      // reference model: id → (v, pt); ids unique by construction
+      var model: Map[Long, (Long, Int)] =
+        (0L until 300L).map(id => id -> (id * 10, (id % 3).toInt)).toMap
+      TableCommit.replacePartitions(spark, t, "pt",
+        Seq("pt=0", "pt=1", "pt=2"),
+        model.toSeq.map { case (id, (v, pt)) => (id, v, pt) }
+          .toDF("id", "v", "pt"),
+        clusterBy = Seq("id"), filesPerPartition = 3)
+
+      def band(): (Long, Long) = {
+        val ids = model.keys
+        val mx = if (ids.isEmpty) 10L else ids.max
+        val lo = math.abs(rnd.nextLong()) % (mx + 1)
+        (lo, lo + math.abs(rnd.nextLong()) % (mx / 4 + 1))
+      }
+
+      for (step <- 0 until 10) {
+        val op = rnd.nextInt(6)
+        val (lo, hi) = band()
+        op match {
+          case 0 => // blind append of fresh ids
+            val k = 1 + rnd.nextInt(20)
+            val fresh = (nextId until nextId + k)
+              .map(id => (id, id * 10, (id % 3).toInt))
+            nextId += k
+            TableCommit.appendRows(spark, t, "pt",
+              fresh.toDF("id", "v", "pt"), clusterBy = Seq("id"))
+            model ++= fresh.map { case (id, v, pt) => id -> (v, pt) }
+          case 1 => // copy-on-write delete
+            TableCommit.deleteWhere(spark, t, "pt", "id",
+              BigDecimal(lo), BigDecimal(hi))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+          case 2 => // merge-on-read delete
+            TableCommit.deleteWhereMor(spark, t, "pt", "id",
+              BigDecimal(lo), BigDecimal(hi))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+          case 3 => // copy-on-write update
+            TableCommit.updateWhere(spark, t, "pt", "id",
+              BigDecimal(lo), BigDecimal(hi),
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (id, (v, pt)) =>
+              if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
+            }
+          case 4 => // merge-on-read update
+            TableCommit.updateWhereMor(spark, t, "pt", "id",
+              BigDecimal(lo), BigDecimal(hi),
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (id, (v, pt)) =>
+              if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
+            }
+          case 5 => // compaction of every current partition
+            val dirs = TableCommit.resolve(t).get._2
+              .map(f => f.takeWhile(_ != '/')).distinct
+            if (dirs.nonEmpty)
+              TableCommit.compactPartitions(spark, t, "pt", dirs,
+                clusterBy = Seq("id"), filesPerPartition = 2)
+        }
+        val want = model.map { case (id, (v, pt)) => (id, v, pt) }.toSet
+        assert(tableRows(t) == want,
+          s"seed=$seed step=$step op=$op band=[$lo,$hi]: table diverged " +
+            "from the reference model")
+        val id = TableCommit.resolve(t).get._1
+        assert(TableCommit.rowCount(t, id).contains(model.size.toLong),
+          s"seed=$seed step=$step op=$op: #rows metadata diverged " +
+            s"(${TableCommit.rowCount(t, id)} vs ${model.size})")
+      }
+    }
+  }
+}

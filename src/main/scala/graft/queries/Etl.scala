@@ -723,13 +723,15 @@ object Etl {
     * (bucket, event_type) count/sum view over a committed, id-bucketed
     * events table is advanced through two source commits, each sync
     * processing ONLY the manifest diff. Cycle 1 is a blind APPEND (a
-    * deterministic ~1% slice of real events re-keyed above the id
-    * domain, landing in NEW top buckets) → the sync folds the added
-    * files into the view (partsRecomputed = 0); cycle 2 is a narrow
-    * row-level DELETE inside one bucket → exactly that partition
-    * recomputes from the pinned newest snapshot. The emitted
-    * n_mismatch is the END-state diff against a from-scratch recompute
-    * (integer aggregates, so fold order cannot fork doubles);
+    * deterministic ~1% slice of real events re-keyed compactly into
+    * the single next bucket past the id domain) → the sync folds the
+    * added files into the view (partsRecomputed = 0, one delta
+    * partition); cycle 2 is a narrow row-level DELETE inside one
+    * bucket → exactly that partition recomputes from the pinned newest
+    * snapshot. The emitted n_mismatch is the end-state diff of the
+    * TOUCHED partitions against their recompute — partition-local like
+    * the maintenance itself (integer aggregates, so fold order cannot
+    * fork doubles);
     * per-cycle equalities, replay no-ops and the retention fallback
     * are IncrementalViewSpec's pins. The initial full sync is settled
     * into the scaffold artifact — deployment cost, not cycle cost. At
@@ -749,7 +751,7 @@ object Etl {
     // (event_type partitions all span the id domain and would force a
     // full recompute) — plus the view's initial full sync, which is
     // deployment cost, not cycle cost
-    val art = graft.operators.Sinks.artifact("incrview_base_v2", d) { p =>
+    val art = graft.operators.Sinks.artifact("incrview_base_v3", d) { p =>
       val src = new java.io.File(p, "src").getAbsolutePath
       val view = new java.io.File(p, "view").getAbsolutePath
       val ev = Tables.events(s, d)
@@ -762,12 +764,15 @@ object Etl {
         clusterBy = Seq("event_id"), filesPerPartition = 2)
       IncrementalView.sync(s, src, view, "ev_counts", "bkt",
         aggFn, combineFn)
-      // the cycle-1 append payload (a deterministic ~1% slice re-keyed
-      // past the id domain) is part of the fixture — settle it so the
-      // measured cycle appends without re-scanning the corpus
+      // the cycle-1 append payload (a deterministic ~1% slice, re-keyed
+      // COMPACTLY into the single next bucket past the id domain — ids
+      // need not be unique for a count/sum view, and a one-partition
+      // delta keeps every measured cycle ∝ one partition) is part of
+      // the fixture — settle it so the measured cycle appends without
+      // re-scanning the corpus
       ev.filter(pmod(col("event_id"), lit(97)) === 0)
-        .select((col("event_id") + lit(16L * b)).as("event_id"),
-          col("event_type"))
+        .select((lit(16L * b) + pmod(col("event_id"), lit(b)))
+          .as("event_id"), col("event_type"))
         .withColumn("bkt", expr(s"event_id div ${b}L"))
         .coalesce(1)
         .write.mode("overwrite")
@@ -800,11 +805,19 @@ object Etl {
         BigDecimal(5L * b), BigDecimal(5L * b + b / 4))
       val a2 = IncrementalView.sync(s, src, view, "ev_counts", "bkt",
         aggFn, combineFn)
-      // end-state audit: the maintained view vs a from-scratch
-      // recompute (integer aggregates — fold order can't fork doubles);
-      // per-cycle equalities are IncrementalViewSpec's job
+      // end-state audit, PARTITION-LOCAL like the maintenance itself:
+      // the touched partitions' view rows vs their from-scratch
+      // recompute (integer aggregates — fold order can't fork doubles;
+      // a full-table recompute here would cost more than both cycles —
+      // whole-view equality is IncrementalViewSpec's job)
+      val touched = Seq(16L, 5L)
+      val (srcId, srcFiles) = TableCommit.resolve(src).get
+      val touchedDirs = touched.map(v => s"bkt=$v").toSet
+      val subset = srcFiles.filter(f =>
+        touchedDirs(TableCommit.partitionDirOf(f)))
       val v = TableCommit.read(s, view)
-      val r = aggFn(TableCommit.read(s, src))
+        .filter(col("bkt").isin(touched: _*))
+      val r = aggFn(TableCommit.readFileSubset(s, src, srcId, subset))
       val m = v.exceptAll(r).count() + r.exceptAll(v).count()
       import s.implicits._
       Seq(

@@ -214,7 +214,11 @@ object Bench {
       Seq("q_substring_dup") -> warmNames("subwins"),
       Seq("q_ngram_jaccard") -> warmNames("ngrammasks"),
       Seq("q_cosine_knn_lsh") -> warmNames("lshbuckets"),
-      Seq("n_zorder") -> warmNames("zorder_events"))
+      Seq("n_zorder") -> warmNames("zorder_events"),
+      Seq("n_table_delete", "n_table_update", "n_table_delete_dv",
+        "n_table_update_dv") -> warmNames("frag_events", "delete_base_v2"),
+      Seq("n_incr_view") -> warmNames("incrview_base_v3"),
+      Seq("n_compact", "n_optimize_zorder") -> warmNames("frag_events"))
     val prebuildSequential: Seq[(Seq[String], () => Boolean)] =
       Seq(Seq("n_stream_upsert") -> warmNames("stream_src"))
     val doPrebuild = only.isEmpty &&

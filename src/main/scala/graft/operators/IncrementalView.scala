@@ -63,7 +63,10 @@ object IncrementalView {
 
     pos.filter(p => TableCommit.history(source).exists(_._1 == p)) match {
       case Some(p) =>
-        val (added, removed) = TableCommit.changedFileSets(source, p)
+        // diff p → srcId, the SAME snapshot every read below pins — a
+        // concurrent source commit landing mid-sync is simply next
+        // cycle's work, never a torn read
+        val (added, removed) = TableCommit.changedFileSets(source, p, srcId)
         val recomputeParts =
           removed.map(TableCommit.partitionDirOf).toSet
         val deltaFiles = added

@@ -72,9 +72,63 @@ object TableCommit {
         case _ => None
       })
 
-  private def manifestLines(f: java.io.File): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .linesIterator.filter(_.nonEmpty).toSeq
+  // Published manifests are IMMUTABLE (hard-link CAS), so their content
+  // can be memoized — one readFiles call otherwise re-reads the same
+  // manifest ~4×, an OCC iteration ~6×. But a PATH is not an identity:
+  // harness tables live at deterministic tmp paths and are deleted and
+  // recreated across invocations, so manifest-000000001 can reappear at
+  // the same path with different content (a path-keyed memo served a
+  // stale file list here — vacuumed files included). Each hit therefore
+  // revalidates against the file's identity — inode key + size + mtime,
+  // one stat instead of a read+parse. Bounded clear keeps long-running
+  // JVMs (the bench's hundreds of per-invocation clone tables) flat.
+  private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[String])]()
+
+  private def manifestLines(f: java.io.File): Seq[String] = {
+    val attrs = java.nio.file.Files.readAttributes(
+      f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val identity = s"${attrs.fileKey()}#${attrs.size()}#" +
+      s"${attrs.lastModifiedTime().toMillis}"
+    val cached = manifestMemo.get(f.getAbsolutePath)
+    if (cached != null && cached._1 == identity) cached._2
+    else {
+      val lines =
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).toSeq
+      if (manifestMemo.size > 8192) manifestMemo.clear()
+      manifestMemo.put(f.getAbsolutePath, (identity, lines))
+      lines
+    }
+  }
+
+  /** The carried-forward manifest state every commit republishes: the
+    * base snapshot's directives restricted to `retained` data files
+    * (stats/rows/vectors ride with their files; ledger, properties and
+    * schema always carry). Verbs layer their deltas on top — txn merge
+    * at max, fresh stats/rows, new vectors, schema merge. Single-
+    * sourcing the retained-filter invariant: a verb that forgot it
+    * would resurrect directives for removed files and mis-prune
+    * reads. */
+  private final case class Carried(
+      stats: Map[(String, String), (String, String)],
+      rows: Map[String, Long],
+      dv: Map[String, Seq[String]],
+      props: Map[String, String],
+      txns: Map[String, Long],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def carriedFrom(baseM: Option[java.io.File],
+      retained: String => Boolean): Carried =
+    baseM match {
+      case Some(m) => Carried(
+        statsOf(m).filter { case ((rel, _), _) => retained(rel) },
+        rowsOf(m).filter { case (rel, _) => retained(rel) },
+        dvOf(m).filter { case (rel, _) => retained(rel) },
+        propsOf(m), txnsOf(m), schemaOf(m))
+      case None => Carried(Map.empty, Map.empty, Map.empty, Map.empty,
+        Map.empty, None)
+    }
 
   /** Data-file paths of a manifest (directive lines excluded). */
   private def filesOf(f: java.io.File): Seq[String] =
@@ -264,14 +318,26 @@ object TableCommit {
     * key — property updates never conflict, like the Delta rule for
     * non-schema metadata). */
   def setProperties(table: String, kv: Map[String, String]): Unit = {
+    // manifest-injection guard: a newline in a value would emit a raw
+    // non-# line that filesOf parses as a DATA-FILE PATH, permanently
+    // corrupting the table (properties are carried forward by every
+    // commit); a '=' in a key silently re-keys on parse
+    kv.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '=' || c == '\n' || c == '\r'),
+        s"invalid property key '$k' — keys must be non-empty and contain " +
+          "no '=', newline, or carriage return")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"invalid value for property '$k' — values must not contain " +
+          "newlines (a raw manifest line would parse as a data-file path)")
+    }
     initIfAbsent(table)
     var committed = false
     while (!committed) {
       val (baseId, baseFiles) = resolve(table).get
-      val m = manifests(table).find(_._1 == baseId).get._2
-      if (publish(table, baseId + 1, baseFiles, txnsOf(m),
-          schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m),
-          propsOf(m) ++ kv)) {
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      if (publish(table, baseId + 1, baseFiles, c.txns,
+          c.schema.map(_.json), c.stats, c.rows, c.dv, c.props ++ kv)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -532,32 +598,39 @@ object TableCommit {
     (newest, filesOf(newest).filterNot(before))
   }
 
-  /** BOTH directions of the manifest diff since `sinceId` —
+  /** BOTH directions of the manifest diff from `sinceId` to `toId` —
     * (files added, files removed), metadata-only. What an incremental
     * consumer needs to classify a source commit: a partition whose
     * files were only ADDED can be folded in as a delta; one that had
     * files REMOVED (replace / compact / delete / update rewrote it)
     * cannot — its rows changed in place and the consumer must
-    * recompute it from the newest snapshot ([[IncrementalView]]'s
-    * routing decision). */
-  def changedFileSets(table: String,
-      sinceId: Long): (Seq[String], Seq[String]) = {
+    * recompute it from the target snapshot ([[IncrementalView]]'s
+    * routing decision). `toId` is EXPLICIT and must be the snapshot
+    * the consumer's reads pin — diffing against "whatever is newest"
+    * would race a concurrent commit landing between the consumer's
+    * resolve and its diff (the diff would name files the pinned
+    * snapshot doesn't carry). */
+  def changedFileSets(table: String, sinceId: Long,
+      toId: Long): (Seq[String], Seq[String]) = {
     val all = manifests(table)
     val since = all.find(_._1 == sinceId).getOrElse(sys.error(
       s"snapshot $sinceId of $table is outside the retention window"))
-    val (_, newest) = all.maxBy(_._1)
+    val to = all.find(_._1 == toId).getOrElse(sys.error(
+      s"snapshot $toId of $table is outside the retention window"))
     val before = filesOf(since._2)
-    val after = filesOf(newest)
+    val after = filesOf(to._2)
+    val beforeSet = before.toSet
+    val afterSet = after.toSet
     // a file whose deletion-vector coverage changed between the two
     // snapshots was REWRITTEN in place (its live rows shrank) — it
     // must appear on both sides of the diff, or an incremental
     // consumer would fold it as if nothing happened
     val dvBefore = dvOf(since._2)
-    val dvAfter = dvOf(newest)
-    val dvChanged = before.toSet.intersect(after.toSet).filter(f =>
+    val dvAfter = dvOf(to._2)
+    val dvChanged = beforeSet.intersect(afterSet).filter(f =>
       dvBefore.getOrElse(f, Nil) != dvAfter.getOrElse(f, Nil))
-    (after.filter(f => !before.toSet(f) || dvChanged(f)),
-      before.filter(f => !after.toSet(f) || dvChanged(f)))
+    (after.filter(f => !beforeSet(f) || dvChanged(f)),
+      before.filter(f => !afterSet(f) || dvChanged(f)))
   }
 
   /** Read an explicit file subset of snapshot `id` — the pinned-read
@@ -688,41 +761,22 @@ object TableCommit {
       // carry the writer-transaction ledger forward, merging this
       // commit's (appId, version) at max — survives retention because
       // every manifest copies the previous newest's ledger
-      val baseM = manifests(table).find(_._1 == baseId)
-      val baseTxns = baseM.map(m => txnsOf(m._2)).getOrElse(Map.empty)
-      val nextTxns = txn.fold(baseTxns) { case (app, v) =>
-        baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
-      }
-      // stats carry forward for retained files exactly like the ledger;
-      // entries for files this commit replaced drop with their files
+      // carry-forward restricted to retained files (a replaced file's
+      // stats/rows/vectors drop with it — the rewrite read THROUGH the
+      // vectors, so this is the materialization); SCHEMA EVOLUTION
+      // (round-9 verdict item 6) merges the base #schema with this
+      // commit's — a column-add leaves retained files null-defaulted
+      // and a narrower later writer cannot drop an evolved column
       val retainedSet = next.toSet
-      val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty)
-        .filter { case ((rel, _), _) => retainedSet.contains(rel) } ++
-        freshStats
-      val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty)
-        .filter { case (rel, _) => retainedSet.contains(rel) } ++ freshRows
-      // DV entries ride with their data files: a replaced file's
-      // vectors drop here — the rewrite read through them (readFiles
-      // is DV-aware), so this IS the materialization
-      val nextDv = baseM.map(m => dvOf(m._2)).getOrElse(Map.empty)
-        .filter { case (rel, _) => retainedSet.contains(rel) }
-      val nextProps = baseM.map(m => propsOf(m._2)).getOrElse(Map.empty)
-      // SCHEMA EVOLUTION (round-9 verdict item 6): the published schema
-      // of record MERGES the base snapshot's #schema with this commit's
-      // — base column order kept (types updated where this writer
-      // re-declares them), new columns appended. A column-add commit
-      // leaves retained files readable (null-defaulted via the
-      // schema-of-record read), and a NARROWER later writer cannot
-      // silently drop an evolved column from the table (its own files
-      // simply read null for it). An adopted manifest-0 has no
-      // directive — first commit's schema starts the record.
-      val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
-        org.apache.spark.sql.types.StructType(
-          bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
-            df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        retainedSet.contains)
+      val nextTxns = txn.fold(c.txns) { case (app, v) =>
+        c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
+      val nextSchema = c.schema.fold(df.schema)(
+        bs => mergeSchemaOf(bs, df.schema, table))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats, nextRows, nextDv, nextProps)) {
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -812,24 +866,16 @@ object TableCommit {
     var committed = false
     while (!committed) {
       val next = baseFiles ++ fresh
-      val baseM = manifests(table).find(_._1 == baseId)
-      val baseTxns = baseM.map(m => txnsOf(m._2)).getOrElse(Map.empty)
-      val nextTxns = txn.fold(baseTxns) { case (app, v) =>
-        baseTxns.updated(app, baseTxns.get(app).fold(v)(math.max(_, v)))
+      // an append removes nothing — everything carries
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      val nextTxns = txn.fold(c.txns) { case (app, v) =>
+        c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
-      val nextStats = baseM.map(m => statsOf(m._2)).getOrElse(Map.empty) ++
-        freshStats
-      val nextRows = baseM.map(m => rowsOf(m._2)).getOrElse(Map.empty) ++
-        freshRows
-      val nextDv = baseM.map(m => dvOf(m._2)).getOrElse(Map.empty)
-      val nextProps = baseM.map(m => propsOf(m._2)).getOrElse(Map.empty)
-      val nextSchema = baseM.flatMap(m => schemaOf(m._2)).fold(df.schema) { bs =>
-        org.apache.spark.sql.types.StructType(
-          bs.fields.map(f => df.schema.find(_.name == f.name).getOrElse(f)) ++
-            df.schema.fields.filterNot(f => bs.fieldNames.contains(f.name)))
-      }
+      val nextSchema = c.schema.fold(df.schema)(
+        bs => mergeSchemaOf(bs, df.schema, table))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          nextStats, nextRows, nextDv, nextProps)) {
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -841,6 +887,32 @@ object TableCommit {
         baseFiles = winFiles
       }
     }
+  }
+
+  /** SCHEMA-OF-RECORD merge (the Delta metadata-action rule), shared
+    * by the schema-evolving commit verbs: base column order kept
+    * (nullability/metadata updated where the writer re-declares a
+    * column), the writer's NEW columns appended. A writer that
+    * re-declares an existing column with a DIFFERENT TYPE is REFUSED:
+    * the published schema of record is applied to every retained file
+    * on read, and a type change would publish a successfully-committed
+    * but unreadable table (Spark's parquet reader throws on e.g.
+    * expected-bigint-found-INT32) — Delta's rule too: type changes
+    * need an explicit full-table rewrite. */
+  private def mergeSchemaOf(base: org.apache.spark.sql.types.StructType,
+      w: org.apache.spark.sql.types.StructType,
+      table: String): org.apache.spark.sql.types.StructType = {
+    base.fields.foreach { f =>
+      w.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution of $table cannot change column ${f.name} " +
+            s"from ${f.dataType.simpleString} to ${g.dataType.simpleString}" +
+            " — a type change requires a full-table rewrite")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      base.fields.map(f => w.fields.find(_.name == f.name).getOrElse(f)) ++
+        w.fields.filterNot(f => base.fieldNames.contains(f.name)))
   }
 
   /** Stage-and-move of a commit's fresh data files, shared by every
@@ -1062,21 +1134,13 @@ object TableCommit {
           s"concurrent commit of $table changed deletion-vector coverage " +
             "of file(s) this DML rewrite read — re-read and re-derive")
       val retained = next.toSet
-      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
-        .filter { case ((rel, _), _) => retained.contains(rel) } ++ freshStats
-      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
-        .filter { case (rel, _) => retained.contains(rel) } ++ freshRows
-      val nextDv = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
-        .filter { case (rel, _) => retained.contains(rel) }
-      val nextProps = baseM.map(bm => propsOf(bm._2)).getOrElse(Map.empty)
+      val c = carriedFrom(baseM.map(_._2), retained.contains)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
-      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
-        .getOrElse(replacement.schema.json)
-      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
-      if (publish(table, baseId + 1, next, txns, Some(schemaJson),
-          nextStats, nextRows, nextDv, nextProps)) {
+      val schemaJson = c.schema.map(_.json).getOrElse(replacement.schema.json)
+      if (publish(table, baseId + 1, next, c.txns, Some(schemaJson),
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -1221,18 +1285,15 @@ object TableCommit {
         throw new CommitConflictException(
           s"concurrent commit of $table changed deletion-vector coverage " +
             "of file(s) this MoR delete read — re-read and re-derive")
-      val nextDv = winDv ++ hit.map(rel =>
+      val c = carriedFrom(baseM.map(_._2), _ => true)
+      val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       // exact metadata: each hit file's #rows entry shrinks by its
       // live match count (files without an entry stay unknowable)
-      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
-        .map { case (rel, n) => rel -> (n - hitCounts.getOrElse(rel, 0L)) }
-      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
-      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
-      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
-      val nextProps = baseM.map(bm => propsOf(bm._2)).getOrElse(Map.empty)
-      if (publish(table, baseId + 1, baseFiles, txns, schemaJson,
-          nextStats, nextRows, nextDv, nextProps)) {
+      val nextRows = c.rows.map { case (rel, n) =>
+        rel -> (n - hitCounts.getOrElse(rel, 0L)) }
+      if (publish(table, baseId + 1, baseFiles, c.txns,
+          c.schema.map(_.json), c.stats, nextRows, nextDv, c.props)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -1335,18 +1396,13 @@ object TableCommit {
           s"concurrent commit of $table changed deletion-vector coverage " +
             "of file(s) this MoR update read — re-read and re-derive")
       val next = baseFiles ++ fresh
-      val nextDv = winDv ++ hit.map(rel =>
+      val c = carriedFrom(baseM.map(_._2), _ => true)
+      val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
-      val nextRows = baseM.map(bm => rowsOf(bm._2)).getOrElse(Map.empty)
-        .map { case (rel, n) => rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++
-        freshRows
-      val nextStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty) ++
-        freshStats
-      val schemaJson = baseM.flatMap(bm => schemaOf(bm._2)).map(_.json)
-      val txns = baseM.map(bm => txnsOf(bm._2)).getOrElse(Map.empty)
-      val nextProps = baseM.map(bm => propsOf(bm._2)).getOrElse(Map.empty)
-      if (publish(table, baseId + 1, next, txns, schemaJson,
-          nextStats, nextRows, nextDv, nextProps)) {
+      val nextRows = c.rows.map { case (rel, n) =>
+        rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++ freshRows
+      if (publish(table, baseId + 1, next, c.txns, c.schema.map(_.json),
+          c.stats ++ freshStats, nextRows, nextDv, c.props)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true

@@ -482,6 +482,40 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  /** Content-tag-keyed scaffold shared by the four DML queries
+    * (n_table_delete / n_table_update and their _dv twins): the
+    * fragmented events layout committed and event_id-clustered (8
+    * key-contiguous files per partition — the `#stats` layout that
+    * makes stage-1 pruning real). Each query byte-clones it per
+    * invocation: DML mutates, so the measured op must own its table. */
+  private def deleteBaseArt(s: SparkSession, d: String): String =
+    graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
+      val table = new java.io.File(p, "table").getAbsolutePath
+      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
+        new java.io.File(table))
+      graft.operators.TableCommit.initIfAbsent(table)
+      val dirs = graft.operators.TableCommit.resolve(table).get._2
+        .map(f => f.takeWhile(_ != '/')).distinct
+      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
+        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
+    }
+
+  /** Snapshot row count from `#rows` manifest metadata (footer-derived
+    * ground truth), falling back to a pinned time-travel count for
+    * mixed adopted generations. */
+  private def metaRowCount(s: SparkSession, table: String, id: Long): Long =
+    graft.operators.TableCommit.rowCount(table, id).getOrElse(
+      graft.operators.TableCommit.readAt(s, table, id).count())
+
+  /** (length, mtime) signature per data file — the byte-level
+    * untouched-files witness the MoR audits emit. */
+  private def fileSig(table: String,
+      rels: Seq[String]): Map[String, (Long, Long)] =
+    rels.map { rel =>
+      val f = new java.io.File(table, rel)
+      rel -> (f.length(), f.lastModified())
+    }.toMap
+
   // ------------------------------------------------------------- n_table_delete
   /** ROW-LEVEL DELETE as a copy-on-write commit (round-10; the DML verb
     * the protocol still lacked — append, replace, merge, compact and
@@ -503,16 +537,7 @@ object Etl {
     * amplification ∝ matching data, with a racing reader pinning
     * either snapshot, never a torn mix. */
   private def tableDeleteQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
-      val table = new java.io.File(p, "table").getAbsolutePath
-      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
-      val dirs = graft.operators.TableCommit.resolve(table).get._2
-        .map(f => f.takeWhile(_ != '/')).distinct
-      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
-        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
-    }
+    val art = deleteBaseArt(s, d)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_del_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -527,13 +552,10 @@ object Etl {
       // truth independent of the delete's own hit accounting); the
       // compacted artifact's files are all protocol-written, so the
       // metadata covers both snapshots and the invariant costs no scan
-      def metaCount(id: Long): Long =
-        graft.operators.TableCommit.rowCount(table, id).getOrElse(
-          graft.operators.TableCommit.readAt(s, table, id).count())
-      val before = metaCount(id0)
+      val before = metaRowCount(s, table, id0)
       val a = graft.operators.TableCommit.deleteWhere(
         s, table, "event_type", "event_id", lo, hi)
-      val after = metaCount(a.snapshotAfter)
+      val after = metaRowCount(s, table, a.snapshotAfter)
       import s.implicits._
       Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
           a.filesRewritten.toLong, before, a.rowsDeleted, after))
@@ -559,16 +581,7 @@ object Etl {
     * stats-column self-update re-recording stats, byte-untouched
     * retained files, no-match no-op). */
   private def tableUpdateQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
-      val table = new java.io.File(p, "table").getAbsolutePath
-      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
-      val dirs = graft.operators.TableCommit.resolve(table).get._2
-        .map(f => f.takeWhile(_ != '/')).distinct
-      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
-        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
-    }
+    val art = deleteBaseArt(s, d)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -580,15 +593,12 @@ object Etl {
         .statsRange(table, id0, "event_id").get
       val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
       val marker = 10000000L
-      def metaCount(id: Long): Long =
-        graft.operators.TableCommit.rowCount(table, id).getOrElse(
-          graft.operators.TableCommit.readAt(s, table, id).count())
-      val before = metaCount(id0)
+      val before = metaRowCount(s, table, id0)
       val a = graft.operators.TableCommit.updateWhere(
         s, table, "event_type", "event_id", lo, hi,
         Map("user_id" -> (col("user_id") + lit(marker)),
           "value" -> -col("value")))
-      val after = metaCount(a.snapshotAfter)
+      val after = metaRowCount(s, table, a.snapshotAfter)
       val shifted = graft.operators.TableCommit.read(s, table)
         .filter(col("user_id") >= lit(marker)).count()
       import s.implicits._
@@ -613,16 +623,7 @@ object Etl {
     * rewrites `n_rewritten` files for the same band). Spec pins read ≡
     * filtered, vector stacking, and rewrite materialization. */
   private def tableDeleteDvQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
-      val table = new java.io.File(p, "table").getAbsolutePath
-      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
-      val dirs = graft.operators.TableCommit.resolve(table).get._2
-        .map(f => f.takeWhile(_ != '/')).distinct
-      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
-        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
-    }
+    val art = deleteBaseArt(s, d)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_dvdel_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -630,25 +631,17 @@ object Etl {
       graft.operators.Sinks.copyTree(
         new java.io.File(art, "table"), new java.io.File(table))
       val (id0, files0) = graft.operators.TableCommit.resolve(table).get
-      def fileSig(rels: Seq[String]): Map[String, (Long, Long)] =
-        rels.map { rel =>
-          val f = new java.io.File(table, rel)
-          rel -> (f.length(), f.lastModified())
-        }.toMap
-      val sig0 = fileSig(files0)
+      val sig0 = fileSig(table, files0)
       val (mn, mx) = graft.operators.TableCommit
         .statsRange(table, id0, "event_id").get
       val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
-      def metaCount(id: Long): Long =
-        graft.operators.TableCommit.rowCount(table, id).getOrElse(
-          graft.operators.TableCommit.readAt(s, table, id).count())
-      val before = metaCount(id0)
+      val before = metaRowCount(s, table, id0)
       val a = graft.operators.TableCommit.deleteWhereMor(
         s, table, "event_type", "event_id", lo, hi)
-      val after = metaCount(a.snapshotAfter)
+      val after = metaRowCount(s, table, a.snapshotAfter)
       val files1 = graft.operators.TableCommit.resolve(table).get._2
       val touched = files1.count(rel =>
-        sig0.get(rel).forall(_ != fileSig(Seq(rel))(rel)))
+        sig0.get(rel).forall(_ != fileSig(table, Seq(rel))(rel)))
       import s.implicits._
       Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
           a.filesVectored.toLong, before, a.rowsDeleted, after,
@@ -670,16 +663,7 @@ object Etl {
     * Spec pins pre-update SET semantics, untouched existing files,
     * invariant counts, and the MoR-only partition-moving SET. */
   private def tableUpdateDvQ(s: SparkSession, d: String): DataFrame = {
-    val art = graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
-      val table = new java.io.File(p, "table").getAbsolutePath
-      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
-      val dirs = graft.operators.TableCommit.resolve(table).get._2
-        .map(f => f.takeWhile(_ != '/')).distinct
-      graft.operators.TableCommit.compactPartitions(s, table, "event_type",
-        dirs, clusterBy = Seq("event_id"), filesPerPartition = 8)
-    }
+    val art = deleteBaseArt(s, d)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_dvupd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -687,27 +671,19 @@ object Etl {
       graft.operators.Sinks.copyTree(
         new java.io.File(art, "table"), new java.io.File(table))
       val (id0, files0) = graft.operators.TableCommit.resolve(table).get
-      def fileSig(rels: Seq[String]): Map[String, (Long, Long)] =
-        rels.map { rel =>
-          val f = new java.io.File(table, rel)
-          rel -> (f.length(), f.lastModified())
-        }.toMap
-      val sig0 = fileSig(files0)
+      val sig0 = fileSig(table, files0)
       val (mn, mx) = graft.operators.TableCommit
         .statsRange(table, id0, "event_id").get
       val (lo, hi) = (mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
-      def metaCount(id: Long): Long =
-        graft.operators.TableCommit.rowCount(table, id).getOrElse(
-          graft.operators.TableCommit.readAt(s, table, id).count())
-      val before = metaCount(id0)
+      val before = metaRowCount(s, table, id0)
       val a = graft.operators.TableCommit.updateWhereMor(
         s, table, "event_type", "event_id", lo, hi,
         Map("value" -> -col("value")))
-      val after = metaCount(a.snapshotAfter)
+      val after = metaRowCount(s, table, a.snapshotAfter)
       val retained = graft.operators.TableCommit.resolve(table).get._2
         .filter(sig0.contains)
       val touched = retained.count(rel =>
-        sig0(rel) != fileSig(Seq(rel))(rel))
+        sig0(rel) != fileSig(table, Seq(rel))(rel))
       import s.implicits._
       Seq((a.filesTotal.toLong, a.filesCandidates.toLong,
           a.filesVectored.toLong, a.filesAdded.toLong, a.rowsUpdated,

@@ -534,6 +534,39 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.history(t).map(_._1).length == 2)
   }
 
+  test("guard rails: a type-changing schema re-declaration REFUSES " +
+      "(the commit would publish an unreadable table) and property " +
+      "keys/values that would corrupt the manifest REFUSE — the table " +
+      "is untouched either way") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      Seq((10L, "a", 0)).toDF("id", "v", "pt"))
+    val before = TableCommit.resolve(t).get
+    val state = snapshot(t)
+    // id re-declared as double: retained files are INT64 — committing
+    // this schema of record would throw on every subsequent read
+    intercept[IllegalArgumentException] {
+      TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+        Seq((2.5d, "b", 1)).toDF("id", "v", "pt"))
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.appendRows(spark, t, "pt",
+        Seq(("oops", "b", 1)).toDF("id", "v", "pt"))
+    }
+    // manifest injection: '=' in a key re-keys on parse; a newline in a
+    // value emits a raw line filesOf would treat as a data-file path
+    intercept[IllegalArgumentException] {
+      TableCommit.setProperties(t, Map("a=b" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.setProperties(t, Map("k" -> "v1\nv2"))
+    }
+    assert(TableCommit.resolve(t).get == before,
+      "a refused commit published a manifest")
+    assert(snapshot(t) == state, "a refused commit changed the table")
+  }
+
   test("restore: a retained snapshot republishes as the newest commit — " +
       "data rolls back, the txn ledger and properties do not, and the " +
       "pre-restore state still time-travels") {
@@ -703,7 +736,8 @@ class TableCommitSpec extends GraftSpec {
     val (idA, _) = TableCommit.resolve(t).get
     val a = TableCommit.deleteWhereMor(spark, t, "pt", "id",
       BigDecimal(100), BigDecimal(150))
-    val (added, removed) = TableCommit.changedFileSets(t, idA)
+    val (added, removed) = TableCommit.changedFileSets(t, idA,
+      TableCommit.resolve(t).get._1)
     assert(added.toSet == removed.toSet && added.nonEmpty,
       s"vectored files must appear on BOTH diff sides: +$added -$removed")
     assert(added.length == a.filesVectored, s"+$added vs $a")

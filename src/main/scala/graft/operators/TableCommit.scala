@@ -955,14 +955,14 @@ object TableCommit {
   private def footerRows(table: String, rels: Seq[String]): Map[String, Long] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = rels.map { rel => Future {
+    val fs = rels.map { rel => Future { scala.concurrent.blocking {
       val p = new org.apache.hadoop.fs.Path(
         new java.io.File(table, rel).toURI)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         p, new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try rel -> r.getRecordCount finally r.close()
-    }}
+    }}}
     Await.result(Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
       .toMap
   }
@@ -1015,7 +1015,12 @@ object TableCommit {
     val rows = resolved.map { case (rel, r) =>
       rel -> r.getLong(1 + 2 * cols.length)
     }.toMap
-    (stats, rows)
+    // the scan's key resolution is best-effort (a partition value both
+    // '+'-bearing AND percent-ambiguous can miss raw and decoded
+    // lookups); a miss may only ever drop a stats entry (conservative),
+    // never a #rows entry — footer-read exactly the unresolved files
+    val missed = rels.filterNot(rows.contains)
+    (stats, rows ++ footerRows(table, missed))
   }
 
   /** COMPACTION AS A COMMIT (round-9 verdict item 3): rewrite the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, element_at, input_file_name, lit, max, min, not, split => fsplit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, countDistinct, element_at, input_file_name, lit, max, min, not, split => fsplit, sum, when}
 
 /** Minimal ATOMIC COMMIT protocol for the engine's mutable partitioned
   * tables (round-8 verdict item 4) — the "table format's commit
@@ -1435,6 +1435,273 @@ object TableCommit {
     }
     MorUpdateAudit(baseId0, published, total, candidates.length, hit.length,
       fresh.length, rowsUpdated)
+  }
+
+  /** [[mergeInto]]'s audit: matched old versions vectored dead in
+    * `filesHit` files, successors + inserts landed in `filesAdded`
+    * fresh files; `rowsInserted` is metadata-derived (fresh `#rows`
+    * minus the update successors), nothing table-sized. */
+  final case class MergeAudit(snapshotBefore: Long, snapshotAfter: Long,
+      filesTotal: Int, filesCandidates: Int, filesHit: Int, filesAdded: Int,
+      rowsUpdated: Long, rowsDeleted: Long, rowsInserted: Long)
+
+  /** MERGE INTO — the three-clause SQL MERGE as ONE merge-on-read
+    * commit (the verb that subsumes the DML quartet; Delta's
+    * write-optimized merge): join the pinned target snapshot to a
+    * CDC-sized `source` on `keyCol`, then in a single atomic publish
+    *
+    *  - WHEN MATCHED AND `deleteWhen`  THEN DELETE — the old version's
+    *    position is vectored dead, no successor;
+    *  - WHEN MATCHED (otherwise)       THEN UPDATE — vectored dead AND
+    *    a transformed successor appended ([[updateWhereMor]]'s
+    *    kill-and-re-add kernel, so SET of the partition column moves
+    *    rows across partitions);
+    *  - WHEN NOT MATCHED               THEN INSERT — the source row
+    *    appended, cast to the target's declared column types.
+    *
+    * Commit cost ∝ |matched| + |inserted|; existing data files are
+    * never rewritten. `updateSet` / `deleteWhen` expressions see the
+    * TARGET row's columns by name and the source row's as
+    * `src_<name>`; an absent `updateSet` entry keeps the target value
+    * (so `Map.empty` degrades MERGE to upsert-by-delete+insert only
+    * when `deleteWhen` says so). INSERT requires `source` to carry
+    * every target column (extra source columns are allowed — they feed
+    * the clauses and are dropped on insert).
+    *
+    * Scale shape: the source is a merge's SMALL side by contract (a
+    * CDC batch against a 100 TB table) — it is explicitly broadcast,
+    * and its [min, max] key band stats-prunes the candidate files
+    * first, so the matched join reads only files that can hold a
+    * source key. That same pruning makes NOT-MATCHED detection sound
+    * on candidates alone: a file whose recorded key range excludes the
+    * whole source band cannot hold any source key. A corpus-sized
+    * source belongs in [[replacePartitions]], not here.
+    *
+    * SQL MERGE's cardinality rule is enforced: duplicate source keys
+    * are REFUSED (a target row matching two source rows would be
+    * killed once but succeeded twice — Delta raises the same error).
+    *
+    * Concurrency: [[deleteWhereMor]]'s file-granularity rules (a
+    * winner that removed, rewrote, or re-vectored a hit file
+    * conflicts) PLUS the merge-specific one: a winner that ADDED a
+    * file whose key range overlaps the source band invalidates this
+    * merge's matched/not-matched decisions (its rows might hold source
+    * keys we treated as inserts) — conflict; winners whose added files
+    * are provably key-disjoint rebase. A replayed `txn` (appId,
+    * version) is a structural no-op, checked before staging and after
+    * every lost CAS — the exactly-once contract a streaming MERGE
+    * writer needs. */
+  def mergeInto(s: SparkSession, table: String, partCol: String,
+      keyCol: String, source: DataFrame,
+      updateSet: Map[String, org.apache.spark.sql.Column],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None,
+      readSnapshot: Option[Long] = None): MergeAudit = {
+    initIfAbsent(table)
+    def alreadyApplied: Boolean = txn.exists { case (app, v) =>
+      lastTxnVersion(table, app).exists(_ >= v)
+    }
+    // readSnapshot pins the base like replacePartitions': the snapshot
+    // this merge's decisions were derived from — a LATER commit then
+    // becomes a "winner" the OCC loop must arbitrate against
+    val (baseId0, baseFiles0) = readSnapshot match {
+      case Some(id) => id -> filesOf(manifests(table).find(_._1 == id)
+        .getOrElse(sys.error(
+          s"snapshot $id of $table is outside the retention window"))._2)
+      case None => resolve(table).get
+    }
+    if (alreadyApplied)
+      return MergeAudit(baseId0, baseId0, baseFiles0.length, 0, 0, 0, 0, 0, 0)
+    val m = manifests(table).find(_._1 == baseId0).get._2
+    val total = filesOf(m).length
+    val tgtSchema = schemaOf(m).getOrElse(
+      s.read.option("basePath", table)
+        .parquet(filesOf(m).map(f => s"$table/$f"): _*).schema)
+    tgtSchema.fieldNames.foreach(c => require(source.columns.contains(c),
+      s"MERGE source must carry target column $c for NOT-MATCHED inserts"))
+    require(source.columns.contains(keyCol),
+      s"MERGE source must carry the key column $keyCol")
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var matchedCache: Option[DataFrame] = None
+    try {
+      // one pass over the source: cardinality guard + the key band that
+      // stats-prunes candidates and arbitrates rebase-vs-conflict below
+      val srcAgg = src.agg(count(lit(1)), countDistinct(col(keyCol)),
+        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"))
+        .collect()(0)
+      val srcRows = srcAgg.getLong(0)
+      if (srcRows == 0L)
+        return MergeAudit(baseId0, baseId0, total, 0, 0, 0, 0, 0, 0)
+      require(srcAgg.getLong(1) == srcRows,
+        s"MERGE source has duplicate $keyCol keys — a target row matching " +
+          "two source rows is ambiguous (the SQL MERGE cardinality rule)")
+      val band = for {
+        lo <- scala.util.Try(BigDecimal(srcAgg.getString(2))).toOption
+        hi <- scala.util.Try(BigDecimal(srcAgg.getString(3))).toOption
+      } yield (lo, hi)
+      val candidates = band match {
+        case Some((lo, hi)) => pruneFiles(m, keyCol, lo, hi)
+        case None => filesOf(m)
+      }
+      val srcR = broadcast(src.select(
+        src.columns.map(c => col(c).as(s"src_$c")).toIndexedSeq: _*))
+      // the matched frame: live candidate rows (prior vectors applied,
+      // positions tagged) joined to the broadcast source on the key.
+      // PERSISTED — it feeds four consumers (per-file hit counts, the
+      // DV write, the update successors, the not-matched anti-join
+      // keys), each of which would otherwise rescan every candidate
+      // file; it is at most source-sized (the cardinality rule), so
+      // caching costs |batch|, never table size
+      val matched =
+        if (candidates.isEmpty) None
+        else {
+          val rd = s.read.option("basePath", table)
+          val raw = schemaOf(m) match {
+            case Some(sch) =>
+              rd.schema(sch).parquet(candidates.map(f => s"$table/$f"): _*)
+            case None => rd.parquet(candidates.map(f => s"$table/$f"): _*)
+          }
+          Some(applyDv(s, table, m, candidates, dvKeyCols(raw))
+            .join(srcR, col(keyCol) === col(s"src_$keyCol"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
+      matchedCache = matched
+      val delPred = deleteWhen.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(false))
+      // per-hit-file (matched, deleted) counts — |candidates| scalar
+      // rows to the driver, the hitScan shape with the clause split
+      def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
+      val byKey = candidates.map(r => lastTwo(r) -> r).toMap
+      require(byKey.size == candidates.length,
+        s"non-unique partition-dir/file-name keys among candidates: $candidates")
+      val hitCounts: Map[String, (Long, Long)] = matched match {
+        case Some(mf) => mf.groupBy(col("__graft_dvk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(delPred, 1L).otherwise(0L)).as("d"))
+          .collect().flatMap { r =>
+            val key = r.getString(0)
+            byKey.get(key)
+              .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+              .map(_ -> (r.getLong(1), r.getLong(2)))
+          }.toMap
+        case None => Map.empty
+      }
+      val hit = candidates.filter(hitCounts.contains)
+      val rowsMatched = hitCounts.valuesIterator.map(_._1).sum
+      val rowsDeleted = hitCounts.valuesIterator.map(_._2).sum
+      val rowsUpdated = rowsMatched - rowsDeleted
+      val writerId = java.util.UUID.randomUUID().toString.take(8)
+      val dvRel = s"_dv/$writerId"
+      if (hit.nonEmpty)
+        // every matched row's old version dies — updates get successors
+        matched.get
+          .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
+          .write.mode("overwrite").parquet(s"$table/$dvRel")
+      // successors: the update clause over the pre-merge row, each
+      // assignment cast to the declared type (schema of record invariant)
+      val successors = matched.map(_.filter(!delPred)
+        .select(tgtSchema.fields.map { f =>
+          updateSet.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*))
+      // NOT MATCHED: source keys absent from every candidate's live rows
+      // (pruning proves non-candidates cannot hold a source key)
+      val matchedKeys = matched.map(
+        _.select(col(s"src_$keyCol").as(keyCol)).distinct())
+      val insertsRaw = matchedKeys match {
+        case Some(mk) => src.join(mk, Seq(keyCol), "left_anti")
+        case None => src
+      }
+      val inserts = insertsRaw.select(tgtSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val freshSrc = successors.fold(inserts)(_.unionByName(inserts))
+      val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+      val shaped = statsCols.headOption match {
+        case Some(c) => freshSrc.repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col(c))
+        case None => freshSrc.repartition(col(partCol))
+      }
+      val fresh = stageMove(table, writerId, shaped, partCol)
+      val (freshStats, freshRows) =
+        if (statsCols.nonEmpty && fresh.nonEmpty)
+          fileMeta(s, table, fresh, statsCols)
+        else (Map.empty[(String, String), (String, String)],
+          footerRows(table, fresh))
+      val rowsInserted = freshRows.valuesIterator.sum - rowsUpdated
+      val hitSet = hit.toSet
+      val baseDvSig = dvOf(m).filter { case (rel, _) => hitSet(rel) }
+      val known0 = baseFiles0.toSet
+      var (baseId, baseFiles) = (baseId0, baseFiles0)
+      var published = baseId0
+      var committed = false
+      while (!committed) {
+        if (!hitSet.subsetOf(baseFiles.toSet))
+          throw new CommitConflictException(
+            s"concurrent commit of $table removed or rewrote file(s) this " +
+              "MERGE read — re-read and re-derive")
+        val baseM = manifests(table).find(_._1 == baseId)
+        val winDv = baseM.map(bm => dvOf(bm._2)).getOrElse(Map.empty)
+        if (winDv.filter { case (rel, _) => hitSet(rel) } != baseDvSig)
+          throw new CommitConflictException(
+            s"concurrent commit of $table changed deletion-vector coverage " +
+              "of file(s) this MERGE read — re-read and re-derive")
+        // merge-specific rule: a winner's ADDED file whose recorded key
+        // range overlaps the source band (or records none) may hold
+        // source keys this merge classified as inserts — conflict
+        val winAdded = baseFiles.filterNot(known0)
+        if (winAdded.nonEmpty) {
+          val winStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
+          val unsafe = winAdded.filter { rel =>
+            winStats.get((rel, keyCol)) match {
+              case Some((mn, mx)) => band match {
+                case Some((lo, hi)) =>
+                  scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
+                    .getOrElse(true)
+                case None => true
+              }
+              case None => true
+            }
+          }
+          if (unsafe.nonEmpty)
+            throw new CommitConflictException(
+              s"concurrent commit of $table added file(s) that may hold " +
+                s"MERGE source keys (${unsafe.take(3).mkString(", ")}…) — " +
+                "matched/not-matched decisions are stale; re-read and re-derive")
+        }
+        val c = carriedFrom(baseM.map(_._2), _ => true)
+        val nextDv =
+          if (hit.isEmpty) c.dv
+          else c.dv ++ hit.map(rel =>
+            rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
+        val nextRows = c.rows.map { case (rel, n) =>
+          rel -> (n - hitCounts.get(rel).map(_._1).getOrElse(0L)) } ++ freshRows
+        val nextTxns = txn.fold(c.txns) { case (app, v) =>
+          c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
+        }
+        if (publish(table, baseId + 1, baseFiles ++ fresh, nextTxns,
+            c.schema.map(_.json), c.stats ++ freshStats, nextRows, nextDv,
+            c.props)) {
+          vacuum(table, baseId + 1)
+          published = baseId + 1
+          committed = true
+        } else if (alreadyApplied) {
+          // a racing replay of the same (appId, version) won the CAS:
+          // our staged files are orphans the age-gated sweep collects
+          committed = true
+        } else {
+          val (winId, winFiles) = resolve(table).get
+          baseId = winId
+          baseFiles = winFiles
+        }
+      }
+      MergeAudit(baseId0, published, total, candidates.length, hit.length,
+        fresh.length, rowsUpdated, rowsDeleted, rowsInserted)
+    } finally {
+      matchedCache.foreach(_.unpersist())
+      src.unpersist()
+    }
   }
 
   /** ROW-LEVEL UPDATE as a COPY-ON-WRITE commit — [[deleteWhere]]'s

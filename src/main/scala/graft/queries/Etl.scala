@@ -693,6 +693,81 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // -------------------------------------------------------------- n_table_merge
+  /** MERGE INTO over the committed events table — the three-clause SQL
+    * MERGE as ONE merge-on-read commit (`TableCommit.mergeInto`, the
+    * verb that subsumes the DML quartet): a CDC batch derived from the
+    * table itself carries an UPDATE band (payload negated, user_id
+    * marker-shifted), a DELETE band, and an INSERT band (the same rows
+    * re-keyed past the table's key domain), and one commit vectors the
+    * matched old versions dead and appends successors + inserts as
+    * fresh files. The emitted row witnesses all three clauses at once:
+    * narrowing counts (candidates pruned by the SOURCE's key band, hit
+    * ≤ candidates), per-clause row counts re-derived from the table
+    * (marker recount for updates), metadata row accounting
+    * (before − deleted + inserted = after, all from `#rows`), and the
+    * MoR byte sweep (`n_files_touched` = 0 — no existing file
+    * rewritten). TableCommitSpec pins the full contracts (cardinality
+    * rule, replay no-op, band-disjoint rebase vs in-band-append
+    * conflict, partition-moving SET). At 100 TB: the nightly
+    * CDC-apply's canonical shape — cost ∝ |batch|, never table size,
+    * with the source band pruning candidate files from manifest
+    * metadata before any data IO. */
+  private def tableMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val art = deleteBaseArt(s, d)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mrg_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, files0) = TableCommit.resolve(table).get
+      val sig0 = fileSig(table, files0)
+      val (mn, mx) = TableCommit.statsRange(table, id0, "event_id").get
+      val w = mx - mn
+      // CDC bands are read stats-PRUNED (readWhere) — a band's source
+      // rows live in a handful of key-contiguous files, and a CDC
+      // extractor would never full-scan the table to build its batch
+      def band(lo: BigDecimal, hi: BigDecimal) =
+        TableCommit.readWhereAt(s, table, id0, "event_id", lo, hi)
+      val marker = 10000000L
+      val keyShift = (mx - mn).toLong + 1000000L
+      val src =
+        band(mn + w * 7 / 16, mn + w * 8 / 16)
+          .withColumn("op", lit("U"))
+        .unionByName(band(mn + w * 9 / 16, mn + w * 10 / 16)
+          .withColumn("op", lit("D")))
+        .unionByName(band(mn + w * 11 / 16, mn + w * 12 / 16)
+          .withColumn("event_id", col("event_id") + lit(keyShift))
+          .withColumn("op", lit("I")))
+      val before = metaRowCount(s, table, id0)
+      val a = TableCommit.mergeInto(s, table, "event_type", "event_id", src,
+        updateSet = Map("value" -> -col("value"),
+          "user_id" -> (col("user_id") + lit(marker))),
+        deleteWhen = Some(col("src_op") === "D"))
+      val after = metaRowCount(s, table, a.snapshotAfter)
+      val retained = TableCommit.resolve(table).get._2.filter(sig0.contains)
+      val touched = retained.count(rel =>
+        sig0(rel) != fileSig(table, Seq(rel))(rel))
+      // marker recount through the PRUNED read of the update band: the
+      // successors kept their event_id, so the fresh files' #stats
+      // serve the band — the witness doubles as a post-merge skipping
+      // check (the full-scan recount would read the whole table)
+      val marked = TableCommit.readWhere(s, table, "event_id",
+          mn + w * 7 / 16, mn + w * 8 / 16)
+        .filter(col("user_id") >= lit(marker)).count()
+      import s.implicits._
+      Seq((a.filesTotal.toLong, a.filesCandidates.toLong, a.filesHit.toLong,
+          a.filesAdded.toLong, a.rowsUpdated, a.rowsDeleted, a.rowsInserted,
+          marked, before - a.rowsDeleted + a.rowsInserted - after,
+          touched.toLong))
+        .toDF("n_files", "n_candidates", "n_hit", "n_added",
+          "rows_updated", "rows_deleted", "rows_inserted", "rows_marked",
+          "rows_lost", "n_files_touched")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -1777,6 +1852,7 @@ object Etl {
     QueryDef("n_table_delete", tableDeleteQ, None),
     QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("n_incr_view", incrViewQ, None),
+    QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

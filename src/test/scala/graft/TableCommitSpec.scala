@@ -1004,4 +1004,161 @@ class TableCommitSpec extends GraftSpec {
     assert(snapshot(t) == Set(
       (1L, "a", 0), (2L, "b", 0), (30L, "C", 1), (5L, "e", 2)))
   }
+
+  /** A committed keyed table with per-file `#stats` on `id` — the
+    * layout [[TableCommit.mergeInto]]'s pruning and band-conflict
+    * arbitration read. 400 rows over two partitions, 4 key-contiguous
+    * files each. */
+  private def mergeBase(): String = {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1", "pt=2"),
+      (0 until 400).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 4)
+    t
+  }
+
+  private def dataFileSigs(t: String): Map[String, (Long, Long)] =
+    TableCommit.resolve(t).get._2.map { rel =>
+      val f = new java.io.File(t, rel)
+      rel -> (f.length(), f.lastModified())
+    }.toMap
+
+  test("mergeInto: three-clause MERGE in one MoR commit — matched rows " +
+      "update or delete, unmatched insert, existing files byte-untouched, " +
+      "row accounting metadata-exact, pre-merge snapshot still pinned") {
+    val t = mergeBase()
+    val (id0, _) = TableCommit.resolve(t).get
+    val sig0 = dataFileSigs(t)
+    val before = TableCommit.rowCount(t, id0).get
+    // source: ids 100-109 update (v := src payload), 110-114 delete,
+    // 1000-1004 insert (keys past the table's domain)
+    val src = ((100 until 110).map(i => (i.toLong, s"U$i", i % 2, "U")) ++
+      (110 until 115).map(i => (i.toLong, "x", i % 2, "D")) ++
+      (1000 until 1005).map(i => (i.toLong, s"I$i", i % 2, "I")))
+      .toDF("id", "v", "pt", "op")
+    val a = TableCommit.mergeInto(spark, t, "pt", "id", src,
+      updateSet = Map("v" -> col("src_v")),
+      deleteWhen = Some(col("src_op") === "D"))
+    assert(a.rowsUpdated == 10 && a.rowsDeleted == 5 && a.rowsInserted == 5,
+      a.toString)
+    assert(a.filesCandidates < a.filesTotal,
+      "source band pruned no candidate files")
+    assert(a.filesHit <= a.filesCandidates && a.filesHit > 0)
+    // merge-on-read: every pre-merge data file is byte-identical
+    val retained = TableCommit.resolve(t).get._2.filter(sig0.contains)
+    assert(retained.forall { rel =>
+      val f = new java.io.File(t, rel)
+      sig0(rel) == (f.length(), f.lastModified())
+    }, "a MoR merge rewrote an existing data file")
+    // row accounting from #rows metadata alone
+    val after = TableCommit.rowCount(t, a.snapshotAfter).get
+    assert(after == before - 5 + 5, s"$before -> $after")
+    // the final row set, exactly
+    val got = snapshot(t)
+    val expect = (0 until 400).filterNot(i => 110 <= i && i < 115)
+      .map(i => (i.toLong,
+        if (100 <= i && i < 110) s"U$i" else s"v$i", i % 2)).toSet ++
+      (1000 until 1005).map(i => (i.toLong, s"I$i", i % 2))
+    assert(got == expect)
+    // the pre-merge snapshot is still pinned (time travel)
+    assert(TableCommit.readAt(spark, t, id0).count() == before)
+    // stats on the fresh files keep a post-merge band read pruning
+    val pruned = TableCommit.readWhere(spark, t, "id",
+      BigDecimal(1000), BigDecimal(1004))
+    assert(pruned.count() == 5)
+    assert(pruned.inputFiles.length < TableCommit.resolve(t).get._2.length)
+  }
+
+  test("mergeInto: duplicate source keys are refused (the SQL MERGE " +
+      "cardinality rule) with the table untouched; an empty source is a " +
+      "structural no-op") {
+    val t = mergeBase()
+    val (id0, _) = TableCommit.resolve(t).get
+    val dup = Seq((100L, "a", 0, "U"), (100L, "b", 0, "U"))
+      .toDF("id", "v", "pt", "op")
+    intercept[IllegalArgumentException] {
+      TableCommit.mergeInto(spark, t, "pt", "id", dup,
+        updateSet = Map("v" -> col("src_v")))
+    }
+    assert(TableCommit.resolve(t).get._1 == id0, "failed merge published")
+    val a = TableCommit.mergeInto(spark, t, "pt", "id",
+      dup.limit(0), updateSet = Map("v" -> col("src_v")))
+    assert(a.snapshotAfter == id0 && a.rowsInserted == 0)
+    assert(TableCommit.resolve(t).get._1 == id0, "empty merge published")
+  }
+
+  test("mergeInto: a replayed (appId, version) merge is a structural " +
+      "no-op even with different source rows") {
+    val t = mergeBase()
+    val src1 = Seq((100L, "first", 0, "U")).toDF("id", "v", "pt", "op")
+    TableCommit.mergeInto(spark, t, "pt", "id", src1,
+      updateSet = Map("v" -> col("src_v")), txn = Some(("mergeApp", 7L)))
+    val (id1, _) = TableCommit.resolve(t).get
+    val rows1 = snapshot(t)
+    // checkpoint recovery re-delivers version 7 with a different batch
+    val src2 = Seq((200L, "ghost", 0, "U")).toDF("id", "v", "pt", "op")
+    val a = TableCommit.mergeInto(spark, t, "pt", "id", src2,
+      updateSet = Map("v" -> col("src_v")), txn = Some(("mergeApp", 7L)))
+    assert(a.snapshotBefore == a.snapshotAfter, "replay published a commit")
+    assert(TableCommit.resolve(t).get._1 == id1 && snapshot(t) == rows1,
+      "replayed merge changed the table")
+    // a NEWER version applies
+    TableCommit.mergeInto(spark, t, "pt", "id", src2,
+      updateSet = Map("v" -> col("src_v")), txn = Some(("mergeApp", 8L)))
+    assert(snapshot(t).contains((200L, "ghost", 0)))
+  }
+
+  test("mergeInto OCC: rebases over a winner whose added files are " +
+      "provably key-disjoint from the source band; conflicts when a " +
+      "winner's added file may hold source keys or re-vectored a hit " +
+      "file — table untouched on conflict") {
+    val t = mergeBase()
+    val (idPin, _) = TableCommit.resolve(t).get
+    def src = Seq((100L, "M", 0, "U")).toDF("id", "v", "pt", "op")
+    // winner 1: a key-DISJOINT append (ids ≥ 5000, stats recorded) —
+    // the pinned merge must rebase over it, both land
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((5000L, "w", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    val a = TableCommit.mergeInto(spark, t, "pt", "id", src,
+      updateSet = Map("v" -> col("src_v")), readSnapshot = Some(idPin))
+    assert(a.snapshotAfter > a.snapshotBefore)
+    assert(snapshot(t).contains((100L, "M", 0)) &&
+      snapshot(t).contains((5000L, "w", 0)),
+      "disjoint append + pinned merge did not both land")
+    // winner 2: an append INSIDE the source band — the pinned merge's
+    // not-matched decision is stale, must conflict, table untouched
+    val (idPin2, _) = TableCommit.resolve(t).get
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((101L, "in-band", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    val (idW, _) = TableCommit.resolve(t).get
+    val rowsW = snapshot(t)
+    intercept[TableCommit.CommitConflictException] {
+      TableCommit.mergeInto(spark, t, "pt", "id",
+        Seq((101L, "stale", 1, "U")).toDF("id", "v", "pt", "op"),
+        updateSet = Map("v" -> col("src_v")), readSnapshot = Some(idPin2))
+    }
+    assert(TableCommit.resolve(t).get._1 == idW && snapshot(t) == rowsW,
+      "conflicted merge left the table changed")
+    // winner 3: a MoR delete that re-vectored the merge's hit file
+    val (idPin3, _) = TableCommit.resolve(t).get
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(100))
+    intercept[TableCommit.CommitConflictException] {
+      TableCommit.mergeInto(spark, t, "pt", "id", src,
+        updateSet = Map("v" -> col("src_v")), readSnapshot = Some(idPin3))
+    }
+  }
+
+  test("mergeInto: partition-moving update (SET of the partition column) " +
+      "relocates matched rows — the MoR kill-and-re-add capability") {
+    val t = mergeBase()
+    val src = Seq((100L, "moved", 9, "U")).toDF("id", "v", "pt", "op")
+    TableCommit.mergeInto(spark, t, "pt", "id", src,
+      updateSet = Map("v" -> col("src_v"), "pt" -> col("src_pt")))
+    val got = snapshot(t).filter(_._1 == 100L)
+    assert(got == Set((100L, "moved", 9)), got.toString)
+    assert(TableCommit.resolve(t).get._2.exists(_.startsWith("pt=9/")),
+      "moved row's fresh file not in the new partition dir")
+  }
 }

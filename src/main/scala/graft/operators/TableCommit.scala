@@ -344,6 +344,91 @@ object TableCommit {
     }
   }
 
+  /** Raised when a commit's written rows violate a table CHECK
+    * constraint — the commit publishes NOTHING (staged files are never
+    * moved; the orphan sweep collects them). */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  private val ConstraintProp = "graft.constraint."
+
+  /** The table's CHECK constraints: name → SQL boolean expression,
+    * decoded from `graft.constraint.<name>` properties. */
+  def constraints(table: String): Map[String, String] =
+    properties(table).collect {
+      case (k, v) if k.startsWith(ConstraintProp) =>
+        k.stripPrefix(ConstraintProp) -> v
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta CHECK constraints): validate
+    * that every EXISTING live row satisfies `exprSql` (one aggregate
+    * scan — a constraint that current data violates is REFUSED, the
+    * Delta rule), then record it as a `graft.constraint.<name>` table
+    * property via a metadata-only commit. From then on every commit
+    * verb that writes row content (append, replace, compact, CoW/MoR
+    * update, merge) validates its WRITTEN rows against all constraints
+    * before anything publishes — checked at the shared staging choke
+    * point, so no verb can forget. NULL handling is SQL CHECK's: a
+    * NULL predicate result does NOT violate (use `x IS NOT NULL` to
+    * reject nulls). Tables without constraints pay nothing (the guard
+    * is a property-map probe). */
+  def addConstraint(s: SparkSession, table: String, name: String,
+      exprSql: String): Unit = {
+    initIfAbsent(table)
+    val bad = read(s, table)
+      .agg(sum(when(not(coalesce(
+        org.apache.spark.sql.functions.expr(exprSql), lit(true))),
+        1L).otherwise(0L)))
+      .collect()(0)
+    val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+    if (n > 0L)
+      throw new ConstraintViolationException(
+        s"cannot add CHECK constraint $name ($exprSql) to $table: " +
+          s"$n existing row(s) violate it")
+    setProperties(table, Map(s"$ConstraintProp$name" -> exprSql))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — a metadata-only commit that
+    * republishes the current state minus the constraint property. */
+  def dropConstraint(table: String, name: String): Unit = {
+    initIfAbsent(table)
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).get
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      if (publish(table, baseId + 1, baseFiles, c.txns,
+          c.schema.map(_.json), c.stats, c.rows, c.dv,
+          c.props - s"$ConstraintProp$name")) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+    }
+  }
+
+  /** CHECK-constraint gate over a commit's staged rows: ONE aggregate
+    * computes every constraint's violation count (all row-local, so
+    * they fold into a single pass over the write set — never the
+    * table); the first violated constraint aborts with its count. A
+    * NULL predicate result passes (SQL CHECK semantics). */
+  private def checkStaged(s: SparkSession, table: String,
+      staged: DataFrame): Unit = {
+    val cs = constraints(table).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (_, e) =>
+      sum(when(not(coalesce(org.apache.spark.sql.functions.expr(e),
+        lit(true))), 1L).otherwise(0L))
+    }
+    val r = staged.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((name, e), i) =>
+      val n = if (r.isNullAt(i)) 0L else r.getLong(i)
+      if (n > 0L)
+        throw new ConstraintViolationException(
+          s"commit to $table violates CHECK constraint $name ($e): " +
+            s"$n written row(s) fail — nothing was published")
+    }
+  }
+
   /** Writer-transaction watermarks a manifest carries forward:
     * `#txn <appId>=<version>` directive lines, the Delta `txn` action's
     * idempotent-writer ledger. Every commit copies the newest
@@ -921,7 +1006,15 @@ object TableCommit {
     * under concurrent writers — each knows its own files by
     * construction), then move each part file into its partition dir
     * under a writer-unique name. Returns the manifest-relative
-    * paths. */
+    * paths.
+    *
+    * CHECK constraints are enforced HERE (the one choke point all
+    * row-writing verbs share): after the stage write, the staged tree
+    * — what was ACTUALLY written, casts applied — is validated against
+    * the table's `graft.constraint.*` properties; a violation deletes
+    * the stage and throws before any file reaches a partition dir, so
+    * the table is untouched. Constraint-free tables skip the read
+    * entirely. */
   private def stageMove(table: String, writerId: String, shaped: DataFrame,
       partCol: String, maxRecordsPerFile: Long = 0L): Seq[String] = {
     val stage = new java.io.File(table, s"_stage_$writerId")
@@ -929,6 +1022,12 @@ object TableCommit {
     (if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(stage.getAbsolutePath)
+    val stagedNonEmpty = Option(stage.listFiles()).getOrElse(Array.empty)
+      .exists(p => p.isDirectory && p.getName.contains("="))
+    if (stagedNonEmpty && constraints(table).nonEmpty)
+      try checkStaged(shaped.sparkSession, table,
+        shaped.sparkSession.read.parquet(stage.getAbsolutePath))
+      catch { case e: Throwable => Sinks.deleteRecursively(stage); throw e }
     val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
       .filter(p => p.isDirectory && p.getName.contains("="))
       .flatMap { p =>

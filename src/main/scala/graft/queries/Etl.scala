@@ -768,6 +768,72 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // -------------------------------------------------------- n_table_constraints
+  /** CHECK constraints on the committed events table — ALTER TABLE
+    * ADD/DROP CONSTRAINT with write-path enforcement
+    * (`TableCommit.addConstraint`; the Delta CHECK-constraint rung):
+    * the data-quality gate moved INTO the commit protocol, so bad rows
+    * are rejected at write time instead of detected downstream
+    * (`q_dq_report` is the audit twin). The op: (1) add a constraint
+    * current data satisfies (a key floor derived from `#stats`
+    * metadata) — lands as a metadata-only property commit; (2) attempt
+    * one the existing rows violate — refused with the violation count,
+    * properties untouched; (3) attempt an append that violates —
+    * NOTHING publishes (stage swept, snapshot id and `#rows` count
+    * unchanged); (4) a clean append lands through the same gate. The
+    * emitted row carries each outcome plus metadata row accounting.
+    * Enforcement is a single aggregate over the WRITE SET at the
+    * staging choke point every row-writing verb shares —
+    * constraint-free tables skip it entirely; TableCommitSpec pins
+    * refusal atomicity, NULL-passes semantics, update-path
+    * enforcement, carriage across compaction, and drop-re-admits. At
+    * 100 TB: validation cost tracks the commit's write set, never the
+    * table. */
+  private def tableConstraintsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val art = deleteBaseArt(s, d)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ck_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      graft.operators.Sinks.copyTree(
+        new java.io.File(art, "table"), new java.io.File(table))
+      val (id0, _) = TableCommit.resolve(table).get
+      val (mn, mx) = TableCommit.statsRange(table, id0, "event_id").get
+      val before = metaRowCount(s, table, id0)
+      TableCommit.addConstraint(s, table, "key_floor", s"event_id >= $mn")
+      TableCommit.addConstraint(s, table, "key_not_null",
+        "event_id IS NOT NULL")
+      // a constraint the live data violates: strictly-above-min
+      // excludes at least the min row — refused, property set untouched
+      val addRejected =
+        try { TableCommit.addConstraint(s, table, "too_tight",
+          s"event_id > $mn"); 0L }
+        catch { case _: TableCommit.ConstraintViolationException => 1L }
+      val nConstraints = TableCommit.constraints(table).size.toLong
+      val (idPre, _) = TableCommit.resolve(table).get
+      // one live row as the append template (stats-pruned single-file read)
+      val template = TableCommit.readWhereAt(s, table, idPre, "event_id",
+        mn, mn).limit(1)
+      val badAppendRejected =
+        try { TableCommit.appendRows(s, table, "event_type",
+          template.withColumn("event_id", lit(mn.toLong - 1000L)),
+          clusterBy = Seq("event_id")); 0L }
+        catch { case _: TableCommit.ConstraintViolationException => 1L }
+      val (idAfterBad, _) = TableCommit.resolve(table).get
+      TableCommit.appendRows(s, table, "event_type",
+        template.withColumn("event_id", lit(mx.toLong + 1000L)),
+        clusterBy = Seq("event_id"))
+      val (idFinal, _) = TableCommit.resolve(table).get
+      val after = metaRowCount(s, table, idFinal)
+      import s.implicits._
+      Seq((nConstraints, addRejected, badAppendRejected,
+          (idAfterBad == idPre).toString, before, after - before))
+        .toDF("n_constraints", "add_rejected", "bad_append_rejected",
+          "bad_append_published_nothing", "rows_before", "rows_appended")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -1853,6 +1919,7 @@ object Etl {
     QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_merge", tableMergeQ, None),
+    QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

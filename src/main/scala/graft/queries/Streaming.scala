@@ -458,6 +458,59 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- n_stream_cdc
+  /** The committed table as a STREAMING SOURCE
+    * (`graft.streaming.TableCommitSource`, registered as
+    * `format("graft-table")`) — the consumer side of the commit
+    * protocol as a real Structured Streaming integration, closing the
+    * loop n_stream_upsert opened: offsets are snapshot ids, a
+    * micro-batch is the manifest DIFF between two snapshots (pure
+    * metadata, then a pinned read of exactly the added files). The op:
+    * seed a committed table from a deterministic ~1% events slice,
+    * drain once (batch 0 = the full snapshot, the Delta default), land
+    * an append commit, drain again FROM THE SAME CHECKPOINT — the
+    * second invocation resumes at its committed offset and consumes
+    * exactly the delta files, never rescanning the table. The emitted
+    * row carries both drain sizes and the end-to-end conservation
+    * check (sink total ≡ table row count). TableStreamSourceSpec pins
+    * the contracts (full-snapshot-then-delta, no-change drain empty,
+    * non-append commit refused / ignoreChanges re-emission,
+    * startingSnapshot handoff). At 100 TB: per-batch cost tracks the
+    * COMMIT's write set — the table-as-stream rung that makes every
+    * committed table a message bus with retention. */
+  private def streamCdc(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_${UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val cp = new java.io.File(base, "ckpt").getAbsolutePath
+    try {
+      val ev = Tables.events(s, d)
+      ev.filter(pmod(col("user_id"), lit(97L)) === 0L)
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(table)
+      graft.operators.TableCommit.initIfAbsent(table)
+      def drainOnce(): Unit = withStreamConf(s) {
+        s.readStream.format("graft-table").load(table)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      drainOnce() // batch 0: the full seed snapshot
+      val c0 = s.read.parquet(out).count()
+      graft.operators.TableCommit.appendRows(s, table, "event_type",
+        ev.filter(pmod(col("user_id"), lit(97L)) === 1L),
+        txn = Some(("cdc_feed", 1L)))
+      drainOnce() // resumes from the checkpointed offset: delta only
+      val c1 = s.read.parquet(out).count()
+      val tableRows = graft.operators.TableCommit.read(s, table).count()
+      import s.implicits._
+      Seq((c0, c1 - c0, tableRows, (c1 == tableRows).toString))
+        .toDF("rows_snapshot", "rows_delta", "rows_table", "conserved")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_stream_join
   /** Stream-stream interval join: purchases within 10 minutes AFTER a
     * click by the same user. Both sides carry watermarks and the join
@@ -523,5 +576,6 @@ object Streaming {
     QueryDef("n_stream_upsert", streamUpsert, None),
     QueryDef("n_stream_join", streamJoin, None),
     QueryDef("n_stream_topk", streamTopk, None),
+    QueryDef("n_stream_cdc", streamCdc, None),
   )
 }

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TableCommit
+
+/** The committed table as a STRUCTURED STREAMING SOURCE —
+  * `spark.readStream.format("graft-table").load(tablePath)` — closing
+  * the loop the commit protocol opened: `n_stream_upsert` writes a
+  * table through exactly-once commits, [[TableCommitSource]] lets a
+  * downstream streaming query consume those commits as micro-batches.
+  *
+  * Design (the Delta streaming-source shape, re-derived on the
+  * manifest log; public design: delta-io/delta `DeltaSource`, and
+  * Armbrust et al. VLDB 2020 §4.3 "Streaming Through Delta Tables"):
+  *
+  *  - An OFFSET is a snapshot id. `getOffset` returns the newest
+  *    manifest id — micro-batch (a, b] is the manifest DIFF between
+  *    snapshots a and b, resolved by pure metadata
+  *    ([[TableCommit.changedFileSets]]), then a pinned read of exactly
+  *    the added files. Per-batch planning cost tracks the COMMIT's
+  *    write set, never table size.
+  *  - The FIRST batch (start = None) is the full snapshot at the
+  *    stream's first observed offset (Delta's default), unless
+  *    `startingSnapshot=<id>` says to begin from a known position —
+  *    the handoff a backfill-then-tail deployment uses.
+  *  - APPEND-ONLY contract: a diff that REMOVED files (replace,
+  *    compact, delete, update, or a re-vectored file — a DV change
+  *    surfaces on both sides of the diff) means rows changed in
+  *    place; replaying just the added files would emit phantom or
+  *    duplicate rows, so the source THROWS (Delta's rule), unless
+  *    `ignoreChanges=true` accepts re-emission of rewritten files'
+  *    rows downstream (the consumer must be idempotent by key).
+  *  - A consumer may lag at most the table's retention window
+  *    (`graft.retention.generations`, the property vacuum reads): a
+  *    start offset older than the oldest retained manifest cannot be
+  *    diffed and fails with the retention error — the same trade
+  *    [[graft.operators.IncrementalView]] degrades on, surfaced
+  *    instead of silently wrong.
+  *
+  * V1 `Source` rather than a DSv2 `MicroBatchStream` deliberately:
+  * `getBatch` returns a DataFrame, so the micro-batch IS the pinned
+  * manifest-subset parquet scan (schema-of-record, deletion vectors,
+  * column pruning and all) — a DSv2 stream would re-implement the
+  * parquet reader per partition for zero gain. Delta ships exactly
+  * this shape. The one internal seam (the isStreaming flag) is
+  * isolated in [[org.apache.spark.sql.graft.StreamingBridge]]. */
+class TableCommitSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      TableCommitSource.tableSchema(ctx, TableCommitSource.path(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TableCommitSource(ctx, TableCommitSource.path(parameters), parameters)
+}
+
+object TableCommitSource {
+  private[streaming] def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "graft-table source needs .load(<table path>)"))
+
+  /** The table's schema of record: what a snapshot read resolves —
+    * the `#schema` directive when present, footer inference else. */
+  private[streaming] def tableSchema(ctx: SQLContext,
+      table: String): StructType = {
+    TableCommit.initIfAbsent(table)
+    TableCommit.read(ctx.sparkSession, table).schema
+  }
+}
+
+class TableCommitSource(ctx: SQLContext, table: String,
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  private val spark = ctx.sparkSession
+  private val ignoreChanges =
+    parameters.get("ignoreChanges").exists(_.toBoolean)
+  private val startingSnapshot =
+    parameters.get("startingSnapshot").map(_.toLong)
+
+  override val schema: StructType = TableCommitSource.tableSchema(ctx, table)
+
+  /** Offsets are snapshot ids; the JSON form is the bare id. */
+  private case class SnapshotOffset(id: Long) extends V1Offset {
+    override def json: String = id.toString
+  }
+
+  private def idOf(o: V1Offset): Long = o match {
+    case SnapshotOffset(id) => id
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    TableCommit.resolve(table).map { case (id, _) => SnapshotOffset(id) }
+
+  // ---- Trigger.AvailableNow (SupportsAdmissionControl) -------------
+  // The run processes everything committed AT PREPARE TIME and stops;
+  // commits landing mid-run wait for the next invocation — exactly the
+  // snapshot-id cap below. (Without this, the engine falls back to
+  // single-batch execution with a warning.)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TableCommit.resolve(table).map(_._1)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val newest = TableCommit.resolve(table).map(_._1)
+    val capped = availableNowCap match {
+      case Some(c) => newest.map(math.min(_, c))
+      case None => newest
+    }
+    capped.map(SnapshotOffset.apply).orNull
+  }
+
+  override def reportLatestOffset(): V2Offset =
+    TableCommit.resolve(table).map(id => SnapshotOffset(id._1)).orNull
+
+  /** Column order is pinned to [[schema]]: a partition-column read
+    * appends dir-derived columns at the end, and the streaming
+    * execution requires batch output ≡ declared source schema. */
+  private def shaped(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(
+      df.select(schema.fieldNames.map(col).toIndexedSeq: _*),
+      schema.fieldNames.toIndexedSeq)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = idOf(end)
+    val sinceId = start.map(idOf).orElse(startingSnapshot)
+    sinceId match {
+      case None =>
+        // first batch: the full snapshot at the first observed offset
+        shaped(TableCommit.readAt(spark, table, endId))
+      case Some(a) if a == endId =>
+        shaped(TableCommit.readFileSubset(spark, table, endId, Seq.empty))
+      case Some(a) =>
+        val (added, removed) = TableCommit.changedFileSets(table, a, endId)
+        if (removed.nonEmpty && !ignoreChanges)
+          sys.error(
+            s"graft-table stream over $table detected a non-append commit " +
+              s"between snapshots $a and $endId (${removed.length} file(s) " +
+              "removed or rewritten in place — replace/compact/delete/" +
+              "update/DV). An append-only consumer cannot replay it " +
+              "correctly; restart from a fresh full snapshot, or set " +
+              "ignoreChanges=true to re-emit rewritten files' rows to an " +
+              "idempotent sink")
+        shaped(TableCommit.readFileSubset(spark, table, endId, added))
+    }
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1150,6 +1150,54 @@ class TableCommitSpec extends GraftSpec {
     }
   }
 
+  test("CHECK constraints: adding one that existing data violates is " +
+      "refused; a violating append or update publishes NOTHING (stage " +
+      "swept, table untouched); NULL predicates pass; dropConstraint " +
+      "re-admits; constraints survive compaction") {
+    val t = mergeBase()
+    TableCommit.addConstraint(spark, t, "id_pos", "id >= 0")
+    // existing data violates "id < 10" (ids run to 399) — refused, and
+    // the constraint set is unchanged
+    intercept[TableCommit.ConstraintViolationException] {
+      TableCommit.addConstraint(spark, t, "small", "id < 10")
+    }
+    assert(TableCommit.constraints(t) == Map("id_pos" -> "id >= 0"))
+    val (id0, files0) = TableCommit.resolve(t).get
+    val rows0 = snapshot(t)
+    // violating append: nothing published, no stage residue
+    intercept[TableCommit.ConstraintViolationException] {
+      TableCommit.appendRows(spark, t, "pt",
+        Seq((-5L, "bad", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    }
+    assert(TableCommit.resolve(t).get == ((id0, files0)),
+      "violating append published a commit")
+    assert(snapshot(t) == rows0)
+    assert(!Option(new java.io.File(t).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("_stage_")), "stage residue left behind")
+    // violating UPDATE (the CoW rewrite goes through the same gate)
+    intercept[TableCommit.ConstraintViolationException] {
+      TableCommit.updateWhere(spark, t, "pt", "id",
+        BigDecimal(0), BigDecimal(10), Map("id" -> -col("id")))
+    }
+    assert(snapshot(t) == rows0, "violating update changed the table")
+    // NULL predicate result passes (SQL CHECK semantics): a constraint
+    // on v admits a NULL v row
+    TableCommit.addConstraint(spark, t, "v_nonempty", "length(v) > 0")
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7000L, null.asInstanceOf[String], 0)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"))
+    assert(snapshot(t).contains((7000L, null, 0)))
+    // constraints ride ordinary commits (compaction carries properties)
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0"),
+      clusterBy = Seq("id"))
+    assert(TableCommit.constraints(t).keySet == Set("id_pos", "v_nonempty"))
+    // drop re-admits the previously-refused write
+    TableCommit.dropConstraint(t, "id_pos")
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((-5L, "ok-now", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    assert(snapshot(t).contains((-5L, "ok-now", 0)))
+  }
+
   test("mergeInto: partition-moving update (SET of the partition column) " +
       "relocates matched rows — the MoR kill-and-re-add capability") {
     val t = mergeBase()

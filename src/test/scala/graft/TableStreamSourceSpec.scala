@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.TableCommit
+
+/** Contract of the committed table as a Structured Streaming source
+  * (`graft.streaming.TableCommitSource`): full-snapshot first batch,
+  * manifest-diff increments across a REAL checkpoint restart (parquet
+  * sink — the memory sink cannot recover a checkpoint), the
+  * append-only guard on rewrite commits, and the ignoreChanges escape
+  * hatch. */
+class TableStreamSourceSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def committedTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tss").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "v", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    // deep retention so a lagging consumer's diffs stay resolvable
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "6"))
+    t
+  }
+
+  /** One consumer invocation: drain the table stream into the parquet
+    * sink at `out` under checkpoint `ckpt` (same ckpt across calls =
+    * one logical consumer resuming from its committed offset). */
+  private def drain(t: String, ckpt: String, out: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = options.foldLeft(spark.readStream.format("graft-table")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(t)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Sink contents as (id, v, pt) tuples WITH multiplicity — the
+    * re-emission check needs duplicates visible. */
+  private def sunk(out: String): Seq[(Long, String, Int)] =
+    spark.read.parquet(out)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+
+  test("graft-table source: batch 0 is the full snapshot; a later drain " +
+      "from the same checkpoint sees exactly the appended delta; a " +
+      "no-change drain is empty") {
+    val t = committedTable()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tss_io")
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+    drain(t, ckpt, out)
+    val first = sunk(out)
+    assert(first.toSet == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1),
+      (4L, "d", 1)) && first.size == 4,
+      s"batch 0 is not the full snapshot: $first")
+    // two append commits land between drains — consumed as the delta
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((10L, "x", 0)).toDF("id", "v", "pt"))
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((11L, "y", 2)).toDF("id", "v", "pt"))
+    drain(t, ckpt, out)
+    val afterDelta = sunk(out)
+    assert(afterDelta.size == 6 &&
+      afterDelta.toSet == first.toSet + ((10L, "x", 0)) + ((11L, "y", 2)),
+      s"incremental drain did not append exactly the delta: $afterDelta")
+    // nothing new: the next drain emits nothing
+    drain(t, ckpt, out)
+    assert(sunk(out).size == 6, "no-change drain emitted rows")
+  }
+
+  test("graft-table source: a non-append commit fails the append-only " +
+      "consumer; ignoreChanges re-emits the rewritten files' rows") {
+    val t = committedTable()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tss_io2")
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+    drain(t, ckpt, out)
+    assert(sunk(out).size == 4)
+    // a copy-on-write DELETE rewrites pt=0's file in place (id=1
+    // survives into a FRESH file, id=2 drops)
+    TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(2), BigDecimal(2))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, ckpt, out)
+    }
+    def mentionsNonAppend(x: Throwable): Boolean =
+      x != null && (Option(x.getMessage).exists(_.contains("non-append")) ||
+        mentionsNonAppend(x.getCause))
+    assert(mentionsNonAppend(e), s"unexpected failure: ${e.getMessage}")
+    assert(sunk(out).size == 4, "failed drain still wrote rows")
+    // same checkpoint, ignoreChanges=true: the batch re-attempts and
+    // re-emits the rewrite's fresh file (the id=1 survivor) — the
+    // documented at-least-once degradation for idempotent sinks
+    drain(t, ckpt, out, Map("ignoreChanges" -> "true"))
+    val re = sunk(out)
+    assert(re.count(_ == ((1L, "a", 0))) == 2,
+      s"survivor row not re-emitted under ignoreChanges: $re")
+    assert(re.count(_._1 == 2L) == 1,
+      s"deleted row re-emitted or lost from history: $re")
+  }
+
+  test("graft-table source: startingSnapshot consumes changes only — " +
+      "the backfill-then-tail handoff") {
+    val t = committedTable()
+    val (id0, _) = TableCommit.resolve(t).get
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((20L, "z", 1)).toDF("id", "v", "pt"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tss_io3")
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+    drain(t, ckpt, out, Map("startingSnapshot" -> id0.toString))
+    val got = sunk(out)
+    assert(got == Seq((20L, "z", 1)),
+      s"startingSnapshot drain should be the post-$id0 delta: $got")
+  }
+}

@@ -1620,6 +1620,9 @@ object TableCommit {
       s"MERGE source must carry target column $c for NOT-MATCHED inserts"))
     require(source.columns.contains(keyCol),
       s"MERGE source must carry the key column $keyCol")
+    updateSet.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
+      s"MERGE SET column $c is not a column of $table — it would be " +
+        "silently dropped"))
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var matchedCache: Option[DataFrame] = None
     try {

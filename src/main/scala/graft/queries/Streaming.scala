@@ -477,7 +477,17 @@ object Streaming {
     * non-append commit refused / ignoreChanges re-emission,
     * startingSnapshot handoff). At 100 TB: per-batch cost tracks the
     * COMMIT's write set — the table-as-stream rung that makes every
-    * committed table a message bus with retention. */
+    * committed table a message bus with retention.
+    *
+    * The WRITE side is the matching sink
+    * (`writeStream.format("graft-table")`, [[graft.streaming
+    * .TableCommitSink]]): each drained micro-batch lands in a SECOND
+    * committed table as an `appendRows` commit whose `#txn`
+    * (txnAppId, batchId) ledger entry makes checkpoint-recovery
+    * replays structural no-ops — a committed-TABLE-to-committed-TABLE
+    * streaming pipeline, exactly-once end to end with no sink-side
+    * dedup state. The conservation check reads the SINK table's pinned
+    * snapshot. */
   private def streamCdc(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_cdc_${UUID.randomUUID().toString.replace("-", "")}")
@@ -486,25 +496,34 @@ object Streaming {
     val cp = new java.io.File(base, "ckpt").getAbsolutePath
     try {
       val ev = Tables.events(s, d)
-      ev.filter(pmod(col("user_id"), lit(97L)) === 0L)
-        .repartition(col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(table)
+      // seed THROUGH the protocol (not adopt) so `#rows` metadata covers
+      // every file on both tables — all audit counts below are then
+      // manifest reads, zero data scans
       graft.operators.TableCommit.initIfAbsent(table)
+      graft.operators.TableCommit.appendRows(s, table, "event_type",
+        ev.filter(pmod(col("user_id"), lit(97L)) === 0L),
+        txn = Some(("cdc_feed", 0L)))
+      def metaRows(t: String): Long = {
+        val (id, _) = graft.operators.TableCommit.resolve(t).get
+        graft.operators.TableCommit.rowCount(t, id).get
+      }
       def drainOnce(): Unit = withStreamConf(s) {
         s.readStream.format("graft-table").load(table)
-          .writeStream.format("parquet")
-          .option("path", out)
+          .writeStream.format("graft-table")
+          .partitionBy("event_type")
+          .option("txnAppId", "cdc_pipeline")
+          .option("clusterBy", "event_id")
           .option("checkpointLocation", cp)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          .trigger(Trigger.AvailableNow()).start(out).awaitTermination()
       }
-      drainOnce() // batch 0: the full seed snapshot
-      val c0 = s.read.parquet(out).count()
+      drainOnce() // batch 0: the full seed snapshot → sink commit 1
+      val c0 = metaRows(out)
       graft.operators.TableCommit.appendRows(s, table, "event_type",
         ev.filter(pmod(col("user_id"), lit(97L)) === 1L),
         txn = Some(("cdc_feed", 1L)))
       drainOnce() // resumes from the checkpointed offset: delta only
-      val c1 = s.read.parquet(out).count()
-      val tableRows = graft.operators.TableCommit.read(s, table).count()
+      val c1 = metaRows(out)
+      val tableRows = metaRows(table)
       import s.implicits._
       Seq((c0, c1 - c0, tableRows, (c1 == tableRows).toString))
         .toDF("rows_snapshot", "rows_delta", "rows_table", "conserved")

@@ -50,6 +50,7 @@ import graft.operators.TableCommit
   * this shape. The one internal seam (the isStreaming flag) is
   * isolated in [[org.apache.spark.sql.graft.StreamingBridge]]. */
 class TableCommitSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
@@ -64,6 +65,68 @@ class TableCommitSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TableCommitSource(ctx, TableCommitSource.path(parameters), parameters)
+
+  /** The committed table as a STREAMING SINK —
+    * `writeStream.format("graft-table").partitionBy(p).start(path)`:
+    * every micro-batch is an [[TableCommit.appendRows]] commit carrying
+    * `(txnAppId, batchId)` in the manifest's `#txn` ledger, so a
+    * checkpoint-recovery REPLAY of a batch whose commit landed is a
+    * structural no-op — end-to-end EXACTLY-ONCE into the table without
+    * any sink-side dedup state (the Delta sink's idempotent-writer
+    * rule). Append output mode only: update/complete would need a
+    * replace semantics the caller should express as a keyed
+    * foreachBatch merge (n_stream_upsert's pattern) instead. Options:
+    * `txnAppId` (ledger identity; REQUIRED for exactly-once across
+    * checkpoint re-creation — defaults to the sink's checkpoint-scoped
+    * query, so set it when the checkpoint may be rebuilt),
+    * `clusterBy` (comma-separated `#stats` layout columns). */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      "graft-table sink supports Append output mode only — keyed " +
+        "update/complete semantics belong in a foreachBatch merge " +
+        "(replacePartitions/mergeInto)")
+    require(partitionColumns.length == 1,
+      "graft-table sink needs exactly one partition column " +
+        "(.partitionBy(col)) — the committed table's layout grain")
+    new TableCommitSink(TableCommitSource.path(parameters),
+      partitionColumns.head, parameters)
+  }
+}
+
+/** [[TableCommitSourceProvider.createSink]]'s sink: one append commit
+  * per micro-batch, exactly-once via the txn ledger. */
+class TableCommitSink(table: String, partCol: String,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  // Default ledger identity keys on the CHECKPOINT location, not a
+  // shared constant: two different pipelines writing the same table
+  // would otherwise collide on (appId, batchId) and silently no-op
+  // each other's batches. An explicit txnAppId is still the durable
+  // choice (it survives a checkpoint rebuild — the spec's replay pin).
+  private val appId = parameters.getOrElse("txnAppId",
+    parameters.get("checkpointLocation") match {
+      case Some(cp) => "graft_table_sink_" + java.security.MessageDigest
+        .getInstance("MD5").digest(cp.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      case None => "graft_table_sink"
+    })
+  private val clusterBy = parameters.get("clusterBy")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Nil)
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit =
+    TableCommit.appendRows(data.sparkSession, table, partCol,
+      // the micro-batch frame is streaming-tagged and refuses write —
+      // re-plan it as a batch frame over the incremental RDD
+      org.apache.spark.sql.graft.StreamingBridge.asBatch(data),
+      txn = Some((appId, batchId)), clusterBy = clusterBy)
+
+  override def toString: String = s"TableCommitSink[$table]"
 }
 
 object TableCommitSource {

@@ -48,4 +48,15 @@ object StreamingBridge {
       session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       df.schema, isStreaming = true)
   }
+
+  /** The inverse, for the SINK side: a micro-batch frame handed to a
+    * V1 `Sink.addBatch` is streaming-tagged and refuses `write` — the
+    * standard connector move (Delta's `DeltaSink` does the same) is to
+    * re-plan it as a batch frame over the incremental execution's RDD,
+    * which the commit path can then write like any DataFrame. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[ClassicSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

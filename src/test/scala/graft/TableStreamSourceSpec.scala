@@ -108,6 +108,63 @@ class TableStreamSourceSpec extends GraftSpec {
       s"deleted row re-emitted or lost from history: $re")
   }
 
+  test("graft-table sink: a table-to-table streaming pipeline commits " +
+      "one append per micro-batch; a REPLAYED batch (checkpoint wiped, " +
+      "same txnAppId) is a structural no-op — exactly-once end to end") {
+    val src = committedTable()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tsk")
+    val dst = new java.io.File(scratch.toFile, "dst").getAbsolutePath
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    def pipe(cp: String): Unit =
+      spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .partitionBy("pt")
+        .option("txnAppId", "tsk_pipe")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dst).awaitTermination()
+    pipe(ckpt)
+    val rows1 = TableCommit.read(spark, dst)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows1 == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1),
+      (4L, "d", 1)), s"sink table missed the first batch: $rows1")
+    val (dstId1, _) = TableCommit.resolve(dst).get
+    // checkpoint DESTROYED: the restarted pipeline re-delivers batch 0
+    // with the same (txnAppId, batchId) — the ledger makes it a no-op
+    graft.operators.Sinks.deleteRecursively(new java.io.File(ckpt))
+    pipe(ckpt)
+    assert(TableCommit.read(spark, dst).count() == 4,
+      "replayed batch 0 duplicated rows in the sink table")
+    assert(TableCommit.lastTxnVersion(dst, "tsk_pipe").contains(0L))
+    // the replay may publish nothing at all or a no-op is structural:
+    // row set unchanged is the contract; a fresh commit id is allowed
+    // only if it carries the same rows
+    val rows2 = TableCommit.read(spark, dst)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows2 == rows1, s"replay changed the sink table: $rows2")
+    // update/complete modes are refused
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table").load(src)
+        .groupBy(col("pt")).count()
+        .writeStream.format("graft-table")
+        .partitionBy("pt")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          new java.io.File(scratch.toFile, "ckpt2").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(scratch.toFile, "dst2").getAbsolutePath)
+        .awaitTermination()
+    }
+    def mentions(x: Throwable, s: String): Boolean =
+      x != null && (Option(x.getMessage).exists(_.contains(s)) ||
+        mentions(x.getCause, s))
+    assert(mentions(e, "Append output mode only"),
+      s"complete mode not refused: ${e.getMessage}")
+    assert(dstId1 >= 1L)
+  }
+
   test("graft-table source: startingSnapshot consumes changes only — " +
       "the backfill-then-tail handoff") {
     val t = committedTable()

@@ -6,7 +6,8 @@ import graft.operators.TableCommit
 /** MODEL-BASED randomized testing of the table format: drive the
   * committed table through seeded-random sequences of every DML verb —
   * blind append, copy-on-write delete/update, merge-on-read
-  * delete/update, compaction — and after EVERY step assert the table's
+  * delete/update, three-clause MERGE, compaction — and after EVERY
+  * step assert the table's
   * snapshot read equals an in-memory reference model and the `#rows`
   * manifest metadata equals the model's size. Single-op specs pin each
   * verb's contract in isolation; this pins their COMPOSITION — the
@@ -50,9 +51,34 @@ class TableCommitModelSpec extends GraftSpec {
       }
 
       for (step <- 0 until 10) {
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(7)
         val (lo, hi) = band()
         op match {
+          case 6 => // three-clause MERGE: update a band slice, delete a
+            // sub-slice, insert fresh ids — one MoR commit
+            val liveBand = model.collect {
+              case (id, (v, pt)) if id >= lo && id <= hi => (id, v, pt)
+            }.toSeq.sortBy(_._1)
+            val (updSrc, delSrc) = liveBand.splitAt(liveBand.length / 2)
+            val k = 1 + rnd.nextInt(10)
+            val insSrc = (nextId until nextId + k)
+              .map(id => (id, id * 10, (id % 3).toInt))
+            nextId += k
+            val src =
+              (updSrc.map { case (id, v, pt) => (id, v, pt, "U") } ++
+                delSrc.map { case (id, v, pt) => (id, v, pt, "D") } ++
+                insSrc.map { case (id, v, pt) => (id, v, pt, "I") })
+                .toDF("id", "v", "pt", "op")
+            TableCommit.mergeInto(spark, t, "pt", "id", src,
+              updateSet = Map("v" -> (col("v") + lit(7L))),
+              deleteWhen = Some(col("src_op") === "D"))
+            val updIds = updSrc.map(_._1).toSet
+            val delIds = delSrc.map(_._1).toSet
+            model = model.flatMap { case (id, (v, pt)) =>
+              if (delIds(id)) None
+              else if (updIds(id)) Some(id -> (v + 7, pt))
+              else Some(id -> (v, pt))
+            } ++ insSrc.map { case (id, v, pt) => id -> (v, pt) }
           case 0 => // blind append of fresh ids
             val k = 1 + rnd.nextInt(20)
             val fresh = (nextId until nextId + k)

@@ -915,6 +915,67 @@ object TableCommit {
     }
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src [VERSION
+    * AS OF id]`): materialize a NEW committed table at `dst` that
+    * shares the pinned snapshot's DATA bytes — every data file and
+    * referenced deletion-vector file is HARD-LINKED, not copied, so
+    * the clone costs metadata + one link per file regardless of data
+    * size (on an object store the link becomes a server-side copy or
+    * a path reference; everything else is unchanged). The clone's
+    * manifest-0 carries the snapshot's stats, `#rows`, vectors, schema
+    * and properties — but NOT the txn ledger: a clone is a NEW table,
+    * and a writer replaying into it must apply, not no-op (the Delta
+    * rule — ledgers identify a destination table, not its bytes).
+    * `relocate = true` opts back in for the one case that wants it:
+    * physically MOVING a table (backup/restore to a new path) rather
+    * than forking a new logical one — the ledger carries AND the
+    * snapshot keeps its id, so consumers whose recorded positions name
+    * source snapshot ids (an [[IncrementalView]]'s `#txn` entry, a
+    * graft-table stream's checkpointed offset) resume seamlessly
+    * against the relocated table.
+    *
+    * Divergence safety is structural: hard links mean the shared bytes
+    * carry a link count, so either table's vacuum unlinking a shared
+    * file merely drops ITS name — the other table's reads are
+    * untouched. Source and clone evolve fully independently from the
+    * moment of cloning (the test-drive-rollback and the
+    * prod-to-staging copy, for the price of a manifest). Returns the
+    * clone's snapshot id (0). */
+  def cloneTo(src: String, dst: String, id: Option[Long] = None,
+      relocate: Boolean = false): Long = {
+    val (srcId, _) = id.map(i => (i, ())).getOrElse((resolve(src).getOrElse(
+      sys.error(s"$src has no snapshot to clone"))._1, ()))
+    val m = manifests(src).find(_._1 == srcId).getOrElse(sys.error(
+      s"snapshot $srcId of $src is outside the retention window"))._2
+    require(manifests(dst).isEmpty,
+      s"clone destination $dst already has a manifest log")
+    val files = filesOf(m)
+    val dvRels = dvOf(m).values.flatten.toSeq.distinct.flatMap { dir =>
+      Option(new java.io.File(src, dir).listFiles()).getOrElse(Array.empty)
+        .toSeq.filterNot(_.getName.startsWith("."))
+        .map(f => s"$dir/${f.getName}")
+    }
+    (files ++ dvRels).foreach { rel =>
+      val from = new java.io.File(src, rel)
+      val to = new java.io.File(dst, rel)
+      to.getParentFile.mkdirs()
+      try java.nio.file.Files.createLink(to.toPath, from.toPath)
+      catch {
+        // cross-filesystem destination: degrade to a copy (documented
+        // — the zero-copy contract needs a same-FS / same-bucket dst)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(from.toPath, to.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val dstId = if (relocate) srcId else 0L
+    val ok = publish(dst, dstId, files,
+      if (relocate) txnsOf(m) else Map.empty,
+      schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), propsOf(m))
+    require(ok, s"clone destination $dst was concurrently initialized")
+    dstId
+  }
+
   /** BLIND APPEND as a commit — the INSERT INTO verb: add `df`'s rows
     * to the table without removing anything. An append reads no table
     * state, so it can NEVER conflict (Delta's append rule — appends

@@ -373,11 +373,14 @@ object Etl {
     * which no maintenance job pays to CREATE. Built once per dataset
     * (content-tag-keyed, the streamSrc convention). */
   private def fragEvents(s: SparkSession, d: String): String =
-    graft.operators.Sinks.artifact("frag_events", d) { p =>
+    graft.operators.Sinks.artifact("frag_events_v2", d) { p =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartition(24)
         .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      // adopt at build time so per-invocation clones are zero-copy
+      // hard links (TableCommit.cloneTo) instead of byte copies
+      graft.operators.TableCommit.initIfAbsent(p)
     }
 
   private def compactQ(s: SparkSession, d: String): DataFrame = {
@@ -391,9 +394,7 @@ object Etl {
     val (before, after, counts) = try {
       // byte-level clone adopted as manifest-0: the pre-compaction
       // committed state (a clone of finished parquet needs no Spark job)
-      graft.operators.Sinks.copyTree(new java.io.File(frag),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
+      graft.operators.TableCommit.cloneTo(frag, table)
       // raw manifest partition dirs (Hive-ESCAPED — the commit API's
       // grain) vs unescaped values (the data-side audit grain)
       def rawCounts: Map[String, Long] = {
@@ -450,9 +451,7 @@ object Etl {
       s"graft_optz_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(new java.io.File(frag),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
+      graft.operators.TableCommit.cloneTo(frag, table)
       val dirs = graft.operators.TableCommit.resolve(table).get._2
         .map(f => f.takeWhile(_ != '/')).distinct
       graft.operators.TableCommit.compactPartitions(s, table, "event_type",
@@ -486,14 +485,14 @@ object Etl {
     * (n_table_delete / n_table_update and their _dv twins): the
     * fragmented events layout committed and event_id-clustered (8
     * key-contiguous files per partition — the `#stats` layout that
-    * makes stage-1 pruning real). Each query byte-clones it per
-    * invocation: DML mutates, so the measured op must own its table. */
+    * makes stage-1 pruning real). Each query clones it per invocation
+    * with `TableCommit.cloneTo` — a zero-copy hard-link clone (DML
+    * mutates, so the measured op must own its table; the protocol's
+    * immutable-file rule makes sharing bytes safe). */
   private def deleteBaseArt(s: SparkSession, d: String): String =
     graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
       val table = new java.io.File(p, "table").getAbsolutePath
-      graft.operators.Sinks.copyTree(new java.io.File(fragEvents(s, d)),
-        new java.io.File(table))
-      graft.operators.TableCommit.initIfAbsent(table)
+      graft.operators.TableCommit.cloneTo(fragEvents(s, d), table)
       val dirs = graft.operators.TableCommit.resolve(table).get._2
         .map(f => f.takeWhile(_ != '/')).distinct
       graft.operators.TableCommit.compactPartitions(s, table, "event_type",
@@ -542,8 +541,8 @@ object Etl {
       s"graft_del_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, _) = graft.operators.TableCommit.resolve(table).get
       val (mn, mx) = graft.operators.TableCommit
         .statsRange(table, id0, "event_id").get
@@ -586,8 +585,8 @@ object Etl {
       s"graft_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, _) = graft.operators.TableCommit.resolve(table).get
       val (mn, mx) = graft.operators.TableCommit
         .statsRange(table, id0, "event_id").get
@@ -628,8 +627,8 @@ object Etl {
       s"graft_dvdel_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, files0) = graft.operators.TableCommit.resolve(table).get
       val sig0 = fileSig(table, files0)
       val (mn, mx) = graft.operators.TableCommit
@@ -668,8 +667,8 @@ object Etl {
       s"graft_dvupd_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, files0) = graft.operators.TableCommit.resolve(table).get
       val sig0 = fileSig(table, files0)
       val (mn, mx) = graft.operators.TableCommit
@@ -720,8 +719,8 @@ object Etl {
       s"graft_mrg_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, files0) = TableCommit.resolve(table).get
       val sig0 = fileSig(table, files0)
       val (mn, mx) = TableCommit.statsRange(table, id0, "event_id").get
@@ -796,8 +795,8 @@ object Etl {
       s"graft_ck_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val table = new java.io.File(base, "table").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "table"), new java.io.File(table))
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "table").getAbsolutePath, table)
       val (id0, _) = TableCommit.resolve(table).get
       val (mn, mx) = TableCommit.statsRange(table, id0, "event_id").get
       val before = metaRowCount(s, table, id0)
@@ -831,6 +830,65 @@ object Etl {
           (idAfterBad == idPre).toString, before, after - before))
         .toDF("n_constraints", "add_rejected", "bad_append_rejected",
           "bad_append_published_nothing", "rows_before", "rows_appended")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  // -------------------------------------------------------------- n_table_clone
+  /** SHALLOW CLONE of the committed events table
+    * (`TableCommit.cloneTo`; Delta's CREATE TABLE … SHALLOW CLONE): a
+    * NEW table whose manifest-0 references the pinned snapshot's data
+    * by HARD LINK — zero bytes copied regardless of table size (the
+    * audit counts `unix:nlink ≥ 2` per file as the zero-copy witness),
+    * stats/`#rows`/schema/properties carried so the clone serves
+    * band-pruned reads immediately, the txn ledger deliberately NOT
+    * carried (a clone is a new table; a replayed writer must apply).
+    * Divergence is structural: the op deletes a key band in the CLONE
+    * and proves the SOURCE's rows and bytes untouched — the
+    * test-drive-rollback / prod-to-staging pattern for the price of a
+    * manifest. TableCommitSpec pins both divergence directions,
+    * vacuum safety across the shared bytes, ledger non-carriage, and
+    * the relocation variant (`relocate = true`: ledger + snapshot ids
+    * preserved — what n_incr_view's per-invocation clones use, since
+    * an IncrementalView's position names source snapshot ids). Every
+    * DML query in this suite now scaffolds through this verb. At
+    * 100 TB: the link becomes the object store's server-side copy —
+    * still metadata-priced. */
+  private def tableCloneQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val art = deleteBaseArt(s, d)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cln_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val srcT = new java.io.File(base, "src").getAbsolutePath
+    val clone = new java.io.File(base, "clone").getAbsolutePath
+    try {
+      // the mutable "source" is itself a clone of the shared scaffold
+      // (this query mutates nothing in it, but owns its tables anyway)
+      TableCommit.cloneTo(new java.io.File(art, "table").getAbsolutePath,
+        srcT)
+      val (srcId, srcFiles) = TableCommit.resolve(srcT).get
+      val srcSig = fileSig(srcT, srcFiles)
+      val rowsSrc = metaRowCount(s, srcT, srcId)
+      TableCommit.cloneTo(srcT, clone)
+      val (cloneId, cloneFiles) = TableCommit.resolve(clone).get
+      val linked = cloneFiles.count { rel =>
+        java.nio.file.Files.getAttribute(
+          new java.io.File(clone, rel).toPath, "unix:nlink")
+          .asInstanceOf[Number].intValue >= 2
+      }
+      val rowsClone = metaRowCount(s, clone, cloneId)
+      // mutate the CLONE: key-band delete; the SOURCE must be untouched
+      val (mn, mx) = TableCommit.statsRange(clone, cloneId, "event_id").get
+      val a = TableCommit.deleteWhere(s, clone, "event_type", "event_id",
+        mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      val srcTouched = srcFiles.count(rel =>
+        srcSig(rel) != fileSig(srcT, Seq(rel))(rel))
+      val rowsSrcAfter = metaRowCount(s, srcT,
+        TableCommit.resolve(srcT).get._1)
+      import s.implicits._
+      Seq((srcFiles.length.toLong, linked.toLong, rowsSrc, rowsClone,
+          a.rowsDeleted, rowsSrcAfter - rowsSrc, srcTouched.toLong))
+        .toDF("n_files", "n_linked", "rows_src", "rows_clone",
+          "rows_deleted_in_clone", "src_rows_drift", "src_files_touched")
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
@@ -902,10 +960,15 @@ object Etl {
     val src = new java.io.File(base, "src").getAbsolutePath
     val view = new java.io.File(base, "view").getAbsolutePath
     try {
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "src"), new java.io.File(src))
-      graft.operators.Sinks.copyTree(
-        new java.io.File(art, "view"), new java.io.File(view))
+      // zero-copy RELOCATION clones (ledger + snapshot ids preserved):
+      // the view's txn entry IS its synced position and names the
+      // source's snapshot id — a forking clone would renumber/drop
+      // them and turn cycle 1 into a full rebuild
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "src").getAbsolutePath, src, relocate = true)
+      graft.operators.TableCommit.cloneTo(
+        new java.io.File(art, "view").getAbsolutePath, view,
+        relocate = true)
       val b = java.nio.file.Files.readString(
         new java.io.File(art, "bwidth").toPath).trim.toLong
       // cycle 1: blind append of the settled slice — lands in NEW top
@@ -1920,6 +1983,7 @@ object Etl {
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),
+    QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

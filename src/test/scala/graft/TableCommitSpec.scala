@@ -1198,6 +1198,65 @@ class TableCommitSpec extends GraftSpec {
     assert(snapshot(t).contains((-5L, "ok-now", 0)))
   }
 
+  test("shallow clone: zero-copy (hard-linked) table sharing the pinned " +
+      "snapshot's bytes; clone and source diverge independently; either " +
+      "side's vacuum never breaks the other; the txn ledger does NOT " +
+      "carry (a replayed writer into the clone applies)") {
+    val t = mergeBase()
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((9000L, "w", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      txn = Some(("cloner", 5L)))
+    val (srcId, srcFiles) = TableCommit.resolve(t).get
+    val dst = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_clone").toFile,
+      "table").getAbsolutePath
+    assert(TableCommit.cloneTo(t, dst) == 0L)
+    // same rows, zero data copy (every linked file shares its inode)
+    assert(snapshot(dst) == snapshot(t))
+    val linked = TableCommit.resolve(dst).get._2.count { rel =>
+      java.nio.file.Files.getAttribute(
+        new java.io.File(dst, rel).toPath, "unix:nlink")
+        .asInstanceOf[Number].intValue >= 2
+    }
+    assert(linked == srcFiles.length, s"only $linked/${srcFiles.length} " +
+      "clone files are hard links")
+    // stats carried: a band read on the clone still prunes
+    val pruned = TableCommit.readWhere(spark, dst, "id",
+      BigDecimal(100), BigDecimal(120))
+    assert(pruned.inputFiles.length < srcFiles.length)
+    // ledger did NOT carry: the same (appId, version) applies to the clone
+    assert(TableCommit.lastTxnVersion(dst, "cloner").isEmpty)
+    TableCommit.appendRows(spark, dst, "pt",
+      Seq((9001L, "x", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      txn = Some(("cloner", 5L)))
+    assert(snapshot(dst).contains((9001L, "x", 0)),
+      "replayed (appId, version) was wrongly no-op'd in the clone")
+    // divergence: delete a band in the CLONE (rewrites shared files on
+    // the clone side; its vacuum then unlinks old generations) — the
+    // SOURCE reads byte-identically
+    val srcRows = snapshot(t)
+    TableCommit.deleteWhere(spark, dst, "pt", "id",
+      BigDecimal(0), BigDecimal(50))
+    // push the clone's vacuum past the shared generation
+    TableCommit.appendRows(spark, dst, "pt",
+      Seq((9002L, "y", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    TableCommit.appendRows(spark, dst, "pt",
+      Seq((9003L, "z", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    assert(snapshot(t) == srcRows,
+      "mutating + vacuuming the clone changed the source")
+    assert(TableCommit.readAt(spark, t, srcId).count() == srcRows.size)
+    // and the other direction: mutate the source, clone unaffected
+    val cloneRows = snapshot(dst)
+    TableCommit.deleteWhere(spark, t, "pt", "id",
+      BigDecimal(200), BigDecimal(250))
+    assert(snapshot(dst) == cloneRows,
+      "mutating the source changed the clone")
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      TableCommit.cloneTo(t, dst)
+    }
+  }
+
   test("mergeInto: partition-moving update (SET of the partition column) " +
       "relocates matched rows — the MoR kill-and-re-add capability") {
     val t = mergeBase()

@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       NfcNormalize.info,
       NfcNormalize.builder))
+    // SQL front door for the committed table: snapshot / time-travel /
+    // CDC reads as table-valued functions (graft.plans.TableFunctions)
+    graft.plans.TableFunctions.all.foreach(ext.injectTableFunction)
   }
 }

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.operators.TableCommit
+
+/** SQL TABLE-VALUED-FUNCTION front door for the committed table — the
+  * "two front doors" discipline applied to the table format: every
+  * read surface the Scala API exposes is reachable from a plain SQL
+  * string (preference (c): `SparkSessionExtensions
+  * .injectTableFunction`, the public seam Spark provides exactly for
+  * relation-producing functions — no parser fork, no catalog plugin):
+  *
+  *  - `graft_table('<path>')`               — newest snapshot
+  *  - `graft_table_at('<path>', <id>)`      — time travel
+  *  - `graft_table_changes('<path>', <id>)` — CDC delta since snapshot
+  *
+  * Each builder folds its literal arguments at resolution time and
+  * returns the SAME analyzed plan the Scala read produces — a pinned
+  * manifest-subset parquet scan with schema-of-record and deletion
+  * vectors applied — so Catalyst sees an ordinary relation (filters
+  * push down, columns prune; the TVF adds zero plan overhead).
+  * Arguments must be literals: a table path decided by row values
+  * would make snapshot pinning undefined. */
+object TableFunctions {
+
+  private def lit(e: Expression, what: String): Any = e match {
+    case l: Literal => l.value
+    case other => throw new IllegalArgumentException(
+      s"graft table functions take literal arguments; $what was $other")
+  }
+
+  private def path(e: Expression): String =
+    String.valueOf(lit(e, "the table path"))
+
+  private def id(e: Expression): Long = lit(e, "the snapshot id") match {
+    case n: Number => n.longValue
+    case other => throw new IllegalArgumentException(
+      s"snapshot id must be an integer literal, got $other")
+  }
+
+  private def session: SparkSession = SparkSession.active
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_table"),
+      new ExpressionInfo(getClass.getName, "graft_table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_table(path)")
+        TableCommit.read(session, path(args.head))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_at"),
+      new ExpressionInfo(getClass.getName, "graft_table_at"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_table_at(path, snapshotId)")
+        TableCommit.readAt(session, path(args.head), id(args(1)))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(getClass.getName, "graft_table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_table_changes(path, sinceId)")
+        TableCommit.changesSince(session, path(args.head), id(args(1)))
+          .queryExecution.analyzed
+      }))
+}

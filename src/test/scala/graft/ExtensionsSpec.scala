@@ -44,4 +44,58 @@ class ExtensionsSpec extends GraftSpec {
       SparkSession.setActiveSession(old)
     }
   }
+
+  test("table-valued functions: graft_table / graft_table_at / " +
+      "graft_table_changes read the committed table from plain SQL, " +
+      "identically to the Scala API") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TableCommit
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toFile
+      val t = new java.io.File(dir, "table").getAbsolutePath
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "pt")
+        .repartition(col("pt"))
+        .write.mode("overwrite").partitionBy("pt").parquet(t)
+      TableCommit.initIfAbsent(t)
+      val (id0, _) = TableCommit.resolve(t).get
+      TableCommit.appendRows(s2, t, "pt",
+        Seq((3L, "c", 1)).toDF("id", "v", "pt"))
+      // newest snapshot via SQL ≡ Scala read
+      val sqlRows = s2.sql(s"SELECT id, v FROM graft_table('$t') ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(sqlRows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // time travel via SQL
+      val atRows = s2.sql(
+        s"SELECT id FROM graft_table_at('$t', $id0) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(atRows == Seq(1L, 2L))
+      // CDC delta via SQL — exactly the appended row
+      val delta = s2.sql(
+        s"SELECT id, v FROM graft_table_changes('$t', $id0)")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(delta == Seq((3L, "c")))
+      // the TVF is an ordinary relation to Catalyst: a filtered read
+      // plans a plain parquet scan (predicate reaches the source)
+      val plan = s2.sql(
+        s"SELECT id FROM graft_table('$t') WHERE id = 2").queryExecution
+        .executedPlan.toString
+      assert(plan.contains("PushedFilters") || plan.contains("Scan parquet"),
+        s"TVF read did not plan a parquet scan:\n$plan")
+      // non-literal arguments refuse
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_table_at('$t', id0 + 1)").collect()
+      }
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }

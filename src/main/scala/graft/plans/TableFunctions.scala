@@ -66,5 +66,20 @@ object TableFunctions {
         require(args.length == 2, "graft_table_changes(path, sinceId)")
         TableCommit.changesSince(session, path(args.head), id(args(1)))
           .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_history"),
+      new ExpressionInfo(getClass.getName, "graft_table_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_table_history(path)")
+        // DESCRIBE HISTORY: one row per retained snapshot, metadata only
+        val t = path(args.head)
+        val s = session
+        import s.implicits._
+        TableCommit.history(t).map { case (snapId, files) =>
+          (snapId, files.length.toLong,
+            files.map(_.takeWhile(_ != '/')).distinct.length.toLong,
+            TableCommit.rowCount(t, snapId).getOrElse(-1L))
+        }.toDF("snapshot_id", "n_files", "n_partitions", "n_rows")
+          .queryExecution.analyzed
       }))
 }

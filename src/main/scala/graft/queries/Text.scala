@@ -842,6 +842,47 @@ object Text {
       |ORDER BY cnt DESC, a, b
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- n_bpe_train
+  /** BPE tokenizer TRAINING end-to-end ([[graft.operators.BpeTrainer]];
+    * Sennrich et al. 2016) — the full greedy merge loop where
+    * q_bpe_pairs is the single-iteration oracle'd kernel: one
+    * corpus-scale pass aggregates the distinct-word frequency table
+    * (the sufficient statistic — the ONLY part that scales with the
+    * corpus, exactly the split production trainers use: distributed
+    * counting, single-node merging, because merge k+1's counts depend
+    * on merge k), then K=40 merges are learned with the deterministic
+    * (count DESC, pair ASC) tie-break so the merge table is a pure
+    * function of the corpus. Output: the ranked merge table plus a
+    * tokenization witness — the corpus re-segmented with the learned
+    * merges, emitting total symbol count before (chars) and after
+    * (subwords), proving compression from the vocabulary the merges
+    * came from. BpeTrainerSpec pins the canonical low/lower/newest/
+    * widest example's merge sequence and segment(). At 100 TB: the
+    * word-count pass is the corpus job; the vocabulary is model-state
+    * sized (the ANN-centroid class), and the learned table ships as a
+    * broadcast for the tokenize pass. */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val vocab = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) > 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("w_cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = BpeTrainer.train(vocab, 40)
+    // tokenization witness over the SAME sufficient statistic: chars
+    // (+ terminal) before vs subword symbols after — both weighted by
+    // word frequency, a driver fold over the vocabulary
+    val before = vocab.iterator.map { case (w, c) => (w.length + 1) * c }.sum
+    val after = vocab.iterator.map { case (w, c) =>
+      BpeTrainer.segment(w, merges).length * c }.sum
+    import s.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.count,
+        vocab.length.toLong, before, after))
+      .toDF("rank", "left", "right", "pair_count", "n_vocab",
+        "symbols_before", "symbols_after")
+      .orderBy(col("rank"))
+  }
+
   // -------------------------------------------------------------------- q_bm25
   /** BM25 retrieval scoring (Robertson & Zaragoza 2009): rank documents
     * against a fixed term query with the k1/b length-normalized
@@ -1287,6 +1328,7 @@ object Text {
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    QueryDef("n_bpe_train", bpeTrain, None),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("n_perplexity_approx", perplexityApprox, None),

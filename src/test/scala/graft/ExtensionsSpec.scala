@@ -89,6 +89,17 @@ class ExtensionsSpec extends GraftSpec {
         .executedPlan.toString
       assert(plan.contains("PushedFilters") || plan.contains("Scan parquet"),
         s"TVF read did not plan a parquet scan:\n$plan")
+      // DESCRIBE HISTORY as a TVF: one row per retained snapshot,
+      // metadata-exact row counts for protocol-written generations
+      val hist = s2.sql(
+        s"SELECT snapshot_id, n_files, n_rows FROM graft_table_history('$t') " +
+          "ORDER BY snapshot_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(hist.map(_._1) == Seq(id0, id0 + 1), hist.toString)
+      assert(hist.last._2 == hist.head._2 + 1, s"append added one file: $hist")
+      // this table was ADOPTED (no #rows for generation-0 files), so the
+      // metadata-only count is honestly unknown (-1), never a scan
+      assert(hist.forall(_._3 == -1L), hist.toString)
       // non-literal arguments refuse
       intercept[Exception] {
         s2.sql(s"SELECT * FROM graft_table_at('$t', id0 + 1)").collect()

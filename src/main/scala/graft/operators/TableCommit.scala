@@ -718,6 +718,104 @@ object TableCommit {
       before.filter(f => !afterSet(f) || dvChanged(f)))
   }
 
+  /** ROW-LEVEL CHANGE DATA FEED between two retained snapshots —
+    * Delta's CDF (`table_changes`), synthesized from the manifest log
+    * alone (no writer-recorded change files): every emitted row
+    * carries `_change_type` ∈ {insert, delete}, and the feed is
+    * CORRECT by the apply equation the spec pins —
+    * `to ≡ (from − deletes) ⊎ inserts` as row multisets — for EVERY
+    * commit verb:
+    *
+    *  - files only in `to`   → their live rows at `to`   = inserts
+    *  - files only in `from` → their live rows at `from` = deletes
+    *  - files in BOTH whose deletion-vector list grew → the rows at
+    *    the newly-dead positions = deletes (the MoR delete/update/
+    *    merge fast path: change volume ∝ the vectors, no rewrite
+    *    amplification)
+    *
+    * Copy-on-write rewrites and compactions emit COARSE changes
+    * (surviving rows appear as delete+insert of an identical row) —
+    * still correct under the apply equation, just more churn than a
+    * writer-recorded CDF would emit; the merge-on-read verbs are the
+    * precise path, which is exactly why a CDC-feeding table prefers
+    * them. Deletes are emitted at the TO snapshot's schema of record
+    * (old rows null-default evolved columns), so the feed unions
+    * cleanly across a schema-evolving commit. */
+  def changeFeed(s: SparkSession, table: String, fromId: Long,
+      toId: Long): DataFrame = {
+    val all = manifests(table)
+    def man(id: Long) = all.find(_._1 == id).getOrElse(sys.error(
+      s"snapshot $id of $table is outside the retention window"))._2
+    val mA = man(fromId)
+    val mB = man(toId)
+    val filesA = filesOf(mA)
+    val filesB = filesOf(mB)
+    val setA = filesA.toSet
+    val setB = filesB.toSet
+    val typed = org.apache.spark.sql.functions.lit _
+    // emit everything at the TO schema of record
+    val outCols = schemaOf(mB).map(_.fieldNames.toSeq).getOrElse(
+      read(s, table).columns.toSeq)
+    def shape(df: DataFrame, change: String): DataFrame =
+      df.select(outCols.map(col) :+
+        typed(change).as("_change_type"): _*)
+    val inserts = {
+      val added = filesB.filterNot(setA).sorted
+      if (added.isEmpty) None else Some(shape(readFiles(s, table, mB, added),
+        "insert"))
+    }
+    val removedDeletes = {
+      val removed = filesA.filterNot(setB).sorted
+      if (removed.isEmpty) None
+      else {
+        // removed files' LIVE rows at FROM, read under TO's schema:
+        // from-DVs decide liveness, the evolved schema decides shape
+        val rd = s.read.option("basePath", table)
+        val raw = schemaOf(mB) match {
+          case Some(sch) =>
+            rd.schema(sch).parquet(removed.map(f => s"$table/$f"): _*)
+          case None => rd.parquet(removed.map(f => s"$table/$f"): _*)
+        }
+        Some(shape(applyDv(s, table, mA, removed, dvKeyCols(raw))
+          .drop("__graft_dvk", "__graft_dvp"), "delete"))
+      }
+    }
+    val dvDeletes = {
+      val dvA = dvOf(mA)
+      val dvB = dvOf(mB)
+      // shared files whose vector list grew: rows at the NEW dead
+      // positions were live at `from` and dead at `to`
+      val grew = filesA.filter(setB).flatMap { f =>
+        val fresh = dvB.getOrElse(f, Nil)
+          .filterNot(dvA.getOrElse(f, Nil).toSet)
+        if (fresh.isEmpty) None else Some(f -> fresh)
+      }
+      if (grew.isEmpty) None
+      else {
+        val files = grew.map(_._1).sorted
+        val newDirs = grew.flatMap(_._2).distinct.sorted
+        val rd = s.read.option("basePath", table)
+        val raw = schemaOf(mB) match {
+          case Some(sch) =>
+            rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
+          case None => rd.parquet(files.map(f => s"$table/$f"): _*)
+        }
+        val newlyDead = s.read
+          .parquet(newDirs.map(dir => s"$table/$dir"): _*)
+          .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
+        val keyed = applyDv(s, table, mA, files, dvKeyCols(raw))
+        Some(shape(keyed.join(newlyDead,
+          keyed("__graft_dvk") === col("__dv_k") &&
+            keyed("__graft_dvp") === col("__dv_p"), "left_semi"),
+          "delete"))
+      }
+    }
+    val parts = Seq(inserts, removedDeletes, dvDeletes).flatten
+    if (parts.isEmpty)
+      shape(read(s, table).limit(0), "insert").limit(0)
+    else parts.reduce(_.unionByName(_))
+  }
+
   /** Read an explicit file subset of snapshot `id` — the pinned-read
     * primitive an incremental consumer uses for its added-file delta.
     * Every path must be listed by that manifest. */

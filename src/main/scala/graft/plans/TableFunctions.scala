@@ -67,6 +67,14 @@ object TableFunctions {
         TableCommit.changesSince(session, path(args.head), id(args(1)))
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_table_feed"),
+      new ExpressionInfo(getClass.getName, "graft_table_feed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_table_feed(path, fromId, toId)")
+        // row-level CDF with _change_type (Delta's table_changes)
+        TableCommit.changeFeed(session, path(args.head), id(args(1)),
+          id(args(2))).queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_table_history"),
       new ExpressionInfo(getClass.getName, "graft_table_history"),
       (args: Seq[Expression]) => {

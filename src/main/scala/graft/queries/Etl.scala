@@ -892,6 +892,64 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------------- n_table_cdf
+  /** ROW-LEVEL CHANGE DATA FEED over the committed events table
+    * (`TableCommit.changeFeed`; Delta's `table_changes`, synthesized
+    * from the manifest log with no writer-recorded change files):
+    * every emitted row carries `_change_type`, and the feed is correct
+    * by the APPLY EQUATION — `to ≡ (from − deletes) ⊎ inserts` as row
+    * multisets — for every verb (append and the MoR family emit
+    * PRECISE changes with volume ∝ the write set; CoW rewrites emit
+    * coarse-but-correct delete+reinsert pairs). The op: one MoR
+    * key-band delete + one append land on the cloned table, then the
+    * two-commit feed is aggregated per change type and the apply
+    * equation is checked END-TO-END from `#rows` metadata and the feed
+    * counts alone (deletes shrink, inserts grow, reconciliation
+    * exact). TableCommitSpec pins the per-verb precision classes, the
+    * DV-position delete path, schema-evolution shaping, multi-hop
+    * composition, and compaction's cancel-out; the feed is also the
+    * SQL TVF `graft_table_feed(path, from, to)`. At 100 TB: the
+    * downstream-sync primitive — a consumer applies row deltas instead
+    * of diffing snapshots, and the MoR path makes the feed's size
+    * track the change, not the table. */
+  private def tableCdfQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val art = deleteBaseArt(s, d)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdf_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      TableCommit.cloneTo(new java.io.File(art, "table").getAbsolutePath,
+        table)
+      // keep every hop retained for the two-commit feed
+      TableCommit.setProperties(table,
+        Map("graft.retention.generations" -> "4"))
+      val (id0, _) = TableCommit.resolve(table).get
+      val before = metaRowCount(s, table, id0)
+      val (mn, mx) = TableCommit.statsRange(table, id0, "event_id").get
+      val a = TableCommit.deleteWhereMor(s, table, "event_type", "event_id",
+        mn + (mx - mn) * 7 / 16, mn + (mx - mn) * 9 / 16)
+      val tpl = TableCommit.readWhereAt(s, table, a.snapshotAfter,
+        "event_id", mn, mn).limit(1)
+      TableCommit.appendRows(s, table, "event_type",
+        tpl.withColumn("event_id", lit(mx.toLong + 5000L)),
+        clusterBy = Seq("event_id"))
+      val (idN, _) = TableCommit.resolve(table).get
+      val after = metaRowCount(s, table, idN)
+      val feed = TableCommit.changeFeed(s, table, id0, idN)
+      val counts = feed.groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDel = counts.getOrElse("delete", 0L)
+      val nIns = counts.getOrElse("insert", 0L)
+      import s.implicits._
+      Seq((before, nDel, nIns, after, before - nDel + nIns - after,
+          a.rowsDeleted))
+        .toDF("rows_from", "n_deletes", "n_inserts", "rows_to",
+          "apply_equation_drift", "rows_mor_deleted")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -1984,6 +2042,7 @@ object Etl {
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_clone", tableCloneQ, None),
+    QueryDef("n_table_cdf", tableCdfQ, None),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -1198,6 +1198,92 @@ class TableCommitSpec extends GraftSpec {
     assert(snapshot(t).contains((-5L, "ok-now", 0)))
   }
 
+  test("change data feed: the apply equation to ≡ (from − deletes) ⊎ " +
+      "inserts holds for every verb — append and MoR DML emit precise " +
+      "changes, CoW/compaction coarse-but-correct ones") {
+    val t = mergeBase()
+    import TableCommit.changeFeed
+    // row multiset as (row → count); the apply-equation checker
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, String, Int), Long] =
+      df.select(col("id"), col("v"), col("pt").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    def snapshotMs(id: Long): Map[(Long, String, Int), Long] =
+      multiset(TableCommit.readAt(spark, t, id))
+    def applyEq(fromId: Long, toId: Long): Unit = {
+      val feed = changeFeed(spark, t, fromId, toId)
+      val del = multiset(feed.filter(col("_change_type") === "delete"))
+      val ins = multiset(feed.filter(col("_change_type") === "insert"))
+      val from = snapshotMs(fromId)
+      val applied = (from.keySet ++ ins.keySet).flatMap { k =>
+        val n = from.getOrElse(k, 0L) - del.getOrElse(k, 0L) +
+          ins.getOrElse(k, 0L)
+        assert(n >= 0L, s"apply equation went negative at $k")
+        if (n > 0) Some(k -> n) else None
+      }.toMap
+      assert(applied == snapshotMs(toId),
+        s"apply equation failed for $fromId -> $toId")
+    }
+    // retention deep enough for multi-hop feeds
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "10"))
+    val id0 = TableCommit.resolve(t).get._1
+    // append: precise — feed is exactly the appended rows, no deletes
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7000L, "i", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    val id1 = TableCommit.resolve(t).get._1
+    val f1 = changeFeed(spark, t, id0, id1)
+    assert(multiset(f1.filter(col("_change_type") === "insert")) ==
+      Map((7000L, "i", 0) -> 1L))
+    assert(f1.filter(col("_change_type") === "delete").count() == 0)
+    applyEq(id0, id1)
+    // MoR delete: precise — feed is exactly the vectored rows
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(10), BigDecimal(20))
+    val id2 = TableCommit.resolve(t).get._1
+    val f2 = changeFeed(spark, t, id1, id2)
+    assert(f2.filter(col("_change_type") === "insert").count() == 0)
+    assert(multiset(f2.filter(col("_change_type") === "delete")).keySet ==
+      (10L to 20L).map(i => (i, s"v$i", (i % 2).toInt)).toSet)
+    applyEq(id1, id2)
+    // MoR update: precise — old versions delete, successors insert
+    TableCommit.updateWhereMor(spark, t, "pt", "id",
+      BigDecimal(30), BigDecimal(35), Map("v" -> lit("upd")))
+    val id3 = TableCommit.resolve(t).get._1
+    val f3 = changeFeed(spark, t, id2, id3)
+    assert(multiset(f3.filter(col("_change_type") === "delete")).keySet ==
+      (30L to 35L).map(i => (i, s"v$i", (i % 2).toInt)).toSet)
+    assert(multiset(f3.filter(col("_change_type") === "insert")).keySet ==
+      (30L to 35L).map(i => (i, "upd", (i % 2).toInt)).toSet)
+    applyEq(id2, id3)
+    // CoW update + compaction: coarse but the apply equation holds
+    TableCommit.updateWhere(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(110), Map("v" -> lit("cow")))
+    val id4 = TableCommit.resolve(t).get._1
+    applyEq(id3, id4)
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      clusterBy = Seq("id"), filesPerPartition = 2)
+    val id5 = TableCommit.resolve(t).get._1
+    applyEq(id4, id5)
+    // compaction is row-preserving: the coarse feed's deletes and
+    // inserts cancel exactly
+    val f5 = changeFeed(spark, t, id4, id5)
+    assert(multiset(f5.filter(col("_change_type") === "delete")) ==
+      multiset(f5.filter(col("_change_type") === "insert")))
+    // a multi-hop feed composes: from -> to across all five commits
+    applyEq(id0, id5)
+    // three-clause merge through the feed
+    val src = Seq((40L, "m", 0, "U"), (41L, "x", 1, "D"),
+      (7777L, "n", 1, "I")).toDF("id", "v", "pt", "op")
+    TableCommit.mergeInto(spark, t, "pt", "id", src,
+      updateSet = Map("v" -> col("src_v")),
+      deleteWhen = Some(col("src_op") === "D"))
+    val id6 = TableCommit.resolve(t).get._1
+    applyEq(id5, id6)
+    val f6 = changeFeed(spark, t, id5, id6)
+    assert(multiset(f6.filter(col("_change_type") === "insert")).keySet
+      .contains((7777L, "n", 1)))
+  }
+
   test("shallow clone: zero-copy (hard-linked) table sharing the pinned " +
       "snapshot's bytes; clone and source diverge independently; either " +
       "side's vacuum never breaks the other; the txn ledger does NOT " +

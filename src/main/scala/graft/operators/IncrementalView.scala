@@ -20,7 +20,17 @@ import org.apache.spark.sql.functions.col
   *    in-place row changes are not expressible as a delta against a
   *    distributive aggregate, so the view RECOMPUTES exactly the
   *    affected partitions from the newest snapshot (a partition-pruned
-  *    file-subset read) — work ∝ the rewritten partitions.
+  *    file-subset read) — work ∝ the rewritten partitions; or
+  *  - DELETION-VECTOR GROWTH ONLY (a merge-on-read delete/update
+  *    vectored rows dead, no file removed) → with a caller-provided
+  *    `retract`, the view SUBTRACTS exactly the newly-dead rows'
+  *    contribution ([[TableCommit.dvNewlyDeadRows]] — the change
+  *    feed's subtractive arm) — work ∝ the DELETED rows, never the
+  *    partition. This is the Gupta–Mumick differential rule for
+  *    self-maintainable aggregates: count/sum (and avg as sum+count)
+  *    invert under deletion; without `retract` the DV-growth commit
+  *    conservatively routes to recompute, min/max-style aggregates
+  *    being the non-invertible case.
   *
   * Both reads pin the source's newest manifest, so a concurrent source
   * commit cannot tear a cycle. EXACTLY-ONCE: the cycle's position (the
@@ -45,12 +55,20 @@ object IncrementalView {
   /** One sync cycle's audit — all counts manifest-derived.
     * `mode` ∈ full | incremental | noop. */
   final case class SyncAudit(mode: String, sourceSnapshot: Long,
-      filesProcessed: Int, partsRecomputed: Int, partsDelta: Int)
+      filesProcessed: Int, partsRecomputed: Int, partsDelta: Int,
+      partsRetracted: Int = 0)
 
+  /** `retract`: (current view state, the newly-dead source rows) → new
+    * state over the same partitions — the caller aggregates the dead
+    * rows, NEGATES the partial, folds it with `combine`, and drops
+    * groups whose count reached zero (a recompute would not emit
+    * them). Only sound for aggregates that invert under deletion. */
   def sync(s: SparkSession, source: String, sink: String, viewName: String,
       partCol: String,
       aggregate: DataFrame => DataFrame,
-      combine: (DataFrame, DataFrame) => DataFrame): SyncAudit = {
+      combine: (DataFrame, DataFrame) => DataFrame,
+      retract: Option[(DataFrame, DataFrame) => DataFrame] = None)
+      : SyncAudit = {
     TableCommit.initIfAbsent(source)
     val (srcId, srcFiles) = TableCommit.resolve(source).get
     val pos = TableCommit.lastTxnVersion(sink, viewName)
@@ -67,11 +85,20 @@ object IncrementalView {
         // concurrent source commit landing mid-sync is simply next
         // cycle's work, never a torn read
         val (added, removed) = TableCommit.changedFileSets(source, p, srcId)
+        // DV-growth-only files sit on BOTH sides of the diff; with a
+        // retract they fold subtractively, without one they recompute
+        val dvGrew =
+          if (retract.isEmpty) Set.empty[String]
+          else TableCommit.dvGrewFiles(source, p, srcId).toSet
         val recomputeParts =
-          removed.map(TableCommit.partitionDirOf).toSet
-        val deltaFiles = added
+          removed.filterNot(dvGrew).map(TableCommit.partitionDirOf).toSet
+        val deltaFiles = added.filterNot(dvGrew)
           .filterNot(f => recomputeParts(TableCommit.partitionDirOf(f)))
         val deltaParts = deltaFiles.map(TableCommit.partitionDirOf).toSet
+        val retractFiles = dvGrew.toSeq.sorted
+          .filterNot(f => recomputeParts(TableCommit.partitionDirOf(f)))
+        val retractParts =
+          retractFiles.map(TableCommit.partitionDirOf).toSet
         // rewritten partitions: recompute from the pinned newest
         // snapshot — only their files are read
         val recomputeFiles = srcFiles
@@ -81,23 +108,34 @@ object IncrementalView {
             Some(aggregate(
               TableCommit.readFileSubset(s, source, srcId, recomputeFiles)))
           else None
-        // append-only partitions: fold the added files' partial into
-        // the view's CURRENT state for exactly those partitions (a
-        // pinned file-subset read of the sink — no partition-value
-        // decoding, the dir names route directly)
+        // append-only + retract partitions: fold the added files'
+        // partial into the view's CURRENT state for exactly those
+        // partitions (a pinned file-subset read of the sink — no
+        // partition-value decoding, the dir names route directly),
+        // then subtract the newly-dead rows' contribution
+        val foldParts = deltaParts ++ retractParts
         val deltaState =
-          if (deltaFiles.nonEmpty) {
-            val partial = aggregate(
-              TableCommit.readFileSubset(s, source, srcId, deltaFiles))
+          if (foldParts.nonEmpty) {
             val (sinkId, sinkFiles) = TableCommit.resolve(sink).get
             val currentFiles = sinkFiles
-              .filter(f => deltaParts(TableCommit.partitionDirOf(f)))
+              .filter(f => foldParts(TableCommit.partitionDirOf(f)))
+            def empty = aggregate(
+              TableCommit.readFileSubset(s, source, srcId, Seq.empty))
             val current =
-              if (currentFiles.isEmpty) partial.limit(0)
+              if (currentFiles.isEmpty) empty
               else TableCommit.readFileSubset(s, sink, sinkId, currentFiles)
-            Some(combine(current, partial))
+            val afterAdd =
+              if (deltaFiles.isEmpty) current
+              else combine(current, aggregate(
+                TableCommit.readFileSubset(s, source, srcId, deltaFiles)))
+            val afterRetract =
+              if (retractFiles.isEmpty) afterAdd
+              else retract.get(afterAdd, TableCommit.dvNewlyDeadRows(
+                s, source, p, srcId, retractFiles)
+                .drop("__graft_dvk", "__graft_dvp"))
+            Some(afterRetract)
           } else None
-        val dirty = (recomputeParts ++ deltaParts).toSeq.sorted
+        val dirty = (recomputeParts ++ foldParts).toSeq.sorted
         if (dirty.isEmpty) {
           // a commit that only vacuumed/no-op'd: advance the position
           // with an empty replace of nothing is impossible — record via
@@ -113,8 +151,8 @@ object IncrementalView {
         TableCommit.replacePartitions(s, sink, partCol, dirty, state,
           txn = Some((viewName, srcId)))
         SyncAudit("incremental", srcId,
-          deltaFiles.length + recomputeFiles.length,
-          recomputeParts.size, deltaParts.size)
+          deltaFiles.length + recomputeFiles.length + retractFiles.length,
+          recomputeParts.size, deltaParts.size, retractParts.size)
       case None =>
         // first sync, or the position left the retention window (the
         // consumer fell too far behind to diff) — full rebuild

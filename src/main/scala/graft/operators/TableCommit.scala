@@ -781,39 +781,68 @@ object TableCommit {
       }
     }
     val dvDeletes = {
-      val dvA = dvOf(mA)
-      val dvB = dvOf(mB)
-      // shared files whose vector list grew: rows at the NEW dead
-      // positions were live at `from` and dead at `to`
-      val grew = filesA.filter(setB).flatMap { f =>
-        val fresh = dvB.getOrElse(f, Nil)
-          .filterNot(dvA.getOrElse(f, Nil).toSet)
-        if (fresh.isEmpty) None else Some(f -> fresh)
-      }
+      val grew = dvGrewFiles(table, fromId, toId)
       if (grew.isEmpty) None
-      else {
-        val files = grew.map(_._1).sorted
-        val newDirs = grew.flatMap(_._2).distinct.sorted
-        val rd = s.read.option("basePath", table)
-        val raw = schemaOf(mB) match {
-          case Some(sch) =>
-            rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
-          case None => rd.parquet(files.map(f => s"$table/$f"): _*)
-        }
-        val newlyDead = s.read
-          .parquet(newDirs.map(dir => s"$table/$dir"): _*)
-          .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
-        val keyed = applyDv(s, table, mA, files, dvKeyCols(raw))
-        Some(shape(keyed.join(newlyDead,
-          keyed("__graft_dvk") === col("__dv_k") &&
-            keyed("__graft_dvp") === col("__dv_p"), "left_semi"),
-          "delete"))
-      }
+      else Some(shape(
+        dvNewlyDeadRows(s, table, fromId, toId, grew)
+          .drop("__graft_dvk", "__graft_dvp"), "delete"))
     }
     val parts = Seq(inserts, removedDeletes, dvDeletes).flatten
     if (parts.isEmpty)
       shape(read(s, table).limit(0), "insert").limit(0)
     else parts.reduce(_.unionByName(_))
+  }
+
+  /** Files present in BOTH snapshots whose deletion-vector list GREW
+    * between them — a merge-on-read delete/update/merge touched their
+    * rows without rewriting them. The subtractive half of a precise
+    * change feed, and the files [[IncrementalView]]'s retract route
+    * folds instead of recomputing. */
+  def dvGrewFiles(table: String, fromId: Long, toId: Long): Seq[String] = {
+    val all = manifests(table)
+    def man(id: Long) = all.find(_._1 == id).getOrElse(sys.error(
+      s"snapshot $id of $table is outside the retention window"))._2
+    val mA = man(fromId)
+    val mB = man(toId)
+    val setB = filesOf(mB).toSet
+    val dvA = dvOf(mA)
+    val dvB = dvOf(mB)
+    filesOf(mA).filter(setB).filter { f =>
+      dvB.getOrElse(f, Nil).exists(!dvA.getOrElse(f, Nil).toSet(_))
+    }.sorted
+  }
+
+  /** The rows of `files` that were LIVE at `fromId` and DEAD at `toId`
+    * — read at the TO snapshot's schema of record, prior (from-time)
+    * vectors applied, then semi-joined against the NEW vectors'
+    * positions. Work ∝ the vectored files + the new vectors, never the
+    * table. Carries the `__graft_dvk`/`__graft_dvp` position columns
+    * for callers that need them; drop them for row content. */
+  def dvNewlyDeadRows(s: SparkSession, table: String, fromId: Long,
+      toId: Long, files: Seq[String]): DataFrame = {
+    val all = manifests(table)
+    def man(id: Long) = all.find(_._1 == id).getOrElse(sys.error(
+      s"snapshot $id of $table is outside the retention window"))._2
+    val mA = man(fromId)
+    val mB = man(toId)
+    val dvA = dvOf(mA)
+    val dvB = dvOf(mB)
+    val newDirs = files.flatMap(f =>
+      dvB.getOrElse(f, Nil).filterNot(dvA.getOrElse(f, Nil).toSet))
+      .distinct.sorted
+    val rd = s.read.option("basePath", table)
+    val raw = schemaOf(mB) match {
+      case Some(sch) =>
+        rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
+      case None => rd.parquet(files.map(f => s"$table/$f"): _*)
+    }
+    val newlyDead = s.read
+      .parquet(newDirs.map(dir => s"$table/$dir"): _*)
+      .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
+    val keyed = applyDv(s, table, mA, files, dvKeyCols(raw))
+    keyed.join(newlyDead,
+      keyed("__graft_dvk") === col("__dv_k") &&
+        keyed("__graft_dvp") === col("__dv_p"), "left_semi")
   }
 
   /** Read an explicit file subset of snapshot `id` — the pinned-read

@@ -959,9 +959,14 @@ object Etl {
     * deterministic ~1% slice of real events re-keyed compactly into
     * the single next bucket past the id domain) → the sync folds the
     * added files into the view (partsRecomputed = 0, one delta
-    * partition); cycle 2 is a narrow row-level DELETE inside one
-    * bucket → exactly that partition recomputes from the pinned newest
-    * snapshot. The emitted n_mismatch is the end-state diff of the
+    * partition); cycle 2 is a narrow MERGE-ON-READ delete inside one
+    * bucket folded through the RETRACT route (Gupta–Mumick
+    * differential maintenance: the newly-dead rows' aggregate is
+    * negated into the view, groups at zero vanish) → work ∝ the
+    * deleted rows on BOTH sides, no rewrite and no recompute
+    * (partsRecomputed = 0, partsRetracted = 1; the CoW/recompute
+    * pairing stays spec-pinned). The emitted n_mismatch is the
+    * end-state diff of the
     * TOUCHED partitions against their recompute — partition-local like
     * the maintenance itself (integer aggregates, so fold order cannot
     * fork doubles);
@@ -1037,12 +1042,20 @@ object Etl {
         clusterBy = Seq("event_id"))
       val a1 = IncrementalView.sync(s, src, view, "ev_counts", "bkt",
         aggFn, combineFn)
-      // cycle 2: a narrow id-band delete inside bucket 5 — the rewrite
-      // recomputes exactly that partition
-      TableCommit.deleteWhere(s, src, "bkt", "event_id",
+      // cycle 2: a narrow id-band MERGE-ON-READ delete inside bucket 5,
+      // folded SUBTRACTIVELY through the retract route (round-10): the
+      // source commit costs a vector (no rewrite) and the view update
+      // costs ∝ the DELETED rows — neither side pays the partition
+      // (the CoW-delete/recompute pairing remains IncrementalViewSpec's
+      // rewrite-route pin)
+      val retractFn: (DataFrame, DataFrame) => DataFrame = (cur, dead) =>
+        combineFn(cur, aggFn(dead).select(col("bkt"), col("event_type"),
+          (-col("n")).as("n"), (-col("id_sum")).as("id_sum")))
+          .filter(col("n") =!= 0L)
+      TableCommit.deleteWhereMor(s, src, "bkt", "event_id",
         BigDecimal(5L * b), BigDecimal(5L * b + b / 4))
       val a2 = IncrementalView.sync(s, src, view, "ev_counts", "bkt",
-        aggFn, combineFn)
+        aggFn, combineFn, retract = Some(retractFn))
       // end-state audit, PARTITION-LOCAL like the maintenance itself:
       // the touched partitions' view rows vs their from-scratch
       // recompute (integer aggregates — fold order can't fork doubles;
@@ -1060,11 +1073,11 @@ object Etl {
       import s.implicits._
       Seq(
         (1L, a1.mode, a1.filesProcessed.toLong, a1.partsRecomputed.toLong,
-          a1.partsDelta.toLong, m),
+          a1.partsDelta.toLong, a1.partsRetracted.toLong, m),
         (2L, a2.mode, a2.filesProcessed.toLong, a2.partsRecomputed.toLong,
-          a2.partsDelta.toLong, m))
+          a2.partsDelta.toLong, a2.partsRetracted.toLong, m))
         .toDF("cycle", "mode", "n_files", "n_parts_recomputed",
-          "n_parts_delta", "n_mismatch")
+          "n_parts_delta", "n_parts_retracted", "n_mismatch")
         .orderBy(col("cycle"))
     } finally graft.operators.Sinks.deleteRecursively(base)
   }

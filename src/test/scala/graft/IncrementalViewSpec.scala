@@ -116,6 +116,51 @@ class IncrementalViewSpec extends GraftSpec {
     assert(viewRows(view) == recompute(src), "MoR routing diverged")
   }
 
+  test("with a retract, a merge-on-read delete folds SUBTRACTIVELY — " +
+      "work ∝ the deleted rows, no partition recompute; groups deleted " +
+      "to zero vanish; a mixed append+MoR cycle folds both directions") {
+    val (src, view) = freshPair()
+    seed(src)
+    val retractFn: (DataFrame, DataFrame) => DataFrame = (cur, dead) =>
+      combineFn(cur, aggFn(dead)
+        .select(col("pt"), (-col("n")).as("n"), (-col("s")).as("s")))
+        .filter(col("n") =!= 0L)
+    IncrementalView.sync(spark, src, view, "v7", "pt", aggFn, combineFn,
+      retract = Some(retractFn))
+    // MoR delete inside pt-spread band: vectors only, no file removed
+    val d = TableCommit.deleteWhereMor(spark, src, "pt", "id",
+      BigDecimal(50), BigDecimal(80))
+    assert(d.filesVectored > 0 && d.rowsDeleted > 0)
+    val a = IncrementalView.sync(spark, src, view, "v7", "pt",
+      aggFn, combineFn, retract = Some(retractFn))
+    assert(a.mode == "incremental" && a.partsRecomputed == 0 &&
+      a.partsRetracted > 0, a.toString)
+    assert(viewRows(view) == recompute(src), "retract fold diverged")
+    // mixed cycle: an append AND a MoR delete land before the sync —
+    // the same partitions fold additively and subtractively at once
+    TableCommit.setProperties(src,
+      Map("graft.retention.generations" -> "5"))
+    TableCommit.appendRows(spark, src, "pt",
+      Seq((5000L, 0), (5001L, 1)).toDF("id", "pt"), clusterBy = Seq("id"))
+    TableCommit.deleteWhereMor(spark, src, "pt", "id",
+      BigDecimal(100), BigDecimal(110))
+    val b = IncrementalView.sync(spark, src, view, "v7", "pt",
+      aggFn, combineFn, retract = Some(retractFn))
+    assert(b.mode == "incremental" && b.partsRecomputed == 0 &&
+      b.partsDelta > 0 && b.partsRetracted > 0, b.toString)
+    assert(viewRows(view) == recompute(src), "mixed fold diverged")
+    // a group deleted to ZERO disappears from the view, exactly as a
+    // recompute would drop it: empty pt=2 entirely via MoR
+    TableCommit.deleteWhereMor(spark, src, "pt", "id",
+      BigDecimal(0), BigDecimal(100000))
+    val c = IncrementalView.sync(spark, src, view, "v7", "pt",
+      aggFn, combineFn, retract = Some(retractFn))
+    assert(c.partsRecomputed == 0 && c.partsRetracted > 0, c.toString)
+    assert(viewRows(view) == recompute(src), "zero-group handling diverged")
+    assert(viewRows(view).isEmpty,
+      "deleting every row should empty the view")
+  }
+
   test("with graft.retention.generations raised, a consumer can lag " +
       "several commits and still sync INCREMENTALLY") {
     val (src, view) = freshPair()

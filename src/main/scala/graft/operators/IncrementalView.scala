@@ -119,11 +119,13 @@ object IncrementalView {
             val (sinkId, sinkFiles) = TableCommit.resolve(sink).get
             val currentFiles = sinkFiles
               .filter(f => foldParts(TableCommit.partitionDirOf(f)))
-            def empty = aggregate(
-              TableCommit.readFileSubset(s, source, srcId, Seq.empty))
             val current =
-              if (currentFiles.isEmpty) empty
-              else TableCommit.readFileSubset(s, sink, sinkId, currentFiles)
+              if (currentFiles.nonEmpty)
+                TableCommit.readFileSubset(s, sink, sinkId, currentFiles)
+              else
+                // schema via the live read's footers — an ADOPTED
+                // source has no #schema directive for an empty subset
+                aggregate(TableCommit.read(s, source).limit(0))
             val afterAdd =
               if (deltaFiles.isEmpty) current
               else combine(current, aggregate(

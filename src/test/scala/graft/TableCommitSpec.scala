@@ -1198,6 +1198,41 @@ class TableCommitSpec extends GraftSpec {
     assert(snapshot(t).contains((-5L, "ok-now", 0)))
   }
 
+  test("REAL-THREAD contention: a MERGE racing a key-disjoint append — " +
+      "every outcome is serializable (both land, or the merge conflicts " +
+      "cleanly with the table untouched by it)") {
+    val t = mergeBase()
+    val before = snapshot(t)
+    val src = Seq((100L, "M", 0, "U"), (8000L, "I", 0, "I"))
+      .toDF("id", "v", "pt", "op")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try TableCommit.mergeInto(spark, t, "pt", "id", src,
+        updateSet = Map("v" -> col("src_v")))
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try TableCommit.appendRows(spark, t, "pt",
+        Seq((9500L, "w", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    import scala.jdk.CollectionConverters._
+    // the append NEVER fails; the merge either lands or conflicts
+    assert(errs.size() <= 1 && errs.asScala.forall(
+      _.isInstanceOf[TableCommit.CommitConflictException]),
+      s"race raised a non-conflict error: ${errs.asScala.toList}")
+    val after = snapshot(t)
+    assert(after.contains((9500L, "w", 1)), "the append lost the race")
+    if (errs.isEmpty) {
+      // both landed: the merge's update and insert are all present
+      assert(after.contains((100L, "M", 0)) && after.contains((8000L, "I", 0)),
+        s"merge landed without its changes: incomplete state")
+    } else {
+      // merge conflicted: its decisions never reached the table
+      assert(after == before + ((9500L, "w", 1)),
+        "a conflicted merge leaked changes into the table")
+    }
+  }
+
   test("change data feed: the apply equation to ≡ (from − deletes) ⊎ " +
       "inserts holds for every verb — append and MoR DML emit precise " +
       "changes, CoW/compaction coarse-but-correct ones") {

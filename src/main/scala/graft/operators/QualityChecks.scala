@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative DATA-QUALITY constraint checking — the validation gate
@@ -46,6 +46,44 @@ object QualityChecks {
     * keys before the anti-probe). */
   final case class ForeignKey(name: String, col: String, dim: DataFrame,
       dimCol: String) extends Check
+
+  /** The ROW-LOCAL checks as CHECK-constraint SQL — the bridge between
+    * detect-downstream (`report` / q_dq_report) and reject-at-write
+    * ([[TableCommit.addConstraint]]): one declarative definition, both
+    * enforcement points, with IDENTICAL violation semantics — the
+    * report counts a NULL as a violation for InRange/Accepted/Matches
+    * (this class declares "null = violation; compose with NotNull to
+    * tell the failure modes apart"), and SQL CHECK passes NULL
+    * predicates, so each emitted expression carries an explicit
+    * `IS NOT NULL` conjunct to keep gate ≡ report. `Unique` and
+    * `ForeignKey` return None — they are not row-local (a write-set
+    * uniqueness check cannot see the rest of the table, so installing
+    * them as write gates would promise more than it checks; they stay
+    * report-side). */
+  def toConstraintSql(c: Check): Option[(String, String)] = c match {
+    case NotNull(n, col0) => Some(n -> s"$col0 IS NOT NULL")
+    case InRange(n, col0, lo, hi) =>
+      Some(n -> s"$col0 IS NOT NULL AND $col0 >= $lo AND $col0 <= $hi")
+    case Accepted(n, col0, vs) =>
+      Some(n -> vs.map(v => s"'${v.replace("'", "''")}'")
+        .mkString(s"$col0 IS NOT NULL AND $col0 IN (", ", ", ")"))
+    case Matches(n, col0, re) =>
+      Some(n -> (s"$col0 IS NOT NULL AND " +
+        s"$col0 RLIKE '${re.replace("'", "''")}'"))
+    case _ => None
+  }
+
+  /** Install every row-local check as a table CHECK constraint
+    * (validating existing rows first — [[TableCommit.addConstraint]]'s
+    * contract); returns the installed names. Non-row-local checks are
+    * skipped, not errored: a pipeline declares ONE check list and gets
+    * write-gating for the subset that can gate. */
+  def installConstraints(s: SparkSession, table: String,
+      checks: Seq[Check]): Seq[String] =
+    checks.flatMap(toConstraintSql).map { case (name, sql) =>
+      TableCommit.addConstraint(s, table, name, sql)
+      name
+    }
 
   /** Evaluate `checks` over `df` → report rows
     * (check_name, violations, n_rows, passed), one per check, ordered

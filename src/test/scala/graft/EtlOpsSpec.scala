@@ -201,6 +201,55 @@ class EtlOpsSpec extends GraftSpec {
     assert(rep.values.forall(_ == ((0L, true))), rep.toString)
   }
 
+  test("QualityChecks → table constraints: one declarative check list " +
+      "detects downstream AND gates at write with identical semantics " +
+      "(a frame the report flags is the frame the commit refuses)") {
+    import graft.operators.{QualityChecks, TableCommit}
+    import QualityChecks._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcc").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((1L, "A", 5.0, 0), (2L, "B", 7.0, 1)).toDF("id", "st", "price", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    val checks = Seq(
+      NotNull("nn_id", "id"),
+      InRange("rg_price", "price", 0, 10),
+      Accepted("ac_st", "st", Seq("A", "B")),
+      Unique("uq_id", Seq("id"))) // not row-local: skipped, not errored
+    val installed = QualityChecks.installConstraints(spark, t, checks)
+    assert(installed == Seq("nn_id", "rg_price", "ac_st"))
+    assert(TableCommit.constraints(t).keySet ==
+      Set("nn_id", "rg_price", "ac_st"))
+    // gate ≡ report on each single-defect frame: the report flags it
+    // AND the commit refuses it — incl. the NULL rows the report
+    // counts as InRange/Accepted violations (the explicit IS NOT NULL
+    // conjunct keeps SQL CHECK's null-passes rule from diverging)
+    val bads = Seq(
+      Seq((Option.empty[Long], Option("A"), Option(5.0), 0)), // null id
+      Seq((Option(9L), Option("A"), Option(50.0), 0)), // out of range
+      Seq((Option(9L), Option("A"), Option.empty[Double], 0)), // null price
+      Seq((Option(9L), Option("C"), Option(5.0), 0)), // unaccepted
+      Seq((Option(9L), Option.empty[String], Option(5.0), 0))) // null st
+    for (rows <- bads) {
+      val df = rows.toDF("id", "st", "price", "pt")
+      val flagged = QualityChecks.report(df, checks.take(3))
+        .filter(!col("passed")).count()
+      assert(flagged > 0, s"report missed a defect in $rows")
+      intercept[TableCommit.ConstraintViolationException] {
+        TableCommit.appendRows(spark, t, "pt", df)
+      }
+    }
+    // and a clean frame passes both
+    val ok = Seq((Option(9L), Option("A"), Option(5.0), 1))
+      .toDF("id", "st", "price", "pt")
+    assert(QualityChecks.report(ok, checks.take(3))
+      .filter(!col("passed")).count() == 0)
+    TableCommit.appendRows(spark, t, "pt", ok)
+    assert(TableCommit.read(spark, t).count() == 3)
+  }
+
   test("n_table_history: generation 0 matches the live read; every " +
       "retained generation is pinned-readable with consistent counts") {
     import graft.queries.Etl

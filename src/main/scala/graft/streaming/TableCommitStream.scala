@@ -154,6 +154,14 @@ class TableCommitSource(ctx: SQLContext, table: String,
     parameters.get("ignoreChanges").exists(_.toBoolean)
   private val startingSnapshot =
     parameters.get("startingSnapshot").map(_.toLong)
+  // ADMISSION CONTROL: cap each micro-batch at N source commits (the
+  // graft-table analogue of maxFilesPerTrigger) — a consumer catching
+  // up through a deep backlog processes bounded batches instead of one
+  // giant diff; the first batch (the full snapshot) is one snapshot
+  // read and is not subject to the cap
+  private val maxSnapshots =
+    parameters.get("maxSnapshotsPerTrigger").map(_.toLong)
+      .map(m => { require(m >= 1L, "maxSnapshotsPerTrigger must be >= 1"); m })
 
   override val schema: StructType = TableCommitSource.tableSchema(ctx, table)
 
@@ -188,7 +196,26 @@ class TableCommitSource(ctx: SQLContext, table: String,
       case Some(c) => newest.map(math.min(_, c))
       case None => newest
     }
-    capped.map(SnapshotOffset.apply).orNull
+    // bound the batch at `start + maxSnapshotsPerTrigger` commits; the
+    // engine keeps triggering until the capped offset catches up. With
+    // a cap and NO position yet, the first batch is the full snapshot
+    // at the OLDEST retained id — so even the initial catch-up through
+    // a deep retained backlog is bounded per batch
+    val base: Option[Long] = Option(start).map {
+      case s: SnapshotOffset => s.id
+      case other => other.json.trim.toLong
+    }.orElse(startingSnapshot)
+    val bounded = (maxSnapshots, base) match {
+      case (Some(m), Some(b)) => capped.map(math.min(_, b + m))
+      case (Some(_), None) =>
+        val oldest = TableCommit.history(table).map(_._1).minOption
+        (capped, oldest) match {
+          case (Some(c), Some(o)) => Some(math.min(c, o))
+          case _ => capped
+        }
+      case _ => capped
+    }
+    bounded.map(SnapshotOffset.apply).orNull
   }
 
   override def reportLatestOffset(): V2Offset =
@@ -202,6 +229,14 @@ class TableCommitSource(ctx: SQLContext, table: String,
       df.select(schema.fieldNames.map(col).toIndexedSeq: _*),
       schema.fieldNames.toIndexedSeq)
 
+  /** An empty micro-batch from the source's pinned schema — a
+    * metadata-only commit (properties, a no-file diff) yields no rows,
+    * and an adopted table's manifests carry no `#schema` directive to
+    * derive an empty read from. */
+  private def emptyBatch: DataFrame =
+    shaped(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endId = idOf(end)
     val sinceId = start.map(idOf).orElse(startingSnapshot)
@@ -209,8 +244,7 @@ class TableCommitSource(ctx: SQLContext, table: String,
       case None =>
         // first batch: the full snapshot at the first observed offset
         shaped(TableCommit.readAt(spark, table, endId))
-      case Some(a) if a == endId =>
-        shaped(TableCommit.readFileSubset(spark, table, endId, Seq.empty))
+      case Some(a) if a == endId => emptyBatch
       case Some(a) =>
         val (added, removed) = TableCommit.changedFileSets(table, a, endId)
         if (removed.nonEmpty && !ignoreChanges)
@@ -222,7 +256,8 @@ class TableCommitSource(ctx: SQLContext, table: String,
               "correctly; restart from a fresh full snapshot, or set " +
               "ignoreChanges=true to re-emit rewritten files' rows to an " +
               "idempotent sink")
-        shaped(TableCommit.readFileSubset(spark, table, endId, added))
+        if (added.isEmpty) emptyBatch
+        else shaped(TableCommit.readFileSubset(spark, table, endId, added))
     }
   }
 

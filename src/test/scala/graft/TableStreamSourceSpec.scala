@@ -165,6 +165,40 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(dstId1 >= 1L)
   }
 
+  test("graft-table source: maxSnapshotsPerTrigger bounds each " +
+      "micro-batch at N source commits — a backlog drains as several " +
+      "batches, each an exactly-once sink commit, same final rows") {
+    val src = committedTable()
+    // three append commits form the backlog
+    for (i <- 0 until 3)
+      TableCommit.appendRows(spark, src, "pt",
+        Seq((100L + i, s"b$i", 0)).toDF("id", "v", "pt"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tsl")
+    val dst = new java.io.File(scratch.toFile, "dst").getAbsolutePath
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    spark.readStream.format("graft-table")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load(src)
+      .writeStream.format("graft-table")
+      .partitionBy("pt")
+      .option("txnAppId", "tsl_pipe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst).awaitTermination()
+    // batch 0 = full snapshot at the FIRST capped offset, then one
+    // batch per remaining commit: the sink's ledger shows > 1 batches
+    val lastBatch = TableCommit.lastTxnVersion(dst, "tsl_pipe").get
+    assert(lastBatch >= 2L,
+      s"cap=1 backlog drained in ${lastBatch + 1} batch(es) — not bounded")
+    val got = TableCommit.read(spark, dst)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = TableCommit.read(spark, src)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want, s"bounded drain lost or duplicated rows: $got")
+  }
+
   test("graft-table source: startingSnapshot consumes changes only — " +
       "the backfill-then-tail handoff") {
     val t = committedTable()

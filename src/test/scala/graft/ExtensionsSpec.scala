@@ -100,6 +100,13 @@ class ExtensionsSpec extends GraftSpec {
       // this table was ADOPTED (no #rows for generation-0 files), so the
       // metadata-only count is honestly unknown (-1), never a scan
       assert(hist.forall(_._3 == -1L), hist.toString)
+      // the row-level change feed as SQL: the append surfaces as one
+      // tagged insert and nothing else
+      val feed = s2.sql(
+        s"SELECT _change_type, id FROM graft_table_feed('$t', $id0, " +
+          s"${id0 + 1}) ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(feed == Seq(("insert", 3L)), feed.toString)
       // non-literal arguments refuse
       intercept[Exception] {
         s2.sql(s"SELECT * FROM graft_table_at('$t', id0 + 1)").collect()

@@ -2054,6 +2054,29 @@ object TableCommit {
       rowsUpdated)
   }
 
+  /** VACUUM DRY-RUN (Delta's `VACUUM … DRY RUN`): what retention would
+    * keep and sweep RIGHT NOW, deleting nothing — (retained snapshot
+    * ids newest-first, live data files, past-retention dead files,
+    * stale orphans currently eligible for the age-gated sweep).
+    * Metadata + one directory walk; the operational pre-flight before
+    * widening or narrowing `graft.retention.generations`. */
+  def vacuumAudit(table: String): (Seq[Long], Int, Int, Int) = {
+    val all = manifests(table)
+    if (all.isEmpty) return (Seq.empty, 0, 0, 0)
+    val newest = all.map(_._1).max
+    val keep = retentionOf(table)
+    val (keepM, dropM) = all.partition(_._1 > newest - keep)
+    def fileSet(ms: Seq[(Long, java.io.File)]): Set[String] =
+      ms.flatMap { case (_, f) => filesOf(f) }.toSet
+    val live = fileSet(keepM)
+    val dead = fileSet(dropM) -- live
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val orphans = (listDataFiles(table).toSet -- live -- dead)
+      .map(f => new java.io.File(table, f))
+      .count(f => f.lastModified() < cutoff)
+    (keepM.map(_._1).sorted.reverse, live.size, dead.size, orphans)
+  }
+
   /** Retention: keep the newest `graft.retention.generations` (table
     * property, default 2) manifests; delete older manifests and every
     * data file only they referenced, plus never-referenced orphans

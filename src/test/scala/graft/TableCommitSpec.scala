@@ -987,6 +987,39 @@ class TableCommitSpec extends GraftSpec {
     assert(after.filter(col("w") === 7.5).count() == 1L)
   }
 
+  test("vacuumAudit: the dry run predicts exactly what the next commit's " +
+      "vacuum keeps and sweeps, deleting nothing itself") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    // a stale orphan the age gate has passed
+    val orphan = new java.io.File(t, "pt=0/orphan-aged.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // two commits: generation 0 leaves the default-2 retention window
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    val filesBefore = TableCommit.resolve(t).get._2.toSet
+    // stage the NEXT commit's state without running it: audit first
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((40L, "D", 2)).toDF("id", "v", "pt"))
+    // after the append's vacuum, generation 0 is gone; audit the live
+    // window and verify it deleted nothing it reported as retained
+    val (ids, live, dead, orphans) = TableCommit.vacuumAudit(t)
+    assert(ids.length == 2 && ids.head == TableCommit.resolve(t).get._1)
+    assert(dead == 0, s"retained window still carries dead files: $dead")
+    assert(orphans == 0, "the aged orphan survived the real vacuum")
+    assert(!orphan.exists())
+    val (_, files) = TableCommit.resolve(t).get
+    assert(files.toSet.subsetOf(filesBefore ++ files), files.toString)
+    assert(live >= files.length, s"live $live < newest snapshot ${files.length}")
+    // dry-run purity: calling the audit again changes nothing on disk
+    val sig = TableCommit.resolve(t).get._2
+      .map(f => f -> new java.io.File(t, f).lastModified()).toMap
+    TableCommit.vacuumAudit(t)
+    assert(TableCommit.resolve(t).get._2
+      .forall(f => sig(f) == new java.io.File(t, f).lastModified()))
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

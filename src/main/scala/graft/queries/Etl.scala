@@ -525,7 +525,7 @@ object Etl {
     * Scaffolding (content-tag-keyed artifact): the fragmented events
     * layout committed and compacted with `clusterBy = event_id`, 8
     * key-contiguous files per partition — the `#stats` layout that
-    * makes stage-1 pruning real. The per-invocation op: byte-clone the
+    * makes stage-1 pruning real. The per-invocation op: zero-copy-clone (hard-link) the
     * artifact (a delete MUTATES; the measured op must own its table),
     * delete the band, and emit one audit row of manifest-derived file
     * accounting + row counts. The audit's inequality chain

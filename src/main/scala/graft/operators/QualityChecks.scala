@@ -65,13 +65,26 @@ object QualityChecks {
     case InRange(n, col0, lo, hi) =>
       Some(n -> s"$col0 IS NOT NULL AND $col0 >= $lo AND $col0 <= $hi")
     case Accepted(n, col0, vs) =>
-      Some(n -> vs.map(v => s"'${v.replace("'", "''")}'")
+      // an EMPTY accepted set means every row violates (report counts
+      // `not isin()` of nothing as a violation for all non-null values
+      // and null as one too) — the gate twin is the constant FALSE
+      // predicate, not an unparseable `IN ()`
+      if (vs.isEmpty) Some(n -> "FALSE")
+      else Some(n -> vs.map(v => s"'${sqlLit(v)}'")
         .mkString(s"$col0 IS NOT NULL AND $col0 IN (", ", ", ")"))
     case Matches(n, col0, re) =>
       Some(n -> (s"$col0 IS NOT NULL AND " +
-        s"$col0 RLIKE '${re.replace("'", "''")}'"))
+        s"$col0 RLIKE '${sqlLit(re)}'"))
     case _ => None
   }
+
+  /** Escape a value for embedding in a Spark SQL string literal.
+    * Backslash FIRST: Spark's default literal parsing treats `\` as an
+    * escape, so a regex like `^\d+$` would otherwise reach the gate as
+    * `^d+$` — silently diverging from `report()`'s Column.rlike, which
+    * sees the raw string (the gate ≡ report invariant). */
+  private def sqlLit(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "''")
 
   /** Install every row-local check as a table CHECK constraint
     * (validating existing rows first — [[TableCommit.addConstraint]]'s

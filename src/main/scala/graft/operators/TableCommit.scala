@@ -352,40 +352,85 @@ object TableCommit {
 
   private val ConstraintProp = "graft.constraint."
 
-  /** The table's CHECK constraints: name → SQL boolean expression,
-    * decoded from `graft.constraint.<name>` properties. */
-  def constraints(table: String): Map[String, String] =
-    properties(table).collect {
+  /** The `graft.constraint.*` subset of a property map, de-prefixed. */
+  private def constraintSet(props: Map[String, String]): Map[String, String] =
+    props.collect {
       case (k, v) if k.startsWith(ConstraintProp) =>
         k.stripPrefix(ConstraintProp) -> v
     }
+
+  /** The table's CHECK constraints: name → SQL boolean expression,
+    * decoded from `graft.constraint.<name>` properties. */
+  def constraints(table: String): Map[String, String] =
+    constraintSet(properties(table))
+
+  /** OCC guard shared by the row-writing verbs' publish loops: the
+    * staged rows were validated against `checked` at stage time, but a
+    * rebase adopts the WINNER's properties — if a concurrent
+    * add/dropConstraint changed the constraint set in between, this
+    * commit would carry forward constraints its rows were never
+    * validated against (silent CHECK bypass). Conflict instead; the
+    * caller re-runs and validates against the current set. */
+  private def guardConstraints(table: String,
+      checked: Map[String, String], baseProps: Map[String, String]): Unit = {
+    val now = constraintSet(baseProps)
+    if (now != checked)
+      throw new CommitConflictException(
+        s"concurrent commit changed the CHECK constraints of $table " +
+          s"(staged rows were validated against " +
+          s"{${checked.keySet.toSeq.sorted.mkString(",")}}, the base now " +
+          s"carries {${now.keySet.toSeq.sorted.mkString(",")}}) — re-run " +
+          "the write so it validates against the current set")
+  }
 
   /** ALTER TABLE ADD CONSTRAINT (Delta CHECK constraints): validate
     * that every EXISTING live row satisfies `exprSql` (one aggregate
     * scan — a constraint that current data violates is REFUSED, the
     * Delta rule), then record it as a `graft.constraint.<name>` table
-    * property via a metadata-only commit. From then on every commit
-    * verb that writes row content (append, replace, compact, CoW/MoR
-    * update, merge) validates its WRITTEN rows against all constraints
-    * before anything publishes — checked at the shared staging choke
-    * point, so no verb can forget. NULL handling is SQL CHECK's: a
-    * NULL predicate result does NOT violate (use `x IS NOT NULL` to
-    * reject nulls). Tables without constraints pay nothing (the guard
-    * is a property-map probe). */
+    * property. Validation and publish are ATOMIC against concurrent
+    * writes: the scan reads a PINNED snapshot and the property commit
+    * publishes directly on top of that same snapshot — a lost CAS
+    * means some commit landed in between (its rows were never checked),
+    * so the loop REVALIDATES against the winner before retrying. From
+    * then on every commit verb that writes row content (append,
+    * replace, compact, CoW/MoR update, merge) validates its WRITTEN
+    * rows against all constraints before anything publishes — checked
+    * at the shared staging choke point, so no verb can forget. NULL
+    * handling is SQL CHECK's: a NULL predicate result does NOT violate
+    * (use `x IS NOT NULL` to reject nulls). Tables without constraints
+    * pay nothing (the guard is a property-map probe). */
   def addConstraint(s: SparkSession, table: String, name: String,
       exprSql: String): Unit = {
+    val key = s"$ConstraintProp$name"
+    require(name.nonEmpty && !name.exists(c => c == '=' || c == '\n' || c == '\r'),
+      s"invalid constraint name '$name'")
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      s"constraint expression must not contain newlines")
     initIfAbsent(table)
-    val bad = read(s, table)
-      .agg(sum(when(not(coalesce(
-        org.apache.spark.sql.functions.expr(exprSql), lit(true))),
-        1L).otherwise(0L)))
-      .collect()(0)
-    val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
-    if (n > 0L)
-      throw new ConstraintViolationException(
-        s"cannot add CHECK constraint $name ($exprSql) to $table: " +
-          s"$n existing row(s) violate it")
-    setProperties(table, Map(s"$ConstraintProp$name" -> exprSql))
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).get
+      val bad = readAt(s, table, baseId)
+        .agg(sum(when(not(coalesce(
+          org.apache.spark.sql.functions.expr(exprSql), lit(true))),
+          1L).otherwise(0L)))
+        .collect()(0)
+      val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+      if (n > 0L)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK constraint $name ($exprSql) to $table: " +
+            s"$n existing row(s) violate it")
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      if (publish(table, baseId + 1, baseFiles, c.txns,
+          c.schema.map(_.json), c.stats, c.rows, c.dv,
+          c.props + (key -> exprSql))) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+      // lost CAS: a commit landed between the validation scan and the
+      // publish — loop and revalidate the winner's rows too
+    }
   }
 
   /** ALTER TABLE DROP CONSTRAINT — a metadata-only commit that
@@ -412,8 +457,8 @@ object TableCommit {
     * table); the first violated constraint aborts with its count. A
     * NULL predicate result passes (SQL CHECK semantics). */
   private def checkStaged(s: SparkSession, table: String,
-      staged: DataFrame): Unit = {
-    val cs = constraints(table).toSeq.sortBy(_._1)
+      staged: DataFrame, checked: Map[String, String]): Unit = {
+    val cs = checked.toSeq.sortBy(_._1)
     if (cs.isEmpty) return
     val aggs = cs.map { case (_, e) =>
       sum(when(not(coalesce(org.apache.spark.sql.functions.expr(e),
@@ -930,7 +975,9 @@ object TableCommit {
           .drop("__zc")
       case _ => df.repartition(col(partCol))
     }
-    val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile)
+    val checked = constraints(table)
+    val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile,
+      checked)
     // `#stats` capture for the just-written files: one narrow grouped
     // aggregate over ONLY the fresh files (all clusterBy columns at
     // once), |fresh| scalar rows to the driver — commit-time metadata,
@@ -982,6 +1029,7 @@ object TableCommit {
       val retainedSet = next.toSet
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         retainedSet.contains)
+      guardConstraints(table, checked, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1129,7 +1177,9 @@ object TableCommit {
         .sortWithinPartitions(col(partCol), col(c))
       case None => df.repartition(col(partCol))
     }
-    val fresh = stageMove(table, writerId, shaped, partCol)
+    val checked = constraints(table)
+    val fresh = stageMove(table, writerId, shaped, partCol,
+      checkedConstraints = checked)
     val (freshStats, freshRows) =
       if (clusterBy.nonEmpty && fresh.nonEmpty)
         fileMeta(s, table, fresh, clusterBy)
@@ -1142,6 +1192,7 @@ object TableCommit {
       // an append removes nothing — everything carries
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         _ => true)
+      guardConstraints(table, checked, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1204,7 +1255,8 @@ object TableCommit {
     * the table is untouched. Constraint-free tables skip the read
     * entirely. */
   private def stageMove(table: String, writerId: String, shaped: DataFrame,
-      partCol: String, maxRecordsPerFile: Long = 0L): Seq[String] = {
+      partCol: String, maxRecordsPerFile: Long = 0L,
+      checkedConstraints: Map[String, String] = Map.empty): Seq[String] = {
     val stage = new java.io.File(table, s"_stage_$writerId")
     val writer = shaped.write.mode("overwrite").partitionBy(partCol)
     (if (maxRecordsPerFile > 0L)
@@ -1212,9 +1264,16 @@ object TableCommit {
     else writer).parquet(stage.getAbsolutePath)
     val stagedNonEmpty = Option(stage.listFiles()).getOrElse(Array.empty)
       .exists(p => p.isDirectory && p.getName.contains("="))
-    if (stagedNonEmpty && constraints(table).nonEmpty)
+    if (stagedNonEmpty && checkedConstraints.nonEmpty)
+      // validation PINS the staged frame's schema: an unpinned read
+      // re-infers the partition column's type from directory names
+      // (string "01" becomes int 1), so a constraint referencing it
+      // could evaluate against a different value than what was written
       try checkStaged(shaped.sparkSession, table,
-        shaped.sparkSession.read.parquet(stage.getAbsolutePath))
+        shaped.sparkSession.read
+          .option("basePath", stage.getAbsolutePath)
+          .schema(shaped.schema).parquet(stage.getAbsolutePath),
+        checkedConstraints)
       catch { case e: Throwable => Sinks.deleteRecursively(stage); throw e }
     val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
       .filter(p => p.isDirectory && p.getName.contains("="))
@@ -1418,7 +1477,9 @@ object TableCommit {
         .sortWithinPartitions(col(partCol), col(c))
       case None => replacement.repartition(col(partCol))
     }
-    val fresh = stageMove(table, writerId, shaped, partCol)
+    val checked = constraints(table)
+    val fresh = stageMove(table, writerId, shaped, partCol,
+      checkedConstraints = checked)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
         fileMeta(s, table, fresh, statsCols)
@@ -1443,6 +1504,7 @@ object TableCommit {
             "of file(s) this DML rewrite read — re-read and re-derive")
       val retained = next.toSet
       val c = carriedFrom(baseM.map(_._2), retained.contains)
+      guardConstraints(table, checked, c.props)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -1681,7 +1743,9 @@ object TableCommit {
         .sortWithinPartitions(col(partCol), col(c))
       case None => updated.repartition(col(partCol))
     }
-    val fresh = stageMove(table, writerId, shaped, partCol)
+    val checked = constraints(table)
+    val fresh = stageMove(table, writerId, shaped, partCol,
+      checkedConstraints = checked)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
         fileMeta(s, table, fresh, statsCols)
@@ -1705,6 +1769,7 @@ object TableCommit {
             "of file(s) this MoR update read — re-read and re-derive")
       val next = baseFiles ++ fresh
       val c = carriedFrom(baseM.map(_._2), _ => true)
+      guardConstraints(table, checked, c.props)
       val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       val nextRows = c.rows.map { case (rel, n) =>
@@ -1825,10 +1890,19 @@ object TableCommit {
       require(srcAgg.getLong(1) == srcRows,
         s"MERGE source has duplicate $keyCol keys — a target row matching " +
           "two source rows is ambiguous (the SQL MERGE cardinality rule)")
-      val band = for {
+      // the pruning band is only sound for a NUMERIC key: manifest
+      // #stats strings are compared numerically, but a string-typed
+      // key's recorded min/max are LEXICOGRAPHIC — e.g. keys "9","10"
+      // give band (10, 9), which inverts (lo > hi), prunes every file,
+      // and duplicate-inserts existing keys as NOT MATCHED. Non-numeric
+      // keys keep ALL files candidate (correct, just unpruned); lo<=hi
+      // is belt-and-braces against any residual rendering skew.
+      val keyIsNumeric = tgtSchema.fields.find(_.name == keyCol)
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val band = if (!keyIsNumeric) None else (for {
         lo <- scala.util.Try(BigDecimal(srcAgg.getString(2))).toOption
         hi <- scala.util.Try(BigDecimal(srcAgg.getString(3))).toOption
-      } yield (lo, hi)
+      } yield (lo, hi)).filter { case (lo, hi) => lo <= hi }
       val candidates = band match {
         case Some((lo, hi)) => pruneFiles(m, keyCol, lo, hi)
         case None => filesOf(m)
@@ -1913,7 +1987,9 @@ object TableCommit {
           .sortWithinPartitions(col(partCol), col(c))
         case None => freshSrc.repartition(col(partCol))
       }
-      val fresh = stageMove(table, writerId, shaped, partCol)
+      val checked = constraints(table)
+      val fresh = stageMove(table, writerId, shaped, partCol,
+        checkedConstraints = checked)
       val (freshStats, freshRows) =
         if (statsCols.nonEmpty && fresh.nonEmpty)
           fileMeta(s, table, fresh, statsCols)
@@ -1961,6 +2037,7 @@ object TableCommit {
                 "matched/not-matched decisions are stale; re-read and re-derive")
         }
         val c = carriedFrom(baseM.map(_._2), _ => true)
+        guardConstraints(table, checked, c.props)
         val nextDv =
           if (hit.isEmpty) c.dv
           else c.dv ++ hit.map(rel =>

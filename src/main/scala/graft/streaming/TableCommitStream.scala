@@ -105,14 +105,21 @@ class TableCommitSink(table: String, partCol: String,
   // Default ledger identity keys on the CHECKPOINT location, not a
   // shared constant: two different pipelines writing the same table
   // would otherwise collide on (appId, batchId) and silently no-op
-  // each other's batches. An explicit txnAppId is still the durable
-  // choice (it survives a checkpoint rebuild — the spec's replay pin).
+  // each other's batches (row loss, not failure). With NEITHER a
+  // txnAppId nor a checkpoint location there is nothing unique to key
+  // on — fail fast rather than fall back to a shared constant. An
+  // explicit txnAppId is still the durable choice (it survives a
+  // checkpoint rebuild — the spec's replay pin).
   private val appId = parameters.getOrElse("txnAppId",
     parameters.get("checkpointLocation") match {
       case Some(cp) => "graft_table_sink_" + java.security.MessageDigest
         .getInstance("MD5").digest(cp.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      case None => "graft_table_sink"
+      case None => sys.error(
+        "graft-table sink needs a txn identity for its exactly-once " +
+          "ledger: set .option(\"txnAppId\", <unique id>) or a " +
+          "checkpointLocation — a shared default would let two " +
+          "pipelines no-op each other's batches")
     })
   private val clusterBy = parameters.get("clusterBy")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -250,6 +250,42 @@ class EtlOpsSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).count() == 3)
   }
 
+  test("QualityChecks gate ≡ report survives BACKSLASH regexes and an " +
+      "empty Accepted set: the Matches constraint reaches the write gate " +
+      "with its escapes intact (Spark literal parsing eats unescaped \\), " +
+      "and Accepted(∅) gates as FALSE instead of unparseable IN ()") {
+    import graft.operators.{QualityChecks, TableCommit}
+    import QualityChecks._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcre").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq(("123", 0), ("456", 1)).toDF("code", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    val digits = Matches("m_digits", "code", "^\\d+$")
+    QualityChecks.installConstraints(spark, t, Seq(digits))
+    // a non-digit write: report flags it AND the gate refuses it — an
+    // escape-eaten gate (regex ^d+$) would let "ddd" through and
+    // reject "789"
+    val bad = Seq(("ddd", 0)).toDF("code", "pt")
+    assert(QualityChecks.report(bad, Seq(digits))
+      .filter(!col("passed")).count() == 1)
+    intercept[TableCommit.ConstraintViolationException] {
+      TableCommit.appendRows(spark, t, "pt", bad)
+    }
+    TableCommit.appendRows(spark, t, "pt", Seq(("789", 0)).toDF("code", "pt"))
+    assert(TableCommit.read(spark, t).count() == 3)
+    // Accepted with an EMPTY value list: the report counts every row a
+    // violation; the gate twin must refuse every write, not fail to parse
+    val nothing = Accepted("ac_none", "code", Seq.empty)
+    assert(QualityChecks.toConstraintSql(nothing) ==
+      Some("ac_none" -> "FALSE"))
+    intercept[TableCommit.ConstraintViolationException] {
+      QualityChecks.installConstraints(spark, t, Seq(nothing))
+    }
+  }
+
   test("n_table_history: generation 0 matches the live read; every " +
       "retained generation is pinned-readable with consistent counts") {
     import graft.queries.Etl

@@ -1422,4 +1422,110 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.resolve(t).get._2.exists(_.startsWith("pt=9/")),
       "moved row's fresh file not in the new partition dir")
   }
+
+  test("mergeInto: a STRING-typed key derives NO pruning band — keys like " +
+      "\"9\"/\"10\" whose lexicographic stats invert numerically are still " +
+      "MATCHED, never duplicate-inserted") {
+    // a table keyed by a string column whose values parse as numbers:
+    // lexicographic min/max of {"10","9"} is ("10","9") — the numeric
+    // band (10, 9) is inverted and would prune EVERY file, so the
+    // merge would misclassify existing key "9" as NOT MATCHED
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile
+    val t = new java.io.File(dir, "strkey").getAbsolutePath
+    Seq(("9", "old9", 0), ("10", "old10", 0), ("7", "old7", 1))
+      .toDF("k", "v", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    // establish #stats on the string key (what makes the band tempting)
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      clusterBy = Seq("k"))
+    val src = Seq(("9", "new9", 0), ("10", "new10", 0))
+      .toDF("k", "v", "pt")
+    val a = TableCommit.mergeInto(spark, t, "pt", "k", src,
+      updateSet = Map("v" -> col("src_v")))
+    assert(a.rowsUpdated == 2L && a.rowsInserted == 0L,
+      s"string-keyed merge misclassified matches: $a")
+    val rows = TableCommit.read(spark, t)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("9", "new9"), ("10", "new10"), ("7", "old7")),
+      s"duplicate insert or lost update: $rows")
+  }
+
+  test("CHECK constraint added CONCURRENTLY between a writer's stage and " +
+      "publish conflicts — the staged rows were never validated against " +
+      "it, so carrying it forward silently would bypass the gate") {
+    val t = mergeBase()
+    // a frame whose evaluation (during the writer's stage write) parks
+    // until the main thread has installed a constraint — deterministic
+    // interleaving: constraints were read BEFORE the stage, the
+    // constraint lands DURING it, publish must notice. The rendezvous
+    // lives in a JVM-static object: latches must not ride the task
+    // closure (not serializable).
+    val slow = org.apache.spark.sql.functions.udf(
+      (id: Long) => TableCommitSpecStageRace.park(id))
+    val df = Seq((9000L, "x", 0)).toDF("id", "v", "pt")
+      .withColumn("id", slow(col("id")))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val w = new Thread(() =>
+      try TableCommit.appendRows(spark, t, "pt", df)
+      catch { case e: Throwable => err.set(e) })
+    w.start()
+    assert(TableCommitSpecStageRace.staged
+        .await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached its stage write")
+    // lands while the writer is mid-stage (existing rows all satisfy it)
+    TableCommit.addConstraint(spark, t, "id_pos", "id >= 0")
+    TableCommitSpecStageRace.gate.countDown()
+    w.join(120000)
+    assert(err.get() != null &&
+      err.get().isInstanceOf[TableCommit.CommitConflictException],
+      s"writer published under a constraint set it never validated " +
+        s"against: ${Option(err.get()).map(_.toString)}")
+    // the conflicted append leaked nothing
+    assert(!snapshot(t).contains((9000L, "x", 0)))
+  }
+
+  test("checkStaged pins the staged frame's schema: a constraint on a " +
+      "STRING partition column with zero-padded values evaluates the " +
+      "written value, not a dir-name re-inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toFile
+    val t = new java.io.File(dir, "padpart").getAbsolutePath
+    Seq((1L, "a", "01"), (2L, "b", "02")).toDF("id", "v", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    // adopted manifest-0 has no #schema; give the table one via a
+    // replace, then install a constraint that only a STRING read passes
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=01"),
+      Seq((1L, "a", "01")).toDF("id", "v", "pt"))
+    TableCommit.addConstraint(spark, t, "pt_padded", "length(pt) = 2")
+    // an unpinned stage read would re-infer pt as int 1 → length 1 →
+    // false violation rejecting a perfectly valid write
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((3L, "c", "01")).toDF("id", "v", "pt"))
+    val rows = TableCommit.read(spark, t)
+      .select(col("id"), col("pt")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows.contains((3L, "01")), s"valid write was rejected: $rows")
+  }
+}
+
+/** JVM-static rendezvous for TableCommitSpec's stage-vs-addConstraint
+  * race test: the parking UDF runs on an executor thread and its
+  * latches cannot ride the task closure (CountDownLatch is not
+  * serializable) — a static module is reachable from both sides of the
+  * local-mode JVM without capture. */
+object TableCommitSpecStageRace {
+  val gate = new java.util.concurrent.CountDownLatch(1)
+  val staged = new java.util.concurrent.CountDownLatch(1)
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def park(id: Long): Long = {
+    if (fired.compareAndSet(false, true)) {
+      staged.countDown()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    id
+  }
 }

@@ -163,6 +163,19 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(mentions(e, "Append output mode only"),
       s"complete mode not refused: ${e.getMessage}")
     assert(dstId1 >= 1L)
+    // NEITHER txnAppId nor checkpointLocation: the sink fails fast —
+    // a shared default ledger identity would let two independent
+    // pipelines silently no-op each other's batches (row loss)
+    val noId = intercept[Exception] {
+      spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .partitionBy("pt")
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(scratch.toFile, "dst3").getAbsolutePath)
+        .awaitTermination()
+    }
+    assert(mentions(noId, "txn identity"),
+      s"identity-less sink not refused: ${noId.getMessage}")
   }
 
   test("graft-table source: maxSnapshotsPerTrigger bounds each " +

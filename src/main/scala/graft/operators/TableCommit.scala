@@ -64,13 +64,33 @@ object TableCommit {
 
   private val ManifestName = "manifest-([0-9]{9})".r
 
-  /** All (id, file) manifests present, unordered. */
-  private def manifests(table: String): Seq[(Long, java.io.File)] =
+  /** All (id, file) manifest FILES on disk, unordered — checkpoint and
+    * delta segments alike. Internal: a file with id ≤ newest−retention
+    * may exist purely as a CHAIN link (the checkpoint+deltas an oldest
+    * retained snapshot reconstructs from) and is NOT a readable
+    * snapshot; the public surface goes through [[manifests]]. */
+  private def manifestFiles(table: String): Seq[(Long, java.io.File)] =
     Option(manifestDir(table).listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(f => f.getName match {
         case ManifestName(id) => Some(id.toLong -> f)
         case _ => None
       })
+
+  /** A fully-reconstructed snapshot STATE: what one manifest id pins —
+    * the unit every verb and reader works against. With delta-encoded
+    * manifests (round-10 verdict item 1) this is no longer one file's
+    * content but (nearest checkpoint ≤ id) + the delta tail applied in
+    * order — the Delta-log/checkpoint shape, which makes commit
+    * metadata cost ∝ the WRITE SET instead of O(table files). */
+  private[operators] final case class Snapshot(
+      id: Long,
+      files: Seq[String],
+      stats: Map[(String, String), (String, String)],
+      rows: Map[String, Long],
+      dv: Map[String, Seq[String]],
+      props: Map[String, String],
+      txns: Map[String, Long],
+      schema: Option[org.apache.spark.sql.types.StructType])
 
   // Published manifests are IMMUTABLE (hard-link CAS), so their content
   // can be memoized — one readFiles call otherwise re-reads the same
@@ -85,11 +105,14 @@ object TableCommit {
   private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[String])]()
 
-  private def manifestLines(f: java.io.File): Seq[String] = {
+  private def fileIdentity(f: java.io.File): String = {
     val attrs = java.nio.file.Files.readAttributes(
       f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val identity = s"${attrs.fileKey()}#${attrs.size()}#" +
-      s"${attrs.lastModifiedTime().toMillis}"
+    s"${attrs.fileKey()}#${attrs.size()}#${attrs.lastModifiedTime().toMillis}"
+  }
+
+  private def manifestLines(f: java.io.File): Seq[String] = {
+    val identity = fileIdentity(f)
     val cached = manifestMemo.get(f.getAbsolutePath)
     if (cached != null && cached._1 == identity) cached._2
     else {
@@ -99,6 +122,116 @@ object TableCommit {
       if (manifestMemo.size > 8192) manifestMemo.clear()
       manifestMemo.put(f.getAbsolutePath, (identity, lines))
       lines
+    }
+  }
+
+  /** A DELTA manifest's marker: first line `#delta <baseId>` (always
+    * id−1 — deltas chain one step). A manifest without it is a full
+    * CHECKPOINT (the pre-delta format, unchanged — old tables adopt
+    * seamlessly; every Nth commit still writes one). */
+  private val DeltaPrefix = "#delta "
+  private def isDelta(lines: Seq[String]): Boolean =
+    lines.headOption.exists(_.startsWith(DeltaPrefix))
+
+  /** Parse a CHECKPOINT manifest's lines into a [[Snapshot]]. */
+  private def parseCkpt(id: Long, lines: Seq[String]): Snapshot =
+    Snapshot(id, filesOfLines(lines), statsOfLines(lines),
+      rowsOfLines(lines), dvOfLines(lines), propsOfLines(lines),
+      txnsOfLines(lines), schemaOfLines(lines))
+
+  /** Apply one DELTA manifest on top of its base state. Delta
+    * semantics, exact by construction ([[publish]] verifies the
+    * round-trip before choosing the delta form):
+    *  - `+rel` adds a data file, `-rel` removes one
+    *  - `#stats`/`#rows` lines are NEW or CHANGED entries (removed
+    *    files' entries drop implicitly); retained files' other entries
+    *    carry forward
+    *  - `#dv` lines are APPENDED vector dirs (a DV list only grows
+    *    between commits; anything else — restore — is a checkpoint)
+    *  - `#txn` and `#prop` lines are the FULL replacement sets (small
+    *    by construction: a ledger entry per writer app, a handful of
+    *    properties)
+    *  - `#schema` is the full schema of record when the state has one */
+  private def applyDelta(base: Snapshot, id: Long,
+      lines: Seq[String]): Snapshot = {
+    val adds = lines.filter(_.startsWith("+")).map(_.substring(1))
+    val removes = lines.filter(_.startsWith("-")).map(_.substring(1)).toSet
+    val files = (base.files.filterNot(removes) ++ adds).sorted
+    val retained = files.toSet
+    val dvAppends = dvOfLines(lines)
+    Snapshot(
+      id,
+      files,
+      base.stats.filter { case ((rel, _), _) => retained(rel) } ++
+        statsOfLines(lines),
+      base.rows.filter { case (rel, _) => retained(rel) } ++
+        rowsOfLines(lines),
+      dvAppends.foldLeft(
+        base.dv.filter { case (rel, _) => retained(rel) }) {
+        case (acc, (rel, dirs)) =>
+          acc.updated(rel, acc.getOrElse(rel, Seq.empty) ++ dirs)
+      },
+      propsOfLines(lines),
+      txnsOfLines(lines),
+      schemaOfLines(lines))
+  }
+
+  // Reconstructed states are memoized like manifest lines — keyed by
+  // the manifest file's path, revalidated against the identity of the
+  // WHOLE chain beneath it (a recreated tmp-path table invalidates at
+  // the checkpoint link, which propagates up through the chain idents).
+  private val stateMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Snapshot)]()
+
+  /** The reconstructed state of snapshot `id`: nearest checkpoint ≤ id
+    * plus the delta tail, applied in order. None when `id` (or any
+    * chain link under it) has no manifest file. */
+  private def stateOf(table: String, id: Long): Option[Snapshot] = {
+    val byId = manifestFiles(table).toMap
+    def build(i: Long): Option[(String, Snapshot)] = byId.get(i).flatMap { f =>
+      val lines = manifestLines(f)
+      val ident = fileIdentity(f)
+      val cached = stateMemo.get(f.getAbsolutePath)
+      if (!isDelta(lines)) {
+        if (cached != null && cached._1 == ident) Some(cached)
+        else {
+          val entry = (ident, parseCkpt(i, lines))
+          if (stateMemo.size > 8192) stateMemo.clear()
+          stateMemo.put(f.getAbsolutePath, entry)
+          Some(entry)
+        }
+      } else build(i - 1).map { case (baseIdent, base) =>
+        val chainIdent = s"$baseIdent|$ident"
+        if (cached != null && cached._1 == chainIdent) cached
+        else {
+          val entry = (chainIdent, applyDelta(base, i, lines))
+          if (stateMemo.size > 8192) stateMemo.clear()
+          stateMemo.put(f.getAbsolutePath, entry)
+          entry
+        }
+      }
+    }
+    build(id).map(_._2)
+  }
+
+  /** All RETAINED snapshots (id, state), unordered — the public unit
+    * the readers, diffs and verbs work against. Manifest files older
+    * than the retention window that survive only as chain links are
+    * excluded: their snapshots are not readable (their exclusive data
+    * files are vacuumed), exactly the pre-delta behavior where the
+    * manifest file itself was deleted. */
+  private def manifests(table: String): Seq[(Long, Snapshot)] = {
+    val all = manifestFiles(table)
+    if (all.isEmpty) Seq.empty
+    else {
+      val newest = all.map(_._1).max
+      // retention from the NEWEST state's properties (self-describing)
+      val keep = stateOf(table, newest)
+        .flatMap(_.props.get("graft.retention.generations"))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .filter(_ >= 2L).getOrElse(2L)
+      all.map(_._1).filter(_ > newest - keep).sorted
+        .flatMap(id => stateOf(table, id).map(id -> _))
     }
   }
 
@@ -118,21 +251,27 @@ object TableCommit {
       txns: Map[String, Long],
       schema: Option[org.apache.spark.sql.types.StructType])
 
-  private def carriedFrom(baseM: Option[java.io.File],
+  private def carriedFrom(base: Option[Snapshot],
       retained: String => Boolean): Carried =
-    baseM match {
+    base match {
       case Some(m) => Carried(
-        statsOf(m).filter { case ((rel, _), _) => retained(rel) },
-        rowsOf(m).filter { case (rel, _) => retained(rel) },
-        dvOf(m).filter { case (rel, _) => retained(rel) },
-        propsOf(m), txnsOf(m), schemaOf(m))
+        m.stats.filter { case ((rel, _), _) => retained(rel) },
+        m.rows.filter { case (rel, _) => retained(rel) },
+        m.dv.filter { case (rel, _) => retained(rel) },
+        m.props, m.txns, m.schema)
       case None => Carried(Map.empty, Map.empty, Map.empty, Map.empty,
         Map.empty, None)
     }
 
-  /** Data-file paths of a manifest (directive lines excluded). */
-  private def filesOf(f: java.io.File): Seq[String] =
-    manifestLines(f).filterNot(_.startsWith("#"))
+  /** Data-file paths of a CHECKPOINT manifest's lines (directive lines
+    * excluded; a delta's `+`/`-` lines never reach here —
+    * [[parseCkpt]] is only called on non-delta manifests). */
+  private def filesOfLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(l => l.startsWith("#") || l.startsWith("+") ||
+      l.startsWith("-"))
+
+  /** Data-file paths of a snapshot. */
+  private def filesOf(m: Snapshot): Seq[String] = m.files
 
   /** Table schema a manifest carries (`#schema <json>` directive) —
     * what makes a ZERO-FILE snapshot (a commit that emptied the table)
@@ -140,18 +279,87 @@ object TableCommit {
     * the manifest itself is the schema of record, exactly the role of
     * the metadata action in a real table format's log. */
   private val SchemaPrefix = "#schema "
-  private def schemaOf(f: java.io.File): Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(f).find(_.startsWith(SchemaPrefix)).map(l =>
+  private def schemaOfLines(lines: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith(SchemaPrefix)).map(l =>
       org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  private def schemaOf(m: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    m.schema
+
+  // -------- COLUMN MAPPING (round-10 verdict item 2) -----------------
+  // The schema of record's fields may carry a `graft.physical` metadata
+  // entry: the column's name INSIDE the parquet files, decoupled from
+  // its logical name (the Delta column-mapping rung). RENAME is then a
+  // metadata-only commit (logical changes, physical stays); DROP stops
+  // reading the physical column and records its name so a later re-add
+  // of the same logical name gets a FRESH physical — old values can
+  // never resurrect. Absent metadata ⇒ physical == logical (every
+  // pre-mapping table, unchanged on disk and in behavior).
+
+  private val PhysicalKey = "graft.physical"
+  private val DroppedProp = "graft.mapping.dropped"
+
+  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def hasMapping(sch: org.apache.spark.sql.types.StructType): Boolean =
+    sch.fields.exists(f => physicalOf(f) != f.name)
+
+  /** The schema as the parquet FILES carry it: field names replaced by
+    * their physical names (metadata stripped — it described the
+    * logical view). */
+  private def physicalSchema(sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalOf(f), f.dataType, f.nullable)))
+
+  /** Physical names a NEW column must avoid: every current physical
+    * plus every physical ever dropped (recorded in the
+    * `graft.mapping.dropped` property). */
+  private def usedPhysicals(sch: org.apache.spark.sql.types.StructType,
+      props: Map[String, String]): Set[String] =
+    sch.fields.map(physicalOf).toSet ++
+      props.get(DroppedProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Deterministic fresh-physical assignment for a new logical column:
+    * its own name unless that physical is (or was ever) taken. */
+  private def assignPhysical(logical: String, used: Set[String]): String =
+    if (!used(logical)) logical
+    else Iterator.from(1).map(i => s"${logical}_r$i").find(!used(_)).get
+
+  /** Pinned read of `files` under the snapshot's schema of record,
+    * translated to LOGICAL column names. Without column mapping this
+    * is the plain pinned read (zero overhead); with mapping, the scan
+    * is pinned to the PHYSICAL schema and a projection renames to the
+    * logical view. `withMeta` keeps the hidden `_metadata` column
+    * selectable through the rename (the deletion-vector key needs
+    * it). */
+  private def pinnedRead(s: SparkSession, table: String, m: Snapshot,
+      files: Seq[String], withMeta: Boolean = false): DataFrame = {
+    val rd = s.read.option("basePath", table)
+    val paths = files.map(f => s"$table/$f")
+    m.schema match {
+      case Some(sch) if hasMapping(sch) =>
+        val base = rd.schema(physicalSchema(sch)).parquet(paths: _*)
+        val logical = sch.fields.toSeq.map(f =>
+          col(physicalOf(f)).as(f.name))
+        base.select(
+          (if (withMeta) logical :+ col("_metadata") else logical): _*)
+      case Some(sch) => rd.schema(sch).parquet(paths: _*)
+      case None => rd.parquet(paths: _*)
+    }
+  }
+
   private def emptySnapshot(s: SparkSession, table: String,
-      f: java.io.File): DataFrame =
-    schemaOf(f) match {
+      m: Snapshot): DataFrame =
+    m.schema match {
       case Some(sch) =>
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
       case None => sys.error(
-        s"snapshot ${f.getName} of $table has no data files and carries " +
+        s"snapshot ${m.id} of $table has no data files and carries " +
           "no #schema directive — nothing to infer a schema from")
     }
 
@@ -174,13 +382,16 @@ object TableCommit {
   /** (rel-path, col) -> (min, max) entries of a manifest — keyed by
     * BOTH file and column, so a snapshot can carry ranges for several
     * cluster dimensions per file (the Z-order commit records two). */
-  private def statsOf(f: java.io.File): Map[(String, String), (String, String)] =
-    manifestLines(f).filter(_.startsWith(StatsPrefix)).flatMap { l =>
+  private def statsOfLines(lines: Seq[String]): Map[(String, String), (String, String)] =
+    lines.filter(_.startsWith(StatsPrefix)).flatMap { l =>
       l.stripPrefix(StatsPrefix).split("\t", 4) match {
         case Array(c, mn, mx, rel) => Some((rel, c) -> (mn, mx))
         case _ => None
       }
     }.toMap
+
+  private def statsOf(m: Snapshot): Map[(String, String), (String, String)] =
+    m.stats
 
   /** Per-file ROW COUNTS a manifest carries (`#rows <n>\t<relpath>`
     * directive lines — the Delta add-action's `numRecords`): every
@@ -194,13 +405,15 @@ object TableCommit {
     * real count. */
   private val RowsPrefix = "#rows "
 
-  private def rowsOf(f: java.io.File): Map[String, Long] =
-    manifestLines(f).filter(_.startsWith(RowsPrefix)).flatMap { l =>
+  private def rowsOfLines(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(RowsPrefix)).flatMap { l =>
       l.stripPrefix(RowsPrefix).split("\t", 2) match {
         case Array(n, rel) => scala.util.Try(rel -> n.toLong).toOption
         case _ => None
       }
     }.toMap
+
+  private def rowsOf(m: Snapshot): Map[String, Long] = m.rows
 
   /** Snapshot row count from manifest metadata alone — Some iff EVERY
     * data file of snapshot `id` carries a `#rows` entry. */
@@ -238,14 +451,18 @@ object TableCommit {
     * entries with the file — materialization for free. */
   private val DvPrefix = "#dv "
 
-  /** data-file rel → its registered DV dirs (order = commit order). */
-  private def dvOf(f: java.io.File): Map[String, Seq[String]] =
-    manifestLines(f).filter(_.startsWith(DvPrefix)).flatMap { l =>
+  /** data-file rel → its registered DV dirs (order = line order, which
+    * is commit order within a manifest and append order across a delta
+    * chain). */
+  private def dvOfLines(lines: Seq[String]): Map[String, Seq[String]] =
+    lines.filter(_.startsWith(DvPrefix)).flatMap { l =>
       l.stripPrefix(DvPrefix).split("\t", 2) match {
         case Array(dv, rel) => Some(rel -> dv)
         case _ => None
       }
     }.groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) }
+
+  private def dvOf(m: Snapshot): Map[String, Seq[String]] = m.dv
 
   /** The (last-two-path-segments, row-position) key both sides of the
     * DV anti-join compute — executor-side string ops on the hidden
@@ -260,10 +477,10 @@ object TableCommit {
 
   /** Drop rows of `keyed` (a [[dvKeyCols]]-tagged frame) that any of
     * the manifest's vectors covering `files` mark dead. */
-  private def applyDv(s: SparkSession, table: String, m: java.io.File,
+  private def applyDv(s: SparkSession, table: String, m: Snapshot,
       files: Seq[String], keyed: DataFrame): DataFrame = {
     val want = files.toSet
-    val dirs = dvOf(m).filter { case (rel, _) => want(rel) }
+    val dirs = m.dv.filter { case (rel, _) => want(rel) }
       .values.flatten.toSeq.distinct.sorted
     if (dirs.isEmpty) keyed
     else {
@@ -276,10 +493,10 @@ object TableCommit {
     }
   }
 
-  /** True iff the manifest registers a vector for any of `files`. */
-  private def dvCovers(m: java.io.File, files: Seq[String]): Boolean = {
+  /** True iff the snapshot registers a vector for any of `files`. */
+  private def dvCovers(m: Snapshot, files: Seq[String]): Boolean = {
     val want = files.toSet
-    dvOf(m).keysIterator.exists(want)
+    m.dv.keysIterator.exists(want)
   }
 
   /** TABLE PROPERTIES a manifest carries (`#prop <key>=<value>`
@@ -294,13 +511,15 @@ object TableCommit {
     * full-rebuild). */
   private val PropPrefix = "#prop "
 
-  private def propsOf(f: java.io.File): Map[String, String] =
-    manifestLines(f).filter(_.startsWith(PropPrefix)).flatMap { l =>
+  private def propsOfLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith(PropPrefix)).flatMap { l =>
       l.stripPrefix(PropPrefix).split("=", 2) match {
         case Array(k, v) => Some(k -> v)
         case _ => None
       }
     }.toMap
+
+  private def propsOf(m: Snapshot): Map[String, String] = m.props
 
   /** The newest snapshot's table properties. */
   def properties(table: String): Map[String, String] =
@@ -451,6 +670,104 @@ object TableCommit {
     }
   }
 
+  /** The table's partition column name, derived from the layout (the
+    * first path segment of any data file: `pt=5/...` → `pt`). None for
+    * a zero-file table. */
+  private def partColOf(files: Seq[String]): Option[String] =
+    files.headOption.map(f => partDir(f).takeWhile(_ != '='))
+
+  private def requireUnreferenced(table: String, column: String,
+      props: Map[String, String], verb: String): Unit =
+    constraintSet(props).foreach { case (n, e) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(column)}\\b".r
+          .findFirstIn(e).isDefined,
+        s"cannot $verb column $column of $table: CHECK constraint $n " +
+          s"($e) references it — drop the constraint first (the Delta rule)")
+    }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (round-10
+    * verdict item 2 — the Delta column-mapping rung): the field's
+    * LOGICAL name changes, its `graft.physical` binding keeps pointing
+    * at the name the parquet files carry — zero data files rewritten,
+    * reads translate physical→logical at the scan boundary, writes
+    * translate back at the stage boundary. `#stats` entries re-key to
+    * the new logical name so data skipping keeps working. The
+    * PARTITION column is refused (its name is baked into directory
+    * layout), as is a rename a CHECK constraint references. */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).getOrElse(
+        sys.error(s"$table has no snapshot"))
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      val sch = c.schema.getOrElse(sys.error(
+        s"$table carries no #schema of record — run any write commit " +
+          "through the protocol first"))
+      require(sch.fieldNames.contains(from), s"no column $from in $table")
+      require(!sch.fieldNames.contains(to),
+        s"column $to already exists in $table")
+      partColOf(baseFiles).foreach(pc => require(from != pc,
+        s"cannot rename partition column $pc — partition directory " +
+          "names are physical layout; rewrite the table instead"))
+      requireUnreferenced(table, from, c.props, "rename")
+      val newSch = org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+        if (f.name == from)
+          org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(PhysicalKey, physicalOf(f)).build())
+        else f
+      })
+      val newStats = c.stats.map { case ((rel, cc), v) =>
+        ((rel, if (cc == from) to else cc), v) }
+      if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
+          newStats, c.rows, c.dv, c.props)) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
+    * leaves the schema of record (readers stop reading its physical
+    * column — zero rewrite) and its physical name is recorded in the
+    * `graft.mapping.dropped` property, so a LATER re-add of the same
+    * logical name is assigned a FRESH physical and the old values can
+    * never resurrect (the Delta column-mapping drop rule). */
+  def dropColumn(table: String, name: String): Unit = {
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).getOrElse(
+        sys.error(s"$table has no snapshot"))
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      val sch = c.schema.getOrElse(sys.error(
+        s"$table carries no #schema of record — run any write commit " +
+          "through the protocol first"))
+      val field = sch.fields.find(_.name == name).getOrElse(
+        sys.error(s"no column $name in $table"))
+      require(sch.fields.length > 1,
+        s"cannot drop the only column of $table")
+      partColOf(baseFiles).foreach(pc => require(name != pc,
+        s"cannot drop partition column $pc — partition directory names " +
+          "are physical layout"))
+      requireUnreferenced(table, name, c.props, "drop")
+      val newSch = org.apache.spark.sql.types.StructType(
+        sch.fields.filterNot(_.name == name))
+      val droppedSet = c.props.get(DroppedProp).toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty).toSet + physicalOf(field)
+      val newProps = c.props.updated(DroppedProp,
+        droppedSet.toSeq.sorted.mkString(","))
+      val newStats = c.stats.filter { case ((_, cc), _) => cc != name }
+      if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
+          newStats, c.rows, c.dv, newProps)) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+    }
+  }
+
   /** CHECK-constraint gate over a commit's staged rows: ONE aggregate
     * computes every constraint's violation count (all row-local, so
     * they fold into a single pass over the write set — never the
@@ -479,13 +796,15 @@ object TableCommit {
     * idempotent-writer ledger. Every commit copies the newest
     * manifest's ledger (merging its own entry at max), so the highest
     * version each application has committed survives retention. */
-  private def txnsOf(f: java.io.File): Map[String, Long] =
-    manifestLines(f).filter(_.startsWith("#txn ")).flatMap { l =>
+  private def txnsOfLines(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith("#txn ")).flatMap { l =>
       l.stripPrefix("#txn ").split("=", 2) match {
         case Array(app, v) => scala.util.Try(app -> v.toLong).toOption
         case _ => None
       }
     }.toMap
+
+  private def txnsOf(m: Snapshot): Map[String, Long] = m.txns
 
   /** Highest version `appId` has committed to `table`, if any. */
   def lastTxnVersion(table: String, appId: String): Option[Long] =
@@ -518,12 +837,68 @@ object TableCommit {
     if (root.isDirectory) walk(root, "") else Seq.empty
   }
 
-  /** Publish `files` as manifest `id` with PUT-IF-ABSENT semantics:
-    * write the complete manifest at a temp path, then hard-LINK it to
-    * its final name — link creation is atomic and fails with
-    * FileAlreadyExistsException when `id` was already published, the
-    * CAS that arbitrates racing commits (ATOMIC_MOVE would silently
-    * replace the winner). Returns false when the CAS lost. */
+  /** The DELTA form of a commit relative to its base state: actions
+    * only — added/removed files, new-or-changed stats/rows entries,
+    * appended DV registrations — plus the always-small full sets
+    * (schema, txn ledger, properties). Best-effort: [[publish]]
+    * verifies the reconstruction round-trips EXACTLY before choosing
+    * this form, so an inexpressible transition (a restore shrinking a
+    * DV list, a dropped stats entry) merely falls back to a
+    * checkpoint. */
+  private def deltaLines(base: Snapshot, files: Seq[String],
+      txns: Map[String, Long], schemaJson: Option[String],
+      stats: Map[(String, String), (String, String)],
+      rows: Map[String, Long], dv: Map[String, Seq[String]],
+      props: Map[String, String]): Seq[String] = {
+    val baseSet = base.files.toSet
+    val nextSet = files.toSet
+    val adds = files.filterNot(baseSet).distinct.sorted
+    val removes = base.files.filterNot(nextSet).distinct.sorted
+    val statsDelta = stats.filter { case (k, v) => !base.stats.get(k).contains(v) }
+    val rowsDelta = rows.filter { case (k, v) => !base.rows.get(k).contains(v) }
+    val dvDelta = dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
+      val prior = base.dv.getOrElse(rel, Seq.empty)
+      val suffix = if (dirs.startsWith(prior)) dirs.drop(prior.length) else dirs
+      suffix.map(d => s"$DvPrefix$d\t$rel")
+    }
+    Seq(s"$DeltaPrefix${base.id}") ++
+      schemaJson.map(SchemaPrefix + _).toSeq ++
+      txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k=$v" } ++
+      statsDelta.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
+        s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
+      rowsDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
+        s"$RowsPrefix$n\t$rel" } ++
+      dvDelta ++
+      adds.map("+" + _) ++
+      removes.map("-" + _)
+  }
+
+  /** How often a FULL snapshot manifest (checkpoint) is published —
+    * every Nth commit id; deltas in between (the Delta-log checkpoint
+    * cadence). Bounds every reader's chain walk at N−1 delta parses
+    * on top of one checkpoint parse. */
+  private def checkpointIntervalOf(props: Map[String, String]): Long =
+    props.get("graft.checkpoint.interval")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ >= 1L).getOrElse(10L)
+
+  /** Publish a snapshot state as manifest `id` with PUT-IF-ABSENT
+    * semantics: write the complete manifest at a temp path, then
+    * hard-LINK it to its final name — link creation is atomic and
+    * fails with FileAlreadyExistsException when `id` was already
+    * published, the CAS that arbitrates racing commits (ATOMIC_MOVE
+    * would silently replace the winner). Returns false when the CAS
+    * lost.
+    *
+    * FORMAT DECISION (round-10 verdict item 1 — the last O(table)
+    * residue): a commit writes a DELTA manifest (actions only, bytes ∝
+    * its write set) unless (a) `id` falls on the checkpoint cadence,
+    * (b) the base state is unavailable, (c) the transition is not
+    * delta-expressible, or (d) the delta would not actually be smaller
+    * — all decided by reconstructing the delta in memory and comparing
+    * it to the intended state, so a delta can never be silently wrong:
+    * it either round-trips exactly or a full checkpoint is written. */
   private def publish(table: String, id: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
@@ -543,8 +918,26 @@ object TableCommit {
       dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
         dirs.map(d => s"$DvPrefix$d\t$rel") } ++
       props.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k=$v" }
+    val ckptLines = header ++ files.sorted
+    val lines: Seq[String] =
+      if (id == 0L || id % checkpointIntervalOf(props) == 0L) ckptLines
+      else stateOf(table, id - 1) match {
+        case None => ckptLines
+        case Some(base) =>
+          val d = deltaLines(base, files, txns, schemaJson, stats, rows,
+            dv, props)
+          val intendedSchema = schemaJson.map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          val rec = applyDelta(base, id, d)
+          val exact = rec.files == files.distinct.sorted &&
+            rec.stats == stats && rec.rows == rows && rec.dv == dv &&
+            rec.props == props && rec.txns == txns &&
+            rec.schema == intendedSchema
+          if (exact && d.length < ckptLines.length) d else ckptLines
+      }
     java.nio.file.Files.write(tmp.toPath,
-      (header ++ files.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
       try {
         java.nio.file.Files.createLink(
@@ -562,7 +955,7 @@ object TableCommit {
     * written by a plain batch writer into the protocol). A lost CAS
     * means a concurrent adopter won — equally fine. */
   def initIfAbsent(table: String): Unit =
-    if (manifests(table).isEmpty) publish(table, 0L, listDataFiles(table))
+    if (manifestFiles(table).isEmpty) publish(table, 0L, listDataFiles(table))
 
   /** Read an explicit file subset of manifest `m` under the table's
     * basePath. When the manifest carries a `#schema` directive, that
@@ -573,21 +966,18 @@ object TableCommit {
     * schema to whichever file it sampled. Files lacking a schema'd
     * column cost nothing extra (the parquet reader emits nulls); extra
     * columns a directive no longer names are simply not read. */
-  private def readFiles(s: SparkSession, table: String, m: java.io.File,
+  private def readFiles(s: SparkSession, table: String, m: Snapshot,
       files: Seq[String]): DataFrame =
     if (files.isEmpty) emptySnapshot(s, table, m)
     else {
-      val rd = s.read.option("basePath", table)
-      val raw = schemaOf(m) match {
-        case Some(sch) => rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
-        case None => rd.parquet(files.map(f => s"$table/$f"): _*)
-      }
+      val covered = dvCovers(m, files)
+      val raw = pinnedRead(s, table, m, files, withMeta = covered)
       // deletion vectors: anti-join the registered dead positions
       // before any projection (the key needs the hidden _metadata col)
       val live =
-        if (dvCovers(m, files))
+        if (covered)
           applyDv(s, table, m, files, dvKeyCols(raw))
-            .drop("__graft_dvk", "__graft_dvp")
+            .drop("__graft_dvk", "__graft_dvp", "_metadata")
         else raw
       schemaOf(m) match {
         case Some(sch) =>
@@ -680,10 +1070,10 @@ object TableCommit {
     }
 
   /** Manifest-only pruning decision behind [[readWhereAt]]. */
-  private def pruneFiles(m: java.io.File, column: String,
+  private def pruneFiles(m: Snapshot, column: String,
       lo: BigDecimal, hi: BigDecimal): Seq[String] = {
-    val st = statsOf(m)
-    filesOf(m).filter { rel =>
+    val st = m.stats
+    m.files.filter { rel =>
       st.get((rel, column)) match {
         case Some((mn, mx)) =>
           // a malformed/non-numeric recorded range keeps the file —
@@ -719,7 +1109,7 @@ object TableCommit {
   /** The manifest diff behind [[changesSince]]: (newest manifest,
     * files the newest snapshot added since `sinceId`). */
   private def changedFiles(table: String,
-      sinceId: Long): (java.io.File, Seq[String]) = {
+      sinceId: Long): (Snapshot, Seq[String]) = {
     val all = manifests(table)
     val since = all.find(_._1 == sinceId).getOrElse(sys.error(
       s"snapshot $sinceId of $table is outside the retention window"))
@@ -815,12 +1205,7 @@ object TableCommit {
       else {
         // removed files' LIVE rows at FROM, read under TO's schema:
         // from-DVs decide liveness, the evolved schema decides shape
-        val rd = s.read.option("basePath", table)
-        val raw = schemaOf(mB) match {
-          case Some(sch) =>
-            rd.schema(sch).parquet(removed.map(f => s"$table/$f"): _*)
-          case None => rd.parquet(removed.map(f => s"$table/$f"): _*)
-        }
+        val raw = pinnedRead(s, table, mB, removed, withMeta = true)
         Some(shape(applyDv(s, table, mA, removed, dvKeyCols(raw))
           .drop("__graft_dvk", "__graft_dvp"), "delete"))
       }
@@ -875,12 +1260,7 @@ object TableCommit {
     val newDirs = files.flatMap(f =>
       dvB.getOrElse(f, Nil).filterNot(dvA.getOrElse(f, Nil).toSet))
       .distinct.sorted
-    val rd = s.read.option("basePath", table)
-    val raw = schemaOf(mB) match {
-      case Some(sch) =>
-        rd.schema(sch).parquet(files.map(f => s"$table/$f"): _*)
-      case None => rd.parquet(files.map(f => s"$table/$f"): _*)
-    }
+    val raw = pinnedRead(s, table, mB, files, withMeta = true)
     val newlyDead = s.read
       .parquet(newDirs.map(dir => s"$table/$dir"): _*)
       .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
@@ -976,15 +1356,16 @@ object TableCommit {
       case _ => df.repartition(col(partCol))
     }
     val checked = constraints(table)
+    val wmap = writeMapping(table, shaped.columns.toSeq)
     val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile,
-      checked)
+      checked, wmap)
     // `#stats` capture for the just-written files: one narrow grouped
     // aggregate over ONLY the fresh files (all clusterBy columns at
     // once), |fresh| scalar rows to the driver — commit-time metadata,
     // the price of read-side skipping
     val (freshStats, freshRows) =
       if (clusterBy.nonEmpty && fresh.nonEmpty)
-        fileMeta(s, table, fresh, clusterBy)
+        fileMeta(s, table, fresh, clusterBy, wmap)
       else (Map.empty[(String, String), (String, String)],
         footerRows(table, fresh))
     val dirty = dirtyDirs.toSet
@@ -1030,11 +1411,12 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         retainedSet.contains)
       guardConstraints(table, checked, c.props)
+      guardMapping(table, wmap, c.schema)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
       val nextSchema = c.schema.fold(df.schema)(
-        bs => mergeSchemaOf(bs, df.schema, table))
+        bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
         vacuum(table, baseId + 1)
@@ -1178,11 +1560,12 @@ object TableCommit {
       case None => df.repartition(col(partCol))
     }
     val checked = constraints(table)
+    val wmap = writeMapping(table, shaped.columns.toSeq)
     val fresh = stageMove(table, writerId, shaped, partCol,
-      checkedConstraints = checked)
+      checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (clusterBy.nonEmpty && fresh.nonEmpty)
-        fileMeta(s, table, fresh, clusterBy)
+        fileMeta(s, table, fresh, clusterBy, wmap)
       else (Map.empty[(String, String), (String, String)],
         footerRows(table, fresh))
     var (baseId, baseFiles) = resolve(table).get
@@ -1193,11 +1576,12 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         _ => true)
       guardConstraints(table, checked, c.props)
+      guardMapping(table, wmap, c.schema)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
       val nextSchema = c.schema.fold(df.schema)(
-        bs => mergeSchemaOf(bs, df.schema, table))
+        bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
         vacuum(table, baseId + 1)
@@ -1225,7 +1609,9 @@ object TableCommit {
     * need an explicit full-table rewrite. */
   private def mergeSchemaOf(base: org.apache.spark.sql.types.StructType,
       w: org.apache.spark.sql.types.StructType,
-      table: String): org.apache.spark.sql.types.StructType = {
+      table: String,
+      writeMap: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.types.StructType = {
     base.fields.foreach { f =>
       w.fields.find(_.name == f.name).foreach { g =>
         require(g.dataType == f.dataType,
@@ -1234,9 +1620,27 @@ object TableCommit {
             " — a type change requires a full-table rewrite")
       }
     }
+    // a base field keeps ITS metadata (the graft.physical mapping is
+    // the table's, not the writer's — a writer re-declaring a renamed
+    // column must not strip its physical binding); a NEW field gets the
+    // physical name the stage write actually used (identity when no
+    // mapping is active)
     org.apache.spark.sql.types.StructType(
-      base.fields.map(f => w.fields.find(_.name == f.name).getOrElse(f)) ++
-        w.fields.filterNot(f => base.fieldNames.contains(f.name)))
+      base.fields.map { f =>
+        w.fields.find(_.name == f.name) match {
+          case Some(g) => g.copy(metadata = f.metadata)
+          case None => f
+        }
+      } ++
+        w.fields.filterNot(f => base.fieldNames.contains(f.name)).map { f =>
+          writeMap.get(f.name).filter(_ != f.name) match {
+            case Some(phys) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString(PhysicalKey, phys)
+                .build())
+            case None => f
+          }
+        })
   }
 
   /** Stage-and-move of a commit's fresh data files, shared by every
@@ -1254,27 +1658,90 @@ object TableCommit {
     * the stage and throws before any file reaches a partition dir, so
     * the table is untouched. Constraint-free tables skip the read
     * entirely. */
+  /** The logical→physical name map a write must apply before staging:
+    * the table's current mapping for known columns, a deterministic
+    * fresh physical for columns the schema of record doesn't know yet
+    * (so a re-added dropped column never touches the dropped physical).
+    * Identity when no column mapping is active — the common case. */
+  private def writeMapping(table: String,
+      cols: Seq[String]): Map[String, String] = {
+    val st = manifests(table).sortBy(-_._1).headOption.map(_._2)
+    st.flatMap(_.schema) match {
+      case Some(sch) =>
+        val props = st.map(_.props).getOrElse(Map.empty)
+        val known = sch.fields.map(f => f.name -> physicalOf(f)).toMap
+        cols.foldLeft(
+          (Map.empty[String, String], usedPhysicals(sch, props))) {
+          case ((acc, used), c) =>
+            known.get(c) match {
+              case Some(p) => (acc.updated(c, p), used)
+              case None =>
+                val p = assignPhysical(c, used)
+                (acc.updated(c, p), used + p)
+            }
+        }._1
+      case None => cols.map(c => c -> c).toMap
+    }
+  }
+
+  /** OCC guard for mapped tables: the stage write bound logical names
+    * to physical names read from the base AT STAGE TIME; rebasing over
+    * a winner that changed a written column's physical binding would
+    * publish files whose bytes the new mapping no longer reads. */
+  private def guardMapping(table: String, wmap: Map[String, String],
+      baseSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    if (wmap.forall { case (l, p) => l == p }) return
+    baseSchema.foreach(_.fields.foreach { f =>
+      wmap.get(f.name).foreach { p =>
+        if (physicalOf(f) != p)
+          throw new CommitConflictException(
+            s"concurrent commit changed the physical binding of column " +
+              s"${f.name} of $table (staged as $p, base now maps " +
+              s"${physicalOf(f)}) — re-run the write")
+      }
+    })
+  }
+
   private def stageMove(table: String, writerId: String, shaped: DataFrame,
       partCol: String, maxRecordsPerFile: Long = 0L,
-      checkedConstraints: Map[String, String] = Map.empty): Seq[String] = {
+      checkedConstraints: Map[String, String] = Map.empty,
+      wmap: Map[String, String] = Map.empty): Seq[String] = {
     val stage = new java.io.File(table, s"_stage_$writerId")
-    val writer = shaped.write.mode("overwrite").partitionBy(partCol)
+    def phys(c: String): String = wmap.getOrElse(c, c)
+    val mapped = shaped.columns.exists(c => phys(c) != c)
+    // under column mapping the FILES carry physical names; the frame
+    // stays logical everywhere else
+    val toWrite =
+      if (mapped) shaped.select(
+        shaped.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+      else shaped
+    val writer = toWrite.write.mode("overwrite").partitionBy(phys(partCol))
     (if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(stage.getAbsolutePath)
     val stagedNonEmpty = Option(stage.listFiles()).getOrElse(Array.empty)
       .exists(p => p.isDirectory && p.getName.contains("="))
-    if (stagedNonEmpty && checkedConstraints.nonEmpty)
+    if (stagedNonEmpty && checkedConstraints.nonEmpty) {
       // validation PINS the staged frame's schema: an unpinned read
       // re-infers the partition column's type from directory names
       // (string "01" becomes int 1), so a constraint referencing it
-      // could evaluate against a different value than what was written
-      try checkStaged(shaped.sparkSession, table,
-        shaped.sparkSession.read
-          .option("basePath", stage.getAbsolutePath)
-          .schema(shaped.schema).parquet(stage.getAbsolutePath),
+      // could evaluate against a different value than what was written.
+      // Constraints see LOGICAL names — rename back when mapped.
+      val pinned = org.apache.spark.sql.types.StructType(
+        shaped.schema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            phys(f.name), f.dataType, f.nullable)))
+      val back = shaped.sparkSession.read
+        .option("basePath", stage.getAbsolutePath)
+        .schema(pinned).parquet(stage.getAbsolutePath)
+      val logicalBack =
+        if (mapped) back.select(
+          shaped.columns.toSeq.map(c => col(phys(c)).as(c)): _*)
+        else back
+      try checkStaged(shaped.sparkSession, table, logicalBack,
         checkedConstraints)
       catch { case e: Throwable => Sinks.deleteRecursively(stage); throw e }
+    }
     val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
       .filter(p => p.isDirectory && p.getName.contains("="))
       .flatMap { p =>
@@ -1325,19 +1792,23 @@ object TableCommit {
     * [[pruneFiles]]); values render as strings, compared numerically
     * on the read side. */
   private def fileMeta(s: SparkSession, table: String, rels: Seq[String],
-      cols: Seq[String]): (Map[(String, String), (String, String)],
-      Map[String, Long]) = {
+      cols: Seq[String],
+      wmap: Map[String, String] = Map.empty)
+      : (Map[(String, String), (String, String)], Map[String, Long]) = {
     def lastTwo(p: String): String =
       p.split('/').takeRight(2).mkString("/")
     val byKey = rels.map(r => lastTwo(r) -> r).toMap
     require(byKey.size == rels.size,
       s"non-unique partition-dir/file-name keys among fresh files: $rels")
+    // the fresh FILES carry physical column names under column mapping;
+    // stats stay keyed by LOGICAL name (what readers prune with)
+    def phys(c: String): String = wmap.getOrElse(c, c)
     // row counts ride the SAME grouped scan as the stats — a separate
     // per-file footer read costs ~10ms × |fresh| of serial driver wall
     // (measured: +1s on an 80-file Z-order commit)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c"))) :+
+      min(col(phys(c))).cast("string").as(s"mn_$c"),
+      max(col(phys(c))).cast("string").as(s"mx_$c"))) :+
       count(lit(1)).as("n_rows")
     val resolved = s.read.option("basePath", table)
       .parquet(rels.map(r => s"$table/$r"): _*)
@@ -1416,7 +1887,7 @@ object TableCommit {
     * the driver. Paths map back to manifest-relative form by their last
     * TWO segments (file names alone collide across partition dirs —
     * the [[fileStats]] lesson), with the URI-vs-raw decode defence. */
-  private def hitScan(s: SparkSession, table: String, m: java.io.File,
+  private def hitScan(s: SparkSession, table: String, m: Snapshot,
       candidates: Seq[String],
       pred: org.apache.spark.sql.Column): Map[String, Long] = {
     def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
@@ -1427,12 +1898,7 @@ object TableCommit {
     // from _metadata BEFORE any deletion-vector anti-join —
     // input_file_name() refuses multi-source plans); counts are LIVE
     // matches, prior vectors applied
-    val rd = s.read.option("basePath", table)
-    val raw = schemaOf(m) match {
-      case Some(sch) =>
-        rd.schema(sch).parquet(candidates.map(f => s"$table/$f"): _*)
-      case None => rd.parquet(candidates.map(f => s"$table/$f"): _*)
-    }
+    val raw = pinnedRead(s, table, m, candidates, withMeta = true)
     applyDv(s, table, m, candidates, dvKeyCols(raw))
       .filter(pred)
       .groupBy(col("__graft_dvk")).agg(count(lit(1)).as("n"))
@@ -1478,11 +1944,12 @@ object TableCommit {
       case None => replacement.repartition(col(partCol))
     }
     val checked = constraints(table)
+    val wmap = writeMapping(table, shaped.columns.toSeq)
     val fresh = stageMove(table, writerId, shaped, partCol,
-      checkedConstraints = checked)
+      checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
-        fileMeta(s, table, fresh, statsCols)
+        fileMeta(s, table, fresh, statsCols, wmap)
       else (Map.empty[(String, String), (String, String)],
         footerRows(table, fresh))
     val hitSet = hit.toSet
@@ -1505,6 +1972,7 @@ object TableCommit {
       val retained = next.toSet
       val c = carriedFrom(baseM.map(_._2), retained.contains)
       guardConstraints(table, checked, c.props)
+      guardMapping(table, wmap, c.schema)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -1628,11 +2096,7 @@ object TableCommit {
       return MorDeleteAudit(baseId0, baseId0, total, candidates.length, 0, 0L)
     // dead positions among the LIVE rows of the hit files (prior
     // vectors applied — stacked MoR deletes never re-kill a position)
-    val rd = s.read.option("basePath", table)
-    val raw = schemaOf(m) match {
-      case Some(sch) => rd.schema(sch).parquet(hit.map(f => s"$table/$f"): _*)
-      case None => rd.parquet(hit.map(f => s"$table/$f"): _*)
-    }
+    val raw = pinnedRead(s, table, m, hit, withMeta = true)
     val live = applyDv(s, table, m, hit, dvKeyCols(raw))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
@@ -1716,12 +2180,12 @@ object TableCommit {
     if (hit.isEmpty)
       return MorUpdateAudit(baseId0, baseId0, total, candidates.length, 0,
         0, 0L)
-    val rd = s.read.option("basePath", table)
-    val raw = schemaOf(m) match {
-      case Some(sch) => rd.schema(sch).parquet(hit.map(f => s"$table/$f"): _*)
-      case None => rd.parquet(hit.map(f => s"$table/$f"): _*)
-    }
-    set.keys.foreach(c => require(raw.columns.contains(c),
+    val raw = pinnedRead(s, table, m, hit, withMeta = true)
+    // the LOGICAL data fields (never _metadata, which rides the read
+    // only for the deletion-vector key)
+    val dataFields = schemaOf(m).map(_.fields.toSeq).getOrElse(
+      raw.schema.fields.toSeq.filterNot(_.name == "_metadata"))
+    set.keys.foreach(c => require(dataFields.exists(_.name == c),
       s"SET column $c is not a column of $table"))
     val matches = applyDv(s, table, m, hit, dvKeyCols(raw))
       .filter(coalesce(matchPred, lit(false)))
@@ -1731,12 +2195,12 @@ object TableCommit {
       .write.mode("overwrite").parquet(s"$table/$dvRel")
     // the successors: every projected row already matches, so each SET
     // column is just the expression (cast to the declared type)
-    val updated = matches.select(raw.schema.fields.map { f =>
+    val updated = matches.select(dataFields.map { f =>
       set.get(f.name) match {
         case Some(e) => e.cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
-    }.toIndexedSeq: _*)
+    }: _*)
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val shaped = statsCols.headOption match {
       case Some(c) => updated.repartition(col(partCol))
@@ -1744,11 +2208,12 @@ object TableCommit {
       case None => updated.repartition(col(partCol))
     }
     val checked = constraints(table)
+    val wmap = writeMapping(table, shaped.columns.toSeq)
     val fresh = stageMove(table, writerId, shaped, partCol,
-      checkedConstraints = checked)
+      checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
-        fileMeta(s, table, fresh, statsCols)
+        fileMeta(s, table, fresh, statsCols, wmap)
       else (Map.empty[(String, String), (String, String)],
         footerRows(table, fresh))
     val hitSet = hit.toSet
@@ -1770,6 +2235,7 @@ object TableCommit {
       val next = baseFiles ++ fresh
       val c = carriedFrom(baseM.map(_._2), _ => true)
       guardConstraints(table, checked, c.props)
+      guardMapping(table, wmap, c.schema)
       val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       val nextRows = c.rows.map { case (rel, n) =>
@@ -1919,12 +2385,7 @@ object TableCommit {
       val matched =
         if (candidates.isEmpty) None
         else {
-          val rd = s.read.option("basePath", table)
-          val raw = schemaOf(m) match {
-            case Some(sch) =>
-              rd.schema(sch).parquet(candidates.map(f => s"$table/$f"): _*)
-            case None => rd.parquet(candidates.map(f => s"$table/$f"): _*)
-          }
+          val raw = pinnedRead(s, table, m, candidates, withMeta = true)
           Some(applyDv(s, table, m, candidates, dvKeyCols(raw))
             .join(srcR, col(keyCol) === col(s"src_$keyCol"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1988,11 +2449,12 @@ object TableCommit {
         case None => freshSrc.repartition(col(partCol))
       }
       val checked = constraints(table)
+      val wmap = writeMapping(table, shaped.columns.toSeq)
       val fresh = stageMove(table, writerId, shaped, partCol,
-        checkedConstraints = checked)
+        checkedConstraints = checked, wmap = wmap)
       val (freshStats, freshRows) =
         if (statsCols.nonEmpty && fresh.nonEmpty)
-          fileMeta(s, table, fresh, statsCols)
+          fileMeta(s, table, fresh, statsCols, wmap)
         else (Map.empty[(String, String), (String, String)],
           footerRows(table, fresh))
       val rowsInserted = freshRows.valuesIterator.sum - rowsUpdated
@@ -2038,6 +2500,7 @@ object TableCommit {
         }
         val c = carriedFrom(baseM.map(_._2), _ => true)
         guardConstraints(table, checked, c.props)
+        guardMapping(table, wmap, c.schema)
         val nextDv =
           if (hit.isEmpty) c.dv
           else c.dv ++ hit.map(rel =>
@@ -2138,37 +2601,54 @@ object TableCommit {
     * Metadata + one directory walk; the operational pre-flight before
     * widening or narrowing `graft.retention.generations`. */
   def vacuumAudit(table: String): (Seq[Long], Int, Int, Int) = {
-    val all = manifests(table)
+    val all = manifestFiles(table)
     if (all.isEmpty) return (Seq.empty, 0, 0, 0)
     val newest = all.map(_._1).max
     val keep = retentionOf(table)
-    val (keepM, dropM) = all.partition(_._1 > newest - keep)
-    def fileSet(ms: Seq[(Long, java.io.File)]): Set[String] =
-      ms.flatMap { case (_, f) => filesOf(f) }.toSet
-    val live = fileSet(keepM)
-    val dead = fileSet(dropM) -- live
+    val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
+    val retained = keepIds.flatMap(id => stateOf(table, id))
+    val live = retained.flatMap(_.files).toSet
+    val dead = dropIds.flatMap(id =>
+      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     val orphans = (listDataFiles(table).toSet -- live -- dead)
       .map(f => new java.io.File(table, f))
       .count(f => f.lastModified() < cutoff)
-    (keepM.map(_._1).sorted.reverse, live.size, dead.size, orphans)
+    (keepIds.sorted.reverse, live.size, dead.size, orphans)
+  }
+
+  /** Oldest manifest id that must stay ON DISK so snapshot
+    * `oldestRetained` remains reconstructible: walk the delta chain
+    * down to its checkpoint. Bounded at the checkpoint interval. */
+  private def chainBaseIdFor(table: String, oldestRetained: Long): Long = {
+    val byId = manifestFiles(table).toMap
+    var i = oldestRetained
+    while (byId.get(i).exists(f => isDelta(manifestLines(f)))) i -= 1
+    i
   }
 
   /** Retention: keep the newest `graft.retention.generations` (table
-    * property, default 2) manifests; delete older manifests and every
-    * data file only they referenced, plus never-referenced orphans
-    * (aborted appends) older than an hour. */
+    * property, default 2) SNAPSHOTS readable; delete every data file
+    * only older snapshots referenced, plus never-referenced orphans
+    * (aborted appends) older than an hour. Manifest FILES are kept
+    * down to the oldest retained snapshot's chain base (its nearest
+    * checkpoint) — a chain-link manifest below the retention window is
+    * metadata only, its exclusive data files are gone and [[manifests]]
+    * does not surface it as a readable snapshot. */
   private def vacuum(table: String, newest: Long): Unit = {
-    val all = manifests(table)
+    val all = manifestFiles(table)
     val keep = retentionOf(table)
-    val (keepM, dropM) = all.partition(_._1 > newest - keep)
-    // filesOf, not raw lines: a `#txn`/`#schema` directive must never
-    // enter the live/dead DATA-FILE sets (a ledger line is not a path)
-    def fileSet(ms: Seq[(Long, java.io.File)]): Set[String] =
-      ms.flatMap { case (_, f) => filesOf(f) }.toSet
-    val live = fileSet(keepM)
+    val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
+    // snapshot file sets by RECONSTRUCTION (never raw lines: a delta's
+    // directives are not paths, and a `#txn` line is not a data file)
+    val retained = keepIds.flatMap(id => stateOf(table, id))
+    val live = retained.flatMap(_.files).toSet
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    val dead = fileSet(dropM) -- live
+    // dead files of dropped snapshots whose chains still exist; chains
+    // already broken were processed by an earlier vacuum (their
+    // leftovers, if any, age into the orphan sweep)
+    val dead = dropIds.flatMap(id =>
+      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
     dead.foreach(f => new java.io.File(table, f).delete())
     // orphans: on-disk data files no kept manifest references — an
     // aborted append's leftovers — swept once stale
@@ -2176,17 +2656,20 @@ object TableCommit {
       .map(f => new java.io.File(table, f))
       .filter(f => f.lastModified() < cutoff)
       .foreach(_.delete())
-    // deletion-vector trees: keep every dir a kept manifest references;
-    // sweep the rest once stale (in-flight MoR writers' fresh trees are
-    // younger than the age gate, like data-file orphans)
-    val liveDv = keepM.flatMap { case (_, f) =>
-      dvOf(f).values.flatten
-    }.map(d => d.stripPrefix("_dv/")).toSet
+    // deletion-vector trees: keep every dir a retained snapshot
+    // references; sweep the rest once stale (in-flight MoR writers'
+    // fresh trees are younger than the age gate, like data-file orphans)
+    val liveDv = retained.flatMap(_.dv.values.flatten)
+      .map(d => d.stripPrefix("_dv/")).toSet
     Option(new java.io.File(table, "_dv").listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(d => !liveDv.contains(d.getName) &&
         d.lastModified() < cutoff)
       .foreach(Sinks.deleteRecursively)
-    dropM.foreach(_._2.delete())
+    // manifests below the oldest retained snapshot's chain base have no
+    // reader and no chain depending on them — delete
+    val chainBase = keepIds.minOption
+      .map(o => chainBaseIdFor(table, o)).getOrElse(Long.MinValue)
+    all.filter(_._1 < chainBase).foreach(_._2.delete())
   }
 }

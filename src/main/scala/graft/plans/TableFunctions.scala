@@ -27,6 +27,16 @@ import graft.operators.TableCommit
   * would make snapshot pinning undefined. */
 object TableFunctions {
 
+  /** Imperative twin of the `spark.sql.extensions` injection — register
+    * the table functions on an EXISTING session (what a driver that
+    * didn't pass `--conf spark.sql.extensions=graft.GraftExtensions`
+    * calls; idempotent). */
+  def register(s: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      s.sessionState.tableFunctionRegistry.registerFunction(
+        ident, info, builder)
+    }
+
   private def lit(e: Expression, what: String): Any = e match {
     case l: Literal => l.value
     case other => throw new IllegalArgumentException(

@@ -950,6 +950,83 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------------- q_scd2_cdf
+  /** SCD2 dimension-history maintenance driven by the CHANGE DATA FEED
+    * TVF (round-10 verdict item 6 — the SQL front door's first
+    * composite, ORACLE'D consumer): a committed orders dimension takes
+    * one merge-on-read price correction, and the history build consumes
+    * `graft_table_feed(path, from, to)` — the plain-SQL CDF surface —
+    * instead of diffing snapshots: each feed `delete` is the CLOSED
+    * (superseded) version of a changed row, each `insert` its CURRENT
+    * version, which is exactly the SCD2 classification, derived from
+    * `_change_type` alone. The op: seed orders (o_orderkey < 2000) as a
+    * key-clustered committed table, MoR-update the [500, 999] key band
+    * (SET o_totalprice = −1), then emit one history row per feed row —
+    * (key, version old|new, price, is_current). The oracle recomputes
+    * the same history from the raw orders table, which is possible
+    * because the feed is PRECISE for merge-on-read writes (volume ∝ the
+    * band, spec-pinned): old versions carry the original price, new
+    * ones the correction. At 100 TB: the TVF plans a manifest diff
+    * (metadata-only — the batch reads exactly the vectored files' live
+    * rows and the fresh successors, never the table; ExtensionsSpec
+    * pins the file set), so SCD2 maintenance cost tracks the CHANGE
+    * volume — the dimension-history twin of [[IncrementalView]]'s
+    * aggregate maintenance. */
+  private def scd2Cdf(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scd2cdf_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val seed = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = seed.select(col("o_orderstatus")).distinct().collect()
+        .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
+      // key-clustered committed layout with #stats on the key, so the
+      // MoR band update is stats-pruned like a production correction
+      TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,
+        clusterBy = Seq("o_orderkey"), filesPerPartition = 4)
+      val (fromId, _) = TableCommit.resolve(table).get
+      TableCommit.updateWhereMor(s, table, "o_orderstatus", "o_orderkey",
+        BigDecimal(500), BigDecimal(999),
+        Map("o_totalprice" -> lit(-1.0)))
+      val (toId, _) = TableCommit.resolve(table).get
+      graft.plans.TableFunctions.register(s)
+      // the scratch tree is deleted on return — collect the (band-sized,
+      // ~1000-row) history first; a 100 TB deployment would stream this
+      // into the dimension table instead
+      val history = s.sql(
+        s"""SELECT o_orderkey,
+           |  CASE _change_type WHEN 'delete' THEN 'old' ELSE 'new' END
+           |    AS version,
+           |  o_totalprice AS price,
+           |  _change_type = 'insert' AS is_current
+           |FROM graft_table_feed('$table', $fromId, $toId)
+           |ORDER BY o_orderkey, version""".stripMargin)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+        .toSeq
+      import s.implicits._
+      history.toDF("o_orderkey", "version", "price", "is_current")
+        .orderBy(col("o_orderkey"), col("version"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  private val scd2CdfSql =
+    """WITH chg AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey < 2000 AND o_orderkey BETWEEN 500 AND 999)
+      |SELECT o_orderkey, version, price, is_current FROM (
+      |  SELECT o_orderkey, 'new' AS version, -1.0 AS price,
+      |    TRUE AS is_current FROM chg
+      |  UNION ALL
+      |  SELECT o_orderkey, 'old' AS version, o_totalprice AS price,
+      |    FALSE AS is_current FROM chg)
+      |ORDER BY o_orderkey, version""".stripMargin
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -2056,6 +2133,7 @@ object Etl {
     QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_cdf", tableCdfQ, None),
+    QueryDef("q_scd2_cdf", scd2Cdf, Some(scd2CdfSql)),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -169,17 +169,67 @@ class TableCommitSource(ctx: SQLContext, table: String,
   private val maxSnapshots =
     parameters.get("maxSnapshotsPerTrigger").map(_.toLong)
       .map(m => { require(m >= 1L, "maxSnapshotsPerTrigger must be >= 1"); m })
+  // FINER admission control (round-10 verdict item 4 — Delta's
+  // maxFilesPerTrigger/maxBytesPerTrigger, here files/rows because the
+  // manifest carries `#rows` per file): bound each micro-batch at N
+  // added FILES and/or N ROWS, splitting a single fat commit across
+  // several batches via SUB-SNAPSHOT offsets ((id, filesConsumed) —
+  // the Delta (version, index) offset shape). With either cap set, a
+  // batch covers at most ONE source commit; planning stays
+  // metadata-only (the manifest diff's sorted added-file list and its
+  // `#rows` entries — a file without an entry conservatively exhausts
+  // the row budget). Exactly-once is untouched: offsets are exact
+  // file-list positions, replays re-read the same pinned slice.
+  private val maxFiles =
+    parameters.get("maxFilesPerTrigger").map(_.toLong)
+      .map(m => { require(m >= 1L, "maxFilesPerTrigger must be >= 1"); m })
+  private val maxRows =
+    parameters.get("maxRowsPerTrigger").map(_.toLong)
+      .map(m => { require(m >= 1L, "maxRowsPerTrigger must be >= 1"); m })
 
   override val schema: StructType = TableCommitSource.tableSchema(ctx, table)
 
-  /** Offsets are snapshot ids; the JSON form is the bare id. */
-  private case class SnapshotOffset(id: Long) extends V1Offset {
-    override def json: String = id.toString
+  /** Offsets: a fully-consumed snapshot serializes as the bare id (the
+    * pre-split format — old checkpoints parse unchanged); a partially
+    * drained snapshot as `id:filesConsumed`. */
+  private case class SnapshotOffset(id: Long, part: Long = COMPLETE)
+      extends V1Offset {
+    override def json: String =
+      if (part == COMPLETE) id.toString else s"$id:$part"
+  }
+  private val COMPLETE = -1L
+
+  private def offsetOf(o: V1Offset): SnapshotOffset = o match {
+    case s: SnapshotOffset => s
+    case other => other.json.trim.split(":", 2) match {
+      case Array(id, part) => SnapshotOffset(id.toLong, part.toLong)
+      case Array(id) => SnapshotOffset(id.toLong)
+    }
   }
 
-  private def idOf(o: V1Offset): Long = o match {
-    case SnapshotOffset(id) => id
-    case other => other.json.trim.toLong
+  /** The diff (id−1 → id)'s ADDED files in the canonical (sorted)
+    * order sub-snapshot offsets index into. */
+  private def sortedAdded(id: Long): (Seq[String], Seq[String]) = {
+    val (added, removed) = TableCommit.changedFileSets(table, id - 1, id)
+    (added.sorted, removed)
+  }
+
+  /** How many of `added` (from `from` on) fit the files/rows budget —
+    * at least one, so progress is guaranteed even when a single file
+    * exceeds the row cap. Missing `#rows` entries exhaust the budget. */
+  private def admit(id: Long, added: Seq[String], from: Long): Long = {
+    val fileCap = maxFiles.getOrElse(Long.MaxValue)
+    val rows = if (maxRows.isDefined) TableCommit.fileRowsAt(table, id)
+      else Map.empty[String, Long]
+    var rowBudget = maxRows.getOrElse(Long.MaxValue)
+    var n = 0L
+    var i = from.toInt
+    while (i < added.length && n < fileCap && (n == 0L || rowBudget > 0L)) {
+      rowBudget -= rows.getOrElse(added(i), Long.MaxValue / 2)
+      n += 1
+      i += 1
+    }
+    n
   }
 
   override def getOffset: Option[V1Offset] =
@@ -208,21 +258,38 @@ class TableCommitSource(ctx: SQLContext, table: String,
     // a cap and NO position yet, the first batch is the full snapshot
     // at the OLDEST retained id — so even the initial catch-up through
     // a deep retained backlog is bounded per batch
-    val base: Option[Long] = Option(start).map {
-      case s: SnapshotOffset => s.id
-      case other => other.json.trim.toLong
-    }.orElse(startingSnapshot)
-    val bounded = (maxSnapshots, base) match {
-      case (Some(m), Some(b)) => capped.map(math.min(_, b + m))
-      case (Some(_), None) =>
-        val oldest = TableCommit.history(table).map(_._1).minOption
-        (capped, oldest) match {
-          case (Some(c), Some(o)) => Some(math.min(c, o))
+    val base: Option[SnapshotOffset] = Option(start).map(o =>
+      offsetOf(o.asInstanceOf[V1Offset]))
+      .orElse(startingSnapshot.map(SnapshotOffset(_)))
+    base match {
+      // mid-split: keep draining the same snapshot's added files
+      case Some(SnapshotOffset(id, part)) if part != COMPLETE =>
+        val (added, _) = sortedAdded(id)
+        val k = part + admit(id, added, part)
+        SnapshotOffset(id, if (k >= added.length) COMPLETE else k)
+      case _ =>
+        val boundedId = (maxSnapshots, base.map(_.id)) match {
+          case (Some(m), Some(b)) => capped.map(math.min(_, b + m))
+          case (Some(_), None) =>
+            val oldest = TableCommit.history(table).map(_._1).minOption
+            (capped, oldest) match {
+              case (Some(c), Some(o)) => Some(math.min(c, o))
+              case _ => capped
+            }
           case _ => capped
         }
-      case _ => capped
+        (boundedId, base) match {
+          case (Some(endId), Some(SnapshotOffset(b, _)))
+              if (maxFiles.isDefined || maxRows.isDefined) && endId > b =>
+            // files/rows caps: at most ONE commit per batch, split when
+            // its added-file list exceeds the budget
+            val next = b + 1
+            val (added, _) = sortedAdded(next)
+            val k = admit(next, added, 0L)
+            SnapshotOffset(next, if (k >= added.length) COMPLETE else k)
+          case _ => boundedId.map(SnapshotOffset(_)).orNull
+        }
     }
-    bounded.map(SnapshotOffset.apply).orNull
   }
 
   override def reportLatestOffset(): V2Offset =
@@ -244,25 +311,47 @@ class TableCommitSource(ctx: SQLContext, table: String,
     shaped(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
 
+  private def guardRemoved(a: Long, b: Long, removed: Seq[String]): Unit =
+    if (removed.nonEmpty && !ignoreChanges)
+      sys.error(
+        s"graft-table stream over $table detected a non-append commit " +
+          s"between snapshots $a and $b (${removed.length} file(s) " +
+          "removed or rewritten in place — replace/compact/delete/" +
+          "update/DV). An append-only consumer cannot replay it " +
+          "correctly; restart from a fresh full snapshot, or set " +
+          "ignoreChanges=true to re-emit rewritten files' rows to an " +
+          "idempotent sink")
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endId = idOf(end)
-    val sinceId = start.map(idOf).orElse(startingSnapshot)
-    sinceId match {
+    val endOff = offsetOf(end)
+    val endId = endOff.id
+    val since = start.map(offsetOf).orElse(startingSnapshot.map(SnapshotOffset(_)))
+    since match {
       case None =>
         // first batch: the full snapshot at the first observed offset
+        // (latestOffset never splits the initial snapshot)
         shaped(TableCommit.readAt(spark, table, endId))
-      case Some(a) if a == endId => emptyBatch
-      case Some(a) =>
+      case Some(s) if s == endOff => emptyBatch
+      case Some(SnapshotOffset(a, sPart))
+          if endOff.part != COMPLETE || sPart != COMPLETE =>
+        // a SPLIT drain: both boundaries index the SAME snapshot's
+        // sorted added-file list — the slice (sPart, endPart] is this
+        // batch, pinned by exact file paths
+        val fromId = if (sPart == COMPLETE) a else a - 1
+        require(endId == (if (sPart == COMPLETE) a + 1 else a),
+          s"split offsets must stay within one snapshot: " +
+            s"($a,$sPart) → $endOff")
+        val (added, removed) = sortedAdded(endId)
+        guardRemoved(fromId, endId, removed)
+        val lo = if (sPart == COMPLETE) 0L else sPart
+        val hi = if (endOff.part == COMPLETE) added.length.toLong
+          else endOff.part
+        val slice = added.slice(lo.toInt, hi.toInt)
+        if (slice.isEmpty) emptyBatch
+        else shaped(TableCommit.readFileSubset(spark, table, endId, slice))
+      case Some(SnapshotOffset(a, _)) =>
         val (added, removed) = TableCommit.changedFileSets(table, a, endId)
-        if (removed.nonEmpty && !ignoreChanges)
-          sys.error(
-            s"graft-table stream over $table detected a non-append commit " +
-              s"between snapshots $a and $endId (${removed.length} file(s) " +
-              "removed or rewritten in place — replace/compact/delete/" +
-              "update/DV). An append-only consumer cannot replay it " +
-              "correctly; restart from a fresh full snapshot, or set " +
-              "ignoreChanges=true to re-emit rewritten files' rows to an " +
-              "idempotent sink")
+        guardRemoved(a, endId, removed)
         if (added.isEmpty) emptyBatch
         else shaped(TableCommit.readFileSubset(spark, table, endId, added))
     }

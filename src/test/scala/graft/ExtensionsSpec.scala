@@ -111,6 +111,46 @@ class ExtensionsSpec extends GraftSpec {
       intercept[Exception] {
         s2.sql(s"SELECT * FROM graft_table_at('$t', id0 + 1)").collect()
       }
+      // PLAN PIN (round-10 verdict item 6): the feed over a MERGE-ON-READ
+      // change reads ONLY the vectored files' live rows and the fresh
+      // successors — never the unchanged files. Build a 10-file keyed
+      // layout, MoR-update a narrow band, and assert the TVF batch's
+      // input set ⊆ (band's hit files ∪ fresh files ∪ their _dv
+      // sidecars): metadata-diff planning, cost ∝ change volume.
+      val t2 = new java.io.File(dir, "feedpin").getAbsolutePath
+      Seq((0L, "s", 0)).toDF("id", "v", "pt")
+        .write.mode("overwrite").partitionBy("pt").parquet(t2)
+      TableCommit.initIfAbsent(t2)
+      TableCommit.replacePartitions(s2, t2, "pt", Seq("pt=0", "pt=1"),
+        (0 until 200).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+        clusterBy = Seq("id"), filesPerPartition = 5)
+      val (fromId, filesFrom) = TableCommit.resolve(t2).get
+      TableCommit.updateWhereMor(s2, t2, "pt", "id",
+        BigDecimal(20), BigDecimal(39),
+        Map("v" -> org.apache.spark.sql.functions.lit("X")))
+      val (toId, filesTo) = TableCommit.resolve(t2).get
+      val feedDf = s2.sql(
+        s"SELECT _change_type, id, v FROM graft_table_feed('$t2', " +
+          s"$fromId, $toId)")
+      val changedOrFresh =
+        filesTo.toSet.diff(filesFrom.toSet) ++ // fresh successors
+          TableCommit.dvGrewFiles(t2, fromId, toId) // vectored files
+      val scannedData = feedDf.inputFiles.toSeq
+        .filterNot(_.contains("/_dv/"))
+        .map(p => p.split('/').takeRight(2).mkString("/"))
+      val allowed = changedOrFresh.map(r =>
+        r.split('/').takeRight(2).mkString("/"))
+      assert(scannedData.toSet.subsetOf(allowed),
+        s"CDF TVF scanned unchanged files: ${scannedData.toSet -- allowed}")
+      assert(scannedData.nonEmpty &&
+        scannedData.toSet.size < filesTo.length,
+        s"feed pin vacuous: scanned ${scannedData.toSet.size} of " +
+          s"${filesTo.length}")
+      // and the feed itself is the precise MoR change set
+      val byType = feedDf.groupBy(org.apache.spark.sql.functions
+        .col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("delete" -> 20L, "insert" -> 20L), byType.toString)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

@@ -1020,6 +1020,86 @@ class TableCommitSpec extends GraftSpec {
       .forall(f => sig(f) == new java.io.File(t, f).lastModified()))
   }
 
+  test("vacuumRun: the explicit VACUUM verb deletes EXACTLY what the dry " +
+      "run predicts — and a reader pinned on a retained snapshot is " +
+      "untouched by it") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
+      Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    // an aged orphan + a fresh one, planted AFTER the last commit's
+    // inline vacuum so only the explicit verb can sweep them
+    val aged = new java.io.File(t, "pt=0/orphan-aged2.parquet")
+    java.nio.file.Files.write(aged.toPath, Array[Byte](1))
+    aged.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val fresh = new java.io.File(t, "pt=0/orphan-fresh2.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](1))
+    val (ids, _, deadPred, orphanPred) = TableCommit.vacuumAudit(t)
+    assert(orphanPred == 1, s"audit should see the aged orphan: $orphanPred")
+    // a reader pins the OLDEST retained snapshot before the sweep
+    val pinned = TableCommit.readAt(spark, t, ids.min)
+    val swept = TableCommit.vacuumRun(t)
+    assert(swept == ((deadPred, orphanPred)),
+      s"vacuumRun $swept diverged from the audit ($deadPred, $orphanPred)")
+    assert(!aged.exists() && fresh.exists())
+    // the pinned reader still resolves its full snapshot AFTER the sweep
+    assert(pinned.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    // idempotent: a second run finds nothing
+    assert(TableCommit.vacuumRun(t) == ((0, 0)))
+  }
+
+  test("DV read-path plan pins: a stats-pruned read scans ONLY the kept " +
+      "files' deletion-vector sidecars (a pruned file's _dv tree is " +
+      "never opened), and the caller's band filter pushes into the " +
+      "parquet scan BELOW the anti-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvplan").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((0L, "seed", 0)).toDF("id", "v", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      (0 until 200).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 5)
+    def dvDirs(): Set[String] =
+      Option(new java.io.File(t, "_dv").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    // one vector in the LOW key range, one in the HIGH — different
+    // files by construction (5 key-contiguous files per partition)
+    val before = dvDirs()
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(10), BigDecimal(19))
+    val dvLow = (dvDirs() -- before).head
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(180), BigDecimal(189))
+    val dvHigh = (dvDirs() -- before - dvLow).head
+    // a low-band pruned read: correct rows, and its scans open the low
+    // vector but NEVER the high files' vector
+    val df = TableCommit.readWhere(spark, t, "id",
+      BigDecimal(0), BigDecimal(49))
+    assert(df.count() == 40L) // 50 in band minus the 10 vectored dead
+    val scannedDv = df.inputFiles.filter(_.contains("/_dv/"))
+      .map(p => p.split("/_dv/")(1).split("/")(0)).toSet
+    assert(scannedDv == Set(dvLow),
+      s"pruned read opened vector tree(s) $scannedDv (low=$dvLow, " +
+        s"high=$dvHigh) — a pruned file's sidecar must not be scanned")
+    // data-file pruning held too (10 files total, band covers ~3)
+    val dataScanned = df.inputFiles.count(f => !f.contains("/_dv/"))
+    assert(dataScanned < 10,
+      s"stats pruning lost under the DV join: $dataScanned files")
+    // the band filter reaches the parquet scan below the left-anti join:
+    // PushedFilters on the data relation carries the id bounds
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"expected the DV anti-join in the plan:\n${plan.take(2000)}")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pushed.exists(p => p.contains("GreaterThanOrEqual(id") ||
+        p.contains("ThanOrEqual(id")),
+      s"band filter not pushed into the scan below the anti-join; " +
+        s"pushed=$pushed\n${plan.take(3000)}")
+  }
+
   test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
       "(a concurrent in-flight append's files)") {
     val t = freshTable()

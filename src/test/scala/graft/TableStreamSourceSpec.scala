@@ -226,4 +226,44 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(got == Seq((20L, "z", 1)),
       s"startingSnapshot drain should be the post-$id0 delta: $got")
   }
+
+  test("graft-table source: maxFilesPerTrigger splits a single FAT commit " +
+      "across several bounded micro-batches via sub-snapshot offsets — " +
+      "exactly-once preserved, no row lost or duplicated") {
+    val t = committedTable()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tss_io4")
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+    def batches(): Int =
+      Option(new java.io.File(ckpt, "offsets").listFiles())
+        .getOrElse(Array.empty).count(f => !f.getName.contains("."))
+    // batch 0: the full snapshot (never split)
+    drain(t, ckpt, out, Map("maxFilesPerTrigger" -> "2"))
+    val b0 = batches()
+    // ONE commit adding SIX files (six partition dirs, one append)
+    val nBefore = TableCommit.resolve(t).get._2.length
+    TableCommit.appendRows(spark, t, "pt",
+      (10 until 22).map(i => (i.toLong, s"f$i", i % 6)).toDF("id", "v", "pt"))
+    assert(TableCommit.resolve(t).get._2.length == nBefore + 6,
+      "setup: expected one fat 6-file append commit")
+    drain(t, ckpt, out, Map("maxFilesPerTrigger" -> "2"))
+    // 6 added files at 2 per batch → at least 3 data batches
+    assert(batches() - b0 >= 3,
+      s"fat commit did not split: ${batches() - b0} batch(es)")
+    val got = sunk(out)
+    assert(got.length == got.toSet.size, s"split drain duplicated rows")
+    val want = TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.toSet == want, s"split drain lost rows: ${want -- got.toSet}")
+    // a rows-capped consumer from scratch: same final rows, also split
+    val ckpt2 = new java.io.File(scratch.toFile, "ckpt2").getAbsolutePath
+    val out2 = new java.io.File(scratch.toFile, "out2").getAbsolutePath
+    drain(t, ckpt2, out2, Map("maxRowsPerTrigger" -> "5",
+      "startingSnapshot" -> "1"))
+    val got2 = sunk(out2)
+    assert(got2.length == got2.toSet.size, "rows-capped drain duplicated")
+    assert(got2.map(_._1).toSet == (10L until 22L).toSet,
+      s"rows-capped drain wrong rows: $got2")
+  }
 }

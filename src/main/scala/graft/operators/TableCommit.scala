@@ -775,6 +775,71 @@ object TableCommit {
     }
   }
 
+  /** The SAFE type-widening lattice (Delta's type-widening feature /
+    * SPARK-40876's parquet upcast set): conversions where every value
+    * of the narrow type is exactly representable in the wide one AND
+    * Spark's parquet readers upcast the physical column on read — so
+    * widening is a metadata-only schema change, never a rewrite. */
+  private val Widenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      ByteType -> ShortType, ByteType -> IntegerType, ByteType -> LongType,
+      ShortType -> IntegerType, ShortType -> LongType,
+      IntegerType -> LongType,
+      FloatType -> DoubleType,
+      ByteType -> DoubleType, ShortType -> DoubleType,
+      IntegerType -> DoubleType)
+  }
+
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    Widenings((from, to))
+
+  /** ALTER TABLE ALTER COLUMN TYPE (safe WIDENING only) as a
+    * METADATA-ONLY commit — the rung between "schema evolution stops
+    * at column-ADD" and a full rewrite: the schema of record declares
+    * the wider type, existing parquet files keep their narrow physical
+    * encoding and every pinned read upcasts at the scan (the
+    * SPARK-40876 capability the spec pins against THIS build), and
+    * writers may keep writing either width ([[mergeSchemaOf]] accepts
+    * a widening-compatible narrower re-declaration — the record's
+    * width wins). Narrowing and non-lattice changes are refused
+    * exactly as before (a narrowing can silently corrupt values; a
+    * type REPLACEMENT still needs the documented full rewrite). The
+    * partition column is refused — its values live in directory names
+    * and both widths parse, but the layout contract stays physical. */
+  def widenColumnType(table: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).getOrElse(
+        sys.error(s"$table has no snapshot"))
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      val sch = c.schema.getOrElse(sys.error(
+        s"$table carries no #schema of record — run any write commit " +
+          "through the protocol first"))
+      val field = sch.fields.find(_.name == column).getOrElse(
+        sys.error(s"no column $column in $table"))
+      if (field.dataType == to) return // idempotent
+      require(canWiden(field.dataType, to),
+        s"cannot change column $column of $table from " +
+          s"${field.dataType.simpleString} to ${to.simpleString} — only " +
+          "safe widenings are metadata-only; anything else requires a " +
+          "full-table rewrite")
+      partColOf(baseFiles).foreach(pc => require(column != pc,
+        s"cannot widen partition column $pc — rewrite the table instead"))
+      val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+        if (f.name == column) f.copy(dataType = to) else f))
+      if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
+          c.stats, c.rows, c.dv, c.props)) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+    }
+  }
+
   /** CHECK-constraint gate over a commit's staged rows: ONE aggregate
     * computes every constraint's violation count (all row-local, so
     * they fold into a single pass over the write set — never the
@@ -1621,21 +1686,25 @@ object TableCommit {
       : org.apache.spark.sql.types.StructType = {
     base.fields.foreach { f =>
       w.fields.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+        // equal types always; a WIDENING-compatible NARROWER writer is
+        // accepted post-widenColumnType (the record's width wins — its
+        // files upcast on read); anything else still refuses
+        require(g.dataType == f.dataType || canWiden(g.dataType, f.dataType),
           s"schema evolution of $table cannot change column ${f.name} " +
             s"from ${f.dataType.simpleString} to ${g.dataType.simpleString}" +
-            " — a type change requires a full-table rewrite")
+            " — a widening goes through widenColumnType; anything else " +
+            "requires a full-table rewrite")
       }
     }
     // a base field keeps ITS metadata (the graft.physical mapping is
     // the table's, not the writer's — a writer re-declaring a renamed
-    // column must not strip its physical binding); a NEW field gets the
-    // physical name the stage write actually used (identity when no
-    // mapping is active)
+    // column must not strip its physical binding) and ITS declared
+    // width; a NEW field gets the physical name the stage write
+    // actually used (identity when no mapping is active)
     org.apache.spark.sql.types.StructType(
       base.fields.map { f =>
         w.fields.find(_.name == f.name) match {
-          case Some(g) => g.copy(metadata = f.metadata)
+          case Some(g) => g.copy(dataType = f.dataType, metadata = f.metadata)
           case None => f
         }
       } ++

@@ -105,6 +105,70 @@ class ColumnMappingSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).count() == 4L)
   }
 
+  test("TYPE WIDENING is metadata-only: int→long / float→double change " +
+      "the schema of record without touching a file — old files upcast " +
+      "at the scan, the pre-widen snapshot time-travels narrow, writers " +
+      "of either width land, and narrowing/replacement still refuse") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val seed = Seq((1, 1.5f, 0), (2, 2.5f, 0), (3, 3.5f, 1), (4, 4.5f, 1))
+      .toDF("qty", "ratio", "pt")
+    seed.repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "10"))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"), seed,
+      clusterBy = Seq("qty"), filesPerPartition = 2)
+    val (idNarrow, filesNarrow) = TableCommit.resolve(t).get
+    val sigs = dataFileSigs(t)
+    TableCommit.widenColumnType(t, "qty", LongType)
+    TableCommit.widenColumnType(t, "ratio", DoubleType)
+    assert(dataFileSigs(t) == sigs, "widening rewrote data bytes")
+    assert(TableCommit.resolve(t).get._2.toSet == filesNarrow.toSet)
+    // the SAME parquet bytes now read as the wider types
+    val widened = TableCommit.read(spark, t)
+    assert(widened.schema("qty").dataType == LongType)
+    assert(widened.schema("ratio").dataType == DoubleType)
+    val rows = widened.select(col("qty"), col("ratio")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((1L, 1.5), (2L, 2.5), (3L, 3.5), (4L, 4.5)),
+      s"upcast read wrong values: $rows")
+    // the pre-widen snapshot still reads NARROW
+    assert(TableCommit.readAt(spark, t, idNarrow)
+      .schema("qty").dataType == IntegerType)
+    // a WIDE writer lands values beyond Int range
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((9000000000L, 9.5, 0)).toDF("qty", "ratio", "pt"),
+      clusterBy = Seq("qty"))
+    assert(TableCommit.read(spark, t).filter(col("qty") > 100)
+      .select(col("qty")).collect().map(_.getLong(0)).toSeq ==
+      Seq(9000000000L))
+    // a NARROW writer (pre-widening frame shape) still lands; the
+    // record keeps the wide type
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((7, 7.5f, 1)).toDF("qty", "ratio", "pt"), clusterBy = Seq("qty"))
+    val after = TableCommit.read(spark, t)
+    assert(after.schema("qty").dataType == LongType)
+    assert(after.filter(col("qty") === 7).count() == 1L)
+    // stats recorded across widths still prune (strings, compared
+    // numerically)
+    val (kept, total) = TableCommit.pruneAudit(t,
+      TableCommit.resolve(t).get._1, "qty", BigDecimal(1), BigDecimal(1))
+    assert(kept < total, s"stats lost across widening: $kept/$total")
+    // narrowing and replacement refuse; partition column refuses;
+    // idempotent re-widen is a no-op commit-wise
+    intercept[IllegalArgumentException](
+      TableCommit.widenColumnType(t, "qty", IntegerType))
+    intercept[IllegalArgumentException](
+      TableCommit.widenColumnType(t, "qty", StringType))
+    intercept[IllegalArgumentException](
+      TableCommit.widenColumnType(t, "pt", LongType))
+    val idBefore = TableCommit.resolve(t).get._1
+    TableCommit.widenColumnType(t, "qty", LongType)
+    assert(TableCommit.resolve(t).get._1 == idBefore, "no-op widen committed")
+  }
+
   test("mapping guards: partition column rename/drop refused; a column " +
       "referenced by a CHECK constraint refused; renaming onto an " +
       "existing name refused") {

@@ -183,55 +183,81 @@ object TableCommit {
   private val stateMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Snapshot)]()
 
+  /** [[stateOf]] against a pre-listed manifest map — one directory
+    * listing serves a whole [[manifests]] call. ITERATIVE (the chain
+    * walk is bounded only by the user-settable checkpoint interval, so
+    * recursion could overflow the stack on a pathological cadence):
+    * walk DOWN collecting delta links until the checkpoint, then fold
+    * UP applying them, memoizing each intermediate state under its
+    * chain identity. */
+  private def stateOfWith(byId: Map[Long, java.io.File],
+      id: Long): Option[Snapshot] = {
+    def memoPut(f: java.io.File,
+        entry: (String, Snapshot)): (String, Snapshot) = {
+      if (stateMemo.size > 8192) stateMemo.clear()
+      stateMemo.put(f.getAbsolutePath, entry)
+      entry
+    }
+    // walk down to the chain base (checkpoint), collecting delta links
+    val chain = collection.mutable.ArrayBuffer.empty[(Long, java.io.File)]
+    var i = id
+    var ckpt: Option[java.io.File] = None
+    while (ckpt.isEmpty) {
+      byId.get(i) match {
+        case None => return None
+        case Some(f) =>
+          if (isDelta(manifestLines(f))) { chain += ((i, f)); i -= 1 }
+          else ckpt = Some(f)
+      }
+    }
+    // fold up from the checkpoint, serving memo hits per link
+    val ckptFile = ckpt.get
+    val ckptIdent = fileIdentity(ckptFile)
+    var acc: (String, Snapshot) = {
+      val cached = stateMemo.get(ckptFile.getAbsolutePath)
+      if (cached != null && cached._1 == ckptIdent) cached
+      else memoPut(ckptFile, (ckptIdent, parseCkpt(i, manifestLines(ckptFile))))
+    }
+    chain.reverseIterator.foreach { case (j, f) =>
+      val chainIdent = s"${acc._1}|${fileIdentity(f)}"
+      val cached = stateMemo.get(f.getAbsolutePath)
+      acc =
+        if (cached != null && cached._1 == chainIdent) cached
+        else memoPut(f, (chainIdent, applyDelta(acc._2, j, manifestLines(f))))
+    }
+    Some(acc._2)
+  }
+
   /** The reconstructed state of snapshot `id`: nearest checkpoint ≤ id
     * plus the delta tail, applied in order. None when `id` (or any
     * chain link under it) has no manifest file. */
-  private def stateOf(table: String, id: Long): Option[Snapshot] = {
-    val byId = manifestFiles(table).toMap
-    def build(i: Long): Option[(String, Snapshot)] = byId.get(i).flatMap { f =>
-      val lines = manifestLines(f)
-      val ident = fileIdentity(f)
-      val cached = stateMemo.get(f.getAbsolutePath)
-      if (!isDelta(lines)) {
-        if (cached != null && cached._1 == ident) Some(cached)
-        else {
-          val entry = (ident, parseCkpt(i, lines))
-          if (stateMemo.size > 8192) stateMemo.clear()
-          stateMemo.put(f.getAbsolutePath, entry)
-          Some(entry)
-        }
-      } else build(i - 1).map { case (baseIdent, base) =>
-        val chainIdent = s"$baseIdent|$ident"
-        if (cached != null && cached._1 == chainIdent) cached
-        else {
-          val entry = (chainIdent, applyDelta(base, i, lines))
-          if (stateMemo.size > 8192) stateMemo.clear()
-          stateMemo.put(f.getAbsolutePath, entry)
-          entry
-        }
-      }
-    }
-    build(id).map(_._2)
-  }
+  private def stateOf(table: String, id: Long): Option[Snapshot] =
+    stateOfWith(manifestFiles(table).toMap, id)
 
   /** All RETAINED snapshots (id, state), unordered — the public unit
     * the readers, diffs and verbs work against. Manifest files older
     * than the retention window that survive only as chain links are
     * excluded: their snapshots are not readable (their exclusive data
     * files are vacuumed), exactly the pre-delta behavior where the
-    * manifest file itself was deleted. */
+    * manifest file itself was deleted. ONE directory listing serves
+    * the whole call; the newest state (resolved for the retention
+    * property) is reused, not reconstructed twice. */
   private def manifests(table: String): Seq[(Long, Snapshot)] = {
     val all = manifestFiles(table)
     if (all.isEmpty) Seq.empty
     else {
+      val byId = all.toMap
       val newest = all.map(_._1).max
       // retention from the NEWEST state's properties (self-describing)
-      val keep = stateOf(table, newest)
+      val newestState = stateOfWith(byId, newest)
+      val keep = newestState
         .flatMap(_.props.get("graft.retention.generations"))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
         .filter(_ >= 2L).getOrElse(2L)
-      all.map(_._1).filter(_ > newest - keep).sorted
-        .flatMap(id => stateOf(table, id).map(id -> _))
+      all.map(_._1).filter(_ > newest - keep).sorted.flatMap { rid =>
+        (if (rid == newest) newestState else stateOfWith(byId, rid))
+          .map(rid -> _)
+      }
     }
   }
 
@@ -1483,7 +1509,7 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         retainedSet.contains)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema)
+      guardMapping(table, wmap, c.schema, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1648,7 +1674,7 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         _ => true)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema)
+      guardMapping(table, wmap, c.schema, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1760,22 +1786,37 @@ object TableCommit {
     }
   }
 
-  /** OCC guard for mapped tables: the stage write bound logical names
-    * to physical names read from the base AT STAGE TIME; rebasing over
-    * a winner that changed a written column's physical binding would
-    * publish files whose bytes the new mapping no longer reads. */
+  /** OCC guard for column-mapped writes: the stage write bound logical
+    * names to physical names read from the base AT STAGE TIME;
+    * rebasing over a winner that changed any written column's binding
+    * would publish files whose bytes the new mapping no longer reads.
+    * The check recomputes what [[writeMapping]] would produce under
+    * the CURRENT base and conflicts on any divergence — which also
+    * catches a concurrent dropColumn (the staged column would re-bind
+    * to the quarantined physical and RESURRECT dropped values) and a
+    * concurrent renameColumn (the staged column would alias the
+    * renamed column's physical, forking two logical columns onto one
+    * physical). Tables with no mapping surface anywhere (identity
+    * write map, no bindings, no quarantine) pay one map probe. */
   private def guardMapping(table: String, wmap: Map[String, String],
-      baseSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    if (wmap.forall { case (l, p) => l == p }) return
-    baseSchema.foreach(_.fields.foreach { f =>
-      wmap.get(f.name).foreach { p =>
-        if (physicalOf(f) != p)
+      baseSchema: Option[org.apache.spark.sql.types.StructType],
+      baseProps: Map[String, String]): Unit = {
+    val identity = wmap.forall { case (l, p) => l == p }
+    val baseMapped = baseSchema.exists(hasMapping) ||
+      baseProps.get(DroppedProp).exists(_.nonEmpty)
+    if (identity && !baseMapped) return
+    baseSchema.foreach { sch =>
+      val used = usedPhysicals(sch, baseProps)
+      val known = sch.fields.map(f => f.name -> physicalOf(f)).toMap
+      wmap.foreach { case (l, p) =>
+        val expect = known.getOrElse(l, assignPhysical(l, used))
+        if (expect != p)
           throw new CommitConflictException(
             s"concurrent commit changed the physical binding of column " +
-              s"${f.name} of $table (staged as $p, base now maps " +
-              s"${physicalOf(f)}) — re-run the write")
+              s"$l of $table (staged as $p, the base now binds $expect) " +
+              "— re-run the write so it stages under the current mapping")
       }
-    })
+    }
   }
 
   private def stageMove(table: String, writerId: String, shaped: DataFrame,
@@ -2048,7 +2089,7 @@ object TableCommit {
       val retained = next.toSet
       val c = carriedFrom(baseM.map(_._2), retained.contains)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema)
+      guardMapping(table, wmap, c.schema, c.props)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -2311,7 +2352,7 @@ object TableCommit {
       val next = baseFiles ++ fresh
       val c = carriedFrom(baseM.map(_._2), _ => true)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema)
+      guardMapping(table, wmap, c.schema, c.props)
       val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       val nextRows = c.rows.map { case (rel, n) =>
@@ -2576,7 +2617,7 @@ object TableCommit {
         }
         val c = carriedFrom(baseM.map(_._2), _ => true)
         guardConstraints(table, checked, c.props)
-        guardMapping(table, wmap, c.schema)
+        guardMapping(table, wmap, c.schema, c.props)
         val nextDv =
           if (hit.isEmpty) c.dv
           else c.dv ++ hit.map(rel =>

@@ -102,25 +102,37 @@ class TableCommitSink(table: String, partCol: String,
     parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  // Default ledger identity keys on the CHECKPOINT location, not a
-  // shared constant: two different pipelines writing the same table
-  // would otherwise collide on (appId, batchId) and silently no-op
-  // each other's batches (row loss, not failure). With NEITHER a
-  // txnAppId nor a checkpoint location there is nothing unique to key
-  // on — fail fast rather than fall back to a shared constant. An
-  // explicit txnAppId is still the durable choice (it survives a
-  // checkpoint rebuild — the spec's replay pin).
-  private val appId = parameters.getOrElse("txnAppId",
-    parameters.get("checkpointLocation") match {
-      case Some(cp) => "graft_table_sink_" + java.security.MessageDigest
-        .getInstance("MD5").digest(cp.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      case None => sys.error(
-        "graft-table sink needs a txn identity for its exactly-once " +
-          "ledger: set .option(\"txnAppId\", <unique id>) or a " +
-          "checkpointLocation — a shared default would let two " +
-          "pipelines no-op each other's batches")
-    })
+  // Ledger identity keys on the CHECKPOINT, not a shared constant: two
+  // different pipelines writing the same table would otherwise collide
+  // on (appId, batchId) and silently no-op each other's batches (row
+  // loss, not failure). Resolution order: explicit txnAppId (the
+  // durable choice — survives a checkpoint rebuild, the spec's replay
+  // pin) → hash of the checkpointLocation OPTION → the executing
+  // query's queryId (resolved lazily at the first batch — what a
+  // conf-default `spark.sql.streaming.checkpointLocation` setup
+  // provides; Spark persists queryId in checkpoint metadata, so a
+  // stable checkpoint keeps a stable identity across restarts) →
+  // refuse, rather than fall back to something shared.
+  @volatile private var resolvedAppId: String =
+    parameters.get("txnAppId").orElse(
+      parameters.get("checkpointLocation").map(cp =>
+        "graft_table_sink_" + java.security.MessageDigest
+          .getInstance("MD5").digest(cp.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12))).orNull
+
+  private def appIdFor(data: org.apache.spark.sql.DataFrame): String = {
+    if (resolvedAppId == null)
+      resolvedAppId = Option(data.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .map(q => "graft_table_sink_q_" + q)
+        .getOrElse(sys.error(
+          "graft-table sink needs a txn identity for its exactly-once " +
+            "ledger: set .option(\"txnAppId\", <unique id>) or a " +
+            "checkpointLocation — a shared default would let two " +
+            "pipelines no-op each other's batches"))
+    resolvedAppId
+  }
+
   private val clusterBy = parameters.get("clusterBy")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Nil)
@@ -131,7 +143,7 @@ class TableCommitSink(table: String, partCol: String,
       // the micro-batch frame is streaming-tagged and refuses write —
       // re-plan it as a batch frame over the incremental RDD
       org.apache.spark.sql.graft.StreamingBridge.asBatch(data),
-      txn = Some((appId, batchId)), clusterBy = clusterBy)
+      txn = Some((appIdFor(data), batchId)), clusterBy = clusterBy)
 
   override def toString: String = s"TableCommitSink[$table]"
 }
@@ -216,7 +228,10 @@ class TableCommitSource(ctx: SQLContext, table: String,
 
   /** How many of `added` (from `from` on) fit the files/rows budget —
     * at least one, so progress is guaranteed even when a single file
-    * exceeds the row cap. Missing `#rows` entries exhaust the budget. */
+    * exceeds the row cap. The row budget is only charged when a row
+    * cap is actually SET (a files-only cap must not be silently
+    * tightened by the missing-entry conservatism); with a row cap, a
+    * file lacking a `#rows` entry conservatively exhausts it. */
   private def admit(id: Long, added: Seq[String], from: Long): Long = {
     val fileCap = maxFiles.getOrElse(Long.MaxValue)
     val rows = if (maxRows.isDefined) TableCommit.fileRowsAt(table, id)
@@ -225,7 +240,8 @@ class TableCommitSource(ctx: SQLContext, table: String,
     var n = 0L
     var i = from.toInt
     while (i < added.length && n < fileCap && (n == 0L || rowBudget > 0L)) {
-      rowBudget -= rows.getOrElse(added(i), Long.MaxValue / 2)
+      if (maxRows.isDefined)
+        rowBudget -= rows.getOrElse(added(i), Long.MaxValue / 2)
       n += 1
       i += 1
     }

@@ -185,6 +185,43 @@ class ColumnMappingSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).columns.contains("amount"))
   }
 
+  test("a DROP COLUMN landing between a writer's stage and publish " +
+      "CONFLICTS the writer — rebasing would re-bind the staged column " +
+      "to the quarantined physical and resurrect dropped values") {
+    val t = freshTable()
+    // writer appends a frame carrying column v; its stage evaluation
+    // parks (static rendezvous) while dropColumn(v) lands
+    val slow = org.apache.spark.sql.functions.udf(
+      (id: Long) => ColumnMappingSpecDropRace.park(id))
+    val df = Seq((9000L, "late", 95.0, 0)).toDF("id", "v", "price", "pt")
+      .withColumn("id", slow(col("id")))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val w = new Thread(() =>
+      try TableCommit.appendRows(spark, t, "pt", df)
+      catch { case e: Throwable => err.set(e) })
+    w.start()
+    assert(ColumnMappingSpecDropRace.staged
+        .await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached its stage write")
+    TableCommit.dropColumn(t, "v")
+    ColumnMappingSpecDropRace.gate.countDown()
+    w.join(120000)
+    assert(err.get() != null &&
+      err.get().isInstanceOf[TableCommit.CommitConflictException],
+      s"writer re-bound a dropped physical: ${Option(err.get())}")
+    // nothing resurrected: v is gone, and re-adding it reads null for
+    // every pre-drop row
+    assert(!TableCommit.read(spark, t).columns.contains("v"))
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((5L, 50.0, 0, "fresh")).toDF("id", "price", "pt", "v"))
+    val got = TableCommit.read(spark, t)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(5L).contains("fresh") &&
+      Seq(1L, 2L, 3L, 4L).forall(got(_).isEmpty),
+      s"dropped values resurrected after the race: $got")
+  }
+
   test("the mapping survives CLONE, RESTORE and the change feed: a clone " +
       "reads logical names; restore rolls the rename back and forward " +
       "states stay readable; changeFeed across a post-rename commit " +
@@ -216,5 +253,21 @@ class ColumnMappingSpec extends GraftSpec {
     assert(TableCommit.read(spark, t).columns.contains("v") &&
       !TableCommit.read(spark, t).columns.contains("label"))
     assert(TableCommit.read(spark, t).count() == 4L)
+  }
+}
+
+/** JVM-static rendezvous for the stage-vs-dropColumn race test (same
+  * shape as TableCommitSpecStageRace: latches cannot ride the task
+  * closure). */
+object ColumnMappingSpecDropRace {
+  val gate = new java.util.concurrent.CountDownLatch(1)
+  val staged = new java.util.concurrent.CountDownLatch(1)
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def park(id: Long): Long = {
+    if (fired.compareAndSet(false, true)) {
+      staged.countDown()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    id
   }
 }

@@ -163,19 +163,30 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(mentions(e, "Append output mode only"),
       s"complete mode not refused: ${e.getMessage}")
     assert(dstId1 >= 1L)
-    // NEITHER txnAppId nor checkpointLocation: the sink fails fast —
-    // a shared default ledger identity would let two independent
-    // pipelines silently no-op each other's batches (row loss)
-    val noId = intercept[Exception] {
+    // NEITHER txnAppId nor a checkpointLocation OPTION: a conf-default
+    // checkpoint setup (spark.sql.streaming.checkpointLocation + a
+    // queryName for a stable dir) still gets a UNIQUE ledger identity —
+    // the sink keys on the executing query's queryId instead of
+    // refusing or falling back to a shared constant
+    val dst3 = new java.io.File(scratch.toFile, "dst3").getAbsolutePath
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      new java.io.File(scratch.toFile, "ckptroot").getAbsolutePath)
+    try {
       spark.readStream.format("graft-table").load(src)
         .writeStream.format("graft-table")
         .partitionBy("pt")
+        .queryName("tsk_conf_pipe")
         .trigger(Trigger.AvailableNow())
-        .start(new java.io.File(scratch.toFile, "dst3").getAbsolutePath)
-        .awaitTermination()
-    }
-    assert(mentions(noId, "txn identity"),
-      s"identity-less sink not refused: ${noId.getMessage}")
+        .start(dst3).awaitTermination()
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert(TableCommit.read(spark, dst3).count() == 4,
+      "conf-default-checkpoint pipeline lost rows")
+    val ledger = Option(new java.io.File(dst3, "_manifests").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("manifest-"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .filter(_.startsWith("#txn "))
+    assert(ledger.exists(_.startsWith("#txn graft_table_sink_q_")),
+      s"queryId-scoped ledger identity missing: ${ledger.toSeq}")
   }
 
   test("graft-table source: maxSnapshotsPerTrigger bounds each " +
@@ -265,5 +276,16 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(got2.length == got2.toSet.size, "rows-capped drain duplicated")
     assert(got2.map(_._1).toSet == (10L until 22L).toSet,
       s"rows-capped drain wrong rows: $got2")
+    // a FILES-ONLY cap is exact (no hidden row-budget clamp): 6 files
+    // at 4 per batch drain in exactly ceil(6/4) = 2 data batches
+    val ckpt3 = new java.io.File(scratch.toFile, "ckpt3").getAbsolutePath
+    val out3 = new java.io.File(scratch.toFile, "out3").getAbsolutePath
+    drain(t, ckpt3, out3, Map("maxFilesPerTrigger" -> "4",
+      "startingSnapshot" -> "1"))
+    val b3 = Option(new java.io.File(ckpt3, "offsets").listFiles())
+      .getOrElse(Array.empty).count(f => !f.getName.contains("."))
+    assert(b3 == 2, s"files-only cap drained 6 files in $b3 batches " +
+      "(expected exactly 2 — a hidden row-budget clamp would inflate it)")
+    assert(sunk(out3).map(_._1).toSet == (10L until 22L).toSet)
   }
 }

@@ -88,6 +88,44 @@ object Layout {
       bucket(b.cast("double"), cuts(1)))
   }
 
+  /** N-DIMENSIONAL Morton interleave on the same 8-bit quantile grid —
+    * bit i of dimension d lands at position i·n + d, so every
+    * participating dimension gets ~F^(1/n) file-skipping locality.
+    * The generic spread is 8 shift/mask/or terms per dimension of
+    * codegen'd builtin long arithmetic (the 2-dim fast path keeps the
+    * tighter [[morton16]] constants). 8 bits per dim bounds the code
+    * at 8n bits — n ≤ 7 fits a long with room to spare, and more than
+    * ~4 Z-dimensions is a layout smell anyway (each extra dim dilutes
+    * every other's locality exponentially). */
+  private def spreadN(c: Column, n: Int, d: Int): Column =
+    (0 until 8).map(i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d))
+      .reduce(_.bitwiseOR(_))
+
+  /** Quantile-normalized Morton code over N ≥ 2 dimensions —
+    * [[mortonColumnOf]] generalized (and delegating to it for the
+    * 2-dim case). One `approxQuantile` pass covers every dimension
+    * (≤ n×255 scalars to the driver, a layout decision). */
+  def mortonColumnOfN(df: DataFrame, dims: Seq[Column]): Column = {
+    require(dims.length >= 2 && dims.length <= 7,
+      s"Z-order takes 2..7 dimensions, got ${dims.length}")
+    if (dims.length == 2) mortonColumnOf(df, dims(0), dims(1))
+    else {
+      graft.functions.QuantileBucket.register(df.sparkSession)
+      val Grid = 256
+      val probs = (1 until Grid).map(_.toDouble / Grid).toArray
+      val names = dims.indices.map(i => s"__q$i")
+      val cuts = df.select(dims.zip(names).map { case (c, nm) =>
+          c.cast("double").as(nm) }: _*)
+        .stat.approxQuantile(names.toArray, probs, 0.01)
+      def bucket(c: Column, cut: Array[Double]): Column =
+        call_function("graft_qbucket", c, array(cut.map(lit(_)): _*))
+      dims.zipWithIndex.map { case (c, d) =>
+        spreadN(bucket(c.cast("double"), cuts(d)), dims.length, d)
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       nFiles: Int): Unit = {
     val z = mortonColumnOf(df, a, b)

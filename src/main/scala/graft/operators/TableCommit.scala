@@ -1445,8 +1445,11 @@ object TableCommit {
     val shaped = clusterBy match {
       case Seq(c) if filesPerPartition > 1 =>
         df.repartitionByRange(nShape, col(partCol), col(c))
-      case Seq(a, b) if filesPerPartition > 1 =>
-        val z = Layout.mortonColumnOf(df, col(a), col(b))
+      case cs if cs.length >= 2 && filesPerPartition > 1 =>
+        // 2 dims = the tight morton16 constants; 3+ dims = the generic
+        // N-way interleave (no silent cap: every declared cluster
+        // dimension participates in the layout AND gets #stats)
+        val z = Layout.mortonColumnOfN(df, cs.map(col))
         df.withColumn("__zc", z)
           .repartitionByRange(nShape, col(partCol), col("__zc"))
           .sortWithinPartitions(col(partCol), col("__zc"))

@@ -198,6 +198,14 @@ class TableCommitSource(ctx: SQLContext, table: String,
   private val maxRows =
     parameters.get("maxRowsPerTrigger").map(_.toLong)
       .map(m => { require(m >= 1L, "maxRowsPerTrigger must be >= 1"); m })
+  // bytes cap (Delta's maxBytesPerTrigger): file sizes come from a
+  // per-file stat of the batch's OWN added files at planning time —
+  // bounded by the commit's write set, never the table (Delta reads
+  // sizes from its log; on an object store this is one HEAD per
+  // admitted file)
+  private val maxBytes =
+    parameters.get("maxBytesPerTrigger").map(_.toLong)
+      .map(m => { require(m >= 1L, "maxBytesPerTrigger must be >= 1"); m })
 
   override val schema: StructType = TableCommitSource.tableSchema(ctx, table)
 
@@ -237,11 +245,15 @@ class TableCommitSource(ctx: SQLContext, table: String,
     val rows = if (maxRows.isDefined) TableCommit.fileRowsAt(table, id)
       else Map.empty[String, Long]
     var rowBudget = maxRows.getOrElse(Long.MaxValue)
+    var byteBudget = maxBytes.getOrElse(Long.MaxValue)
     var n = 0L
     var i = from.toInt
-    while (i < added.length && n < fileCap && (n == 0L || rowBudget > 0L)) {
+    while (i < added.length && n < fileCap &&
+        (n == 0L || (rowBudget > 0L && byteBudget > 0L))) {
       if (maxRows.isDefined)
         rowBudget -= rows.getOrElse(added(i), Long.MaxValue / 2)
+      if (maxBytes.isDefined)
+        byteBudget -= new java.io.File(table, added(i)).length()
       n += 1
       i += 1
     }
@@ -296,7 +308,8 @@ class TableCommitSource(ctx: SQLContext, table: String,
         }
         (boundedId, base) match {
           case (Some(endId), Some(SnapshotOffset(b, _)))
-              if (maxFiles.isDefined || maxRows.isDefined) && endId > b =>
+              if (maxFiles.isDefined || maxRows.isDefined ||
+                maxBytes.isDefined) && endId > b =>
             // files/rows caps: at most ONE commit per batch, split when
             // its added-file list exceeds the budget
             val next = b + 1

@@ -1020,6 +1020,37 @@ class TableCommitSpec extends GraftSpec {
       .forall(f => sig(f) == new java.io.File(t, f).lastModified()))
   }
 
+  test("3-DIMENSIONAL Z-order commit: every declared cluster dimension " +
+      "participates in the layout and gets #stats — a band predicate on " +
+      "ANY of the three prunes files (no silent cap at two dims)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    Seq((0L, 0L, 0L, 0)).toDF("x", "y", "z", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    // 4096 rows over three independent 16-value dimensions
+    val rows = (0 until 4096).map { i =>
+      (i % 16L, (i / 16) % 16L, (i / 256) % 16L, i % 2)
+    }.toDF("x", "y", "z", "pt")
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"), rows,
+      clusterBy = Seq("x", "y", "z"), filesPerPartition = 16)
+    val (id, files) = TableCommit.resolve(t).get
+    assert(files.length >= 30, s"expected ~32 z-ordered files: ${files.length}")
+    for (dim <- Seq("x", "y", "z")) {
+      val (kept, total) = TableCommit.pruneAudit(t, id, dim,
+        BigDecimal(0), BigDecimal(1))
+      assert(kept < total,
+        s"dimension $dim got no skipping from the 3-dim Z-layout: " +
+          s"$kept/$total")
+      // and the pruned read is still exactly the filtered read
+      assert(TableCommit.readWhere(spark, t, dim,
+        BigDecimal(0), BigDecimal(1)).count() ==
+        TableCommit.read(spark, t)
+          .filter(col(dim) >= 0 && col(dim) <= 1).count(),
+        s"pruned read diverged on $dim")
+    }
+  }
+
   test("vacuumRun: the explicit VACUUM verb deletes EXACTLY what the dry " +
       "run predicts — and a reader pinned on a retained snapshot is " +
       "untouched by it") {

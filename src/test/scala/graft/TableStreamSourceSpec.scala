@@ -287,5 +287,18 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(b3 == 2, s"files-only cap drained 6 files in $b3 batches " +
       "(expected exactly 2 — a hidden row-budget clamp would inflate it)")
     assert(sunk(out3).map(_._1).toSet == (10L until 22L).toSet)
+    // a BYTES cap (1 byte — every file exceeds it) degrades to one
+    // file per batch while still guaranteeing progress: 6 batches
+    val ckpt4 = new java.io.File(scratch.toFile, "ckpt4").getAbsolutePath
+    val out4 = new java.io.File(scratch.toFile, "out4").getAbsolutePath
+    drain(t, ckpt4, out4, Map("maxBytesPerTrigger" -> "1",
+      "startingSnapshot" -> "1"))
+    val b4 = Option(new java.io.File(ckpt4, "offsets").listFiles())
+      .getOrElse(Array.empty).count(f => !f.getName.contains("."))
+    assert(b4 >= 6, s"bytes cap did not split: $b4 batches")
+    val got4 = sunk(out4)
+    assert(got4.length == got4.toSet.size &&
+      got4.map(_._1).toSet == (10L until 22L).toSet,
+      s"bytes-capped drain lost or duplicated rows")
   }
 }

@@ -28,9 +28,12 @@ class TableCommitModelSpec extends GraftSpec {
       .select(col("id"), col("v"), col("pt").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
-  test("randomized verb sequences: snapshot read ≡ reference model and " +
-      "#rows metadata ≡ model size after every step") {
-    for (seed <- Seq(11, 42)) {
+  test("randomized verb sequences: snapshot read ≡ reference model, " +
+      "#rows metadata ≡ model size, and a random RETAINED snapshot " +
+      "time-travels to its recorded model state after every step — " +
+      "under randomized checkpoint cadence and retention (the delta " +
+      "chains reconstruct whatever the interleaving)") {
+    for (seed <- Seq(11, 42, 77, 123)) {
       val rnd = new scala.util.Random(seed)
       val t = freshDir()
       var nextId = 300L
@@ -42,6 +45,16 @@ class TableCommitModelSpec extends GraftSpec {
         model.toSeq.map { case (id, (v, pt)) => (id, v, pt) }
           .toDF("id", "v", "pt"),
         clusterBy = Seq("id"), filesPerPartition = 3)
+      // randomized manifest-log shape: cadence 1 = all checkpoints (the
+      // pre-delta format), 10 = long delta chains; retention 2..4
+      val interval = Seq(1, 2, 3, 10)(rnd.nextInt(4))
+      val keep = 2 + rnd.nextInt(3)
+      TableCommit.setProperties(t, Map(
+        "graft.checkpoint.interval" -> interval.toString,
+        "graft.retention.generations" -> keep.toString))
+      // snapshot id → the model state it pinned (for time travel)
+      var hist: Map[Long, Map[Long, (Long, Int)]] =
+        Map(TableCommit.resolve(t).get._1 -> model)
 
       def band(): (Long, Long) = {
         val ids = model.keys
@@ -124,6 +137,31 @@ class TableCommitModelSpec extends GraftSpec {
         assert(TableCommit.rowCount(t, id).contains(model.size.toLong),
           s"seed=$seed step=$step op=$op: #rows metadata diverged " +
             s"(${TableCommit.rowCount(t, id)} vs ${model.size})")
+        hist += id -> model
+        // TIME TRAVEL: a randomly-chosen retained snapshot must
+        // reconstruct (across whatever checkpoint/delta chain the
+        // cadence produced) to exactly the model state it pinned
+        val retained = TableCommit.history(t).map(_._1)
+          .filter(hist.contains)
+        if (retained.nonEmpty) {
+          val pick = retained(rnd.nextInt(retained.length))
+          val wantAt = hist(pick)
+            .map { case (hid, (v, pt)) => (hid, v, pt) }.toSet
+          val gotAt = TableCommit.readAt(spark, t, pick)
+            .select(col("id"), col("v"), col("pt").cast("int"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            .toSet
+          assert(gotAt == wantAt,
+            s"seed=$seed step=$step op=$op: time travel to retained " +
+              s"snapshot $pick diverged from its recorded model")
+        }
+        // an occasional EXPLICIT vacuum must be invisible to every
+        // retained reader (it only sweeps past-retention debris)
+        if (rnd.nextInt(5) == 0) {
+          TableCommit.vacuumRun(t)
+          assert(tableRows(t) == want,
+            s"seed=$seed step=$step: vacuumRun changed the live table")
+        }
       }
     }
   }

@@ -17,23 +17,31 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, coun
   *
   *  - Data files are IMMUTABLE once written; a mutation only ADDS files
   *    (`mode("append")` writes fresh uniquely-named part files).
-  *  - A SNAPSHOT is a manifest file under `_manifests/manifest-<id>`:
-  *    the list of relative data-file paths that constitute the table.
-  *    Manifests are published with write-temp-then-ATOMIC_MOVE, so a
-  *    manifest either exists completely or not at all.
-  *  - Readers resolve the newest manifest and read EXACTLY its files —
-  *    a pinned snapshot that no concurrent commit can tear.
+  *  - A SNAPSHOT is identified by a manifest file under
+  *    `_manifests/manifest-<id>` — either a full CHECKPOINT (the
+  *    complete data-file list + directives) or, since round 11, a
+  *    DELTA carrying only the commit's ACTIONS (the Delta-log shape:
+  *    `+`/`-` file lines, changed `#stats`/`#rows`, appended `#dv`,
+  *    full-but-small `#schema`/`#txn`/`#prop`), with a checkpoint
+  *    every `graft.checkpoint.interval`-th commit — so commit metadata
+  *    cost is ∝ the WRITE SET, never O(table files). Manifests are
+  *    published atomically, so one exists completely or not at all.
+  *  - Readers resolve a snapshot as nearest-checkpoint + delta tail
+  *    ([[stateOfWith]], memoized) and read EXACTLY its files — a
+  *    pinned snapshot that no concurrent commit can tear.
   *  - Partition replacement = append the replacement rows, then commit
   *    a manifest that carries (previous files outside the dirty
   *    partitions) ∪ (the files the append just created). Clean
   *    partitions' files are never touched — the bounded-write-
   *    amplification contract is unchanged.
-  *  - VACUUM runs inside the commit: files referenced only by
-  *    manifests older than the previous one are deleted (readers get a
-  *    one-generation grace window — the retention contract), as are
-  *    never-referenced orphans from aborted appends once they are an
-  *    hour old (a concurrent in-flight append's fresh files are
-  *    younger and survive).
+  *  - VACUUM runs inside the commit (and as the explicit [[vacuumRun]]
+  *    verb): data files referenced only by past-retention snapshots
+  *    are deleted (readers get a `graft.retention.generations` grace
+  *    window), as are never-referenced orphans from aborted appends
+  *    once they are an hour old (a concurrent in-flight append's fresh
+  *    files are younger and survive); manifest files stay down to the
+  *    oldest retained snapshot's chain base — metadata-only links a
+  *    delta chain reconstructs through, never readable snapshots.
   *
   * Many-reader, MULTI-writer via optimistic concurrency (the Delta
   * protocol's commit rule, partition-granularity conflict detection):

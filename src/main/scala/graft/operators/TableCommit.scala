@@ -2767,7 +2767,7 @@ object TableCommit {
     * audit predicted. */
   def vacuumRun(table: String): (Int, Int) =
     manifestFiles(table).map(_._1).maxOption match {
-      case Some(newest) => vacuum(table, newest)
+      case Some(newest) => vacuum(table, newest, sweepOrphans = true)
       case None => (0, 0)
     }
 
@@ -2779,8 +2779,19 @@ object TableCommit {
     * checkpoint) — a chain-link manifest below the retention window is
     * metadata only, its exclusive data files are gone and [[manifests]]
     * does not surface it as a readable snapshot. Returns (dead files
-    * deleted, stale orphans deleted). */
-  private def vacuum(table: String, newest: Long): (Int, Int) = {
+    * deleted, stale orphans deleted).
+    *
+    * `sweepOrphans` — the ORPHAN sweep needs a full table-tree LISTING
+    * (orphans are by definition referenced by no manifest, so only a
+    * walk finds them): that is O(table files), which is fine for the
+    * user-invoked [[vacuumRun]] (exactly where Delta's VACUUM pays the
+    * same LIST) but must NOT ride inside every commit at 100 TB — the
+    * inline per-commit vacuum therefore sweeps only what metadata
+    * names (past-retention dead files, unreferenced DV trees, chain-
+    * surplus manifests), all bounded by the dropped snapshots' write
+    * sets. */
+  private def vacuum(table: String, newest: Long,
+      sweepOrphans: Boolean = false): (Int, Int) = {
     val all = manifestFiles(table)
     val keep = retentionOf(table)
     val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
@@ -2796,10 +2807,13 @@ object TableCommit {
       stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
     dead.foreach(f => new java.io.File(table, f).delete())
     // orphans: on-disk data files no kept manifest references — an
-    // aborted append's leftovers — swept once stale
-    val orphans = (listDataFiles(table).toSet -- live -- dead)
-      .map(f => new java.io.File(table, f))
-      .filter(f => f.lastModified() < cutoff)
+    // aborted append's leftovers — swept once stale, EXPLICIT-vacuum
+    // only (the required tree walk is O(table files))
+    val orphans =
+      if (!sweepOrphans) Set.empty[java.io.File]
+      else (listDataFiles(table).toSet -- live -- dead)
+        .map(f => new java.io.File(table, f))
+        .filter(f => f.lastModified() < cutoff)
     orphans.foreach(_.delete())
     // deletion-vector trees: keep every dir a retained snapshot
     // references; sweep the rest once stale (in-flight MoR writers'

@@ -100,7 +100,8 @@ class TableCommitSpec extends GraftSpec {
   }
 
   test("an aborted writer (files appended, no manifest committed) is " +
-      "invisible to readers and swept by the next successful commit") {
+      "invisible to readers; an EXPLICIT vacuum reclaims its stale " +
+      "debris (commits never pay the O(table) orphan walk)") {
     val t = freshTable()
     TableCommit.initIfAbsent(t)
     val before = snapshot(t)
@@ -110,8 +111,7 @@ class TableCommitSpec extends GraftSpec {
       .write.mode("append").partitionBy("pt").parquet(t)
     assert(snapshot(t) == before,
       "uncommitted files leaked into the pinned snapshot")
-    // age the abandoned files past the orphan window; the next commit's
-    // vacuum reclaims them
+    // age the abandoned files past the orphan window
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -123,8 +123,13 @@ class TableCommitSpec extends GraftSpec {
     assert(orphans.nonEmpty)
     orphans.foreach(_.setLastModified(
       System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // a COMMIT does not pay the tree walk — the debris survives it...
     TableCommit.replacePartitions(spark, t, "pt", Seq("pt=2"),
       Seq((50L, "E", 2)).toDF("id", "v", "pt"))
+    assert(orphans.forall(_.exists()),
+      "inline vacuum paid the O(table) orphan walk")
+    // ...and the explicit maintenance verb reclaims it
+    TableCommit.vacuumRun(t)
     assert(orphans.forall(!_.exists()), "aborted append's files not reclaimed")
     assert(snapshot(t) == before.filterNot(_._3 == 2) + ((50L, "E", 2)))
   }
@@ -1002,8 +1007,12 @@ class TableCommitSpec extends GraftSpec {
     // stage the NEXT commit's state without running it: audit first
     TableCommit.appendRows(spark, t, "pt",
       Seq((40L, "D", 2)).toDF("id", "v", "pt"))
-    // after the append's vacuum, generation 0 is gone; audit the live
-    // window and verify it deleted nothing it reported as retained
+    // after the append's vacuum, generation 0 is gone; the aged orphan
+    // survives COMMITS (no inline O(table) walk) until the explicit
+    // verb sweeps it — then audit the live window and verify nothing
+    // it reported as retained was deleted
+    assert(orphan.exists(), "a commit paid the orphan walk")
+    TableCommit.vacuumRun(t)
     val (ids, live, dead, orphans) = TableCommit.vacuumAudit(t)
     assert(ids.length == 2 && ids.head == TableCommit.resolve(t).get._1)
     assert(dead == 0, s"retained window still carries dead files: $dead")
@@ -1131,8 +1140,8 @@ class TableCommitSpec extends GraftSpec {
         s"pushed=$pushed\n${plan.take(3000)}")
   }
 
-  test("vacuum sweeps stale never-referenced orphans but spares fresh ones " +
-      "(a concurrent in-flight append's files)") {
+  test("explicit vacuum sweeps stale never-referenced orphans but spares " +
+      "fresh ones (a concurrent in-flight append's files)") {
     val t = freshTable()
     TableCommit.initIfAbsent(t)
     val staleOrphan = new java.io.File(t, "pt=0/orphan-stale.parquet")
@@ -1142,6 +1151,7 @@ class TableCommitSpec extends GraftSpec {
     java.nio.file.Files.write(freshOrphan.toPath, Array[Byte](1, 2, 3))
     TableCommit.replacePartitions(spark, t, "pt", Seq("pt=1"),
       Seq((30L, "C", 1)).toDF("id", "v", "pt"))
+    TableCommit.vacuumRun(t)
     assert(!staleOrphan.exists(), "hour-old unreferenced orphan not swept")
     assert(freshOrphan.exists(), "fresh orphan swept under an in-flight writer")
     // the orphans never entered any manifest: reads are unaffected

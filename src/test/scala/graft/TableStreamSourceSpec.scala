@@ -301,4 +301,48 @@ class TableStreamSourceSpec extends GraftSpec {
       got4.map(_._1).toSet == (10L until 22L).toSet,
       s"bytes-capped drain lost or duplicated rows")
   }
+
+  test("RANDOMIZED split-offset property: random-size commits interleaved " +
+      "with capped AvailableNow drains from one checkpoint — the sink " +
+      "ends exactly equal to the source, no row lost or duplicated, " +
+      "whatever the cap/commit interleaving") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val t = committedTable()
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft_tsp$seed")
+      val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+      val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+      var nextId = 100L
+      for (round <- 0 until 4) {
+        // 1..3 commits of 1..8 files each (distinct pt values = files)
+        for (_ <- 0 to rnd.nextInt(3)) {
+          val nFiles = 1 + rnd.nextInt(8)
+          val rows = (0 until nFiles * 2).map(i =>
+            (nextId + i, s"r$round", (i % nFiles) + 10 * round))
+          nextId += nFiles * 2
+          TableCommit.appendRows(spark, t, "pt",
+            rows.toDF("id", "v", "pt"))
+        }
+        // drain under a random cap mix (sometimes none)
+        val caps = rnd.nextInt(4) match {
+          case 0 => Map.empty[String, String]
+          case 1 => Map("maxFilesPerTrigger" -> (1 + rnd.nextInt(3)).toString)
+          case 2 => Map("maxRowsPerTrigger" -> (1 + rnd.nextInt(6)).toString)
+          case _ => Map("maxFilesPerTrigger" -> (1 + rnd.nextInt(3)).toString,
+            "maxRowsPerTrigger" -> (2 + rnd.nextInt(8)).toString)
+        }
+        drain(t, ckpt, out, caps)
+      }
+      val got = sunk(out)
+      assert(got.length == got.toSet.size,
+        s"seed=$seed: interleaved capped drains duplicated rows")
+      val want = TableCommit.read(spark, t)
+        .select(col("id"), col("v"), col("pt").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got.toSet == want,
+        s"seed=$seed: sink diverged from source " +
+          s"(missing=${(want -- got.toSet).take(5)}, " +
+          s"extra=${(got.toSet -- want).take(5)})")
+    }
+  }
 }

@@ -119,14 +119,40 @@ object TableCommit {
     s"${attrs.fileKey()}#${attrs.size()}#${attrs.lastModifiedTime().toMillis}"
   }
 
+  /** Integrity directive in every manifest's HEADER since round 11:
+    * `#len <n>` where n counts every OTHER non-empty line (first line
+    * of a checkpoint; second of a delta, after the `#delta` marker —
+    * header position, because a trailing truncation would eat a
+    * trailing count). The hard-link publish is atomic, but disk
+    * truncation and bit rot are not — and a PARTIAL manifest would
+    * otherwise reconstruct a silently-wrong snapshot (the line parsers
+    * ignore what they don't recognize). Validation fails LOUDLY
+    * instead; manifests without the directive (older rounds) skip
+    * it. */
+  private val LenPrefix = "#len "
+
   private def manifestLines(f: java.io.File): Seq[String] = {
     val identity = fileIdentity(f)
     val cached = manifestMemo.get(f.getAbsolutePath)
     if (cached != null && cached._1 == identity) cached._2
     else {
-      val lines =
+      val raw =
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           .linesIterator.filter(_.nonEmpty).toSeq
+      val lines = raw.take(2).find(_.startsWith(LenPrefix)) match {
+        case Some(l) =>
+          val declared = scala.util.Try(
+            l.stripPrefix(LenPrefix).trim.toLong).getOrElse(-1L)
+          if (declared != raw.length - 1)
+            sys.error(s"corrupt manifest ${f.getAbsolutePath}: declares " +
+              s"$declared line(s), found ${raw.length - 1} — truncated or " +
+              "bit-rotted metadata; restore the file or the table")
+          raw.filterNot(_ eq l)
+        case None =>
+          // no integrity directive (pre-r11 manifest) — accept as-is
+          // (adoption compatibility)
+          raw
+      }
       if (manifestMemo.size > 8192) manifestMemo.clear()
       manifestMemo.put(f.getAbsolutePath, (identity, lines))
       lines
@@ -1042,8 +1068,17 @@ object TableCommit {
             rec.schema == intendedSchema
           if (exact && d.length < ckptLines.length) d else ckptLines
       }
+    // header #len integrity directive: a truncated manifest fails
+    // loudly on read instead of reconstructing a silently-wrong state
+    // (header position — trailing truncation would eat a trailing
+    // count; a delta keeps its #delta marker first)
+    val lenLine = s"$LenPrefix${lines.length}"
+    val sealed0 =
+      if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
+        lines.head +: lenLine +: lines.tail
+      else lenLine +: lines
     java.nio.file.Files.write(tmp.toPath,
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      sealed0.mkString("", "\n", "\n").getBytes("UTF-8"))
     val won =
       try {
         java.nio.file.Files.createLink(

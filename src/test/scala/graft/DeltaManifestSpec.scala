@@ -210,6 +210,31 @@ class DeltaManifestSpec extends GraftSpec {
       "chain base drifted or leaked")
   }
 
+  test("a TRUNCATED manifest fails LOUDLY (#len header integrity): a " +
+      "partial delta would otherwise reconstruct a silently-wrong " +
+      "snapshot — the parsers ignore lines they lost") {
+    val t = new java.io.File(freshDir(), "trunc").getAbsolutePath
+    Seq((0L, "seed", 0)).toDF("id", "v", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      (0 until 100).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 5)
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((500L, "x", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    assert(TableCommit.read(spark, t).count() == 101L)
+    // truncate the NEWEST manifest: drop its trailing 40% of lines
+    // (what a torn write or disk truncation leaves behind)
+    val (_, m) = manifestFilesOf(t).maxBy(_._1)
+    val all = scala.io.Source.fromFile(m, "UTF-8").getLines().toSeq
+    java.nio.file.Files.write(m.toPath,
+      all.dropRight(math.max(1, all.length * 2 / 5))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[RuntimeException](TableCommit.read(spark, t).count())
+    assert(e.getMessage.contains("corrupt manifest"),
+      s"truncation not detected: ${e.getMessage}")
+  }
+
   test("a MERGE-ON-READ delete commits as a delta: only the new vector " +
       "registration and the adjusted #rows entries ride the manifest — " +
       "no file list rewrite") {

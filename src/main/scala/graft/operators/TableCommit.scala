@@ -1488,6 +1488,17 @@ object TableCommit {
     val shaped = clusterBy match {
       case Seq(c) if filesPerPartition > 1 =>
         df.repartitionByRange(nShape, col(partCol), col(c))
+      case cs if cs.length > 7 && filesPerPartition > 1 =>
+        // beyond mortonColumnOfN's 7-dim interleave budget: fall
+        // through to plain partition repartition (the pre-Z-order
+        // behavior) rather than throwing — 8+ Z-order dimensions buy
+        // ~nothing anyway (per-dim locality decays as 2^(64/N));
+        // #stats are still recorded for every clusterBy column
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"clusterBy has ${cs.length} columns — Z-order interleave " +
+            "supports at most 7; falling back to plain repartition " +
+            "(stats still recorded)")
+        df.repartition(col(partCol))
       case cs if cs.length >= 2 && filesPerPartition > 1 =>
         // 2 dims = the tight morton16 constants; 3+ dims = the generic
         // N-way interleave (no silent cap: every declared cluster
@@ -1500,7 +1511,8 @@ object TableCommit {
       case _ => df.repartition(col(partCol))
     }
     val checked = constraints(table)
-    val wmap = writeMapping(table, shaped.columns.toSeq)
+    val wcols = shaped.columns.toSeq
+    val wmap = writeMapping(table, wcols)
     val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile,
       checked, wmap)
     // `#stats` capture for the just-written files: one narrow grouped
@@ -1555,7 +1567,7 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         retainedSet.contains)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema, c.props)
+      guardMapping(table, wmap, wcols, c.schema, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1704,7 +1716,8 @@ object TableCommit {
       case None => df.repartition(col(partCol))
     }
     val checked = constraints(table)
-    val wmap = writeMapping(table, shaped.columns.toSeq)
+    val wcols = shaped.columns.toSeq
+    val wmap = writeMapping(table, wcols)
     val fresh = stageMove(table, writerId, shaped, partCol,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
@@ -1720,7 +1733,7 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         _ => true)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema, c.props)
+      guardMapping(table, wmap, wcols, c.schema, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -1814,9 +1827,24 @@ object TableCommit {
   private def writeMapping(table: String,
       cols: Seq[String]): Map[String, String] = {
     val st = manifests(table).sortBy(-_._1).headOption.map(_._2)
-    st.flatMap(_.schema) match {
+    computeMapping(st.flatMap(_.schema),
+      st.map(_.props).getOrElse(Map.empty), cols)
+  }
+
+  /** The pure fold behind [[writeMapping]] AND [[guardMapping]] —
+    * SINGLE-SOURCED so the guard's expectation is computed by the
+    * exact algorithm the stage write used (fresh-physical assignment
+    * THREADS the used-set across columns: a write adding two new
+    * columns whose fresh physicals interact — re-adding dropped 'x'
+    * alongside a column literally named 'x_r1' — assigns 'x_r2', and
+    * an independent per-column recomputation would expect 'x_r1' and
+    * conflict deterministically with no retry able to clear it). */
+  private def computeMapping(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      props: Map[String, String],
+      cols: Seq[String]): Map[String, String] =
+    schema match {
       case Some(sch) =>
-        val props = st.map(_.props).getOrElse(Map.empty)
         val known = sch.fields.map(f => f.name -> physicalOf(f)).toMap
         cols.foldLeft(
           (Map.empty[String, String], usedPhysicals(sch, props))) {
@@ -1830,7 +1858,6 @@ object TableCommit {
         }._1
       case None => cols.map(c => c -> c).toMap
     }
-  }
 
   /** OCC guard for column-mapped writes: the stage write bound logical
     * names to physical names read from the base AT STAGE TIME;
@@ -1845,23 +1872,27 @@ object TableCommit {
     * physical). Tables with no mapping surface anywhere (identity
     * write map, no bindings, no quarantine) pay one map probe. */
   private def guardMapping(table: String, wmap: Map[String, String],
+      cols: Seq[String],
       baseSchema: Option[org.apache.spark.sql.types.StructType],
       baseProps: Map[String, String]): Unit = {
     val identity = wmap.forall { case (l, p) => l == p }
     val baseMapped = baseSchema.exists(hasMapping) ||
       baseProps.get(DroppedProp).exists(_.nonEmpty)
     if (identity && !baseMapped) return
-    baseSchema.foreach { sch =>
-      val used = usedPhysicals(sch, baseProps)
-      val known = sch.fields.map(f => f.name -> physicalOf(f)).toMap
-      wmap.foreach { case (l, p) =>
-        val expect = known.getOrElse(l, assignPhysical(l, used))
-        if (expect != p)
-          throw new CommitConflictException(
-            s"concurrent commit changed the physical binding of column " +
-              s"$l of $table (staged as $p, the base now binds $expect) " +
-              "— re-run the write so it stages under the current mapping")
-      }
+    if (baseSchema.isEmpty) return
+    // re-run the WHOLE writeMapping fold over the staged column order
+    // against the current base and compare maps — per-column checks
+    // would mis-expect when two fresh physicals interact (the
+    // used-set threads through the fold)
+    val expect = computeMapping(baseSchema, baseProps, cols)
+    if (expect != wmap) {
+      val diff = cols.filter(c => expect.get(c) != wmap.get(c))
+      throw new CommitConflictException(
+        s"concurrent commit changed the physical binding of column(s) " +
+          s"${diff.mkString(",")} of $table (staged as " +
+          s"${diff.map(wmap.get).mkString(",")}, the base now binds " +
+          s"${diff.map(expect.get).mkString(",")}) — re-run the write " +
+          "so it stages under the current mapping")
     }
   }
 
@@ -2107,7 +2138,8 @@ object TableCommit {
       case None => replacement.repartition(col(partCol))
     }
     val checked = constraints(table)
-    val wmap = writeMapping(table, shaped.columns.toSeq)
+    val wcols = shaped.columns.toSeq
+    val wmap = writeMapping(table, wcols)
     val fresh = stageMove(table, writerId, shaped, partCol,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
@@ -2135,7 +2167,7 @@ object TableCommit {
       val retained = next.toSet
       val c = carriedFrom(baseM.map(_._2), retained.contains)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema, c.props)
+      guardMapping(table, wmap, wcols, c.schema, c.props)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -2371,7 +2403,8 @@ object TableCommit {
       case None => updated.repartition(col(partCol))
     }
     val checked = constraints(table)
-    val wmap = writeMapping(table, shaped.columns.toSeq)
+    val wcols = shaped.columns.toSeq
+    val wmap = writeMapping(table, wcols)
     val fresh = stageMove(table, writerId, shaped, partCol,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
@@ -2398,7 +2431,7 @@ object TableCommit {
       val next = baseFiles ++ fresh
       val c = carriedFrom(baseM.map(_._2), _ => true)
       guardConstraints(table, checked, c.props)
-      guardMapping(table, wmap, c.schema, c.props)
+      guardMapping(table, wmap, wcols, c.schema, c.props)
       val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       val nextRows = c.rows.map { case (rel, n) =>
@@ -2612,7 +2645,8 @@ object TableCommit {
         case None => freshSrc.repartition(col(partCol))
       }
       val checked = constraints(table)
-      val wmap = writeMapping(table, shaped.columns.toSeq)
+      val wcols = shaped.columns.toSeq
+      val wmap = writeMapping(table, wcols)
       val fresh = stageMove(table, writerId, shaped, partCol,
         checkedConstraints = checked, wmap = wmap)
       val (freshStats, freshRows) =
@@ -2663,7 +2697,7 @@ object TableCommit {
         }
         val c = carriedFrom(baseM.map(_._2), _ => true)
         guardConstraints(table, checked, c.props)
-        guardMapping(table, wmap, c.schema, c.props)
+        guardMapping(table, wmap, wcols, c.schema, c.props)
         val nextDv =
           if (hit.isEmpty) c.dv
           else c.dv ++ hit.map(rel =>
@@ -2824,7 +2858,13 @@ object TableCommit {
     * inline per-commit vacuum therefore sweeps only what metadata
     * names (past-retention dead files, unreferenced DV trees, chain-
     * surplus manifests), all bounded by the dropped snapshots' write
-    * sets. */
+    * sets. So that aborted/conflicted commits' already-moved files do
+    * not accumulate FOREVER on a deployment that never calls
+    * [[vacuumRun]], the inline vacuum ALSO runs the orphan walk on a
+    * SAMPLED cadence — every checkpoint-interval-th commit (the same
+    * ids that already pay an O(state) checkpoint write) — amortizing
+    * the LIST to 1/N commits; schedule [[vacuumRun]] for prompter
+    * hygiene. */
   private def vacuum(table: String, newest: Long,
       sweepOrphans: Boolean = false): (Int, Int) = {
     val all = manifestFiles(table)
@@ -2842,10 +2882,18 @@ object TableCommit {
       stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
     dead.foreach(f => new java.io.File(table, f).delete())
     // orphans: on-disk data files no kept manifest references — an
-    // aborted append's leftovers — swept once stale, EXPLICIT-vacuum
-    // only (the required tree walk is O(table files))
+    // aborted append's leftovers — swept once stale. The required tree
+    // walk is O(table files), so it runs on the EXPLICIT vacuumRun and
+    // on the sampled checkpoint-commit cadence (see scaladoc), never
+    // on every commit
+    val doSweep = sweepOrphans || (newest > 0L && {
+      val interval = checkpointIntervalOf(
+        keepIds.maxOption.flatMap(id => stateOfWith(all.toMap, id))
+          .map(_.props).getOrElse(Map.empty))
+      newest % interval == 0L
+    })
     val orphans =
-      if (!sweepOrphans) Set.empty[java.io.File]
+      if (!doSweep) Set.empty[java.io.File]
       else (listDataFiles(table).toSet -- live -- dead)
         .map(f => new java.io.File(table, f))
         .filter(f => f.lastModified() < cutoff)

@@ -123,7 +123,8 @@ class TableCommitSink(table: String, partCol: String,
   private def appIdFor(data: org.apache.spark.sql.DataFrame): String = {
     if (resolvedAppId == null)
       resolvedAppId = Option(data.sparkSession.sparkContext
-          .getLocalProperty("sql.streaming.queryId"))
+          .getLocalProperty(
+            org.apache.spark.sql.graft.StreamingBridge.queryIdKey))
         .map(q => "graft_table_sink_q_" + q)
         .getOrElse(sys.error(
           "graft-table sink needs a txn identity for its exactly-once " +

@@ -49,6 +49,15 @@ object StreamingBridge {
       df.schema, isStreaming = true)
   }
 
+  /** The engine-internal local-property key a running streaming query
+    * publishes its queryId under — pinned to the engine's OWN constant
+    * (`StreamExecution.QUERY_ID_KEY`) instead of a string literal, so
+    * a Spark version moving the key breaks this COMPILE, not the
+    * sink's txn identity at runtime. */
+  def queryIdKey: String =
+    org.apache.spark.sql.execution.streaming.runtime
+      .StreamExecution.QUERY_ID_KEY
+
   /** The inverse, for the SINK side: a micro-batch frame handed to a
     * V1 `Sink.addBatch` is streaming-tagged and refuses `write` — the
     * standard connector move (Delta's `DeltaSink` does the same) is to

@@ -61,28 +61,24 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, coun
   * everything else is unchanged. */
 object TableCommit {
 
-  private val ManifestDir = "_manifests"
-
   /** Raised when a concurrent commit modified one of this writer's
     * dirty partitions between its snapshot read and its publish. */
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
-  private def manifestDir(table: String) = new java.io.File(table, ManifestDir)
+  /** The storage adapter every IO this object performs routes through
+    * — the seam that ports the protocol to object storage (see
+    * [[TableStore]]). Resolution is per-table (prefix registry), so
+    * one JVM serves local and remote tables side by side. */
+  private def store(table: String): TableStore = TableStore.forTable(table)
 
-  private val ManifestName = "manifest-([0-9]{9})".r
-
-  /** All (id, file) manifest FILES on disk, unordered — checkpoint and
-    * delta segments alike. Internal: a file with id ≤ newest−retention
-    * may exist purely as a CHAIN link (the checkpoint+deltas an oldest
+  /** Ids of all manifest objects present, unordered — checkpoint and
+    * delta segments alike. Internal: an id ≤ newest−retention may
+    * exist purely as a CHAIN link (the checkpoint+deltas an oldest
     * retained snapshot reconstructs from) and is NOT a readable
     * snapshot; the public surface goes through [[manifests]]. */
-  private def manifestFiles(table: String): Seq[(Long, java.io.File)] =
-    Option(manifestDir(table).listFiles()).getOrElse(Array.empty).toSeq
-      .flatMap(f => f.getName match {
-        case ManifestName(id) => Some(id.toLong -> f)
-        case _ => None
-      })
+  private def manifestIds(table: String): Seq[Long] =
+    store(table).listManifestIds(table)
 
   /** A fully-reconstructed snapshot STATE: what one manifest id pins —
     * the unit every verb and reader works against. With delta-encoded
@@ -95,29 +91,27 @@ object TableCommit {
       files: Seq[String],
       stats: Map[(String, String), (String, String)],
       rows: Map[String, Long],
+      bytes: Map[String, Long],
       dv: Map[String, Seq[String]],
       props: Map[String, String],
       txns: Map[String, Long],
       schema: Option[org.apache.spark.sql.types.StructType])
 
-  // Published manifests are IMMUTABLE (hard-link CAS), so their content
-  // can be memoized — one readFiles call otherwise re-reads the same
-  // manifest ~4×, an OCC iteration ~6×. But a PATH is not an identity:
-  // harness tables live at deterministic tmp paths and are deleted and
-  // recreated across invocations, so manifest-000000001 can reappear at
-  // the same path with different content (a path-keyed memo served a
-  // stale file list here — vacuumed files included). Each hit therefore
-  // revalidates against the file's identity — inode key + size + mtime,
-  // one stat instead of a read+parse. Bounded clear keeps long-running
-  // JVMs (the bench's hundreds of per-invocation clone tables) flat.
+  // Published manifests are IMMUTABLE (conditional-put CAS), so their
+  // content can be memoized — one readFiles call otherwise re-reads the
+  // same manifest ~4×, an OCC iteration ~6×. But a PATH is not an
+  // identity: harness tables live at deterministic tmp paths and are
+  // deleted and recreated across invocations, so manifest-000000001 can
+  // reappear at the same path with different content (a path-keyed memo
+  // served a stale file list here — vacuumed files included). Each hit
+  // therefore revalidates against the STORE's identity token (local:
+  // inode key + size + mtime, one stat instead of a read+parse; memory:
+  // a monotonic put counter). Bounded clear keeps long-running JVMs
+  // (the bench's hundreds of per-invocation clone tables) flat.
   private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[String])]()
 
-  private def fileIdentity(f: java.io.File): String = {
-    val attrs = java.nio.file.Files.readAttributes(
-      f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
-    s"${attrs.fileKey()}#${attrs.size()}#${attrs.lastModifiedTime().toMillis}"
-  }
+  private def memoKey(table: String, id: Long): String = s"$table::$id"
 
   /** Integrity directive in every manifest's HEADER since round 11:
     * `#len <n>` where n counts every OTHER non-empty line (first line
@@ -131,20 +125,21 @@ object TableCommit {
     * it. */
   private val LenPrefix = "#len "
 
-  private def manifestLines(f: java.io.File): Seq[String] = {
-    val identity = fileIdentity(f)
-    val cached = manifestMemo.get(f.getAbsolutePath)
+  private def manifestLines(table: String, id: Long): Seq[String] = {
+    val identity = store(table).manifestIdentity(table, id).getOrElse(
+      sys.error(s"manifest $id of $table disappeared mid-read"))
+    val key = memoKey(table, id)
+    val cached = manifestMemo.get(key)
     if (cached != null && cached._1 == identity) cached._2
     else {
-      val raw =
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .linesIterator.filter(_.nonEmpty).toSeq
+      val raw = store(table).readManifest(table, id)
+        .linesIterator.filter(_.nonEmpty).toSeq
       val lines = raw.take(2).find(_.startsWith(LenPrefix)) match {
         case Some(l) =>
           val declared = scala.util.Try(
             l.stripPrefix(LenPrefix).trim.toLong).getOrElse(-1L)
           if (declared != raw.length - 1)
-            sys.error(s"corrupt manifest ${f.getAbsolutePath}: declares " +
+            sys.error(s"corrupt manifest $id of $table: declares " +
               s"$declared line(s), found ${raw.length - 1} — truncated or " +
               "bit-rotted metadata; restore the file or the table")
           raw.filterNot(_ eq l)
@@ -154,7 +149,7 @@ object TableCommit {
           raw
       }
       if (manifestMemo.size > 8192) manifestMemo.clear()
-      manifestMemo.put(f.getAbsolutePath, (identity, lines))
+      manifestMemo.put(key, (identity, lines))
       lines
     }
   }
@@ -170,8 +165,8 @@ object TableCommit {
   /** Parse a CHECKPOINT manifest's lines into a [[Snapshot]]. */
   private def parseCkpt(id: Long, lines: Seq[String]): Snapshot =
     Snapshot(id, filesOfLines(lines), statsOfLines(lines),
-      rowsOfLines(lines), dvOfLines(lines), propsOfLines(lines),
-      txnsOfLines(lines), schemaOfLines(lines))
+      rowsOfLines(lines), bytesOfLines(lines), dvOfLines(lines),
+      propsOfLines(lines), txnsOfLines(lines), schemaOfLines(lines))
 
   /** Apply one DELTA manifest on top of its base state. Delta
     * semantics, exact by construction ([[publish]] verifies the
@@ -200,6 +195,8 @@ object TableCommit {
         statsOfLines(lines),
       base.rows.filter { case (rel, _) => retained(rel) } ++
         rowsOfLines(lines),
+      base.bytes.filter { case (rel, _) => retained(rel) } ++
+        bytesOfLines(lines),
       dvAppends.foldLeft(
         base.dv.filter { case (rel, _) => retained(rel) }) {
         case (acc, (rel, dirs)) =>
@@ -211,53 +208,51 @@ object TableCommit {
   }
 
   // Reconstructed states are memoized like manifest lines — keyed by
-  // the manifest file's path, revalidated against the identity of the
-  // WHOLE chain beneath it (a recreated tmp-path table invalidates at
-  // the checkpoint link, which propagates up through the chain idents).
+  // (table, id), revalidated against the identity of the WHOLE chain
+  // beneath (a recreated tmp-path table invalidates at the checkpoint
+  // link, which propagates up through the chain idents).
   private val stateMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Snapshot)]()
 
-  /** [[stateOf]] against a pre-listed manifest map — one directory
-    * listing serves a whole [[manifests]] call. ITERATIVE (the chain
-    * walk is bounded only by the user-settable checkpoint interval, so
+  /** [[stateOf]] against a pre-listed id set — one store listing
+    * serves a whole [[manifests]] call. ITERATIVE (the chain walk is
+    * bounded only by the user-settable checkpoint interval, so
     * recursion could overflow the stack on a pathological cadence):
     * walk DOWN collecting delta links until the checkpoint, then fold
     * UP applying them, memoizing each intermediate state under its
     * chain identity. */
-  private def stateOfWith(byId: Map[Long, java.io.File],
+  private def stateOfWith(table: String, present: Set[Long],
       id: Long): Option[Snapshot] = {
-    def memoPut(f: java.io.File,
+    def ident(i: Long): String =
+      store(table).manifestIdentity(table, i).getOrElse("absent")
+    def memoPut(i: Long,
         entry: (String, Snapshot)): (String, Snapshot) = {
       if (stateMemo.size > 8192) stateMemo.clear()
-      stateMemo.put(f.getAbsolutePath, entry)
+      stateMemo.put(memoKey(table, i), entry)
       entry
     }
     // walk down to the chain base (checkpoint), collecting delta links
-    val chain = collection.mutable.ArrayBuffer.empty[(Long, java.io.File)]
+    val chain = collection.mutable.ArrayBuffer.empty[Long]
     var i = id
-    var ckpt: Option[java.io.File] = None
-    while (ckpt.isEmpty) {
-      byId.get(i) match {
-        case None => return None
-        case Some(f) =>
-          if (isDelta(manifestLines(f))) { chain += ((i, f)); i -= 1 }
-          else ckpt = Some(f)
-      }
+    var haveCkpt = false
+    while (!haveCkpt) {
+      if (!present(i)) return None
+      if (isDelta(manifestLines(table, i))) { chain += i; i -= 1 }
+      else haveCkpt = true
     }
     // fold up from the checkpoint, serving memo hits per link
-    val ckptFile = ckpt.get
-    val ckptIdent = fileIdentity(ckptFile)
+    val ckptIdent = ident(i)
     var acc: (String, Snapshot) = {
-      val cached = stateMemo.get(ckptFile.getAbsolutePath)
+      val cached = stateMemo.get(memoKey(table, i))
       if (cached != null && cached._1 == ckptIdent) cached
-      else memoPut(ckptFile, (ckptIdent, parseCkpt(i, manifestLines(ckptFile))))
+      else memoPut(i, (ckptIdent, parseCkpt(i, manifestLines(table, i))))
     }
-    chain.reverseIterator.foreach { case (j, f) =>
-      val chainIdent = s"${acc._1}|${fileIdentity(f)}"
-      val cached = stateMemo.get(f.getAbsolutePath)
+    chain.reverseIterator.foreach { j =>
+      val chainIdent = s"${acc._1}|${ident(j)}"
+      val cached = stateMemo.get(memoKey(table, j))
       acc =
         if (cached != null && cached._1 == chainIdent) cached
-        else memoPut(f, (chainIdent, applyDelta(acc._2, j, manifestLines(f))))
+        else memoPut(j, (chainIdent, applyDelta(acc._2, j, manifestLines(table, j))))
     }
     Some(acc._2)
   }
@@ -266,30 +261,30 @@ object TableCommit {
     * plus the delta tail, applied in order. None when `id` (or any
     * chain link under it) has no manifest file. */
   private def stateOf(table: String, id: Long): Option[Snapshot] =
-    stateOfWith(manifestFiles(table).toMap, id)
+    stateOfWith(table, manifestIds(table).toSet, id)
 
   /** All RETAINED snapshots (id, state), unordered — the public unit
     * the readers, diffs and verbs work against. Manifest files older
     * than the retention window that survive only as chain links are
     * excluded: their snapshots are not readable (their exclusive data
     * files are vacuumed), exactly the pre-delta behavior where the
-    * manifest file itself was deleted. ONE directory listing serves
-    * the whole call; the newest state (resolved for the retention
+    * manifest file itself was deleted. ONE store listing serves the
+    * whole call; the newest state (resolved for the retention
     * property) is reused, not reconstructed twice. */
   private def manifests(table: String): Seq[(Long, Snapshot)] = {
-    val all = manifestFiles(table)
+    val all = manifestIds(table)
     if (all.isEmpty) Seq.empty
     else {
-      val byId = all.toMap
-      val newest = all.map(_._1).max
+      val present = all.toSet
+      val newest = all.max
       // retention from the NEWEST state's properties (self-describing)
-      val newestState = stateOfWith(byId, newest)
+      val newestState = stateOfWith(table, present, newest)
       val keep = newestState
         .flatMap(_.props.get("graft.retention.generations"))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
         .filter(_ >= 2L).getOrElse(2L)
-      all.map(_._1).filter(_ > newest - keep).sorted.flatMap { rid =>
-        (if (rid == newest) newestState else stateOfWith(byId, rid))
+      all.filter(_ > newest - keep).sorted.flatMap { rid =>
+        (if (rid == newest) newestState else stateOfWith(table, present, rid))
           .map(rid -> _)
       }
     }
@@ -306,6 +301,7 @@ object TableCommit {
   private final case class Carried(
       stats: Map[(String, String), (String, String)],
       rows: Map[String, Long],
+      bytes: Map[String, Long],
       dv: Map[String, Seq[String]],
       props: Map[String, String],
       txns: Map[String, Long],
@@ -317,10 +313,11 @@ object TableCommit {
       case Some(m) => Carried(
         m.stats.filter { case ((rel, _), _) => retained(rel) },
         m.rows.filter { case (rel, _) => retained(rel) },
+        m.bytes.filter { case (rel, _) => retained(rel) },
         m.dv.filter { case (rel, _) => retained(rel) },
         m.props, m.txns, m.schema)
       case None => Carried(Map.empty, Map.empty, Map.empty, Map.empty,
-        Map.empty, None)
+        Map.empty, Map.empty, None)
     }
 
   /** Data-file paths of a CHECKPOINT manifest's lines (directive lines
@@ -475,6 +472,34 @@ object TableCommit {
 
   private def rowsOf(m: Snapshot): Map[String, Long] = m.rows
 
+  /** Per-file SIZES a manifest carries (`#bytes <n>\t<relpath>`
+    * directive lines — the Delta add-action's `size`): recorded at
+    * stage-promotion time for every fresh file, carried forward with
+    * the file, so byte-based planning (a stream's maxBytesPerTrigger,
+    * a compaction picker) is MANIFEST METADATA — no per-file stat/HEAD
+    * against the store (round-11 verdict item 1's `#bytes` rider).
+    * Files without an entry (pre-bytes commits, adopted manifest-0)
+    * are simply absent; callers treat them conservatively. */
+  private val BytesPrefix = "#bytes "
+
+  private def bytesOfLines(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(BytesPrefix)).flatMap { l =>
+      l.stripPrefix(BytesPrefix).split("\t", 2) match {
+        case Array(n, rel) => scala.util.Try(rel -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Per-file `#bytes` entries of snapshot `id` — what the streaming
+    * source's byte admission plans from instead of statting files. */
+  def fileBytesAt(table: String, id: Long): Map[String, Long] =
+    manifests(table).find(_._1 == id).map(_._2.bytes).getOrElse(Map.empty)
+
+  /** Size of `table/rel` from the STORE (one stat/HEAD) — the
+    * fallback for files without a `#bytes` manifest entry. */
+  def statFileSize(table: String, rel: String): Long =
+    store(table).fileSize(table, rel)
+
   /** Per-file `#rows` entries of snapshot `id` — the metadata a
     * streaming source's bytes/rows admission control plans batches
     * from (files without an entry are simply absent; the caller
@@ -535,10 +560,14 @@ object TableCommit {
     * DV anti-join compute — executor-side string ops on the hidden
     * `_metadata` column, so writer and reader derive the key from the
     * SAME URI rendering and no driver-side decode can skew it. */
-  private def dvKeyCols(df: DataFrame): DataFrame = {
+  private def dvKeyCols(df: DataFrame, depth: Int = 1): DataFrame = {
     val segs = fsplit(col("_metadata").getField("file_path"), "/")
-    df.withColumn("__graft_dvk",
-        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+    // depth+1 trailing segments: the FULL manifest-relative path (all
+    // partition levels + file name) — a two-level layout's second
+    // level alone does NOT identify a file (one write task can emit
+    // same-named part files under d=1/s=a and d=2/s=a)
+    val keyParts = (depth + 1).to(1, -1).map(i => element_at(segs, -i))
+    df.withColumn("__graft_dvk", concat_ws("/", keyParts: _*))
       .withColumn("__graft_dvp", col("_metadata").getField("row_index"))
   }
 
@@ -623,7 +652,8 @@ object TableCommit {
       val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
-          c.schema.map(_.json), c.stats, c.rows, c.dv, c.props ++ kv)) {
+          c.schema.map(_.json), c.stats, c.rows, c.dv, c.props ++ kv,
+          c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -710,7 +740,7 @@ object TableCommit {
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, c.rows, c.dv,
-          c.props + (key -> exprSql))) {
+          c.props + (key -> exprSql), c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -730,18 +760,21 @@ object TableCommit {
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, c.rows, c.dv,
-          c.props - s"$ConstraintProp$name")) {
+          c.props - s"$ConstraintProp$name", c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
     }
   }
 
-  /** The table's partition column name, derived from the layout (the
-    * first path segment of any data file: `pt=5/...` → `pt`). None for
-    * a zero-file table. */
-  private def partColOf(files: Seq[String]): Option[String] =
-    files.headOption.map(f => partDir(f).takeWhile(_ != '='))
+  /** The table's partition column names, derived from the layout —
+    * every `k=` level of any data file's dir path (`d=1/s=a/...` →
+    * Seq(d, s)). Empty for a zero-file table. */
+  private def partColsOf(files: Seq[String]): Seq[String] =
+    files.headOption.toSeq.flatMap(f => partDir(f) match {
+      case "" => Nil
+      case d => d.split('/').toSeq.map(_.takeWhile(_ != '='))
+    })
 
   private def requireUnreferenced(table: String, column: String,
       props: Map[String, String], verb: String): Unit =
@@ -774,7 +807,7 @@ object TableCommit {
       require(sch.fieldNames.contains(from), s"no column $from in $table")
       require(!sch.fieldNames.contains(to),
         s"column $to already exists in $table")
-      partColOf(baseFiles).foreach(pc => require(from != pc,
+      partColsOf(baseFiles).foreach(pc => require(from != pc,
         s"cannot rename partition column $pc — partition directory " +
           "names are physical layout; rewrite the table instead"))
       requireUnreferenced(table, from, c.props, "rename")
@@ -789,7 +822,7 @@ object TableCommit {
       val newStats = c.stats.map { case ((rel, cc), v) =>
         ((rel, if (cc == from) to else cc), v) }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          newStats, c.rows, c.dv, c.props)) {
+          newStats, c.rows, c.dv, c.props, c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -816,7 +849,7 @@ object TableCommit {
         sys.error(s"no column $name in $table"))
       require(sch.fields.length > 1,
         s"cannot drop the only column of $table")
-      partColOf(baseFiles).foreach(pc => require(name != pc,
+      partColsOf(baseFiles).foreach(pc => require(name != pc,
         s"cannot drop partition column $pc — partition directory names " +
           "are physical layout"))
       requireUnreferenced(table, name, c.props, "drop")
@@ -828,7 +861,7 @@ object TableCommit {
         droppedSet.toSeq.sorted.mkString(","))
       val newStats = c.stats.filter { case ((_, cc), _) => cc != name }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          newStats, c.rows, c.dv, newProps)) {
+          newStats, c.rows, c.dv, newProps, c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -888,12 +921,12 @@ object TableCommit {
           s"${field.dataType.simpleString} to ${to.simpleString} — only " +
           "safe widenings are metadata-only; anything else requires a " +
           "full-table rewrite")
-      partColOf(baseFiles).foreach(pc => require(column != pc,
+      partColsOf(baseFiles).foreach(pc => require(column != pc,
         s"cannot widen partition column $pc — rewrite the table instead"))
       val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
         if (f.name == column) f.copy(dataType = to) else f))
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          c.stats, c.rows, c.dv, c.props)) {
+          c.stats, c.rows, c.dv, c.props, c.bytes)) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -956,18 +989,9 @@ object TableCommit {
     manifests(table).sortBy(-_._1).map { case (id, f) => id -> filesOf(f) }
 
   /** Relative paths of all data files under `table` (manifest dir,
-    * markers and hidden files excluded). */
-  private def listDataFiles(table: String): Seq[String] = {
-    val root = new java.io.File(table)
-    def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
-          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-      else Seq(rel)
-    // a missing/not-yet-written root is an EMPTY table, not Seq("")
-    if (root.isDirectory) walk(root, "") else Seq.empty
-  }
+    * markers and hidden files excluded) — the store's recursive walk. */
+  private def listDataFiles(table: String): Seq[String] =
+    store(table).listFilesUnder(table, "")
 
   /** The DELTA form of a commit relative to its base state: actions
     * only — added/removed files, new-or-changed stats/rows entries,
@@ -980,7 +1004,8 @@ object TableCommit {
   private def deltaLines(base: Snapshot, files: Seq[String],
       txns: Map[String, Long], schemaJson: Option[String],
       stats: Map[(String, String), (String, String)],
-      rows: Map[String, Long], dv: Map[String, Seq[String]],
+      rows: Map[String, Long], bytes: Map[String, Long],
+      dv: Map[String, Seq[String]],
       props: Map[String, String]): Seq[String] = {
     val baseSet = base.files.toSet
     val nextSet = files.toSet
@@ -988,6 +1013,7 @@ object TableCommit {
     val removes = base.files.filterNot(nextSet).distinct.sorted
     val statsDelta = stats.filter { case (k, v) => !base.stats.get(k).contains(v) }
     val rowsDelta = rows.filter { case (k, v) => !base.rows.get(k).contains(v) }
+    val bytesDelta = bytes.filter { case (k, v) => !base.bytes.get(k).contains(v) }
     val dvDelta = dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
       val prior = base.dv.getOrElse(rel, Seq.empty)
       val suffix = if (dirs.startsWith(prior)) dirs.drop(prior.length) else dirs
@@ -1001,6 +1027,8 @@ object TableCommit {
         s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
       rowsDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"$RowsPrefix$n\t$rel" } ++
+      bytesDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
+        s"$BytesPrefix$n\t$rel" } ++
       dvDelta ++
       adds.map("+" + _) ++
       removes.map("-" + _)
@@ -1037,16 +1065,14 @@ object TableCommit {
       stats: Map[(String, String), (String, String)] = Map.empty,
       rows: Map[String, Long] = Map.empty,
       dv: Map[String, Seq[String]] = Map.empty,
-      props: Map[String, String] = Map.empty): Boolean = {
-    val dir = manifestDir(table)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir,
-      f".manifest-$id%09d." + java.util.UUID.randomUUID().toString.take(8))
+      props: Map[String, String] = Map.empty,
+      bytes: Map[String, Long] = Map.empty): Boolean = {
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
         s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
       rows.toSeq.sortBy(_._1).map { case (rel, n) => s"$RowsPrefix$n\t$rel" } ++
+      bytes.toSeq.sortBy(_._1).map { case (rel, n) => s"$BytesPrefix$n\t$rel" } ++
       dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
         dirs.map(d => s"$DvPrefix$d\t$rel") } ++
       props.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k=$v" }
@@ -1057,14 +1083,14 @@ object TableCommit {
         case None => ckptLines
         case Some(base) =>
           val d = deltaLines(base, files, txns, schemaJson, stats, rows,
-            dv, props)
+            bytes, dv, props)
           val intendedSchema = schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
           val rec = applyDelta(base, id, d)
           val exact = rec.files == files.distinct.sorted &&
             rec.stats == stats && rec.rows == rows && rec.dv == dv &&
-            rec.props == props && rec.txns == txns &&
+            rec.bytes == bytes && rec.props == props && rec.txns == txns &&
             rec.schema == intendedSchema
           if (exact && d.length < ckptLines.length) d else ckptLines
       }
@@ -1077,18 +1103,10 @@ object TableCommit {
       if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
         lines.head +: lenLine +: lines.tail
       else lenLine +: lines
-    java.nio.file.Files.write(tmp.toPath,
-      sealed0.mkString("", "\n", "\n").getBytes("UTF-8"))
-    val won =
-      try {
-        java.nio.file.Files.createLink(
-          new java.io.File(dir, f"manifest-$id%09d").toPath, tmp.toPath)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    java.nio.file.Files.delete(tmp.toPath)
-    won
+    // publication IS the store's conditional put — the only atomicity
+    // the protocol asks of storage (see TableStore's contract)
+    store(table).putManifestIfAbsent(table, id,
+      sealed0.mkString("", "\n", "\n"))
   }
 
   /** Ensure the table has a snapshot: if no manifest exists yet,
@@ -1096,7 +1114,7 @@ object TableCommit {
     * written by a plain batch writer into the protocol). A lost CAS
     * means a concurrent adopter won — equally fine. */
   def initIfAbsent(table: String): Unit =
-    if (manifestFiles(table).isEmpty) publish(table, 0L, listDataFiles(table))
+    if (manifestIds(table).isEmpty) publish(table, 0L, listDataFiles(table))
 
   /** Read an explicit file subset of manifest `m` under the table's
     * basePath. When the manifest carries a `#schema` directive, that
@@ -1117,7 +1135,7 @@ object TableCommit {
       // before any projection (the key needs the hidden _metadata col)
       val live =
         if (covered)
-          applyDv(s, table, m, files, dvKeyCols(raw))
+          applyDv(s, table, m, files, dvKeyCols(raw, partDepthOf(m)))
             .drop("__graft_dvk", "__graft_dvp", "_metadata")
         else raw
       schemaOf(m) match {
@@ -1347,7 +1365,8 @@ object TableCommit {
         // removed files' LIVE rows at FROM, read under TO's schema:
         // from-DVs decide liveness, the evolved schema decides shape
         val raw = pinnedRead(s, table, mB, removed, withMeta = true)
-        Some(shape(applyDv(s, table, mA, removed, dvKeyCols(raw))
+        Some(shape(applyDv(s, table, mA, removed,
+          dvKeyCols(raw, partDepthOf(mA)))
           .drop("__graft_dvk", "__graft_dvp"), "delete"))
       }
     }
@@ -1405,7 +1424,8 @@ object TableCommit {
     val newlyDead = s.read
       .parquet(newDirs.map(dir => s"$table/$dir"): _*)
       .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
-    val keyed = applyDv(s, table, mA, files, dvKeyCols(raw))
+    val keyed = applyDv(s, table, mA, files,
+      dvKeyCols(raw, partDepthOf(mA)))
     keyed.join(newlyDead,
       keyed("__graft_dvk") === col("__dv_k") &&
         keyed("__graft_dvp") === col("__dv_p"), "left_semi")
@@ -1427,14 +1447,34 @@ object TableCommit {
         s"snapshot $id of $table is outside the retention window")
     }
 
-  /** First path segment of a manifest-relative data-file path — its
-    * partition directory (`pt=5/part-x.parquet` → `pt=5`); the public
-    * twin of [[partDir]] for consumers classifying a manifest diff. */
+  /** Directory portion of a manifest-relative data-file path — its
+    * partition directory, ANY depth (`pt=5/part-x.parquet` → `pt=5`;
+    * `d=1/s=a/part-x.parquet` → `d=1/s=a`); the public twin of
+    * [[partDir]] for consumers classifying a manifest diff. */
   def partitionDirOf(rel: String): String = partDir(rel)
 
-  /** First path segment of a relative data-file path — its partition
-    * directory (`pt=5/part-x.parquet` → `pt=5`). */
-  private def partDir(rel: String): String = rel.takeWhile(_ != '/')
+  /** Directory portion of a relative data-file path — its partition
+    * directory, any depth ("" for an unpartitioned adopted file). */
+  private def partDir(rel: String): String = {
+    val cut = rel.lastIndexOf('/')
+    if (cut < 0) "" else rel.substring(0, cut)
+  }
+
+  /** Whether a dirty-dir set covers a file's partition dir: exact
+    * match, or a declared PREFIX level covers every sub-partition
+    * under it (`d=1` covers `d=1/s=a` — replacing a whole day of a
+    * (day, source)-partitioned table names one dir, not a listing). */
+  private def dirCovers(dirty: Set[String], dir: String): Boolean =
+    dirty.contains(dir) || dirty.exists(d => dir.startsWith(d + "/"))
+
+  /** Partition depth of a snapshot's layout: path segments below the
+    * table root per data file minus one (1 for `pt=5/f.parquet`, 2 for
+    * `d=1/s=a/f.parquet`); 1 for a zero-file table (the single-column
+    * default). The deletion-vector key derives from it, so writer and
+    * reader always agree on how many trailing path segments identify a
+    * file. */
+  private def partDepthOf(m: Snapshot): Int =
+    m.files.headOption.map(f => math.max(1, f.count(_ == '/'))).getOrElse(1)
 
   /** Atomically replace the contents of `dirtyDirs` (partition-dir
     * names like `pt=5`) with `df`'s rows: stage `df` as fresh immutable
@@ -1455,7 +1495,26 @@ object TableCommit {
       txn: Option[(String, Long)] = None,
       clusterBy: Seq[String] = Nil,
       filesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L): Unit =
+    replacePartitionsBy(s, table, Seq(partCol), dirtyDirs, df, readSnapshot,
+      txn, clusterBy, filesPerPartition, maxRecordsPerFile)
+
+  /** [[replacePartitions]] over a MULTI-COLUMN partition layout
+    * (round-11 verdict item 2): `partCols` lay out nested Hive dirs
+    * (`d=1/s=a/…`), `dirtyDirs` name partition dirs at ANY level — a
+    * full path (`d=1/s=a`) replaces one leaf partition, a PREFIX
+    * (`d=1`) replaces every sub-partition under it (drop-a-day on a
+    * (day, source) table names one dir). Single-column is the
+    * degenerate case — behavior, layout and manifests unchanged. */
+  def replacePartitionsBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      dirtyDirs: Seq[String], df: DataFrame,
+      readSnapshot: Option[Long] = None,
+      txn: Option[(String, Long)] = None,
+      clusterBy: Seq[String] = Nil,
+      filesPerPartition: Int = 1,
       maxRecordsPerFile: Long = 0L): Unit = {
+    require(partCols.nonEmpty, "at least one partition column")
     initIfAbsent(table)
     // EXACTLY-ONCE writer guard (the Delta `txn` action): when the
     // caller identifies this commit as (appId, version) — a streaming
@@ -1485,9 +1544,10 @@ object TableCommit {
     // buys BOTH dimensions ~√F locality — Delta's OPTIMIZE ZORDER as a
     // manifest commit. Stats are recorded for every clusterBy column.
     val nShape = math.max(1, dirtyDirs.size * filesPerPartition)
+    val pcols = partCols.map(col)
     val shaped = clusterBy match {
       case Seq(c) if filesPerPartition > 1 =>
-        df.repartitionByRange(nShape, col(partCol), col(c))
+        df.repartitionByRange(nShape, (pcols :+ col(c)): _*)
       case cs if cs.length > 7 && filesPerPartition > 1 =>
         // beyond mortonColumnOfN's 7-dim interleave budget: fall
         // through to plain partition repartition (the pre-Z-order
@@ -1498,23 +1558,23 @@ object TableCommit {
           s"clusterBy has ${cs.length} columns — Z-order interleave " +
             "supports at most 7; falling back to plain repartition " +
             "(stats still recorded)")
-        df.repartition(col(partCol))
+        df.repartition(pcols: _*)
       case cs if cs.length >= 2 && filesPerPartition > 1 =>
         // 2 dims = the tight morton16 constants; 3+ dims = the generic
         // N-way interleave (no silent cap: every declared cluster
         // dimension participates in the layout AND gets #stats)
         val z = Layout.mortonColumnOfN(df, cs.map(col))
         df.withColumn("__zc", z)
-          .repartitionByRange(nShape, col(partCol), col("__zc"))
-          .sortWithinPartitions(col(partCol), col("__zc"))
+          .repartitionByRange(nShape, (pcols :+ col("__zc")): _*)
+          .sortWithinPartitions((pcols :+ col("__zc")): _*)
           .drop("__zc")
-      case _ => df.repartition(col(partCol))
+      case _ => df.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
     val wmap = writeMapping(table, wcols)
-    val fresh = stageMove(table, writerId, shaped, partCol, maxRecordsPerFile,
-      checked, wmap)
+    val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
+      maxRecordsPerFile, checked, wmap)
     // `#stats` capture for the just-written files: one narrow grouped
     // aggregate over ONLY the fresh files (all clusterBy columns at
     // once), |fresh| scalar rows to the driver — commit-time metadata,
@@ -1538,7 +1598,7 @@ object TableCommit {
     def dirtyViewAt(id: Long, fs: Seq[String]): Seq[(String, Seq[String])] = {
       val dv = manifests(table).find(_._1 == id)
         .map(m => dvOf(m._2)).getOrElse(Map.empty)
-      fs.filter(f => dirty.contains(partDir(f))).sorted
+      fs.filter(f => dirCovers(dirty, partDir(f))).sorted
         .map(f => (f, dv.getOrElse(f, Nil)))
     }
     readSnapshot.filter(_ != baseId).foreach { readId =>
@@ -1553,7 +1613,7 @@ object TableCommit {
     }
     var committed = false
     while (!committed) {
-      val next = baseFiles.filterNot(f => dirty.contains(partDir(f))) ++ fresh
+      val next = baseFiles.filterNot(f => dirCovers(dirty, partDir(f))) ++ fresh
       // carry the writer-transaction ledger forward, merging this
       // commit's (appId, version) at max — survives retention because
       // every manifest copies the previous newest's ledger
@@ -1574,7 +1634,8 @@ object TableCommit {
       val nextSchema = c.schema.fold(df.schema)(
         bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
+          c.bytes ++ freshBytes)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -1621,7 +1682,7 @@ object TableCommit {
       val cur = manifests(table).find(_._1 == newestId).get._2
       if (publish(table, newestId + 1, filesOf(src), txnsOf(cur),
           schemaOf(src).map(_.json), statsOf(src), rowsOf(src), dvOf(src),
-          propsOf(cur))) {
+          propsOf(cur), src.bytes)) {
         vacuum(table, newestId + 1)
         committed = true
       }
@@ -1663,28 +1724,20 @@ object TableCommit {
     require(manifests(dst).isEmpty,
       s"clone destination $dst already has a manifest log")
     val files = filesOf(m)
+    // DV sidecar trees list through the SOURCE's store; sharing is the
+    // DESTINATION store's primitive (local: hard link; object store /
+    // conditional-put: server-side copy — no cross-object links)
     val dvRels = dvOf(m).values.flatten.toSeq.distinct.flatMap { dir =>
-      Option(new java.io.File(src, dir).listFiles()).getOrElse(Array.empty)
-        .toSeq.filterNot(_.getName.startsWith("."))
-        .map(f => s"$dir/${f.getName}")
+      store(src).listFilesUnder(src, dir)
     }
     (files ++ dvRels).foreach { rel =>
-      val from = new java.io.File(src, rel)
-      val to = new java.io.File(dst, rel)
-      to.getParentFile.mkdirs()
-      try java.nio.file.Files.createLink(to.toPath, from.toPath)
-      catch {
-        // cross-filesystem destination: degrade to a copy (documented
-        // — the zero-copy contract needs a same-FS / same-bucket dst)
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          java.nio.file.Files.copy(from.toPath, to.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      store(dst).shareFile(src, rel, dst)
     }
     val dstId = if (relocate) srcId else 0L
     val ok = publish(dst, dstId, files,
       if (relocate) txnsOf(m) else Map.empty,
-      schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), propsOf(m))
+      schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), propsOf(m),
+      m.bytes)
     require(ok, s"clone destination $dst was concurrently initialized")
     dstId
   }
@@ -1703,22 +1756,31 @@ object TableCommit {
     * ([[IncrementalView]]) can fold in as a pure delta. */
   def appendRows(s: SparkSession, table: String, partCol: String,
       df: DataFrame, txn: Option[(String, Long)] = None,
+      clusterBy: Seq[String] = Nil): Unit =
+    appendRowsBy(s, table, Seq(partCol), df, txn, clusterBy)
+
+  /** [[appendRows]] over a multi-column partition layout — the same
+    * never-conflicting blind append, nested `a=…/b=…` dirs. */
+  def appendRowsBy(s: SparkSession, table: String, partCols: Seq[String],
+      df: DataFrame, txn: Option[(String, Long)] = None,
       clusterBy: Seq[String] = Nil): Unit = {
+    require(partCols.nonEmpty, "at least one partition column")
     initIfAbsent(table)
     def alreadyApplied: Boolean = txn.exists { case (app, v) =>
       lastTxnVersion(table, app).exists(_ >= v)
     }
     if (alreadyApplied) return
     val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val pcols = partCols.map(col)
     val shaped = clusterBy.headOption match {
-      case Some(c) => df.repartition(col(partCol))
-        .sortWithinPartitions(col(partCol), col(c))
-      case None => df.repartition(col(partCol))
+      case Some(c) => df.repartition(pcols: _*)
+        .sortWithinPartitions((pcols :+ col(c)): _*)
+      case None => df.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
     val wmap = writeMapping(table, wcols)
-    val fresh = stageMove(table, writerId, shaped, partCol,
+    val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (clusterBy.nonEmpty && fresh.nonEmpty)
@@ -1740,7 +1802,8 @@ object TableCommit {
       val nextSchema = c.schema.fold(df.schema)(
         bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
-          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
+          c.bytes ++ freshBytes)) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -1897,10 +1960,13 @@ object TableCommit {
   }
 
   private def stageMove(table: String, writerId: String, shaped: DataFrame,
-      partCol: String, maxRecordsPerFile: Long = 0L,
+      partCols: Seq[String], maxRecordsPerFile: Long = 0L,
       checkedConstraints: Map[String, String] = Map.empty,
-      wmap: Map[String, String] = Map.empty): Seq[String] = {
-    val stage = new java.io.File(table, s"_stage_$writerId")
+      wmap: Map[String, String] = Map.empty)
+      : (Seq[String], Map[String, Long]) = {
+    val st = store(table)
+    val stageRel = s"_stage_$writerId"
+    val stagePath = s"$table/$stageRel"
     def phys(c: String): String = wmap.getOrElse(c, c)
     val mapped = shaped.columns.exists(c => phys(c) != c)
     // under column mapping the FILES carry physical names; the frame
@@ -1909,13 +1975,16 @@ object TableCommit {
       if (mapped) shaped.select(
         shaped.columns.toSeq.map(c => col(c).as(phys(c))): _*)
       else shaped
-    val writer = toWrite.write.mode("overwrite").partitionBy(phys(partCol))
+    val writer = toWrite.write.mode("overwrite")
+      .partitionBy(partCols.map(phys): _*)
     (if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-    else writer).parquet(stage.getAbsolutePath)
-    val stagedNonEmpty = Option(stage.listFiles()).getOrElse(Array.empty)
-      .exists(p => p.isDirectory && p.getName.contains("="))
-    if (stagedNonEmpty && checkedConstraints.nonEmpty) {
+    else writer).parquet(stagePath)
+    // staged parquet files, table-relative (partition dirs of ANY
+    // depth — the walk keeps the whole dir path)
+    val staged = st.listFilesUnder(table, stageRel)
+      .filter(_.endsWith(".parquet"))
+    if (staged.nonEmpty && checkedConstraints.nonEmpty) {
       // validation PINS the staged frame's schema: an unpinned read
       // re-infers the partition column's type from directory names
       // (string "01" becomes int 1), so a constraint referencing it
@@ -1926,33 +1995,30 @@ object TableCommit {
           org.apache.spark.sql.types.StructField(
             phys(f.name), f.dataType, f.nullable)))
       val back = shaped.sparkSession.read
-        .option("basePath", stage.getAbsolutePath)
-        .schema(pinned).parquet(stage.getAbsolutePath)
+        .option("basePath", stagePath)
+        .schema(pinned).parquet(stagePath)
       val logicalBack =
         if (mapped) back.select(
           shaped.columns.toSeq.map(c => col(phys(c)).as(c)): _*)
         else back
       try checkStaged(shaped.sparkSession, table, logicalBack,
         checkedConstraints)
-      catch { case e: Throwable => Sinks.deleteRecursively(stage); throw e }
+      catch { case e: Throwable => st.deleteTree(table, stageRel); throw e }
     }
-    val fresh = Option(stage.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isDirectory && p.getName.contains("="))
-      .flatMap { p =>
-        Option(p.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .map { f =>
-            val destDir = new java.io.File(table, p.getName)
-            destDir.mkdirs()
-            val rel = s"${p.getName}/${writerId}_${f.getName}"
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(table, rel).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            rel
-          }
-      }
-    Sinks.deleteRecursively(stage)
-    fresh
+    // promote: move each staged file into its partition dir under a
+    // writer-unique name, capturing its SIZE pre-move — the `#bytes`
+    // manifest entry's source (no later stat/HEAD ever needed)
+    val moved = staged.map { srel =>
+      val inStage = srel.stripPrefix(stageRel + "/")
+      val cut = inStage.lastIndexOf('/')
+      val rel = s"${inStage.substring(0, cut)}/" +
+        s"${writerId}_${inStage.substring(cut + 1)}"
+      val size = st.fileSize(table, srel)
+      st.moveFile(table, srel, rel)
+      rel -> size
+    }
+    st.deleteTree(table, stageRel)
+    (moved.map(_._1), moved.toMap)
   }
 
   /** Exact row counts of just-written files from their parquet FOOTER
@@ -1963,7 +2029,12 @@ object TableCommit {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = rels.map { rel => Future { scala.concurrent.blocking {
-      val p = new org.apache.hadoop.fs.Path(
+      // scheme-bearing table roots go to Hadoop as-is (object-store
+      // adapters); plain local paths through the File URI (exact
+      // resolution for relative roots)
+      val p = if (table.contains("://"))
+        new org.apache.hadoop.fs.Path(s"$table/$rel")
+      else new org.apache.hadoop.fs.Path(
         new java.io.File(table, rel).toURI)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         p, new org.apache.hadoop.conf.Configuration())
@@ -1989,9 +2060,12 @@ object TableCommit {
       cols: Seq[String],
       wmap: Map[String, String] = Map.empty)
       : (Map[(String, String), (String, String)], Map[String, Long]) = {
-    def lastTwo(p: String): String =
-      p.split('/').takeRight(2).mkString("/")
-    val byKey = rels.map(r => lastTwo(r) -> r).toMap
+    // key = last (partition depth + 1) segments — the FULL rel path
+    // (file names collide across partition dirs at every depth)
+    val segsN = math.max(1, rels.head.count(_ == '/')) + 1
+    def lastK(p: String): String =
+      p.split('/').takeRight(segsN).mkString("/")
+    val byKey = rels.map(r => lastK(r) -> r).toMap
     require(byKey.size == rels.size,
       s"non-unique partition-dir/file-name keys among fresh files: $rels")
     // the fresh FILES carry physical column names under column mapping;
@@ -2010,7 +2084,7 @@ object TableCommit {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .flatMap { r =>
-        val key = lastTwo(r.getString(0))
+        val key = lastK(r.getString(0))
         // URI-vs-raw defence: input_file_name may percent-encode
         // characters the on-disk (Hive-escaped) dir name carries raw
         byKey.get(key)
@@ -2050,14 +2124,24 @@ object TableCommit {
     * when the stats layout is (re)established. */
   def compactPartitions(s: SparkSession, table: String, partCol: String,
       dirtyDirs: Seq[String], clusterBy: Seq[String] = Nil,
+      filesPerPartition: Int = 1, maxRecordsPerFile: Long = 0L): Unit =
+    compactPartitionsBy(s, table, Seq(partCol), dirtyDirs, clusterBy,
+      filesPerPartition, maxRecordsPerFile)
+
+  /** [[compactPartitions]] over a multi-column partition layout;
+    * `dirtyDirs` may name any level (a prefix compacts the whole
+    * subtree). */
+  def compactPartitionsBy(s: SparkSession, table: String,
+      partCols: Seq[String], dirtyDirs: Seq[String],
+      clusterBy: Seq[String] = Nil,
       filesPerPartition: Int = 1, maxRecordsPerFile: Long = 0L): Unit = {
     initIfAbsent(table)
     val (baseId, baseFiles) = resolve(table).get
     val dirty = dirtyDirs.toSet
     val m = manifests(table).find(_._1 == baseId).get._2
-    val dirtyFiles = baseFiles.filter(f => dirty.contains(partDir(f)))
+    val dirtyFiles = baseFiles.filter(f => dirCovers(dirty, partDir(f)))
     if (dirtyFiles.nonEmpty)
-      replacePartitions(s, table, partCol, dirtyDirs,
+      replacePartitionsBy(s, table, partCols, dirtyDirs,
         readFiles(s, table, m, dirtyFiles),
         readSnapshot = Some(baseId), clusterBy = clusterBy,
         filesPerPartition = filesPerPartition,
@@ -2084,8 +2168,9 @@ object TableCommit {
   private def hitScan(s: SparkSession, table: String, m: Snapshot,
       candidates: Seq[String],
       pred: org.apache.spark.sql.Column): Map[String, Long] = {
-    def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
-    val byKey = candidates.map(r => lastTwo(r) -> r).toMap
+    val segsN = partDepthOf(m) + 1
+    def lastK(p: String): String = p.split('/').takeRight(segsN).mkString("/")
+    val byKey = candidates.map(r => lastK(r) -> r).toMap
     require(byKey.size == candidates.length,
       s"non-unique partition-dir/file-name keys among candidates: $candidates")
     // grouped by the DV key (the same last-two-segments form, taken
@@ -2093,7 +2178,7 @@ object TableCommit {
     // input_file_name() refuses multi-source plans); counts are LIVE
     // matches, prior vectors applied
     val raw = pinnedRead(s, table, m, candidates, withMeta = true)
-    applyDv(s, table, m, candidates, dvKeyCols(raw))
+    applyDv(s, table, m, candidates, dvKeyCols(raw, partDepthOf(m)))
       .filter(pred)
       .groupBy(col("__graft_dvk")).agg(count(lit(1)).as("n"))
       .collect()
@@ -2120,7 +2205,8 @@ object TableCommit {
     * resurrect rows that commit deleted or compacted away). Stats for
     * retained files, the txn ledger and the schema of record carry
     * forward. Returns the published snapshot id. */
-  private def commitRewrite(s: SparkSession, table: String, partCol: String,
+  private def commitRewrite(s: SparkSession, table: String,
+      partCols: Seq[String],
       baseId0: Long, baseFiles0: Seq[String], hit: Seq[String],
       replacement: DataFrame, statsCols: Seq[String]): Long = {
     // the hit files' DV coverage as this rewrite READ it: a winner that
@@ -2131,16 +2217,17 @@ object TableCommit {
       .map(bm => dvOf(bm._2)).getOrElse(Map.empty)
       .filter { case (rel, _) => hitSet0(rel) }
     val writerId = java.util.UUID.randomUUID().toString.take(8)
+    val pcols = partCols.map(col)
     val shaped = statsCols.headOption match {
       case Some(c) => replacement
-        .repartitionByRange(math.max(1, hit.length), col(partCol), col(c))
-        .sortWithinPartitions(col(partCol), col(c))
-      case None => replacement.repartition(col(partCol))
+        .repartitionByRange(math.max(1, hit.length), (pcols :+ col(c)): _*)
+        .sortWithinPartitions((pcols :+ col(c)): _*)
+      case None => replacement.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
     val wmap = writeMapping(table, wcols)
-    val fresh = stageMove(table, writerId, shaped, partCol,
+    val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
@@ -2173,7 +2260,8 @@ object TableCommit {
       // snapshot readable)
       val schemaJson = c.schema.map(_.json).getOrElse(replacement.schema.json)
       if (publish(table, baseId + 1, next, c.txns, Some(schemaJson),
-          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props)) {
+          c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
+          c.bytes ++ freshBytes)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2219,6 +2307,11 @@ object TableCommit {
     * rewrote a hit file (committing our survivors would resurrect rows
     * that commit deleted or compacted away). */
   def deleteWhere(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal): DeleteAudit =
+    deleteWhereBy(s, table, Seq(partCol), column, lo, hi)
+
+  /** [[deleteWhere]] over a multi-column partition layout. */
+  def deleteWhereBy(s: SparkSession, table: String, partCols: Seq[String],
       column: String, lo: BigDecimal, hi: BigDecimal): DeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
@@ -2239,7 +2332,7 @@ object TableCommit {
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val survivors = readFiles(s, table, m, hit)
       .filter(not(coalesce(matchPred, lit(false))))
-    val published = commitRewrite(s, table, partCol, baseId0, baseFiles0,
+    val published = commitRewrite(s, table, partCols, baseId0, baseFiles0,
       hit, survivors, statsCols)
     DeleteAudit(baseId0, published, total, candidates.length, hit.length,
       rowsDeleted)
@@ -2274,6 +2367,14 @@ object TableCommit {
     * file invalidates our position scan — conflict; anything else
     * rebases (including appends and MoR deletes on OTHER files). */
   def deleteWhereMor(s: SparkSession, table: String, partCol: String,
+      column: String, lo: BigDecimal, hi: BigDecimal): MorDeleteAudit =
+    deleteWhereMorBy(s, table, Seq(partCol), column, lo, hi)
+
+  /** [[deleteWhereMor]] over a multi-column partition layout (the
+    * vector sidecar is layout-independent; only the audit signature
+    * differs). */
+  def deleteWhereMorBy(s: SparkSession, table: String,
+      partCols: Seq[String],
       column: String, lo: BigDecimal, hi: BigDecimal): MorDeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
@@ -2292,7 +2393,7 @@ object TableCommit {
     // dead positions among the LIVE rows of the hit files (prior
     // vectors applied — stacked MoR deletes never re-kill a position)
     val raw = pinnedRead(s, table, m, hit, withMeta = true)
-    val live = applyDv(s, table, m, hit, dvKeyCols(raw))
+    val live = applyDv(s, table, m, hit, dvKeyCols(raw, partDepthOf(m)))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
     live.filter(coalesce(matchPred, lit(false)))
@@ -2322,7 +2423,7 @@ object TableCommit {
       val nextRows = c.rows.map { case (rel, n) =>
         rel -> (n - hitCounts.getOrElse(rel, 0L)) }
       if (publish(table, baseId + 1, baseFiles, c.txns,
-          c.schema.map(_.json), c.stats, nextRows, nextDv, c.props)) {
+          c.schema.map(_.json), c.stats, nextRows, nextDv, c.props, c.bytes)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2359,6 +2460,15 @@ object TableCommit {
     * (a winner that removed, rewrote, or re-vectored a hit file). */
   def updateWhereMor(s: SparkSession, table: String, partCol: String,
       column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
+    updateWhereMorBy(s, table, Seq(partCol), column, lo, hi, set)
+
+  /** [[updateWhereMor]] over a multi-column partition layout — SET of
+    * ANY partition level moves rows across partition dirs (the MoR
+    * kill-and-re-add kernel is layout-agnostic). */
+  def updateWhereMorBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      column: String, lo: BigDecimal, hi: BigDecimal,
       set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
@@ -2382,7 +2492,8 @@ object TableCommit {
       raw.schema.fields.toSeq.filterNot(_.name == "_metadata"))
     set.keys.foreach(c => require(dataFields.exists(_.name == c),
       s"SET column $c is not a column of $table"))
-    val matches = applyDv(s, table, m, hit, dvKeyCols(raw))
+    val matches = applyDv(s, table, m, hit,
+      dvKeyCols(raw, partDepthOf(m)))
       .filter(coalesce(matchPred, lit(false)))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
@@ -2398,14 +2509,14 @@ object TableCommit {
     }: _*)
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val shaped = statsCols.headOption match {
-      case Some(c) => updated.repartition(col(partCol))
-        .sortWithinPartitions(col(partCol), col(c))
-      case None => updated.repartition(col(partCol))
+      case Some(c) => updated.repartition(partCols.map(col): _*)
+        .sortWithinPartitions((partCols.map(col) :+ col(c)): _*)
+      case None => updated.repartition(partCols.map(col): _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
     val wmap = writeMapping(table, wcols)
-    val fresh = stageMove(table, writerId, shaped, partCol,
+    val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
@@ -2437,7 +2548,8 @@ object TableCommit {
       val nextRows = c.rows.map { case (rel, n) =>
         rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++ freshRows
       if (publish(table, baseId + 1, next, c.txns, c.schema.map(_.json),
-          c.stats ++ freshStats, nextRows, nextDv, c.props)) {
+          c.stats ++ freshStats, nextRows, nextDv, c.props,
+          c.bytes ++ freshBytes)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2506,6 +2618,16 @@ object TableCommit {
     * every lost CAS — the exactly-once contract a streaming MERGE
     * writer needs. */
   def mergeInto(s: SparkSession, table: String, partCol: String,
+      keyCol: String, source: DataFrame,
+      updateSet: Map[String, org.apache.spark.sql.Column],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None,
+      readSnapshot: Option[Long] = None): MergeAudit =
+    mergeIntoBy(s, table, Seq(partCol), keyCol, source, updateSet,
+      deleteWhen, txn, readSnapshot)
+
+  /** [[mergeInto]] over a multi-column partition layout. */
+  def mergeIntoBy(s: SparkSession, table: String, partCols: Seq[String],
       keyCol: String, source: DataFrame,
       updateSet: Map[String, org.apache.spark.sql.Column],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
@@ -2582,7 +2704,8 @@ object TableCommit {
         if (candidates.isEmpty) None
         else {
           val raw = pinnedRead(s, table, m, candidates, withMeta = true)
-          Some(applyDv(s, table, m, candidates, dvKeyCols(raw))
+          Some(applyDv(s, table, m, candidates,
+            dvKeyCols(raw, partDepthOf(m)))
             .join(srcR, col(keyCol) === col(s"src_$keyCol"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         }
@@ -2591,8 +2714,10 @@ object TableCommit {
         .getOrElse(lit(false))
       // per-hit-file (matched, deleted) counts — |candidates| scalar
       // rows to the driver, the hitScan shape with the clause split
-      def lastTwo(p: String): String = p.split('/').takeRight(2).mkString("/")
-      val byKey = candidates.map(r => lastTwo(r) -> r).toMap
+      val segsN = partDepthOf(m) + 1
+      def lastK(p: String): String =
+        p.split('/').takeRight(segsN).mkString("/")
+      val byKey = candidates.map(r => lastK(r) -> r).toMap
       require(byKey.size == candidates.length,
         s"non-unique partition-dir/file-name keys among candidates: $candidates")
       val hitCounts: Map[String, (Long, Long)] = matched match {
@@ -2640,14 +2765,14 @@ object TableCommit {
       val freshSrc = successors.fold(inserts)(_.unionByName(inserts))
       val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
       val shaped = statsCols.headOption match {
-        case Some(c) => freshSrc.repartition(col(partCol))
-          .sortWithinPartitions(col(partCol), col(c))
-        case None => freshSrc.repartition(col(partCol))
+        case Some(c) => freshSrc.repartition(partCols.map(col): _*)
+          .sortWithinPartitions((partCols.map(col) :+ col(c)): _*)
+        case None => freshSrc.repartition(partCols.map(col): _*)
       }
       val checked = constraints(table)
       val wcols = shaped.columns.toSeq
       val wmap = writeMapping(table, wcols)
-      val fresh = stageMove(table, writerId, shaped, partCol,
+      val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
         checkedConstraints = checked, wmap = wmap)
       val (freshStats, freshRows) =
         if (statsCols.nonEmpty && fresh.nonEmpty)
@@ -2709,7 +2834,7 @@ object TableCommit {
         }
         if (publish(table, baseId + 1, baseFiles ++ fresh, nextTxns,
             c.schema.map(_.json), c.stats ++ freshStats, nextRows, nextDv,
-            c.props)) {
+            c.props, c.bytes ++ freshBytes)) {
           vacuum(table, baseId + 1)
           published = baseId + 1
           committed = true
@@ -2755,6 +2880,14 @@ object TableCommit {
     * post-update band read finds the moved rows. */
   def updateWhere(s: SparkSession, table: String, partCol: String,
       column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
+    updateWhereBy(s, table, Seq(partCol), column, lo, hi, set)
+
+  /** [[updateWhere]] over a multi-column partition layout (SET of any
+    * partition level is refused — copy-on-write rows stay in their
+    * dirs; use the MoR form to move rows). */
+  def updateWhereBy(s: SparkSession, table: String, partCols: Seq[String],
+      column: String, lo: BigDecimal, hi: BigDecimal,
       set: Map[String, org.apache.spark.sql.Column]): UpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
@@ -2774,9 +2907,9 @@ object TableCommit {
     val src = readFiles(s, table, m, hit)
     set.keys.foreach(c => require(src.columns.contains(c),
       s"SET column $c is not a column of $table"))
-    require(!set.contains(partCol),
-      s"SET of partition column $partCol would move rows across " +
-        "partition dirs — use delete + append (the Delta rule)")
+    partCols.foreach(pc => require(!set.contains(pc),
+      s"SET of partition column $pc would move rows across " +
+        "partition dirs — use delete + append (the Delta rule)"))
     val pred = coalesce(matchPred, lit(false))
     val replacement = src.select(src.schema.fields.map { f =>
       set.get(f.name) match {
@@ -2785,7 +2918,7 @@ object TableCommit {
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
-    val published = commitRewrite(s, table, partCol, baseId0, baseFiles0,
+    val published = commitRewrite(s, table, partCols, baseId0, baseFiles0,
       hit, replacement, statsCols)
     UpdateAudit(baseId0, published, total, candidates.length, hit.length,
       rowsUpdated)
@@ -2798,29 +2931,28 @@ object TableCommit {
     * Metadata + one directory walk; the operational pre-flight before
     * widening or narrowing `graft.retention.generations`. */
   def vacuumAudit(table: String): (Seq[Long], Int, Int, Int) = {
-    val all = manifestFiles(table)
+    val all = manifestIds(table)
     if (all.isEmpty) return (Seq.empty, 0, 0, 0)
-    val newest = all.map(_._1).max
+    val newest = all.max
     val keep = retentionOf(table)
-    val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
+    val (keepIds, dropIds) = all.partition(_ > newest - keep)
     val retained = keepIds.flatMap(id => stateOf(table, id))
     val live = retained.flatMap(_.files).toSet
     val dead = dropIds.flatMap(id =>
       stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     val orphans = (listDataFiles(table).toSet -- live -- dead)
-      .map(f => new java.io.File(table, f))
-      .count(f => f.lastModified() < cutoff)
+      .count(f => store(table).fileMtime(table, f) < cutoff)
     (keepIds.sorted.reverse, live.size, dead.size, orphans)
   }
 
-  /** Oldest manifest id that must stay ON DISK so snapshot
+  /** Oldest manifest id that must stay in the store so snapshot
     * `oldestRetained` remains reconstructible: walk the delta chain
     * down to its checkpoint. Bounded at the checkpoint interval. */
   private def chainBaseIdFor(table: String, oldestRetained: Long): Long = {
-    val byId = manifestFiles(table).toMap
+    val present = manifestIds(table).toSet
     var i = oldestRetained
-    while (byId.get(i).exists(f => isDelta(manifestLines(f)))) i -= 1
+    while (present(i) && isDelta(manifestLines(table, i))) i -= 1
     i
   }
 
@@ -2835,7 +2967,7 @@ object TableCommit {
     * Returns (dead files swept, stale orphans swept) — the numbers the
     * audit predicted. */
   def vacuumRun(table: String): (Int, Int) =
-    manifestFiles(table).map(_._1).maxOption match {
+    manifestIds(table).maxOption match {
       case Some(newest) => vacuum(table, newest, sweepOrphans = true)
       case None => (0, 0)
     }
@@ -2867,9 +2999,11 @@ object TableCommit {
     * hygiene. */
   private def vacuum(table: String, newest: Long,
       sweepOrphans: Boolean = false): (Int, Int) = {
-    val all = manifestFiles(table)
+    val st = store(table)
+    val all = manifestIds(table)
+    val present = all.toSet
     val keep = retentionOf(table)
-    val (keepIds, dropIds) = all.map(_._1).partition(_ > newest - keep)
+    val (keepIds, dropIds) = all.partition(_ > newest - keep)
     // snapshot file sets by RECONSTRUCTION (never raw lines: a delta's
     // directives are not paths, and a `#txn` line is not a data file)
     val retained = keepIds.flatMap(id => stateOf(table, id))
@@ -2880,39 +3014,37 @@ object TableCommit {
     // leftovers, if any, age into the orphan sweep)
     val dead = dropIds.flatMap(id =>
       stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
-    dead.foreach(f => new java.io.File(table, f).delete())
-    // orphans: on-disk data files no kept manifest references — an
-    // aborted append's leftovers — swept once stale. The required tree
-    // walk is O(table files), so it runs on the EXPLICIT vacuumRun and
-    // on the sampled checkpoint-commit cadence (see scaladoc), never
-    // on every commit
+    dead.foreach(f => st.deleteFile(table, f))
+    // orphans: data files no kept manifest references — an aborted
+    // append's leftovers — swept once stale. The required tree walk is
+    // O(table files), so it runs on the EXPLICIT vacuumRun and on the
+    // sampled checkpoint-commit cadence (see scaladoc), never on every
+    // commit
     val doSweep = sweepOrphans || (newest > 0L && {
       val interval = checkpointIntervalOf(
-        keepIds.maxOption.flatMap(id => stateOfWith(all.toMap, id))
+        keepIds.maxOption.flatMap(id => stateOfWith(table, present, id))
           .map(_.props).getOrElse(Map.empty))
       newest % interval == 0L
     })
     val orphans =
-      if (!doSweep) Set.empty[java.io.File]
+      if (!doSweep) Set.empty[String]
       else (listDataFiles(table).toSet -- live -- dead)
-        .map(f => new java.io.File(table, f))
-        .filter(f => f.lastModified() < cutoff)
-    orphans.foreach(_.delete())
+        .filter(f => st.fileMtime(table, f) < cutoff)
+    orphans.foreach(f => st.deleteFile(table, f))
     // deletion-vector trees: keep every dir a retained snapshot
     // references; sweep the rest once stale (in-flight MoR writers'
     // fresh trees are younger than the age gate, like data-file orphans)
     val liveDv = retained.flatMap(_.dv.values.flatten)
       .map(d => d.stripPrefix("_dv/")).toSet
-    Option(new java.io.File(table, "_dv").listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(d => !liveDv.contains(d.getName) &&
-        d.lastModified() < cutoff)
-      .foreach(Sinks.deleteRecursively)
+    st.listSubdirs(table, "_dv")
+      .filter { case (name, mtime) => !liveDv.contains(name) &&
+        mtime < cutoff }
+      .foreach { case (name, _) => st.deleteTree(table, s"_dv/$name") }
     // manifests below the oldest retained snapshot's chain base have no
     // reader and no chain depending on them — delete
     val chainBase = keepIds.minOption
       .map(o => chainBaseIdFor(table, o)).getOrElse(Long.MinValue)
-    all.filter(_._1 < chainBase).foreach(_._2.delete())
+    all.filter(_ < chainBase).foreach(id => st.deleteManifest(table, id))
     (dead.size, orphans.size)
   }
 }

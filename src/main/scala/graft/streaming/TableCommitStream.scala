@@ -88,17 +88,19 @@ class TableCommitSourceProvider extends StreamSourceProvider
       "graft-table sink supports Append output mode only — keyed " +
         "update/complete semantics belong in a foreachBatch merge " +
         "(replacePartitions/mergeInto)")
-    require(partitionColumns.length == 1,
-      "graft-table sink needs exactly one partition column " +
-        "(.partitionBy(col)) — the committed table's layout grain")
+    require(partitionColumns.nonEmpty,
+      "graft-table sink needs at least one partition column " +
+        "(.partitionBy(col, ...)) — the committed table's layout grain")
     new TableCommitSink(TableCommitSource.path(parameters),
-      partitionColumns.head, parameters)
+      partitionColumns, parameters)
   }
 }
 
 /** [[TableCommitSourceProvider.createSink]]'s sink: one append commit
-  * per micro-batch, exactly-once via the txn ledger. */
-class TableCommitSink(table: String, partCol: String,
+  * per micro-batch, exactly-once via the txn ledger. Multi-column
+  * `.partitionBy(a, b)` lays out nested `a=…/b=…` dirs (round-11
+  * verdict item 2). */
+class TableCommitSink(table: String, partCols: Seq[String],
     parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
@@ -140,7 +142,7 @@ class TableCommitSink(table: String, partCol: String,
 
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit =
-    TableCommit.appendRows(data.sparkSession, table, partCol,
+    TableCommit.appendRowsBy(data.sparkSession, table, partCols,
       // the micro-batch frame is streaming-tagged and refuses write —
       // re-plan it as a batch frame over the incremental RDD
       org.apache.spark.sql.graft.StreamingBridge.asBatch(data),
@@ -245,6 +247,12 @@ class TableCommitSource(ctx: SQLContext, table: String,
     val fileCap = maxFiles.getOrElse(Long.MaxValue)
     val rows = if (maxRows.isDefined) TableCommit.fileRowsAt(table, id)
       else Map.empty[String, Long]
+    // byte budget plans from the manifest's `#bytes` entries (recorded
+    // at stage-promotion time for every fresh file) — zero per-file
+    // stat/HEAD against the store; a pre-bytes file without an entry
+    // falls back to ONE store stat (bounded by the commit's write set)
+    val bytes = if (maxBytes.isDefined) TableCommit.fileBytesAt(table, id)
+      else Map.empty[String, Long]
     var rowBudget = maxRows.getOrElse(Long.MaxValue)
     var byteBudget = maxBytes.getOrElse(Long.MaxValue)
     var n = 0L
@@ -254,7 +262,8 @@ class TableCommitSource(ctx: SQLContext, table: String,
       if (maxRows.isDefined)
         rowBudget -= rows.getOrElse(added(i), Long.MaxValue / 2)
       if (maxBytes.isDefined)
-        byteBudget -= new java.io.File(table, added(i)).length()
+        byteBudget -= bytes.getOrElse(added(i),
+          TableCommit.statFileSize(table, added(i)))
       n += 1
       i += 1
     }

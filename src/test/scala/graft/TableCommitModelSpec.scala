@@ -28,6 +28,12 @@ class TableCommitModelSpec extends GraftSpec {
       .select(col("id"), col("v"), col("pt").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  /** ps = a second partition level derived from id — present in the
+    * data either way; whether the LAYOUT uses it is the per-seed
+    * randomization (round-11 verdict item 2: the model spec drives the
+    * same verb sequences over one- AND two-level partition layouts). */
+  private def psOf(id: Long): Int = (id % 2).toInt
+
   test("randomized verb sequences: snapshot read ≡ reference model, " +
       "#rows metadata ≡ model size, and a random RETAINED snapshot " +
       "time-travels to its recorded model state after every step — " +
@@ -37,13 +43,20 @@ class TableCommitModelSpec extends GraftSpec {
       val rnd = new scala.util.Random(seed)
       val t = freshDir()
       var nextId = 300L
+      // randomized LAYOUT: one partition level (pt) or two (pt, ps) —
+      // the same verb sequence must hold over either; the top-level
+      // dirty dirs are PREFIXES under the two-level layout (covering
+      // every ps leaf beneath)
+      val partCols = if (rnd.nextBoolean()) Seq("pt") else Seq("pt", "ps")
+      def df3(rows: Seq[(Long, Long, Int)]) =
+        rows.map { case (id, v, pt) => (id, v, pt, psOf(id)) }
+          .toDF("id", "v", "pt", "ps")
       // reference model: id → (v, pt); ids unique by construction
       var model: Map[Long, (Long, Int)] =
         (0L until 300L).map(id => id -> (id * 10, (id % 3).toInt)).toMap
-      TableCommit.replacePartitions(spark, t, "pt",
+      TableCommit.replacePartitionsBy(spark, t, partCols,
         Seq("pt=0", "pt=1", "pt=2"),
-        model.toSeq.map { case (id, (v, pt)) => (id, v, pt) }
-          .toDF("id", "v", "pt"),
+        df3(model.toSeq.map { case (id, (v, pt)) => (id, v, pt) }),
         clusterBy = Seq("id"), filesPerPartition = 3)
       // randomized manifest-log shape: cadence 1 = all checkpoints (the
       // pre-delta format), 10 = long delta chains; retention 2..4
@@ -78,11 +91,11 @@ class TableCommitModelSpec extends GraftSpec {
               .map(id => (id, id * 10, (id % 3).toInt))
             nextId += k
             val src =
-              (updSrc.map { case (id, v, pt) => (id, v, pt, "U") } ++
-                delSrc.map { case (id, v, pt) => (id, v, pt, "D") } ++
-                insSrc.map { case (id, v, pt) => (id, v, pt, "I") })
-                .toDF("id", "v", "pt", "op")
-            TableCommit.mergeInto(spark, t, "pt", "id", src,
+              (updSrc.map { case (id, v, pt) => (id, v, pt, psOf(id), "U") } ++
+                delSrc.map { case (id, v, pt) => (id, v, pt, psOf(id), "D") } ++
+                insSrc.map { case (id, v, pt) => (id, v, pt, psOf(id), "I") })
+                .toDF("id", "v", "pt", "ps", "op")
+            TableCommit.mergeIntoBy(spark, t, partCols, "id", src,
               updateSet = Map("v" -> (col("v") + lit(7L))),
               deleteWhen = Some(col("src_op") === "D"))
             val updIds = updSrc.map(_._1).toSet
@@ -97,36 +110,38 @@ class TableCommitModelSpec extends GraftSpec {
             val fresh = (nextId until nextId + k)
               .map(id => (id, id * 10, (id % 3).toInt))
             nextId += k
-            TableCommit.appendRows(spark, t, "pt",
-              fresh.toDF("id", "v", "pt"), clusterBy = Seq("id"))
+            TableCommit.appendRowsBy(spark, t, partCols,
+              df3(fresh), clusterBy = Seq("id"))
             model ++= fresh.map { case (id, v, pt) => id -> (v, pt) }
           case 1 => // copy-on-write delete
-            TableCommit.deleteWhere(spark, t, "pt", "id",
+            TableCommit.deleteWhereBy(spark, t, partCols, "id",
               BigDecimal(lo), BigDecimal(hi))
             model = model.filter { case (id, _) => id < lo || id > hi }
           case 2 => // merge-on-read delete
-            TableCommit.deleteWhereMor(spark, t, "pt", "id",
+            TableCommit.deleteWhereMorBy(spark, t, partCols, "id",
               BigDecimal(lo), BigDecimal(hi))
             model = model.filter { case (id, _) => id < lo || id > hi }
           case 3 => // copy-on-write update
-            TableCommit.updateWhere(spark, t, "pt", "id",
+            TableCommit.updateWhereBy(spark, t, partCols, "id",
               BigDecimal(lo), BigDecimal(hi),
               Map("v" -> (col("v") + lit(1L))))
             model = model.map { case (id, (v, pt)) =>
               if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
             }
           case 4 => // merge-on-read update
-            TableCommit.updateWhereMor(spark, t, "pt", "id",
+            TableCommit.updateWhereMorBy(spark, t, partCols, "id",
               BigDecimal(lo), BigDecimal(hi),
               Map("v" -> (col("v") + lit(1L))))
             model = model.map { case (id, (v, pt)) =>
               if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
             }
           case 5 => // compaction of every current partition
+            // compact by TOP-LEVEL dirs — prefixes cover every ps
+            // leaf under the two-level layout
             val dirs = TableCommit.resolve(t).get._2
               .map(f => f.takeWhile(_ != '/')).distinct
             if (dirs.nonEmpty)
-              TableCommit.compactPartitions(spark, t, "pt", dirs,
+              TableCommit.compactPartitionsBy(spark, t, partCols, dirs,
                 clusterBy = Seq("id"), filesPerPartition = 2)
         }
         val want = model.map { case (id, (v, pt)) => (id, v, pt) }.toSet

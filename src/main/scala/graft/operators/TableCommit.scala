@@ -1105,9 +1105,58 @@ object TableCommit {
       else lenLine +: lines
     // publication IS the store's conditional put — the only atomicity
     // the protocol asks of storage (see TableStore's contract)
-    store(table).putManifestIfAbsent(table, id,
+    val won = store(table).putManifestIfAbsent(table, id,
       sealed0.mkString("", "\n", "\n"))
+    // CHECKPOINT manifests additionally publish a COLUMNAR (parquet)
+    // sidecar (round-11 verdict item 3) — acceleration, not
+    // correctness: best-effort (any failure falls back to the text
+    // path), written only by the CAS winner, freshness bound to the
+    // text manifest's identity via the sidecar's NAME
+    if (won && !lines.headOption.exists(_.startsWith(DeltaPrefix)))
+      try for {
+        ident <- store(table).manifestIdentity(table, id)
+        p <- store(table).sidecarPath(table, id, ident)
+      } CheckpointSidecar.write(p, files.distinct.sorted, stats, rows,
+        bytes, dv, props, txns, schemaJson)
+      catch { case scala.util.control.NonFatal(_) => () }
+    won
   }
+
+  /** The checkpoint sidecar of snapshot `id`, fully reconstructed —
+    * Some iff `id` is a checkpoint whose identity-named sidecar exists
+    * and reads cleanly. DeltaManifestSpec pins this EQUAL to the text
+    * parse. */
+  private[graft] def sidecarStateOf(table: String, id: Long): Option[Snapshot] =
+    (for {
+      ident <- store(table).manifestIdentity(table, id)
+      p <- store(table).sidecarPath(table, id, ident)
+      if new java.io.File(p).isFile
+    } yield scala.util.Try {
+      val (files, stats, rows, bytes, dv, meta) = CheckpointSidecar.readFull(p)
+      Snapshot(id, files, stats, rows, bytes, dv, meta.props, meta.txns,
+        meta.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    }.toOption).flatten
+
+  /** Cold-open PRUNED resolution via the checkpoint sidecar: a
+    * projected, filter-pushed columnar read that decodes ONLY the kept
+    * rows' (path, dv) — the full file list is never materialized as
+    * driver strings. Some iff `id` is a checkpoint with a fresh
+    * sidecar. */
+  private def sidecarPruned(table: String, id: Long, column: String,
+      lo: BigDecimal, hi: BigDecimal)
+      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+    (for {
+      ident <- store(table).manifestIdentity(table, id)
+      p <- store(table).sidecarPath(table, id, ident)
+      if new java.io.File(p).isFile
+    } yield scala.util.Try(
+      CheckpointSidecar.prunedRead(p, column, lo, hi)).toOption).flatten
+
+  /** Test probe: the sidecar-pruned kept-file set for a band. */
+  private[graft] def sidecarPrunedFiles(table: String, id: Long,
+      column: String, lo: BigDecimal, hi: BigDecimal): Option[Seq[String]] =
+    sidecarPruned(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
 
   /** Ensure the table has a snapshot: if no manifest exists yet,
     * publish manifest-0 listing the current tree (adopting a table
@@ -1183,14 +1232,34 @@ object TableCommit {
     * partition/cluster keys. */
   def readWhereAt(s: SparkSession, table: String, id: Long, column: String,
       lo: BigDecimal, hi: BigDecimal): DataFrame =
-    manifests(table).find(_._1 == id) match {
-      case Some((_, m)) =>
-        val kept = pruneFiles(m, column, lo, hi)
-        readFiles(s, table, m, kept)
+    // COLD-OPEN fast path (round-11 verdict item 3): when `id` is a
+    // checkpoint with a fresh columnar sidecar, the pruning decision is
+    // a projected parquet read with the band pushed to row-group level
+    // — the full file list never materializes as driver strings; the
+    // double-widened sidecar ranges may only ever KEEP an extra
+    // borderline file (the on-top row filter makes the result equal),
+    // never exclude an overlapping one
+    sidecarPruned(table, id, column, lo, hi) match {
+      case Some((kept, meta)) =>
+        val m = Snapshot(id, kept.map(_._1).sorted, Map.empty, Map.empty,
+          Map.empty,
+          kept.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap,
+          meta.props, meta.txns,
+          meta.schemaJson.map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        readFiles(s, table, m, m.files)
           .filter(col(column) >= lit(lo.underlying) &&
             col(column) <= lit(hi.underlying))
-      case None => sys.error(
-        s"snapshot $id of $table is outside the retention window")
+      case None => manifests(table).find(_._1 == id) match {
+        case Some((_, m)) =>
+          val kept = pruneFiles(m, column, lo, hi)
+          readFiles(s, table, m, kept)
+            .filter(col(column) >= lit(lo.underlying) &&
+              col(column) <= lit(hi.underlying))
+        case None => sys.error(
+          s"snapshot $id of $table is outside the retention window")
+      }
     }
 
   /** [[readWhereAt]] on the newest snapshot. */

@@ -65,6 +65,15 @@ trait TableStore {
   /** Remove manifest `id` (vacuum of chain-surplus metadata). */
   def deleteManifest(table: String, id: Long): Unit
 
+  /** Location of the COLUMNAR (parquet) sidecar twin of CHECKPOINT
+    * manifest `id` for the given identity token — a real
+    * Hadoop-readable path the writer publishes to and a cold reader
+    * probes; None when the store offers no sidecar surface (the
+    * in-memory conditional-put store). The identity in the name makes
+    * freshness structural: a recreated table's new manifest identity
+    * never matches a stale incarnation's sidecar. */
+  def sidecarPath(table: String, id: Long, identity: String): Option[String]
+
   // ---- data files --------------------------------------------------
 
   /** Recursive listing of files under `table/relDir` (`relDir = ""`
@@ -184,8 +193,20 @@ final class LocalTableStore extends TableStore {
     won
   }
 
-  override def deleteManifest(table: String, id: Long): Unit =
+  override def deleteManifest(table: String, id: Long): Unit = {
     manifestFile(table, id).delete()
+    // columnar sidecars ride with their manifest (any incarnation's)
+    Option(new java.io.File(table, "_manifests").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(f".ckpt-$id%09d-"))
+      .foreach(_.delete())
+  }
+
+  override def sidecarPath(table: String, id: Long,
+      identity: String): Option[String] =
+    Some(new java.io.File(new java.io.File(table, "_manifests"),
+      f".ckpt-$id%09d-${CheckpointSidecar.identityDigest(identity)}.parquet")
+      .getAbsolutePath)
 
   override def listFilesUnder(table: String, relDir: String): Seq[String] = {
     val root = if (relDir.isEmpty) new java.io.File(table)
@@ -283,6 +304,11 @@ final class ConditionalPutStore(underlying: TableStore = TableStore.local)
 
   override def deleteManifest(table: String, id: Long): Unit =
     manifests.remove((table, id))
+
+  // no sidecar surface: the log lives in a map; a real object-store
+  // adapter would return a bucket key here
+  override def sidecarPath(table: String, id: Long,
+      identity: String): Option[String] = None
 
   /** Drop every manifest of `table` — the test harness's DROP TABLE
     * (a local-FS table drop is a tree delete; the map needs its own). */

@@ -185,7 +185,10 @@ class DeltaManifestSpec extends GraftSpec {
     def disk(): Set[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          // _manifests holds METADATA (text manifests + the columnar
+          // checkpoint sidecars, which are .parquet too) — not data
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq
+            .filterNot(_.getName == "_manifests").flatMap(walk)
         else Seq(f)
       walk(new java.io.File(t)).map(_.getName)
         .filter(_.endsWith(".parquet")).toSet
@@ -263,4 +266,111 @@ class DeltaManifestSpec extends GraftSpec {
       s"MoR delta not proportional to its write set: ${lines.length} lines")
     assert(TableCommit.read(spark, t).count() == 190L)
   }
+  test("PARQUET CHECKPOINT SIDECAR: the columnar twin reconstructs the " +
+      "EXACT snapshot the text checkpoint parses to — files, stats, " +
+      "rows, bytes, DV registrations, properties, txn ledger, schema") {
+    val t = new java.io.File(freshDir(), "pc").getAbsolutePath
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "v", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    // checkpoint every commit so every id has a sidecar; stats + DV +
+    // props + ledger all populated
+    TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      (0 until 40).map(i => (100L + i, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 4,
+      txn = Some(("pc_app", 3L)))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(104), BigDecimal(106))
+    val id = TableCommit.resolve(t).get._1
+    val fromSidecar = TableCommit.sidecarStateOf(t, id)
+    assert(fromSidecar.isDefined, "no sidecar for a checkpoint commit")
+    // the text reconstruction, via the public surface it feeds
+    val viaText = TableCommit.history(t).find(_._1 == id).get._2
+    assert(fromSidecar.get.files == viaText.sorted)
+    assert(TableCommit.rowCount(t, id).isDefined)
+    // row/byte/stat parity: re-read the snapshot through BOTH paths
+    val sc = fromSidecar.get
+    assert(sc.rows.values.sum == TableCommit.rowCount(t, id).get)
+    sc.files.foreach { f =>
+      assert(sc.bytes(f) == TableCommit.statFileSize(t, f)) }
+    assert(sc.stats.nonEmpty, "sidecar lost the #stats entries")
+    assert(sc.props.get("graft.checkpoint.interval").contains("1"))
+    assert(sc.txns.get("pc_app").contains(3L))
+    assert(sc.schema.isDefined)
+    // and the DV registration of the MoR delete survived the round-trip
+    assert(sc.dv.nonEmpty, "sidecar lost the #dv registrations")
+  }
+
+  test("COLD-OPEN pruned read goes through the sidecar: the projected " +
+      "columnar prune keeps a superset of the text decision, at most " +
+      "the borderline-widening extra, and readWhereAt stays row-equal") {
+    val t = new java.io.File(freshDir(), "pr").getAbsolutePath
+    Seq((0L, "seed", 0)).toDF("id", "v", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+    // 20 key-clustered files over id ∈ [0, 2000)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      (0 until 2000).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 10)
+    val id = TableCommit.resolve(t).get._1
+    val total = TableCommit.resolve(t).get._2.length
+    val viaSidecar = TableCommit.sidecarPrunedFiles(t, id, "id",
+      BigDecimal(300), BigDecimal(420))
+    assert(viaSidecar.isDefined, "cold-open prune did not use the sidecar")
+    // the text decision (pruneAudit counts through the text path)
+    val (keptText, totalText) = TableCommit.pruneAudit(t, id, "id",
+      BigDecimal(300), BigDecimal(420))
+    assert(totalText == total)
+    assert(viaSidecar.get.length >= keptText,
+      "sidecar prune excluded a file the text decision kept")
+    assert(viaSidecar.get.length < total,
+      "sidecar prune skipped nothing — no row-group pushdown")
+    // result equality: the pruned band read equals the full read + filter
+    val a = TableCommit.readWhereAt(spark, t, id, "id",
+      BigDecimal(300), BigDecimal(420))
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val b = TableCommit.readAt(spark, t, id)
+      .filter(col("id") >= 300 && col("id") <= 420)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(a == b)
+    // and the plan actually scanned only the kept files
+    val scanned = TableCommit.readWhereAt(spark, t, id, "id",
+      BigDecimal(300), BigDecimal(420)).inputFiles.length
+    assert(scanned == viaSidecar.get.length,
+      s"pruned read scanned $scanned files, sidecar kept ${viaSidecar.get.length}")
+  }
+
+  test("sidecar freshness is identity-bound: recreating the table at " +
+      "the SAME path never serves the old incarnation's sidecar") {
+    val dir = freshDir()
+    val t = new java.io.File(dir, "fr").getAbsolutePath
+    def build(n: Int): Unit = {
+      Seq((0L, "seed", 0)).toDF("id", "v", "pt")
+        .write.mode("overwrite").partitionBy("pt").parquet(t)
+      TableCommit.initIfAbsent(t)
+      TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+      TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+        (0 until n).map(i => (i.toLong, s"v$i", 0)).toDF("id", "v", "pt"),
+        clusterBy = Seq("id"), filesPerPartition = 2)
+    }
+    build(10)
+    val id1 = TableCommit.resolve(t).get._1
+    val files1 = TableCommit.sidecarStateOf(t, id1).map(_.files)
+    // drop and recreate the table at the SAME path with DIFFERENT data
+    graft.operators.Sinks.deleteRecursively(new java.io.File(t))
+    build(20)
+    val id2 = TableCommit.resolve(t).get._1
+    val files2 = TableCommit.sidecarStateOf(t, id2)
+    assert(files2.isDefined)
+    assert(files2.get.files == TableCommit.resolve(t).get._2.sorted,
+      "sidecar served a stale incarnation's file list")
+    assert(files1.isEmpty || files2.get.files != files1.get ||
+      TableCommit.resolve(t).get._2.length == 10)
+  }
+
 }

@@ -79,7 +79,10 @@ class TableCommitSpec extends GraftSpec {
     val disk = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          // _manifests holds metadata (incl. columnar .parquet
+          // checkpoint sidecars) — never table data
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq
+            .filterNot(_.getName == "_manifests").flatMap(walk)
         else Seq(f)
       walk(new java.io.File(t)).map(_.getName)
         .filter(_.endsWith(".parquet")).toSet
@@ -114,7 +117,8 @@ class TableCommitSpec extends GraftSpec {
     // age the abandoned files past the orphan window
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(_.getName == "_manifests").flatMap(walk)
       else Seq(f)
     val live = TableCommit.resolve(t).get._2.map(p =>
       p.substring(p.lastIndexOf('/') + 1)).toSet

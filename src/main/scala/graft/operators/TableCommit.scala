@@ -95,7 +95,10 @@ object TableCommit {
       dv: Map[String, Seq[String]],
       props: Map[String, String],
       txns: Map[String, Long],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      // COMMIT-SCOPED writer-recorded change-data dirs (`#cdc` lines)
+      // — the Delta _change_data shape; never carried forward
+      cdc: Seq[String] = Nil)
 
   // Published manifests are IMMUTABLE (conditional-put CAS), so their
   // content can be memoized — one readFiles call otherwise re-reads the
@@ -166,7 +169,8 @@ object TableCommit {
   private def parseCkpt(id: Long, lines: Seq[String]): Snapshot =
     Snapshot(id, filesOfLines(lines), statsOfLines(lines),
       rowsOfLines(lines), bytesOfLines(lines), dvOfLines(lines),
-      propsOfLines(lines), txnsOfLines(lines), schemaOfLines(lines))
+      propsOfLines(lines), txnsOfLines(lines), schemaOfLines(lines),
+      cdcOfLines(lines))
 
   /** Apply one DELTA manifest on top of its base state. Delta
     * semantics, exact by construction ([[publish]] verifies the
@@ -204,7 +208,9 @@ object TableCommit {
       },
       propsOfLines(lines),
       txnsOfLines(lines),
-      schemaOfLines(lines))
+      schemaOfLines(lines),
+      // #cdc is COMMIT-SCOPED: the delta's own lines, never the base's
+      cdcOfLines(lines))
   }
 
   // Reconstructed states are memoized like manifest lines — keyed by
@@ -555,6 +561,21 @@ object TableCommit {
     }.groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) }
 
   private def dvOf(m: Snapshot): Map[String, Seq[String]] = m.dv
+
+  /** WRITER-RECORDED CHANGE DATA directives (`#cdc <dir>` lines —
+    * Delta's _change_data action, round-11 verdict item 4): a
+    * merge-on-read DML verb records its commit's EXACT row-level
+    * changes — `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} — in a parquet sidecar tree under
+    * `_cdc/<writerId>`, cost ∝ the change set. The directive is
+    * COMMIT-SCOPED (never carried forward): it describes the one
+    * transition that published it, and [[changeFeedPrecise]] reads it
+    * instead of synthesizing the coarser insert/delete classification
+    * from the manifest diff. */
+  private val CdcPrefix = "#cdc "
+
+  private def cdcOfLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(CdcPrefix)).map(_.stripPrefix(CdcPrefix))
 
   /** The (last-two-path-segments, row-position) key both sides of the
     * DV anti-join compute — executor-side string ops on the hidden
@@ -1006,7 +1027,8 @@ object TableCommit {
       stats: Map[(String, String), (String, String)],
       rows: Map[String, Long], bytes: Map[String, Long],
       dv: Map[String, Seq[String]],
-      props: Map[String, String]): Seq[String] = {
+      props: Map[String, String],
+      cdc: Seq[String]): Seq[String] = {
     val baseSet = base.files.toSet
     val nextSet = files.toSet
     val adds = files.filterNot(baseSet).distinct.sorted
@@ -1029,6 +1051,7 @@ object TableCommit {
         s"$RowsPrefix$n\t$rel" } ++
       bytesDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"$BytesPrefix$n\t$rel" } ++
+      cdc.map(CdcPrefix + _) ++
       dvDelta ++
       adds.map("+" + _) ++
       removes.map("-" + _)
@@ -1066,7 +1089,8 @@ object TableCommit {
       rows: Map[String, Long] = Map.empty,
       dv: Map[String, Seq[String]] = Map.empty,
       props: Map[String, String] = Map.empty,
-      bytes: Map[String, Long] = Map.empty): Boolean = {
+      bytes: Map[String, Long] = Map.empty,
+      cdc: Seq[String] = Nil): Boolean = {
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
@@ -1075,6 +1099,7 @@ object TableCommit {
       bytes.toSeq.sortBy(_._1).map { case (rel, n) => s"$BytesPrefix$n\t$rel" } ++
       dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
         dirs.map(d => s"$DvPrefix$d\t$rel") } ++
+      cdc.map(CdcPrefix + _) ++
       props.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k=$v" }
     val ckptLines = header ++ files.sorted
     val lines: Seq[String] =
@@ -1083,7 +1108,7 @@ object TableCommit {
         case None => ckptLines
         case Some(base) =>
           val d = deltaLines(base, files, txns, schemaJson, stats, rows,
-            bytes, dv, props)
+            bytes, dv, props, cdc)
           val intendedSchema = schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1091,7 +1116,7 @@ object TableCommit {
           val exact = rec.files == files.distinct.sorted &&
             rec.stats == stats && rec.rows == rows && rec.dv == dv &&
             rec.bytes == bytes && rec.props == props && rec.txns == txns &&
-            rec.schema == intendedSchema
+            rec.schema == intendedSchema && rec.cdc == cdc
           if (exact && d.length < ckptLines.length) d else ckptLines
       }
     // header #len integrity directive: a truncated manifest fails
@@ -1449,6 +1474,54 @@ object TableCommit {
     val parts = Seq(inserts, removedDeletes, dvDeletes).flatten
     if (parts.isEmpty)
       shape(read(s, table).limit(0), "insert").limit(0)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** PRECISE, PER-COMMIT change data feed — Delta's `table_changes`
+    * with the FOUR-WAY classification (round-11 verdict item 4):
+    * every commit in (fromId, toId] emits its change rows carrying
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and `_commit_version`, so a consumer can tell
+    * a CORRECTION (update pre/post pair) from CHURN (delete+insert):
+    *
+    *  - a commit that recorded writer change data (`#cdc` — every
+    *    merge-on-read verb: MoR delete/update, MERGE) replays its
+    *    sidecar EXACTLY — no vector arithmetic, cost ∝ the commit's
+    *    change set;
+    *  - any other commit (append, replace, CoW DML, compaction)
+    *    synthesizes that single step's insert/delete classification
+    *    from the manifest diff ([[changeFeed]]) — correct under the
+    *    apply equation, coarser for rewrites (documented there).
+    *
+    * Unlike [[changeFeed]]'s endpoint diff, this walks COMMITS — a row
+    * inserted then deleted inside the range appears twice (its life
+    * story), exactly Delta's `table_changes` semantics. Every step in
+    * the range must still be retained. Rows are emitted at the TO
+    * snapshot's schema of record (older sidecars null-fill evolved
+    * columns; since-dropped columns are not emitted). */
+  def changeFeedPrecise(s: SparkSession, table: String, fromId: Long,
+      toId: Long): DataFrame = {
+    require(fromId <= toId,
+      s"changeFeedPrecise: fromId $fromId > toId $toId")
+    val all = manifests(table)
+    def man(id: Long) = all.find(_._1 == id).getOrElse(sys.error(
+      s"snapshot $id of $table is outside the retention window"))._2
+    val outCols = schemaOf(man(toId)).map(_.fieldNames.toSeq).getOrElse(
+      read(s, table).columns.toSeq)
+    def shape(df: DataFrame, id: Long): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outCols.map(c =>
+        (if (have(c)) col(c) else lit(null)).as(c)) ++
+        Seq(col("_change_type"), lit(id).as("_commit_version")): _*)
+    }
+    val parts = ((fromId + 1) to toId).map { id =>
+      val m = man(id)
+      if (m.cdc.nonEmpty)
+        shape(s.read.parquet(m.cdc.map(d => s"$table/$d"): _*), id)
+      else shape(changeFeed(s, table, id - 1, id), id)
+    }
+    if (parts.isEmpty)
+      shape(changeFeed(s, table, toId, toId), toId).limit(0)
     else parts.reduce(_.unionByName(_))
   }
 
@@ -2468,6 +2541,15 @@ object TableCommit {
     live.filter(coalesce(matchPred, lit(false)))
       .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
       .write.mode("overwrite").parquet(s"$table/$dvRel")
+    // writer-recorded CHANGE DATA (round-11 verdict item 4): the
+    // deleted rows' full preimages, cost ∝ matches — the precise feed
+    // replays this instead of re-deriving dead rows from the vectors
+    val cdcRel = s"_cdc/$writerId"
+    val delFields = schemaOf(m).map(_.fieldNames.toSeq).getOrElse(
+      raw.columns.toSeq.filterNot(Set("_metadata")))
+    live.filter(coalesce(matchPred, lit(false)))
+      .select(delFields.map(col) :+ lit("delete").as("_change_type"): _*)
+      .write.mode("overwrite").parquet(s"$table/$cdcRel")
     val hitSet = hit.toSet
     val baseDvSig = dvOf(m).filter { case (rel, _) => hitSet(rel) }
     var (baseId, baseFiles) = (baseId0, baseFiles0)
@@ -2492,7 +2574,8 @@ object TableCommit {
       val nextRows = c.rows.map { case (rel, n) =>
         rel -> (n - hitCounts.getOrElse(rel, 0L)) }
       if (publish(table, baseId + 1, baseFiles, c.txns,
-          c.schema.map(_.json), c.stats, nextRows, nextDv, c.props, c.bytes)) {
+          c.schema.map(_.json), c.stats, nextRows, nextDv, c.props, c.bytes,
+          cdc = Seq(cdcRel))) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2576,6 +2659,15 @@ object TableCommit {
         case None => col(f.name)
       }
     }: _*)
+    // writer-recorded CHANGE DATA: update_preimage (pre-update values)
+    // + update_postimage (successors) — the four-way feed's precise
+    // source for corrections vs churn, cost ∝ matches
+    val cdcRel = s"_cdc/$writerId"
+    matches.select(dataFields.map(f => col(f.name)) :+
+        lit("update_preimage").as("_change_type"): _*)
+      .unionByName(updated.withColumn("_change_type",
+        lit("update_postimage")))
+      .write.mode("overwrite").parquet(s"$table/$cdcRel")
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val shaped = statsCols.headOption match {
       case Some(c) => updated.repartition(partCols.map(col): _*)
@@ -2618,7 +2710,7 @@ object TableCommit {
         rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++ freshRows
       if (publish(table, baseId + 1, next, c.txns, c.schema.map(_.json),
           c.stats ++ freshStats, nextRows, nextDv, c.props,
-          c.bytes ++ freshBytes)) {
+          c.bytes ++ freshBytes, cdc = Seq(cdcRel))) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2831,6 +2923,21 @@ object TableCommit {
       }
       val inserts = insertsRaw.select(tgtSchema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // writer-recorded CHANGE DATA: the full four-way classification
+      // in one sidecar — delete preimages (deleteWhen clause), update
+      // pre/postimages, inserts — cost ∝ |matched| + |inserted|
+      val cdcRel = s"_cdc/$writerId"
+      val tgtCols = tgtSchema.fields.toSeq.map(f => col(f.name))
+      val cdcParts = Seq(
+        matched.map(_.filter(delPred).select(tgtCols :+
+          lit("delete").as("_change_type"): _*)),
+        matched.map(_.filter(!delPred).select(tgtCols :+
+          lit("update_preimage").as("_change_type"): _*)),
+        successors.map(_.withColumn("_change_type",
+          lit("update_postimage"))),
+        Some(inserts.withColumn("_change_type", lit("insert")))).flatten
+      cdcParts.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$table/$cdcRel")
       val freshSrc = successors.fold(inserts)(_.unionByName(inserts))
       val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
       val shaped = statsCols.headOption match {
@@ -2903,7 +3010,7 @@ object TableCommit {
         }
         if (publish(table, baseId + 1, baseFiles ++ fresh, nextTxns,
             c.schema.map(_.json), c.stats ++ freshStats, nextRows, nextDv,
-            c.props, c.bytes ++ freshBytes)) {
+            c.props, c.bytes ++ freshBytes, cdc = Seq(cdcRel))) {
           vacuum(table, baseId + 1)
           published = baseId + 1
           committed = true
@@ -3109,6 +3216,16 @@ object TableCommit {
       .filter { case (name, mtime) => !liveDv.contains(name) &&
         mtime < cutoff }
       .foreach { case (name, _) => st.deleteTree(table, s"_dv/$name") }
+    // writer-recorded change-data trees: referenced by RETAINED
+    // snapshots' commit-scoped #cdc directives; the rest sweep once
+    // stale (a feed consumer may lag at most the retention window —
+    // the same contract changesSince already carries)
+    val liveCdc = retained.flatMap(_.cdc)
+      .map(d => d.stripPrefix("_cdc/")).toSet
+    st.listSubdirs(table, "_cdc")
+      .filter { case (name, mtime) => !liveCdc.contains(name) &&
+        mtime < cutoff }
+      .foreach { case (name, _) => st.deleteTree(table, s"_cdc/$name") }
     // manifests below the oldest retained snapshot's chain base have no
     // reader and no chain depending on them — delete
     val chainBase = keepIds.minOption

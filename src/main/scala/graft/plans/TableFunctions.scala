@@ -17,6 +17,8 @@ import graft.operators.TableCommit
   *  - `graft_table('<path>')`               — newest snapshot
   *  - `graft_table_at('<path>', <id>)`      — time travel
   *  - `graft_table_changes('<path>', <id>)` — CDC delta since snapshot
+  *  - `graft_table_feed('<path>', a, b)`    — row-level CDF (ins/del)
+  *  - `graft_table_feed4('<path>', a, b)`   — per-commit four-way CDF
   *
   * Each builder folds its literal arguments at resolution time and
   * returns the SAME analyzed plan the Scala read produces — a pinned
@@ -83,6 +85,17 @@ object TableFunctions {
         require(args.length == 3, "graft_table_feed(path, fromId, toId)")
         // row-level CDF with _change_type (Delta's table_changes)
         TableCommit.changeFeed(session, path(args.head), id(args(1)),
+          id(args(2))).queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_feed4"),
+      new ExpressionInfo(getClass.getName, "graft_table_feed4"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_table_feed4(path, fromId, toId)")
+        // PRECISE per-commit CDF with the FOUR-WAY classification
+        // (insert / delete / update_preimage / update_postimage) +
+        // _commit_version — MoR commits replay their writer-recorded
+        // change data; others synthesize insert/delete per step
+        TableCommit.changeFeedPrecise(session, path(args.head), id(args(1)),
           id(args(2))).queryExecution.analyzed
       }),
     (FunctionIdentifier("graft_table_history"),

@@ -1027,6 +1027,77 @@ object Etl {
       |    FALSE AS is_current FROM chg)
       |ORDER BY o_orderkey, version""".stripMargin
 
+  // ------------------------------------------------------------- q_cdf_fourway
+  /** FOUR-WAY change data feed (round-11 verdict item 4 — Delta's
+    * `table_changes` classification completed): the `graft_table_feed4`
+    * TVF distinguishes a CORRECTION (update_preimage/update_postimage
+    * pair, written by the MoR verbs' `_cdc` sidecars) from CHURN
+    * (delete+insert), which the two-way feed cannot. The op: seed
+    * orders (o_orderkey < 2000) as a key-clustered committed table,
+    * MoR-UPDATE the [500, 999] band (SET o_totalprice = −1) — the feed
+    * emits each row's pre-update values as `update_preimage` and its
+    * successor as `update_postimage` — then MoR-DELETE the disjoint
+    * [1500, 1599] band — emitted as `delete` preimages. The oracle
+    * recomputes all three classes from the raw table; parity is
+    * possible because the writer RECORDED its exact change rows at
+    * commit time (cost ∝ the bands), not because the reader guessed.
+    * At 100 TB: the precise feed replays band-sized `_cdc` sidecars —
+    * no vector arithmetic, no table scan, per-commit cost ∝ that
+    * commit's change set (TableCommitSpec pins volume and the
+    * classification per verb). */
+  private def cdfFourway(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdf4_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val seed = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = seed.select(col("o_orderstatus")).distinct().collect()
+        .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
+      TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,
+        clusterBy = Seq("o_orderkey"), filesPerPartition = 4)
+      val (fromId, _) = TableCommit.resolve(table).get
+      TableCommit.updateWhereMor(s, table, "o_orderstatus", "o_orderkey",
+        BigDecimal(500), BigDecimal(999),
+        Map("o_totalprice" -> lit(-1.0)))
+      TableCommit.deleteWhereMor(s, table, "o_orderstatus", "o_orderkey",
+        BigDecimal(1500), BigDecimal(1599))
+      val (toId, _) = TableCommit.resolve(table).get
+      graft.plans.TableFunctions.register(s)
+      // scratch tree dies on return — collect the band-sized feed first
+      val feed = s.sql(
+        s"""SELECT o_orderkey, _change_type AS change_type,
+           |  o_totalprice AS price
+           |FROM graft_table_feed4('$table', $fromId, $toId)
+           |ORDER BY o_orderkey, change_type""".stripMargin)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      import s.implicits._
+      feed.toDF("o_orderkey", "change_type", "price")
+        .orderBy(col("o_orderkey"), col("change_type"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  private val cdfFourwaySql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000),
+      |upd AS (SELECT * FROM src WHERE o_orderkey BETWEEN 500 AND 999),
+      |del AS (SELECT * FROM src WHERE o_orderkey BETWEEN 1500 AND 1599)
+      |SELECT o_orderkey, change_type, price FROM (
+      |  SELECT o_orderkey, 'update_preimage' AS change_type,
+      |    o_totalprice AS price FROM upd
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update_postimage' AS change_type,
+      |    -1.0 AS price FROM upd
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete' AS change_type,
+      |    o_totalprice AS price FROM del)
+      |ORDER BY o_orderkey, change_type""".stripMargin
+
   // --------------------------------------------------------------- n_incr_view
   /** Incremental materialized-view maintenance — the CDC feed's
     * consumer ([[graft.operators.IncrementalView]]): a per-
@@ -2211,6 +2282,7 @@ object Etl {
     QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_cdf", tableCdfQ, None),
     QueryDef("q_scd2_cdf", scd2Cdf, Some(scd2CdfSql)),
+    QueryDef("q_cdf_fourway", cdfFourway, Some(cdfFourwaySql)),
     QueryDef("n_table_delete_dv", tableDeleteDvQ, None),
     QueryDef("n_table_update_dv", tableUpdateDvQ, None),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -458,6 +458,73 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- n_stream_cdf
+  /** The committed table as a STREAMING CHANGE-DATA-FEED source
+    * (round-11 verdict item 6 — Delta's `readChangeFeed` stream,
+    * closing the gap between `n_stream_cdc`'s append replay and a TRUE
+    * change feed): with `readChangeFeed=true` a micro-batch emits the
+    * covered commits' CHANGE ROWS — the four-way `_change_type`
+    * (insert / delete / update_preimage / update_postimage) +
+    * `_commit_version` classification — so a non-append commit (MoR
+    * update/delete, MERGE) is CONSUMABLE as deletes and corrections
+    * instead of the append-only source's hard error. The op: a
+    * key-clustered committed orders table takes one MoR band update
+    * and one MoR band delete; a `readChangeFeed` stream tails from the
+    * seed snapshot (`startingSnapshot`, one commit per trigger) and
+    * its drained change rows are compared — as a multiset — against
+    * the BATCH `graft_table_feed4` answer over the same commit range
+    * (the round's done-criterion, embedded as the `matched` column).
+    * At 100 TB: each micro-batch replays that commit's band-sized
+    * `_cdc` sidecar — planning is a manifest probe, reading is ∝ the
+    * commit's change set, never the table. */
+  private def streamCdf(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scdf_${UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      import graft.operators.TableCommit
+      val seed = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = seed.select(col("o_orderstatus")).distinct().collect()
+        .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
+      TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,
+        clusterBy = Seq("o_orderkey"), filesPerPartition = 4)
+      val (fromId, _) = TableCommit.resolve(table).get
+      TableCommit.updateWhereMor(s, table, "o_orderstatus", "o_orderkey",
+        BigDecimal(500), BigDecimal(999), Map("o_totalprice" -> lit(-1.0)))
+      TableCommit.deleteWhereMor(s, table, "o_orderstatus", "o_orderkey",
+        BigDecimal(1500), BigDecimal(1599))
+      val (toId, _) = TableCommit.resolve(table).get
+      val streamed = drain(s, s.readStream.format("graft-table")
+          .option("readChangeFeed", "true")
+          .option("startingSnapshot", fromId.toString)
+          .option("maxSnapshotsPerTrigger", "1")
+          .load(table), "append")
+        .select(col("o_orderkey"), col("_change_type"), col("o_totalprice"),
+          col("_commit_version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      val batch = TableCommit.changeFeedPrecise(s, table, fromId, toId)
+        .select(col("o_orderkey"), col("_change_type"), col("o_totalprice"),
+          col("_commit_version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      def multiset(xs: Seq[(Long, String, Double, Long)]) =
+        xs.groupBy(identity).map { case (k, v) => k -> v.size }
+      val matched = multiset(streamed) == multiset(batch)
+      import s.implicits._
+      streamed.groupBy(_._2).toSeq
+        .map { case (ct, rows) => (ct, rows.size.toLong, matched.toString) }
+        .toDF("change_type", "n_rows", "matched")
+        .orderBy(col("change_type"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ---------------------------------------------------------------- n_stream_cdc
   /** The committed table as a STREAMING SOURCE
     * (`graft.streaming.TableCommitSource`, registered as
@@ -596,5 +663,6 @@ object Streaming {
     QueryDef("n_stream_join", streamJoin, None),
     QueryDef("n_stream_topk", streamTopk, None),
     QueryDef("n_stream_cdc", streamCdc, None),
+    QueryDef("n_stream_cdf", streamCdf, None),
   )
 }

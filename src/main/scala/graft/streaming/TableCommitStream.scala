@@ -58,8 +58,13 @@ class TableCommitSourceProvider extends StreamSourceProvider
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TableCommitSource.tableSchema(ctx, TableCommitSource.path(parameters))))
+    (shortName(), schema.getOrElse {
+      val base = TableCommitSource.tableSchema(
+        ctx, TableCommitSource.path(parameters))
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        TableCommitSource.withCdfColumns(base)
+      else base
+    })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -156,6 +161,15 @@ object TableCommitSource {
     parameters.getOrElse("path", sys.error(
       "graft-table source needs .load(<table path>)"))
 
+  /** The CDF read's schema: table columns + the change-row metadata
+    * Delta's `readChangeFeed` appends. */
+  private[streaming] def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
+
   /** The table's schema of record: what a snapshot read resolves —
     * the `#schema` directive when present, footer inference else. */
   private[streaming] def tableSchema(ctx: SQLContext,
@@ -174,6 +188,16 @@ class TableCommitSource(ctx: SQLContext, table: String,
   private val spark = ctx.sparkSession
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
+  // CHANGE-FEED MODE (round-11 verdict item 6 — Delta's
+  // readChangeFeed): micro-batches emit CHANGE ROWS (the four-way
+  // _change_type + _commit_version classification of
+  // changeFeedPrecise) instead of replaying added files — a
+  // non-append commit (MoR delete/update, MERGE, replace) is
+  // CONSUMABLE as deletes/updates rather than a hard error, closing
+  // the gap between append CDC and a true change feed. The first
+  // batch is the starting snapshot as inserts (Delta's rule).
+  private val readChangeFeed =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
   private val startingSnapshot =
     parameters.get("startingSnapshot").map(_.toLong)
   // ADMISSION CONTROL: cap each micro-batch at N source commits (the
@@ -210,7 +234,17 @@ class TableCommitSource(ctx: SQLContext, table: String,
     parameters.get("maxBytesPerTrigger").map(_.toLong)
       .map(m => { require(m >= 1L, "maxBytesPerTrigger must be >= 1"); m })
 
-  override val schema: StructType = TableCommitSource.tableSchema(ctx, table)
+  override val schema: StructType = {
+    val base = TableCommitSource.tableSchema(ctx, table)
+    if (readChangeFeed) TableCommitSource.withCdfColumns(base) else base
+  }
+  // sub-snapshot file splits index ADDED-file lists — meaningless for
+  // change-row replay; CDF admission is maxSnapshotsPerTrigger
+  require(!readChangeFeed ||
+    (maxFiles.isEmpty && maxRows.isEmpty && maxBytes.isEmpty),
+    "readChangeFeed=true paces by maxSnapshotsPerTrigger — the " +
+      "file/row/byte caps index added-file lists, which change rows " +
+      "do not replay")
 
   /** Offsets: a fully-consumed snapshot serializes as the bare id (the
     * pre-split format — old checkpoints parse unchanged); a partially
@@ -365,6 +399,7 @@ class TableCommitSource(ctx: SQLContext, table: String,
     val endOff = offsetOf(end)
     val endId = endOff.id
     val since = start.map(offsetOf).orElse(startingSnapshot.map(SnapshotOffset(_)))
+    if (readChangeFeed) return getChangeBatch(since, endId)
     since match {
       case None =>
         // first batch: the full snapshot at the first observed offset
@@ -393,6 +428,29 @@ class TableCommitSource(ctx: SQLContext, table: String,
         guardRemoved(a, endId, removed)
         if (added.isEmpty) emptyBatch
         else shaped(TableCommit.readFileSubset(spark, table, endId, added))
+    }
+  }
+
+  /** CHANGE-FEED micro-batch: the per-commit four-way change rows of
+    * (a, endId] ([[TableCommit.changeFeedPrecise]] — MoR commits
+    * replay their writer-recorded `_cdc` sidecars, others synthesize
+    * insert/delete per step), or the starting snapshot AS INSERTS for
+    * the first batch (Delta's readChangeFeed rule). Batch cost ∝ the
+    * covered commits' change sets. */
+  private def getChangeBatch(since: Option[SnapshotOffset],
+      endId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def asStream(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.StreamingBridge.wrapBatchAsStream(
+        df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+    since match {
+      case None =>
+        asStream(TableCommit.readAt(spark, table, endId)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endId)))
+      case Some(SnapshotOffset(a, _)) if a == endId => emptyBatch
+      case Some(SnapshotOffset(a, _)) =>
+        asStream(TableCommit.changeFeedPrecise(spark, table, a, endId))
     }
   }
 

@@ -49,6 +49,22 @@ object StreamingBridge {
       df.schema, isStreaming = true)
   }
 
+  /** Wrap an arbitrary BATCH computation as a single streaming leaf:
+    * the frame's physical RDD (lazy — nothing executes until the
+    * micro-batch runs) under a streaming-tagged relation. The change-
+    * feed micro-batch needs this shape: its plan is a UNION of
+    * per-commit reads with literal projections (and occasionally a
+    * LIMIT 0 for a metadata-only commit), which leaf-tagging cannot
+    * express — streaming refuses Limit and stream/batch unions, while
+    * one opaque streaming leaf over the computed rows is always
+    * legal. The trade (no pushdown INTO the feed) is irrelevant:
+    * change batches are change-sized by construction. */
+  def wrapBatchAsStream(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[ClassicSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The engine-internal local-property key a running streaming query
     * publishes its queryId under — pinned to the engine's OWN constant
     * (`StreamExecution.QUERY_ID_KEY`) instead of a string literal, so

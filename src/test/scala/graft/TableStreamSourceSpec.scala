@@ -345,4 +345,77 @@ class TableStreamSourceSpec extends GraftSpec {
           s"extra=${(got.toSet -- want).take(5)})")
     }
   }
+  test("readChangeFeed stream: the first batch is the starting snapshot " +
+      "AS INSERTS, later batches replay each commit's four-way change " +
+      "rows, non-append commits are CONSUMABLE (no append-only error), " +
+      "and the drained rows equal the batch changeFeedPrecise multiset") {
+    val t = committedTable()
+    val base = new java.io.File(t).getParentFile
+    val out = new java.io.File(base, "cdf_out").getAbsolutePath
+    val ckpt = new java.io.File(base, "cdf_ckpt").getAbsolutePath
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // with a snapshot cap and no position, the bounded catch-up rule
+    // starts at the OLDEST retained snapshot
+    val snapId = TableCommit.history(t).map(_._1).min
+    drainCdf() // first batch: the starting snapshot as inserts
+    val first = spark.read.parquet(out)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(first == Set(1L, 2L, 3L, 4L).map(id => (id, "insert", snapId)))
+    // two NON-APPEND commits: MoR update + MoR delete — the plain
+    // source would throw; the change feed consumes them
+    TableCommit.updateWhereMor(spark, t, "pt", "id",
+      BigDecimal(2), BigDecimal(2), Map("v" -> lit("B")))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(3), BigDecimal(3))
+    val toId = TableCommit.resolve(t).get._1
+    drainCdf() // tail: one commit per trigger
+    val drained = spark.read.parquet(out)
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2),
+          r.getLong(3)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expectTail = TableCommit.changeFeedPrecise(spark, t, snapId, toId)
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2),
+          r.getLong(3)))
+    val expectAll = (Seq((1L, "a", "insert", snapId), (2L, "b", "insert", snapId),
+      (3L, "c", "insert", snapId), (4L, "d", "insert", snapId)) ++ expectTail)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(drained == expectAll,
+      s"stream drain diverged from batch feed: ${drained.toSet -- expectAll.toSet} / ${expectAll.toSet -- drained.toSet}")
+    // the tail contains the four-way classes, not insert/delete churn
+    val classes = expectTail.map(_._3).toSet
+    assert(classes == Set("update_preimage", "update_postimage", "delete"))
+  }
+
+  test("readChangeFeed refuses the added-file admission caps (they " +
+      "index file lists change rows do not replay)") {
+    val t = committedTable()
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "2")
+        .load(t)
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+
 }

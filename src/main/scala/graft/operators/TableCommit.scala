@@ -368,16 +368,77 @@ object TableCommit {
     else f.name
 
   private def hasMapping(sch: org.apache.spark.sql.types.StructType): Boolean =
-    sch.fields.exists(f => physicalOf(f) != f.name)
+    sch.fields.exists(f => physicalOf(f) != f.name || deepMapped(f.dataType))
+
+  /** Whether any NESTED field (inside structs, array elements, map
+    * values) carries a physical binding — the round-11-item-5
+    * extension: schema churn in ETL happens inside `props`-style
+    * struct payloads, so rename must reach them. */
+  private def deepMapped(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        st.fields.exists(f => physicalOf(f) != f.name || deepMapped(f.dataType))
+      case ArrayType(et, _) => deepMapped(et)
+      case MapType(k, v, _) => deepMapped(k) || deepMapped(v)
+      case _ => false
+    }
+  }
+
+  /** The datatype as the parquet FILES carry it: every nested field
+    * renamed to its physical name, metadata stripped. */
+  private def physicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(physicalOf(f), physicalType(f.dataType), f.nullable)))
+      case ArrayType(et, n) => ArrayType(physicalType(et), n)
+      case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+      case other => other
+    }
+  }
+
+  /** The datatype as the LOGICAL view declares it: nested names kept,
+    * mapping metadata stripped (cast targets and writer-schema
+    * comparisons must not see bookkeeping). */
+  private def logicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, logicalType(f.dataType), f.nullable)))
+      case ArrayType(et, n) => ArrayType(logicalType(et), n)
+      case MapType(k, v, n) => MapType(logicalType(k), logicalType(v), n)
+      case other => other
+    }
+  }
+
+
+  /** `dt` with every nesting level relaxed to nullable — cast targets
+    * must be nullable (the parquet scan relaxes fields, and Cast
+    * refuses nullable→NOT NULL). */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, relaxNullable(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(relaxNullable(et), true)
+      case MapType(k, v, _) =>
+        MapType(relaxNullable(k), relaxNullable(v), true)
+      case other => other
+    }
+  }
 
   /** The schema as the parquet FILES carry it: field names replaced by
-    * their physical names (metadata stripped — it described the
-    * logical view). */
+    * their physical names at EVERY depth (metadata stripped — it
+    * described the logical view). */
   private def physicalSchema(sch: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       org.apache.spark.sql.types.StructField(
-        physicalOf(f), f.dataType, f.nullable)))
+        physicalOf(f), physicalType(f.dataType), f.nullable)))
 
   /** Physical names a NEW column must avoid: every current physical
     * plus every physical ever dropped (recorded in the
@@ -407,8 +468,18 @@ object TableCommit {
     m.schema match {
       case Some(sch) if hasMapping(sch) =>
         val base = rd.schema(physicalSchema(sch)).parquet(paths: _*)
-        val logical = sch.fields.toSeq.map(f =>
-          col(physicalOf(f)).as(f.name))
+        val logical = sch.fields.toSeq.map { f =>
+          val c = col(physicalOf(f))
+          // NESTED mapping: a positional struct cast renames physical
+          // children back to their logical names (cast is by position,
+          // preserves null structs, stays codegen'd); top-level-only
+          // mapping keeps the zero-cost alias
+          if (physicalType(f.dataType) != logicalType(f.dataType))
+            // asNullable: the parquet scan relaxes every field to
+            // nullable, and Cast refuses nullable→NOT NULL targets
+            c.cast(relaxNullable(logicalType(f.dataType))).as(f.name)
+          else c.as(f.name)
+        }
         base.select(
           (if (withMeta) logical :+ col("_metadata") else logical): _*)
       case Some(sch) => rd.schema(sch).parquet(paths: _*)
@@ -825,21 +896,47 @@ object TableCommit {
       val sch = c.schema.getOrElse(sys.error(
         s"$table carries no #schema of record — run any write commit " +
           "through the protocol first"))
-      require(sch.fieldNames.contains(from), s"no column $from in $table")
-      require(!sch.fieldNames.contains(to),
-        s"column $to already exists in $table")
-      partColsOf(baseFiles).foreach(pc => require(from != pc,
-        s"cannot rename partition column $pc — partition directory " +
-          "names are physical layout; rewrite the table instead"))
-      requireUnreferenced(table, from, c.props, "rename")
-      val newSch = org.apache.spark.sql.types.StructType(sch.fields.map { f =>
-        if (f.name == from)
-          org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putString(PhysicalKey, physicalOf(f)).build())
-        else f
-      })
+      val path = from.split('.').toSeq
+      require(!to.contains('.'),
+        s"rename target must be a bare name, got $to")
+      val newSch =
+        if (path.length == 1) {
+          require(sch.fieldNames.contains(from), s"no column $from in $table")
+          require(!sch.fieldNames.contains(to),
+            s"column $to already exists in $table")
+          partColsOf(baseFiles).foreach(pc => require(from != pc,
+            s"cannot rename partition column $pc — partition directory " +
+              "names are physical layout; rewrite the table instead"))
+          requireUnreferenced(table, from, c.props, "rename")
+          org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+            if (f.name == from)
+              org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(PhysicalKey, physicalOf(f)).build())
+            else f
+          })
+        } else {
+          // NESTED rename (round-11 verdict item 5): the binding rides
+          // the nested StructField's metadata; reads translate via the
+          // positional struct cast, writes via the inverse — all
+          // metadata-only, zero files rewritten
+          require(nestedField(sch, path).isDefined,
+            s"no column $from in $table")
+          val parent = nestedField(sch, path.init).getOrElse(
+            sys.error(s"no struct ${path.init.mkString(".")} in $table"))
+          val siblings = parent.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+          require(!siblings.contains(to),
+            s"column ${path.init.mkString(".")}.$to already exists in $table")
+          requireUnreferenced(table, from, c.props, "rename")
+          transformField(sch, path) { f =>
+            org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(PhysicalKey, physicalOf(f)).build())
+          }
+        }
       val newStats = c.stats.map { case ((rel, cc), v) =>
         ((rel, if (cc == from) to else cc), v) }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
@@ -910,6 +1007,58 @@ object TableCommit {
       to: org.apache.spark.sql.types.DataType): Boolean =
     Widenings((from, to))
 
+  /** [[canWiden]] RECURSED through structs, array elements and map
+    * values (round-11 verdict item 5): a writer re-declaring a struct
+    * column whose nested leaves are widening-compatible narrower
+    * types is accepted — the record's width wins, old files upcast on
+    * read exactly like the top-level case. Struct children match by
+    * NAME (parquet resolves by name); anything else must be equal. */
+  private def canWidenDeep(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a: StructType, b: StructType) =>
+        a.fields.map(_.name).toSet == b.fields.map(_.name).toSet &&
+          a.fields.forall(f => b.fields.find(_.name == f.name)
+            .exists(g => canWidenDeep(f.dataType, g.dataType)))
+      case (ArrayType(ae, _), ArrayType(be, _)) => canWidenDeep(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        ak == bk && canWidenDeep(av, bv)
+      case (a, b) => canWiden(a, b)
+    }
+  }
+
+  /** The field at a dotted `path` through nested structs, if any. */
+  private def nestedField(sch: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
+    sch.fields.find(_.name == path.head).flatMap { f =>
+      if (path.length == 1) Some(f)
+      else f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          nestedField(st, path.tail)
+        case _ => None
+      }
+    }
+
+  /** Rebuild `sch` with the field at `path` transformed by `f`. */
+  private def transformField(sch: org.apache.spark.sql.types.StructType,
+      path: Seq[String])(
+      f: org.apache.spark.sql.types.StructField =>
+        org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sch.fields.map { fld =>
+      if (fld.name != path.head) fld
+      else if (path.length == 1) f(fld)
+      else fld.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          fld.copy(dataType = transformField(st, path.tail)(f))
+        case other => sys.error(
+          s"${fld.name} is not a struct — cannot address " +
+            path.mkString("."))
+      }
+    })
+
   /** ALTER TABLE ALTER COLUMN TYPE (safe WIDENING only) as a
     * METADATA-ONLY commit — the rung between "schema evolution stops
     * at column-ADD" and a full rewrite: the schema of record declares
@@ -934,7 +1083,8 @@ object TableCommit {
       val sch = c.schema.getOrElse(sys.error(
         s"$table carries no #schema of record — run any write commit " +
           "through the protocol first"))
-      val field = sch.fields.find(_.name == column).getOrElse(
+      val path = column.split('.').toSeq
+      val field = nestedField(sch, path).getOrElse(
         sys.error(s"no column $column in $table"))
       if (field.dataType == to) return // idempotent
       require(canWiden(field.dataType, to),
@@ -944,8 +1094,10 @@ object TableCommit {
           "full-table rewrite")
       partColsOf(baseFiles).foreach(pc => require(column != pc,
         s"cannot widen partition column $pc — rewrite the table instead"))
-      val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-        if (f.name == column) f.copy(dataType = to) else f))
+      // nested paths rebuild the enclosing struct; the parquet reader
+      // upcasts the narrow physical leaf at ANY depth (SPARK-40876 —
+      // ColumnMappingSpec pins the nested case against THIS build)
+      val newSch = transformField(sch, path)(f => f.copy(dataType = to))
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
           c.stats, c.rows, c.dv, c.props, c.bytes)) {
         vacuum(table, baseId + 1)
@@ -1976,10 +2128,13 @@ object TableCommit {
       : org.apache.spark.sql.types.StructType = {
     base.fields.foreach { f =>
       w.fields.find(_.name == f.name).foreach { g =>
-        // equal types always; a WIDENING-compatible NARROWER writer is
-        // accepted post-widenColumnType (the record's width wins — its
-        // files upcast on read); anything else still refuses
-        require(g.dataType == f.dataType || canWiden(g.dataType, f.dataType),
+        // equal types always (compared on the LOGICAL shape — nested
+        // mapping metadata is bookkeeping, not schema); a WIDENING-
+        // compatible NARROWER writer is accepted post-widenColumnType
+        // (the record's width wins — its files upcast on read), at any
+        // nesting depth; anything else still refuses
+        require(logicalType(g.dataType) == logicalType(f.dataType) ||
+            canWidenDeep(logicalType(g.dataType), logicalType(f.dataType)),
           s"schema evolution of $table cannot change column ${f.name} " +
             s"from ${f.dataType.simpleString} to ${g.dataType.simpleString}" +
             " — a widening goes through widenColumnType; anything else " +
@@ -2110,12 +2265,28 @@ object TableCommit {
     val stageRel = s"_stage_$writerId"
     val stagePath = s"$table/$stageRel"
     def phys(c: String): String = wmap.getOrElse(c, c)
-    val mapped = shaped.columns.exists(c => phys(c) != c)
+    // NESTED bindings: a column whose struct children are renamed
+    // writes files under the physical NESTED names too (positional
+    // cast — the read path casts back); physicals come from the
+    // table's schema of record, so nested renames commute with
+    // concurrent writes (rename never changes a physical)
+    val deepCasts: Map[String, org.apache.spark.sql.types.DataType] =
+      manifests(table).sortBy(-_._1).headOption.flatMap(_._2.schema) match {
+        case Some(sch) => sch.fields.toSeq
+          .filter(f => deepMapped(f.dataType))
+          .map(f => f.name -> physicalType(f.dataType)).toMap
+        case None => Map.empty
+      }
+    val mapped = shaped.columns.exists(c => phys(c) != c) ||
+      shaped.columns.exists(deepCasts.contains)
     // under column mapping the FILES carry physical names; the frame
     // stays logical everywhere else
     val toWrite =
       if (mapped) shaped.select(
-        shaped.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+        shaped.columns.toSeq.map(c => deepCasts.get(c) match {
+          case Some(pt) => col(c).cast(relaxNullable(pt)).as(phys(c))
+          case None => col(c).as(phys(c))
+        }): _*)
       else shaped
     val writer = toWrite.write.mode("overwrite")
       .partitionBy(partCols.map(phys): _*)
@@ -2135,13 +2306,20 @@ object TableCommit {
       val pinned = org.apache.spark.sql.types.StructType(
         shaped.schema.fields.map(f =>
           org.apache.spark.sql.types.StructField(
-            phys(f.name), f.dataType, f.nullable)))
+            phys(f.name), deepCasts.getOrElse(f.name, f.dataType),
+            f.nullable)))
       val back = shaped.sparkSession.read
         .option("basePath", stagePath)
         .schema(pinned).parquet(stagePath)
       val logicalBack =
         if (mapped) back.select(
-          shaped.columns.toSeq.map(c => col(phys(c)).as(c)): _*)
+          shaped.columns.toSeq.map { c =>
+            val base = col(phys(c))
+            if (deepCasts.contains(c))
+              base.cast(relaxNullable(logicalType(shaped.schema(c).dataType)))
+                .as(c)
+            else base.as(c)
+          }: _*)
         else back
       try checkStaged(shaped.sparkSession, table, logicalBack,
         checkedConstraints)

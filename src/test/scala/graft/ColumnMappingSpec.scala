@@ -254,6 +254,90 @@ class ColumnMappingSpec extends GraftSpec {
       !TableCommit.read(spark, t).columns.contains("label"))
     assert(TableCommit.read(spark, t).count() == 4L)
   }
+
+  private def nestedTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmn").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val df = Seq((1L, 10, "x1", 0), (2L, 20, "x2", 0),
+      (3L, 30, "x3", 1), (4L, 40, "x4", 1))
+      .toDF("id", "a", "b", "pt")
+      .select(col("id"), struct(col("a"), col("b")).as("props"), col("pt"))
+    df.repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"), df,
+      clusterBy = Seq("id"), filesPerPartition = 2)
+    t
+  }
+
+  test("NESTED RENAME is metadata-only: props.a -> props.score reads old " +
+      "files under the new name, zero bytes rewritten, survives CLONE " +
+      "and the CHANGE FEED, and post-rename appends round-trip") {
+    val t = nestedTable()
+    val sigsBefore = dataFileSigs(t)
+    TableCommit.renameColumn(t, "props.a", "score")
+    assert(dataFileSigs(t) == sigsBefore, "nested rename rewrote bytes")
+    def scores(tbl: String): Set[(Long, Int, String)] =
+      TableCommit.read(spark, tbl)
+        .select(col("id"), col("props.score"), col("props.b"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(scores(t) == Set((1L, 10, "x1"), (2L, 20, "x2"),
+      (3L, 30, "x3"), (4L, 40, "x4")))
+    // a post-rename APPEND writes under the new logical name; its file
+    // carries the PHYSICAL nested name, so old and new files read alike
+    val more = Seq((5L, 50, "x5", 0)).toDF("id", "score", "b", "pt")
+      .select(col("id"), struct(col("score"), col("b")).as("props"),
+        col("pt"))
+    TableCommit.appendRows(spark, t, "pt", more)
+    assert(scores(t).contains((5L, 50, "x5")))
+    // CLONE: the binding rides the schema JSON — the clone reads the
+    // shared bytes under the renamed view
+    val dst = new java.io.File(new java.io.File(t).getParentFile,
+      "clone").getAbsolutePath
+    TableCommit.cloneTo(t, dst)
+    assert(scores(dst) == scores(t))
+    // CHANGE FEED across a post-rename MoR delete: change rows carry
+    // the renamed struct
+    val (fromId, _) = TableCommit.resolve(t).get
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(2), BigDecimal(2))
+    val (toId, _) = TableCommit.resolve(t).get
+    val feed = TableCommit.changeFeed(spark, t, fromId, toId)
+      .select(col("id"), col("props.score"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(feed == Set((2L, 20, "delete")))
+  }
+
+  test("NESTED WIDENING is metadata-only: props.a int -> long reads OLD " +
+      "files upcast at the scan (SPARK-40876 nested capability pinned " +
+      "against this build); wider writers land, narrower re-declaration " +
+      "stays accepted") {
+    val t = nestedTable()
+    val sigsBefore = dataFileSigs(t)
+    TableCommit.widenColumnType(t, "props.a",
+      org.apache.spark.sql.types.LongType)
+    assert(dataFileSigs(t) == sigsBefore, "nested widening rewrote bytes")
+    def rows(tbl: String): Set[(Long, Long, String)] =
+      TableCommit.read(spark, tbl)
+        .select(col("id"), col("props.a"), col("props.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // OLD int32-encoded files read as long under the widened record
+    assert(rows(t) == Set((1L, 10L, "x1"), (2L, 20L, "x2"),
+      (3L, 30L, "x3"), (4L, 40L, "x4")))
+    // a WIDE writer appends a genuinely long value
+    val wide = Seq((5L, 5000000000L, "x5", 0)).toDF("id", "a", "b", "pt")
+      .select(col("id"), struct(col("a"), col("b")).as("props"), col("pt"))
+    TableCommit.appendRows(spark, t, "pt", wide)
+    assert(rows(t).contains((5L, 5000000000L, "x5")))
+    // a NARROW (int) re-declaration is still accepted — the record's
+    // width wins (canWidenDeep through the struct)
+    val narrow = Seq((6L, 60, "x6", 1)).toDF("id", "a", "b", "pt")
+      .select(col("id"), struct(col("a"), col("b")).as("props"), col("pt"))
+    TableCommit.appendRows(spark, t, "pt", narrow)
+    assert(rows(t).contains((6L, 60L, "x6")))
+    // time travel below the widening still reads (chain reconstructs)
+    assert(TableCommit.read(spark, t).count() == 6L)
+  }
 }
 
 /** JVM-static rendezvous for the stage-vs-dropColumn race test (same
@@ -270,4 +354,5 @@ object ColumnMappingSpecDropRace {
     }
     id
   }
+
 }

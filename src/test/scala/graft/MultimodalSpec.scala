@@ -156,4 +156,32 @@ class MultimodalSpec extends GraftSpec {
       .filter($"doc_id" === 1).select($"text").head().getString(0)
     assert(new String(au.content, "UTF-8") == txt)
   }
+  test("MediaDecoder SPI: a registered codec replaces the reference " +
+      "A/V decoder for its kind and rides the task closure") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaDecoder, MediaFeatures, MediaRecord}
+    object FixedDecoder extends MediaDecoder {
+      override def decode(r: MediaRecord): MediaFeatures =
+        MediaFeatures(r.media_id, r.kind, r.content.length,
+          width = 1920, height = 1080, n_frames = 42,
+          frame_means = Seq(1.0))
+    }
+    Multimodal.registerDecoder("video", FixedDecoder)
+    try {
+      import spark.implicits._
+      val media = Seq(
+        Multimodal.MediaRecord(1L, "video", Array[Byte](1, 2, 3), "s"),
+        Multimodal.MediaRecord(2L, "audio", Array[Byte](4, 5, 6), "s"))
+        .toDS()
+      val out = Multimodal.decodeAll(media).collect()
+        .map(f => f.media_id -> f).toMap
+      // video went through the registered codec…
+      assert(out(1L).width == 1920 && out(1L).n_frames == 42)
+      // …audio still through the reference decoder (unregistered kind)
+      assert(out(2L).n_frames == 1)
+      assert(out(2L).width != 1920 || out(2L).height != 1080)
+    } finally Multimodal.registerDecoder("video",
+      Multimodal.ReferenceAvDecoder)
+  }
+
 }

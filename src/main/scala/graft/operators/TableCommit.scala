@@ -760,6 +760,17 @@ object TableCommit {
 
   private val ConstraintProp = "graft.constraint."
 
+  /** Whether writer-recorded change data is ENABLED for the table —
+    * the `graft.cdf=true` property (Delta's delta.enableChangeDataFeed,
+    * same default: OFF). When off, merge-on-read commits skip the
+    * `_cdc` sidecar (no extra write job on the commit path) and
+    * [[changeFeedPrecise]] degrades to the synthesized insert/delete
+    * classification per step — correct under the apply equation, just
+    * without the update pre/post distinction (Delta instead ERRORS on
+    * un-enabled tables; degrading is strictly more useful). */
+  private def cdfEnabled(table: String): Boolean =
+    properties(table).get("graft.cdf").contains("true")
+
   /** The `graft.constraint.*` subset of a property map, de-prefixed. */
   private def constraintSet(props: Map[String, String]): Map[String, String] =
     props.collect {
@@ -2716,18 +2727,31 @@ object TableCommit {
     val live = applyDv(s, table, m, hit, dvKeyCols(raw, partDepthOf(m)))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
-    live.filter(coalesce(matchPred, lit(false)))
-      .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
-      .write.mode("overwrite").parquet(s"$table/$dvRel")
-    // writer-recorded CHANGE DATA (round-11 verdict item 4): the
-    // deleted rows' full preimages, cost ∝ matches — the precise feed
-    // replays this instead of re-deriving dead rows from the vectors
+    // CDF recording is OPT-IN (graft.cdf=true, the Delta default):
+    // un-enabled tables pay ZERO extra commit-path work; enabled ones
+    // persist the band-sized matches once so the vector write and the
+    // change-data write share one scan of the hit files
+    val cdfOn = cdfEnabled(table)
+    val matches0 =
+      if (cdfOn) live.filter(coalesce(matchPred, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else live.filter(coalesce(matchPred, lit(false)))
+    try {
+      matches0
+        .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
+        .write.mode("overwrite").parquet(s"$table/$dvRel")
+      // writer-recorded CHANGE DATA (round-11 verdict item 4): the
+      // deleted rows' full preimages, cost ∝ matches — the precise feed
+      // replays this instead of re-deriving dead rows from the vectors
+      if (cdfOn) {
+        val delFields = schemaOf(m).map(_.fieldNames.toSeq).getOrElse(
+          raw.columns.toSeq.filterNot(Set("_metadata")))
+        matches0
+          .select(delFields.map(col) :+ lit("delete").as("_change_type"): _*)
+          .write.mode("overwrite").parquet(s"$table/_cdc/$writerId")
+      }
+    } finally if (cdfOn) matches0.unpersist()
     val cdcRel = s"_cdc/$writerId"
-    val delFields = schemaOf(m).map(_.fieldNames.toSeq).getOrElse(
-      raw.columns.toSeq.filterNot(Set("_metadata")))
-    live.filter(coalesce(matchPred, lit(false)))
-      .select(delFields.map(col) :+ lit("delete").as("_change_type"): _*)
-      .write.mode("overwrite").parquet(s"$table/$cdcRel")
     val hitSet = hit.toSet
     val baseDvSig = dvOf(m).filter { case (rel, _) => hitSet(rel) }
     var (baseId, baseFiles) = (baseId0, baseFiles0)
@@ -2753,7 +2777,7 @@ object TableCommit {
         rel -> (n - hitCounts.getOrElse(rel, 0L)) }
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, nextRows, nextDv, c.props, c.bytes,
-          cdc = Seq(cdcRel))) {
+          cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -2822,9 +2846,13 @@ object TableCommit {
       raw.schema.fields.toSeq.filterNot(_.name == "_metadata"))
     set.keys.foreach(c => require(dataFields.exists(_.name == c),
       s"SET column $c is not a column of $table"))
+    // band-sized matches persist once and feed the vector write, the
+    // change-data write AND the successor stage write — one scan of
+    // the hit files instead of three
     val matches = applyDv(s, table, m, hit,
       dvKeyCols(raw, partDepthOf(m)))
       .filter(coalesce(matchPred, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
     matches.select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
@@ -2839,13 +2867,16 @@ object TableCommit {
     }: _*)
     // writer-recorded CHANGE DATA: update_preimage (pre-update values)
     // + update_postimage (successors) — the four-way feed's precise
-    // source for corrections vs churn, cost ∝ matches
+    // source for corrections vs churn, cost ∝ matches; OPT-IN via
+    // graft.cdf=true (the Delta default: off — zero extra commit work)
+    val cdfOn = cdfEnabled(table)
     val cdcRel = s"_cdc/$writerId"
-    matches.select(dataFields.map(f => col(f.name)) :+
-        lit("update_preimage").as("_change_type"): _*)
-      .unionByName(updated.withColumn("_change_type",
-        lit("update_postimage")))
-      .write.mode("overwrite").parquet(s"$table/$cdcRel")
+    if (cdfOn)
+      matches.select(dataFields.map(f => col(f.name)) :+
+          lit("update_preimage").as("_change_type"): _*)
+        .unionByName(updated.withColumn("_change_type",
+          lit("update_postimage")))
+        .write.mode("overwrite").parquet(s"$table/$cdcRel")
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
     val shaped = statsCols.headOption match {
       case Some(c) => updated.repartition(partCols.map(col): _*)
@@ -2855,8 +2886,10 @@ object TableCommit {
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
     val wmap = writeMapping(table, wcols)
-    val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
-      checkedConstraints = checked, wmap = wmap)
+    val (fresh, freshBytes) =
+      try stageMove(table, writerId, shaped, partCols,
+        checkedConstraints = checked, wmap = wmap)
+      finally matches.unpersist()
     val (freshStats, freshRows) =
       if (statsCols.nonEmpty && fresh.nonEmpty)
         fileMeta(s, table, fresh, statsCols, wmap)
@@ -2888,7 +2921,7 @@ object TableCommit {
         rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++ freshRows
       if (publish(table, baseId + 1, next, c.txns, c.schema.map(_.json),
           c.stats ++ freshStats, nextRows, nextDv, c.props,
-          c.bytes ++ freshBytes, cdc = Seq(cdcRel))) {
+          c.bytes ++ freshBytes, cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -3103,19 +3136,23 @@ object TableCommit {
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       // writer-recorded CHANGE DATA: the full four-way classification
       // in one sidecar — delete preimages (deleteWhen clause), update
-      // pre/postimages, inserts — cost ∝ |matched| + |inserted|
+      // pre/postimages, inserts — cost ∝ |matched| + |inserted|;
+      // OPT-IN via graft.cdf=true (Delta's default: off)
+      val cdfOn = cdfEnabled(table)
       val cdcRel = s"_cdc/$writerId"
-      val tgtCols = tgtSchema.fields.toSeq.map(f => col(f.name))
-      val cdcParts = Seq(
-        matched.map(_.filter(delPred).select(tgtCols :+
-          lit("delete").as("_change_type"): _*)),
-        matched.map(_.filter(!delPred).select(tgtCols :+
-          lit("update_preimage").as("_change_type"): _*)),
-        successors.map(_.withColumn("_change_type",
-          lit("update_postimage"))),
-        Some(inserts.withColumn("_change_type", lit("insert")))).flatten
-      cdcParts.reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$table/$cdcRel")
+      if (cdfOn) {
+        val tgtCols = tgtSchema.fields.toSeq.map(f => col(f.name))
+        val cdcParts = Seq(
+          matched.map(_.filter(delPred).select(tgtCols :+
+            lit("delete").as("_change_type"): _*)),
+          matched.map(_.filter(!delPred).select(tgtCols :+
+            lit("update_preimage").as("_change_type"): _*)),
+          successors.map(_.withColumn("_change_type",
+            lit("update_postimage"))),
+          Some(inserts.withColumn("_change_type", lit("insert")))).flatten
+        cdcParts.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$table/$cdcRel")
+      }
       val freshSrc = successors.fold(inserts)(_.unionByName(inserts))
       val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
       val shaped = statsCols.headOption match {
@@ -3188,7 +3225,8 @@ object TableCommit {
         }
         if (publish(table, baseId + 1, baseFiles ++ fresh, nextTxns,
             c.schema.map(_.json), c.stats ++ freshStats, nextRows, nextDv,
-            c.props, c.bytes ++ freshBytes, cdc = Seq(cdcRel))) {
+            c.props, c.bytes ++ freshBytes,
+            cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
           vacuum(table, baseId + 1)
           published = baseId + 1
           committed = true

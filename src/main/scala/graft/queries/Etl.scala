@@ -1060,6 +1060,8 @@ object Etl {
         .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
       TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,
         clusterBy = Seq("o_orderkey"), filesPerPartition = 4)
+      // four-way recording is OPT-IN, the Delta default
+      TableCommit.setProperties(table, Map("graft.cdf" -> "true"))
       val (fromId, _) = TableCommit.resolve(table).get
       TableCommit.updateWhereMor(s, table, "o_orderstatus", "o_orderkey",
         BigDecimal(500), BigDecimal(999),

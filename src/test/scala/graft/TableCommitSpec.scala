@@ -1643,8 +1643,10 @@ class TableCommitSpec extends GraftSpec {
     val t = freshTable()
     TableCommit.initIfAbsent(t)
     // a feed consumer may lag at most the retention window — widen it
-    // so the whole 4-commit range stays walkable (the documented knob)
-    TableCommit.setProperties(t, Map("graft.retention.generations" -> "10"))
+    // so the whole 4-commit range stays walkable; four-way recording is
+    // opt-in (graft.cdf, the Delta default)
+    TableCommit.setProperties(t, Map(
+      "graft.retention.generations" -> "10", "graft.cdf" -> "true"))
     val id0 = TableCommit.resolve(t).get._1
     // MoR update: ids 2..3 get v -> V
     TableCommit.updateWhereMor(spark, t, "pt", "id",

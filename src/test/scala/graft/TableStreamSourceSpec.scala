@@ -350,6 +350,7 @@ class TableStreamSourceSpec extends GraftSpec {
       "rows, non-append commits are CONSUMABLE (no append-only error), " +
       "and the drained rows equal the batch changeFeedPrecise multiset") {
     val t = committedTable()
+    TableCommit.setProperties(t, Map("graft.cdf" -> "true"))
     val base = new java.io.File(t).getParentFile
     val out = new java.io.File(base, "cdf_out").getAbsolutePath
     val ckpt = new java.io.File(base, "cdf_ckpt").getAbsolutePath

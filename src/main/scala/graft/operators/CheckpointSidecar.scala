@@ -49,6 +49,7 @@ object CheckpointSidecar {
   private val PropsKey = "graft.props"
   private val TxnsKey = "graft.txns"
   private val StatsColsKey = "graft.statscols"
+  private val CdcKey = "graft.cdc"
 
   private def fieldSafe(c: String): Boolean = c.matches("[A-Za-z0-9_]+")
 
@@ -83,7 +84,8 @@ object CheckpointSidecar {
       dv: Map[String, Seq[String]],
       props: Map[String, String],
       txns: Map[String, Long],
-      schemaJson: Option[String]): Unit = {
+      schemaJson: Option[String],
+      cdc: Seq[String] = Nil): Unit = {
     val statsCols = stats.keysIterator.map(_._2).toSeq.distinct.sorted
     require(statsCols.forall(fieldSafe),
       s"stats column name not parquet-field-safe: $statsCols")
@@ -93,7 +95,8 @@ object CheckpointSidecar {
         .map { case (k, v) => s"$k=$v" }.mkString("\n"),
       TxnsKey -> txns.toSeq.sortBy(_._1)
         .map { case (a, v) => s"$a=$v" }.mkString("\n"),
-      StatsColsKey -> statsCols.mkString("\t")) ++
+      StatsColsKey -> statsCols.mkString("\t"),
+      CdcKey -> cdc.mkString("\t")) ++
       schemaJson.map(SchemaKey -> _)
     val factory = new SimpleGroupFactory(mt)
     def widenLo(s: String): Option[Double] =
@@ -141,7 +144,8 @@ object CheckpointSidecar {
       props: Map[String, String],
       txns: Map[String, Long],
       statsCols: Seq[String],
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      cdc: Seq[String])
 
   private def kvOf(path: String): Map[String, String] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -165,7 +169,8 @@ object CheckpointSidecar {
         case _ => None
       }).toMap,
       kv.getOrElse(StatsColsKey, "").split("\t").toSeq.filter(_.nonEmpty),
-      kv.get(SchemaKey))
+      kv.get(SchemaKey),
+      kv.getOrElse(CdcKey, "").split("\t").toSeq.filter(_.nonEmpty))
   }
 
   private def reader(path: String,

@@ -948,8 +948,14 @@ object TableCommit {
                 .putString(PhysicalKey, physicalOf(f)).build())
           }
         }
+      // #stats re-key to the FULL post-rename path: a nested rename of
+      // props.a -> score re-keys (rel, "props.a") to (rel,
+      // "props.score") — the bare leaf would orphan the entry AND
+      // could collide with an unrelated top-level column's stats
+      val statsTo =
+        if (path.length == 1) to else (path.init :+ to).mkString(".")
       val newStats = c.stats.map { case ((rel, cc), v) =>
-        ((rel, if (cc == from) to else cc), v) }
+        ((rel, if (cc == from) statsTo else cc), v) }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
           newStats, c.rows, c.dv, c.props, c.bytes)) {
         vacuum(table, baseId + 1)
@@ -1037,6 +1043,28 @@ object TableCommit {
       case (MapType(ak, av, _), MapType(bk, bv, _)) =>
         ak == bk && canWidenDeep(av, bv)
       case (a, b) => canWiden(a, b)
+    }
+  }
+
+  /** Whether `w` matches `t` field-for-field IN DECLARED ORDER at
+    * every depth (names equal positionally; leaf types may differ —
+    * widening is checked separately). The guard the POSITIONAL
+    * physical cast needs: [[canWidenDeep]] accepts name-SET matches,
+    * but a reordered writer struct under a deep-mapped column would
+    * cross-map values silently (b's string into physical a) — refuse
+    * loudly instead. */
+  private def sameShapeOrdered(w: org.apache.spark.sql.types.DataType,
+      t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (w, t) match {
+      case (a: StructType, b: StructType) =>
+        a.fields.length == b.fields.length &&
+          a.fields.zip(b.fields).forall { case (f, g) =>
+            f.name == g.name && sameShapeOrdered(f.dataType, g.dataType) }
+      case (ArrayType(ae, _), ArrayType(be, _)) => sameShapeOrdered(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameShapeOrdered(ak, bk) && sameShapeOrdered(av, bv)
+      case _ => true
     }
   }
 
@@ -1305,7 +1333,7 @@ object TableCommit {
         ident <- store(table).manifestIdentity(table, id)
         p <- store(table).sidecarPath(table, id, ident)
       } CheckpointSidecar.write(p, files.distinct.sorted, stats, rows,
-        bytes, dv, props, txns, schemaJson)
+        bytes, dv, props, txns, schemaJson, cdc)
       catch { case scala.util.control.NonFatal(_) => () }
     won
   }
@@ -1318,12 +1346,13 @@ object TableCommit {
     (for {
       ident <- store(table).manifestIdentity(table, id)
       p <- store(table).sidecarPath(table, id, ident)
-      if new java.io.File(p).isFile
+      if store(table).sidecarExists(p)
     } yield scala.util.Try {
       val (files, stats, rows, bytes, dv, meta) = CheckpointSidecar.readFull(p)
       Snapshot(id, files, stats, rows, bytes, dv, meta.props, meta.txns,
         meta.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+        meta.cdc)
     }.toOption).flatten
 
   /** Cold-open PRUNED resolution via the checkpoint sidecar: a
@@ -1335,9 +1364,18 @@ object TableCommit {
       lo: BigDecimal, hi: BigDecimal)
       : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
     (for {
+      // retention guard WITHOUT a chain parse: the minimum retention
+      // is 2 (clamped), so the two newest snapshots are always
+      // readable — the cold-open fast path serves exactly those (the
+      // actual cold-open use case); older ids take the slow path,
+      // whose retention check is authoritative. A below-window
+      // chain-link checkpoint's sidecar therefore can never serve
+      // vacuumed state.
+      newest <- manifestIds(table).maxOption
+      if id > newest - 2
       ident <- store(table).manifestIdentity(table, id)
       p <- store(table).sidecarPath(table, id, ident)
-      if new java.io.File(p).isFile
+      if store(table).sidecarExists(p)
     } yield scala.util.Try(
       CheckpointSidecar.prunedRead(p, column, lo, hi)).toOption).flatten
 
@@ -2281,11 +2319,14 @@ object TableCommit {
     // cast — the read path casts back); physicals come from the
     // table's schema of record, so nested renames commute with
     // concurrent writes (rename never changes a physical)
-    val deepCasts: Map[String, org.apache.spark.sql.types.DataType] =
+    // (physical shape to write, logical shape for the order guard)
+    val deepCasts: Map[String, (org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.DataType)] =
       manifests(table).sortBy(-_._1).headOption.flatMap(_._2.schema) match {
         case Some(sch) => sch.fields.toSeq
           .filter(f => deepMapped(f.dataType))
-          .map(f => f.name -> physicalType(f.dataType)).toMap
+          .map(f => f.name ->
+            (physicalType(f.dataType), logicalType(f.dataType))).toMap
         case None => Map.empty
       }
     val mapped = shaped.columns.exists(c => phys(c) != c) ||
@@ -2295,7 +2336,15 @@ object TableCommit {
     val toWrite =
       if (mapped) shaped.select(
         shaped.columns.toSeq.map(c => deepCasts.get(c) match {
-          case Some(pt) => col(c).cast(relaxNullable(pt)).as(phys(c))
+          case Some((pt, lt)) =>
+            // the physical cast is POSITIONAL — a reordered writer
+            // struct would silently cross-map values; refuse instead
+            require(sameShapeOrdered(shaped.schema(c).dataType, lt),
+              s"column $c of $table carries nested physical bindings; " +
+                "the written struct's fields must match the table's " +
+                s"declared nested field ORDER (${lt.simpleString}), got " +
+                s"${logicalType(shaped.schema(c).dataType).simpleString}")
+            col(c).cast(relaxNullable(pt)).as(phys(c))
           case None => col(c).as(phys(c))
         }): _*)
       else shaped
@@ -2317,7 +2366,8 @@ object TableCommit {
       val pinned = org.apache.spark.sql.types.StructType(
         shaped.schema.fields.map(f =>
           org.apache.spark.sql.types.StructField(
-            phys(f.name), deepCasts.getOrElse(f.name, f.dataType),
+            phys(f.name),
+            deepCasts.get(f.name).map(_._1).getOrElse(f.dataType),
             f.nullable)))
       val back = shaped.sparkSession.read
         .option("basePath", stagePath)
@@ -2339,11 +2389,27 @@ object TableCommit {
     // promote: move each staged file into its partition dir under a
     // writer-unique name, capturing its SIZE pre-move — the `#bytes`
     // manifest entry's source (no later stat/HEAD ever needed)
-    val moved = staged.map { srel =>
+    val planned = staged.map { srel =>
       val inStage = srel.stripPrefix(stageRel + "/")
       val cut = inStage.lastIndexOf('/')
-      val rel = s"${inStage.substring(0, cut)}/" +
-        s"${writerId}_${inStage.substring(cut + 1)}"
+      srel -> (s"${inStage.substring(0, cut)}/" +
+        s"${writerId}_${inStage.substring(cut + 1)}")
+    }
+    // LAYOUT-DEPTH guard, checked BEFORE any file moves: every path in
+    // a table must carry the same partition depth — the DV/hit-scan
+    // keys derive segment counts from it, and a depth-1 file slipped
+    // into a depth-2 table would silently miss every metadata match
+    // (appendRowsBy with the wrong partCols arity is the trap)
+    resolve(table).map(_._2).getOrElse(Seq.empty).headOption.foreach { ex =>
+      val want = ex.count(_ == '/')
+      planned.foreach { case (_, rel) =>
+        require(rel.count(_ == '/') == want,
+          s"partition-depth mismatch writing $table: existing layout " +
+            s"has ${want} level(s) ($ex), this write produced $rel — " +
+            "pass the table's full partition-column list")
+      }
+    }
+    val moved = planned.map { case (srel, rel) =>
       val size = st.fileSize(table, srel)
       st.moveFile(table, srel, rel)
       rel -> size
@@ -3416,7 +3482,10 @@ object TableCommit {
       val interval = checkpointIntervalOf(
         keepIds.maxOption.flatMap(id => stateOfWith(table, present, id))
           .map(_.props).getOrElse(Map.empty))
-      newest % interval == 0L
+      // FLOOR of 10: interval=1 (the all-checkpoints cadence) must not
+      // turn the sampled sweep into an every-commit O(table-files)
+      // LIST — the sweep samples at most every 10th commit regardless
+      newest % math.max(interval, 10L) == 0L
     })
     val orphans =
       if (!doSweep) Set.empty[String]

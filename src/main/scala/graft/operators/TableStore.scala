@@ -74,6 +74,12 @@ trait TableStore {
     * never matches a stale incarnation's sidecar. */
   def sidecarPath(table: String, id: Long, identity: String): Option[String]
 
+  /** Whether a complete sidecar object exists at `path` (a value
+    * [[sidecarPath]] returned) — the READ probe, routed through the
+    * store so object-store adapters answer with a HEAD, not a local
+    * stat. */
+  def sidecarExists(path: String): Boolean
+
   // ---- data files --------------------------------------------------
 
   /** Recursive listing of files under `table/relDir` (`relDir = ""`
@@ -208,6 +214,9 @@ final class LocalTableStore extends TableStore {
       f".ckpt-$id%09d-${CheckpointSidecar.identityDigest(identity)}.parquet")
       .getAbsolutePath)
 
+  override def sidecarExists(path: String): Boolean =
+    new java.io.File(path).isFile
+
   override def listFilesUnder(table: String, relDir: String): Seq[String] = {
     val root = if (relDir.isEmpty) new java.io.File(table)
       else new java.io.File(table, relDir)
@@ -309,6 +318,7 @@ final class ConditionalPutStore(underlying: TableStore = TableStore.local)
   // adapter would return a bucket key here
   override def sidecarPath(table: String, id: Long,
       identity: String): Option[String] = None
+  override def sidecarExists(path: String): Boolean = false
 
   /** Drop every manifest of `table` — the test harness's DROP TABLE
     * (a local-FS table drop is a tree delete; the map needs its own). */

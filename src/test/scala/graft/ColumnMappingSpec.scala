@@ -308,6 +308,20 @@ class ColumnMappingSpec extends GraftSpec {
     assert(feed == Set((2L, 20, "delete")))
   }
 
+  test("write-path order guard: a REORDERED struct under a nested " +
+      "binding is refused loudly (the positional physical cast would " +
+      "cross-map values)") {
+    val t = nestedTable()
+    TableCommit.renameColumn(t, "props.a", "score")
+    val reordered = Seq((7L, "x7", 70, 0)).toDF("id", "b", "score", "pt")
+      .select(col("id"), struct(col("b"), col("score")).as("props"),
+        col("pt"))
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.appendRows(spark, t, "pt", reordered)
+    }
+    assert(e.getMessage.contains("field ORDER"), e.getMessage)
+  }
+
   test("NESTED WIDENING is metadata-only: props.a int -> long reads OLD " +
       "files upcast at the scan (SPARK-40876 nested capability pinned " +
       "against this build); wider writers land, narrower re-declaration " +

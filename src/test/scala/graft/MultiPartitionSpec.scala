@@ -182,4 +182,17 @@ class MultiPartitionSpec extends GraftSpec {
       assert(bytes(f) == TableCommit.statFileSize(t, f))
     }
   }
+  test("layout-depth guard: a single-column append to a two-level table " +
+      "is REFUSED before any file moves (wrong partCols arity would " +
+      "silently break DV/hit-scan keys)") {
+    val t = freshTable(); seed(t)
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.appendRows(spark, t, "d",
+        Seq((9L, 90L, 2, "b")).toDF("id", "v", "d", "s"))
+    }
+    assert(e.getMessage.contains("partition-depth mismatch"))
+    // the table is untouched
+    assert(rows(t).size == 8)
+  }
+
 }

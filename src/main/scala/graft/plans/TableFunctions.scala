@@ -108,7 +108,9 @@ object TableFunctions {
         import s.implicits._
         TableCommit.history(t).map { case (snapId, files) =>
           (snapId, files.length.toLong,
-            files.map(_.takeWhile(_ != '/')).distinct.length.toLong,
+            // LEAF partition dirs at any depth (a two-level layout's
+            // d=1/s=a and d=1/s=b are two partitions, not one)
+            files.map(TableCommit.partitionDirOf).distinct.length.toLong,
             TableCommit.rowCount(t, snapId).getOrElse(-1L))
         }.toDF("snapshot_id", "n_files", "n_partitions", "n_rows")
           .queryExecution.analyzed

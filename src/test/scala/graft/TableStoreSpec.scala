@@ -207,4 +207,32 @@ class TableStoreSpec extends GraftSpec {
       assert(TableCommit.lastTxnVersion(t, "app1").contains(7L))
     }
   }
+  test("conditional-put store: a REAL streaming pipeline (graft-table " +
+      "source -> graft-table sink) commits end-to-end through the " +
+      "rename-less log") {
+    withMemTable { t =>
+      seed(t)
+      TableCommit.initIfAbsent(t)
+      val base = new java.io.File(t).getParentFile
+      val out = new java.io.File(base, "sink").getAbsolutePath
+      val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+      // the sink table lives under the SAME registered prefix — its
+      // manifests go through the conditional-put map too
+      val q = spark.readStream.format("graft-table").load(t)
+        .writeStream.format("graft-table")
+        .partitionBy("pt")
+        .option("txnAppId", "cps_pipe")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+      assert(rows(out) == rows(t))
+      // both logs live in the map, not on disk
+      assert(!new java.io.File(t, "_manifests").exists())
+      assert(!new java.io.File(out, "_manifests").exists())
+      assert(TableCommit.lastTxnVersion(out, "cps_pipe").isDefined)
+      memStore.dropTable(out)
+    }
+  }
+
 }

@@ -275,4 +275,51 @@ object CheckpointSidecar {
     } finally r.close()
     (kept.result(), meta)
   }
+
+  /** LEXICOGRAPHIC pruned read — [[prunedRead]]'s twin for STRING
+    * stats columns: projects only (path, dv, smin_s/smax_s of
+    * `column`) and applies the band with the caller's comparator
+    * driver-side. No pushed row-group filter: parquet's binary
+    * comparison is UTF-8 BYTE order while the recorded bounds must
+    * compare in the exact order the engine's aggregates used —
+    * delegating the compare keeps one definition of "overlaps" (the
+    * projection is still the cold-open win; the full file list never
+    * decodes stats it doesn't need). Rows lacking stats for `column`
+    * are KEPT. */
+  def prunedReadLex(path: String, column: String, lo: String, hi: String,
+      cmp: (String, String) => Int): (Seq[(String, Seq[String])], Meta) = {
+    val meta = readMeta(path)
+    val hasStats = meta.statsCols.contains(column)
+    val projection: MessageType = {
+      var b = Types.buildMessage()
+        .addField(Types.required(PrimitiveTypeName.BINARY).as(stringType())
+          .named("path"))
+        .addField(Types.optional(PrimitiveTypeName.BINARY).as(stringType())
+          .named("dv"))
+      if (hasStats)
+        b = b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(stringType()).named(s"smin_s_$column"))
+          .addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(stringType()).named(s"smax_s_$column"))
+      b.named("graft_ckpt")
+    }
+    val r = reader(path, Some(projection), None)
+    val kept = Seq.newBuilder[(String, Seq[String])]
+    try {
+      var g = r.read()
+      while (g != null) {
+        val keep =
+          if (!hasStats) true
+          else (optStr(g, s"smin_s_$column"), optStr(g, s"smax_s_$column")) match {
+            case (Some(mn), Some(mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
+            case _ => true
+          }
+        if (keep)
+          kept += g.getString("path", 0) ->
+            optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty)
+        g = r.read()
+      }
+    } finally r.close()
+    (kept.result(), meta)
+  }
 }

@@ -128,6 +128,24 @@ object TableCommit {
     * it. */
   private val LenPrefix = "#len "
 
+  /** PROTOCOL FEATURE GATE (`#require <feature>` — Delta's
+    * reader-features table reduced to the line format): the line
+    * parsers deliberately ignore directives they don't recognize,
+    * which is right for ACCELERATIONS (stats, sizes) and fatal for
+    * SEMANTICS — a reader that skipped `#dv` would resurrect deleted
+    * rows. So a manifest that depends on such a directive declares it,
+    * and [[manifestLines]] refuses to parse a manifest requiring a
+    * feature outside [[KnownFeatures]] — fail loudly, never corrupt.
+    * Writers emit declarations from the manifest's own content
+    * ([[publish]]); manifests without declarations (older rounds)
+    * parse as before. */
+  private val RequirePrefix = "#require "
+
+  /** Features THIS reader implements. A future directive with
+    * read-correctness semantics joins this set in the same commit that
+    * teaches the engine to honor it. */
+  private[graft] val KnownFeatures = Set("dv", "cdc")
+
   private def manifestLines(table: String, id: Long): Seq[String] = {
     val identity = store(table).manifestIdentity(table, id).getOrElse(
       sys.error(s"manifest $id of $table disappeared mid-read"))
@@ -151,6 +169,14 @@ object TableCommit {
           // (adoption compatibility)
           raw
       }
+      val unknownReq = lines.filter(_.startsWith(RequirePrefix))
+        .map(_.stripPrefix(RequirePrefix).trim)
+        .filterNot(KnownFeatures)
+      if (unknownReq.nonEmpty)
+        sys.error(s"manifest $id of $table requires feature(s) " +
+          s"${unknownReq.mkString(", ")} this reader does not implement " +
+          "— refusing a read that would silently corrupt (upgrade the " +
+          "engine, or time-travel to a snapshot before the feature)")
       if (manifestMemo.size > 8192) manifestMemo.clear()
       manifestMemo.put(key, (identity, lines))
       lines
@@ -507,11 +533,64 @@ object TableCommit {
     * full metadata scan. Line format (tab-separated, path LAST so a
     * partition value containing the separator cannot shift fields):
     * `#stats <col>\t<min>\t<max>\t<relpath>`. Values are the column's
-    * min/max rendered as strings and compared numerically (BigDecimal)
-    * — the engine's partition/cluster keys are numeric. Files with no
+    * min/max rendered as strings; NUMERIC columns compare as
+    * BigDecimal, STRING/DATE/TIMESTAMP columns compare
+    * LEXICOGRAPHICALLY in code-point order (the order Spark's own
+    * min/max aggregates use — see [[cpCompare]]); string bounds are
+    * Delta-style TRUNCATED (prefix lower bound, incremented upper
+    * bound — [[lexLower]]/[[lexUpper]]) so a document-sized value
+    * never bloats the manifest. Values are escaped on the line
+    * ([[escapeStat]]) so a tab/newline-bearing string value cannot
+    * shift fields or break the line-per-action format. Files with no
     * entry for the requested column (all-null file, pre-stats commit,
-    * adopted manifest-0) are conservatively KEPT. */
+    * adopted manifest-0, inexpressible truncated bound) are
+    * conservatively KEPT. */
   private val StatsPrefix = "#stats "
+
+  /** Escape a stats VALUE for the tab-separated, line-per-action text
+    * manifest: backslash, tab, LF, CR. Numeric renderings contain none
+    * of these, so pre-escape manifests parse identically. */
+  private[graft] def escapeStat(v: String): String = {
+    val b = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '\t' => b.append("\\t")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private[graft] def unescapeStat(v: String): String =
+    if (v.indexOf('\\') < 0) v
+    else {
+      val b = new java.lang.StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case '\\' => b.append('\\'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case _ => b.append(c); i += 1
+          }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
+  /** One rendered `#stats` line — the single source of the escape
+    * discipline for both the checkpoint header and the delta form. */
+  private def statLine(c: String, mn: String, mx: String,
+      rel: String): String =
+    s"$StatsPrefix$c\t${escapeStat(mn)}\t${escapeStat(mx)}\t$rel"
 
   /** (rel-path, col) -> (min, max) entries of a manifest — keyed by
     * BOTH file and column, so a snapshot can carry ranges for several
@@ -519,13 +598,103 @@ object TableCommit {
   private def statsOfLines(lines: Seq[String]): Map[(String, String), (String, String)] =
     lines.filter(_.startsWith(StatsPrefix)).flatMap { l =>
       l.stripPrefix(StatsPrefix).split("\t", 4) match {
-        case Array(c, mn, mx, rel) => Some((rel, c) -> (mn, mx))
+        case Array(c, mn, mx, rel) =>
+          Some((rel, c) -> (unescapeStat(mn), unescapeStat(mx)))
         case _ => None
       }
     }.toMap
 
   private def statsOf(m: Snapshot): Map[(String, String), (String, String)] =
     m.stats
+
+  /** CODE-POINT string comparison — the order Spark's UTF8String
+    * binary min/max aggregates (and parquet's UTF-8 column stats) use.
+    * Java's `String.compareTo` is UTF-16 code-UNIT order, which ranks
+    * U+E000..U+FFFF ABOVE supplementary characters; comparing recorded
+    * bounds in a different order than the aggregate that produced them
+    * could wrongly EXCLUDE a file (silent row loss), so every
+    * read-side lexicographic compare goes through this. */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Max recorded length (UTF-16 units) of a string stats bound —
+    * Delta truncates at 32; documents are the workload here, so the
+    * budget is a little wider. */
+  private val LexTruncLen = 64
+
+  /** TRUNCATED LOWER bound of a string min: a prefix is always ≤ the
+    * original in code-point order, so `take(LexTruncLen)` is sound —
+    * minus a trailing dangling high surrogate (it would not survive
+    * the UTF-8 file round-trip; dropping it only shortens the prefix,
+    * still a lower bound). */
+  private[graft] def lexLower(mn: String): String = {
+    val t = mn.take(LexTruncLen)
+    if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1)
+    else t
+  }
+
+  /** TRUNCATED UPPER bound of a string max: the value itself when it
+    * fits, else the Delta trick — truncate and INCREMENT the last
+    * incrementable code unit (skipping the surrogate range and U+FFFF,
+    * whose successors are not round-trip-safe scalar values), dropping
+    * everything after it: the first differing code point is larger, so
+    * the result exceeds every string sharing the truncated prefix.
+    * None when no unit is incrementable — the caller drops the whole
+    * stats entry (file conservatively kept). */
+  private[graft] def lexUpper(mx: String): Option[String] =
+    if (mx.length <= LexTruncLen) Some(mx)
+    else {
+      val t = mx.take(LexTruncLen)
+      def incrementable(c: Char): Boolean =
+        c < 0xD7FF.toChar || (c >= 0xE000.toChar && c < 0xFFFF.toChar)
+      val i = t.lastIndexWhere(incrementable)
+      if (i < 0) None
+      else Some(t.substring(0, i) + (t.charAt(i) + 1).toChar)
+    }
+
+  /** ISO-rendered date/timestamp strings order lexicographically ONLY
+    * in the plain four-digit-year era: a BCE year ('-…') or an
+    * expanded year ('+10000-…') breaks the character ordering, so
+    * stats for such values are simply not recorded (files kept). */
+  private[graft] def isoLexSafe(v: String): Boolean =
+    v.length >= 5 && v.substring(0, 4).forall(_.isDigit) && v.charAt(4) == '-'
+
+  /** A pruning band over a stats column — numeric (BigDecimal compare,
+    * the original form) or lexicographic (code-point compare, for
+    * STRING/DATE/TIMESTAMP keys). `keeps` is the manifest-metadata
+    * overlap test (conservative TRUE on any malformed bound); `pred`
+    * is the equivalent row-level predicate (Spark's string comparison
+    * is UTF8String byte order = code-point order, consistent with
+    * `keeps` by construction). */
+  private[graft] sealed trait StatBand {
+    def keeps(mn: String, mx: String): Boolean
+    def pred(column: String): org.apache.spark.sql.Column
+  }
+  private[graft] final case class NumBand(lo: BigDecimal, hi: BigDecimal)
+      extends StatBand {
+    def keeps(mn: String, mx: String): Boolean =
+      scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
+        .getOrElse(true)
+    def pred(column: String): org.apache.spark.sql.Column =
+      col(column) >= lit(lo.underlying) && col(column) <= lit(hi.underlying)
+  }
+  private[graft] final case class LexBand(lo: String, hi: String)
+      extends StatBand {
+    def keeps(mn: String, mx: String): Boolean =
+      cpCompare(mn, hi) <= 0 && cpCompare(mx, lo) >= 0
+    def pred(column: String): org.apache.spark.sql.Column =
+      col(column) >= lit(lo) && col(column) <= lit(hi)
+  }
 
   /** Per-file ROW COUNTS a manifest carries (`#rows <n>\t<relpath>`
     * directive lines — the Delta add-action's `numRecords`): every
@@ -1237,7 +1406,7 @@ object TableCommit {
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       props.toSeq.sortBy(_._1).map { case (k, v) => s"$PropPrefix$k=$v" } ++
       statsDelta.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
-        s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
+        statLine(c, mn, mx, rel) } ++
       rowsDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"$RowsPrefix$n\t$rel" } ++
       bytesDelta.toSeq.sortBy(_._1).map { case (rel, n) =>
@@ -1285,7 +1454,7 @@ object TableCommit {
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
-        s"$StatsPrefix$c\t$mn\t$mx\t$rel" } ++
+        statLine(c, mn, mx, rel) } ++
       rows.toSeq.sortBy(_._1).map { case (rel, n) => s"$RowsPrefix$n\t$rel" } ++
       bytes.toSeq.sortBy(_._1).map { case (rel, n) => s"$BytesPrefix$n\t$rel" } ++
       dv.toSeq.sortBy(_._1).flatMap { case (rel, dirs) =>
@@ -1310,15 +1479,28 @@ object TableCommit {
             rec.schema == intendedSchema && rec.cdc == cdc
           if (exact && d.length < ckptLines.length) d else ckptLines
       }
+    // PROTOCOL FEATURE GATE: directives whose silent omission would
+    // corrupt a read (not merely slow it) are declared with `#require`
+    // — a reader that does not implement one fails the parse loudly
+    // instead of returning wrong rows (deletion vectors ignored = rows
+    // resurrect; change-data sidecars ignored = the precise feed lies)
+    val requires = (
+      (if (lines.exists(_.startsWith(DvPrefix))) Seq("dv") else Nil) ++
+      (if (lines.exists(_.startsWith(CdcPrefix))) Seq("cdc") else Nil))
+      .map(RequirePrefix + _)
+    val gated =
+      if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
+        lines.head +: (requires ++ lines.tail)
+      else requires ++ lines
     // header #len integrity directive: a truncated manifest fails
     // loudly on read instead of reconstructing a silently-wrong state
     // (header position — trailing truncation would eat a trailing
     // count; a delta keeps its #delta marker first)
-    val lenLine = s"$LenPrefix${lines.length}"
+    val lenLine = s"$LenPrefix${gated.length}"
     val sealed0 =
-      if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
-        lines.head +: lenLine +: lines.tail
-      else lenLine +: lines
+      if (gated.headOption.exists(_.startsWith(DeltaPrefix)))
+        gated.head +: lenLine +: gated.tail
+      else lenLine +: gated
     // publication IS the store's conditional put — the only atomicity
     // the protocol asks of storage (see TableStore's contract)
     val won = store(table).putManifestIfAbsent(table, id,
@@ -1360,6 +1542,27 @@ object TableCommit {
     * rows' (path, dv) — the full file list is never materialized as
     * driver strings. Some iff `id` is a checkpoint with a fresh
     * sidecar. */
+  private def sidecarPrunedBand(table: String, id: Long, column: String,
+      band: StatBand)
+      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+    band match {
+      case NumBand(lo, hi) => sidecarPruned(table, id, column, lo, hi)
+      case LexBand(lo, hi) => sidecarPrunedLex(table, id, column, lo, hi)
+    }
+
+  private def sidecarPrunedLex(table: String, id: Long, column: String,
+      lo: String, hi: String)
+      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+    (for {
+      newest <- manifestIds(table).maxOption
+      if id > newest - 2
+      ident <- store(table).manifestIdentity(table, id)
+      p <- store(table).sidecarPath(table, id, ident)
+      if store(table).sidecarExists(p)
+    } yield scala.util.Try(
+      CheckpointSidecar.prunedReadLex(p, column, lo, hi, cpCompare))
+      .toOption).flatten
+
   private def sidecarPruned(table: String, id: Long, column: String,
       lo: BigDecimal, hi: BigDecimal)
       : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
@@ -1383,6 +1586,11 @@ object TableCommit {
   private[graft] def sidecarPrunedFiles(table: String, id: Long,
       column: String, lo: BigDecimal, hi: BigDecimal): Option[Seq[String]] =
     sidecarPruned(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
+
+  /** Test probe: [[sidecarPrunedFiles]] for a lexicographic band. */
+  private[graft] def sidecarPrunedFilesLex(table: String, id: Long,
+      column: String, lo: String, hi: String): Option[Seq[String]] =
+    sidecarPrunedLex(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
 
   /** Ensure the table has a snapshot: if no manifest exists yet,
     * publish manifest-0 listing the current tree (adopting a table
@@ -1454,18 +1662,30 @@ object TableCommit {
     * `readAt(...).filter(lo <= column <= hi)` regardless of stats
     * coverage — stats only ever remove provably-excluded IO
     * (`df.inputFiles.length` vs the manifest's file count is the
-    * audit). Numeric ranges (BigDecimal compare) — the engine's
-    * partition/cluster keys. */
+    * audit). Numeric ranges (BigDecimal compare); [[readWhereLexAt]]
+    * is the lexicographic twin for string keys. */
   def readWhereAt(s: SparkSession, table: String, id: Long, column: String,
       lo: BigDecimal, hi: BigDecimal): DataFrame =
+    readWhereBandAt(s, table, id, column, NumBand(lo, hi))
+
+  /** [[readWhereAt]] for a STRING predicate column — the band and the
+    * recorded (truncated) string stats compare lexicographically in
+    * code-point order; same sidecar cold-open fast path, same
+    * conservative-keep semantics, same on-top row filter. */
+  def readWhereLexAt(s: SparkSession, table: String, id: Long,
+      column: String, lo: String, hi: String): DataFrame =
+    readWhereBandAt(s, table, id, column, LexBand(lo, hi))
+
+  private def readWhereBandAt(s: SparkSession, table: String, id: Long,
+      column: String, band: StatBand): DataFrame =
     // COLD-OPEN fast path (round-11 verdict item 3): when `id` is a
     // checkpoint with a fresh columnar sidecar, the pruning decision is
-    // a projected parquet read with the band pushed to row-group level
-    // — the full file list never materializes as driver strings; the
-    // double-widened sidecar ranges may only ever KEEP an extra
-    // borderline file (the on-top row filter makes the result equal),
-    // never exclude an overlapping one
-    sidecarPruned(table, id, column, lo, hi) match {
+    // a projected parquet read (numeric bands additionally push the
+    // widened range to row-group level) — the full file list never
+    // materializes as driver strings; sidecar widening may only ever
+    // KEEP an extra borderline file (the on-top row filter makes the
+    // result equal), never exclude an overlapping one
+    sidecarPrunedBand(table, id, column, band) match {
       case Some((kept, meta)) =>
         val m = Snapshot(id, kept.map(_._1).sorted, Map.empty, Map.empty,
           Map.empty,
@@ -1474,15 +1694,11 @@ object TableCommit {
           meta.schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType]))
-        readFiles(s, table, m, m.files)
-          .filter(col(column) >= lit(lo.underlying) &&
-            col(column) <= lit(hi.underlying))
+        readFiles(s, table, m, m.files).filter(band.pred(column))
       case None => manifests(table).find(_._1 == id) match {
         case Some((_, m)) =>
-          val kept = pruneFiles(m, column, lo, hi)
-          readFiles(s, table, m, kept)
-            .filter(col(column) >= lit(lo.underlying) &&
-              col(column) <= lit(hi.underlying))
+          val kept = pruneFilesBand(m, column, band)
+          readFiles(s, table, m, kept).filter(band.pred(column))
         case None => sys.error(
           s"snapshot $id of $table is outside the retention window")
       }
@@ -1496,6 +1712,14 @@ object TableCommit {
       case None => sys.error(s"$table has no snapshot to prune")
     }
 
+  /** [[readWhereLexAt]] on the newest snapshot. */
+  def readWhereLex(s: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame =
+    resolve(table) match {
+      case Some((id, _)) => readWhereLexAt(s, table, id, column, lo, hi)
+      case None => sys.error(s"$table has no snapshot to prune")
+    }
+
   /** (kept, total) file counts of the metadata-only pruning decision
     * for a [lo, hi] predicate on `column` — the audit twin of
     * [[readWhereAt]] (`n_table_history`'s files-skipped column);
@@ -1505,6 +1729,18 @@ object TableCommit {
     manifests(table).find(_._1 == id) match {
       case Some((_, m)) =>
         (pruneFiles(m, column, lo, hi).length, filesOf(m).length)
+      case None => sys.error(
+        s"snapshot $id of $table is outside the retention window")
+    }
+
+  /** [[pruneAudit]] for a STRING predicate column (lexicographic
+    * band). */
+  def pruneAuditLex(table: String, id: Long, column: String,
+      lo: String, hi: String): (Int, Int) =
+    manifests(table).find(_._1 == id) match {
+      case Some((_, m)) =>
+        (pruneFilesBand(m, column, LexBand(lo, hi)).length,
+          filesOf(m).length)
       case None => sys.error(
         s"snapshot $id of $table is outside the retention window")
     }
@@ -1523,21 +1759,23 @@ object TableCommit {
       if (vs.isEmpty) None else Some((vs.map(_._1).min, vs.map(_._2).max))
     }
 
-  /** Manifest-only pruning decision behind [[readWhereAt]]. */
-  private def pruneFiles(m: Snapshot, column: String,
-      lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+  /** Manifest-only pruning decision behind [[readWhereAt]] — band
+    * polymorphic (numeric or lexicographic); a malformed recorded
+    * range keeps the file (stats may only ever EXCLUDE on proof). */
+  private def pruneFilesBand(m: Snapshot, column: String,
+      band: StatBand): Seq[String] = {
     val st = m.stats
     m.files.filter { rel =>
       st.get((rel, column)) match {
-        case Some((mn, mx)) =>
-          // a malformed/non-numeric recorded range keeps the file —
-          // stats may only ever EXCLUDE on proof
-          scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
-            .getOrElse(true)
+        case Some((mn, mx)) => band.keeps(mn, mx)
         case _ => true
       }
     }
   }
+
+  private def pruneFiles(m: Snapshot, column: String,
+      lo: BigDecimal, hi: BigDecimal): Seq[String] =
+    pruneFilesBand(m, column, NumBand(lo, hi))
 
   /** LOG-INCREMENTAL (CDC-feed) read (round-9 verdict item 4): the
     * rows of the data files ADDED between snapshot `sinceId` and the
@@ -2451,8 +2689,10 @@ object TableCommit {
     * to the other, which can wrongly EXCLUDE an overlapping file on
     * the read side (silent row loss the on-top row filter cannot
     * repair). All-null files get no entry (conservatively kept by
-    * [[pruneFiles]]); values render as strings, compared numerically
-    * on the read side. */
+    * [[pruneFilesBand]]); values render as strings and carry the
+    * TYPE-refined bounds the read side's band compare expects
+    * (numerics verbatim, strings truncated code-point bounds, ISO
+    * date/timestamps era-guarded — see `refine` below). */
   private def fileMeta(s: SparkSession, table: String, rels: Seq[String],
       cols: Seq[String],
       wmap: Map[String, String] = Map.empty)
@@ -2475,8 +2715,28 @@ object TableCommit {
       min(col(phys(c))).cast("string").as(s"mn_$c"),
       max(col(phys(c))).cast("string").as(s"mx_$c"))) :+
       count(lit(1)).as("n_rows")
-    val resolved = s.read.option("basePath", table)
+    val scan = s.read.option("basePath", table)
       .parquet(rels.map(r => s"$table/$r"): _*)
+    // column TYPES drive how a recorded bound is made durable:
+    // numerics verbatim (BigDecimal compare on read); strings
+    // truncated Delta-style (prefix lower / incremented upper —
+    // code-point order both sides); dates/timestamps verbatim iff the
+    // ISO rendering is in the lexicographically-safe four-digit-year
+    // era; anything else records NO stats (neither compare order is
+    // sound for it — the file is conservatively kept, which is what an
+    // unparseable recorded range degenerated to anyway)
+    import org.apache.spark.sql.types._
+    val dtOf: Map[String, DataType] = cols.flatMap(c =>
+      scan.schema.fields.find(_.name == phys(c)).map(c -> _.dataType)).toMap
+    def refine(c: String, mn: String, mx: String): Option[(String, String)] =
+      dtOf.get(c) match {
+        case Some(_: NumericType) | None => Some((mn, mx))
+        case Some(StringType) => lexUpper(mx).map(up => (lexLower(mn), up))
+        case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
+          Some((mn, mx)).filter(_ => isoLexSafe(mn) && isoLexSafe(mx))
+        case Some(_) => None
+      }
+    val resolved = scan
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2489,9 +2749,11 @@ object TableCommit {
           .map(rel => (rel, r))
       }
     val stats = resolved.flatMap { case (rel, r) =>
-      cols.zipWithIndex.collect {
+      cols.zipWithIndex.flatMap {
         case (c, i) if !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i) =>
-          (rel, c) -> (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+          refine(c, r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            .map((rel, c) -> _)
+        case _ => None
       }
     }.toMap
     val rows = resolved.map { case (rel, r) =>
@@ -2709,14 +2971,25 @@ object TableCommit {
 
   /** [[deleteWhere]] over a multi-column partition layout. */
   def deleteWhereBy(s: SparkSession, table: String, partCols: Seq[String],
-      column: String, lo: BigDecimal, hi: BigDecimal): DeleteAudit = {
+      column: String, lo: BigDecimal, hi: BigDecimal): DeleteAudit =
+    deleteWhereBandBy(s, table, partCols, column, NumBand(lo, hi))
+
+  /** [[deleteWhere]] for a STRING key — the band is lexicographic
+    * (code-point order, matching the recorded truncated string stats),
+    * so a string-keyed delete prunes files exactly like a numeric
+    * one. */
+  def deleteWhereLex(s: SparkSession, table: String, partCol: String,
+      column: String, lo: String, hi: String): DeleteAudit =
+    deleteWhereBandBy(s, table, Seq(partCol), column, LexBand(lo, hi))
+
+  private def deleteWhereBandBy(s: SparkSession, table: String,
+      partCols: Seq[String], column: String, band: StatBand): DeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    val candidates = pruneFiles(m, column, lo, hi)
-    def matchPred = col(column) >= lit(lo.underlying) &&
-      col(column) <= lit(hi.underlying)
+    val candidates = pruneFilesBand(m, column, band)
+    def matchPred = band.pred(column)
     if (candidates.isEmpty)
       return DeleteAudit(baseId0, baseId0, total, 0, 0, 0L)
     val hitCounts = hitScan(s, table, m, candidates, matchPred)
@@ -2772,14 +3045,23 @@ object TableCommit {
     * differs). */
   def deleteWhereMorBy(s: SparkSession, table: String,
       partCols: Seq[String],
-      column: String, lo: BigDecimal, hi: BigDecimal): MorDeleteAudit = {
+      column: String, lo: BigDecimal, hi: BigDecimal): MorDeleteAudit =
+    deleteWhereMorBandBy(s, table, partCols, column, NumBand(lo, hi))
+
+  /** [[deleteWhereMor]] for a STRING key (lexicographic band). */
+  def deleteWhereMorLex(s: SparkSession, table: String, partCol: String,
+      column: String, lo: String, hi: String): MorDeleteAudit =
+    deleteWhereMorBandBy(s, table, Seq(partCol), column, LexBand(lo, hi))
+
+  private def deleteWhereMorBandBy(s: SparkSession, table: String,
+      partCols: Seq[String], column: String,
+      band: StatBand): MorDeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    val candidates = pruneFiles(m, column, lo, hi)
-    def matchPred = col(column) >= lit(lo.underlying) &&
-      col(column) <= lit(hi.underlying)
+    val candidates = pruneFilesBand(m, column, band)
+    def matchPred = band.pred(column)
     if (candidates.isEmpty)
       return MorDeleteAudit(baseId0, baseId0, total, 0, 0, 0L)
     val hitCounts = hitScan(s, table, m, candidates, matchPred)
@@ -2889,14 +3171,24 @@ object TableCommit {
   def updateWhereMorBy(s: SparkSession, table: String,
       partCols: Seq[String],
       column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
+    updateWhereMorBandBy(s, table, partCols, column, NumBand(lo, hi), set)
+
+  /** [[updateWhereMor]] for a STRING key (lexicographic band). */
+  def updateWhereMorLex(s: SparkSession, table: String, partCol: String,
+      column: String, lo: String, hi: String,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
+    updateWhereMorBandBy(s, table, Seq(partCol), column, LexBand(lo, hi), set)
+
+  private def updateWhereMorBandBy(s: SparkSession, table: String,
+      partCols: Seq[String], column: String, band: StatBand,
       set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    val candidates = pruneFiles(m, column, lo, hi)
-    def matchPred = col(column) >= lit(lo.underlying) &&
-      col(column) <= lit(hi.underlying)
+    val candidates = pruneFilesBand(m, column, band)
+    def matchPred = band.pred(column)
     if (candidates.isEmpty)
       return MorUpdateAudit(baseId0, baseId0, total, 0, 0, 0, 0L)
     val hitCounts = hitScan(s, table, m, candidates, matchPred)
@@ -3112,21 +3404,37 @@ object TableCommit {
       require(srcAgg.getLong(1) == srcRows,
         s"MERGE source has duplicate $keyCol keys — a target row matching " +
           "two source rows is ambiguous (the SQL MERGE cardinality rule)")
-      // the pruning band is only sound for a NUMERIC key: manifest
-      // #stats strings are compared numerically, but a string-typed
-      // key's recorded min/max are LEXICOGRAPHIC — e.g. keys "9","10"
-      // give band (10, 9), which inverts (lo > hi), prunes every file,
-      // and duplicate-inserts existing keys as NOT MATCHED. Non-numeric
-      // keys keep ALL files candidate (correct, just unpruned); lo<=hi
-      // is belt-and-braces against any residual rendering skew.
-      val keyIsNumeric = tgtSchema.fields.find(_.name == keyCol)
-        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      val band = if (!keyIsNumeric) None else (for {
-        lo <- scala.util.Try(BigDecimal(srcAgg.getString(2))).toOption
-        hi <- scala.util.Try(BigDecimal(srcAgg.getString(3))).toOption
-      } yield (lo, hi)).filter { case (lo, hi) => lo <= hi }
+      // the pruning band compares in the KEY TYPE's own order —
+      // numeric keys as BigDecimal, string keys lexicographically in
+      // code-point order against the truncated string stats, ISO
+      // date/timestamp keys lexicographically when the rendering is in
+      // the four-digit-year safe era. Mixing orders is the round-10
+      // trap (keys "9","10" compared numerically give band (10, 9),
+      // prune everything, and duplicate-insert existing keys as NOT
+      // MATCHED) — each arm is self-consistent with how [[fileMeta]]
+      // recorded that type's bounds. Unbandable keys keep ALL files
+      // candidate (correct, just unpruned); the lo<=hi guards are
+      // belt-and-braces against any residual rendering skew.
+      import org.apache.spark.sql.types._
+      val keyType = tgtSchema.fields.find(_.name == keyCol).map(_.dataType)
+      val srcLo = Option(srcAgg.getString(2))
+      val srcHi = Option(srcAgg.getString(3))
+      val band: Option[StatBand] = keyType match {
+        case Some(_: NumericType) => (for {
+          lo <- srcLo.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+          hi <- srcHi.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+        } yield NumBand(lo, hi)).filter(b => b.lo <= b.hi)
+        case Some(StringType) => (for {
+          lo <- srcLo; hi <- srcHi
+        } yield LexBand(lo, hi)).filter(b => cpCompare(b.lo, b.hi) <= 0)
+        case Some(DateType | TimestampType | TimestampNTZType) => (for {
+          lo <- srcLo; hi <- srcHi
+          if isoLexSafe(lo) && isoLexSafe(hi)
+        } yield LexBand(lo, hi)).filter(b => cpCompare(b.lo, b.hi) <= 0)
+        case _ => None
+      }
       val candidates = band match {
-        case Some((lo, hi)) => pruneFiles(m, keyCol, lo, hi)
+        case Some(b) => pruneFilesBand(m, keyCol, b)
         case None => filesOf(m)
       }
       val srcR = broadcast(src.select(
@@ -3263,9 +3571,7 @@ object TableCommit {
           val unsafe = winAdded.filter { rel =>
             winStats.get((rel, keyCol)) match {
               case Some((mn, mx)) => band match {
-                case Some((lo, hi)) =>
-                  scala.util.Try(BigDecimal(mn) <= hi && BigDecimal(mx) >= lo)
-                    .getOrElse(true)
+                case Some(b) => b.keeps(mn, mx)
                 case None => true
               }
               case None => true
@@ -3346,14 +3652,24 @@ object TableCommit {
     * dirs; use the MoR form to move rows). */
   def updateWhereBy(s: SparkSession, table: String, partCols: Seq[String],
       column: String, lo: BigDecimal, hi: BigDecimal,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
+    updateWhereBandBy(s, table, partCols, column, NumBand(lo, hi), set)
+
+  /** [[updateWhere]] for a STRING key (lexicographic band). */
+  def updateWhereLex(s: SparkSession, table: String, partCol: String,
+      column: String, lo: String, hi: String,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
+    updateWhereBandBy(s, table, Seq(partCol), column, LexBand(lo, hi), set)
+
+  private def updateWhereBandBy(s: SparkSession, table: String,
+      partCols: Seq[String], column: String, band: StatBand,
       set: Map[String, org.apache.spark.sql.Column]): UpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    val candidates = pruneFiles(m, column, lo, hi)
-    def matchPred = col(column) >= lit(lo.underlying) &&
-      col(column) <= lit(hi.underlying)
+    val candidates = pruneFilesBand(m, column, band)
+    def matchPred = band.pred(column)
     if (candidates.isEmpty)
       return UpdateAudit(baseId0, baseId0, total, 0, 0, 0L)
     val hitCounts = hitScan(s, table, m, candidates, matchPred)

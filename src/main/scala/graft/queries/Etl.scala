@@ -767,6 +767,90 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ------------------------------------------------------- q_table_merge_str
+  /** STRING-KEYED MERGE over a committed table (round-12: typed data
+    * skipping) — the CDC-apply shape of [[tableMergeQ]] with the key a
+    * URL-ish composite string (`source#<zero-padded id>`), the case the
+    * round-10 review had to leave UNPRUNED (numeric band compare is
+    * unsound for strings): the manifest now records truncated
+    * LEXICOGRAPHIC `#stats` bounds for the key, the MERGE source's
+    * [min, max] string band prunes candidate files in code-point order,
+    * and the three clauses land as one MoR commit. The batch is one
+    * source's corrections (updates %7, deletes %11, re-keyed inserts
+    * %13) so its key band covers a sliver of the key space — exactly a
+    * production per-feed correction — and TypedStatsSpec pins
+    * filesCandidates < filesTotal for this shape. Oracle'd end to end:
+    * the final table state must equal DuckDB's relational MERGE
+    * simulation over the raw parquet. At 100 TB: string business keys
+    * (URLs, doc ids, composite feed keys) are the COMMON case; this is
+    * the same cost ∝ |batch| contract the numeric merge has. */
+  private def tableMergeStr(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mrgstr_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val keyOf = concat(col("source"), lit("#"),
+        lpad(col("doc_id").cast("string"), 12, "0"))
+      val docs = Tables.documents(s, d)
+      val seed = docs.select(keyOf.as("doc_key"), col("n_chars"), col("lang"))
+      seed.write.mode("overwrite").partitionBy("lang").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = seed.select(col("lang")).distinct().collect()
+        .map(r => s"lang=${r.getString(0)}").toSeq.sorted
+      TableCommit.replacePartitions(s, table, "lang", dirs, seed,
+        clusterBy = Seq("doc_key"), filesPerPartition = 4)
+      // one feed's correction batch: D beats U on the %77 overlap, and
+      // the inserts re-key past the feed's own range ('~' > '#')
+      val feed = docs.filter(col("source") === "src7")
+      val dAndU = feed
+        .filter(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0)
+        .select(keyOf.as("doc_key"), col("n_chars"), col("lang"),
+          when(col("doc_id") % 11 === 0, "D").otherwise("U").as("op"))
+      val ins = feed.filter(col("doc_id") % 13 === 0)
+        .select(concat(col("source"), lit("~"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("doc_key"),
+          (col("n_chars") + 5000L).as("n_chars"), col("lang"),
+          lit("I").as("op"))
+      TableCommit.mergeInto(s, table, "lang", "doc_key",
+        dAndU.unionByName(ins),
+        updateSet = Map("n_chars" -> (col("n_chars") + 1000L)),
+        deleteWhen = Some(col("src_op") === "D"))
+      // the scratch tree dies on return — materialize the final state
+      val rows = TableCommit.read(s, table)
+        .select("doc_key", "n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      rows.toDF("doc_key", "n_chars").orderBy(col("doc_key"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  private val tableMergeStrSql =
+    """WITH k AS (
+      |  SELECT source || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+      |      AS doc_key,
+      |    n_chars, doc_id, source
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_key,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM k
+      |  WHERE source = 'src7' AND (doc_id % 11 = 0 OR doc_id % 7 = 0)),
+      |merged AS (
+      |  SELECT k.doc_key,
+      |    CASE WHEN b.op = 'U' THEN k.n_chars + 1000
+      |      ELSE k.n_chars END AS n_chars
+      |  FROM k LEFT JOIN b USING (doc_key)
+      |  WHERE b.op IS NULL OR b.op <> 'D'),
+      |ins AS (
+      |  SELECT source || '~' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+      |      AS doc_key,
+      |    n_chars + 5000 AS n_chars
+      |  FROM k WHERE source = 'src7' AND doc_id % 13 = 0)
+      |SELECT doc_key, n_chars FROM (
+      |  SELECT * FROM merged UNION ALL SELECT * FROM ins)
+      |ORDER BY doc_key""".stripMargin
+
   // -------------------------------------------------------- n_table_constraints
   /** CHECK constraints on the committed events table — ALTER TABLE
     * ADD/DROP CONSTRAINT with write-path enforcement
@@ -2280,6 +2364,7 @@ object Etl {
     QueryDef("n_table_update", tableUpdateQ, None),
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_merge", tableMergeQ, None),
+    QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
     QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_cdf", tableCdfQ, None),

@@ -2982,6 +2982,12 @@ object TableCommit {
       column: String, lo: String, hi: String): DeleteAudit =
     deleteWhereBandBy(s, table, Seq(partCol), column, LexBand(lo, hi))
 
+  /** [[deleteWhereLex]] over a multi-column partition layout. */
+  def deleteWhereLexBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      column: String, lo: String, hi: String): DeleteAudit =
+    deleteWhereBandBy(s, table, partCols, column, LexBand(lo, hi))
+
   private def deleteWhereBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band: StatBand): DeleteAudit = {
     initIfAbsent(table)
@@ -3052,6 +3058,12 @@ object TableCommit {
   def deleteWhereMorLex(s: SparkSession, table: String, partCol: String,
       column: String, lo: String, hi: String): MorDeleteAudit =
     deleteWhereMorBandBy(s, table, Seq(partCol), column, LexBand(lo, hi))
+
+  /** [[deleteWhereMorLex]] over a multi-column partition layout. */
+  def deleteWhereMorLexBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      column: String, lo: String, hi: String): MorDeleteAudit =
+    deleteWhereMorBandBy(s, table, partCols, column, LexBand(lo, hi))
 
   private def deleteWhereMorBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String,
@@ -3179,6 +3191,13 @@ object TableCommit {
       column: String, lo: String, hi: String,
       set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
     updateWhereMorBandBy(s, table, Seq(partCol), column, LexBand(lo, hi), set)
+
+  /** [[updateWhereMorLex]] over a multi-column partition layout. */
+  def updateWhereMorLexBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      column: String, lo: String, hi: String,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
+    updateWhereMorBandBy(s, table, partCols, column, LexBand(lo, hi), set)
 
   private def updateWhereMorBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band: StatBand,
@@ -3660,6 +3679,13 @@ object TableCommit {
       column: String, lo: String, hi: String,
       set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
     updateWhereBandBy(s, table, Seq(partCol), column, LexBand(lo, hi), set)
+
+  /** [[updateWhereLex]] over a multi-column partition layout. */
+  def updateWhereLexBy(s: SparkSession, table: String,
+      partCols: Seq[String],
+      column: String, lo: String, hi: String,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
+    updateWhereBandBy(s, table, partCols, column, LexBand(lo, hi), set)
 
   private def updateWhereBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band: StatBand,

@@ -180,4 +180,125 @@ class TableCommitModelSpec extends GraftSpec {
       }
     }
   }
+
+  // ------------------------------------------------- string-keyed model
+
+  /** Adversarial STRING keys for the typed-stats model run: numeric
+    * text that inverts under numeric compare ("k10" < "k9"), escape
+    * characters, multibyte + supplementary code points, and >64-unit
+    * tails that force bound truncation. Deterministic per id. */
+  private def keyOf(id: Long): String = {
+    val tails = Vector("", "\t", "~", "é中",
+      "X" * 80, new String(Character.toChars(0x1F600)), "\n", "\\")
+    s"k$id" + tails((id % 8).toInt)
+  }
+
+  private def tableRowsStr(t: String): Set[(String, Long, Int)] =
+    TableCommit.read(spark, t)
+      .select(col("k"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("randomized verb sequences over a STRING key: lexicographic bands " +
+      "(truncated stats, escape-bearing and supplementary-plane keys) " +
+      "keep snapshot read ≡ reference model and #rows ≡ model size at " +
+      "every step") {
+    def cp(a: String, b: String): Int = TableCommit.cpCompare(a, b)
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshDir()
+      var nextId = 120L
+      val partCols = if (rnd.nextBoolean()) Seq("pt") else Seq("pt", "ps")
+      def df3(rows: Seq[(String, Long, Int)]) =
+        rows.map { case (k, v, pt) => (k, v, pt, (v % 2).toInt) }
+          .toDF("k", "v", "pt", "ps")
+      var model: Map[String, (Long, Int)] =
+        (0L until 120L).map(id => keyOf(id) -> (id * 10, (id % 3).toInt)).toMap
+      TableCommit.replacePartitionsBy(spark, t, partCols,
+        Seq("pt=0", "pt=1", "pt=2"),
+        df3(model.toSeq.map { case (k, (v, pt)) => (k, v, pt) }),
+        clusterBy = Seq("k"), filesPerPartition = 3)
+      val interval = Seq(1, 3, 10)(rnd.nextInt(3))
+      TableCommit.setProperties(t, Map(
+        "graft.checkpoint.interval" -> interval.toString))
+
+      def bandStr(): (String, String) = {
+        def pick(): String =
+          if (model.isEmpty || rnd.nextBoolean())
+            keyOf(math.abs(rnd.nextLong()) % (nextId + 10))
+          else {
+            val ks = model.keys.toVector
+            ks(rnd.nextInt(ks.size))
+          }
+        val a = pick(); val b = pick()
+        if (cp(a, b) <= 0) (a, b) else (b, a)
+      }
+      def inBand(k: String, lo: String, hi: String): Boolean =
+        cp(k, lo) >= 0 && cp(k, hi) <= 0
+
+      for (step <- 0 until 10) {
+        val op = rnd.nextInt(6)
+        val (lo, hi) = bandStr()
+        op match {
+          case 5 => // three-clause MERGE keyed by the string
+            val liveBand = model.collect {
+              case (k, (v, pt)) if inBand(k, lo, hi) => (k, v, pt)
+            }.toSeq.sortBy(_._1)
+            val (updSrc, delSrc) = liveBand.splitAt(liveBand.length / 2)
+            val kIns = 1 + rnd.nextInt(6)
+            val insSrc = (nextId until nextId + kIns)
+              .map(id => (keyOf(id), id * 10, (id % 3).toInt))
+            nextId += kIns
+            val src =
+              (updSrc.map { case (k, v, pt) => (k, v, pt, (v % 2).toInt, "U") } ++
+                delSrc.map { case (k, v, pt) => (k, v, pt, (v % 2).toInt, "D") } ++
+                insSrc.map { case (k, v, pt) => (k, v, pt, (v % 2).toInt, "I") })
+                .toDF("k", "v", "pt", "ps", "op")
+            TableCommit.mergeIntoBy(spark, t, partCols, "k", src,
+              updateSet = Map("v" -> (col("v") + lit(7L))),
+              deleteWhen = Some(col("src_op") === "D"))
+            val updKs = updSrc.map(_._1).toSet
+            val delKs = delSrc.map(_._1).toSet
+            model = model.flatMap { case (k, (v, pt)) =>
+              if (delKs(k)) None
+              else if (updKs(k)) Some(k -> (v + 7, pt))
+              else Some(k -> (v, pt))
+            } ++ insSrc.map { case (k, v, pt) => k -> (v, pt) }
+          case 0 => // blind append of fresh keys
+            val kIns = 1 + rnd.nextInt(12)
+            val fresh = (nextId until nextId + kIns)
+              .map(id => (keyOf(id), id * 10, (id % 3).toInt))
+            nextId += kIns
+            TableCommit.appendRowsBy(spark, t, partCols,
+              df3(fresh), clusterBy = Seq("k"))
+            model ++= fresh.map { case (k, v, pt) => k -> (v, pt) }
+          case 1 => // copy-on-write delete over a lex band
+            TableCommit.deleteWhereLexBy(spark, t, partCols, "k", lo, hi)
+            model = model.filter { case (k, _) => !inBand(k, lo, hi) }
+          case 2 => // merge-on-read delete
+            TableCommit.deleteWhereMorLexBy(spark, t, partCols, "k", lo, hi)
+            model = model.filter { case (k, _) => !inBand(k, lo, hi) }
+          case 3 => // copy-on-write update
+            TableCommit.updateWhereLexBy(spark, t, partCols, "k", lo, hi,
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (k, (v, pt)) =>
+              if (inBand(k, lo, hi)) k -> (v + 1, pt) else k -> (v, pt)
+            }
+          case 4 => // merge-on-read update
+            TableCommit.updateWhereMorLexBy(spark, t, partCols, "k", lo, hi,
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (k, (v, pt)) =>
+              if (inBand(k, lo, hi)) k -> (v + 1, pt) else k -> (v, pt)
+            }
+        }
+        val want = model.map { case (k, (v, pt)) => (k, v, pt) }.toSet
+        assert(tableRowsStr(t) == want,
+          s"seed=$seed step=$step op=$op band=[${lo.take(20)}," +
+            s"${hi.take(20)}]: table diverged from the reference model")
+        val id = TableCommit.resolve(t).get._1
+        assert(TableCommit.rowCount(t, id).contains(model.size.toLong),
+          s"seed=$seed step=$step op=$op: #rows metadata diverged " +
+            s"(${TableCommit.rowCount(t, id)} vs ${model.size})")
+      }
+    }
+  }
 }

@@ -487,30 +487,65 @@ object TableCommit {
     * logical view. `withMeta` keeps the hidden `_metadata` column
     * selectable through the rename (the deletion-vector key needs
     * it). */
+  /** The partition-column NAME sequence a data-file path encodes —
+    * the file's layout signature. Mid-evolution snapshots hold files
+    * under MORE THAN ONE signature; Spark's partition discovery
+    * refuses a single scan over conflicting dir structures, so
+    * [[pinnedRead]] groups by this. */
+  private def layoutSig(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+
   private def pinnedRead(s: SparkSession, table: String, m: Snapshot,
       files: Seq[String], withMeta: Boolean = false): DataFrame = {
-    val rd = s.read.option("basePath", table)
-    val paths = files.map(f => s"$table/$f")
-    m.schema match {
-      case Some(sch) if hasMapping(sch) =>
-        val base = rd.schema(physicalSchema(sch)).parquet(paths: _*)
-        val logical = sch.fields.toSeq.map { f =>
-          val c = col(physicalOf(f))
-          // NESTED mapping: a positional struct cast renames physical
-          // children back to their logical names (cast is by position,
-          // preserves null structs, stays codegen'd); top-level-only
-          // mapping keeps the zero-cost alias
-          if (physicalType(f.dataType) != logicalType(f.dataType))
-            // asNullable: the parquet scan relaxes every field to
-            // nullable, and Cast refuses nullable→NOT NULL targets
-            c.cast(relaxNullable(logicalType(f.dataType))).as(f.name)
-          else c.as(f.name)
-        }
-        base.select(
-          (if (withMeta) logical :+ col("_metadata") else logical): _*)
-      case Some(sch) => rd.schema(sch).parquet(paths: _*)
-      case None => rd.parquet(paths: _*)
+    def readGroup(group: Seq[String], forceMeta: Boolean): DataFrame = {
+      val rd = s.read.option("basePath", table)
+      val paths = group.map(f => s"$table/$f")
+      m.schema match {
+        case Some(sch) if hasMapping(sch) =>
+          val base = rd.schema(physicalSchema(sch)).parquet(paths: _*)
+          val logical = sch.fields.toSeq.map { f =>
+            val c = col(physicalOf(f))
+            // NESTED mapping: a positional struct cast renames physical
+            // children back to their logical names (cast is by position,
+            // preserves null structs, stays codegen'd); top-level-only
+            // mapping keeps the zero-cost alias
+            if (physicalType(f.dataType) != logicalType(f.dataType))
+              // asNullable: the parquet scan relaxes every field to
+              // nullable, and Cast refuses nullable→NOT NULL targets
+              c.cast(relaxNullable(logicalType(f.dataType))).as(f.name)
+            else c.as(f.name)
+          }
+          base.select(
+            (if (forceMeta) logical :+ col("_metadata") else logical): _*)
+        case Some(sch) =>
+          val base = rd.schema(sch).parquet(paths: _*)
+          if (forceMeta)
+            base.select(sch.fieldNames.map(col).toSeq :+ col("_metadata"): _*)
+          else base
+        case None =>
+          val base = rd.parquet(paths: _*)
+          if (forceMeta)
+            base.select(base.columns.map(col).toSeq :+ col("_metadata"): _*)
+          else base
+      }
     }
+    val groups = files.groupBy(layoutSig).toSeq.sortBy(_._1.mkString("/"))
+    if (groups.lengthCompare(1) <= 0)
+      // uniform layout (the steady state): ONE scan, plan-identical to
+      // the pre-evolution read; _metadata stays a hidden file-source
+      // column the caller selects on demand
+      readGroup(files, forceMeta = false)
+    else
+      // MID-EVOLUTION snapshot (partition evolution): one scan per
+      // layout signature, aligned by name. A column that is a
+      // partition DIR in the new layout is a PAYLOAD column in
+      // pre-evolution files (evolvePartitioningBy only admits existing
+      // data columns), so every group resolves the full schema of
+      // record; _metadata must materialize per group (a union is not a
+      // file source). allowMissingColumns only for schemaless adopted
+      // trees — with a schema of record the groups align exactly.
+      groups.map { case (_, g) => readGroup(g, forceMeta = withMeta) }
+        .reduce(_.unionByName(_, allowMissingColumns = m.schema.isEmpty))
   }
 
   private def emptySnapshot(s: SparkSession, table: String,
@@ -821,14 +856,40 @@ object TableCommit {
     * DV anti-join compute — executor-side string ops on the hidden
     * `_metadata` column, so writer and reader derive the key from the
     * SAME URI rendering and no driver-side decode can skew it. */
-  private def dvKeyCols(df: DataFrame, depth: Int = 1): DataFrame = {
+  /** Partition depth of one data-file rel path (1 for `pt=5/f`, 2 for
+    * `d=1/s=a/f`; 1 for an unpartitioned adopted file, matching the
+    * zero-file default). */
+  private def depthOf(rel: String): Int = math.max(1, rel.count(_ == '/'))
+
+  /** Distinct partition depths of a file set, deepest first — the
+    * layouts a read must key for. Uniform tables yield one element;
+    * a mid-evolution snapshot (old spec + new spec files) yields the
+    * mixed set. */
+  private def depthsOf(files: Seq[String]): Seq[Int] =
+    if (files.isEmpty) Seq(1)
+    else files.map(depthOf).distinct.sorted(Ordering[Int].reverse)
+
+  private def dvKeyCols(df: DataFrame, depths: Seq[Int]): DataFrame = {
     val segs = fsplit(col("_metadata").getField("file_path"), "/")
     // depth+1 trailing segments: the FULL manifest-relative path (all
     // partition levels + file name) — a two-level layout's second
     // level alone does NOT identify a file (one write task can emit
-    // same-named part files under d=1/s=a and d=2/s=a)
-    val keyParts = (depth + 1).to(1, -1).map(i => element_at(segs, -i))
-    df.withColumn("__graft_dvk", concat_ws("/", keyParts: _*))
+    // same-named part files under d=1/s=a and d=2/s=a). The key VALUE
+    // is therefore stable for an immutable file across partition-spec
+    // evolution, which is what keeps previously-written vectors
+    // applying. With MIXED depths in one read (mid-evolution), each
+    // row's depth is decided from its own path: a segment is a
+    // partition level iff it carries '=' (Hive dir form; the table's
+    // base-path segments never do — evolvePartitioningBy enforces it),
+    // checked deepest-first so the deepest matching layout wins.
+    def keyAt(d: Int): org.apache.spark.sql.Column =
+      concat_ws("/", (d + 1).to(1, -1).map(i => element_at(segs, -i)): _*)
+    val ds = depths.distinct.sorted(Ordering[Int].reverse)
+    val key = ds.dropRight(1).foldRight(keyAt(ds.last)) { (d, shallower) =>
+      when(element_at(segs, -(d + 1)).contains("="), keyAt(d))
+        .otherwise(shallower)
+    }
+    df.withColumn("__graft_dvk", key)
       .withColumn("__graft_dvp", col("_metadata").getField("row_index"))
   }
 
@@ -919,6 +980,54 @@ object TableCommit {
         committed = true
       }
     }
+  }
+
+  /** The table's ACTIVE partition spec, when one has been declared
+    * (`graft.partcols` property, comma-joined column names) — set by
+    * [[evolvePartitioningBy]]; None for tables that never evolved
+    * (their spec stays implicit in the layout, guarded by depth). */
+  private[graft] def activePartCols(table: String): Option[Seq[String]] =
+    manifests(table).sortBy(-_._1).headOption
+      .flatMap(_._2.props.get("graft.partcols"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** PARTITION EVOLUTION (Iceberg's evolve-spec, re-derived for the
+    * Hive-dir layout): change the table's partition spec as a
+    * METADATA-ONLY commit — no data file is rewritten. Existing files
+    * stay under their old layout; every SUBSEQUENT write lays fresh
+    * files out under the new spec (the stage choke point validates the
+    * declared spec and the produced depth), reads group a
+    * mixed-generation snapshot by layout signature and align through
+    * the schema of record, DV/stats/hit-scan keys are per-file path
+    * (layout-independent), and old partitions migrate GRADUALLY —
+    * `compactPartitionsBy(newSpec, prefixDirs)` rewrites a subtree
+    * into the new layout whenever convenient. Leaf-level replaces that
+    * a straddling old-layout file would falsify are REFUSED with the
+    * migration hint (the commit loop's straddle guard).
+    *
+    * Constraints that keep this sound: every new spec column must
+    * already be a column of the table (a pre-evolution file must carry
+    * it as PAYLOAD, or as its own dir level, for mixed reads to
+    * resolve it), and the table's base path must not contain '=' in a
+    * dir segment (mixed-depth keying decides a segment is a partition
+    * level by the Hive `k=v` form). */
+  def evolvePartitioningBy(s: SparkSession, table: String,
+      newPartCols: Seq[String]): Unit = {
+    require(newPartCols.nonEmpty && newPartCols.distinct == newPartCols,
+      s"evolved partition spec must be non-empty and duplicate-free: " +
+        s"$newPartCols")
+    require(!new java.io.File(table).getAbsolutePath.split('/')
+        .exists(_.contains("=")),
+      s"table base path $table carries '=' in a dir segment — " +
+        "mixed-layout keying would misread it as a partition level")
+    initIfAbsent(table)
+    val cols = read(s, table).columns.toSet
+    val missing = newPartCols.filterNot(cols)
+    require(missing.isEmpty,
+      s"evolved partition column(s) ${missing.mkString(", ")} are not " +
+        s"columns of $table — evolution only re-layouts existing data")
+    setProperties(table, Map("graft.partcols" -> newPartCols.mkString(",")))
   }
 
   /** Raised when a commit's written rows violate a table CHECK
@@ -1618,7 +1727,7 @@ object TableCommit {
       // before any projection (the key needs the hidden _metadata col)
       val live =
         if (covered)
-          applyDv(s, table, m, files, dvKeyCols(raw, partDepthOf(m)))
+          applyDv(s, table, m, files, dvKeyCols(raw, depthsOf(files)))
             .drop("__graft_dvk", "__graft_dvp", "_metadata")
         else raw
       schemaOf(m) match {
@@ -1899,7 +2008,7 @@ object TableCommit {
         // from-DVs decide liveness, the evolved schema decides shape
         val raw = pinnedRead(s, table, mB, removed, withMeta = true)
         Some(shape(applyDv(s, table, mA, removed,
-          dvKeyCols(raw, partDepthOf(mA)))
+          dvKeyCols(raw, depthsOf(removed)))
           .drop("__graft_dvk", "__graft_dvp"), "delete"))
       }
     }
@@ -2006,7 +2115,7 @@ object TableCommit {
       .parquet(newDirs.map(dir => s"$table/$dir"): _*)
       .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
     val keyed = applyDv(s, table, mA, files,
-      dvKeyCols(raw, partDepthOf(mA)))
+      dvKeyCols(raw, depthsOf(files)))
     keyed.join(newlyDead,
       keyed("__graft_dvk") === col("__dv_k") &&
         keyed("__graft_dvp") === col("__dv_p"), "left_semi")
@@ -2048,14 +2157,6 @@ object TableCommit {
   private def dirCovers(dirty: Set[String], dir: String): Boolean =
     dirty.contains(dir) || dirty.exists(d => dir.startsWith(d + "/"))
 
-  /** Partition depth of a snapshot's layout: path segments below the
-    * table root per data file minus one (1 for `pt=5/f.parquet`, 2 for
-    * `d=1/s=a/f.parquet`); 1 for a zero-file table (the single-column
-    * default). The deletion-vector key derives from it, so writer and
-    * reader always agree on how many trailing path segments identify a
-    * file. */
-  private def partDepthOf(m: Snapshot): Int =
-    m.files.headOption.map(f => math.max(1, f.count(_ == '/'))).getOrElse(1)
 
   /** Atomically replace the contents of `dirtyDirs` (partition-dir
     * names like `pt=5`) with `df`'s rows: stage `df` as fresh immutable
@@ -2194,6 +2295,25 @@ object TableCommit {
     }
     var committed = false
     while (!committed) {
+      // PARTITION-EVOLUTION straddle guard: a retained OLD-LAYOUT file
+      // whose dir is a strict PREFIX of a dirty dir (`d=1/f.parquet`
+      // vs dirty `d=1/s=a`) may hold rows the replacement claims to
+      // replace — committing over it would silently duplicate them.
+      // Migrate the prefix first (compactPartitionsBy under the new
+      // spec), then leaf-level ops are exact again.
+      val straddlers = baseFiles.filter { f =>
+        val dir = partDir(f)
+        !dirCovers(dirty, dir) &&
+          dirty.exists(dd => dd.startsWith(dir + "/") ||
+            (dir.isEmpty && dd.nonEmpty))
+      }
+      if (straddlers.nonEmpty)
+        throw new IllegalStateException(
+          s"partition evolution: old-layout file(s) " +
+            s"${straddlers.take(3).mkString(", ")} straddle dirty " +
+            s"partition(s) ${dirtyDirs.mkString(",")} of $table — " +
+            "migrate the parent prefix first (compactPartitionsBy under " +
+            "the evolved spec), then replace the leaf")
       val next = baseFiles.filterNot(f => dirCovers(dirty, partDir(f))) ++ fresh
       // carry the writer-transaction ledger forward, merging this
       // commit's (appId, version) at max — survives retention because
@@ -2549,6 +2669,16 @@ object TableCommit {
       wmap: Map[String, String] = Map.empty)
       : (Seq[String], Map[String, Long]) = {
     val st = store(table)
+    // ACTIVE-SPEC guard (partition evolution): once a spec is declared,
+    // every row-writing verb must declare exactly it — a stale caller
+    // still passing the pre-evolution columns fails HERE, before any
+    // file moves, instead of publishing a layout the spec retired
+    activePartCols(table).foreach { spec =>
+      require(partCols == spec,
+        s"$table's active partition spec is (${spec.mkString(", ")}) — " +
+          s"this write declared (${partCols.mkString(", ")}); pass the " +
+          "evolved spec (evolvePartitioningBy is the verb that changes it)")
+    }
     val stageRel = s"_stage_$writerId"
     val stagePath = s"$table/$stageRel"
     def phys(c: String): String = wmap.getOrElse(c, c)
@@ -2633,19 +2763,32 @@ object TableCommit {
       srel -> (s"${inStage.substring(0, cut)}/" +
         s"${writerId}_${inStage.substring(cut + 1)}")
     }
-    // LAYOUT-DEPTH guard, checked BEFORE any file moves: every path in
-    // a table must carry the same partition depth — the DV/hit-scan
-    // keys derive segment counts from it, and a depth-1 file slipped
-    // into a depth-2 table would silently miss every metadata match
-    // (appendRowsBy with the wrong partCols arity is the trap)
-    resolve(table).map(_._2).getOrElse(Seq.empty).headOption.foreach { ex =>
-      val want = ex.count(_ == '/')
-      planned.foreach { case (_, rel) =>
-        require(rel.count(_ == '/') == want,
-          s"partition-depth mismatch writing $table: existing layout " +
-            s"has ${want} level(s) ($ex), this write produced $rel — " +
-            "pass the table's full partition-column list")
-      }
+    // LAYOUT-DEPTH guard, checked BEFORE any file moves. Without a
+    // declared spec, every path in a table must carry the same
+    // partition depth (appendRowsBy with the wrong partCols arity is
+    // the trap — a depth-1 file slipped into a depth-2 table would be
+    // keyed differently than the writer intended). With a declared
+    // spec (partition evolution), fresh files must match the SPEC's
+    // depth — old-generation files legitimately differ, and per-file
+    // path keying handles the mix.
+    activePartCols(table) match {
+      case Some(spec) =>
+        planned.foreach { case (_, rel) =>
+          require(rel.count(_ == '/') == spec.length,
+            s"partition-depth mismatch writing $table: the active spec " +
+              s"(${spec.mkString(", ")}) lays out ${spec.length} " +
+              s"level(s), this write produced $rel")
+        }
+      case None =>
+        resolve(table).map(_._2).getOrElse(Seq.empty).headOption.foreach { ex =>
+          val want = ex.count(_ == '/')
+          planned.foreach { case (_, rel) =>
+            require(rel.count(_ == '/') == want,
+              s"partition-depth mismatch writing $table: existing layout " +
+                s"has ${want} level(s) ($ex), this write produced $rel — " +
+                "pass the table's full partition-column list")
+          }
+        }
     }
     val moved = planned.map { case (srel, rel) =>
       val size = st.fileSize(table, srel)
@@ -2827,17 +2970,17 @@ object TableCommit {
   private def hitScan(s: SparkSession, table: String, m: Snapshot,
       candidates: Seq[String],
       pred: org.apache.spark.sql.Column): Map[String, Long] = {
-    val segsN = partDepthOf(m) + 1
-    def lastK(p: String): String = p.split('/').takeRight(segsN).mkString("/")
-    val byKey = candidates.map(r => lastK(r) -> r).toMap
-    require(byKey.size == candidates.length,
-      s"non-unique partition-dir/file-name keys among candidates: $candidates")
-    // grouped by the DV key (the same last-two-segments form, taken
-    // from _metadata BEFORE any deletion-vector anti-join —
-    // input_file_name() refuses multi-source plans); counts are LIVE
-    // matches, prior vectors applied
+    // the DV key IS the manifest-relative path (per-file depth), so
+    // scan results key straight back to the candidate list; the
+    // URL-decode fallback covers percent-encoding skew in
+    // _metadata.file_path
+    val byKey = candidates.map(r => r -> r).toMap
+    // grouped by the DV key, taken from _metadata BEFORE any
+    // deletion-vector anti-join (input_file_name() refuses
+    // multi-source plans); counts are LIVE matches, prior vectors
+    // applied
     val raw = pinnedRead(s, table, m, candidates, withMeta = true)
-    applyDv(s, table, m, candidates, dvKeyCols(raw, partDepthOf(m)))
+    applyDv(s, table, m, candidates, dvKeyCols(raw, depthsOf(candidates)))
       .filter(pred)
       .groupBy(col("__graft_dvk")).agg(count(lit(1)).as("n"))
       .collect()
@@ -3084,7 +3227,7 @@ object TableCommit {
     // dead positions among the LIVE rows of the hit files (prior
     // vectors applied — stacked MoR deletes never re-kill a position)
     val raw = pinnedRead(s, table, m, hit, withMeta = true)
-    val live = applyDv(s, table, m, hit, dvKeyCols(raw, partDepthOf(m)))
+    val live = applyDv(s, table, m, hit, dvKeyCols(raw, depthsOf(hit)))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"_dv/$writerId"
     // CDF recording is OPT-IN (graft.cdf=true, the Delta default):
@@ -3227,7 +3370,7 @@ object TableCommit {
     // change-data write AND the successor stage write — one scan of
     // the hit files instead of three
     val matches = applyDv(s, table, m, hit,
-      dvKeyCols(raw, partDepthOf(m)))
+      dvKeyCols(raw, depthsOf(hit)))
       .filter(coalesce(matchPred, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writerId = java.util.UUID.randomUUID().toString.take(8)
@@ -3470,7 +3613,7 @@ object TableCommit {
         else {
           val raw = pinnedRead(s, table, m, candidates, withMeta = true)
           Some(applyDv(s, table, m, candidates,
-            dvKeyCols(raw, partDepthOf(m)))
+            dvKeyCols(raw, depthsOf(candidates)))
             .join(srcR, col(keyCol) === col(s"src_$keyCol"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         }
@@ -3479,12 +3622,9 @@ object TableCommit {
         .getOrElse(lit(false))
       // per-hit-file (matched, deleted) counts — |candidates| scalar
       // rows to the driver, the hitScan shape with the clause split
-      val segsN = partDepthOf(m) + 1
-      def lastK(p: String): String =
-        p.split('/').takeRight(segsN).mkString("/")
-      val byKey = candidates.map(r => lastK(r) -> r).toMap
-      require(byKey.size == candidates.length,
-        s"non-unique partition-dir/file-name keys among candidates: $candidates")
+      // the DV key IS the manifest-relative path (per-file depth) —
+      // hit counts key straight back to the candidate list
+      val byKey = candidates.map(r => r -> r).toMap
       val hitCounts: Map[String, (Long, Long)] = matched match {
         case Some(mf) => mf.groupBy(col("__graft_dvk"))
           .agg(count(lit(1)).as("n"),

@@ -767,6 +767,92 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // ----------------------------------------------------------- n_part_evolve
+  /** PARTITION EVOLUTION over the committed documents table (round-12;
+    * Iceberg's evolve-spec re-derived for the Hive-dir layout): change
+    * the partition spec (lang) → (lang, source) as a METADATA-ONLY
+    * commit — zero files rewritten — then witness the whole mixed-
+    * generation lifecycle in one row: (1) the evolution commit carries
+    * the same file list; (2) a stale writer still declaring (lang) is
+    * refused at the stage choke point; (3) a fresh batch lands under
+    * the two-level layout and the mixed snapshot reads as the exact
+    * union (per-layout-signature scans aligned by the schema of
+    * record); (4) a leaf replace a straddling old-layout file would
+    * falsify is refused with the migration hint; (5) one MoR delete
+    * band vectors rows in BOTH generations (per-file path keys);
+    * (6) compacting the `lang=en` prefix under the new spec migrates
+    * that subtree; row accounting stays exact throughout. At 100 TB:
+    * re-partitioning a petabyte table by rewrite is a non-starter —
+    * evolution is metadata now + migration whenever convenient, which
+    * is exactly Iceberg's spec-evolution contract.
+    * PartitionEvolutionSpec pins each arm in isolation. */
+  private def partEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pevo_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = docs.select(col("lang")).distinct().collect()
+        .map(r => s"lang=${r.getString(0)}").toSeq.sorted
+      TableCommit.replacePartitionsBy(s, table, Seq("lang"), dirs, docs,
+        clusterBy = Seq("doc_id"), filesPerPartition = 2)
+      val (preId, preFiles) = TableCommit.resolve(table).get
+      val total0 = metaRowCount(s, table, preId)
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      TableCommit.evolvePartitioningBy(s, table, Seq("lang", "source"))
+      val (_, evoFiles) = TableCommit.resolve(table).get
+      val metadataOnly = evoFiles.sorted == preFiles.sorted
+      val staleRefused =
+        try {
+          TableCommit.appendRowsBy(s, table, Seq("lang"), docs.limit(1))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      // a second generation under the evolved spec: the same corpus
+      // re-keyed past the old id domain (dense ids keep the delete
+      // band's row count exact)
+      val shift = 10000000L
+      TableCommit.appendRowsBy(s, table, Seq("lang", "source"),
+        docs.withColumn("doc_id", col("doc_id") + lit(shift)))
+      val (mixId, mixFiles) = TableCommit.resolve(table).get
+      val nOldGen = mixFiles.count(_.count(_ == '/') == 1).toLong
+      val nNewGen = mixFiles.count(_.count(_ == '/') == 2).toLong
+      val mixedRows = metaRowCount(s, table, mixId)
+      val leaf = mixFiles.filter(_.count(_ == '/') == 2)
+        .map(f => f.substring(0, f.lastIndexOf('/'))).sorted.head
+      val straddleRefused =
+        try {
+          TableCommit.replacePartitionsBy(s, table, Seq("lang", "source"),
+            Seq(leaf), docs.limit(0)
+              .withColumn("doc_id", col("doc_id") + lit(2L * shift)))
+          false
+        } catch { case _: IllegalStateException => true }
+      // one numeric band covers the old domain's top 50 AND the new
+      // generation's bottom 50 — the per-file keys must vector both
+      val del = TableCommit.deleteWhereMorBy(s, table,
+        Seq("lang", "source"), "doc_id",
+        BigDecimal(maxId - 49), BigDecimal(shift + 49))
+      // gradual migration: the lang=en subtree moves to the new layout
+      TableCommit.compactPartitionsBy(s, table, Seq("lang", "source"),
+        Seq("lang=en"), clusterBy = Seq("doc_id"), filesPerPartition = 1)
+      val endFiles = TableCommit.resolve(table).get._2
+      val migratedOk = endFiles.filter(_.startsWith("lang=en"))
+        .forall(_.count(_ == '/') == 2)
+      val after = TableCommit.read(s, table).count()
+      import s.implicits._
+      Seq((if (metadataOnly) 1L else 0L, if (staleRefused) 1L else 0L,
+          if (straddleRefused) 1L else 0L, nOldGen, nNewGen,
+          del.rowsDeleted, if (migratedOk) 1L else 0L,
+          mixedRows - del.rowsDeleted - after))
+        .toDF("metadata_only", "stale_refused", "straddle_refused",
+          "n_old_gen_files", "n_new_gen_files", "rows_deleted",
+          "migrated_ok", "rows_lost")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ------------------------------------------------------- q_table_merge_str
   /** STRING-KEYED MERGE over a committed table (round-12: typed data
     * skipping) — the CDC-apply shape of [[tableMergeQ]] with the key a
@@ -2365,6 +2451,7 @@ object Etl {
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
+    QueryDef("n_part_evolve", partEvolve, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_cdf", tableCdfQ, None),

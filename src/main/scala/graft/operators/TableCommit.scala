@@ -569,7 +569,7 @@ object TableCommit {
     * partition value containing the separator cannot shift fields):
     * `#stats <col>\t<min>\t<max>\t<relpath>`. Values are the column's
     * min/max rendered as strings; NUMERIC columns compare as
-    * BigDecimal, STRING/DATE/TIMESTAMP columns compare
+    * BigDecimal, STRING/DATE/NTZ-TIMESTAMP columns compare
     * LEXICOGRAPHICALLY in code-point order (the order Spark's own
     * min/max aggregates use — see [[cpCompare]]); string bounds are
     * Delta-style TRUNCATED (prefix lower bound, incremented upper
@@ -706,7 +706,7 @@ object TableCommit {
 
   /** A pruning band over a stats column — numeric (BigDecimal compare,
     * the original form) or lexicographic (code-point compare, for
-    * STRING/DATE/TIMESTAMP keys). `keeps` is the manifest-metadata
+    * STRING/DATE/NTZ-TIMESTAMP keys). `keeps` is the manifest-metadata
     * overlap test (conservative TRUE on any malformed bound); `pred`
     * is the equivalent row-level predicate (Spark's string comparison
     * is UTF8String byte order = code-point order, consistent with
@@ -2875,7 +2875,12 @@ object TableCommit {
       dtOf.get(c) match {
         case Some(_: NumericType) | None => Some((mn, mx))
         case Some(StringType) => lexUpper(mx).map(up => (lexLower(mn), up))
-        case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
+        // DATE and NTZ-timestamp renderings are SESSION-INDEPENDENT;
+        // zoned TimestampType renders in spark.sql.session.timeZone, so
+        // a bound persisted by one session could compare wrongly in
+        // another (wrong exclusion = silent row loss) — no stats, file
+        // conservatively kept
+        case Some(DateType) | Some(TimestampNTZType) =>
           Some((mn, mx)).filter(_ => isoLexSafe(mn) && isoLexSafe(mx))
         case Some(_) => None
       }
@@ -3569,7 +3574,7 @@ object TableCommit {
       // the pruning band compares in the KEY TYPE's own order —
       // numeric keys as BigDecimal, string keys lexicographically in
       // code-point order against the truncated string stats, ISO
-      // date/timestamp keys lexicographically when the rendering is in
+      // NTZ-timestamp/date keys lexicographically when the rendering is in
       // the four-digit-year safe era. Mixing orders is the round-10
       // trap (keys "9","10" compared numerically give band (10, 9),
       // prune everything, and duplicate-insert existing keys as NOT
@@ -3589,7 +3594,10 @@ object TableCommit {
         case Some(StringType) => (for {
           lo <- srcLo; hi <- srcHi
         } yield LexBand(lo, hi)).filter(b => cpCompare(b.lo, b.hi) <= 0)
-        case Some(DateType | TimestampType | TimestampNTZType) => (for {
+        // zoned TimestampType deliberately absent: its rendering is
+        // session-TZ-dependent, so persisted stats and a later
+        // session's band could disagree (see fileMeta's refine)
+        case Some(DateType | TimestampNTZType) => (for {
           lo <- srcLo; hi <- srcHi
           if isoLexSafe(lo) && isoLexSafe(hi)
         } yield LexBand(lo, hi)).filter(b => cpCompare(b.lo, b.hi) <= 0)

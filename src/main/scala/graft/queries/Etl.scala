@@ -811,12 +811,13 @@ object Etl {
           TableCommit.appendRowsBy(s, table, Seq("lang"), docs.limit(1))
           false
         } catch { case _: IllegalArgumentException => true }
-      // a second generation under the evolved spec: the same corpus
-      // re-keyed past the old id domain (dense ids keep the delete
-      // band's row count exact)
+      // a second generation under the evolved spec: ONE source's next
+      // feed, re-keyed past the old id domain — the realistic arrival
+      // shape (a handful of new leaf dirs, not the full cross product)
       val shift = 10000000L
       TableCommit.appendRowsBy(s, table, Seq("lang", "source"),
-        docs.withColumn("doc_id", col("doc_id") + lit(shift)))
+        docs.filter(col("source") === "src7")
+          .withColumn("doc_id", col("doc_id") + lit(shift)))
       val (mixId, mixFiles) = TableCommit.resolve(table).get
       val nOldGen = mixFiles.count(_.count(_ == '/') == 1).toLong
       val nNewGen = mixFiles.count(_.count(_ == '/') == 2).toLong

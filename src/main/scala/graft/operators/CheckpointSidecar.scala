@@ -50,6 +50,7 @@ object CheckpointSidecar {
   private val TxnsKey = "graft.txns"
   private val StatsColsKey = "graft.statscols"
   private val CdcKey = "graft.cdc"
+  private val RequiresKey = "graft.requires"
 
   private def fieldSafe(c: String): Boolean = c.matches("[A-Za-z0-9_]+")
 
@@ -85,7 +86,8 @@ object CheckpointSidecar {
       props: Map[String, String],
       txns: Map[String, Long],
       schemaJson: Option[String],
-      cdc: Seq[String] = Nil): Unit = {
+      cdc: Seq[String] = Nil,
+      requires: Seq[String] = Nil): Unit = {
     val statsCols = stats.keysIterator.map(_._2).toSeq.distinct.sorted
     require(statsCols.forall(fieldSafe),
       s"stats column name not parquet-field-safe: $statsCols")
@@ -96,7 +98,8 @@ object CheckpointSidecar {
       TxnsKey -> txns.toSeq.sortBy(_._1)
         .map { case (a, v) => s"$a=$v" }.mkString("\n"),
       StatsColsKey -> statsCols.mkString("\t"),
-      CdcKey -> cdc.mkString("\t")) ++
+      CdcKey -> cdc.mkString("\t"),
+      RequiresKey -> requires.mkString("\t")) ++
       schemaJson.map(SchemaKey -> _)
     val factory = new SimpleGroupFactory(mt)
     def widenLo(s: String): Option[Double] =
@@ -145,7 +148,8 @@ object CheckpointSidecar {
       txns: Map[String, Long],
       statsCols: Seq[String],
       schemaJson: Option[String],
-      cdc: Seq[String])
+      cdc: Seq[String],
+      requires: Seq[String] = Nil)
 
   private def kvOf(path: String): Map[String, String] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -170,7 +174,8 @@ object CheckpointSidecar {
       }).toMap,
       kv.getOrElse(StatsColsKey, "").split("\t").toSeq.filter(_.nonEmpty),
       kv.get(SchemaKey),
-      kv.getOrElse(CdcKey, "").split("\t").toSeq.filter(_.nonEmpty))
+      kv.getOrElse(CdcKey, "").split("\t").toSeq.filter(_.nonEmpty),
+      kv.getOrElse(RequiresKey, "").split("\t").toSeq.filter(_.nonEmpty))
   }
 
   private def reader(path: String,
@@ -224,15 +229,14 @@ object CheckpointSidecar {
       dv.result(), meta)
   }
 
-  /** PRUNED projected read — the cold-open fast path: only
-    * (path, dv, smin_d/smax_d of `column`) are decoded, the band
-    * predicate is pushed to row-group level, and rows lacking stats
-    * for `column` are KEPT (null-safe OR — stats may only exclude on
-    * proof). Returns (kept file, its dv dirs) pairs plus the footer
-    * meta; None when the sidecar has no stats for `column` (caller
-    * falls back to keep-everything semantics it would get anyway). */
-  def prunedRead(path: String, column: String, lo: BigDecimal,
-      hi: BigDecimal): (Seq[(String, Seq[String])], Meta) = {
+  /** Shared scaffolding of the two pruned reads: project
+    * (path, dv, + the given stats fields of `column`), optionally push
+    * a row-group filter, and keep rows passing `keep` (missing-stats
+    * rows always kept — stats only exclude on proof). */
+  private def prunedReadWith(path: String, column: String,
+      statsFields: String => Seq[(String, PrimitiveTypeName)],
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+      keep: Group => Boolean): (Seq[(String, Seq[String])], Meta) = {
     val meta = readMeta(path)
     val hasStats = meta.statsCols.contains(column)
     val projection: MessageType = {
@@ -241,39 +245,54 @@ object CheckpointSidecar {
           .named("path"))
         .addField(Types.optional(PrimitiveTypeName.BINARY).as(stringType())
           .named("dv"))
-      if (hasStats)
-        b = b.addField(Types.optional(PrimitiveTypeName.DOUBLE)
-            .named(s"smin_d_$column"))
-          .addField(Types.optional(PrimitiveTypeName.DOUBLE)
-            .named(s"smax_d_$column"))
+      if (hasStats) statsFields(column).foreach { case (name, t) =>
+        b = b.addField(
+          if (t == PrimitiveTypeName.BINARY)
+            Types.optional(t).as(stringType()).named(name)
+          else Types.optional(t).named(name))
+      }
       b.named("graft_ckpt")
     }
-    import org.apache.parquet.filter2.predicate.FilterApi
-    val filter =
-      if (!hasStats) None
-      else {
-        val mnCol = FilterApi.doubleColumn(s"smin_d_$column")
-        val mxCol = FilterApi.doubleColumn(s"smax_d_$column")
-        // overlap OR missing-stats (null) — stats only exclude on proof
-        Some(FilterApi.or(
-          FilterApi.and(
-            FilterApi.ltEq(mnCol, java.lang.Double.valueOf(
-              Math.nextUp(hi.toDouble))),
-            FilterApi.gtEq(mxCol, java.lang.Double.valueOf(
-              Math.nextDown(lo.toDouble)))),
-          FilterApi.eq(mnCol, null.asInstanceOf[java.lang.Double])))
-      }
-    val r = reader(path, Some(projection), filter)
+    val r = reader(path, Some(projection), if (hasStats) filter else None)
     val kept = Seq.newBuilder[(String, Seq[String])]
     try {
       var g = r.read()
       while (g != null) {
-        kept += g.getString("path", 0) ->
-          optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty)
+        if (!hasStats || keep(g))
+          kept += g.getString("path", 0) ->
+            optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty)
         g = r.read()
       }
     } finally r.close()
     (kept.result(), meta)
+  }
+
+  /** PRUNED projected read — the cold-open fast path: only
+    * (path, dv, smin_d/smax_d of `column`) are decoded, the band
+    * predicate is pushed to row-group level, and rows lacking stats
+    * for `column` are KEPT (null-safe OR — stats may only exclude on
+    * proof). Returns (kept file, its dv dirs) pairs plus the footer
+    * meta. */
+  def prunedRead(path: String, column: String, lo: BigDecimal,
+      hi: BigDecimal): (Seq[(String, Seq[String])], Meta) = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val mnCol = FilterApi.doubleColumn(s"smin_d_$column")
+    val mxCol = FilterApi.doubleColumn(s"smax_d_$column")
+    // overlap OR missing-stats (null) — stats only exclude on proof
+    val filter = FilterApi.or(
+      FilterApi.and(
+        FilterApi.ltEq(mnCol, java.lang.Double.valueOf(
+          Math.nextUp(hi.toDouble))),
+        FilterApi.gtEq(mxCol, java.lang.Double.valueOf(
+          Math.nextDown(lo.toDouble)))),
+      FilterApi.eq(mnCol, null.asInstanceOf[java.lang.Double]))
+    prunedReadWith(path, column,
+      c => Seq(s"smin_d_$c" -> PrimitiveTypeName.DOUBLE,
+        s"smax_d_$c" -> PrimitiveTypeName.DOUBLE),
+      Some(filter),
+      // parquet-mr applies the pushed predicate at row-group AND
+      // record level, so every row that reaches the loop is kept
+      _ => true)
   }
 
   /** LEXICOGRAPHIC pruned read — [[prunedRead]]'s twin for STRING
@@ -287,39 +306,13 @@ object CheckpointSidecar {
     * decodes stats it doesn't need). Rows lacking stats for `column`
     * are KEPT. */
   def prunedReadLex(path: String, column: String, lo: String, hi: String,
-      cmp: (String, String) => Int): (Seq[(String, Seq[String])], Meta) = {
-    val meta = readMeta(path)
-    val hasStats = meta.statsCols.contains(column)
-    val projection: MessageType = {
-      var b = Types.buildMessage()
-        .addField(Types.required(PrimitiveTypeName.BINARY).as(stringType())
-          .named("path"))
-        .addField(Types.optional(PrimitiveTypeName.BINARY).as(stringType())
-          .named("dv"))
-      if (hasStats)
-        b = b.addField(Types.optional(PrimitiveTypeName.BINARY)
-            .as(stringType()).named(s"smin_s_$column"))
-          .addField(Types.optional(PrimitiveTypeName.BINARY)
-            .as(stringType()).named(s"smax_s_$column"))
-      b.named("graft_ckpt")
-    }
-    val r = reader(path, Some(projection), None)
-    val kept = Seq.newBuilder[(String, Seq[String])]
-    try {
-      var g = r.read()
-      while (g != null) {
-        val keep =
-          if (!hasStats) true
-          else (optStr(g, s"smin_s_$column"), optStr(g, s"smax_s_$column")) match {
-            case (Some(mn), Some(mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
-            case _ => true
-          }
-        if (keep)
-          kept += g.getString("path", 0) ->
-            optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty)
-        g = r.read()
-      }
-    } finally r.close()
-    (kept.result(), meta)
-  }
+      cmp: (String, String) => Int): (Seq[(String, Seq[String])], Meta) =
+    prunedReadWith(path, column,
+      c => Seq(s"smin_s_$c" -> PrimitiveTypeName.BINARY,
+        s"smax_s_$c" -> PrimitiveTypeName.BINARY),
+      None,
+      g => (optStr(g, s"smin_s_$column"), optStr(g, s"smax_s_$column")) match {
+        case (Some(mn), Some(mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
+        case _ => true
+      })
 }

@@ -584,7 +584,12 @@ object TableCommit {
 
   /** Escape a stats VALUE for the tab-separated, line-per-action text
     * manifest: backslash, tab, LF, CR. Numeric renderings contain none
-    * of these, so pre-escape manifests parse identically. */
+    * of these, so pre-escape manifests parse identically. FORMAT
+    * CONTRACT: escaping (and the era guard on date bounds) is part of
+    * the `#stats` line format — bounds are only ever authored by this
+    * engine's [[fileMeta]]; a hand-authored manifest carrying a
+    * non-numeric bound that is unescaped (or era-unsafe) is out of
+    * contract, exactly like a hand-mangled `#dv` line. */
   private[graft] def escapeStat(v: String): String = {
     val b = new java.lang.StringBuilder(v.length)
     var i = 0
@@ -1593,10 +1598,10 @@ object TableCommit {
     // — a reader that does not implement one fails the parse loudly
     // instead of returning wrong rows (deletion vectors ignored = rows
     // resurrect; change-data sidecars ignored = the precise feed lies)
-    val requires = (
+    val reqFeatures =
       (if (lines.exists(_.startsWith(DvPrefix))) Seq("dv") else Nil) ++
-      (if (lines.exists(_.startsWith(CdcPrefix))) Seq("cdc") else Nil))
-      .map(RequirePrefix + _)
+      (if (lines.exists(_.startsWith(CdcPrefix))) Seq("cdc") else Nil)
+    val requires = reqFeatures.map(RequirePrefix + _)
     val gated =
       if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
         lines.head +: (requires ++ lines.tail)
@@ -1624,7 +1629,7 @@ object TableCommit {
         ident <- store(table).manifestIdentity(table, id)
         p <- store(table).sidecarPath(table, id, ident)
       } CheckpointSidecar.write(p, files.distinct.sorted, stats, rows,
-        bytes, dv, props, txns, schemaJson, cdc)
+        bytes, dv, props, txns, schemaJson, cdc, reqFeatures)
       catch { case scala.util.control.NonFatal(_) => () }
     won
   }
@@ -1640,6 +1645,7 @@ object TableCommit {
       if store(table).sidecarExists(p)
     } yield scala.util.Try {
       val (files, stats, rows, bytes, dv, meta) = CheckpointSidecar.readFull(p)
+      guardSidecarRequires(meta)
       Snapshot(id, files, stats, rows, bytes, dv, meta.props, meta.txns,
         meta.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
@@ -1659,37 +1665,52 @@ object TableCommit {
       case LexBand(lo, hi) => sidecarPrunedLex(table, id, column, lo, hi)
     }
 
-  private def sidecarPrunedLex(table: String, id: Long, column: String,
-      lo: String, hi: String)
-      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
-    (for {
+  /** Path of a FRESH in-retention sidecar for snapshot `id`, when one
+    * exists. Retention guard WITHOUT a chain parse: the minimum
+    * retention is 2 (clamped), so the two newest snapshots are always
+    * readable — the cold-open fast path serves exactly those (the
+    * actual cold-open use case); older ids take the slow path, whose
+    * retention check is authoritative. A below-window chain-link
+    * checkpoint's sidecar therefore can never serve vacuumed state. */
+  private def freshSidecar(table: String, id: Long): Option[String] =
+    for {
       newest <- manifestIds(table).maxOption
       if id > newest - 2
       ident <- store(table).manifestIdentity(table, id)
       p <- store(table).sidecarPath(table, id, ident)
       if store(table).sidecarExists(p)
-    } yield scala.util.Try(
-      CheckpointSidecar.prunedReadLex(p, column, lo, hi, cpCompare))
-      .toOption).flatten
+    } yield p
+
+  /** The `#require` gate for the SIDECAR fast path (the text gate
+    * lives in [[manifestLines]], which a sidecar read bypasses): a
+    * sidecar carrying unknown read-correctness features throws — the
+    * enclosing Try turns that into a fallback to the text path, whose
+    * own gate then fails the read LOUDLY instead of serving rows the
+    * missing feature would falsify. */
+  private def guardSidecarRequires(meta: CheckpointSidecar.Meta): Unit = {
+    val unknown = meta.requires.filterNot(KnownFeatures)
+    if (unknown.nonEmpty)
+      sys.error(s"sidecar requires feature(s) ${unknown.mkString(", ")} " +
+        "this reader does not implement")
+  }
+
+  private def sidecarPrunedLex(table: String, id: Long, column: String,
+      lo: String, hi: String)
+      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+    freshSidecar(table, id).flatMap(p => scala.util.Try {
+      val r = CheckpointSidecar.prunedReadLex(p, column, lo, hi, cpCompare)
+      guardSidecarRequires(r._2)
+      r
+    }.toOption)
 
   private def sidecarPruned(table: String, id: Long, column: String,
       lo: BigDecimal, hi: BigDecimal)
       : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
-    (for {
-      // retention guard WITHOUT a chain parse: the minimum retention
-      // is 2 (clamped), so the two newest snapshots are always
-      // readable — the cold-open fast path serves exactly those (the
-      // actual cold-open use case); older ids take the slow path,
-      // whose retention check is authoritative. A below-window
-      // chain-link checkpoint's sidecar therefore can never serve
-      // vacuumed state.
-      newest <- manifestIds(table).maxOption
-      if id > newest - 2
-      ident <- store(table).manifestIdentity(table, id)
-      p <- store(table).sidecarPath(table, id, ident)
-      if store(table).sidecarExists(p)
-    } yield scala.util.Try(
-      CheckpointSidecar.prunedRead(p, column, lo, hi)).toOption).flatten
+    freshSidecar(table, id).flatMap(p => scala.util.Try {
+      val r = CheckpointSidecar.prunedRead(p, column, lo, hi)
+      guardSidecarRequires(r._2)
+      r
+    }.toOption)
 
   /** Test probe: the sidecar-pruned kept-file set for a band. */
   private[graft] def sidecarPrunedFiles(table: String, id: Long,
@@ -1700,6 +1721,12 @@ object TableCommit {
   private[graft] def sidecarPrunedFilesLex(table: String, id: Long,
       column: String, lo: String, hi: String): Option[Seq[String]] =
     sidecarPrunedLex(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
+
+  /** Test probe: the fresh sidecar path serving snapshot `id`, if
+    * any — lets specs rewrite a sidecar in place to simulate a
+    * future-featured writer. */
+  private[graft] def sidecarPathProbe(table: String, id: Long): Option[String] =
+    freshSidecar(table, id)
 
   /** Ensure the table has a snapshot: if no manifest exists yet,
     * publish manifest-0 listing the current tree (adopting a table
@@ -2195,7 +2222,29 @@ object TableCommit {
       txn: Option[(String, Long)] = None,
       clusterBy: Seq[String] = Nil,
       filesPerPartition: Int = 1,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L): Unit =
+    replacePartitionsImpl(s, table, partCols, dirtyDirs, df, readSnapshot,
+      txn, clusterBy, filesPerPartition, maxRecordsPerFile,
+      exclusiveClaim = true)
+
+  /** [[replacePartitionsBy]]'s body. `exclusiveClaim` = the caller
+    * asserts its `df` is the COMPLETE new content of the dirty dirs'
+    * row space (the REPLACE contract) — that claim is what the
+    * partition-evolution straddle guard protects. Compaction passes
+    * FALSE: its replacement is by construction exactly the covered
+    * files' own rows, so an uncovered straddler of another layout
+    * generation stays consistent (no row is duplicated or lost) — and
+    * compaction under the evolved spec IS the migration verb, which
+    * must be able to run while straddlers still exist. */
+  private def replacePartitionsImpl(s: SparkSession, table: String,
+      partCols: Seq[String],
+      dirtyDirs: Seq[String], df: DataFrame,
+      readSnapshot: Option[Long],
+      txn: Option[(String, Long)],
+      clusterBy: Seq[String],
+      filesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      exclusiveClaim: Boolean): Unit = {
     require(partCols.nonEmpty, "at least one partition column")
     initIfAbsent(table)
     // EXACTLY-ONCE writer guard (the Delta `txn` action): when the
@@ -2295,17 +2344,32 @@ object TableCommit {
     }
     var committed = false
     while (!committed) {
-      // PARTITION-EVOLUTION straddle guard: a retained OLD-LAYOUT file
-      // whose dir is a strict PREFIX of a dirty dir (`d=1/f.parquet`
-      // vs dirty `d=1/s=a`) may hold rows the replacement claims to
-      // replace — committing over it would silently duplicate them.
-      // Migrate the prefix first (compactPartitionsBy under the new
+      // PARTITION-EVOLUTION straddle guard: a retained file of another
+      // layout generation may hold rows the replacement claims to
+      // replace (`d=1/f.parquet` vs dirty `d=1/s=a`, or any file whose
+      // dir shares NO contradicting level with the dirty dir after a
+      // non-extension evolution) — committing over it would silently
+      // duplicate them. A file is PROVABLY disjoint from a dirty dir
+      // only when they disagree on some shared `k=v` level; anything
+      // not covered and not provably disjoint is a straddler. Migrate
+      // the parent prefix first (compactPartitionsBy under the new
       // spec), then leaf-level ops are exact again.
-      val straddlers = baseFiles.filter { f =>
+      def kvOfDir(dir: String): Map[String, String] =
+        if (dir.isEmpty) Map.empty
+        else dir.split('/').toSeq.map { seg =>
+          val i = seg.indexOf('=')
+          if (i < 0) seg -> "" else seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+      val straddlers = if (!exclusiveClaim) Nil else baseFiles.filter { f =>
         val dir = partDir(f)
-        !dirCovers(dirty, dir) &&
-          dirty.exists(dd => dd.startsWith(dir + "/") ||
-            (dir.isEmpty && dd.nonEmpty))
+        lazy val fKv = kvOfDir(dir)
+        !dirCovers(dirty, dir) && dirty.exists { dd =>
+          val dKv = kvOfDir(dd)
+          val sharedDisagree = dKv.exists { case (k, v) =>
+            fKv.get(k).exists(_ != v)
+          }
+          !sharedDisagree
+        }
       }
       if (straddlers.nonEmpty)
         throw new IllegalStateException(
@@ -2329,6 +2393,7 @@ object TableCommit {
         retainedSet.contains)
       guardConstraints(table, checked, c.props)
       guardMapping(table, wmap, wcols, c.schema, c.props)
+      guardSpec(table, partCols, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -2425,6 +2490,14 @@ object TableCommit {
     require(manifests(dst).isEmpty,
       s"clone destination $dst already has a manifest log")
     val files = filesOf(m)
+    // mixed-layout DV keying decides partition levels by the Hive
+    // `k=v` dir form, so a destination base path carrying '=' would
+    // silently re-key cloned vectors (resurrected rows) — refuse while
+    // the clone is still nothing
+    require(!new java.io.File(dst).getAbsolutePath.split('/')
+        .exists(_.contains("=")),
+      s"clone destination $dst carries '=' in a base-path segment — " +
+        "deletion-vector keying would misread it as a partition level")
     // DV sidecar trees list through the SOURCE's store; sharing is the
     // DESTINATION store's primitive (local: hard link; object store /
     // conditional-put: server-side copy — no cross-object links)
@@ -2497,6 +2570,7 @@ object TableCommit {
         _ => true)
       guardConstraints(table, checked, c.props)
       guardMapping(table, wmap, wcols, c.schema, c.props)
+      guardSpec(table, partCols, c.props)
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
@@ -2638,6 +2712,26 @@ object TableCommit {
     * renamed column's physical, forking two logical columns onto one
     * physical). Tables with no mapping surface anywhere (identity
     * write map, no bindings, no quarantine) pay one map probe. */
+  /** OCC re-check of the ACTIVE partition spec (partition evolution):
+    * a writer stages under the spec it saw, but a concurrent
+    * `evolvePartitioningBy` can land between stage and publish — its
+    * commit changes no files, so the file-level rebase would admit
+    * fresh files laid out under the RETIRED spec. Checked per commit
+    * attempt against the rebase winner's properties (like
+    * guardConstraints/guardMapping); a mismatch is a conflict the
+    * caller resolves by re-deriving under the evolved spec. */
+  private def guardSpec(table: String, partCols: Seq[String],
+      props: Map[String, String]): Unit =
+    props.get("graft.partcols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .foreach { spec =>
+        if (partCols != spec) throw new CommitConflictException(
+          s"partition spec of $table evolved to (${spec.mkString(", ")}) " +
+            s"while this writer staged (${partCols.mkString(", ")}) — " +
+            "re-read and re-derive under the evolved spec")
+      }
+
   private def guardMapping(table: String, wmap: Map[String, String],
       cols: Seq[String],
       baseSchema: Option[org.apache.spark.sql.types.StructType],
@@ -2673,7 +2767,8 @@ object TableCommit {
     // every row-writing verb must declare exactly it — a stale caller
     // still passing the pre-evolution columns fails HERE, before any
     // file moves, instead of publishing a layout the spec retired
-    activePartCols(table).foreach { spec =>
+    val declaredSpec = activePartCols(table)
+    declaredSpec.foreach { spec =>
       require(partCols == spec,
         s"$table's active partition spec is (${spec.mkString(", ")}) — " +
           s"this write declared (${partCols.mkString(", ")}); pass the " +
@@ -2771,7 +2866,7 @@ object TableCommit {
     // spec (partition evolution), fresh files must match the SPEC's
     // depth — old-generation files legitimately differ, and per-file
     // path keying handles the mix.
-    activePartCols(table) match {
+    declaredSpec match {
       case Some(spec) =>
         planned.foreach { case (_, rel) =>
           require(rel.count(_ == '/') == spec.length,
@@ -2948,11 +3043,15 @@ object TableCommit {
     val m = manifests(table).find(_._1 == baseId).get._2
     val dirtyFiles = baseFiles.filter(f => dirCovers(dirty, partDir(f)))
     if (dirtyFiles.nonEmpty)
-      replacePartitionsBy(s, table, partCols, dirtyDirs,
+      replacePartitionsImpl(s, table, partCols, dirtyDirs,
         readFiles(s, table, m, dirtyFiles),
-        readSnapshot = Some(baseId), clusterBy = clusterBy,
+        readSnapshot = Some(baseId), txn = None, clusterBy = clusterBy,
         filesPerPartition = filesPerPartition,
-        maxRecordsPerFile = maxRecordsPerFile)
+        maxRecordsPerFile = maxRecordsPerFile,
+        // compaction rewrites exactly what it read — no exclusivity
+        // claim over the dirty row space, so migration can run while
+        // other-generation straddlers still exist
+        exclusiveClaim = false)
   }
 
   /** Audit counters [[deleteWhere]] returns — every field derived from
@@ -3062,6 +3161,7 @@ object TableCommit {
       val c = carriedFrom(baseM.map(_._2), retained.contains)
       guardConstraints(table, checked, c.props)
       guardMapping(table, wmap, wcols, c.schema, c.props)
+      guardSpec(table, partCols, c.props)
       // carry the schema of record; an adopted stats-less table gains
       // one from the rewrite's read schema (keeps an emptied-partition
       // snapshot readable)
@@ -3440,6 +3540,7 @@ object TableCommit {
       val c = carriedFrom(baseM.map(_._2), _ => true)
       guardConstraints(table, checked, c.props)
       guardMapping(table, wmap, wcols, c.schema, c.props)
+      guardSpec(table, partCols, c.props)
       val nextDv = c.dv ++ hit.map(rel =>
         rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
       val nextRows = c.rows.map { case (rel, n) =>
@@ -3753,6 +3854,7 @@ object TableCommit {
         val c = carriedFrom(baseM.map(_._2), _ => true)
         guardConstraints(table, checked, c.props)
         guardMapping(table, wmap, wcols, c.schema, c.props)
+      guardSpec(table, partCols, c.props)
         val nextDv =
           if (hit.isEmpty) c.dv
           else c.dv ++ hit.map(rel =>

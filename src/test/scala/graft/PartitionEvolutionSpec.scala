@@ -179,6 +179,65 @@ class PartitionEvolutionSpec extends GraftSpec {
     assert(newBand.count() == 21L)
   }
 
+  test("NON-EXTENSION evolution (pt) -> (g): a leaf replace is refused " +
+      "while any old-layout file exists (no shared level can prove " +
+      "disjointness), and compacting the OLD dirs under the new spec " +
+      "migrates — the round-12 review's straddle-guard hole, closed") {
+    val t = freshEvolvable()
+    TableCommit.evolvePartitioningBy(spark, t, Seq("g"))
+    TableCommit.appendRowsBy(spark, t, Seq("g"),
+      rowsOf(30, from = 200).toDF("id", "v", "g", "pt"))
+    // pt=0/f shares NO level with g=g0 — it may hold g=g0 rows, so the
+    // replace's exclusivity claim must be refused
+    val e = intercept[IllegalStateException] {
+      TableCommit.replacePartitionsBy(spark, t, Seq("g"), Seq("g=g0"),
+        Seq((5000L, 1L, "g0", 0)).toDF("id", "v", "g", "pt"))
+    }
+    assert(e.getMessage.contains("straddle"), e.getMessage)
+    // migration: compact the old top-level dirs under the new spec
+    // (compaction claims no exclusivity — it rewrites what it read)
+    TableCommit.compactPartitionsBy(spark, t, Seq("g"),
+      Seq("pt=0", "pt=1"), clusterBy = Seq("id"), filesPerPartition = 1)
+    val files = TableCommit.resolve(t).get._2
+    assert(files.forall(_.startsWith("g=")), files.toString)
+    assert(allRows(t) == (rowsOf(200) ++ rowsOf(30, from = 200)).toSet)
+    // the leaf is now exactly addressable under the new spec
+    TableCommit.replacePartitionsBy(spark, t, Seq("g"), Seq("g=g0"),
+      Seq((5000L, 1L, "g0", 0)).toDF("id", "v", "g", "pt"))
+    val after = allRows(t)
+    assert(after.contains((5000L, 1L, "g0", 0)))
+    assert(!after.exists(r => r._3 == "g0" && r._1 != 5000L))
+  }
+
+  test("sidecar #require gate: a sidecar written by a future-featured " +
+      "engine is refused by the cold-open fast path (falls back to the " +
+      "text manifest instead of serving rows the feature would falsify)") {
+    val t = freshEvolvable()
+    TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+    val seed = rowsOf(200).toDF("id", "v", "g", "pt")
+    TableCommit.replacePartitionsBy(spark, t, Seq("pt"),
+      Seq("pt=0", "pt=1"), seed, clusterBy = Seq("id"),
+      filesPerPartition = 2)
+    val (id, files) = TableCommit.resolve(t).get
+    val p = TableCommit.sidecarPathProbe(t, id)
+    assert(p.isDefined, "no sidecar for the newest checkpoint")
+    // the genuine sidecar serves the band
+    assert(TableCommit.sidecarPrunedFiles(t, id, "id",
+      BigDecimal(0), BigDecimal(50)).isDefined)
+    // rewrite it in place as a future engine would: same rows, plus a
+    // required feature this reader does not implement
+    graft.operators.CheckpointSidecar.write(p.get, files, Map.empty,
+      Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, None,
+      requires = Seq("row-lineage"))
+    assert(TableCommit.sidecarPrunedFiles(t, id, "id",
+      BigDecimal(0), BigDecimal(50)).isEmpty,
+      "fast path served a sidecar requiring an unknown feature")
+    // the text path still serves the read (its manifest requires
+    // nothing this reader lacks)
+    assert(TableCommit.readWhereAt(spark, t, id, "id",
+      BigDecimal(0), BigDecimal(50)).count() == 51L)
+  }
+
   test("MERGE across mixed generations: one commit updates old-gen rows, " +
       "deletes new-gen rows, inserts fresh keys under the new spec") {
     val t = freshEvolvable()

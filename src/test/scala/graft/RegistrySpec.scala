@@ -72,6 +72,14 @@ class RegistrySpec extends GraftSpec {
     }
     val oracled = section("oracled")
     val noOracle = section("nooracle")
+    // the section HEADERS' prose counts are pinned too (the round-12
+    // review caught the '(44)' header going stale while the id sets
+    // stayed in sync)
+    assert(survey.contains(s"Oracle-checked (${SparkEntry.oracleSql.size}):"),
+      "SURVEY Oracle-checked header count drifted from the registry")
+    assert(survey.contains(s"No-oracle, spec-verified (" +
+        s"${SparkEntry.queries.size - SparkEntry.oracleSql.size}):"),
+      "SURVEY no-oracle header count drifted from the registry")
     assert(oracled == SparkEntry.oracleSql.keySet,
       s"§2.D oracled drift: doc-only=${oracled -- SparkEntry.oracleSql.keySet} " +
         s"registry-only=${SparkEntry.oracleSql.keySet -- oracled}")

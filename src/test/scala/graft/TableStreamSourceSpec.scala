@@ -77,6 +77,35 @@ class TableStreamSourceSpec extends GraftSpec {
     assert(sunk(out).size == 6, "no-change drain emitted rows")
   }
 
+  test("graft-table source across PARTITION EVOLUTION: the metadata-only " +
+      "spec commit streams as an empty delta, new-spec appends stream as " +
+      "their rows, and a fresh consumer's batch 0 reads the mixed " +
+      "snapshot whole") {
+    val t = committedTable()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tss_pe")
+    val ckpt = new java.io.File(scratch.toFile, "ckpt").getAbsolutePath
+    val out = new java.io.File(scratch.toFile, "out").getAbsolutePath
+    drain(t, ckpt, out)
+    assert(sunk(out).size == 4)
+    // the evolution commit changes NO files — an empty, non-breaking delta
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "v"))
+    drain(t, ckpt, out)
+    assert(sunk(out).size == 4, "evolution commit emitted rows")
+    // a new-spec append streams as exactly its rows
+    TableCommit.appendRowsBy(spark, t, Seq("pt", "v"),
+      Seq((10L, "x", 0), (11L, "y", 1)).toDF("id", "v", "pt"))
+    drain(t, ckpt, out)
+    assert(sunk(out).toSet == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1),
+      (4L, "d", 1), (10L, "x", 0), (11L, "y", 1)) && sunk(out).size == 6,
+      s"mixed-generation delta wrong: ${sunk(out)}")
+    // a FRESH consumer's batch 0 is the whole mixed-generation snapshot
+    val ckpt2 = new java.io.File(scratch.toFile, "ckpt2").getAbsolutePath
+    val out2 = new java.io.File(scratch.toFile, "out2").getAbsolutePath
+    drain(t, ckpt2, out2)
+    assert(sunk(out2).toSet == sunk(out).toSet && sunk(out2).size == 6,
+      s"fresh consumer's mixed snapshot wrong: ${sunk(out2)}")
+  }
+
   test("graft-table source: a non-append commit fails the append-only " +
       "consumer; ignoreChanges re-emits the rewritten files' rows") {
     val t = committedTable()

@@ -181,6 +181,88 @@ class TableCommitModelSpec extends GraftSpec {
     }
   }
 
+  test("EVOLUTION mid-sequence: the layout evolves (pt) -> (pt, ps) at a " +
+      "random step and every verb keeps the table ≡ the reference model " +
+      "over the mixed-generation snapshot (per-file keys, grouped reads, " +
+      "spec-validated writes)") {
+    for (seed <- Seq(5, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshDir()
+      var nextId = 200L
+      var partCols = Seq("pt")
+      val evolveAt = 2 + rnd.nextInt(6)
+      def df3(rows: Seq[(Long, Long, Int)]) =
+        rows.map { case (id, v, pt) => (id, v, pt, psOf(id)) }
+          .toDF("id", "v", "pt", "ps")
+      var model: Map[Long, (Long, Int)] =
+        (0L until 200L).map(id => id -> (id * 10, (id % 3).toInt)).toMap
+      TableCommit.replacePartitionsBy(spark, t, partCols,
+        Seq("pt=0", "pt=1", "pt=2"),
+        df3(model.toSeq.map { case (id, (v, pt)) => (id, v, pt) }),
+        clusterBy = Seq("id"), filesPerPartition = 2)
+      def band(): (Long, Long) = {
+        val ids = model.keys
+        val mx = if (ids.isEmpty) 10L else ids.max
+        val lo = math.abs(rnd.nextLong()) % (mx + 1)
+        (lo, lo + math.abs(rnd.nextLong()) % (mx / 4 + 1))
+      }
+      for (step <- 0 until 12) {
+        if (step == evolveAt) {
+          TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "ps"))
+          partCols = Seq("pt", "ps")
+        }
+        val op = rnd.nextInt(6)
+        val (lo, hi) = band()
+        op match {
+          case 0 => // blind append of fresh ids under the ACTIVE spec
+            val k = 1 + rnd.nextInt(15)
+            val fresh = (nextId until nextId + k)
+              .map(id => (id, id * 10, (id % 3).toInt))
+            nextId += k
+            TableCommit.appendRowsBy(spark, t, partCols,
+              df3(fresh), clusterBy = Seq("id"))
+            model ++= fresh.map { case (id, v, pt) => id -> (v, pt) }
+          case 1 =>
+            TableCommit.deleteWhereBy(spark, t, partCols, "id",
+              BigDecimal(lo), BigDecimal(hi))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+          case 2 =>
+            TableCommit.deleteWhereMorBy(spark, t, partCols, "id",
+              BigDecimal(lo), BigDecimal(hi))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+          case 3 =>
+            TableCommit.updateWhereBy(spark, t, partCols, "id",
+              BigDecimal(lo), BigDecimal(hi),
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (id, (v, pt)) =>
+              if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
+            }
+          case 4 =>
+            TableCommit.updateWhereMorBy(spark, t, partCols, "id",
+              BigDecimal(lo), BigDecimal(hi),
+              Map("v" -> (col("v") + lit(1L))))
+            model = model.map { case (id, (v, pt)) =>
+              if (id >= lo && id <= hi) id -> (v + 1, pt) else id -> (v, pt)
+            }
+          case 5 => // compaction by TOP-LEVEL dirs — under the evolved
+            // spec this is exactly the gradual-migration verb
+            val dirs = TableCommit.resolve(t).get._2
+              .map(f => f.takeWhile(_ != '/')).distinct
+            if (dirs.nonEmpty)
+              TableCommit.compactPartitionsBy(spark, t, partCols, dirs,
+                clusterBy = Seq("id"), filesPerPartition = 2)
+        }
+        val want = model.map { case (id, (v, pt)) => (id, v, pt) }.toSet
+        assert(tableRows(t) == want,
+          s"seed=$seed step=$step op=$op band=[$lo,$hi] " +
+            s"evolved=${step >= evolveAt}: table diverged from the model")
+        val id = TableCommit.resolve(t).get._1
+        assert(TableCommit.rowCount(t, id).contains(model.size.toLong),
+          s"seed=$seed step=$step op=$op: #rows metadata diverged")
+      }
+    }
+  }
+
   // ------------------------------------------------- string-keyed model
 
   /** Adversarial STRING keys for the typed-stats model run: numeric

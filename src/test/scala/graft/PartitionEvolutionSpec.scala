@@ -209,6 +209,51 @@ class PartitionEvolutionSpec extends GraftSpec {
     assert(!after.exists(r => r._3 == "g0" && r._1 != 5000L))
   }
 
+  test("REAL-THREAD race: stale-spec appends vs a concurrent evolution — " +
+      "every append either lands wholly under the spec it declared " +
+      "(before the evolution commit) or fails loudly; no commit after " +
+      "the spec commit ever adds old-depth files") {
+    val t = freshEvolvable()
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "30"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var specId = -1L
+    val writer = new Thread(() =>
+      (0 until 6).foreach { i =>
+        try TableCommit.appendRowsBy(spark, t, Seq("pt"),
+          rowsOf(5, from = 1000 + i * 5).toDF("id", "v", "g", "pt"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    val evolver = new Thread(() => {
+      Thread.sleep(120)
+      TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "g"))
+      specId = TableCommit.resolve(t).get._1
+    })
+    writer.start(); evolver.start(); writer.join(); evolver.join()
+    assert(specId >= 0)
+    // failures may only be the stage-time spec guard or the OCC
+    // guardSpec conflict — never a silent wrong commit
+    import scala.jdk.CollectionConverters._
+    assert(errs.asScala.forall(e =>
+      e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[TableCommit.CommitConflictException]),
+      s"unexpected failure kind: ${errs.asScala.map(_.getClass).toSet}")
+    // the spec contract: no commit AFTER the evolution commit added
+    // old-depth files (a rebase-over-evolution would have)
+    val hist = TableCommit.history(t).sortBy(_._1)
+    hist.sliding(2).foreach {
+      case Seq((aId, aFiles), (bId, bFiles)) if bId > specId =>
+        val added = bFiles.toSet -- aFiles.toSet
+        assert(added.forall(_.count(_ == '/') == 2),
+          s"commit $bId (> spec commit $specId) added old-layout " +
+            s"files: ${added.filter(_.count(_ == '/') == 1)}")
+      case _ => ()
+    }
+    // row accounting: exactly the successful appends landed
+    val landed = 6 - errs.size()
+    assert(TableCommit.read(spark, t).count() == 200L + 5L * landed,
+      s"$landed appends should have landed")
+  }
+
   test("sidecar #require gate: a sidecar written by a future-featured " +
       "engine is refused by the cold-open fast path (falls back to the " +
       "text manifest instead of serving rows the feature would falsify)") {

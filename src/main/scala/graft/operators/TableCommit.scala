@@ -3054,6 +3054,43 @@ object TableCommit {
         exclusiveClaim = false)
   }
 
+  /** One OPTIMIZE job the [[compactionPlan]] proposes: a partition
+    * dir, its under-target files, their total bytes, and the
+    * bin-packed output file estimate. */
+  final case class CompactionJob(dir: String, smallFiles: Seq[String],
+      smallBytes: Long, estOutputFiles: Int)
+
+  /** OPTIMIZE planner — Delta's OPTIMIZE file selection decided from
+    * MANIFEST METADATA alone (`#bytes` entries; zero storage IO): for
+    * each leaf partition dir of the newest snapshot, the files under
+    * `targetFileBytes`; a dir is a candidate when it holds at least
+    * `minSmallFiles` of them (one small file per dir is steady state,
+    * not fragmentation). Jobs come most-fragmented first, each with a
+    * bin-packed output estimate — what a 100 TB deployment's nightly
+    * OPTIMIZE scheduler consumes to decide WHERE to spend rewrite IO
+    * without listing or statting a single object. Files without a
+    * `#bytes` entry count as small (conservative: adopted manifest-0
+    * files are exactly the ones worth rewriting into the committed
+    * layout). Execution is [[compactPartitionsBy]] over each job's
+    * dir; the row-set invariance and OCC semantics are that verb's. */
+  def compactionPlan(table: String, targetFileBytes: Long = 128L << 20,
+      minSmallFiles: Int = 2): Seq[CompactionJob] = {
+    val (id, files) = resolve(table).getOrElse(
+      sys.error(s"$table has no snapshot to plan over"))
+    val bytes = fileBytesAt(table, id)
+    files.groupBy(partDir).toSeq.flatMap { case (dir, fs) =>
+      val small = fs.filter(f => bytes.get(f).forall(_ < targetFileBytes))
+        .sorted
+      if (small.length < minSmallFiles) None
+      else {
+        val total = small.map(f => bytes.getOrElse(f, 0L)).sum
+        Some(CompactionJob(dir, small, total,
+          math.max(1, math.ceil(total.toDouble /
+            targetFileBytes.toDouble).toInt)))
+      }
+    }.sortBy(j => (-j.smallFiles.length, j.dir))
+  }
+
   /** Audit counters [[deleteWhere]] returns — every field derived from
     * manifest metadata or a scalar aggregate; nothing table-sized. */
   final case class DeleteAudit(snapshotBefore: Long, snapshotAfter: Long,

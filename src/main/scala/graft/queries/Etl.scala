@@ -407,8 +407,15 @@ object Etl {
           dir.stripPrefix("event_type=")), n)
       }
       val bRaw = rawCounts
+      // WHERE to compact is a metadata decision (compactionPlan reads
+      // only #bytes entries — zero storage IO); files without an entry
+      // (the adopted clone) count as small, so every fragmented dir is
+      // proposed exactly once
+      val plan = graft.operators.TableCommit.compactionPlan(table)
+      require(plan.map(_.dir).toSet == bRaw.filter(_._2 >= 2).keySet,
+        s"planner missed fragmented dirs: $plan vs $bRaw")
       graft.operators.TableCommit.compactPartitions(s, table, "event_type",
-        bRaw.keySet.toSeq, maxRecordsPerFile = 1000000L)
+        plan.map(_.dir), maxRecordsPerFile = 1000000L)
       val b = unesc(bRaw)
       val a = unesc(rawCounts)
       val c = graft.operators.TableCommit.read(s, table)

@@ -242,6 +242,26 @@ class TypedStatsSpec extends GraftSpec {
     assert(pruned.count() == 10L)
   }
 
+  test("compactionPlan: a metadata-only OPTIMIZE picker — under-target " +
+      "files per dir from #bytes entries, fragmented dirs first, " +
+      "singleton dirs skipped; executing the plan clears it") {
+    val t = freshLexTable(i => f"doc-$i%05d") // 4 files per pt dir
+    val plan = TableCommit.compactionPlan(t, targetFileBytes = 1L << 20)
+    assert(plan.map(_.dir).toSet == Set("pt=0", "pt=1"), plan.toString)
+    assert(plan.forall(j => j.smallFiles.length == 4 && j.smallBytes > 0 &&
+      j.estOutputFiles == 1), plan.toString)
+    // a big-file dir is NOT proposed (its one file exceeds the target)
+    val tiny = TableCommit.compactionPlan(t, targetFileBytes = 1L)
+    assert(tiny.isEmpty,
+      s"files above target proposed for compaction: $tiny")
+    // execute and re-plan: nothing left to do
+    plan.foreach(j => TableCommit.compactPartitions(spark, t, "pt",
+      Seq(j.dir), clusterBy = Seq("k"), filesPerPartition = 1))
+    assert(TableCommit.compactionPlan(t, targetFileBytes = 1L << 20).isEmpty,
+      "plan not cleared after compaction")
+    assert(TableCommit.read(spark, t).count() == 400L)
+  }
+
   // ---------------------------------------------------- protocol gating
 
   test("#require: a manifest demanding an unknown feature fails the read " +

@@ -193,6 +193,38 @@ class TableStoreSpec extends GraftSpec {
     }
   }
 
+  test("conditional-put store: partition evolution, mixed-generation DML " +
+      "and string-keyed lex skipping all route through the seam (the " +
+      "round-12 surfaces never assume local-FS log semantics)") {
+    withMemTable { t =>
+      seed(t)
+      TableCommit.initIfAbsent(t)
+      // typed stats over the seam: a string-clustered commit
+      TableCommit.replacePartitions(spark, t, "pt",
+        Seq("pt=0", "pt=1", "pt=2"),
+        (0 until 60).map(i => (i.toLong, f"k$i%03d", i % 3))
+          .toDF("id", "v", "pt"),
+        clusterBy = Seq("v"), filesPerPartition = 2)
+      val (id, files) = TableCommit.resolve(t).get
+      val pruned = TableCommit.readWhereLexAt(spark, t, id, "v",
+        "k010", "k019")
+      assert(pruned.count() == 10L &&
+        pruned.inputFiles.length < files.length)
+      // evolution is a conditional-PUT metadata commit like any other
+      TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "v"))
+      TableCommit.appendRowsBy(spark, t, Seq("pt", "v"),
+        Seq((100L, "zz1", 0), (101L, "zz2", 1)).toDF("id", "v", "pt"))
+      assert(TableCommit.read(spark, t).count() == 62L)
+      // mixed-generation MoR delete through the seam
+      val mor = TableCommit.deleteWhereMorBy(spark, t, Seq("pt", "v"),
+        "id", BigDecimal(50), BigDecimal(100))
+      assert(mor.rowsDeleted == 11L, mor.toString)
+      assert(TableCommit.read(spark, t).count() == 51L)
+      assert(!new java.io.File(t, "_manifests").exists,
+        "a _manifests dir appeared on disk — a path bypassed the seam")
+    }
+  }
+
   test("conditional-put store: the streaming sink's exactly-once txn " +
       "ledger holds — a replayed batch is a structural no-op") {
     withMemTable { t =>

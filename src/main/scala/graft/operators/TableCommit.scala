@@ -544,8 +544,14 @@ object TableCommit {
       // record; _metadata must materialize per group (a union is not a
       // file source). allowMissingColumns only for schemaless adopted
       // trees — with a schema of record the groups align exactly.
-      groups.map { case (_, g) => readGroup(g, forceMeta = withMeta) }
-        .reduce(_.unionByName(_, allowMissingColumns = m.schema.isEmpty))
+      groups.map { case (_, g) =>
+        val r = readGroup(g, forceMeta = withMeta)
+        // align to the schema of record: a transform generation's
+        // DISCOVERED dir column (hidden partitioning) must not enter
+        // the by-name union
+        m.schema.fold(r)(sch => r.select(sch.fieldNames.map(col).toSeq ++
+          (if (withMeta) Seq(col("_metadata")) else Nil): _*))
+      }.reduce(_.unionByName(_, allowMissingColumns = m.schema.isEmpty))
   }
 
   private def emptySnapshot(s: SparkSession, table: String,
@@ -987,6 +993,58 @@ object TableCommit {
     }
   }
 
+  // -------- PARTITION TRANSFORMS (Iceberg hidden partitioning) -------
+  // A partition-spec entry is either an IDENTITY column name or a
+  // TRANSFORM of a source column: `days(ts)` (calendar day),
+  // `bucket(N,col)` (stable hash bucket), `truncate(W,col)` (string
+  // prefix). A transform's DIRECTORY column (`p_<src>_<kind>`) is
+  // derived at stage time on the written frame only — it never enters
+  // the schema of record, so reads present the LOGICAL columns and the
+  // layout stays an implementation detail, exactly Iceberg's hidden
+  // partitioning. Bucket uses Spark's Murmur3 `hash` (stable across
+  // sessions of this engine; PROTOCOL.md documents it as part of the
+  // format).
+
+  private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+
+  /** One parsed partition-spec entry. `raw` is the CANONICAL spelling
+    * (what `graft.partcols` records and every guard compares);
+    * `dirName` is the Hive directory column; `expr` derives it
+    * (None = identity, the dir column IS the source column). */
+  private[graft] final case class SpecCol(raw: String, dirName: String,
+      source: String, expr: Option[org.apache.spark.sql.Column])
+
+  private[graft] def parseSpecCol(raw: String): SpecCol =
+    raw.trim match {
+      case DaysRe(c) => SpecCol(s"days($c)", s"p_${c}_day", c,
+        Some(org.apache.spark.sql.functions.to_date(col(c)).cast("string")))
+      case BucketRe(n, c) => SpecCol(s"bucket($n,$c)", s"p_${c}_bucket", c,
+        Some(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col(c)),
+          lit(n.toInt)).cast("string")))
+      case TruncRe(w, c) => SpecCol(s"truncate($w,$c)", s"p_${c}_trunc", c,
+        Some(org.apache.spark.sql.functions.substring(col(c), 1, w.toInt)))
+      case name => SpecCol(name, name, name, None)
+    }
+
+  private def specColsOf(partCols: Seq[String]): Seq[SpecCol] =
+    partCols.map(parseSpecCol)
+
+  /** Canonical spelling of a spec (whitespace-normalized) — the form
+    * guards compare and `graft.partcols` records. */
+  private def canonicalSpec(partCols: Seq[String]): Seq[String] =
+    specColsOf(partCols).map(_.raw)
+
+  /** Materialize the derived directory columns of transform entries on
+    * the frame ABOUT TO BE STAGED (identity entries add nothing). The
+    * caller's logical frame — and therefore the schema of record — is
+    * never touched. */
+  private def withSpecDirs(df: DataFrame, specs: Seq[SpecCol]): DataFrame =
+    specs.foldLeft(df)((d, sc) =>
+      sc.expr.fold(d)(e => d.withColumn(sc.dirName, e)))
+
   /** The table's ACTIVE partition spec, when one has been declared
     * (`graft.partcols` property, comma-joined column names) — set by
     * [[evolvePartitioningBy]]; None for tables that never evolved
@@ -994,7 +1052,7 @@ object TableCommit {
   private[graft] def activePartCols(table: String): Option[Seq[String]] =
     manifests(table).sortBy(-_._1).headOption
       .flatMap(_._2.props.get("graft.partcols"))
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
 
   /** PARTITION EVOLUTION (Iceberg's evolve-spec, re-derived for the
@@ -1019,20 +1077,30 @@ object TableCommit {
     * level by the Hive `k=v` form). */
   def evolvePartitioningBy(s: SparkSession, table: String,
       newPartCols: Seq[String]): Unit = {
-    require(newPartCols.nonEmpty && newPartCols.distinct == newPartCols,
+    val specs = specColsOf(newPartCols)
+    val canon = specs.map(_.raw)
+    require(canon.nonEmpty && canon.distinct == canon,
       s"evolved partition spec must be non-empty and duplicate-free: " +
         s"$newPartCols")
+    require(specs.map(_.dirName).distinct.length == specs.length,
+      s"evolved spec entries collide on a directory column: $canon")
     require(!new java.io.File(table).getAbsolutePath.split('/')
         .exists(_.contains("=")),
       s"table base path $table carries '=' in a dir segment — " +
         "mixed-layout keying would misread it as a partition level")
     initIfAbsent(table)
     val cols = read(s, table).columns.toSet
-    val missing = newPartCols.filterNot(cols)
+    val missing = specs.map(_.source).filterNot(cols)
     require(missing.isEmpty,
-      s"evolved partition column(s) ${missing.mkString(", ")} are not " +
-        s"columns of $table — evolution only re-layouts existing data")
-    setProperties(table, Map("graft.partcols" -> newPartCols.mkString(",")))
+      s"evolved partition source column(s) ${missing.mkString(", ")} are " +
+        s"not columns of $table — evolution only re-layouts existing data")
+    // a transform's derived dir name must not shadow a real column
+    val shadowed = specs.filter(_.expr.isDefined).map(_.dirName).filter(cols)
+    require(shadowed.isEmpty,
+      s"derived partition dir name(s) ${shadowed.mkString(", ")} collide " +
+        s"with existing columns of $table")
+    // ';'-joined: transform entries carry commas (`bucket(4,id)`)
+    setProperties(table, Map("graft.partcols" -> canon.mkString(";")))
   }
 
   /** Raised when a commit's written rows violate a table CHECK
@@ -2275,10 +2343,12 @@ object TableCommit {
     // buys BOTH dimensions ~√F locality — Delta's OPTIMIZE ZORDER as a
     // manifest commit. Stats are recorded for every clusterBy column.
     val nShape = math.max(1, dirtyDirs.size * filesPerPartition)
-    val pcols = partCols.map(col)
+    val specs = specColsOf(partCols)
+    val dfm = withSpecDirs(df, specs)
+    val pcols = specs.map(sc => col(sc.dirName))
     val shaped = clusterBy match {
       case Seq(c) if filesPerPartition > 1 =>
-        df.repartitionByRange(nShape, (pcols :+ col(c)): _*)
+        dfm.repartitionByRange(nShape, (pcols :+ col(c)): _*)
       case cs if cs.length > 7 && filesPerPartition > 1 =>
         // beyond mortonColumnOfN's 7-dim interleave budget: fall
         // through to plain partition repartition (the pre-Z-order
@@ -2289,20 +2359,21 @@ object TableCommit {
           s"clusterBy has ${cs.length} columns — Z-order interleave " +
             "supports at most 7; falling back to plain repartition " +
             "(stats still recorded)")
-        df.repartition(pcols: _*)
+        dfm.repartition(pcols: _*)
       case cs if cs.length >= 2 && filesPerPartition > 1 =>
         // 2 dims = the tight morton16 constants; 3+ dims = the generic
         // N-way interleave (no silent cap: every declared cluster
         // dimension participates in the layout AND gets #stats)
-        val z = Layout.mortonColumnOfN(df, cs.map(col))
-        df.withColumn("__zc", z)
+        val z = Layout.mortonColumnOfN(dfm, cs.map(col))
+        dfm.withColumn("__zc", z)
           .repartitionByRange(nShape, (pcols :+ col("__zc")): _*)
           .sortWithinPartitions((pcols :+ col("__zc")): _*)
           .drop("__zc")
-      case _ => df.repartition(pcols: _*)
+      case _ => dfm.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
+      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       maxRecordsPerFile, checked, wmap)
@@ -2545,14 +2616,17 @@ object TableCommit {
     }
     if (alreadyApplied) return
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val pcols = partCols.map(col)
+    val specs = specColsOf(partCols)
+    val dfm = withSpecDirs(df, specs)
+    val pcols = specs.map(sc => col(sc.dirName))
     val shaped = clusterBy.headOption match {
-      case Some(c) => df.repartition(pcols: _*)
+      case Some(c) => dfm.repartition(pcols: _*)
         .sortWithinPartitions((pcols :+ col(c)): _*)
-      case None => df.repartition(pcols: _*)
+      case None => dfm.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
+      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
@@ -2723,10 +2797,10 @@ object TableCommit {
   private def guardSpec(table: String, partCols: Seq[String],
       props: Map[String, String]): Unit =
     props.get("graft.partcols")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
       .foreach { spec =>
-        if (partCols != spec) throw new CommitConflictException(
+        if (canonicalSpec(partCols) != spec) throw new CommitConflictException(
           s"partition spec of $table evolved to (${spec.mkString(", ")}) " +
             s"while this writer staged (${partCols.mkString(", ")}) — " +
             "re-read and re-derive under the evolved spec")
@@ -2769,7 +2843,7 @@ object TableCommit {
     // file moves, instead of publishing a layout the spec retired
     val declaredSpec = activePartCols(table)
     declaredSpec.foreach { spec =>
-      require(partCols == spec,
+      require(canonicalSpec(partCols) == spec,
         s"$table's active partition spec is (${spec.mkString(", ")}) — " +
           s"this write declared (${partCols.mkString(", ")}); pass the " +
           "evolved spec (evolvePartitioningBy is the verb that changes it)")
@@ -2811,8 +2885,11 @@ object TableCommit {
           case None => col(c).as(phys(c))
         }): _*)
       else shaped
+    // transform entries partition by their DERIVED dir column, which
+    // never participates in column mapping (it is not a schema column)
     val writer = toWrite.write.mode("overwrite")
-      .partitionBy(partCols.map(phys): _*)
+      .partitionBy(specColsOf(partCols).map(sc =>
+        if (sc.expr.isDefined) sc.dirName else phys(sc.dirName)): _*)
     (if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(stagePath)
@@ -3160,15 +3237,18 @@ object TableCommit {
       .map(bm => dvOf(bm._2)).getOrElse(Map.empty)
       .filter { case (rel, _) => hitSet0(rel) }
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val pcols = partCols.map(col)
+    val specs = specColsOf(partCols)
+    val replacementM = withSpecDirs(replacement, specs)
+    val pcols = specs.map(sc => col(sc.dirName))
     val shaped = statsCols.headOption match {
-      case Some(c) => replacement
+      case Some(c) => replacementM
         .repartitionByRange(math.max(1, hit.length), (pcols :+ col(c)): _*)
         .sortWithinPartitions((pcols :+ col(c)): _*)
-      case None => replacement.repartition(pcols: _*)
+      case None => replacementM.repartition(pcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
+      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
@@ -3540,13 +3620,17 @@ object TableCommit {
           lit("update_postimage")))
         .write.mode("overwrite").parquet(s"$table/$cdcRel")
     val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+    val specs = specColsOf(partCols)
+    val updatedM = withSpecDirs(updated, specs)
+    val upcols = specs.map(sc => col(sc.dirName))
     val shaped = statsCols.headOption match {
-      case Some(c) => updated.repartition(partCols.map(col): _*)
-        .sortWithinPartitions((partCols.map(col) :+ col(c)): _*)
-      case None => updated.repartition(partCols.map(col): _*)
+      case Some(c) => updatedM.repartition(upcols: _*)
+        .sortWithinPartitions((upcols :+ col(c)): _*)
+      case None => updatedM.repartition(upcols: _*)
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
+      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) =
       try stageMove(table, writerId, shaped, partCols,
@@ -3834,13 +3918,17 @@ object TableCommit {
       }
       val freshSrc = successors.fold(inserts)(_.unionByName(inserts))
       val statsCols = statsOf(m).keysIterator.map(_._2).toSeq.distinct.sorted
+      val specs = specColsOf(partCols)
+      val freshSrcM = withSpecDirs(freshSrc, specs)
+      val fpcols = specs.map(sc => col(sc.dirName))
       val shaped = statsCols.headOption match {
-        case Some(c) => freshSrc.repartition(partCols.map(col): _*)
-          .sortWithinPartitions((partCols.map(col) :+ col(c)): _*)
-        case None => freshSrc.repartition(partCols.map(col): _*)
+        case Some(c) => freshSrcM.repartition(fpcols: _*)
+          .sortWithinPartitions((fpcols :+ col(c)): _*)
+        case None => freshSrcM.repartition(fpcols: _*)
       }
       val checked = constraints(table)
       val wcols = shaped.columns.toSeq
+      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
       val wmap = writeMapping(table, wcols)
       val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
         checkedConstraints = checked, wmap = wmap)

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableCommit
+
+/** PARTITION TRANSFORMS (Iceberg hidden partitioning, round-12): a
+  * spec entry may be `days(col)`, `bucket(N,col)` or `truncate(W,col)`
+  * — the DERIVED directory column materializes only on the staged
+  * frame, never enters the schema of record, and reads present the
+  * logical columns unchanged. Composes with evolution: declaring a
+  * transform spec on a live table is the same metadata-only commit,
+  * mixed-generation semantics and migration path as any other spec
+  * change. */
+class PartitionTransformSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def rowsOf(n: Int, from: Int = 0): Seq[(Long, String, java.sql.Date, Int)] =
+    (from until from + n).map { i =>
+      (i.toLong, s"v$i",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+          .plusDays(i % 5)), i % 2)
+    }
+
+  private def freshTsTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pt").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val seed = rowsOf(100).toDF("id", "v", "d", "pt")
+    seed.repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitionsBy(spark, t, Seq("pt"),
+      Seq("pt=0", "pt=1"), seed, clusterBy = Seq("id"),
+      filesPerPartition = 2)
+    t
+  }
+
+  private def allRows(t: String): Set[(Long, String, String, Int)] =
+    TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("d").cast("string"),
+        col("pt").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+
+  test("days() transform: evolved writes land under derived day dirs, " +
+      "the derived column stays HIDDEN (schema of record unchanged), " +
+      "and drop-a-day is one empty leaf replace after migration") {
+    val t = freshTsTable()
+    val before = allRows(t)
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "days(d)"))
+    TableCommit.appendRowsBy(spark, t, Seq("pt", "days(d)"),
+      rowsOf(20, from = 100).toDF("id", "v", "d", "pt"))
+    // derived dirs exist on disk, derived column does NOT exist in reads
+    val newFiles = TableCommit.resolve(t).get._2
+      .filter(_.count(_ == '/') == 2)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.matches("pt=\\d/p_d_day=2026-01-0\\d/.*")),
+      newFiles.toString)
+    assert(TableCommit.read(spark, t).columns.toSeq ==
+      Seq("id", "v", "d", "pt"),
+      s"derived column leaked: ${TableCommit.read(spark, t).columns.toSeq}")
+    assert(allRows(t) == before ++ rowsOf(20, from = 100).map(r =>
+      (r._1, r._2, r._3.toString, r._4)))
+    // migrate pt subtrees, then DROP 2026-01-02 under pt=0 as one
+    // empty leaf replace (the lifecycle win transforms buy)
+    TableCommit.compactPartitionsBy(spark, t, Seq("pt", "days(d)"),
+      Seq("pt=0", "pt=1"), clusterBy = Seq("id"), filesPerPartition = 1)
+    assert(TableCommit.resolve(t).get._2.forall(_.count(_ == '/') == 2))
+    val dropped = "2026-01-02"
+    TableCommit.replacePartitionsBy(spark, t, Seq("pt", "days(d)"),
+      Seq(s"pt=0/p_d_day=$dropped"),
+      rowsOf(0).toDF("id", "v", "d", "pt"))
+    val after = allRows(t)
+    assert(!after.exists(r => r._4 == 0 && r._3 == dropped),
+      "dropped day still present")
+    assert(after.count(r => r._3 == dropped) ==
+      (before ++ rowsOf(20, from = 100).map(r =>
+        (r._1, r._2, r._3.toString, r._4)))
+        .count(r => r._3 == dropped && r._4 == 1),
+      "pt=1's same-day rows must survive")
+  }
+
+  test("bucket() transform: stable hash dirs, DML across the mixed " +
+      "snapshot, canonical spelling tolerated, stale spec refused") {
+    val t = freshTsTable()
+    TableCommit.evolvePartitioningBy(spark, t, Seq("bucket(4,id)"))
+    // whitespace-variant spelling canonicalizes to the same spec
+    TableCommit.appendRowsBy(spark, t, Seq("bucket( 4 , id )"),
+      rowsOf(20, from = 100).toDF("id", "v", "d", "pt"))
+    val newFiles = TableCommit.resolve(t).get._2
+      .filter(_.startsWith("p_id_bucket="))
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.matches("p_id_bucket=\\d/.*")), newFiles.toString)
+    // a stale writer still declaring the identity spec fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.appendRowsBy(spark, t, Seq("pt"),
+        rowsOf(1, from = 500).toDF("id", "v", "d", "pt"))
+    }
+    assert(e.getMessage.contains("bucket(4,id)"), e.getMessage)
+    // MoR delete across old-identity and new-bucket generations
+    val mor = TableCommit.deleteWhereMorBy(spark, t, Seq("bucket(4,id)"),
+      "id", BigDecimal(90), BigDecimal(109))
+    assert(mor.rowsDeleted == 20, mor.toString)
+    assert(TableCommit.read(spark, t).count() == 100L)
+    assert(TableCommit.read(spark, t)
+      .filter(col("id").between(90, 109)).count() == 0L)
+  }
+
+  test("truncate() transform: prefix dirs; derived dir name colliding " +
+      "with a real column is refused; transform source must exist") {
+    val t = freshTsTable()
+    TableCommit.evolvePartitioningBy(spark, t, Seq("truncate(1,v)"))
+    TableCommit.appendRowsBy(spark, t, Seq("truncate(1,v)"),
+      rowsOf(4, from = 100).toDF("id", "v", "d", "pt"))
+    val newFiles = TableCommit.resolve(t).get._2
+      .filter(_.startsWith("p_v_trunc="))
+    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("p_v_trunc=v")),
+      newFiles.toString)
+    assert(TableCommit.read(spark, t).count() == 104L)
+    intercept[IllegalArgumentException] {
+      TableCommit.evolvePartitioningBy(spark, t, Seq("days(nope)"))
+    }
+    // a table already holding a column named like the derived dir
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pt2").toFile
+    val t2 = new java.io.File(dir2, "table").getAbsolutePath
+    rowsOf(10).toDF("id", "p_d_day", "d", "pt").repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t2)
+    TableCommit.initIfAbsent(t2)
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.evolvePartitioningBy(spark, t2, Seq("days(d)"))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+}

@@ -774,6 +774,87 @@ object Etl {
     } finally graft.operators.Sinks.deleteRecursively(base)
   }
 
+  // -------------------------------------------------------- n_part_transform
+  /** HIDDEN PARTITIONING over the committed events table (round-12;
+    * Iceberg's partition transforms): evolve (event_type) →
+    * (event_type, days(ts)) — the `days()` TRANSFORM of the timestamp
+    * column — as a metadata-only commit, then witness the contract in
+    * one row: (1) a fresh append lands under derived
+    * `p_ts_day=YYYY-MM-DD` dirs while the derived column stays HIDDEN
+    * (the snapshot read presents exactly the logical columns);
+    * (2) migrating one event_type subtree is a prefix compaction;
+    * (3) DROPPING A DAY of that subtree is one empty leaf replace —
+    * the retention/lifecycle op time-partitioned ingest tables run
+    * nightly at 100 TB, here touching only the named leaf's files;
+    * row accounting stays exact throughout. PartitionTransformSpec
+    * pins days/bucket/truncate in isolation. */
+  private def partTransform(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ptrans_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      // a deterministic slice over a BOUNDED day window: the lifecycle
+      // cost should track the op, not the corpus (and a ~30-day append
+      // would mint |event_type| x |days| tiny leaf dirs)
+      val whole = Tables.events(s, d)
+      val t0 = whole.agg(min(col("ts"))).collect()(0).getTimestamp(0)
+      val ev = whole
+        .filter(col("user_id") % 19 === 0 &&
+          col("ts") < lit(t0) + expr("INTERVAL 4 DAYS"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(table)
+      TableCommit.initIfAbsent(table)
+      val dirs = ev.select(col("event_type")).distinct().collect()
+        .map(r => s"event_type=${r.getString(0)}").toSeq.sorted
+      TableCommit.replacePartitionsBy(s, table, Seq("event_type"), dirs, ev,
+        clusterBy = Seq("event_id"), filesPerPartition = 2)
+      val total0 = metaRowCount(s, table, TableCommit.resolve(table).get._1)
+      TableCommit.evolvePartitioningBy(s, table,
+        Seq("event_type", "days(ts)"))
+      // next-generation arrivals: the same slice shifted +30 days and
+      // re-keyed — lands under derived day dirs
+      val shift = 1000000000L
+      TableCommit.appendRowsBy(s, table, Seq("event_type", "days(ts)"),
+        ev.withColumn("event_id", col("event_id") + lit(shift))
+          .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS")))
+      val readCols = TableCommit.read(s, table).columns.toSeq
+      val hidden = !readCols.contains("p_ts_day")
+      val mixFiles = TableCommit.resolve(table).get._2
+      val dayDirs = mixFiles.filter(_.count(_ == '/') == 2)
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      val dayShaped = dayDirs.forall(
+        _.matches("event_type=[^/]+/p_ts_day=\\d{4}-\\d{2}-\\d{2}"))
+      // migrate ONE event_type subtree, then drop its OLDEST day
+      val sub = dirs.head
+      TableCommit.compactPartitionsBy(s, table,
+        Seq("event_type", "days(ts)"), Seq(sub),
+        clusterBy = Seq("event_id"), filesPerPartition = 1)
+      val migrated = TableCommit.resolve(table).get._2
+        .filter(_.startsWith(s"$sub/"))
+      val migratedOk = migrated.nonEmpty &&
+        migrated.forall(_.count(_ == '/') == 2)
+      val oldestDay = migrated
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted.head
+      val beforeDrop = TableCommit.read(s, table).count()
+      val dayRows = TableCommit.read(s, table)
+        .filter(col("event_type") === lit(sub.stripPrefix("event_type=")) &&
+          to_date(col("ts")).cast("string") ===
+            lit(oldestDay.substring(oldestDay.indexOf("p_ts_day=") + 9)))
+        .count()
+      TableCommit.replacePartitionsBy(s, table,
+        Seq("event_type", "days(ts)"), Seq(oldestDay),
+        ev.limit(0))
+      val after = TableCommit.read(s, table).count()
+      import s.implicits._
+      Seq((if (hidden) 1L else 0L, if (dayShaped) 1L else 0L,
+          if (migratedOk) 1L else 0L, dayRows,
+          beforeDrop - dayRows - after, 2L * total0 - beforeDrop))
+        .toDF("derived_hidden", "day_dirs_shaped", "migrated_ok",
+          "day_rows_dropped", "rows_lost", "rows_lost_pre_drop")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   // ----------------------------------------------------------- n_part_evolve
   /** PARTITION EVOLUTION over the committed documents table (round-12;
     * Iceberg's evolve-spec re-derived for the Hive-dir layout): change
@@ -2460,6 +2541,7 @@ object Etl {
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
     QueryDef("n_part_evolve", partEvolve, None),
+    QueryDef("n_part_transform", partTransform, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),
     QueryDef("n_table_clone", tableCloneQ, None),
     QueryDef("n_table_cdf", tableCdfQ, None),

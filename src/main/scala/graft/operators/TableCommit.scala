@@ -1875,10 +1875,25 @@ object TableCommit {
   /** [[readWhereAt]] for a STRING predicate column — the band and the
     * recorded (truncated) string stats compare lexicographically in
     * code-point order; same sidecar cold-open fast path, same
-    * conservative-keep semantics, same on-top row filter. */
+    * conservative-keep semantics, same on-top row filter. For a
+    * DATE/NTZ-timestamp column the band must be in the plain
+    * four-digit-year era ([[isoLexSafe]]) — outside it the row
+    * predicate's coercion and the lexicographic bound compare order
+    * DISAGREE, so the call fails loudly instead of wrongly excluding
+    * files. */
   def readWhereLexAt(s: SparkSession, table: String, id: Long,
-      column: String, lo: String, hi: String): DataFrame =
+      column: String, lo: String, hi: String): DataFrame = {
+    val temporal = manifests(table).find(_._1 == id)
+      .flatMap(_._2.schema).flatMap(_.fields.find(_.name == column))
+      .exists(f => f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    require(!temporal || (isoLexSafe(lo) && isoLexSafe(hi)),
+      s"lexicographic band [$lo, $hi] on temporal column $column of " +
+        s"$table is outside the plain four-digit-year era — its " +
+        "rendering does not order lexicographically; use a plain-era " +
+        "band or filter after readAt")
     readWhereBandAt(s, table, id, column, LexBand(lo, hi))
+  }
 
   private def readWhereBandAt(s: SparkSession, table: String, id: Long,
       column: String, band: StatBand): DataFrame =

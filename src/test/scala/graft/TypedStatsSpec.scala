@@ -240,6 +240,14 @@ class TypedStatsSpec extends GraftSpec {
       s"date stats pruned nothing (${pruned.inputFiles.length} of " +
         s"${files.length})")
     assert(pruned.count() == 10L)
+    // an era-unsafe band on a temporal column fails LOUDLY — its
+    // rendering does not order lexicographically, so silently pruning
+    // against it could drop overlapping files
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.readWhereLexAt(spark, t, id, "d",
+        "+10000-01-01", "+10000-12-31").count()
+    }
+    assert(e.getMessage.contains("four-digit-year"), e.getMessage)
   }
 
   test("compactionPlan: a metadata-only OPTIMIZE picker — under-target " +

@@ -1011,23 +1011,62 @@ object TableCommit {
 
   /** One parsed partition-spec entry. `raw` is the CANONICAL spelling
     * (what `graft.partcols` records and every guard compares);
-    * `dirName` is the Hive directory column; `expr` derives it
-    * (None = identity, the dir column IS the source column). */
+    * `dirName` is the Hive directory column; `transform` names the
+    * derivation kind (None = identity, the dir column IS the source
+    * column) — the actual Column is built per-frame by
+    * [[withSpecDirs]], because `days()` must dispatch on the SOURCE
+    * TYPE (a zoned timestamp's calendar day depends on the session
+    * time zone, so it derives via UTC epoch-day arithmetic instead —
+    * session-independent, the same stability rule the typed stats
+    * enforce). */
   private[graft] final case class SpecCol(raw: String, dirName: String,
-      source: String, expr: Option[org.apache.spark.sql.Column])
+      source: String, transform: Option[(String, Int)])
 
   private[graft] def parseSpecCol(raw: String): SpecCol =
     raw.trim match {
       case DaysRe(c) => SpecCol(s"days($c)", s"p_${c}_day", c,
-        Some(org.apache.spark.sql.functions.to_date(col(c)).cast("string")))
-      case BucketRe(n, c) => SpecCol(s"bucket($n,$c)", s"p_${c}_bucket", c,
-        Some(org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(col(c)),
-          lit(n.toInt)).cast("string")))
-      case TruncRe(w, c) => SpecCol(s"truncate($w,$c)", s"p_${c}_trunc", c,
-        Some(org.apache.spark.sql.functions.substring(col(c), 1, w.toInt)))
+        Some(("days", 0)))
+      case BucketRe(n, c) =>
+        require(n.toInt > 0, s"bucket($n,$c): bucket count must be > 0")
+        SpecCol(s"bucket($n,$c)", s"p_${c}_bucket", c,
+          Some(("bucket", n.toInt)))
+      case TruncRe(w, c) =>
+        require(w.toInt > 0, s"truncate($w,$c): prefix width must be > 0")
+        SpecCol(s"truncate($w,$c)", s"p_${c}_trunc", c,
+          Some(("trunc", w.toInt)))
       case name => SpecCol(name, name, name, None)
     }
+
+  /** The TRANSFORM entries' derived dir names of a raw spec. */
+  private def derivedDirNames(partCols: Seq[String]): Set[String] =
+    specColsOf(partCols).filter(_.transform.isDefined).map(_.dirName).toSet
+
+  /** Build one transform's directory Column against a concrete frame
+    * (type-dispatched; loud on an unsupported source type). */
+  private def specDirExpr(df: DataFrame,
+      sc: SpecCol): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dt = df.schema.fields.find(_.name == sc.source).map(_.dataType)
+    sc.transform.get match {
+      case ("days", _) => dt match {
+        case Some(DateType) => col(sc.source).cast("string")
+        case Some(TimestampNTZType) =>
+          to_date(col(sc.source)).cast("string")
+        case Some(TimestampType) =>
+          // UTC calendar day via epoch arithmetic — session-TZ-free,
+          // so the same instant lands in the same dir in every session
+          date_from_unix_date(floor(unix_micros(col(sc.source)) /
+            86400000000L).cast("int")).cast("string")
+        case other => sys.error(s"days(${sc.source}): source must be a " +
+          s"date/timestamp column, got ${other.fold("absent")(_.simpleString)}")
+      }
+      case ("bucket", n) =>
+        pmod(hash(col(sc.source)), lit(n)).cast("string")
+      case ("trunc", w) =>
+        substring(col(sc.source), 1, w)
+    }
+  }
 
   private def specColsOf(partCols: Seq[String]): Seq[SpecCol] =
     partCols.map(parseSpecCol)
@@ -1043,16 +1082,26 @@ object TableCommit {
     * never touched. */
   private def withSpecDirs(df: DataFrame, specs: Seq[SpecCol]): DataFrame =
     specs.foldLeft(df)((d, sc) =>
-      sc.expr.fold(d)(e => d.withColumn(sc.dirName, e)))
+      if (sc.transform.isEmpty) d
+      else d.withColumn(sc.dirName, specDirExpr(df, sc)))
 
   /** The table's ACTIVE partition spec, when one has been declared
     * (`graft.partcols` property, comma-joined column names) — set by
     * [[evolvePartitioningBy]]; None for tables that never evolved
     * (their spec stays implicit in the layout, guarded by depth). */
+  /** Parse a recorded `graft.partcols` value. Current format is
+    * ';'-joined (transform entries carry commas); values recorded by
+    * the earlier comma-joined identity-only format (no ';', no '(')
+    * still parse — upgrade transparency. */
+  private def parsePartColsProp(v: String): Seq[String] = {
+    val sep = if (v.contains(";") || v.contains("(")) ';' else ','
+    v.split(sep).toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private[graft] def activePartCols(table: String): Option[Seq[String]] =
     manifests(table).sortBy(-_._1).headOption
       .flatMap(_._2.props.get("graft.partcols"))
-      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(parsePartColsProp)
       .filter(_.nonEmpty)
 
   /** PARTITION EVOLUTION (Iceberg's evolve-spec, re-derived for the
@@ -1095,7 +1144,7 @@ object TableCommit {
       s"evolved partition source column(s) ${missing.mkString(", ")} are " +
         s"not columns of $table — evolution only re-layouts existing data")
     // a transform's derived dir name must not shadow a real column
-    val shadowed = specs.filter(_.expr.isDefined).map(_.dirName).filter(cols)
+    val shadowed = specs.filter(_.transform.isDefined).map(_.dirName).filter(cols)
     require(shadowed.isEmpty,
       s"derived partition dir name(s) ${shadowed.mkString(", ")} collide " +
         s"with existing columns of $table")
@@ -1269,6 +1318,19 @@ object TableCommit {
           partColsOf(baseFiles).foreach(pc => require(from != pc,
             s"cannot rename partition column $pc — partition directory " +
               "names are physical layout; rewrite the table instead"))
+          // partition-spec awareness (evolution/transforms): the SPEC
+          // references columns by name, so renaming a spec SOURCE would
+          // brick every later write, and renaming TO a derived dir name
+          // would be silently overwritten at stage time
+          c.props.get("graft.partcols").map(parsePartColsProp)
+            .getOrElse(Nil).map(parseSpecCol).foreach { sc =>
+              require(from != sc.source,
+                s"cannot rename $from — the active partition spec " +
+                  s"(${sc.raw}) derives from it; evolve the spec first")
+              require(to != sc.dirName,
+                s"cannot rename to $to — it is the derived partition " +
+                  s"dir column of ${sc.raw}")
+            }
           requireUnreferenced(table, from, c.props, "rename")
           org.apache.spark.sql.types.StructType(sch.fields.map { f =>
             if (f.name == from)
@@ -1978,6 +2040,25 @@ object TableCommit {
       if (vs.isEmpty) None else Some((vs.map(_._1).min, vs.map(_._2).max))
     }
 
+  /** Shared guard of every lexicographic band entry point: an
+    * era-unsafe band over a DATE/NTZ-timestamp column compares in a
+    * DIFFERENT order than the row predicate's coercion (expanded years
+    * lead with '+'), so pruning against it could silently exclude
+    * overlapping files — refuse loudly (the readWhereLexAt rule,
+    * applied to the DML twins too). */
+  private def guardTemporalLexBand(table: String, column: String,
+      band: StatBand, m: Snapshot): Unit = band match {
+    case LexBand(lo, hi) =>
+      val temporal = m.schema.flatMap(_.fields.find(_.name == column))
+        .exists(f => f.dataType == org.apache.spark.sql.types.DateType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      require(!temporal || (isoLexSafe(lo) && isoLexSafe(hi)),
+        s"lexicographic band [$lo, $hi] on temporal column $column of " +
+          s"$table is outside the plain four-digit-year era — its " +
+          "rendering does not order lexicographically")
+    case _ => ()
+  }
+
   /** Manifest-only pruning decision behind [[readWhereAt]] — band
     * polymorphic (numeric or lexicographic); a malformed recorded
     * range keeps the file (stats may only ever EXCLUDE on proof). */
@@ -2388,7 +2469,7 @@ object TableCommit {
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
-      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
+      .filterNot(derivedDirNames(partCols))
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       maxRecordsPerFile, checked, wmap)
@@ -2641,7 +2722,7 @@ object TableCommit {
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
-      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
+      .filterNot(derivedDirNames(partCols))
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
@@ -2812,7 +2893,7 @@ object TableCommit {
   private def guardSpec(table: String, partCols: Seq[String],
       props: Map[String, String]): Unit =
     props.get("graft.partcols")
-      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(parsePartColsProp)
       .filter(_.nonEmpty)
       .foreach { spec =>
         if (canonicalSpec(partCols) != spec) throw new CommitConflictException(
@@ -2904,7 +2985,7 @@ object TableCommit {
     // never participates in column mapping (it is not a schema column)
     val writer = toWrite.write.mode("overwrite")
       .partitionBy(specColsOf(partCols).map(sc =>
-        if (sc.expr.isDefined) sc.dirName else phys(sc.dirName)): _*)
+        if (sc.transform.isDefined) sc.dirName else phys(sc.dirName)): _*)
     (if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(stagePath)
@@ -3263,7 +3344,7 @@ object TableCommit {
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
-      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
+      .filterNot(derivedDirNames(partCols))
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
       checkedConstraints = checked, wmap = wmap)
@@ -3374,6 +3455,7 @@ object TableCommit {
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
+    guardTemporalLexBand(table, column, band, m)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -3452,6 +3534,7 @@ object TableCommit {
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
+    guardTemporalLexBand(table, column, band, m)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -3586,6 +3669,7 @@ object TableCommit {
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
+    guardTemporalLexBand(table, column, band, m)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -3645,7 +3729,7 @@ object TableCommit {
     }
     val checked = constraints(table)
     val wcols = shaped.columns.toSeq
-      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
+      .filterNot(derivedDirNames(partCols))
     val wmap = writeMapping(table, wcols)
     val (fresh, freshBytes) =
       try stageMove(table, writerId, shaped, partCols,
@@ -3943,7 +4027,7 @@ object TableCommit {
       }
       val checked = constraints(table)
       val wcols = shaped.columns.toSeq
-      .filterNot(specColsOf(partCols).filter(_.expr.isDefined).map(_.dirName).toSet)
+      .filterNot(derivedDirNames(partCols))
       val wmap = writeMapping(table, wcols)
       val (fresh, freshBytes) = stageMove(table, writerId, shaped, partCols,
         checkedConstraints = checked, wmap = wmap)
@@ -4084,6 +4168,7 @@ object TableCommit {
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
+    guardTemporalLexBand(table, column, band, m)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -4097,9 +4182,12 @@ object TableCommit {
     val src = readFiles(s, table, m, hit)
     set.keys.foreach(c => require(src.columns.contains(c),
       s"SET column $c is not a column of $table"))
-    partCols.foreach(pc => require(!set.contains(pc),
-      s"SET of partition column $pc would move rows across " +
-        "partition dirs — use delete + append (the Delta rule)"))
+    specColsOf(partCols).foreach { sc =>
+      require(!set.contains(sc.dirName) && !set.contains(sc.source),
+        s"SET of partition column ${sc.raw} (or its source " +
+          s"${sc.source}) would move rows across partition dirs — " +
+          "use delete + append (the Delta rule)")
+    }
     val pred = coalesce(matchPred, lit(false))
     val replacement = src.select(src.schema.fields.map { f =>
       set.get(f.name) match {

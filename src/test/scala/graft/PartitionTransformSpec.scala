@@ -106,6 +106,86 @@ class PartitionTransformSpec extends GraftSpec {
       .filter(col("id").between(90, 109)).count() == 0L)
   }
 
+  test("days() on a ZONED timestamp derives the UTC calendar day — the " +
+      "same instant lands in the same dir whatever the session zone " +
+      "(the typed-stats TZ-stability rule, applied to layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    // 02:00 UTC instants: in America/New_York these are the PREVIOUS
+    // calendar day — a session-zone-dependent derivation would split
+    val instants = Seq("2026-03-10T02:00:00Z", "2026-03-11T02:00:00Z")
+      .map(java.time.Instant.parse)
+    val rows = instants.zipWithIndex.map { case (i, n) =>
+      (n.toLong, java.sql.Timestamp.from(i), 0)
+    }
+    val seed = rows.toDF("id", "ts", "pt")
+    seed.write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitionsBy(spark, t, Seq("pt"), Seq("pt=0"), seed)
+    TableCommit.evolvePartitioningBy(spark, t, Seq("days(ts)"))
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      TableCommit.appendRowsBy(spark, t, Seq("days(ts)"),
+        rows.map { case (id, ts, pt) => (id + 10, ts, pt) }
+          .toDF("id", "ts", "pt"))
+    } finally spark.conf.set(tzKey, prior)
+    val dayDirs = TableCommit.resolve(t).get._2
+      .filter(_.startsWith("p_ts_day="))
+      .map(f => f.substring(0, f.indexOf('/'))).distinct.sorted
+    assert(dayDirs == Seq("p_ts_day=2026-03-10", "p_ts_day=2026-03-11"),
+      s"session zone leaked into the day derivation: $dayDirs")
+  }
+
+  test("guards: degenerate transform params, non-temporal days() source, " +
+      "rename of a spec source / to a derived dir name, CoW SET of a " +
+      "transform source — all refused loudly") {
+    val t = freshTsTable()
+    intercept[IllegalArgumentException] {
+      TableCommit.evolvePartitioningBy(spark, t, Seq("bucket(0,id)"))
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.evolvePartitioningBy(spark, t, Seq("truncate(0,v)"))
+    }
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "days(d)"))
+    // days() of a string column fails loudly at stage time
+    val e0 = intercept[RuntimeException] {
+      TableCommit.evolvePartitioningBy(spark, t, Seq("days(v)"))
+      TableCommit.appendRowsBy(spark, t, Seq("days(v)"),
+        rowsOf(2, from = 900).toDF("id", "v", "d", "pt"))
+    }
+    assert(e0.getMessage.contains("date/timestamp"), e0.getMessage)
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "days(d)"))
+    // renaming the spec's SOURCE column would brick later writes
+    val e1 = intercept[IllegalArgumentException] {
+      TableCommit.renameColumn(t, "d", "when_at")
+    }
+    assert(e1.getMessage.contains("derives from it"), e1.getMessage)
+    // renaming TO the derived dir name would be overwritten at stage
+    val e2 = intercept[IllegalArgumentException] {
+      TableCommit.renameColumn(t, "v", "p_d_day")
+    }
+    assert(e2.getMessage.contains("derived partition dir"), e2.getMessage)
+    // CoW SET of the transform's source moves rows across day dirs
+    val e3 = intercept[IllegalArgumentException] {
+      TableCommit.updateWhereBy(spark, t, Seq("pt", "days(d)"), "id",
+        BigDecimal(0), BigDecimal(10),
+        Map("d" -> date_add(col("d"), 30)))
+    }
+    assert(e3.getMessage.contains("its source"), e3.getMessage)
+  }
+
+  test("legacy comma-joined graft.partcols (pre-transform format) still " +
+      "parses — an upgraded engine keeps writing to an old evolved table") {
+    val t = freshTsTable()
+    // what the earlier identity-only format persisted
+    TableCommit.setProperties(t, Map("graft.partcols" -> "pt"))
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      rowsOf(3, from = 500).toDF("id", "v", "d", "pt"))
+    assert(TableCommit.read(spark, t).count() == 103L)
+  }
+
   test("truncate() transform: prefix dirs; derived dir name colliding " +
       "with a real column is refused; transform source must exist") {
     val t = freshTsTable()

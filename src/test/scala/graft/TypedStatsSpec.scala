@@ -248,6 +248,14 @@ class TypedStatsSpec extends GraftSpec {
         "+10000-01-01", "+10000-12-31").count()
     }
     assert(e.getMessage.contains("four-digit-year"), e.getMessage)
+    // the DML twins refuse the same band (the silent-no-op trap: an
+    // era-unsafe band inverts under cpCompare and would prune every
+    // candidate, reporting 0 rows deleted)
+    val e2 = intercept[IllegalArgumentException] {
+      TableCommit.deleteWhereLex(spark, t, "pt", "d",
+        "2020-01-01", "+10000-01-01")
+    }
+    assert(e2.getMessage.contains("four-digit-year"), e2.getMessage)
   }
 
   test("compactionPlan: a metadata-only OPTIMIZE picker — under-target " +

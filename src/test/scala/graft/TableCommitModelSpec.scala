@@ -206,10 +206,14 @@ class TableCommitModelSpec extends GraftSpec {
         val lo = math.abs(rnd.nextLong()) % (mx + 1)
         (lo, lo + math.abs(rnd.nextLong()) % (mx / 4 + 1))
       }
+      // half the seeds evolve to an identity pair, half to a HIDDEN
+      // bucket transform — the verb mix must hold over either layout
+      val evolvedSpec =
+        if (rnd.nextBoolean()) Seq("pt", "ps") else Seq("pt", "bucket(4,id)")
       for (step <- 0 until 12) {
         if (step == evolveAt) {
-          TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "ps"))
-          partCols = Seq("pt", "ps")
+          TableCommit.evolvePartitioningBy(spark, t, evolvedSpec)
+          partCols = evolvedSpec
         }
         val op = rnd.nextInt(6)
         val (lo, hi) = band()

@@ -1138,7 +1138,19 @@ object TableCommit {
       s"table base path $table carries '=' in a dir segment — " +
         "mixed-layout keying would misread it as a partition level")
     initIfAbsent(table)
-    val cols = read(s, table).columns.toSet
+    val schema = read(s, table).schema
+    val cols = schema.fieldNames.toSet
+    // days() requires a temporal source — refused at EVOLVE time, not
+    // first write (the stage-time dispatch would also fail loudly, but
+    // by then the spec is already the table's declared contract)
+    specs.filter(_.transform.exists(_._1 == "days")).foreach { sc =>
+      val dt = schema.fields.find(_.name == sc.source).map(_.dataType)
+      import org.apache.spark.sql.types._
+      require(dt.forall(d => d == DateType || d == TimestampType ||
+          d == TimestampNTZType),
+        s"days(${sc.source}): source must be a date/timestamp column, " +
+          s"got ${dt.fold("absent")(_.simpleString)}")
+    }
     val missing = specs.map(_.source).filterNot(cols)
     require(missing.isEmpty,
       s"evolved partition source column(s) ${missing.mkString(", ")} are " +

@@ -1957,16 +1957,24 @@ object TableCommit {
     * files. */
   def readWhereLexAt(s: SparkSession, table: String, id: Long,
       column: String, lo: String, hi: String): DataFrame = {
-    val temporal = manifests(table).find(_._1 == id)
-      .flatMap(_._2.schema).flatMap(_.fields.find(_.name == column))
-      .exists(f => f.dataType == org.apache.spark.sql.types.DateType ||
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-    require(!temporal || (isoLexSafe(lo) && isoLexSafe(hi)),
-      s"lexicographic band [$lo, $hi] on temporal column $column of " +
-        s"$table is outside the plain four-digit-year era — its " +
-        "rendering does not order lexicographically; use a plain-era " +
-        "band or filter after readAt")
-    readWhereBandAt(s, table, id, column, LexBand(lo, hi))
+    // the band-typing schema comes from the SIDECAR's own meta when
+    // the cold-open fast path will serve the read — resolving the full
+    // text manifest chain just to type the band would defeat the
+    // metadata-light open sidecarPrunedLex exists to provide; the
+    // chain parse is the fallback when no fresh sidecar serves `id`
+    // (or its meta carries a feature this reader lacks — the text
+    // path's own #require gate then decides loudly)
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      freshSidecar(table, id).flatMap(p => scala.util.Try {
+        val meta = CheckpointSidecar.readMeta(p)
+        guardSidecarRequires(meta)
+        meta.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }.toOption).getOrElse(
+        manifests(table).find(_._1 == id).flatMap(_._2.schema))
+    readWhereBandAt(s, table, id, column,
+      guardLexBand(table, column, LexBand(lo, hi), schema))
   }
 
   private def readWhereBandAt(s: SparkSession, table: String, id: Long,
@@ -2032,7 +2040,8 @@ object TableCommit {
       lo: String, hi: String): (Int, Int) =
     manifests(table).find(_._1 == id) match {
       case Some((_, m)) =>
-        (pruneFilesBand(m, column, LexBand(lo, hi)).length,
+        (pruneFilesBand(m, column,
+          guardLexBand(table, column, LexBand(lo, hi), m.schema)).length,
           filesOf(m).length)
       case None => sys.error(
         s"snapshot $id of $table is outside the retention window")
@@ -2052,24 +2061,77 @@ object TableCommit {
       if (vs.isEmpty) None else Some((vs.map(_._1).min, vs.map(_._2).max))
     }
 
-  /** Shared guard of every lexicographic band entry point: an
-    * era-unsafe band over a DATE/NTZ-timestamp column compares in a
-    * DIFFERENT order than the row predicate's coercion (expanded years
-    * lead with '+'), so pruning against it could silently exclude
-    * overlapping files — refuse loudly (the readWhereLexAt rule,
-    * applied to the DML twins too). */
-  private def guardTemporalLexBand(table: String, column: String,
-      band: StatBand, m: Snapshot): Unit = band match {
-    case LexBand(lo, hi) =>
-      val temporal = m.schema.flatMap(_.fields.find(_.name == column))
-        .exists(f => f.dataType == org.apache.spark.sql.types.DateType ||
-          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-      require(!temporal || (isoLexSafe(lo) && isoLexSafe(hi)),
-        s"lexicographic band [$lo, $hi] on temporal column $column of " +
-          s"$table is outside the plain four-digit-year era — its " +
-          "rendering does not order lexicographically")
-    case _ => ()
+  /** Full re-rendering of a temporal lex bound: PARSE via the same
+    * cast the row predicate's coercion applies, RE-RENDER via the same
+    * cast [[fileMeta]] records stats with — `keeps` and `pred` then
+    * share one order even when the caller's bound is a PREFIX of the
+    * stats rendering. Without this, an NTZ band hi of '2020-01-01'
+    * against a recorded min '2020-01-01 00:00:00' ranks the prefix
+    * LOWER in code-point order (file excluded) while the predicate
+    * casts the bound to midnight and MATCHES the midnight row — silent
+    * row loss on the hi side (a lo-side prefix sorts first, which is
+    * already conservative). TRY-mode casts keep the parse
+    * session-ANSI-independent; an unparseable bound fails loudly here
+    * rather than as a confusing runtime cast error. */
+  private def renderTemporalLexBound(v: String,
+      dt: org.apache.spark.sql.types.DataType,
+      table: String, column: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    val parsed = Cast(Literal(v), dt, Some("UTC"), EvalMode.TRY).eval()
+    require(parsed != null,
+      s"lexicographic band value '$v' on $column of $table does not " +
+        s"parse as ${dt.simpleString}")
+    String.valueOf(Cast(Literal(parsed, dt),
+      org.apache.spark.sql.types.StringType, Some("UTC"),
+      EvalMode.TRY).eval())
   }
+
+  /** Shared guard of every lexicographic band entry point — the band
+    * must compare in the SAME order the row predicate coerces, or
+    * metadata pruning silently loses rows:
+    *
+    *  - STRING columns pass verbatim (UTF8String binary order IS
+    *    code-point order);
+    *  - DATE/NTZ-timestamp columns must be in the plain
+    *    four-digit-year era (expanded years lead with '+'/'-' and
+    *    break the character ordering) AND are re-rendered to the full
+    *    stats rendering ([[renderTemporalLexBound]] — a prefix bound
+    *    ranks below the rendered value it equals temporally);
+    *  - any OTHER type is refused loudly: numeric renderings compare
+    *    in code-point order ('9' > '10') while the row predicate
+    *    coerces numerically (9 < 10) — a file with mn='10' would be
+    *    wrongly excluded from a ['1','9'] band, the exact
+    *    silent-row-loss mode the temporal era check was added to
+    *    prevent. Numeric keys take the numeric band API.
+    *
+    * A schema-less snapshot (adopted manifest-0) carries no
+    * engine-recorded stats, so its band passes through untyped —
+    * pruning keeps everything and the row predicate decides. */
+  private def guardLexBand(table: String, column: String,
+      band: StatBand,
+      schema: Option[org.apache.spark.sql.types.StructType]): StatBand =
+    band match {
+      case LexBand(lo, hi) =>
+        import org.apache.spark.sql.types._
+        schema.flatMap(_.fields.find(_.name == column)).map(_.dataType) match {
+          case None | Some(StringType) => band
+          case Some(dt @ (DateType | TimestampNTZType)) =>
+            require(isoLexSafe(lo) && isoLexSafe(hi),
+              s"lexicographic band [$lo, $hi] on temporal column $column " +
+                s"of $table is outside the plain four-digit-year era — " +
+                "its rendering does not order lexicographically")
+            LexBand(renderTemporalLexBound(lo, dt, table, column),
+              renderTemporalLexBound(hi, dt, table, column))
+          case Some(other) => sys.error(
+            s"lexicographic band on $column of $table: " +
+              s"${other.simpleString} renderings do not compare in " +
+              "code-point order (lex '9' > '10', numerically 9 < 10) — " +
+              "pruning against them silently loses rows; use the " +
+              "numeric band API (readWhere/deleteWhere/updateWhere) " +
+              "or filter after readAt")
+        }
+      case _ => band
+    }
 
   /** Manifest-only pruning decision behind [[readWhereAt]] — band
     * polymorphic (numeric or lexicographic); a malformed recorded
@@ -3462,12 +3524,12 @@ object TableCommit {
     deleteWhereBandBy(s, table, partCols, column, LexBand(lo, hi))
 
   private def deleteWhereBandBy(s: SparkSession, table: String,
-      partCols: Seq[String], column: String, band: StatBand): DeleteAudit = {
+      partCols: Seq[String], column: String, band0: StatBand): DeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    guardTemporalLexBand(table, column, band, m)
+    val band = guardLexBand(table, column, band0, m.schema)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -3541,12 +3603,12 @@ object TableCommit {
 
   private def deleteWhereMorBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String,
-      band: StatBand): MorDeleteAudit = {
+      band0: StatBand): MorDeleteAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    guardTemporalLexBand(table, column, band, m)
+    val band = guardLexBand(table, column, band0, m.schema)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -3675,13 +3737,13 @@ object TableCommit {
     updateWhereMorBandBy(s, table, partCols, column, LexBand(lo, hi), set)
 
   private def updateWhereMorBandBy(s: SparkSession, table: String,
-      partCols: Seq[String], column: String, band: StatBand,
+      partCols: Seq[String], column: String, band0: StatBand,
       set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    guardTemporalLexBand(table, column, band, m)
+    val band = guardLexBand(table, column, band0, m.schema)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)
@@ -4174,13 +4236,13 @@ object TableCommit {
     updateWhereBandBy(s, table, partCols, column, LexBand(lo, hi), set)
 
   private def updateWhereBandBy(s: SparkSession, table: String,
-      partCols: Seq[String], column: String, band: StatBand,
+      partCols: Seq[String], column: String, band0: StatBand,
       set: Map[String, org.apache.spark.sql.Column]): UpdateAudit = {
     initIfAbsent(table)
     val (baseId0, baseFiles0) = resolve(table).get
     val m = manifests(table).find(_._1 == baseId0).get._2
     val total = filesOf(m).length
-    guardTemporalLexBand(table, column, band, m)
+    val band = guardLexBand(table, column, band0, m.schema)
     val candidates = pruneFilesBand(m, column, band)
     def matchPred = band.pred(column)
     if (candidates.isEmpty)

@@ -837,9 +837,13 @@ object Etl {
       val oldestDay = migrated
         .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted.head
       val beforeDrop = TableCommit.read(s, table).count()
+      // the comparison day derives through the SAME UTC epoch-day
+      // arithmetic days() lays the dir out with — session-TZ to_date
+      // would mismatch the dropped leaf in any non-UTC driver session
       val dayRows = TableCommit.read(s, table)
         .filter(col("event_type") === lit(sub.stripPrefix("event_type=")) &&
-          to_date(col("ts")).cast("string") ===
+          date_from_unix_date(floor(unix_micros(col("ts")) /
+              86400000000L).cast("int")).cast("string") ===
             lit(oldestDay.substring(oldestDay.indexOf("p_ts_day=") + 9)))
         .count()
       TableCommit.replacePartitionsBy(s, table,

@@ -258,6 +258,107 @@ class TypedStatsSpec extends GraftSpec {
     assert(e2.getMessage.contains("four-digit-year"), e2.getMessage)
   }
 
+  /** An NTZ-timestamp table: Jan days in pt=0, Feb days in pt=1, one
+    * file each — pt=1's recorded min is EXACTLY '2026-02-01 00:00:00',
+    * the boundary a date-only prefix band must not mis-rank. */
+  private def freshNtzTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val rows = (0 until 59).map { i =>
+      (java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusDays(i),
+        s"v$i", if (i < 31) 0 else 1)
+    }
+    rows.toDF("ts", "v", "pt").repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("ts", "v", "pt"), clusterBy = Seq("ts"),
+      filesPerPartition = 1)
+    t
+  }
+
+  test("NTZ prefix band re-renders to the full stats rendering: a hi bound " +
+      "of '2026-02-01' keeps the file whose min is the midnight row the " +
+      "predicate matches (keeps and pred share one order)") {
+    val t = freshNtzTable()
+    val (id, _) = TableCommit.resolve(t).get
+    // rows: Jan 10..31 (22) + the Feb 1 midnight row (1) = 23; the
+    // pre-fix cpCompare ranked mn='2026-02-01 00:00:00' ABOVE the
+    // prefix hi and silently dropped the whole Feb file
+    val got = TableCommit.readWhereLexAt(spark, t, id, "ts",
+      "2026-01-10", "2026-02-01")
+    val expect = TableCommit.readAt(spark, t, id)
+      .filter(col("ts") >= "2026-01-10" && col("ts") <= "2026-02-01")
+    assert(got.count() == 23L && expect.count() == 23L,
+      s"got ${got.count()} expect ${expect.count()}")
+    // the audit twin agrees with the read's decision
+    val (kept, total) = TableCommit.pruneAuditLex(t, id, "ts",
+      "2026-01-10", "2026-02-01")
+    assert(kept == 2 && total == 2, s"kept $kept of $total")
+    // and a band genuinely clear of Feb still prunes its file
+    val (kept2, _) = TableCommit.pruneAuditLex(t, id, "ts",
+      "2026-01-10", "2026-01-31")
+    assert(kept2 == 1, s"kept $kept2, Jan-only band should prune Feb")
+    // DML twin: a banded MoR delete through the same prefix bound
+    // kills exactly the 23 rows (the pre-fix code pruned the Feb file
+    // out of candidacy and under-deleted)
+    val mor = TableCommit.deleteWhereMorLex(spark, t, "pt", "ts",
+      "2026-01-10", "2026-02-01")
+    assert(mor.rowsDeleted == 23L, mor.toString)
+    assert(TableCommit.read(spark, t).count() == 36L)
+  }
+
+  test("a lexicographic band over a NUMERIC column is refused loudly on " +
+      "every entry point (code-point '9' > '10' vs numeric 9 < 10 would " +
+      "silently lose rows)") {
+    val t = freshLexTable(i => f"doc-$i%05d") // pt is an Int column
+    val (id, _) = TableCommit.resolve(t).get
+    val e = intercept[RuntimeException] {
+      TableCommit.readWhereLexAt(spark, t, id, "pt", "0", "1").count()
+    }
+    assert(e.getMessage.contains("code-point"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      TableCommit.deleteWhereLex(spark, t, "pt", "pt", "0", "1")
+    }
+    assert(e2.getMessage.contains("code-point"), e2.getMessage)
+    val e3 = intercept[RuntimeException] {
+      TableCommit.updateWhereMorLex(spark, t, "pt", "pt", "0", "1",
+        Map("v" -> upper(col("v"))))
+    }
+    assert(e3.getMessage.contains("code-point"), e3.getMessage)
+    // the string key keeps working (the guard types, it does not ban)
+    assert(TableCommit.readWhereLexAt(spark, t, id, "k",
+      "doc-00000", "doc-00009").count() == 10L)
+  }
+
+  test("sidecar cold-open types the band from the sidecar's own meta: a " +
+      "checkpointed NTZ table refuses an era-unsafe band and normalizes a " +
+      "prefix band without a text-chain parse dependency") {
+    val t = freshNtzTable()
+    TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+    // a fresh checkpoint commit so the newest id carries a sidecar
+    val rows = (0 until 59).map { i =>
+      (java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusDays(i),
+        s"w$i", if (i < 31) 0 else 1)
+    }
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("ts", "v", "pt"), clusterBy = Seq("ts"),
+      filesPerPartition = 1)
+    val (id, _) = TableCommit.resolve(t).get
+    assert(TableCommit.sidecarPrunedFilesLex(t, id, "ts",
+      "2026-01-10", "2026-02-01 00:00:00").isDefined,
+      "no sidecar served the newest checkpoint")
+    // era guard fires with the type resolved via the sidecar meta
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.readWhereLexAt(spark, t, id, "ts",
+        "+10000-01-01", "+10000-12-31").count()
+    }
+    assert(e.getMessage.contains("four-digit-year"), e.getMessage)
+    // prefix normalization holds on the sidecar-served read
+    assert(TableCommit.readWhereLexAt(spark, t, id, "ts",
+      "2026-01-10", "2026-02-01").count() == 23L)
+  }
+
   test("compactionPlan: a metadata-only OPTIMIZE picker — under-target " +
       "files per dir from #bytes entries, fragmented dirs first, " +
       "singleton dirs skipped; executing the plan clears it") {

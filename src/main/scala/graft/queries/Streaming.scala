@@ -654,8 +654,72 @@ object Streaming {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  // -------------------------------------------------------- n_stream_transform
+  /** STREAMING INGEST through a HIDDEN-PARTITION transform spec
+    * (round-12 verdict item 1): the graft-table sink's `partitionSpec`
+    * option routes each micro-batch through the spec-aware
+    * `appendRowsBy`, so a stream lands under `days(ts)/bucket(4,
+    * user_id)` dirs — a layout `.partitionBy` can never express (it
+    * only names frame columns) — with the derived dir columns hidden
+    * from every reader. Exactly the day-one shape of a production
+    * ingest: events tail in continuously, files land day-bucketed so
+    * retention is an empty-leaf replace and bucket-joins can co-locate,
+    * and the txn ledger keeps replays exactly-once. The returned frame
+    * audits the whole contract per day: read-side row counts derived
+    * through the SAME UTC epoch-day arithmetic days() lays dirs out
+    * with, against the MANIFEST's dir tree (bucket fan-out per day) and
+    * the batch writer's expected counts — all equal or the row shows
+    * the drift. TableStreamSourceSpec pins tree-equivalence with the
+    * batch writer, hidden pruning, and the layout-resolution guards. */
+  private def streamTransform(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stf_${UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val slice = col("user_id") % 13 === 0
+      withStreamConf(s) {
+        withCheckpoint { cp =>
+          eventsStream(s, d).filter(slice)
+            .writeStream.format("graft-table")
+            .option("partitionSpec", "days(ts);bucket(4,user_id)")
+            .option("txnAppId", "n_stream_transform")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .start(table).awaitTermination()
+        }
+      }
+      val read = TableCommit.read(s, table)
+      val hidden = !read.columns.contains("p_ts_day") &&
+        !read.columns.contains("p_user_id_bucket")
+      // bucket fan-out per day from MANIFEST METADATA (no data IO)
+      val bucketsPerDay = TableCommit.resolve(table).get._2
+        .map(_.split('/')).collect {
+          case parts if parts.length == 3 =>
+            (parts(0).stripPrefix("p_ts_day="),
+              parts(1).stripPrefix("p_user_id_bucket="))
+        }.groupBy(_._1).map { case (day, xs) =>
+          (day, xs.map(_._2).toSet.size.toLong) }.toSeq
+      import s.implicits._
+      val utcDay = date_from_unix_date(floor(unix_micros(col("ts")) /
+        86400000000L).cast("int")).cast("string").as("day")
+      val gotCounts = read.groupBy(utcDay)
+        .agg(count(lit(1)).as("n_rows"))
+      val wantCounts = Tables.events(s, d).filter(slice).groupBy(utcDay)
+        .agg(count(lit(1)).as("n_src"))
+      // MATERIALIZED before the finally deletes the scratch table (the
+      // returned frame must not re-scan it lazily); day-count-sized
+      val audit = gotCounts.join(wantCounts, "day")
+        .join(bucketsPerDay.toDF("day", "n_buckets"), "day")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (hidden) 1L else 0L)).toSeq.sortBy(_._1)
+      audit.toDF("day", "n_rows", "n_src", "n_buckets", "hidden")
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("n_stream_static", streamStatic, None),
+    QueryDef("n_stream_transform", streamTransform, None),
     QueryDef("n_stream_tumble", streamTumble, None),
     QueryDef("n_stream_session", streamSession, None),
     QueryDef("n_stream_dedup_state", streamDedupState, None),

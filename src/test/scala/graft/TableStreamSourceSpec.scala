@@ -218,6 +218,115 @@ class TableStreamSourceSpec extends GraftSpec {
       s"queryId-scoped ledger identity missing: ${ledger.toSeq}")
   }
 
+  test("graft-table sink through a TRANSFORM partition spec: the " +
+      "partitionSpec option lays out hidden days()/bucket() dirs " +
+      "identical to the batch writer's; a declared-spec table is the " +
+      "default layout; conflicting/missing layouts are refused") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tts").toFile
+    val src = new java.io.File(scratch, "src").getAbsolutePath
+    val rows = (0 until 40).map(i => (i.toLong, s"v$i",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 2, 1)
+        .plusDays(i % 3)), i % 2))
+    rows.toDF("id", "v", "d", "pt").repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(src)
+    TableCommit.initIfAbsent(src)
+
+    // (1) explicit partitionSpec option — no .partitionBy at all
+    val dst = new java.io.File(scratch, "dst").getAbsolutePath
+    spark.readStream.format("graft-table").load(src)
+      .writeStream.format("graft-table")
+      .option("partitionSpec", "days(d);bucket(2,id)")
+      .option("txnAppId", "tts_spec")
+      .option("checkpointLocation",
+        new java.io.File(scratch, "ck1").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start(dst).awaitTermination()
+    val (dstId, files) = TableCommit.resolve(dst).get
+    assert(files.nonEmpty && files.forall(
+      _.matches("p_d_day=2026-02-0\\d/p_id_bucket=[01]/.*")),
+      files.toString)
+    // derived dir columns stay HIDDEN from reads
+    assert(TableCommit.read(spark, dst).columns.toSeq ==
+      Seq("id", "v", "d", "pt"),
+      TableCommit.read(spark, dst).columns.toSeq.toString)
+    val got = TableCommit.read(spark, dst)
+      .select(col("id"), col("v"), col("d").cast("string"),
+        col("pt").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(got == rows.map(r => (r._1, r._2, r._3.toString, r._4)).toSet,
+      s"streamed rows differ from source (${got.size})")
+    // BATCH-EQUIVALENCE of the on-disk tree: the spec-aware batch
+    // writer over the same rows produces the same partition-dir set
+    val dstB = new java.io.File(scratch, "dstB").getAbsolutePath
+    TableCommit.appendRowsBy(spark, dstB,
+      Seq("days(d)", "bucket(2,id)"), rows.toDF("id", "v", "d", "pt"))
+    def dirsOf(t: String): Set[String] = TableCommit.resolve(t).get._2
+      .map(TableCommit.partitionDirOf).toSet
+    assert(dirsOf(dst) == dirsOf(dstB),
+      s"stream tree ${dirsOf(dst)} != batch tree ${dirsOf(dstB)}")
+    // HIDDEN-PARTITION pruning: a one-day consumer reads only that
+    // day's files, picked by manifest metadata alone
+    val day = files.map(TableCommit.partitionDirOf)
+      .filter(_.startsWith("p_d_day=")).map(_.split('/').head).min
+    val subset = files.filter(_.startsWith(day + "/"))
+    val pruned = TableCommit.readFileSubset(spark, dst, dstId, subset)
+    assert(subset.nonEmpty && subset.length < files.length &&
+      pruned.inputFiles.length == subset.length,
+      s"day prune read ${pruned.inputFiles.length} of ${files.length}")
+    assert(pruned.select(col("d").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(day.stripPrefix("p_d_day=")))
+
+    // (2) DEFAULT layout: a table whose spec was DECLARED
+    // (evolvePartitioningBy) needs no sink layout configuration
+    val dst2 = new java.io.File(scratch, "dst2").getAbsolutePath
+    TableCommit.appendRowsBy(spark, dst2, Seq("days(d)"),
+      rows.take(3).toDF("id", "v", "d", "pt"))
+    TableCommit.evolvePartitioningBy(spark, dst2, Seq("days(d)"))
+    spark.readStream.format("graft-table").load(src)
+      .writeStream.format("graft-table")
+      .option("txnAppId", "tts_default")
+      .option("checkpointLocation",
+        new java.io.File(scratch, "ck2").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start(dst2).awaitTermination()
+    assert(TableCommit.read(spark, dst2).count() == 43L)
+    assert(TableCommit.resolve(dst2).get._2.forall(
+      _.matches("p_d_day=2026-02-0\\d/.*")),
+      TableCommit.resolve(dst2).get._2.toString)
+
+    def mentions(x: Throwable, s: String): Boolean =
+      x != null && (Option(x.getMessage).exists(_.contains(s)) ||
+        mentions(x.getCause, s))
+    // (3) partitionBy AND a disagreeing partitionSpec: refused at
+    // stream definition
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .partitionBy("pt")
+        .option("partitionSpec", "days(d)")
+        .option("checkpointLocation",
+          new java.io.File(scratch, "ck3").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(scratch, "dst3").getAbsolutePath)
+        .awaitTermination()
+    }
+    assert(mentions(e, "give the layout once"), e.getMessage)
+    // (4) no layout anywhere (undeclared table): the refusal names the
+    // full menu
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "tts_none")
+        .option("checkpointLocation",
+          new java.io.File(scratch, "ck4").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(scratch, "dst4").getAbsolutePath)
+        .awaitTermination()
+    }
+    assert(mentions(e2, "partitionSpec"), e2.getMessage)
+  }
+
   test("graft-table source: maxSnapshotsPerTrigger bounds each " +
       "micro-batch at N source commits — a backlog drains as several " +
       "batches, each an exactly-once sink commit, same final rows") {

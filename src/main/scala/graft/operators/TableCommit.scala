@@ -2402,6 +2402,88 @@ object TableCommit {
         s"snapshot $id of $table is outside the retention window")
     }
 
+  /** COMMITTED-LAYOUT CO-LOCATED JOIN (round-13): serve the newest
+    * snapshot of a table laid out by the `bucket(n, key)` transform as
+    * a session-catalog BUCKETED table, so equi-joins on `key` between
+    * two such tables (or against any same-bucketing catalog table) run
+    * with NO Exchange on either side — the shuffle the layout paid for
+    * at write time is finally redeemable from the COMMITTED tree, not
+    * just from a session `bucketBy` write.
+    *
+    * Mechanics, all metadata-sized:
+    *  - the commit's `bucket(n,key)` dirs hold rows by
+    *    `pmod(hash(key), n)` — Spark's own murmur3(seed 42) bucket-id
+    *    expression (PROTOCOL.md pins the hash as part of the format),
+    *    so a `p_<key>_bucket=b` dir IS Spark catalog bucket `b`;
+    *  - each snapshot file HARD-LINKS (TableStore.shareFile — zero
+    *    copy locally, server-side COPY on object stores, the cloneTo
+    *    primitive) into a FLAT serve tree under a bucket-tagged name
+    *    (`…_0000b.parquet`, the suffix `BucketingUtils.getBucketId`
+    *    parses), snapshot-PINNED: later commits to the source table
+    *    never change the served file set;
+    *  - one `CREATE TABLE … CLUSTERED BY (key) INTO n BUCKETS
+    *    LOCATION serveDir` registers the tree (pure metadata — no
+    *    SORTED BY claim: Spark only trusts written order for
+    *    single-file buckets, and the Exchange is the cost that matters).
+    *
+    * Refused loudly (each would serve WRONG ROWS silently):
+    * a mixed-generation snapshot with files outside the single-level
+    * bucket layout (migrate via `compactPartitionsBy` first), files
+    * carrying live deletion vectors (a linked read bypasses the DV
+    * anti-join — compact to materialize), and column-mapped schemas
+    * (the served footers carry physical names the DDL would misread).
+    *
+    * At 100 TB: registration is O(files) metadata + links, read paths
+    * are untouched, and the nightly fact⋈fact join on the bucket key
+    * drops its largest shuffle — Iceberg's storage-partitioned-join
+    * win, landed through the session catalog instead of a DSv2
+    * connector. */
+  def registerBucketedView(s: SparkSession, table: String, name: String,
+      key: String, numBuckets: Int, serveDir: String): Unit = {
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    val (id, files) = resolve(table).getOrElse(
+      sys.error(s"$table has no snapshot to serve"))
+    val m = manifests(table).find(_._1 == id).get._2
+    val dirRe = ("p_" + java.util.regex.Pattern.quote(key) +
+      "_bucket=(\\d+)").r
+    val byBucket: Seq[(String, Int)] = files.map { rel =>
+      val cut = rel.lastIndexOf('/')
+      require(cut > 0 && rel.indexOf('/') == cut,
+        s"$table file $rel is not under a single-level bucket dir — " +
+          s"migrate the old-layout generation first (compactPartitionsBy" +
+          s"(Seq(\"bucket($numBuckets,$key)\"), prefixDirs))")
+      rel.substring(0, cut) match {
+        case dirRe(b) if b.toInt < numBuckets => (rel, b.toInt)
+        case d => sys.error(s"$table file $rel sits in '$d', not the " +
+          s"expected bucket($numBuckets,$key) layout")
+      }
+    }
+    val vectored = files.filter(f => m.dv.getOrElse(f, Nil).nonEmpty)
+    require(vectored.isEmpty,
+      s"cannot serve vectored files as a bucketed view — the linked " +
+        s"reads would bypass their deletion vectors; compact first " +
+        s"(${vectored.take(3).mkString(", ")})")
+    schemaOf(m).foreach { sch =>
+      val mapped = sch.fields.filter(f =>
+        f.metadata.contains(PhysicalKey) &&
+          f.metadata.getString(PhysicalKey) != f.name)
+      require(mapped.isEmpty,
+        s"cannot serve a column-mapped table as a bucketed view: " +
+          s"physical bindings on ${mapped.map(_.name).mkString(", ")}")
+    }
+    val st = store(table)
+    byBucket.zipWithIndex.foreach { case ((rel, b), i) =>
+      st.shareFile(table, rel, serveDir)
+      store(serveDir).moveFile(serveDir, rel,
+        f"part-$i%05d-graft_$b%05d.c000.parquet")
+    }
+    val sch = schemaOf(m).getOrElse(s.read.parquet(serveDir).schema)
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    s.sql(s"CREATE TABLE `$name` (${sch.toDDL}) USING parquet " +
+      s"CLUSTERED BY (`$key`) INTO $numBuckets BUCKETS " +
+      s"LOCATION '$serveDir'")
+  }
+
   /** Directory portion of a manifest-relative data-file path — its
     * partition directory, ANY depth (`pt=5/part-x.parquet` → `pt=5`;
     * `d=1/s=a/part-x.parquet` → `d=1/s=a`); the public twin of

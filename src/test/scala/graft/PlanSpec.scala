@@ -237,6 +237,75 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("COMMITTED bucket(n,key) layout joins with zero Exchange through " +
+      "registerBucketedView; mixed-generation and vectored snapshots " +
+      "are refused") {
+    import graft.operators.TableCommit
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cbv").toFile
+    val aT = new java.io.File(base, "a").getAbsolutePath
+    val bT = new java.io.File(base, "b").getAbsolutePath
+    val left = (0 until 400).map(i => (i.toLong, s"l$i"))
+      .toDF("k", "lv")
+    val right = (0 until 400 by 2).map(i => (i.toLong, s"r$i"))
+      .toDF("k", "rv")
+    TableCommit.appendRowsBy(spark, aT, Seq("bucket(8,k)"), left)
+    TableCommit.appendRowsBy(spark, bT, Seq("bucket(8,k)"), right)
+    TableCommit.registerBucketedView(spark, aT, "cbv_a", "k", 8,
+      new java.io.File(base, "a_serve").getAbsolutePath)
+    TableCommit.registerBucketedView(spark, bT, "cbv_b", "k", 8,
+      new java.io.File(base, "b_serve").getAbsolutePath)
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("cbv_a")
+        .join(spark.table("cbv_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"committed bucketed join shuffled:\n${p.take(2000)}")
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      // and the rows are the join's rows (the layout changed the plan,
+      // not the result)
+      assert(joined.count() == 200L)
+      assert(joined.filter(col("k") === 42L).select("lv", "rv")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("l42", "r42")))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS cbv_a")
+      spark.sql("DROP TABLE IF EXISTS cbv_b")
+    }
+    // REFUSALS — each would silently serve wrong rows:
+    // (1) a mixed-generation snapshot (identity-layout file present)
+    val cT = new java.io.File(base, "c").getAbsolutePath
+    left.withColumn("pt", lit(0)).write.mode("overwrite")
+      .partitionBy("pt").parquet(cT)
+    TableCommit.initIfAbsent(cT)
+    TableCommit.appendRowsBy(spark, cT, Seq("bucket(8,k)"),
+      right.withColumn("pt", lit(1)))
+    val e1 = intercept[Exception] {
+      TableCommit.registerBucketedView(spark, cT, "cbv_c", "k", 8,
+        new java.io.File(base, "c_serve").getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("bucket(8,k)"), e1.getMessage)
+    // (2) live deletion vectors on the snapshot
+    val mor = TableCommit.deleteWhereMorBy(spark, aT, Seq("bucket(8,k)"),
+      "k", BigDecimal(0), BigDecimal(10))
+    assert(mor.rowsDeleted == 11L, mor.toString)
+    val e2 = intercept[Exception] {
+      TableCommit.registerBucketedView(spark, aT, "cbv_a2", "k", 8,
+        new java.io.File(base, "a2_serve").getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    graft.operators.Sinks.deleteRecursively(base)
+  }
+
   test("q_sql_entry (SQL text) gets the same physical treatment as the " +
       "DataFrame queries: pushdown + TakeOrderedAndProject") {
     val p = plan("q_sql_entry")

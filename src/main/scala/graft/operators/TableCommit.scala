@@ -1063,8 +1063,22 @@ object TableCommit {
       }
       case ("bucket", n) =>
         pmod(hash(col(sc.source)), lit(n)).cast("string")
-      case ("trunc", w) =>
-        substring(col(sc.source), 1, w)
+      case ("trunc", w) => dt match {
+        // Iceberg's truncate, per source type: strings keep the first
+        // W characters; integrals bucket to the floor multiple of W
+        // (`v - pmod(v, W)` — pmod keeps negatives on the floor side,
+        // Iceberg's `v - (((v % W) + W) % W)`). Anything else is
+        // refused: the pre-r13 implicit cast-to-string silently
+        // truncated an int's DIGITS (truncate(2, 1234) → "12"),
+        // diverging from the Iceberg semantics the transform mirrors.
+        case Some(StringType) => substring(col(sc.source), 1, w)
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          (col(sc.source) - pmod(col(sc.source), lit(w.toLong)))
+            .cast("string")
+        case other => sys.error(s"truncate(${sc.source}): source must " +
+          "be a string or integral column, got " +
+          other.fold("absent")(_.simpleString))
+      }
     }
   }
 
@@ -1150,6 +1164,17 @@ object TableCommit {
           d == TimestampNTZType),
         s"days(${sc.source}): source must be a date/timestamp column, " +
           s"got ${dt.fold("absent")(_.simpleString)}")
+    }
+    // truncate() likewise dispatches on source type (string prefix vs
+    // integral floor-multiple) — refuse unsupported types at EVOLVE
+    // time rather than first write
+    specs.filter(_.transform.exists(_._1 == "trunc")).foreach { sc =>
+      val dt = schema.fields.find(_.name == sc.source).map(_.dataType)
+      import org.apache.spark.sql.types._
+      require(dt.forall(d => d == StringType || d == ByteType ||
+          d == ShortType || d == IntegerType || d == LongType),
+        s"truncate(${sc.source}): source must be a string or integral " +
+          s"column, got ${dt.fold("absent")(_.simpleString)}")
     }
     val missing = specs.map(_.source).filterNot(cols)
     require(missing.isEmpty,

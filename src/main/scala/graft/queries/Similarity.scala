@@ -273,6 +273,26 @@ object Similarity {
       .withColumn("score",
         call_function("graft_dot_fd", col("v"), col("cv")) * -2.0 + col("cn2"))
 
+  /** Absolute ceiling on the Lloyd's training-sample size. A bare
+    * fraction scales with the corpus — 0.25 of 100 TB of embeddings
+    * would push 25 TB through every Lloyd round — while centroid
+    * quality saturates at a model-sized sample (K=16 cells need
+    * thousands of points, not billions). Kept AS a fraction below the
+    * ceiling so small-corpus retrains draw the IDENTICAL sample (same
+    * fraction, same seed — the ModelStore bit-identical round-trip
+    * contract); above it the fraction shrinks to cap the expected
+    * sample at this many rows. */
+  private[queries] val SampleCapRows = 200000L
+  private val SampleBaseFraction = 0.25
+
+  /** The training-sample fraction for an `n`-row corpus:
+    * `min(0.25, SampleCapRows / n)` — row-bounded at scale, unchanged
+    * below the cap. */
+  private[queries] def sampleFraction(n: Long): Double =
+    if (n <= 0L || SampleBaseFraction * n <= SampleCapRows)
+      SampleBaseFraction
+    else SampleCapRows.toDouble / n
+
   /** Sample-trained pure-DataFrame Lloyd's (shared by n_cosine_knn_ivf
     * and n_semdedup — see n_cosine_knn_ivf's scaladoc for the design
     * rationale): deterministic hash-ranked init, assignment via the
@@ -281,7 +301,8 @@ object Similarity {
     * means aggregated over (cell, dim) after a posexplode rather than as
     * 64 wide avg() columns (the wide form janino-compiles a
     * multi-kilobyte aggregate — several seconds of one-off codegen).
-    * Only K×Dim centroid values ever reach the driver. */
+    * Only K×Dim centroid values ever reach the driver; the sample is
+    * row-capped by [[sampleFraction]]. */
   private def trainCentroids(s: SparkSession, e: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
     import s.implicits._
@@ -296,7 +317,8 @@ object Similarity {
     // Content-hash partitioning also makes the aggregation's merge
     // order independent of the upstream layout, so retrains converge
     // bit-identically regardless of which pipeline fed the sample.
-    val train = e.sample(withReplacement = false, fraction = 0.25, seed = 7)
+    val train = e.sample(withReplacement = false,
+        fraction = sampleFraction(e.count()), seed = 7)
       .select(col("vec_id"), col("v")).repartition(4, col("vec_id")).cache()
     // deterministic data-driven init: the K sample vectors with the
     // smallest portable hash of their id (a seeded shuffle, engine-free)

@@ -861,13 +861,32 @@ object Text {
     * word-count pass is the corpus job; the vocabulary is model-state
     * sized (the ANN-centroid class), and the learned table ships as a
     * broadcast for the tokenize pass. */
+  /** Ceiling on the BPE vocabulary the driver collects. The
+    * distinct-word table of a RAW WEB CORPUS is not model-sized
+    * (typos, ids, near-infinite long tail), so the sufficient
+    * statistic is truncated to the top words by (count DESC, word
+    * ASC) — a deterministic cut that keeps essentially all the mass
+    * pair counts are learned from (tail singletons contribute ~zero
+    * pairs), planned as TakeOrderedAndProject (no global sort).
+    * Below the cap the vocabulary is byte-identical to the uncapped
+    * collect. */
+  private[queries] val VocabCapWords = 65536
+
+  /** The capped driver-side vocabulary of a (word, w_cnt) frame —
+    * factored out so the deterministic tie-break order is
+    * spec-pinnable in isolation. */
+  private[queries] def cappedVocab(counts: DataFrame,
+      cap: Int): Seq[(String, Long)] =
+    counts.orderBy(col("w_cnt").desc, col("word")).limit(cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   private def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import graft.operators.BpeTrainer
-    val vocab = Tables.documents(s, d)
+    val vocab = cappedVocab(Tables.documents(s, d)
       .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) > 1)
-      .groupBy(col("word")).agg(count(lit(1)).as("w_cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(col("word")).agg(count(lit(1)).as("w_cnt")),
+      VocabCapWords)
     val merges = BpeTrainer.train(vocab, 40)
     // tokenization witness over the SAME sufficient statistic: chars
     // (+ terminal) before vs subword symbols after — both weighted by

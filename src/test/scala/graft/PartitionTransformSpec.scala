@@ -211,4 +211,44 @@ class PartitionTransformSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
+
+  test("truncate() on an INTEGRAL source is Iceberg's floor multiple " +
+      "(v - pmod(v, W), negatives floor), not a digit-string cut; " +
+      "unsupported source types are refused at evolve AND stage time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptn").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val rows = Seq((-150L, "a", 0), (-5L, "b", 0), (0L, "c", 0),
+      (99L, "d", 1), (100L, "e", 1), (1234L, "f", 1))
+      .toDF("id", "v", "pt")
+    rows.write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.evolvePartitioningBy(spark, t, Seq("truncate(100,id)"))
+    TableCommit.appendRowsBy(spark, t, Seq("truncate(100,id)"), rows)
+    val dirs = TableCommit.resolve(t).get._2
+      .filter(_.startsWith("p_id_trunc="))
+      .map(f => f.substring(0, f.indexOf('/'))).distinct.sorted
+    // -150 → -200, -5 → -100, 0/99 → 0, 100 → 100, 1234 → 1200 (the
+    // pre-fix cast-to-string would have cut DIGITS: 1234 → "12")
+    assert(dirs.toSet == Set("p_id_trunc=-200", "p_id_trunc=-100",
+      "p_id_trunc=0", "p_id_trunc=100", "p_id_trunc=1200"), dirs.toString)
+    // reads present logical columns, rows intact
+    assert(TableCommit.read(spark, t)
+      .filter(col("pt") === 0 || col("pt") === 1).count() == 12L)
+    // a DOUBLE source is refused at evolve time...
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ptn2").toFile
+    val t2 = new java.io.File(dir2, "table").getAbsolutePath
+    Seq((1.5, 0)).toDF("x", "pt").write.mode("overwrite")
+      .partitionBy("pt").parquet(t2)
+    TableCommit.initIfAbsent(t2)
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.evolvePartitioningBy(spark, t2, Seq("truncate(10,x)"))
+    }
+    assert(e.getMessage.contains("string or integral"), e.getMessage)
+    // ...and at stage time for an undeclared write
+    val e2 = intercept[RuntimeException] {
+      TableCommit.appendRowsBy(spark, t2, Seq("truncate(10,x)"),
+        Seq((2.5, 1)).toDF("x", "pt"))
+    }
+    assert(e2.getMessage.contains("string or integral"), e2.getMessage)
+  }
 }

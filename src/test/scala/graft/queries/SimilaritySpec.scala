@@ -4,6 +4,33 @@ import graft.GraftSpec
 
 class SimilaritySpec extends GraftSpec {
 
+  test("Lloyd's training sample: fraction unchanged below the row cap " +
+      "(small-corpus retrains stay bit-identical), row-bounded above it") {
+    // below the cap: exactly the historical 0.25 — the same (fraction,
+    // seed) draws the IDENTICAL sample, so persisted models round-trip
+    assert(Similarity.sampleFraction(0L) == 0.25)
+    assert(Similarity.sampleFraction(1000L) == 0.25)
+    assert(Similarity.sampleFraction(4 * Similarity.SampleCapRows) == 0.25)
+    // above it: the expected sample is exactly the cap, however big the
+    // corpus — 0.25 of 100 TB of embeddings must never feed Lloyd's
+    for (n <- Seq(10000000L, 400000000L, 20000000000L)) {
+      val f = Similarity.sampleFraction(n)
+      assert(math.abs(f * n - Similarity.SampleCapRows.toDouble) < 1e-3,
+        s"n=$n expected-cap drift: ${f * n}")
+      assert(f < 0.25)
+    }
+    // and a real sample over a large synthetic frame is bounded (±20%
+    // Bernoulli noise allowance, far below the uncapped 500k)
+    val n = 2000000L
+    val cnt = spark.range(n)
+      .sample(withReplacement = false,
+        fraction = Similarity.sampleFraction(n), seed = 7).count()
+    assert(cnt < (Similarity.SampleCapRows * 1.2).toLong,
+      s"sample not bounded: $cnt")
+    assert(cnt > (Similarity.SampleCapRows * 0.8).toLong,
+      s"sample suspiciously small: $cnt")
+  }
+
   test("hpComponent is deterministic, 3-decimal rational in [-1, 1]") {
     val a = Similarity.hpComponent(0, 1, 2)
     val b = Similarity.hpComponent(0, 1, 2)

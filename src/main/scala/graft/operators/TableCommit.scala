@@ -144,7 +144,7 @@ object TableCommit {
   /** Features THIS reader implements. A future directive with
     * read-correctness semantics joins this set in the same commit that
     * teaches the engine to honor it. */
-  private[graft] val KnownFeatures = Set("dv", "cdc")
+  private[graft] val KnownFeatures = Set("dv", "dv2", "cdc")
 
   private def manifestLines(table: String, id: Long): Seq[String] = {
     val identity = store(table).manifestIdentity(table, id).getOrElse(
@@ -904,6 +904,60 @@ object TableCommit {
       .withColumn("__graft_dvp", col("_metadata").getField("row_index"))
   }
 
+  /** (__dv_k, __dv_p) kill rows of registered vector dirs,
+    * FORMAT-DISPATCHED on the directive value (round-13 verdict item
+    * 4): a `.v2` dir holds one parquet row per covered data file —
+    * (k, bmp), bmp a [[DvCodec]] roaring-style blob — so its read IO
+    * is ∝ COMPRESSED BITMAP BYTES and positions decompress
+    * executor-side inside the scan's flatMap; a legacy dir holds one
+    * (k, pos) row per dead position. Both shapes union into the same
+    * kill frame the anti-join consumes. */
+  private def readDvRows(s: SparkSession, table: String,
+      dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, udf}
+    val (v2, v1) = dirs.partition(_.endsWith(".v2"))
+    val dec = udf((b: Array[Byte]) => DvCodec.decode(b))
+    val parts =
+      (if (v1.isEmpty) Nil
+       else Seq(s.read.parquet(v1.map(dir => s"$table/$dir"): _*)
+         .select(col("k").as("__dv_k"), col("pos").as("__dv_p")))) ++
+      (if (v2.isEmpty) Nil
+       else Seq(s.read.parquet(v2.map(dir => s"$table/$dir"): _*)
+         .select(col("k").as("__dv_k"),
+           explode(dec(col("bmp"))).as("__dv_p"))))
+    parts.reduce(_.unionAll(_))
+  }
+
+  /** Write `matches`' (__graft_dvk, __graft_dvp) dead positions as the
+    * commit's deletion-vector sidecar, returning the registered dir.
+    * Format v2 (the default): one parquet row per covered data file,
+    * positions roaring-compressed ([[DvCodec]]) — sidecar bytes track
+    * the compressed kill-set shape, not the dead-row count (a dense
+    * million-row kill is ~16 bytes/chunk-slot amortized instead of a
+    * parquet row per position). `graft.dv.format=v1` pins the legacy
+    * (k, pos)-rows encoding — the mixed-fleet upgrade escape: writers
+    * stay v1 until every reader understands the `dv2` feature the v2
+    * directive gates. */
+  private def writeDvSidecar(s: SparkSession, table: String,
+      writerId: String, matches: DataFrame): String = {
+    import org.apache.spark.sql.functions.{collect_list, udf}
+    val kills = matches.select(col("__graft_dvk").as("k"),
+      col("__graft_dvp").as("pos"))
+    if (properties(table).get("graft.dv.format").contains("v1")) {
+      val rel = s"_dv/$writerId"
+      kills.write.mode("overwrite").parquet(s"$table/$rel")
+      rel
+    } else {
+      val rel = s"_dv/$writerId.v2"
+      val enc = udf((ps: Seq[Long]) => DvCodec.encode(ps.toArray))
+      kills.groupBy(col("k"))
+        .agg(collect_list(col("pos")).as("ps"))
+        .select(col("k"), enc(col("ps")).as("bmp"))
+        .write.mode("overwrite").parquet(s"$table/$rel")
+      rel
+    }
+  }
+
   /** Drop rows of `keyed` (a [[dvKeyCols]]-tagged frame) that any of
     * the manifest's vectors covering `files` mark dead. */
   private def applyDv(s: SparkSession, table: String, m: Snapshot,
@@ -913,8 +967,7 @@ object TableCommit {
       .values.flatten.toSeq.distinct.sorted
     if (dirs.isEmpty) keyed
     else {
-      val dv = s.read.parquet(dirs.map(dir => s"$table/$dir"): _*)
-        .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
+      val dv = readDvRows(s, table, dirs)
       keyed.join(dv,
         keyed("__graft_dvk") === col("__dv_k") &&
           keyed("__graft_dvp") === col("__dv_p"),
@@ -1767,6 +1820,12 @@ object TableCommit {
     // resurrect; change-data sidecars ignored = the precise feed lies)
     val reqFeatures =
       (if (lines.exists(_.startsWith(DvPrefix))) Seq("dv") else Nil) ++
+      // roaring-compressed (v2) vectors gate SEPARATELY: a dv-capable
+      // reader that cannot decode a `.v2` blob must fail the parse,
+      // not anti-join an empty kill set (rows would resurrect)
+      (if (lines.exists(l => l.startsWith(DvPrefix) &&
+          l.stripPrefix(DvPrefix).split("\t", 2)(0).endsWith(".v2")))
+        Seq("dv2") else Nil) ++
       (if (lines.exists(_.startsWith(CdcPrefix))) Seq("cdc") else Nil)
     val requires = reqFeatures.map(RequirePrefix + _)
     val gated =
@@ -2401,9 +2460,7 @@ object TableCommit {
       dvB.getOrElse(f, Nil).filterNot(dvA.getOrElse(f, Nil).toSet))
       .distinct.sorted
     val raw = pinnedRead(s, table, mB, files, withMeta = true)
-    val newlyDead = s.read
-      .parquet(newDirs.map(dir => s"$table/$dir"): _*)
-      .select(col("k").as("__dv_k"), col("pos").as("__dv_p"))
+    val newlyDead = readDvRows(s, table, newDirs)
     val keyed = applyDv(s, table, mA, files,
       dvKeyCols(raw, depthsOf(files)))
     keyed.join(newlyDead,
@@ -3730,7 +3787,6 @@ object TableCommit {
     val raw = pinnedRead(s, table, m, hit, withMeta = true)
     val live = applyDv(s, table, m, hit, dvKeyCols(raw, depthsOf(hit)))
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val dvRel = s"_dv/$writerId"
     // CDF recording is OPT-IN (graft.cdf=true, the Delta default):
     // un-enabled tables pay ZERO extra commit-path work; enabled ones
     // persist the band-sized matches once so the vector write and the
@@ -3740,10 +3796,8 @@ object TableCommit {
       if (cdfOn) live.filter(coalesce(matchPred, lit(false)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else live.filter(coalesce(matchPred, lit(false)))
-    try {
-      matches0
-        .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
-        .write.mode("overwrite").parquet(s"$table/$dvRel")
+    val dvRel = try {
+      val rel = writeDvSidecar(s, table, writerId, matches0)
       // writer-recorded CHANGE DATA (round-11 verdict item 4): the
       // deleted rows' full preimages, cost ∝ matches — the precise feed
       // replays this instead of re-deriving dead rows from the vectors
@@ -3754,6 +3808,7 @@ object TableCommit {
           .select(delFields.map(col) :+ lit("delete").as("_change_type"): _*)
           .write.mode("overwrite").parquet(s"$table/_cdc/$writerId")
       }
+      rel
     } finally if (cdfOn) matches0.unpersist()
     val cdcRel = s"_cdc/$writerId"
     val hitSet = hit.toSet
@@ -3876,9 +3931,7 @@ object TableCommit {
       .filter(coalesce(matchPred, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writerId = java.util.UUID.randomUUID().toString.take(8)
-    val dvRel = s"_dv/$writerId"
-    matches.select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
-      .write.mode("overwrite").parquet(s"$table/$dvRel")
+    val dvRel = writeDvSidecar(s, table, writerId, matches)
     // the successors: every projected row already matches, so each SET
     // column is just the expression (cast to the declared type)
     val updated = matches.select(dataFields.map { f =>
@@ -4152,12 +4205,10 @@ object TableCommit {
       val rowsDeleted = hitCounts.valuesIterator.map(_._2).sum
       val rowsUpdated = rowsMatched - rowsDeleted
       val writerId = java.util.UUID.randomUUID().toString.take(8)
-      val dvRel = s"_dv/$writerId"
-      if (hit.nonEmpty)
-        // every matched row's old version dies — updates get successors
-        matched.get
-          .select(col("__graft_dvk").as("k"), col("__graft_dvp").as("pos"))
-          .write.mode("overwrite").parquet(s"$table/$dvRel")
+      // every matched row's old version dies — updates get successors
+      val dvRel =
+        if (hit.nonEmpty) writeDvSidecar(s, table, writerId, matched.get)
+        else s"_dv/$writerId"
       // successors: the update clause over the pre-merge row, each
       // assignment cast to the declared type (schema of record invariant)
       val successors = matched.map(_.filter(!delPred)

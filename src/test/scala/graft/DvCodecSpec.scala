@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DvCodec, TableCommit}
+
+/** Format-v2 deletion vectors (round-13): roaring-style compressed
+  * position bitmaps behind the existing `#dv` directive — codec
+  * round-trips, read equality across BOTH encodings (and mixed
+  * stacks, the live-upgrade path), the `dv2` feature gate, and the
+  * bytes-shrink win on a dense kill. */
+class DvCodecSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("codec round-trips randomized position sets across both container " +
+      "kinds; encoding is canonical for the SET (order/dup independent); " +
+      "torn or foreign blobs are refused") {
+    val rnd = new scala.util.Random(1331)
+    (0 until 50).foreach { trial =>
+      // mix sparse chunks, dense chunks (past the 4096 array ceiling),
+      // and chunk-boundary positions
+      val sparse = Array.fill(rnd.nextInt(3000))(rnd.nextLong(1L << 40))
+        .map(math.abs)
+      val denseBase = (rnd.nextLong(1L << 20).abs << 16)
+      val dense = Array.fill(5000 + rnd.nextInt(9000))(
+        denseBase + rnd.nextInt(65536))
+      val edges = Array(0L, 65535L, 65536L, (1L << 32) - 1, 1L << 32)
+      val ps = sparse ++ dense ++ edges
+      val enc = DvCodec.encode(ps)
+      val dec = DvCodec.decode(enc)
+      val want = ps.distinct.sorted
+      assert(dec.sameElements(want), s"trial $trial round-trip drift")
+      // canonical: shuffled, duplicated input encodes byte-identically
+      val shuffled = rnd.shuffle((ps ++ ps.take(100)).toSeq).toArray
+      assert(java.util.Arrays.equals(DvCodec.encode(shuffled), enc),
+        s"trial $trial encoding not canonical")
+    }
+    // empty set round-trips
+    assert(DvCodec.decode(DvCodec.encode(Array.empty[Long])).isEmpty)
+    // dense chunks actually compress: 60k positions in one chunk fit
+    // the 8 KiB bitmap container, not 120 KB of shorts
+    val denseAll = (0L until 60000L).toArray
+    assert(DvCodec.encode(denseAll).length < 9000,
+      s"dense chunk not bitmap-packed: ${DvCodec.encode(denseAll).length}")
+    // torn blob refused
+    val good = DvCodec.encode(Array(1L, 2L, 99999L))
+    intercept[Exception] { DvCodec.decode(good.dropRight(2)) }
+    intercept[Exception] { DvCodec.decode(good ++ Array(0.toByte)) }
+    intercept[Exception] { DvCodec.decode("junk".getBytes("UTF-8")) }
+  }
+
+  /** A 50k-row single-file-per-partition committed table. */
+  private def freshTable(fmt: Option[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv2").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val rows = (0 until 50000).map(i => (i.toLong, s"v$i", i % 2))
+    rows.toDF("id", "v", "pt").repartition(col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("id", "v", "pt"), clusterBy = Seq("id"),
+      filesPerPartition = 1)
+    TableCommit.setProperties(t,
+      Map("graft.retention.generations" -> "8") ++
+        fmt.map("graft.dv.format" -> _))
+    t
+  }
+
+  private def dvTreeBytes(t: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+    walk(new java.io.File(t, "_dv"))
+  }
+
+  test("v1 and v2 encodings read identically (CoW-through, MoR stacking, " +
+      "CDF), v2 gates with #require dv2, and a dense kill's v2 sidecar " +
+      "is a fraction of v1's bytes") {
+    val t1 = freshTable(Some("v1"))
+    val t2 = freshTable(None) // v2 default
+    def liveRows(t: String): Set[Long] = TableCommit.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // dense kill: 40k contiguous ids across both partition files
+    val a1 = TableCommit.deleteWhereMor(spark, t1, "pt", "id",
+      BigDecimal(5000), BigDecimal(44999))
+    val a2 = TableCommit.deleteWhereMor(spark, t2, "pt", "id",
+      BigDecimal(5000), BigDecimal(44999))
+    assert(a1.rowsDeleted == 40000L && a2.rowsDeleted == 40000L)
+    val want = ((0 until 5000) ++ (45000 until 50000)).map(_.toLong).toSet
+    assert(liveRows(t1) == want && liveRows(t2) == want,
+      "encodings disagree on live rows after the dense kill")
+    assert(TableCommit.rowCount(t1, TableCommit.resolve(t1).get._1)
+      .contains(10000L))
+    assert(TableCommit.rowCount(t2, TableCommit.resolve(t2).get._1)
+      .contains(10000L))
+    // directive + feature-gate shape
+    def newestManifest(t: String): String = {
+      val id = TableCommit.resolve(t).get._1
+      new String(java.nio.file.Files.readAllBytes(new java.io.File(t,
+        f"_manifests/manifest-$id%09d").toPath), "UTF-8")
+    }
+    val m1 = newestManifest(t1)
+    val m2 = newestManifest(t2)
+    assert(m1.contains("#require dv") && !m1.contains("#require dv2"), m1)
+    assert(m2.contains("#require dv2"), m2)
+    assert("#dv (\\S+)\t".r.findAllMatchIn(m2).forall(
+      _.group(1).endsWith(".v2")), "v2 table registered a non-.v2 dir")
+    // THE BYTES WIN: the roaring sidecar is a fraction of the
+    // row-per-position parquet
+    val (b1, b2) = (dvTreeBytes(t1), dvTreeBytes(t2))
+    assert(b2 * 2 < b1,
+      s"v2 sidecar not smaller: v1=$b1 bytes, v2=$b2 bytes")
+    // MIXED STACKING — the live-upgrade path: flip t1 to v2 and stack a
+    // second MoR delete; reads apply a v1 vector AND a v2 vector on the
+    // same files
+    TableCommit.setProperties(t1, Map("graft.dv.format" -> "v2"))
+    val a1b = TableCommit.deleteWhereMor(spark, t1, "pt", "id",
+      BigDecimal(0), BigDecimal(999))
+    val a2b = TableCommit.deleteWhereMor(spark, t2, "pt", "id",
+      BigDecimal(0), BigDecimal(999))
+    assert(a1b.rowsDeleted == 1000L && a2b.rowsDeleted == 1000L)
+    val want2 = ((1000 until 5000) ++ (45000 until 50000))
+      .map(_.toLong).toSet
+    assert(liveRows(t1) == want2 && liveRows(t2) == want2,
+      "mixed v1+v2 vector stack read wrong rows")
+    // CDF equality across encodings: the feed over the SECOND delete's
+    // commit (the only step both histories share shape on) sees the
+    // same deletes whichever encoding recorded them — and t1's step is
+    // a v2 vector stacked over v1 coverage
+    def feedCounts(t: String): Map[String, Long] = {
+      val newest = TableCommit.resolve(t).get._1
+      TableCommit.changeFeed(spark, t, newest - 1, newest)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(feedCounts(t1) == feedCounts(t2),
+      s"CDF drift across encodings: ${feedCounts(t1)} vs ${feedCounts(t2)}")
+    // CoW-through: compaction materializes BOTH encodings' vectors and
+    // drops the registrations
+    TableCommit.compactPartitions(spark, t1, "pt", Seq("pt=0", "pt=1"),
+      clusterBy = Seq("id"), filesPerPartition = 1)
+    assert(liveRows(t1) == want2, "compaction through mixed vectors drifted")
+    val mAfter = newestManifest(t1)
+    assert(!mAfter.contains("#dv "),
+      "compaction did not drop the materialized vectors")
+  }
+}

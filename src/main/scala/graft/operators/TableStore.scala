@@ -270,6 +270,191 @@ final class LocalTableStore extends TableStore {
   }
 }
 
+/** The OBJECT-STORE adapter TEMPLATE (round-13): an in-memory bucket
+  * with exactly S3's primitive set, one protocol verb per SDK call —
+  * the line-for-line shape a shipping S3A/GCS adapter fills in:
+  *
+  *  - ONE listing primitive, [[listKeys]] = ListObjectsV2: every key
+  *    under a prefix, LEXICOGRAPHIC, served in pages of `pageSize`
+  *    with continuation tokens — `listFilesUnder` and `listSubdirs`
+  *    are both DERIVED from it (subdirs = the delimiter's
+  *    CommonPrefixes; a "directory's" mtime = its newest object's
+  *    Last-Modified, which is the correct semantics for the vacuum
+  *    age gate). No protocol path may assume directory nodes,
+  *    per-directory stat calls, or single-shot listings.
+  *  - `moveFile` is server-side COPY + DELETE (x-amz-copy-source) —
+  *    stage promotion must not need rename(2); the spec pins the
+  *    copy by inode change.
+  *  - `putManifestIfAbsent` is the conditional PUT
+  *    (`If-None-Match: *` / GCS `ifGenerationMatch=0`); identity is
+  *    the object's GENERATION counter (ETag), so a dropped-and-
+  *    recreated table can never serve a stale memo. Manifest bytes
+  *    live only in the bucket map — no `_manifests` tree on disk.
+  *  - SIDECARS are supported (unlike [[ConditionalPutStore]]): their
+  *    parquet bytes spool to a store-private scratch directory
+  *    standing in for the `s3://…` keys Hadoop S3A would carry, so
+  *    the cold-open columnar fast path works against this adapter
+  *    and sweeps with its manifest.
+  *
+  * Data-file BYTES delegate to the local tree (Spark's parquet IO
+  * needs a real FileSystem in this container; a real deployment
+  * points the same paths at S3A) — but every piece of METADATA the
+  * protocol reads about those bytes flows through the S3 surface
+  * above. */
+final class S3SemanticsStore(pageSize: Int = 7) extends TableStore {
+  require(pageSize >= 1, s"pageSize must be >= 1: $pageSize")
+
+  private case class Obj(gen: Long, content: String)
+  private val bucket =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Obj]()
+  private val gens = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val spool =
+    java.nio.file.Files.createTempDirectory("graft_s3_sidecar_spool")
+
+  /** Pages actually served since construction — the spec's proof that
+    * listings really paginate (a single-shot walk would serve 1). */
+  @volatile var pagesServed: Long = 0L
+
+  // ------------------------------------------------ the LIST primitive
+  /** ListObjectsV2 over the table's key space: all keys under
+    * `prefix`, lexicographic, assembled from `pageSize`-object pages
+    * exactly as an SDK pagination loop would. Returns (key, size,
+    * mtime). The inventory is the disk tree (the bytes S3A would
+    * carry); keys are '/'-joined relative paths — no directory
+    * entries exist. */
+  private def listKeys(table: String,
+      prefix: String): Seq[(String, Long, Long)] = {
+    def walk(f: java.io.File, rel: String): Seq[(String, Long, Long)] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
+          walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      else Seq((rel, f.length(), f.lastModified()))
+    val all = walk(new java.io.File(table), "")
+      .filter(_._1.startsWith(prefix)).sortBy(_._1)
+    // the pagination loop a real adapter runs: continuation token =
+    // the next start index
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var token = 0
+    var done = false
+    while (!done) {
+      val page = all.slice(token, token + pageSize)
+      pagesServed += 1
+      out ++= page
+      token += pageSize
+      done = page.length < pageSize
+    }
+    out.result()
+  }
+
+  override def listFilesUnder(table: String, relDir: String): Seq[String] = {
+    val prefix = if (relDir.isEmpty) "" else s"$relDir/"
+    // data files only: internal trees (`_dv`, `_cdc`, staging `.`/`_`
+    // prefixes) are filtered by key SEGMENT — BELOW the listing root
+    // only, the local adapter's exact semantics (a staging dir lists
+    // its own contents even though its own name is '_'-prefixed)
+    listKeys(table, prefix).map(_._1).filter(_.stripPrefix(prefix)
+      .split('/')
+      .forall(seg => !seg.startsWith("_") && !seg.startsWith(".")))
+  }
+
+  override def listSubdirs(table: String, relDir: String): Seq[(String, Long)] = {
+    val prefix = if (relDir.isEmpty) "" else s"$relDir/"
+    // delimiter='/' CommonPrefixes; a prefix's recency is its newest
+    // object's Last-Modified (objects have mtimes, prefixes do not)
+    listKeys(table, prefix).flatMap { case (k, _, mtime) =>
+      val rest = k.stripPrefix(prefix)
+      val cut = rest.indexOf('/')
+      if (cut < 0) None else Some((rest.substring(0, cut), mtime))
+    }.groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).max) }.toSeq
+  }
+
+  override def fileMtime(table: String, rel: String): Long =
+    new java.io.File(table, rel).lastModified() // HEAD Last-Modified
+
+  override def fileSize(table: String, rel: String): Long =
+    new java.io.File(table, rel).length() // HEAD Content-Length
+
+  override def deleteFile(table: String, rel: String): Unit =
+    new java.io.File(table, rel).delete() // DeleteObject
+
+  override def moveFile(table: String, fromRel: String, toRel: String): Unit = {
+    // CopyObject (x-amz-copy-source) + DeleteObject — object stores
+    // have no rename; the destination is a NEW object
+    val from = new java.io.File(table, fromRel)
+    val to = new java.io.File(table, toRel)
+    to.getParentFile.mkdirs()
+    java.nio.file.Files.copy(from.toPath, to.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.delete(from.toPath)
+  }
+
+  override def deleteTree(table: String, relDir: String): Unit =
+    // paged LIST + batched DeleteObjects — no directory unlink exists
+    listKeys(table, if (relDir.isEmpty) "" else s"$relDir/")
+      .foreach { case (k, _, _) => new java.io.File(table, k).delete() }
+
+  override def shareFile(srcTable: String, rel: String,
+      dstTable: String): Unit = {
+    // cross-"bucket" CopyObject — no links on an object store
+    val from = new java.io.File(srcTable, rel)
+    val to = new java.io.File(dstTable, rel)
+    to.getParentFile.mkdirs()
+    java.nio.file.Files.copy(from.toPath, to.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ------------------------------------------- the manifest log (CAS)
+  override def listManifestIds(table: String): Seq[Long] = {
+    val it = bucket.keySet().iterator()
+    val b = Seq.newBuilder[Long]
+    while (it.hasNext) { val k = it.next(); if (k._1 == table) b += k._2 }
+    b.result()
+  }
+
+  override def manifestIdentity(table: String, id: Long): Option[String] =
+    Option(bucket.get((table, id))).map(o => s"gen#${o.gen}")
+
+  override def readManifest(table: String, id: Long): String =
+    Option(bucket.get((table, id))).map(_.content).getOrElse(
+      sys.error(s"no manifest $id for $table in s3-semantics store"))
+
+  override def putManifestIfAbsent(table: String, id: Long,
+      content: String): Boolean =
+    bucket.putIfAbsent((table, id),
+      Obj(gens.incrementAndGet(), content)) == null
+
+  override def deleteManifest(table: String, id: Long): Unit = {
+    bucket.remove((table, id))
+    // sidecar objects ride with their manifest (any generation's)
+    Option(spool.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(sidecarStem(table, id)))
+      .foreach(_.delete())
+  }
+
+  private def sidecarStem(table: String, id: Long): String =
+    f"ckpt-${CheckpointSidecar.identityDigest(table)}-$id%09d-"
+
+  override def sidecarPath(table: String, id: Long,
+      identity: String): Option[String] =
+    Some(new java.io.File(spool.toFile, sidecarStem(table, id) +
+      s"${CheckpointSidecar.identityDigest(identity)}.parquet")
+      .getAbsolutePath)
+
+  override def sidecarExists(path: String): Boolean =
+    new java.io.File(path).isFile
+
+  /** Test-harness DROP TABLE: forget the table's manifests and spooled
+    * sidecars. */
+  def dropTable(table: String): Unit = {
+    val it = bucket.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == table) it.remove()
+    Option(spool.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(
+        s"ckpt-${CheckpointSidecar.identityDigest(table)}-"))
+      .foreach(_.delete())
+  }
+}
+
 /** The RENAME-LESS adapter — the object-store reference shape and the
   * seam's PROOF: manifests live in a process-local map whose only
   * publication primitive is `putIfAbsent` (exactly S3's

@@ -500,10 +500,15 @@ object Streaming {
       TableCommit.deleteWhereMor(s, table, "o_orderstatus", "o_orderkey",
         BigDecimal(1500), BigDecimal(1599))
       val (toId, _) = TableCommit.resolve(table).get
+      // one AvailableNow drain over the whole commit range (the
+      // default admission) — the multiset check below is range-wide
+      // and _commit_version stays per-commit, so nothing weakens;
+      // per-commit PACING (maxSnapshotsPerTrigger=1) is spec-pinned in
+      // TableStreamSourceSpec, and paying 3 micro-batches of
+      // state-store fsyncs here bought the bench line nothing
       val streamed = drain(s, s.readStream.format("graft-table")
           .option("readChangeFeed", "true")
           .option("startingSnapshot", fromId.toString)
-          .option("maxSnapshotsPerTrigger", "1")
           .load(table), "append")
         .select(col("o_orderkey"), col("_change_type"), col("o_totalprice"),
           col("_commit_version"))

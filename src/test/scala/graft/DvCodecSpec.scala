@@ -72,6 +72,25 @@ class DvCodecSpec extends GraftSpec {
     walk(new java.io.File(t, "_dv"))
   }
 
+  test("sidecar COLD-OPEN over a VECTORED v2 snapshot: the pruned read " +
+      "applies roaring vectors carried by the sidecar's (path, dv) rows") {
+    val t = freshTable(None)
+    TableCommit.setProperties(t, Map("graft.checkpoint.interval" -> "1"))
+    val mor = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(10000), BigDecimal(19999))
+    assert(mor.rowsDeleted == 10000L, mor.toString)
+    val (id, _) = TableCommit.resolve(t).get
+    // the fast path serves this read (interval=1 → every commit is a
+    // checkpoint with a sidecar) — and its kept rows honor the vectors
+    assert(TableCommit.sidecarPrunedFiles(t, id, "id",
+      BigDecimal(0), BigDecimal(25000)).isDefined,
+      "no sidecar served the vectored checkpoint")
+    val got = TableCommit.readWhereAt(spark, t, id, "id",
+      BigDecimal(0), BigDecimal(25000))
+    // ids 0..25000 (25001) minus the 10000 vectored dead
+    assert(got.count() == 15001L, s"got ${got.count()}")
+  }
+
   test("v1 and v2 encodings read identically (CoW-through, MoR stacking, " +
       "CDF), v2 gates with #require dv2, and a dense kill's v2 sidecar " +
       "is a fraction of v1's bytes") {

@@ -77,6 +77,13 @@ class TableCommitModelSpec extends GraftSpec {
       }
 
       for (step <- 0 until 10) {
+        // random DELETION-VECTOR ENCODING flips (round-13): MoR verbs
+        // later in the sequence then stack roaring-v2 vectors over
+        // legacy v1 ones (and vice versa) on the same files — every
+        // step's model equality check below validates the mixed read
+        if (rnd.nextInt(4) == 0)
+          TableCommit.setProperties(t, Map("graft.dv.format" ->
+            (if (rnd.nextBoolean()) "v1" else "v2")))
         val op = rnd.nextInt(7)
         val (lo, hi) = band()
         op match {

@@ -2519,22 +2519,38 @@ object TableCommit {
     * are untouched, and the nightly fact⋈fact join on the bucket key
     * drops its largest shuffle — Iceberg's storage-partitioned-join
     * win, landed through the session catalog instead of a DSv2
-    * connector. */
+    * connector.
+    *
+    * `underDir` scopes the view to ONE partition subtree of a
+    * MULTI-LEVEL spec — the time-series serving shape: a table laid
+    * out `days(ts);bucket(n,key)` (exactly what the streaming sink's
+    * transform spec produces) serves each day's slice as its own
+    * co-located-join view, `underDir = "p_ts_day=2026-02-01"`. Files
+    * outside the subtree are simply not part of the view (that is the
+    * point); files INSIDE it at the wrong depth still refuse. */
   def registerBucketedView(s: SparkSession, table: String, name: String,
-      key: String, numBuckets: Int, serveDir: String): Unit = {
+      key: String, numBuckets: Int, serveDir: String,
+      underDir: Option[String] = None): Unit = {
     require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
-    val (id, files) = resolve(table).getOrElse(
+    val (id, allFiles) = resolve(table).getOrElse(
       sys.error(s"$table has no snapshot to serve"))
     val m = manifests(table).find(_._1 == id).get._2
+    val prefix = underDir.fold("")(_ + "/")
+    val files = allFiles.filter(_.startsWith(prefix))
+    require(files.nonEmpty,
+      s"$table has no snapshot files" +
+        underDir.fold("")(d => s" under $d") + " to serve")
     val dirRe = ("p_" + java.util.regex.Pattern.quote(key) +
       "_bucket=(\\d+)").r
     val byBucket: Seq[(String, Int)] = files.map { rel =>
-      val cut = rel.lastIndexOf('/')
-      require(cut > 0 && rel.indexOf('/') == cut,
-        s"$table file $rel is not under a single-level bucket dir — " +
-          s"migrate the old-layout generation first (compactPartitionsBy" +
-          s"(Seq(\"bucket($numBuckets,$key)\"), prefixDirs))")
-      rel.substring(0, cut) match {
+      val sub = rel.stripPrefix(prefix)
+      val cut = sub.lastIndexOf('/')
+      require(cut > 0 && sub.indexOf('/') == cut,
+        s"$table file $rel is not exactly one bucket level below " +
+          underDir.fold("the table root")(identity) + " — migrate the " +
+          s"old-layout generation first (compactPartitionsBy with the " +
+          s"bucket($numBuckets,$key) spec)")
+      sub.substring(0, cut) match {
         case dirRe(b) if b.toInt < numBuckets => (rel, b.toInt)
         case d => sys.error(s"$table file $rel sits in '$d', not the " +
           s"expected bucket($numBuckets,$key) layout")

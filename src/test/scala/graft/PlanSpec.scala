@@ -281,6 +281,41 @@ class PlanSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS cbv_a")
       spark.sql("DROP TABLE IF EXISTS cbv_b")
     }
+    // DAY-SCOPED views of a MULTI-LEVEL days()+bucket() layout — the
+    // time-series serving shape the streaming transform sink produces:
+    // one day's slice of each table joins co-located, zero Exchange
+    val dT = new java.io.File(base, "dl").getAbsolutePath
+    val eT = new java.io.File(base, "dr").getAbsolutePath
+    def dayRows(n: Int) = (0 until n).map(i => (i.toLong, s"x$i",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 3, 1)
+        .plusDays(i % 2)))).toDF("k", "v", "d")
+    TableCommit.appendRowsBy(spark, dT, Seq("days(d)", "bucket(4,k)"),
+      dayRows(200))
+    TableCommit.appendRowsBy(spark, eT, Seq("days(d)", "bucket(4,k)"),
+      dayRows(200))
+    val day = "p_d_day=2026-03-01"
+    TableCommit.registerBucketedView(spark, dT, "cbv_day_l", "k", 4,
+      new java.io.File(base, "dl_serve").getAbsolutePath, Some(day))
+    TableCommit.registerBucketedView(spark, eT, "cbv_day_r", "k", 4,
+      new java.io.File(base, "dr_serve").getAbsolutePath, Some(day))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val dj = spark.table("cbv_day_l")
+        .join(spark.table("cbv_day_r"), "k")
+      val dp = dj.queryExecution.executedPlan.toString
+      assert(dp.contains("SortMergeJoin") && !dp.contains("Exchange") &&
+        dp.contains("Bucketed: true"),
+        s"day-scoped bucketed join shuffled:\n${dp.take(2000)}")
+      // exactly the day's 100 even-i keys, joined 1:1
+      assert(dj.count() == 100L)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS cbv_day_l")
+      spark.sql("DROP TABLE IF EXISTS cbv_day_r")
+    }
+
     // REFUSALS — each would silently serve wrong rows:
     // (1) a mixed-generation snapshot (identity-layout file present)
     val cT = new java.io.File(base, "c").getAbsolutePath

@@ -971,6 +971,129 @@ object Text {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q_rrf_fusion
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009 — the fusion every modern RAG/serving stack runs):
+    * the SPARSE arm ranks documents by q_bm25's exact scoring, the
+    * DENSE arm by cosine against a fixed query embedding (doc 7's
+    * vector — ids align across documents/embeddings), and fused
+    * `rrf = Σ 1/(60 + rank)` over the arms' top-50s picks the final
+    * top-20. Plan shape: each arm ends in an `orderBy().limit(topN)`
+    * — TakeOrderedAndProject, never a global sort — so the rank
+    * window then runs over a 50-row frame; the dense arm is ONE
+    * broadcast query vector against the embedding scan (an
+    * embarrassingly parallel map + top-k, the brute-force serving
+    * baseline; the IVF/PQ indexes are the sub-linear path); the
+    * fusion itself is a full-outer join of two 50-row frames.
+    * Determinism: ranks are integers, `1.0/(60+r)` is an exact IEEE
+    * division both engines agree on, and the two-term sum is
+    * order-free. At 100 TB the per-arm top-k is the only corpus-wide
+    * work and each is already index-servable. */
+  private def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProductF.register(s)
+    val qTerms = Seq("spark", "join", "hash")
+    val qVec = 7L
+    val topN = 50
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, d)
+    val stats = docs.agg(count(lit(1)), sum(size(toks))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val bmTop = tf.join(idf, "tok")
+      .select(col("doc_id"),
+        dround(contrib * 1e6, 0).cast("bigint").as("c_us"))
+      .groupBy(col("doc_id"))
+      .agg(dround(sum(col("c_us")) / 1e6, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+    val sparse = bmTop.withColumn("r_sparse", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_dot_f", col("v"), col("v"))))
+    val q = e.filter(col("vec_id") === qVec)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val dnTop = e.filter(col("vec_id") =!= qVec && col("nrm") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        dround(call_function("graft_dot_f", col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(topN)
+    val dense = dnTop.withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(-1L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
+        dround(
+          coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val rrfFusionSql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n, sum(len(ts)) AS sum_dl FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM docs)
+      |  WHERE tok IN ('spark', 'join', 'hash')
+      |  GROUP BY doc_id, dl, tok),
+      |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |c AS (
+      |  SELECT doc_id, CAST(round(
+      |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1)) /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+      |    * 1e6, 0) AS BIGINT) AS c_us
+      |  FROM tf JOIN idf USING (tok), stats),
+      |bm AS (
+      |  SELECT doc_id, round(sum(c_us) / 1e6, 4) AS score FROM c
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      |sparse AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+      |    AS r_sparse FROM bm),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |qv AS (SELECT v, nrm FROM e WHERE vec_id = 7),
+      |dn AS (
+      |  SELECT a.vec_id AS doc_id,
+      |    round(list_dot_product(a.v, qv.v) / (a.nrm * qv.nrm), 4) AS cos_sim
+      |  FROM e a, qv WHERE a.vec_id <> 7 AND a.nrm > 0
+      |  ORDER BY cos_sim DESC, doc_id LIMIT 50),
+      |dense AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+      |    AS r_dense FROM dn)
+      |SELECT doc_id,
+      |  coalesce(r_sparse, -1) AS r_sparse,
+      |  coalesce(r_dense, -1) AS r_dense,
+      |  round(coalesce(1.0 / (60 + r_sparse), 0) +
+      |        coalesce(1.0 / (60 + r_dense), 0), 6) AS rrf
+      |FROM sparse FULL OUTER JOIN dense USING (doc_id)
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------- q_inverted_index
   /** Inverted-index build: token → document frequency + the first 10
     * posting doc_ids — the artifact a sparse retriever serves. The
@@ -1345,6 +1468,7 @@ object Text {
     QueryDef("q_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     QueryDef("q_pii_entities", piiEntities, Some(piiEntitiesSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
+    QueryDef("q_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("n_bpe_train", bpeTrain, None),

@@ -341,6 +341,21 @@ class PlanSpec extends GraftSpec {
     graft.operators.Sinks.deleteRecursively(base)
   }
 
+  test("q_rrf_fusion: every top-k is TakeOrderedAndProject (no global " +
+      "sort) and the dense arm broadcasts the single query vector") {
+    val p = plan("q_rrf_fusion")
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topk >= 3, s"expected 3 TakeOrdered (2 arms + fusion), " +
+      s"got $topk:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query vector not broadcast:\n${p.take(2000)}")
+    // no corpus-wide Sort outside the TakeOrdered operators
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Sort") && l.contains("global=true")),
+      s"global sort leaked into the fusion plan:\n${p.take(3000)}")
+  }
+
   test("q_sql_entry (SQL text) gets the same physical treatment as the " +
       "DataFrame queries: pushdown + TakeOrderedAndProject") {
     val p = plan("q_sql_entry")

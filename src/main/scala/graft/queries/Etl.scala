@@ -996,7 +996,12 @@ object Etl {
         dAndU.unionByName(ins),
         updateSet = Map("n_chars" -> (col("n_chars") + 1000L)),
         deleteWhen = Some(col("src_op") === "D"))
-      // the scratch tree dies on return — materialize the final state
+      // the scratch tree dies on return — materialize the final state.
+      // BOUNDED by construction: the table is exactly the documents
+      // table (the star schema's doc-count-sized side, 500 rows at
+      // sf0.01) ± one feed's band-sized deltas, so the collect is
+      // corpus-DOC-sized, never lineitem-sized — and it must stay
+      // that way: a future edit seeding a bigger table unbounds it
       val rows = TableCommit.read(s, table)
         .select("doc_key", "n_chars").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -19,6 +19,9 @@ import graft.operators.TableCommit
   *  - `graft_table_changes('<path>', <id>)` — CDC delta since snapshot
   *  - `graft_table_feed('<path>', a, b)`    — row-level CDF (ins/del)
   *  - `graft_table_feed4('<path>', a, b)`   — per-commit four-way CDF
+  *  - `graft_table_where('<path>', c, lo, hi)`     — #stats-pruned read
+  *  - `graft_table_where_lex('<path>', c, lo, hi)` — lexicographic twin
+  *  - `graft_table_history('<path>')`       — DESCRIBE HISTORY
   *
   * Each builder folds its literal arguments at resolution time and
   * returns the SAME analyzed plan the Scala read produces — a pinned
@@ -55,6 +58,18 @@ object TableFunctions {
   }
 
   private def session: SparkSession = SparkSession.active
+
+  private def num(e: Expression, what: String): BigDecimal =
+    lit(e, what) match {
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+      case n: java.lang.Number => BigDecimal(n.toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+
+  private def str(e: Expression, what: String): String =
+    String.valueOf(lit(e, what))
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
@@ -97,6 +112,34 @@ object TableFunctions {
         // change data; others synthesize insert/delete per step
         TableCommit.changeFeedPrecise(session, path(args.head), id(args(1)),
           id(args(2))).queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_where"),
+      new ExpressionInfo(getClass.getName, "graft_table_where"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_table_where(path, column, lo, hi)")
+        // DATA-SKIPPING read from SQL: manifest `#stats` pruning drops
+        // provably-excluded files before parquet sees them — the
+        // pushdown Catalyst alone cannot do (parquet footers are
+        // per-file; the manifest decision is zero-IO). Result equals
+        // graft_table(path) WHERE lo <= col <= hi.
+        TableCommit.readWhere(session, path(args.head),
+          str(args(1), "the stats column"),
+          num(args(2), "lo"), num(args(3), "hi"))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_where_lex"),
+      new ExpressionInfo(getClass.getName, "graft_table_where_lex"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_table_where_lex(path, column, lo, hi)")
+        // the STRING/temporal-key twin: code-point-ordered band against
+        // the truncated lexicographic stats (typed guard included —
+        // numeric columns are refused, temporal bounds re-render)
+        TableCommit.readWhereLex(session, path(args.head),
+          str(args(1), "the stats column"),
+          str(args(2), "lo"), str(args(3), "hi"))
+          .queryExecution.analyzed
       }),
     (FunctionIdentifier("graft_table_history"),
       new ExpressionInfo(getClass.getName, "graft_table_history"),

@@ -151,6 +151,39 @@ class ExtensionsSpec extends GraftSpec {
         .col("_change_type")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(byType == Map("delete" -> 20L, "insert" -> 20L), byType.toString)
+      // DATA SKIPPING from SQL (round-13): graft_table_where prunes by
+      // manifest #stats — strictly fewer files than the snapshot, rows
+      // equal to the filtered read; t2's keyed 10-file layout serves
+      val wdf = s2.sql(
+        s"SELECT id, v FROM graft_table_where('$t2', 'id', 100, 119)")
+      assert(wdf.count() == 20L)
+      assert(wdf.inputFiles.count(f => !f.contains("/_dv/")) <
+        filesTo.length,
+        "graft_table_where pruned nothing")
+      val wset = wdf.collect().map(_.getLong(0)).toSet
+      assert(wset == (100L to 119L).toSet, wset.toString)
+      // the lex twin over a string-keyed table
+      val t3 = new java.io.File(dir, "lexpin").getAbsolutePath
+      Seq((0L, "s", 0)).toDF("id", "v", "pt")
+        .write.mode("overwrite").partitionBy("pt").parquet(t3)
+      TableCommit.initIfAbsent(t3)
+      TableCommit.replacePartitions(s2, t3, "pt", Seq("pt=0", "pt=1"),
+        (0 until 200).map(i => (i.toLong, f"doc-$i%05d", i % 2))
+          .toDF("id", "v", "pt"),
+        clusterBy = Seq("v"), filesPerPartition = 5)
+      val wlex = s2.sql(s"SELECT v FROM graft_table_where_lex('$t3', " +
+        "'v', 'doc-00050', 'doc-00059')")
+      assert(wlex.count() == 10L)
+      assert(wlex.inputFiles.length <
+        TableCommit.resolve(t3).get._2.length,
+        "graft_table_where_lex pruned nothing")
+      // the typed guard reaches SQL: a lex band over the NUMERIC id
+      // column refuses loudly
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_table_where_lex('$t3', 'id', " +
+          "'0', '9')").collect()
+      }
+      assert(e.getMessage.contains("code-point"), e.getMessage)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

@@ -3518,6 +3518,54 @@ object TableCommit {
     }.sortBy(j => (-j.smallFiles.length, j.dir))
   }
 
+  /** One vectored file's DELETION-VECTOR DEBT: its live row count
+    * (manifest `#rows`, −1 when unknowable) and how many of its rows
+    * the registered vectors mark dead. */
+  final case class DvDebt(file: String, liveRows: Long, deadRows: Long) {
+    /** Dead fraction of the file's ORIGINAL rows. */
+    def deadRatio: Double =
+      deadRows.toDouble / math.max(1L, liveRows + deadRows)
+  }
+
+  /** Per-file DV debt of the newest snapshot — the input to a
+    * REORG/PURGE decision (Delta's `REORG TABLE … APPLY (PURGE)`).
+    * Dead counts come from the REGISTERED VECTORS THEMSELVES, so the
+    * audit costs ∝ the vectors' (compressed) bytes, never a data-file
+    * scan; live counts are `#rows` manifest metadata. Every MoR
+    * delete/update shifts rows from live to dead here; any rewrite
+    * (compaction, CoW DML) clears the file's debt with its `#dv`
+    * entries. */
+  def dvDebt(s: SparkSession, table: String): Seq[DvDebt] = {
+    val (id, _) = resolve(table).getOrElse(
+      sys.error(s"$table has no snapshot to audit"))
+    val m = manifests(table).find(_._1 == id).get._2
+    if (m.dv.isEmpty) return Seq.empty
+    val dirs = m.dv.values.flatten.toSeq.distinct.sorted
+    // stacked vectors never re-kill a position (the MoR verbs scan the
+    // LIVE set), so a plain count per key is the exact dead count
+    val dead: Map[String, Long] = readDvRows(s, table, dirs)
+      .groupBy(col("__dv_k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.dv.keys.toSeq.sorted.map(f =>
+      DvDebt(f, m.rows.getOrElse(f, -1L), dead.getOrElse(f, 0L)))
+  }
+
+  /** The REORG picker: partition dirs holding a file whose dead ratio
+    * is at or above `minDeadRatio` — feed them to
+    * [[compactPartitionsBy]] (any rewrite reads THROUGH the vectors
+    * and drops the `#dv` entries, so compaction IS the purge). Files
+    * with unknowable live counts (adopted generation-0) are skipped —
+    * a ratio cannot be computed for them, and their debt still shows
+    * in [[dvDebt]] for a manual decision. */
+  def dvMaterializePlan(s: SparkSession, table: String,
+      minDeadRatio: Double = 0.2): Seq[String] = {
+    require(minDeadRatio > 0.0 && minDeadRatio <= 1.0,
+      s"minDeadRatio must be in (0, 1]: $minDeadRatio")
+    dvDebt(s, table)
+      .filter(d => d.liveRows >= 0L && d.deadRatio >= minDeadRatio)
+      .map(d => partDir(d.file)).distinct.sorted
+  }
+
   /** Audit counters [[deleteWhere]] returns — every field derived from
     * manifest metadata or a scalar aggregate; nothing table-sized. */
   final case class DeleteAudit(snapshotBefore: Long, snapshotAfter: Long,

@@ -72,6 +72,38 @@ class DvCodecSpec extends GraftSpec {
     walk(new java.io.File(t, "_dv"))
   }
 
+  test("dvDebt / dvMaterializePlan: dead counts read from the vectors " +
+      "themselves, stack across MoR commits and mixed encodings, and " +
+      "compaction IS the purge (plan empties)") {
+    val t = freshTable(None)
+    assert(TableCommit.dvDebt(spark, t).isEmpty)
+    // dense kill: ids [5000, 44999] — 20k dead per pt file (25k rows)
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(5000), BigDecimal(44999))
+    val debt1 = TableCommit.dvDebt(spark, t)
+    assert(debt1.length == 2 && debt1.forall(d =>
+      d.deadRows == 20000L && d.liveRows == 5000L), debt1.toString)
+    assert(debt1.forall(d => math.abs(d.deadRatio - 0.8) < 1e-9))
+    // a stacked v1 delete on top: debts SUM across encodings
+    TableCommit.setProperties(t, Map("graft.dv.format" -> "v1"))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(999))
+    val debt2 = TableCommit.dvDebt(spark, t)
+    assert(debt2.forall(d => d.deadRows == 20500L && d.liveRows == 4500L),
+      debt2.toString)
+    // the picker: both pt dirs exceed any sane threshold; a 0.9 bar
+    // excludes them
+    val plan = TableCommit.dvMaterializePlan(spark, t, minDeadRatio = 0.5)
+    assert(plan == Seq("pt=0", "pt=1"), plan.toString)
+    assert(TableCommit.dvMaterializePlan(spark, t, 0.9).isEmpty)
+    // compaction through the vectors clears the debt
+    plan.foreach(dir => TableCommit.compactPartitions(spark, t, "pt",
+      Seq(dir), clusterBy = Seq("id"), filesPerPartition = 1))
+    assert(TableCommit.dvDebt(spark, t).isEmpty,
+      "compaction left deletion-vector debt")
+    assert(TableCommit.read(spark, t).count() == 9000L)
+  }
+
   test("sidecar COLD-OPEN over a VECTORED v2 snapshot: the pruned read " +
       "applies roaring vectors carried by the sidecar's (path, dv) rows") {
     val t = freshTable(None)

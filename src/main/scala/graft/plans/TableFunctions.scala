@@ -22,6 +22,7 @@ import graft.operators.TableCommit
   *  - `graft_table_where('<path>', c, lo, hi)`     — #stats-pruned read
   *  - `graft_table_where_lex('<path>', c, lo, hi)` — lexicographic twin
   *  - `graft_table_history('<path>')`       — DESCRIBE HISTORY
+  *  - `graft_table_dv_debt('<path>')`       — REORG/PURGE audit
   *
   * Each builder folds its literal arguments at resolution time and
   * returns the SAME analyzed plan the Scala read produces — a pinned
@@ -139,6 +140,21 @@ object TableFunctions {
         TableCommit.readWhereLex(session, path(args.head),
           str(args(1), "the stats column"),
           str(args(2), "lo"), str(args(3), "hi"))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_table_dv_debt"),
+      new ExpressionInfo(getClass.getName, "graft_table_dv_debt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_table_dv_debt(path)")
+        // REORG/PURGE audit: per-file deletion-vector debt, dead
+        // counts from the compressed vectors (∝ their bytes)
+        val s = session
+        import s.implicits._
+        TableCommit.dvDebt(s, path(args.head))
+          .map(d => (d.file, d.liveRows, d.deadRows,
+            BigDecimal(d.deadRatio).setScale(6,
+              BigDecimal.RoundingMode.HALF_EVEN).toDouble))
+          .toDF("file", "live_rows", "dead_rows", "dead_ratio")
           .queryExecution.analyzed
       }),
     (FunctionIdentifier("graft_table_history"),

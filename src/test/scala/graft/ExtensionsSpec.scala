@@ -184,6 +184,12 @@ class ExtensionsSpec extends GraftSpec {
           "'0', '9')").collect()
       }
       assert(e.getMessage.contains("code-point"), e.getMessage)
+      // the REORG audit as SQL: t2's MoR update left 20 dead rows
+      val debt = s2.sql(s"SELECT file, live_rows, dead_rows FROM " +
+        s"graft_table_dv_debt('$t2')").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(debt.map(_._3).sum == 20L && debt.forall(_._2 > 0L),
+        debt.toString)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

@@ -328,7 +328,10 @@ final class S3SemanticsStore(pageSize: Int = 7) extends TableStore {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
           walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-      else Seq((rel, f.length(), f.lastModified()))
+      // a nonexistent root (a table not yet written) lists as an
+      // EMPTY bucket prefix, never as a phantom "" key
+      else if (f.isFile) Seq((rel, f.length(), f.lastModified()))
+      else Seq.empty
     val all = walk(new java.io.File(table), "")
       .filter(_._1.startsWith(prefix)).sortBy(_._1)
     // the pagination loop a real adapter runs: continuation token =

@@ -216,6 +216,42 @@ class S3StoreSpec extends GraftSpec {
     }
   }
 
+  test("s3 store: a REAL streaming pipeline through a TRANSFORM " +
+      "partition spec — graft-table source to hidden-day-bucketed sink, " +
+      "end-to-end over the conditional-put log") {
+    withS3Table { t =>
+      val rows = (0 until 30).map(i => (i.toLong, s"v$i",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 4, 1)
+          .plusDays(i % 3))))
+      import spark.implicits._
+      TableCommit.appendRowsBy(spark, t, Seq("days(d)"),
+        rows.toDF("id", "v", "d"))
+      val base = new java.io.File(t).getParentFile
+      val out = new java.io.File(base, "sink").getAbsolutePath
+      spark.readStream.format("graft-table").load(t)
+        .writeStream.format("graft-table")
+        .option("partitionSpec", "days(d);bucket(2,id)")
+        .option("txnAppId", "s3_tspipe")
+        .option("checkpointLocation",
+          new java.io.File(base, "ckpt").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out).awaitTermination()
+      val got = TableCommit.read(spark, out)
+        .select(col("id"), col("v"), col("d").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).toSet
+      assert(got == rows.map(r => (r._1, r._2, r._3.toString)).toSet)
+      assert(TableCommit.resolve(out).get._2.forall(
+        _.matches("p_d_day=2026-04-0\\d/p_id_bucket=[01]/.*")),
+        TableCommit.resolve(out).get._2.toString)
+      assert(!new java.io.File(t, "_manifests").exists() &&
+        !new java.io.File(out, "_manifests").exists(),
+        "a _manifests dir appeared — a path bypassed the seam")
+      assert(TableCommit.lastTxnVersion(out, "s3_tspipe").isDefined)
+      s3.dropTable(out)
+    }
+  }
+
   test("s3 store: partition evolution, transform layout, lex skipping " +
       "and the streaming sink's exactly-once ledger through the seam") {
     withS3Table { t =>

@@ -141,6 +141,14 @@ object TableCommit {
     * parse as before. */
   private val RequirePrefix = "#require "
 
+  /** COMMIT-OPERATION annotation (`#op <verb>\t<epochMillis>` — the
+    * Delta commitInfo action's core): which verb published the
+    * manifest and when, commit-scoped (never carried forward) and
+    * ADVISORY — state parsing skips it, so a reader that predates it
+    * reconstructs identical snapshots. Surfaced by [[operations]] and
+    * the `graft_table_history` TVF. */
+  private val OpPrefix = "#op "
+
   /** Features THIS reader implements. A future directive with
     * read-correctness semantics joins this set in the same commit that
     * teaches the engine to honor it. */
@@ -1018,7 +1026,8 @@ object TableCommit {
     * merging `kv` over the current properties (last writer wins per
     * key — property updates never conflict, like the Delta rule for
     * non-schema metadata). */
-  def setProperties(table: String, kv: Map[String, String]): Unit = {
+  def setProperties(table: String, kv: Map[String, String],
+      op0: String = "SET PROPERTIES"): Unit = {
     // manifest-injection guard: a newline in a value would emit a raw
     // non-# line that filesOf parses as a DATA-FILE PATH, permanently
     // corrupting the table (properties are carried forward by every
@@ -1039,7 +1048,7 @@ object TableCommit {
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, c.rows, c.dv, c.props ++ kv,
-          c.bytes)) {
+          c.bytes, op = Some(op0))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1239,7 +1248,8 @@ object TableCommit {
       s"derived partition dir name(s) ${shadowed.mkString(", ")} collide " +
         s"with existing columns of $table")
     // ';'-joined: transform entries carry commas (`bucket(4,id)`)
-    setProperties(table, Map("graft.partcols" -> canon.mkString(";")))
+    setProperties(table, Map("graft.partcols" -> canon.mkString(";")),
+      op0 = "EVOLVE PARTITIONING")
   }
 
   /** Raised when a commit's written rows violate a table CHECK
@@ -1333,7 +1343,8 @@ object TableCommit {
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, c.rows, c.dv,
-          c.props + (key -> exprSql), c.bytes)) {
+          c.props + (key -> exprSql), c.bytes,
+          op = Some("ADD CONSTRAINT"))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1353,7 +1364,8 @@ object TableCommit {
         _ => true)
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, c.rows, c.dv,
-          c.props - s"$ConstraintProp$name", c.bytes)) {
+          c.props - s"$ConstraintProp$name", c.bytes,
+          op = Some("DROP CONSTRAINT"))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1460,7 +1472,8 @@ object TableCommit {
       val newStats = c.stats.map { case ((rel, cc), v) =>
         ((rel, if (cc == from) statsTo else cc), v) }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          newStats, c.rows, c.dv, c.props, c.bytes)) {
+          newStats, c.rows, c.dv, c.props, c.bytes,
+          op = Some("RENAME COLUMN"))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1499,7 +1512,8 @@ object TableCommit {
         droppedSet.toSeq.sorted.mkString(","))
       val newStats = c.stats.filter { case ((_, cc), _) => cc != name }
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          newStats, c.rows, c.dv, newProps, c.bytes)) {
+          newStats, c.rows, c.dv, newProps, c.bytes,
+          op = Some("DROP COLUMN"))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1641,7 +1655,8 @@ object TableCommit {
       // ColumnMappingSpec pins the nested case against THIS build)
       val newSch = transformField(sch, path)(f => f.copy(dataType = to))
       if (publish(table, baseId + 1, baseFiles, c.txns, Some(newSch.json),
-          c.stats, c.rows, c.dv, c.props, c.bytes)) {
+          c.stats, c.rows, c.dv, c.props, c.bytes,
+          op = Some("WIDEN COLUMN TYPE"))) {
         vacuum(table, baseId + 1)
         committed = true
       }
@@ -1702,6 +1717,25 @@ object TableCommit {
     * surface: what a time-travel reader can still pin. */
   def history(table: String): Seq[(Long, Seq[String])] =
     manifests(table).sortBy(-_._1).map { case (id, f) => id -> filesOf(f) }
+
+  /** Commit-OPERATION annotations of the retained snapshots (the
+    * Delta commitInfo rung): newest-first `(id, Some((verb,
+    * epochMillis)))` — None for manifests that predate the `#op`
+    * directive (it is advisory; nothing about the snapshot depends on
+    * it). Metadata-only: the memoized manifest lines serve the
+    * lookup. */
+  def operations(table: String): Seq[(Long, Option[(String, Long)])] =
+    manifests(table).sortBy(-_._1).map { case (id, _) =>
+      id -> manifestLines(table, id).find(_.startsWith(OpPrefix))
+        .flatMap { l =>
+          l.stripPrefix(OpPrefix).split("\t", 2) match {
+            case Array(v, ts) =>
+              Some((v, scala.util.Try(ts.toLong).getOrElse(-1L)))
+            case Array(v) => Some((v, -1L))
+            case _ => None
+          }
+        }
+    }
 
   /** Relative paths of all data files under `table` (manifest dir,
     * markers and hidden files excluded) — the store's recursive walk. */
@@ -1784,7 +1818,8 @@ object TableCommit {
       dv: Map[String, Seq[String]] = Map.empty,
       props: Map[String, String] = Map.empty,
       bytes: Map[String, Long] = Map.empty,
-      cdc: Seq[String] = Nil): Boolean = {
+      cdc: Seq[String] = Nil,
+      op: Option[String] = None): Boolean = {
     val header = schemaJson.map(SchemaPrefix + _).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn $app=$v" } ++
       stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
@@ -1827,7 +1862,14 @@ object TableCommit {
           l.stripPrefix(DvPrefix).split("\t", 2)(0).endsWith(".v2")))
         Seq("dv2") else Nil) ++
       (if (lines.exists(_.startsWith(CdcPrefix))) Seq("cdc") else Nil)
-    val requires = reqFeatures.map(RequirePrefix + _)
+    // COMMIT-OPERATION annotation (Delta's commitInfo action): the
+    // verb's name + wall-clock millis, commit-scoped and ADVISORY —
+    // every state parser skips unknown '#' lines, so pre-op readers
+    // (and the delta round-trip check above, which compares states)
+    // are untouched; DESCRIBE HISTORY surfaces it
+    val opLine = op.map(o =>
+      s"$OpPrefix$o\t${System.currentTimeMillis()}")
+    val requires = reqFeatures.map(RequirePrefix + _) ++ opLine
     val gated =
       if (lines.headOption.exists(_.startsWith(DeltaPrefix)))
         lines.head +: (requires ++ lines.tail)
@@ -1959,7 +2001,8 @@ object TableCommit {
     * written by a plain batch writer into the protocol). A lost CAS
     * means a concurrent adopter won — equally fine. */
   def initIfAbsent(table: String): Unit =
-    if (manifestIds(table).isEmpty) publish(table, 0L, listDataFiles(table))
+    if (manifestIds(table).isEmpty)
+      publish(table, 0L, listDataFiles(table), op = Some("ADOPT"))
 
   /** Read an explicit file subset of manifest `m` under the table's
     * basePath. When the manifest carries a `#schema` directive, that
@@ -2662,7 +2705,8 @@ object TableCommit {
       clusterBy: Seq[String],
       filesPerPartition: Int,
       maxRecordsPerFile: Long,
-      exclusiveClaim: Boolean): Unit = {
+      exclusiveClaim: Boolean,
+      op: String = "REPLACE PARTITIONS"): Unit = {
     require(partCols.nonEmpty, "at least one partition column")
     initIfAbsent(table)
     // EXACTLY-ONCE writer guard (the Delta `txn` action): when the
@@ -2822,7 +2866,7 @@ object TableCommit {
         bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
-          c.bytes ++ freshBytes)) {
+          c.bytes ++ freshBytes, op = Some(op))) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -2869,7 +2913,7 @@ object TableCommit {
       val cur = manifests(table).find(_._1 == newestId).get._2
       if (publish(table, newestId + 1, filesOf(src), txnsOf(cur),
           schemaOf(src).map(_.json), statsOf(src), rowsOf(src), dvOf(src),
-          propsOf(cur), src.bytes)) {
+          propsOf(cur), src.bytes, op = Some("RESTORE"))) {
         vacuum(table, newestId + 1)
         committed = true
       }
@@ -2932,7 +2976,7 @@ object TableCommit {
     val ok = publish(dst, dstId, files,
       if (relocate) txnsOf(m) else Map.empty,
       schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), propsOf(m),
-      m.bytes)
+      m.bytes, op = Some("CLONE"))
     require(ok, s"clone destination $dst was concurrently initialized")
     dstId
   }
@@ -3002,7 +3046,7 @@ object TableCommit {
         bs => mergeSchemaOf(bs, df.schema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
-          c.bytes ++ freshBytes)) {
+          c.bytes ++ freshBytes, op = Some("APPEND"))) {
         vacuum(table, baseId + 1)
         committed = true
       } else if (alreadyApplied) {
@@ -3475,6 +3519,7 @@ object TableCommit {
         readSnapshot = Some(baseId), txn = None, clusterBy = clusterBy,
         filesPerPartition = filesPerPartition,
         maxRecordsPerFile = maxRecordsPerFile,
+        op = "COMPACT",
         // compaction rewrites exactly what it read — no exclusivity
         // claim over the dirty row space, so migration can run while
         // other-generation straddlers still exist
@@ -3626,7 +3671,8 @@ object TableCommit {
   private def commitRewrite(s: SparkSession, table: String,
       partCols: Seq[String],
       baseId0: Long, baseFiles0: Seq[String], hit: Seq[String],
-      replacement: DataFrame, statsCols: Seq[String]): Long = {
+      replacement: DataFrame, statsCols: Seq[String],
+      op: String): Long = {
     // the hit files' DV coverage as this rewrite READ it: a winner that
     // registers a new vector on a hit file changes its live row set,
     // and committing our rewrite would resurrect those rows — conflict
@@ -3683,7 +3729,7 @@ object TableCommit {
       val schemaJson = c.schema.map(_.json).getOrElse(replacement.schema.json)
       if (publish(table, baseId + 1, next, c.txns, Some(schemaJson),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
-          c.bytes ++ freshBytes)) {
+          c.bytes ++ freshBytes, op = Some(op))) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -3773,7 +3819,7 @@ object TableCommit {
     val survivors = readFiles(s, table, m, hit)
       .filter(not(coalesce(matchPred, lit(false))))
     val published = commitRewrite(s, table, partCols, baseId0, baseFiles0,
-      hit, survivors, statsCols)
+      hit, survivors, statsCols, op = "DELETE")
     DeleteAudit(baseId0, published, total, candidates.length, hit.length,
       rowsDeleted)
   }
@@ -3900,7 +3946,8 @@ object TableCommit {
         rel -> (n - hitCounts.getOrElse(rel, 0L)) }
       if (publish(table, baseId + 1, baseFiles, c.txns,
           c.schema.map(_.json), c.stats, nextRows, nextDv, c.props, c.bytes,
-          cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
+          cdc = if (cdfOn) Seq(cdcRel) else Nil,
+          op = Some("DELETE (MOR)"))) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -4065,7 +4112,8 @@ object TableCommit {
         rel -> (n - hitCounts.getOrElse(rel, 0L)) } ++ freshRows
       if (publish(table, baseId + 1, next, c.txns, c.schema.map(_.json),
           c.stats ++ freshStats, nextRows, nextDv, c.props,
-          c.bytes ++ freshBytes, cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
+          c.bytes ++ freshBytes, cdc = if (cdfOn) Seq(cdcRel) else Nil,
+          op = Some("UPDATE (MOR)"))) {
         vacuum(table, baseId + 1)
         published = baseId + 1
         committed = true
@@ -4387,7 +4435,8 @@ object TableCommit {
         if (publish(table, baseId + 1, baseFiles ++ fresh, nextTxns,
             c.schema.map(_.json), c.stats ++ freshStats, nextRows, nextDv,
             c.props, c.bytes ++ freshBytes,
-            cdc = if (cdfOn) Seq(cdcRel) else Nil)) {
+            cdc = if (cdfOn) Seq(cdcRel) else Nil,
+            op = Some("MERGE"))) {
           vacuum(table, baseId + 1)
           published = baseId + 1
           committed = true
@@ -4493,7 +4542,7 @@ object TableCommit {
       }
     }.toIndexedSeq: _*)
     val published = commitRewrite(s, table, partCols, baseId0, baseFiles0,
-      hit, replacement, statsCols)
+      hit, replacement, statsCols, op = "UPDATE")
     UpdateAudit(baseId0, published, total, candidates.length, hit.length,
       rowsUpdated)
   }

@@ -165,13 +165,18 @@ object TableFunctions {
         val t = path(args.head)
         val s = session
         import s.implicits._
+        val ops = TableCommit.operations(t).toMap
         TableCommit.history(t).map { case (snapId, files) =>
           (snapId, files.length.toLong,
             // LEAF partition dirs at any depth (a two-level layout's
             // d=1/s=a and d=1/s=b are two partitions, not one)
             files.map(TableCommit.partitionDirOf).distinct.length.toLong,
-            TableCommit.rowCount(t, snapId).getOrElse(-1L))
-        }.toDF("snapshot_id", "n_files", "n_partitions", "n_rows")
+            TableCommit.rowCount(t, snapId).getOrElse(-1L),
+            // #op commit annotation (advisory; pre-op manifests null)
+            ops.get(snapId).flatten.map(_._1).orNull,
+            ops.get(snapId).flatten.map(_._2).getOrElse(-1L))
+        }.toDF("snapshot_id", "n_files", "n_partitions", "n_rows",
+            "operation", "op_time_ms")
           .queryExecution.analyzed
       }))
 }

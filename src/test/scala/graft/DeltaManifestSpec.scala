@@ -262,8 +262,14 @@ class DeltaManifestSpec extends GraftSpec {
       "one #dv line per vectored file expected")
     // #rows overrides only for the vectored files
     assert(lines.count(_.startsWith("#rows ")) == a.filesVectored)
-    assert(lines.length < nFiles / 2,
-      s"MoR delta not proportional to its write set: ${lines.length} lines")
+    // constant-per-commit annotations (#delta/#len/#require/#op/#schema)
+    // are not write-set-proportional — measure the lines that are
+    val proportional = lines.filterNot(l => l.startsWith("#delta") ||
+      l.startsWith("#len") || l.startsWith("#require") ||
+      l.startsWith("#op ") || l.startsWith("#schema"))
+    assert(proportional.length < nFiles / 2,
+      s"MoR delta not proportional to its write set: " +
+        s"${proportional.length} proportional lines")
     assert(TableCommit.read(spark, t).count() == 190L)
   }
   test("PARQUET CHECKPOINT SIDECAR: the columnar twin reconstructs the " +

@@ -29,6 +29,63 @@ class TableCommitSpec extends GraftSpec {
       .select(col("id"), col("v"), col("pt").cast("int"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
 
+  test("#op commit annotations: every verb labels its manifest across " +
+      "checkpoint AND delta forms, operations()/history surface them, " +
+      "and state parsing is untouched") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t) // 0: ADOPT
+    TableCommit.setProperties(t, Map( // 1: SET PROPERTIES
+      "graft.retention.generations" -> "20",
+      "graft.checkpoint.interval" -> "3")) // mixed delta/ckpt forms
+    TableCommit.appendRows(spark, t, "pt", // 2: APPEND
+      Seq((6L, "f", 2)).toDF("id", "v", "pt"))
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"), // 3
+      Seq((10L, "A", 0)).toDF("id", "v", "pt"))
+    TableCommit.deleteWhere(spark, t, "pt", "id", // 4: DELETE
+      BigDecimal(4), BigDecimal(4))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id", // 5: DELETE (MOR)
+      BigDecimal(3), BigDecimal(3))
+    TableCommit.updateWhereMor(spark, t, "pt", "id", // 6: UPDATE (MOR)
+      BigDecimal(5), BigDecimal(5), Map("v" -> upper(col("v"))))
+    TableCommit.mergeInto(spark, t, "pt", "id", // 7: MERGE
+      Seq((10L, "A2", 0), (7L, "g", 2)).toDF("id", "v", "pt"),
+      updateSet = Map("v" -> col("src_v")))
+    TableCommit.compactPartitions(spark, t, "pt", Seq("pt=2"), // 8
+      clusterBy = Seq("id"), filesPerPartition = 1)
+    TableCommit.restore(t, 7L) // 9: RESTORE (to the pre-compact state)
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "v")) // 10
+    val want = Map(0L -> "ADOPT", 1L -> "SET PROPERTIES",
+      2L -> "APPEND", 3L -> "REPLACE PARTITIONS", 4L -> "DELETE",
+      5L -> "DELETE (MOR)", 6L -> "UPDATE (MOR)", 7L -> "MERGE",
+      8L -> "COMPACT", 9L -> "RESTORE", 10L -> "EVOLVE PARTITIONING")
+    val ops = TableCommit.operations(t)
+    assert(ops.map(_._1).toSet == want.keySet, ops.toString)
+    ops.foreach { case (id, ann) =>
+      assert(ann.map(_._1).contains(want(id)),
+        s"snapshot $id labeled ${ann.map(_._1)}, want ${want(id)}")
+      assert(ann.exists(_._2 > 0L), s"snapshot $id missing timestamp")
+    }
+    // both manifest FORMS carry the line (interval 3: ids 3/6/9 are
+    // checkpoints, the rest deltas)
+    def manifestText(id: Long): String = new String(
+      java.nio.file.Files.readAllBytes(new java.io.File(t,
+        f"_manifests/manifest-$id%09d").toPath), "UTF-8")
+    assert(manifestText(6L).contains("#op UPDATE (MOR)\t"))
+    assert(manifestText(7L).contains("#op MERGE\t"))
+    // the annotation never perturbs state: the restore target equals
+    // the restored head row-for-row
+    assert(snapshot(t) == TableCommit.readAt(spark, t, 7L)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet)
+    // CLONE labels the destination's adopted manifest
+    val dst = new java.io.File(new java.io.File(t).getParentFile,
+      "clone").getAbsolutePath
+    TableCommit.cloneTo(t, dst)
+    assert(TableCommit.operations(dst).headOption.exists(
+      _._2.exists(_._1 == "CLONE")), TableCommit.operations(dst).toString)
+  }
+
   test("initIfAbsent adopts a plain tree as manifest-0; read equals raw read") {
     val t = freshTable()
     assert(TableCommit.resolve(t).isEmpty)

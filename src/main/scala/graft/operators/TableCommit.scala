@@ -749,6 +749,17 @@ object TableCommit {
     def pred(column: String): org.apache.spark.sql.Column =
       col(column) >= lit(lo) && col(column) <= lit(hi)
   }
+  /** The GENERAL-PREDICATE band behind [[deleteMatching]] and friends:
+    * no stats claim (an arbitrary predicate proves nothing about a
+    * file's bounds, so every file stays candidate) and the row
+    * predicate is the caller's Column verbatim — the whole banded DML
+    * pipeline (hit scan → narrow to hit files → rewrite-or-vector ∝
+    * hits → OCC) then serves SQL's unrestricted `WHERE`. */
+  private final case class PredBand(p: org.apache.spark.sql.Column)
+      extends StatBand {
+    def keeps(mn: String, mx: String): Boolean = true
+    def pred(column: String): org.apache.spark.sql.Column = p
+  }
 
   /** Per-file ROW COUNTS a manifest carries (`#rows <n>\t<relpath>`
     * directive lines — the Delta add-action's `numRecords`): every
@@ -3797,6 +3808,20 @@ object TableCommit {
       column: String, lo: String, hi: String): DeleteAudit =
     deleteWhereBandBy(s, table, partCols, column, LexBand(lo, hi))
 
+  /** SQL's unrestricted `DELETE FROM t WHERE <predicate>` — the
+    * general-predicate form of [[deleteWhere]]: every file is
+    * candidate (an arbitrary predicate has no stats band to prune
+    * with), the hit scan narrows to files actually holding matches,
+    * and only those rewrite — Delta's DELETE on a non-stats predicate,
+    * same cost shape. NULL-predicate rows are KEPT (SQL semantics;
+    * the survivor filter is null-safe). Prefer the banded verbs when
+    * the predicate IS a range on a stats column — they skip the
+    * candidate scan entirely. */
+  def deleteMatching(s: SparkSession, table: String,
+      partCols: Seq[String],
+      pred: org.apache.spark.sql.Column): DeleteAudit =
+    deleteWhereBandBy(s, table, partCols, "", PredBand(pred))
+
   private def deleteWhereBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band0: StatBand): DeleteAudit = {
     initIfAbsent(table)
@@ -3874,6 +3899,13 @@ object TableCommit {
       partCols: Seq[String],
       column: String, lo: String, hi: String): MorDeleteAudit =
     deleteWhereMorBandBy(s, table, partCols, column, LexBand(lo, hi))
+
+  /** [[deleteMatching]]'s merge-on-read twin: arbitrary-predicate
+    * DELETE committing in O(matches) via deletion vectors. */
+  def deleteMatchingMor(s: SparkSession, table: String,
+      partCols: Seq[String],
+      pred: org.apache.spark.sql.Column): MorDeleteAudit =
+    deleteWhereMorBandBy(s, table, partCols, "", PredBand(pred))
 
   private def deleteWhereMorBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String,
@@ -4008,6 +4040,13 @@ object TableCommit {
       column: String, lo: String, hi: String,
       set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
     updateWhereMorBandBy(s, table, partCols, column, LexBand(lo, hi), set)
+
+  /** [[updateMatching]]'s merge-on-read twin: arbitrary-predicate
+    * UPDATE committing in O(matches) — kill vectors + successors. */
+  def updateMatchingMor(s: SparkSession, table: String,
+      partCols: Seq[String], pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): MorUpdateAudit =
+    updateWhereMorBandBy(s, table, partCols, "", PredBand(pred), set)
 
   private def updateWhereMorBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band0: StatBand,
@@ -4505,6 +4544,14 @@ object TableCommit {
       column: String, lo: String, hi: String,
       set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
     updateWhereBandBy(s, table, partCols, column, LexBand(lo, hi), set)
+
+  /** SQL's unrestricted `UPDATE t SET … WHERE <predicate>` — the
+    * general-predicate form of [[updateWhere]] (see [[deleteMatching]]
+    * for the candidacy/cost discussion). */
+  def updateMatching(s: SparkSession, table: String,
+      partCols: Seq[String], pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): UpdateAudit =
+    updateWhereBandBy(s, table, partCols, "", PredBand(pred), set)
 
   private def updateWhereBandBy(s: SparkSession, table: String,
       partCols: Seq[String], column: String, band0: StatBand,

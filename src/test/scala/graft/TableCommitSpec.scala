@@ -29,6 +29,41 @@ class TableCommitSpec extends GraftSpec {
       .select(col("id"), col("v"), col("pt").cast("int"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
 
+  test("general-predicate DML: deleteMatching / updateMatching and their " +
+      "MoR twins serve SQL's unrestricted WHERE — full candidacy, " +
+      "hit-only writes, NULL-predicate rows kept") {
+    val t = freshTable()
+    TableCommit.initIfAbsent(t)
+    // CoW UPDATE across partitions on a non-band predicate
+    val u = TableCommit.updateMatching(spark, t, Seq("pt"),
+      col("v").isin("a", "d"), Map("v" -> upper(col("v"))))
+    assert(u.rowsUpdated == 2L && u.filesCandidates == u.filesTotal,
+      u.toString)
+    assert(snapshot(t) == Set((1L, "A", 0), (2L, "b", 0), (3L, "c", 1),
+      (4L, "D", 1), (5L, "e", 2)))
+    // MoR DELETE whose predicate is NULL for one row: SQL keeps it
+    val nullish = when(col("id") === 2L,
+      lit(null).cast("boolean")).otherwise(col("id") === 3L)
+    val d = TableCommit.deleteMatchingMor(spark, t, Seq("pt"), nullish)
+    assert(d.rowsDeleted == 1L, d.toString)
+    assert(snapshot(t) == Set((1L, "A", 0), (2L, "b", 0),
+      (4L, "D", 1), (5L, "e", 2)))
+    // CoW DELETE on a value-only predicate; hit scan narrows the
+    // rewrite to the one file holding the match
+    val d2 = TableCommit.deleteMatching(spark, t, Seq("pt"),
+      col("v") === "e")
+    assert(d2.rowsDeleted == 1L && d2.filesRewritten == 1, d2.toString)
+    // MoR UPDATE, arbitrary predicate
+    val u2 = TableCommit.updateMatchingMor(spark, t, Seq("pt"),
+      col("v").startsWith("A") || col("v").startsWith("b"),
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(u2.rowsUpdated == 2L, u2.toString)
+    assert(snapshot(t) == Set((1L, "A!", 0), (2L, "b!", 0), (4L, "D", 1)))
+    // the metadata row count tracked every verb
+    assert(TableCommit.rowCount(t,
+      TableCommit.resolve(t).get._1).contains(3L))
+  }
+
   test("#op commit annotations: every verb labels its manifest across " +
       "checkpoint AND delta forms, operations()/history surface them, " +
       "and state parsing is untouched") {

@@ -4172,9 +4172,10 @@ object TableCommit {
     * minus the update successors), nothing table-sized. */
   final case class MergeAudit(snapshotBefore: Long, snapshotAfter: Long,
       filesTotal: Int, filesCandidates: Int, filesHit: Int, filesAdded: Int,
-      rowsUpdated: Long, rowsDeleted: Long, rowsInserted: Long)
+      rowsUpdated: Long, rowsDeleted: Long, rowsInserted: Long,
+      rowsDeletedBySource: Long = 0L)
 
-  /** MERGE INTO — the three-clause SQL MERGE as ONE merge-on-read
+  /** MERGE INTO — the SQL MERGE's full clause set as ONE merge-on-read
     * commit (the verb that subsumes the DML quartet; Delta's
     * write-optimized merge): join the pinned target snapshot to a
     * CDC-sized `source` on `keyCol`, then in a single atomic publish
@@ -4186,7 +4187,15 @@ object TableCommit {
     *    kill-and-re-add kernel, so SET of the partition column moves
     *    rows across partitions);
     *  - WHEN NOT MATCHED               THEN INSERT — the source row
-    *    appended, cast to the target's declared column types.
+    *    appended, cast to the target's declared column types;
+    *  - WHEN NOT MATCHED BY SOURCE AND `notMatchedBySourceDelete`
+    *    THEN DELETE (r13 — the full-sync clause): target rows whose
+    *    key joins NO source row are vectored dead when the clause
+    *    matches (NULL keeps, SQL semantics). The clause inherently
+    *    needs every live target row, so it disables candidate pruning
+    *    AND the band-scoped added-file conflict rule — full candidacy,
+    *    the same cost Delta pays; an EMPTY source with the clause is
+    *    the delete-everything-unreferenced sync, not a no-op.
     *
     * Commit cost ∝ |matched| + |inserted|; existing data files are
     * never rewritten. `updateSet` / `deleteWhen` expressions see the
@@ -4225,9 +4234,11 @@ object TableCommit {
       updateSet: Map[String, org.apache.spark.sql.Column],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       txn: Option[(String, Long)] = None,
-      readSnapshot: Option[Long] = None): MergeAudit =
+      readSnapshot: Option[Long] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+      : MergeAudit =
     mergeIntoBy(s, table, Seq(partCol), keyCol, source, updateSet,
-      deleteWhen, txn, readSnapshot)
+      deleteWhen, txn, readSnapshot, notMatchedBySourceDelete)
 
   /** [[mergeInto]] over a multi-column partition layout. */
   def mergeIntoBy(s: SparkSession, table: String, partCols: Seq[String],
@@ -4235,7 +4246,9 @@ object TableCommit {
       updateSet: Map[String, org.apache.spark.sql.Column],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       txn: Option[(String, Long)] = None,
-      readSnapshot: Option[Long] = None): MergeAudit = {
+      readSnapshot: Option[Long] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+      : MergeAudit = {
     initIfAbsent(table)
     def alreadyApplied: Boolean = txn.exists { case (app, v) =>
       lastTxnVersion(table, app).exists(_ >= v)
@@ -4265,6 +4278,7 @@ object TableCommit {
         "silently dropped"))
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var matchedCache: Option[DataFrame] = None
+    var bySourceCache: Option[DataFrame] = None
     try {
       // one pass over the source: cardinality guard + the key band that
       // stats-prunes candidates and arbitrates rebase-vs-conflict below
@@ -4272,7 +4286,11 @@ object TableCommit {
         min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"))
         .collect()(0)
       val srcRows = srcAgg.getLong(0)
-      if (srcRows == 0L)
+      // an EMPTY source short-circuits only without the BY SOURCE
+      // clause: with it, every target row is not-matched-by-source and
+      // the clause decides (SQL semantics — empty source + uncondi-
+      // tional clause means delete everything)
+      if (srcRows == 0L && notMatchedBySourceDelete.isEmpty)
         return MergeAudit(baseId0, baseId0, total, 0, 0, 0, 0, 0, 0)
       require(srcAgg.getLong(1) == srcRows,
         s"MERGE source has duplicate $keyCol keys — a target row matching " +
@@ -4289,10 +4307,15 @@ object TableCommit {
       // candidate (correct, just unpruned); the lo<=hi guards are
       // belt-and-braces against any residual rendering skew.
       import org.apache.spark.sql.types._
+      // the BY SOURCE clause must see EVERY live target row (a file
+      // outside the source key band can hold rows to delete), so it
+      // disables both the candidate pruning and the band-scoped
+      // added-file conflict rule below — full candidacy, like Delta
+      val bandable = notMatchedBySourceDelete.isEmpty
       val keyType = tgtSchema.fields.find(_.name == keyCol).map(_.dataType)
       val srcLo = Option(srcAgg.getString(2))
       val srcHi = Option(srcAgg.getString(3))
-      val band: Option[StatBand] = keyType match {
+      val band: Option[StatBand] = if (!bandable) None else keyType match {
         case Some(_: NumericType) => (for {
           lo <- srcLo.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
           hi <- srcHi.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
@@ -4322,16 +4345,29 @@ object TableCommit {
       // keys), each of which would otherwise rescan every candidate
       // file; it is at most source-sized (the cardinality rule), so
       // caching costs |batch|, never table size
-      val matched =
+      val liveAll =
         if (candidates.isEmpty) None
         else {
           val raw = pinnedRead(s, table, m, candidates, withMeta = true)
           Some(applyDv(s, table, m, candidates,
-            dvKeyCols(raw, depthsOf(candidates)))
-            .join(srcR, col(keyCol) === col(s"src_$keyCol"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            dvKeyCols(raw, depthsOf(candidates))))
         }
+      val matched = liveAll.map(
+        _.join(srcR, col(keyCol) === col(s"src_$keyCol"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       matchedCache = matched
+      // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE: live target
+      // rows whose key joins NO source row, clause-filtered (NULL
+      // keeps, SQL semantics); shares the one candidate read above
+      val bySource = for {
+        cond <- notMatchedBySourceDelete
+        live <- liveAll
+      } yield live
+        .join(srcR.select(col(s"src_$keyCol")),
+          col(keyCol) === col(s"src_$keyCol"), "left_anti")
+        .filter(coalesce(cond, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bySourceCache = bySource
       val delPred = deleteWhen.map(c => coalesce(c, lit(false)))
         .getOrElse(lit(false))
       // per-hit-file (matched, deleted) counts — |candidates| scalar
@@ -4351,14 +4387,34 @@ object TableCommit {
           }.toMap
         case None => Map.empty
       }
-      val hit = candidates.filter(hitCounts.contains)
+      val bsCounts: Map[String, Long] = bySource match {
+        case Some(bs) => bs.groupBy(col("__graft_dvk"))
+          .agg(count(lit(1)).as("n"))
+          .collect().flatMap { r =>
+            val key = r.getString(0)
+            byKey.get(key)
+              .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+              .map(_ -> r.getLong(1))
+          }.toMap
+        case None => Map.empty
+      }
+      val hit = candidates.filter(f =>
+        hitCounts.contains(f) || bsCounts.contains(f))
       val rowsMatched = hitCounts.valuesIterator.map(_._1).sum
       val rowsDeleted = hitCounts.valuesIterator.map(_._2).sum
       val rowsUpdated = rowsMatched - rowsDeleted
+      val rowsDeletedBySource = bsCounts.valuesIterator.sum
       val writerId = java.util.UUID.randomUUID().toString.take(8)
-      // every matched row's old version dies — updates get successors
+      // every matched row's old version dies (updates get successors);
+      // by-source-clause rows die with no successor
+      val killFrame = (matched, bySource) match {
+        case (Some(a), Some(b)) =>
+          Some(a.select(col("__graft_dvk"), col("__graft_dvp"))
+            .unionByName(b.select(col("__graft_dvk"), col("__graft_dvp"))))
+        case (a, b) => a.orElse(b)
+      }
       val dvRel =
-        if (hit.nonEmpty) writeDvSidecar(s, table, writerId, matched.get)
+        if (hit.nonEmpty) writeDvSidecar(s, table, writerId, killFrame.get)
         else s"_dv/$writerId"
       // successors: the update clause over the pre-merge row, each
       // assignment cast to the declared type (schema of record invariant)
@@ -4389,6 +4445,8 @@ object TableCommit {
         val tgtCols = tgtSchema.fields.toSeq.map(f => col(f.name))
         val cdcParts = Seq(
           matched.map(_.filter(delPred).select(tgtCols :+
+            lit("delete").as("_change_type"): _*)),
+          bySource.map(_.select(tgtCols :+
             lit("delete").as("_change_type"): _*)),
           matched.map(_.filter(!delPred).select(tgtCols :+
             lit("update_preimage").as("_change_type"): _*)),
@@ -4467,7 +4525,8 @@ object TableCommit {
           else c.dv ++ hit.map(rel =>
             rel -> (baseDvSig.getOrElse(rel, Seq.empty) :+ dvRel))
         val nextRows = c.rows.map { case (rel, n) =>
-          rel -> (n - hitCounts.get(rel).map(_._1).getOrElse(0L)) } ++ freshRows
+          rel -> (n - hitCounts.get(rel).map(_._1).getOrElse(0L) -
+            bsCounts.getOrElse(rel, 0L)) } ++ freshRows
         val nextTxns = txn.fold(c.txns) { case (app, v) =>
           c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
         }
@@ -4490,9 +4549,11 @@ object TableCommit {
         }
       }
       MergeAudit(baseId0, published, total, candidates.length, hit.length,
-        fresh.length, rowsUpdated, rowsDeleted, rowsInserted)
+        fresh.length, rowsUpdated, rowsDeleted, rowsInserted,
+        rowsDeletedBySource)
     } finally {
       matchedCache.foreach(_.unpersist())
+      bySourceCache.foreach(_.unpersist())
       src.unpersist()
     }
   }

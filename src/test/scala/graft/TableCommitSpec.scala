@@ -29,6 +29,57 @@ class TableCommitSpec extends GraftSpec {
       .select(col("id"), col("v"), col("pt").cast("int"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: unreferenced target rows " +
+      "delete by clause (the full-sync shape), NULL clause keeps, CDF " +
+      "records the kills, empty source + unconditional clause wipes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nmbs").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1),
+        (5L, "e", 2)).toDF("id", "v", "pt"))
+    TableCommit.setProperties(t, Map("graft.cdf" -> "true",
+      "graft.retention.generations" -> "6"))
+    // source references 1 (update) and 6 (insert); the clause deletes
+    // UNREFERENCED rows only in pt <= 1 — kills 2,3,4, keeps 5
+    val src = Seq((1L, "a2", 0), (6L, "f", 2)).toDF("id", "v", "pt")
+    val a = TableCommit.mergeInto(spark, t, "pt", "id", src,
+      updateSet = Map("v" -> col("src_v")),
+      notMatchedBySourceDelete = Some(col("pt") <= 1))
+    assert(a.rowsUpdated == 1L && a.rowsInserted == 1L &&
+      a.rowsDeleted == 0L && a.rowsDeletedBySource == 3L, a.toString)
+    assert(snapshot(t) == Set((1L, "a2", 0), (5L, "e", 2), (6L, "f", 2)))
+    // metadata row count tracked the by-source kills exactly
+    assert(TableCommit.rowCount(t,
+      TableCommit.resolve(t).get._1).contains(3L))
+    // the four-way feed recorded the kills as deletes
+    val byType = TableCommit.changeFeedPrecise(spark, t,
+      a.snapshotBefore, a.snapshotAfter)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 3L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L), byType.toString)
+    // NULL clause keeps (SQL semantics): empty source, clause null for
+    // id=1 — deletes 5 and 6, keeps 1
+    val b = TableCommit.mergeInto(spark, t, "pt", "id", src.limit(0),
+      updateSet = Map.empty,
+      notMatchedBySourceDelete = Some(
+        when(col("id") === 1L, lit(null).cast("boolean"))
+          .otherwise(lit(true))))
+    assert(b.rowsDeletedBySource == 2L && b.rowsInserted == 0L,
+      b.toString)
+    assert(snapshot(t) == Set((1L, "a2", 0)))
+    // empty source + unconditional clause = full wipe, one MoR commit
+    val c = TableCommit.mergeInto(spark, t, "pt", "id", src.limit(0),
+      updateSet = Map.empty,
+      notMatchedBySourceDelete = Some(lit(true)))
+    assert(c.rowsDeletedBySource == 1L, c.toString)
+    assert(TableCommit.read(spark, t).count() == 0L)
+    // and WITHOUT the clause an empty source stays the no-op it was
+    val d = TableCommit.mergeInto(spark, t, "pt", "id", src.limit(0),
+      updateSet = Map.empty)
+    assert(d.snapshotBefore == d.snapshotAfter, d.toString)
+  }
+
   test("general-predicate DML: deleteMatching / updateMatching and their " +
       "MoR twins serve SQL's unrestricted WHERE — full candidacy, " +
       "hit-only writes, NULL-predicate rows kept") {

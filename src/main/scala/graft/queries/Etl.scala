@@ -1036,6 +1036,79 @@ object Etl {
       |  SELECT * FROM merged UNION ALL SELECT * FROM ins)
       |ORDER BY doc_key""".stripMargin
 
+  // ------------------------------------------------------------ q_merge_sync
+  /** FULL-SYNC MERGE over a committed table (round-13: the WHEN NOT
+    * MATCHED BY SOURCE clause) — the mirror-a-feed shape every CDC
+    * ingest eventually needs: one feed (`src7`) re-delivers its
+    * CURRENT snapshot (a third of its old rows survive with bumped
+    * n_chars, a fifth re-key as fresh inserts), and ONE MoR commit
+    * updates the matched rows, inserts the new ones, and drops the
+    * feed's UNREFERENCED rows — `notMatchedBySourceDelete =
+    * (source = 'src7')` scopes the kill to the feed's own row space,
+    * so the other sources ride through untouched. The clause forces
+    * full candidacy (a file outside the feed's key band can hold rows
+    * to drop — Delta pays the same), which is exactly why it is
+    * opt-in per merge. Oracle'd end to end: the per-source row/char
+    * totals must equal DuckDB's relational simulation of the sync
+    * over raw documents. At 100 TB: cost = one live-target pass + the
+    * band-sized write set, one atomic commit, no partition dance. */
+  private def mergeSync(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_msync_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+      TableCommit.appendRowsBy(s, table, Seq("source"), docs,
+        clusterBy = Seq("doc_id"))
+      val shift = 10000000L
+      val feed = docs.filter(col("source") === "src7")
+      val srcBatch = feed.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(feed.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(shift))
+          .withColumn("n_chars", col("n_chars") + 5L))
+      TableCommit.mergeIntoBy(s, table, Seq("source"), "doc_id", srcBatch,
+        updateSet = Map("n_chars" -> col("src_n_chars")),
+        notMatchedBySourceDelete = Some(col("source") === "src7"))
+      // source-count-sized result, materialized before the finally
+      // deletes the scratch tree
+      val rows = TableCommit.read(s, table)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      import s.implicits._
+      rows.toDF("source", "n_rows", "sum_chars").orderBy(col("source"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  private val mergeSyncSql =
+    """WITH seed AS (
+      |  SELECT doc_id, n_chars, source FROM documents),
+      |feed AS (
+      |  SELECT doc_id, n_chars + 1000 AS n_chars, source
+      |  FROM seed WHERE source = 'src7' AND doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, n_chars + 5, source
+      |  FROM seed WHERE source = 'src7' AND doc_id % 5 = 0),
+      |kept AS (
+      |  SELECT s.doc_id, coalesce(f.n_chars, s.n_chars) AS n_chars,
+      |    s.source
+      |  FROM seed s LEFT JOIN feed f USING (doc_id)
+      |  WHERE s.source <> 'src7' OR f.doc_id IS NOT NULL),
+      |ins AS (
+      |  SELECT f.doc_id, f.n_chars, f.source
+      |  FROM feed f LEFT JOIN seed s USING (doc_id)
+      |  WHERE s.doc_id IS NULL),
+      |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT source, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM final
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // -------------------------------------------------------- n_table_constraints
   /** CHECK constraints on the committed events table — ALTER TABLE
     * ADD/DROP CONSTRAINT with write-path enforcement
@@ -2550,6 +2623,7 @@ object Etl {
     QueryDef("n_incr_view", incrViewQ, None),
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
+    QueryDef("q_merge_sync", mergeSync, Some(mergeSyncSql)),
     QueryDef("n_part_evolve", partEvolve, None),
     QueryDef("n_part_transform", partTransform, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),

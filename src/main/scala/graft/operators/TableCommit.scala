@@ -934,6 +934,9 @@ object TableCommit {
   private def readDvRows(s: SparkSession, table: String,
       dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{explode, udf}
+    // callers guard the no-vector case; an empty reduce below would
+    // surface as a baffling runtime error instead of this
+    require(dirs.nonEmpty, "readDvRows needs at least one vector dir")
     val (v2, v1) = dirs.partition(_.endsWith(".v2"))
     val dec = udf((b: Array[Byte]) => DvCodec.decode(b))
     val parts =

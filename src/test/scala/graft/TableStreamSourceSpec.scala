@@ -325,6 +325,27 @@ class TableStreamSourceSpec extends GraftSpec {
         .awaitTermination()
     }
     assert(mentions(e2, "partitionSpec"), e2.getMessage)
+    // (5) a STALE sink spec fails LOUDLY at the commit choke point: the
+    // table evolved between drains, the sink still declares the old
+    // layout — guardSpec refuses, never mis-lays files
+    TableCommit.evolvePartitioningBy(spark, dst2, Seq("days(d)", "pt"))
+    TableCommit.appendRowsBy(spark, src, Seq("pt"),
+      Seq((999L, "tail", java.sql.Date.valueOf("2026-02-09"), 0))
+        .toDF("id", "v", "d", "pt"))
+    val e3 = intercept[Exception] {
+      spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .option("partitionSpec", "days(d)") // stale: table now days(d);pt
+        .option("txnAppId", "tts_stale")
+        .option("checkpointLocation",
+          new java.io.File(scratch, "ck5").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start(dst2).awaitTermination()
+    }
+    assert(mentions(e3, "days(d)"), e3.getMessage)
+    // nothing landed under the stale spec
+    assert(TableCommit.read(spark, dst2).count() == 43L,
+      "a stale-spec batch published rows")
   }
 
   test("graft-table source: maxSnapshotsPerTrigger bounds each " +

@@ -2585,6 +2585,32 @@ object TableCommit {
     * co-located-join view, `underDir = "p_ts_day=2026-02-01"`. Files
     * outside the subtree are simply not part of the view (that is the
     * point); files INSIDE it at the wrong depth still refuse. */
+  /** [[registerBucketedView]] deriving `(key, numBuckets)` from the
+    * table's DECLARED spec (`graft.partcols`): the active spec must
+    * carry exactly one `bucket(n,key)` entry. The no-configuration
+    * form a consumer who only knows the table path uses. */
+  def registerBucketedView(s: SparkSession, table: String, name: String,
+      serveDir: String): Unit =
+    registerBucketedView(s, table, name, serveDir, underDir = None)
+
+  /** [[registerBucketedView]] auto-derived, scoped to one partition
+    * subtree (the multi-level-spec serving shape). */
+  def registerBucketedView(s: SparkSession, table: String, name: String,
+      serveDir: String, underDir: Option[String]): Unit = {
+    val spec = activePartCols(table).getOrElse(sys.error(
+      s"$table declares no partition spec (evolvePartitioningBy) — " +
+        "pass (key, numBuckets) explicitly"))
+    val buckets = spec.map(parseSpecCol).collect {
+      case SpecCol(_, _, src, Some(("bucket", n))) => (src, n)
+    }
+    require(buckets.length == 1,
+      s"$table's declared spec (${spec.mkString("; ")}) carries " +
+        s"${buckets.length} bucket() entries — the bucketed view needs " +
+        "exactly one; pass (key, numBuckets) explicitly")
+    registerBucketedView(s, table, name, buckets.head._1,
+      buckets.head._2, serveDir, underDir)
+  }
+
   def registerBucketedView(s: SparkSession, table: String, name: String,
       key: String, numBuckets: Int, serveDir: String,
       underDir: Option[String] = None): Unit = {

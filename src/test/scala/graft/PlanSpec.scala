@@ -316,6 +316,31 @@ class PlanSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS cbv_day_r")
     }
 
+    // AUTO-DERIVED form: a DECLARED-spec table needs no (key, n) at
+    // registration — and refuses when the spec carries no bucket entry
+    TableCommit.evolvePartitioningBy(spark, bT, Seq("bucket(8,k)"))
+    TableCommit.registerBucketedView(spark, bT, "cbv_auto",
+      new java.io.File(base, "auto_serve").getAbsolutePath)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val ap = spark.table("cbv_auto").join(spark.table("cbv_auto")
+          .select(col("k"), col("rv").as("rv2")), "k")
+        .queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange") && ap.contains("Bucketed: true"),
+        s"auto-derived view shuffled:\n${ap.take(1500)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS cbv_auto")
+    }
+    val eAuto = intercept[Exception] {
+      TableCommit.registerBucketedView(spark, dT, "cbv_auto2",
+        new java.io.File(base, "auto2_serve").getAbsolutePath)
+    } // dT declares no spec at all
+    assert(eAuto.getMessage.contains("declares no partition spec") ||
+      eAuto.getMessage.contains("bucket()"), eAuto.getMessage)
+
     // REFUSALS — each would silently serve wrong rows:
     // (1) a mixed-generation snapshot (identity-layout file present)
     val cT = new java.io.File(base, "c").getAbsolutePath

@@ -42,51 +42,80 @@ object DvCodec {
   private val BitmapBytes = 8192
 
   /** Serialize a set of 64-bit row positions. Input need not be
-    * sorted or distinct; the output is canonical for the set. */
+    * sorted or distinct; the output is canonical for the set.
+    * Implemented AS chunk-encode + assemble, so the distributed
+    * chunk-at-a-time writer ([[encodeChunk]] per `(file, pos >>> 16)`
+    * group, [[assemble]] per file) is byte-identical to this
+    * monolithic form by construction, not by parallel maintenance. */
   def encode(positions: Array[Long]): Array[Byte] = {
     val ps = positions.distinct
     java.util.Arrays.sort(ps)
-    ps.foreach(p => require(p >= 0L, s"negative row position $p"))
-    val bos = new java.io.ByteArrayOutputStream()
-    val d = new java.io.DataOutputStream(bos)
-    d.writeInt(Magic)
-    // chunk runs over the sorted array
-    var nChunks = 0
+    val chunks = Seq.newBuilder[(Long, Array[Byte])]
     var i = 0
     while (i < ps.length) {
       val hi = ps(i) >>> 16
       var j = i
       while (j < ps.length && (ps(j) >>> 16) == hi) j += 1
-      nChunks += 1
+      chunks += hi -> encodeChunk(hi, java.util.Arrays.copyOfRange(ps, i, j))
       i = j
     }
-    d.writeInt(nChunks)
-    i = 0
-    while (i < ps.length) {
-      val hi = ps(i) >>> 16
-      var j = i
-      while (j < ps.length && (ps(j) >>> 16) == hi) j += 1
-      val n = j - i
-      d.writeLong(hi)
-      if (n <= ArrayMax) {
-        d.writeByte(0)
-        d.writeInt(n)
-        var k = i
-        while (k < j) { d.writeShort((ps(k) & 0xFFFFL).toInt); k += 1 }
-      } else {
-        d.writeByte(1)
-        d.writeInt(n)
-        val bits = new Array[Byte](BitmapBytes)
-        var k = i
-        while (k < j) {
-          val slot = (ps(k) & 0xFFFFL).toInt
-          bits(slot >>> 3) = (bits(slot >>> 3) | (1 << (slot & 7))).toByte
-          k += 1
-        }
-        d.write(bits)
+    assemble(chunks.result())
+  }
+
+  /** One chunk's container BLOCK — exactly the bytes the canonical
+    * blob carries for this chunk (`int64 chunkKey, byte kind, int32 n,
+    * payload`). The DISTRIBUTED encoder's unit: every position must
+    * share `pos >>> 16 == chunkKey`, so one aggregation buffer holds
+    * at most 65 536 slots (≤ the 8 KiB bitmap container) no matter how
+    * many rows of the covered file are dead. Input need not be sorted
+    * or distinct; the block is canonical for the slot set. */
+  def encodeChunk(chunkKey: Long, positions: Array[Long]): Array[Byte] = {
+    val ps = positions.distinct
+    java.util.Arrays.sort(ps)
+    require(ps.nonEmpty, "empty deletion-vector chunk")
+    require(chunkKey >= 0L, s"negative chunk key $chunkKey")
+    ps.foreach(p => require(p >= 0L && (p >>> 16) == chunkKey,
+      s"position $p outside chunk $chunkKey"))
+    val n = ps.length
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeLong(chunkKey)
+    if (n <= ArrayMax) {
+      d.writeByte(0)
+      d.writeInt(n)
+      var k = 0
+      while (k < n) { d.writeShort((ps(k) & 0xFFFFL).toInt); k += 1 }
+    } else {
+      d.writeByte(1)
+      d.writeInt(n)
+      val bits = new Array[Byte](BitmapBytes)
+      var k = 0
+      while (k < n) {
+        val slot = (ps(k) & 0xFFFFL).toInt
+        bits(slot >>> 3) = (bits(slot >>> 3) | (1 << (slot & 7))).toByte
+        k += 1
       }
-      i = j
+      d.write(bits)
     }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Concatenate per-chunk container blocks into one canonical GDV2
+    * blob — byte-identical to [[encode]] over the union of the chunks'
+    * position sets. Blocks may arrive in any order (they sort by chunk
+    * key here); duplicate chunk keys are refused, because two blocks
+    * for one chunk means the encoder's grouping was wrong and a decode
+    * would double-count. */
+  def assemble(chunkBlocks: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val sorted = chunkBlocks.sortBy(_._1)
+    sorted.iterator.sliding(2).withPartial(false).foreach(w =>
+      require(w(0)._1 != w(1)._1, s"duplicate chunk key ${w(0)._1}"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeInt(Magic)
+    d.writeInt(sorted.length)
+    sorted.foreach { case (_, block) => d.write(block) }
     d.flush()
     bos.toByteArray
   }

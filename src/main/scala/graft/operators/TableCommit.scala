@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, countDistinct, element_at, input_file_name, lit, max, min, not, split => fsplit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, countDistinct, element_at, expr, input_file_name, lit, max, min, not, sort_array, split => fsplit, struct, sum, when}
 
 /** Minimal ATOMIC COMMIT protocol for the engine's mutable partitioned
   * tables (round-8 verdict item 4) — the "table format's commit
@@ -971,10 +971,29 @@ object TableCommit {
       rel
     } else {
       val rel = s"_dv/$writerId.v2"
-      val enc = udf((ps: Seq[Long]) => DvCodec.encode(ps.toArray))
-      kills.groupBy(col("k"))
+      // CHUNK-BOUNDED distributed encode (round-13 verdict item 4):
+      // group kills by (file, pos >>> 16) so one aggregation buffer
+      // holds at most a 64Ki-slot chunk (≤ the 8 KiB bitmap
+      // container) — a dense kill of a 100M-row adopted file never
+      // builds the whole position array in one executor row. The
+      // per-chunk container blocks then concatenate per file in
+      // ascending chunk order, byte-identical to the monolithic
+      // encode by construction (encode IS encodeChunk+assemble;
+      // DvCodecSpec pins the equality across container mixes).
+      val encChunk = udf((hi: Long, ps: Seq[Long]) =>
+        DvCodec.encodeChunk(hi, ps.toArray))
+      val asm = udf((chunks: Seq[org.apache.spark.sql.Row]) =>
+        DvCodec.assemble(chunks.map(r =>
+          (r.getLong(0), r.getAs[Array[Byte]](1)))))
+      kills
+        .groupBy(col("k"), expr("shiftrightunsigned(pos, 16)").as("hi"))
         .agg(collect_list(col("pos")).as("ps"))
-        .select(col("k"), enc(col("ps")).as("bmp"))
+        .select(col("k"),
+          struct(col("hi"), encChunk(col("hi"), col("ps")).as("blk"))
+            .as("cb"))
+        .groupBy(col("k"))
+        .agg(sort_array(collect_list(col("cb"))).as("chunks"))
+        .select(col("k"), asm(col("chunks")).as("bmp"))
         .write.mode("overwrite").parquet(s"$table/$rel")
       rel
     }
@@ -1945,6 +1964,10 @@ object TableCommit {
     band match {
       case NumBand(lo, hi) => sidecarPruned(table, id, column, lo, hi)
       case LexBand(lo, hi) => sidecarPrunedLex(table, id, column, lo, hi)
+      // a band kind the sidecar cannot prune (PredBand's general
+      // predicate has no columnar min/max form): fall back to the text
+      // path, which keeps all files — never a MatchError
+      case _ => None
     }
 
   /** Path of a FRESH in-retention sidecar for snapshot `id`, when one
@@ -3607,9 +3630,14 @@ object TableCommit {
     * (manifest `#rows`, −1 when unknowable) and how many of its rows
     * the registered vectors mark dead. */
   final case class DvDebt(file: String, liveRows: Long, deadRows: Long) {
-    /** Dead fraction of the file's ORIGINAL rows. */
+    /** Dead fraction of the file's ORIGINAL rows; NaN when the live
+      * count is unknowable (liveRows = -1, adopted generation-0) — a
+      * ratio computed from the -1 sentinel would read ~100% dead. NaN
+      * compares false everywhere, so threshold filters skip these
+      * files without a separate guard. */
     def deadRatio: Double =
-      deadRows.toDouble / math.max(1L, liveRows + deadRows)
+      if (liveRows < 0L) Double.NaN
+      else deadRows.toDouble / math.max(1L, liveRows + deadRows)
   }
 
   /** Per-file DV debt of the newest snapshot — the input to a

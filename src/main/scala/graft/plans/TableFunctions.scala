@@ -45,6 +45,10 @@ object TableFunctions {
 
   private def lit(e: Expression, what: String): Any = e match {
     case l: Literal => l.value
+    // FOLDABLE expressions fold here: SQL renders a negative numeric
+    // literal as UnaryMinus(Literal), so without this arm a band like
+    // graft_table_where(p, c, -5, 10) would be rejected as non-literal
+    case f if f.foldable => f.eval()
     case other => throw new IllegalArgumentException(
       s"graft table functions take literal arguments; $what was $other")
   }
@@ -152,7 +156,10 @@ object TableFunctions {
         import s.implicits._
         TableCommit.dvDebt(s, path(args.head))
           .map(d => (d.file, d.liveRows, d.deadRows,
-            BigDecimal(d.deadRatio).setScale(6,
+            // unknowable live count → NaN straight through (BigDecimal
+            // would throw on it); consumers see "no ratio", not ~100%
+            if (d.liveRows < 0L) Double.NaN
+            else BigDecimal(d.deadRatio).setScale(6,
               BigDecimal.RoundingMode.HALF_EVEN).toDouble))
           .toDF("file", "live_rows", "dead_rows", "dead_ratio")
           .queryExecution.analyzed

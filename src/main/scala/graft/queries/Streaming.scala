@@ -713,9 +713,15 @@ object Streaming {
       val wantCounts = Tables.events(s, d).filter(slice).groupBy(utcDay)
         .agg(count(lit(1)).as("n_src"))
       // MATERIALIZED before the finally deletes the scratch table (the
-      // returned frame must not re-scan it lazily); day-count-sized
-      val audit = gotCounts.join(wantCounts, "day")
-        .join(bucketsPerDay.toDF("day", "n_buckets"), "day")
+      // returned frame must not re-scan it lazily); day-count-sized.
+      // FULL OUTER joins with coalesced zero counts: a day present on
+      // one side only (written but unreadable, or read but never in the
+      // manifest tree) must SURFACE as an unequal row — an inner join
+      // would silently drop exactly the drift this audit exists to show
+      val audit = gotCounts.join(wantCounts, Seq("day"), "full_outer")
+        .join(bucketsPerDay.toDF("day", "n_buckets"), Seq("day"), "full_outer")
+        .select(col("day"), coalesce(col("n_rows"), lit(0L)),
+          coalesce(col("n_src"), lit(0L)), coalesce(col("n_buckets"), lit(0L)))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), if (hidden) 1L else 0L)).toSeq.sortBy(_._1)
       audit.toDF("day", "n_rows", "n_src", "n_buckets", "hidden")

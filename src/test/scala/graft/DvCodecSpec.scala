@@ -48,6 +48,32 @@ class DvCodecSpec extends GraftSpec {
     intercept[Exception] { DvCodec.decode("junk".getBytes("UTF-8")) }
   }
 
+  test("distributed chunk encode is BYTE-IDENTICAL to the monolithic " +
+      "form across container mixes (the round-14 bounded-buffer writer): " +
+      "assemble(encodeChunk per pos>>>16 group) == encode(all)") {
+    val rnd = new scala.util.Random(1447)
+    (0 until 30).foreach { trial =>
+      val sparse = Array.fill(rnd.nextInt(2000))(rnd.nextLong(1L << 40).abs)
+      val denseBase = (rnd.nextLong(1L << 20).abs << 16)
+      val dense = Array.fill(4097 + rnd.nextInt(8000))(
+        denseBase + rnd.nextInt(65536))
+      val ps = (sparse ++ dense ++ Array(0L, 65535L, 65536L)).distinct
+      // the writer's grouping: (pos >>> 16) buckets, arrival order
+      // scrambled within and across chunks
+      val blocks = rnd.shuffle(ps.groupBy(_ >>> 16).toSeq).map {
+        case (hi, slots) =>
+          hi -> DvCodec.encodeChunk(hi, rnd.shuffle(slots.toSeq).toArray)
+      }
+      assert(java.util.Arrays.equals(DvCodec.assemble(blocks),
+        DvCodec.encode(ps)), s"trial $trial: chunked encode drifted")
+    }
+    // duplicate chunk blocks are refused (double-grouped encoder bug)
+    val b = DvCodec.encodeChunk(3L, Array((3L << 16) + 7))
+    intercept[Exception] { DvCodec.assemble(Seq(3L -> b, 3L -> b)) }
+    // a position outside its declared chunk is refused
+    intercept[Exception] { DvCodec.encodeChunk(2L, Array(1L)) }
+  }
+
   /** A 50k-row single-file-per-partition committed table. */
   private def freshTable(fmt: Option[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_dv2").toFile

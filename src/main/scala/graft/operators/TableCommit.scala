@@ -4305,7 +4305,47 @@ object TableCommit {
       txn: Option[(String, Long)] = None,
       readSnapshot: Option[Long] = None,
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+      : MergeAudit =
+    mergeIntoKeys(s, table, partCols, Seq(keyCol), source, updateSet,
+      deleteWhen, txn, readSnapshot, notMatchedBySourceDelete)
+
+  /** [[mergeInto]] with a COMPOSITE business key (round-13 verdict
+    * item 2) — the most common real MERGE shape (`(tenant_id,
+    * entity_id)`, `(source, doc_id)`): the ON condition is the
+    * equality CONJUNCTION over `keyCols`, and every rule that keyed
+    * off "the key" generalizes to the tuple:
+    *
+    *  - the CARDINALITY rule counts distinct key TUPLES (two source
+    *    rows sharing the whole tuple are refused; sharing a prefix is
+    *    fine — that is the point of a composite key). A source row
+    *    with a NULL in any key column can never equality-match a
+    *    target row; it is refused by the same count (NULL-keyed
+    *    "inserts" are almost always a feed bug, and SQL MERGE's
+    *    NOT-MATCHED path would silently insert them forever);
+    *  - candidate PRUNING bands on the LEADING key column's `#stats`
+    *    (the composite tuple has no single recorded min/max; the
+    *    leading column's band is sound alone — a file whose recorded
+    *    leading-key range excludes every source leading key cannot
+    *    hold any source tuple). Order `keyCols` so the highest-
+    *    selectivity stats column leads;
+    *  - the OCC ADDED-FILE conflict rule arbitrates on that same
+    *    leading band: a winner's added file overlapping it may hold
+    *    source tuples this merge classified as inserts — conflict;
+    *  - the BY SOURCE clause is unchanged (full candidacy, band off).
+    *
+    * `keyCols.length == 1` IS [[mergeIntoBy]] — one kernel, every
+    * clause, any key width. */
+  def mergeIntoKeys(s: SparkSession, table: String, partCols: Seq[String],
+      keyCols: Seq[String], source: DataFrame,
+      updateSet: Map[String, org.apache.spark.sql.Column],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None,
+      readSnapshot: Option[Long] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
       : MergeAudit = {
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
+    require(keyCols.distinct.length == keyCols.length,
+      s"duplicate MERGE key columns: ${keyCols.mkString(", ")}")
     initIfAbsent(table)
     def alreadyApplied: Boolean = txn.exists { case (app, v) =>
       lastTxnVersion(table, app).exists(_ >= v)
@@ -4328,8 +4368,13 @@ object TableCommit {
         .parquet(filesOf(m).map(f => s"$table/$f"): _*).schema)
     tgtSchema.fieldNames.foreach(c => require(source.columns.contains(c),
       s"MERGE source must carry target column $c for NOT-MATCHED inserts"))
-    require(source.columns.contains(keyCol),
-      s"MERGE source must carry the key column $keyCol")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"MERGE source must carry the key column $k"))
+    keyCols.foreach(k => require(tgtSchema.fieldNames.contains(k),
+      s"MERGE key column $k is not a column of $table"))
+    // the leading key carries the pruning/conflict band; the rest of
+    // the tuple only ever appears in equality conjunctions
+    val leadKey = keyCols.head
     updateSet.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
       s"MERGE SET column $c is not a column of $table — it would be " +
         "silently dropped"))
@@ -4337,10 +4382,13 @@ object TableCommit {
     var matchedCache: Option[DataFrame] = None
     var bySourceCache: Option[DataFrame] = None
     try {
-      // one pass over the source: cardinality guard + the key band that
-      // stats-prunes candidates and arbitrates rebase-vs-conflict below
-      val srcAgg = src.agg(count(lit(1)), countDistinct(col(keyCol)),
-        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"))
+      // one pass over the source: cardinality guard (distinct key
+      // TUPLES) + the leading-key band that stats-prunes candidates
+      // and arbitrates rebase-vs-conflict below
+      val srcAgg = src.agg(
+        count(lit(1)),
+        countDistinct(col(keyCols.head), keyCols.tail.map(col): _*),
+        min(col(leadKey)).cast("string"), max(col(leadKey)).cast("string"))
         .collect()(0)
       val srcRows = srcAgg.getLong(0)
       // an EMPTY source short-circuits only without the BY SOURCE
@@ -4350,8 +4398,10 @@ object TableCommit {
       if (srcRows == 0L && notMatchedBySourceDelete.isEmpty)
         return MergeAudit(baseId0, baseId0, total, 0, 0, 0, 0, 0, 0)
       require(srcAgg.getLong(1) == srcRows,
-        s"MERGE source has duplicate $keyCol keys — a target row matching " +
-          "two source rows is ambiguous (the SQL MERGE cardinality rule)")
+        s"MERGE source has duplicate or NULL (${keyCols.mkString(", ")}) " +
+          "keys — a target row matching two source rows is ambiguous " +
+          "(the SQL MERGE cardinality rule), and a NULL key component " +
+          "can never match")
       // the pruning band compares in the KEY TYPE's own order —
       // numeric keys as BigDecimal, string keys lexicographically in
       // code-point order against the truncated string stats, ISO
@@ -4369,7 +4419,7 @@ object TableCommit {
       // disables both the candidate pruning and the band-scoped
       // added-file conflict rule below — full candidacy, like Delta
       val bandable = notMatchedBySourceDelete.isEmpty
-      val keyType = tgtSchema.fields.find(_.name == keyCol).map(_.dataType)
+      val keyType = tgtSchema.fields.find(_.name == leadKey).map(_.dataType)
       val srcLo = Option(srcAgg.getString(2))
       val srcHi = Option(srcAgg.getString(3))
       val band: Option[StatBand] = if (!bandable) None else keyType match {
@@ -4390,11 +4440,14 @@ object TableCommit {
         case _ => None
       }
       val candidates = band match {
-        case Some(b) => pruneFilesBand(m, keyCol, b)
+        case Some(b) => pruneFilesBand(m, leadKey, b)
         case None => filesOf(m)
       }
       val srcR = broadcast(src.select(
         src.columns.map(c => col(c).as(s"src_$c")).toIndexedSeq: _*))
+      // the ON condition: equality CONJUNCTION over the key tuple
+      val onCond = keyCols.map(k => col(k) === col(s"src_$k"))
+        .reduce(_ && _)
       // the matched frame: live candidate rows (prior vectors applied,
       // positions tagged) joined to the broadcast source on the key.
       // PERSISTED — it feeds four consumers (per-file hit counts, the
@@ -4410,18 +4463,18 @@ object TableCommit {
             dvKeyCols(raw, depthsOf(candidates))))
         }
       val matched = liveAll.map(
-        _.join(srcR, col(keyCol) === col(s"src_$keyCol"))
+        _.join(srcR, onCond)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       matchedCache = matched
       // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE: live target
-      // rows whose key joins NO source row, clause-filtered (NULL
-      // keeps, SQL semantics); shares the one candidate read above
+      // rows whose key tuple joins NO source row, clause-filtered
+      // (NULL keeps, SQL semantics); shares the one candidate read
       val bySource = for {
         cond <- notMatchedBySourceDelete
         live <- liveAll
       } yield live
-        .join(srcR.select(col(s"src_$keyCol")),
-          col(keyCol) === col(s"src_$keyCol"), "left_anti")
+        .join(srcR.select(keyCols.map(k => col(s"src_$k")): _*),
+          onCond, "left_anti")
         .filter(coalesce(cond, lit(false)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bySourceCache = bySource
@@ -4482,12 +4535,12 @@ object TableCommit {
             case None => col(f.name)
           }
         }.toIndexedSeq: _*))
-      // NOT MATCHED: source keys absent from every candidate's live rows
-      // (pruning proves non-candidates cannot hold a source key)
+      // NOT MATCHED: source key tuples absent from every candidate's
+      // live rows (pruning proves non-candidates cannot hold one)
       val matchedKeys = matched.map(
-        _.select(col(s"src_$keyCol").as(keyCol)).distinct())
+        _.select(keyCols.map(k => col(s"src_$k").as(k)): _*).distinct())
       val insertsRaw = matchedKeys match {
-        case Some(mk) => src.join(mk, Seq(keyCol), "left_anti")
+        case Some(mk) => src.join(mk, keyCols, "left_anti")
         case None => src
       }
       val inserts = insertsRaw.select(tgtSchema.fields.map(f =>
@@ -4559,7 +4612,7 @@ object TableCommit {
         if (winAdded.nonEmpty) {
           val winStats = baseM.map(bm => statsOf(bm._2)).getOrElse(Map.empty)
           val unsafe = winAdded.filter { rel =>
-            winStats.get((rel, keyCol)) match {
+            winStats.get((rel, leadKey)) match {
               case Some((mn, mx)) => band match {
                 case Some(b) => b.keeps(mn, mx)
                 case None => true

@@ -1109,6 +1109,89 @@ object Etl {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ q_merge_keys
+  /** COMPOSITE-KEY MERGE over a committed table (round-14: the
+    * `(tenant_id, entity_id)` shape — the most common real CDC key):
+    * the target is a per-(source, bucket) rollup where every bucket
+    * value repeats across ALL sources, so matching on either column
+    * alone would cross-talk between feeds; `mergeIntoKeys` joins on
+    * the tuple. One feed (`src3`) delivers updates (chars re-summed),
+    * deletes (retired buckets, via `deleteWhen`), and inserts (new
+    * bucket ids) in a single MoR commit; the other sources' rows with
+    * the SAME bucket ids must ride through byte-untouched. Oracle'd:
+    * the final bucket-level state equals DuckDB's relational
+    * simulation. The cardinality rule counts distinct TUPLES (the
+    * feed's buckets repeat per source — a prefix collision is the
+    * normal case, not a duplicate); candidate pruning bands on the
+    * LEADING key's stats. TableCommitSpec pins the refusals and the
+    * composite OCC trio. At 100 TB: cost ∝ |feed| + band-pruned
+    * candidate reads, one atomic commit. */
+  private def mergeKeys(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mkeys_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    try {
+      val seed = Tables.documents(s, d)
+        .groupBy(col("source"), (col("doc_id") % 97).as("bucket"))
+        .agg(sum(col("n_chars")).as("n_chars"), count(lit(1)).as("n_docs"))
+      TableCommit.appendRowsBy(s, table, Seq("source"), seed,
+        clusterBy = Seq("bucket"))
+      val cur = TableCommit.read(s, table).filter(col("source") === "src3")
+      val feed = cur.filter(col("bucket") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("op", lit("U"))
+        .unionByName(cur.filter(col("bucket") % 5 === 1 &&
+            col("bucket") % 3 =!= 0)
+          .withColumn("op", lit("D")))
+        .unionByName(cur.filter(col("bucket") % 11 === 2)
+          .withColumn("bucket", col("bucket") + 200L)
+          .withColumn("n_chars", col("n_chars") + 7L)
+          .withColumn("op", lit("I")))
+      TableCommit.mergeIntoKeys(s, table, Seq("source"),
+        Seq("source", "bucket"), feed,
+        updateSet = Map("n_chars" -> col("src_n_chars")),
+        deleteWhen = Some(col("src_op") === "D"))
+      // (sources × 97)-bucket-sized result, materialized before the
+      // finally deletes the scratch tree — BOUNDED by the rollup's
+      // group count, never document-corpus-sized
+      val rows = TableCommit.read(s, table)
+        .select("source", "bucket", "n_chars", "n_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      import s.implicits._
+      rows.toDF("source", "bucket", "n_chars", "n_docs")
+        .orderBy(col("source"), col("bucket"))
+    } finally graft.operators.Sinks.deleteRecursively(base)
+  }
+
+  private val mergeKeysSql =
+    """WITH seed AS (
+      |  SELECT source, doc_id % 97 AS bucket,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |upd AS (
+      |  SELECT source, bucket, n_chars + 1000 AS n_chars
+      |  FROM seed WHERE source = 'src3' AND bucket % 3 = 0),
+      |del AS (
+      |  SELECT source, bucket FROM seed
+      |  WHERE source = 'src3' AND bucket % 5 = 1 AND bucket % 3 <> 0),
+      |ins AS (
+      |  SELECT source, bucket + 200 AS bucket, n_chars + 7 AS n_chars,
+      |    n_docs
+      |  FROM seed WHERE source = 'src3' AND bucket % 11 = 2),
+      |kept AS (
+      |  SELECT s.source, s.bucket, coalesce(u.n_chars, s.n_chars)
+      |      AS n_chars, s.n_docs
+      |  FROM seed s
+      |  LEFT JOIN upd u ON s.source = u.source AND s.bucket = u.bucket
+      |  WHERE NOT EXISTS (SELECT 1 FROM del dl
+      |    WHERE dl.source = s.source AND dl.bucket = s.bucket))
+      |SELECT source, bucket, n_chars, n_docs FROM (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |ORDER BY source, bucket""".stripMargin
+
   // -------------------------------------------------------- n_table_constraints
   /** CHECK constraints on the committed events table — ALTER TABLE
     * ADD/DROP CONSTRAINT with write-path enforcement
@@ -2624,6 +2707,7 @@ object Etl {
     QueryDef("n_table_merge", tableMergeQ, None),
     QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
     QueryDef("q_merge_sync", mergeSync, Some(mergeSyncSql)),
+    QueryDef("q_merge_keys", mergeKeys, Some(mergeKeysSql)),
     QueryDef("n_part_evolve", partEvolve, None),
     QueryDef("n_part_transform", partTransform, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),

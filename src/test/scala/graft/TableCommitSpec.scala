@@ -1451,6 +1451,126 @@ class TableCommitSpec extends GraftSpec {
     }
   }
 
+  /** A 400-row committed table keyed by the COMPOSITE (tenant, eid):
+    * tenants 0–3 each hold eids 0–99, so every eid value repeats
+    * across tenants — single-column matching would cross-talk. Files
+    * cluster by the LEADING key (tenant) so its `#stats` band prunes. */
+  private def compositeBase(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val rows = for (tn <- 0 until 4; e <- 0 until 100)
+      yield (tn.toLong, e.toLong, s"v$tn-$e", tn % 2)
+    rows.toDF("tenant", "eid", "v", "pt")
+      .repartition(col("pt")).write.mode("overwrite")
+      .partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("tenant", "eid", "v", "pt"),
+      clusterBy = Seq("tenant"), filesPerPartition = 4)
+    t
+  }
+
+  private def compositeRows(t: String): Set[(Long, Long, String)] =
+    TableCommit.read(spark, t).select("tenant", "eid", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("mergeIntoKeys: COMPOSITE (tenant, eid) key — tuple-exact " +
+      "matching (no cross-tenant cross-talk), leading-key band pruning, " +
+      "duplicate/NULL tuple refusal, BY SOURCE clause intact") {
+    val t = compositeBase()
+    val all0 = compositeRows(t)
+    // tenant-1 feed: update (1,5), delete (1,6), insert (1,500) — and
+    // eid 5,6 also exist under tenants 0,2,3, which must ride through
+    val src = Seq(
+      (1L, 5L, "U", 1, "U"), (1L, 6L, "x", 1, "D"), (1L, 500L, "I", 1, "I"))
+      .toDF("tenant", "eid", "v", "pt", "op")
+    val a = TableCommit.mergeIntoKeys(spark, t, Seq("pt"),
+      Seq("tenant", "eid"), src,
+      updateSet = Map("v" -> col("src_v")),
+      deleteWhen = Some(col("src_op") === "D"))
+    assert(a.rowsUpdated == 1 && a.rowsDeleted == 1 && a.rowsInserted == 1,
+      a.toString)
+    // the LEADING key's stats band ([1,1]) pruned candidate files
+    assert(a.filesCandidates < a.filesTotal,
+      s"leading-key band pruned nothing: ${a.filesCandidates}/${a.filesTotal}")
+    val got = compositeRows(t)
+    val want = all0 - ((1L, 5L, "v1-5")) - ((1L, 6L, "v1-6")) +
+      ((1L, 5L, "U")) + ((1L, 500L, "I"))
+    assert(got == want, "composite matching cross-talked across tenants")
+    // prefix-sharing tuples are NOT duplicates; exact tuple dups and
+    // NULL components are refused with the table untouched
+    val (idNow, _) = TableCommit.resolve(t).get
+    intercept[IllegalArgumentException] {
+      TableCommit.mergeIntoKeys(spark, t, Seq("pt"), Seq("tenant", "eid"),
+        Seq((2L, 7L, "a", 0, "U"), (2L, 7L, "b", 0, "U"))
+          .toDF("tenant", "eid", "v", "pt", "op"),
+        updateSet = Map("v" -> col("src_v")))
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.mergeIntoKeys(spark, t, Seq("pt"), Seq("tenant", "eid"),
+        Seq((2L, Option.empty[Long], "a", 0, "U"))
+          .toDF("tenant", "eid", "v", "pt", "op"),
+        updateSet = Map("v" -> col("src_v")))
+    }
+    assert(TableCommit.resolve(t).get._1 == idNow,
+      "a refused composite merge published")
+    // key columns must exist on both sides
+    intercept[IllegalArgumentException] {
+      TableCommit.mergeIntoKeys(spark, t, Seq("pt"), Seq("tenant", "nope"),
+        src, updateSet = Map.empty)
+    }
+    // BY SOURCE over the composite key: source references only (2,5);
+    // the clause kills tenant-2 rows whose TUPLE is unreferenced
+    val b = TableCommit.mergeIntoKeys(spark, t, Seq("pt"),
+      Seq("tenant", "eid"),
+      Seq((2L, 5L, "keep", 0)).toDF("tenant", "eid", "v", "pt"),
+      updateSet = Map("v" -> col("src_v")),
+      notMatchedBySourceDelete = Some(col("tenant") === 2L))
+    assert(b.rowsUpdated == 1 && b.rowsDeletedBySource == 99L, b.toString)
+    assert(compositeRows(t).count(_._1 == 2L) == 1)
+  }
+
+  test("mergeIntoKeys OCC: rebases over a winner added OUTSIDE the " +
+      "leading-key band; conflicts on an in-band added file and on a " +
+      "re-vectored hit file — composite decisions stay sound") {
+    val t = compositeBase()
+    def src = Seq((1L, 5L, "M", 1)).toDF("tenant", "eid", "v", "pt")
+    // winner 1: tenant-9 append, provably outside the [1,1] lead band
+    val (idPin, _) = TableCommit.resolve(t).get
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((9L, 1L, "w", 1)).toDF("tenant", "eid", "v", "pt"),
+      clusterBy = Seq("tenant"))
+    val a = TableCommit.mergeIntoKeys(spark, t, Seq("pt"),
+      Seq("tenant", "eid"), src,
+      updateSet = Map("v" -> col("src_v")), readSnapshot = Some(idPin))
+    assert(a.snapshotAfter > a.snapshotBefore)
+    assert(compositeRows(t).contains((1L, 5L, "M")) &&
+      compositeRows(t).contains((9L, 1L, "w")),
+      "band-disjoint winner + pinned composite merge did not both land")
+    // winner 2: an added file INSIDE the lead band (tenant 1) — the
+    // merge's tuple-level not-matched decisions are stale: conflict
+    val (idPin2, _) = TableCommit.resolve(t).get
+    TableCommit.appendRows(spark, t, "pt",
+      Seq((1L, 700L, "in-band", 1)).toDF("tenant", "eid", "v", "pt"),
+      clusterBy = Seq("tenant"))
+    val rowsW = compositeRows(t)
+    intercept[TableCommit.CommitConflictException] {
+      TableCommit.mergeIntoKeys(spark, t, Seq("pt"), Seq("tenant", "eid"),
+        Seq((1L, 700L, "stale", 1)).toDF("tenant", "eid", "v", "pt"),
+        updateSet = Map("v" -> col("src_v")), readSnapshot = Some(idPin2))
+    }
+    assert(compositeRows(t) == rowsW, "conflicted merge changed the table")
+    // winner 3: a MoR delete re-vectored the hit file
+    val (idPin3, _) = TableCommit.resolve(t).get
+    TableCommit.deleteWhereMor(spark, t, "pt", "eid",
+      BigDecimal(5), BigDecimal(5))
+    intercept[TableCommit.CommitConflictException] {
+      TableCommit.mergeIntoKeys(spark, t, Seq("pt"), Seq("tenant", "eid"),
+        src, updateSet = Map("v" -> col("src_v")),
+        readSnapshot = Some(idPin3))
+    }
+  }
+
   test("CHECK constraints: adding one that existing data violates is " +
       "refused; a violating append or update publishes NOTHING (stage " +
       "swept, table untouched); NULL predicates pass; dropConstraint " +

@@ -2564,6 +2564,98 @@ object TableCommit {
         s"snapshot $id of $table is outside the retention window")
     }
 
+  // ------------- DSv2 CONNECTOR FAÇADE (plans.GraftCatalog, r14) ------------
+  /** Everything the DSv2 scan planner needs from ONE snapshot
+    * resolution, exposed read-only to the connector package — the
+    * connector never touches [[Snapshot]] or the parse internals, so
+    * the protocol surface it depends on is exactly this record. */
+  private[graft] final case class ScanMeta(
+      id: Long,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Map[(String, String), (String, String)],
+      rows: Map[String, Long],
+      bytes: Map[String, Long],
+      dv: Map[String, Seq[String]],
+      props: Map[String, String])
+
+  /** Resolve snapshot `id` (None = newest) into a [[ScanMeta]]. */
+  private[graft] def scanMeta(table: String, id: Option[Long]): Option[ScanMeta] = {
+    val want = id.orElse(resolve(table).map(_._1))
+    want.flatMap(i => manifests(table).find(_._1 == i)).map { case (i, m) =>
+      ScanMeta(i, filesOf(m), schemaOf(m), statsOf(m), rowsOf(m), m.bytes,
+        dvOf(m), propsOf(m))
+    }
+  }
+
+  /** The logical→PHYSICAL schema translation for column-mapped tables
+    * (connector read path: parquet footers carry physical names; the
+    * row LAYOUT is position-identical, so only names translate). */
+  private[graft] def physicalSchemaFor(
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = physicalSchema(sch)
+
+  private[graft] def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String = physicalOf(f)
+
+  /** The parsed entries of a recorded `graft.partcols` value. */
+  private[graft] def specColsOfProp(v: String): Seq[SpecCol] =
+    specColsOf(parsePartColsProp(v))
+
+  /** Partition-column names a file's path encodes (its layout
+    * signature) — the connector's dir-vs-payload dispatch. */
+  private[graft] def layoutSigOf(rel: String): Seq[String] = layoutSig(rel)
+
+  /** Deletion-vector BLOBS for an explicit file subset, decoded
+    * driver-side to GDV2 blobs (legacy v1 position dirs re-encode):
+    * file rel-path → the blobs of every vector covering it, in
+    * registration order. Cost ∝ the COMPRESSED vector bytes of the
+    * requested files — the same metadata cost class as every other DV
+    * read; the connector ships each input partition only its own
+    * files' blobs. */
+  private[graft] def dvBlobsFor(s: SparkSession, table: String,
+      meta: ScanMeta, files: Seq[String]): Map[String, Seq[Array[Byte]]] = {
+    val want = files.toSet
+    val perFile = meta.dv.filter { case (rel, _) => want(rel) }
+    if (perFile.isEmpty) return Map.empty
+    val dirs = perFile.values.flatten.toSeq.distinct.sorted
+    val (v2, v1) = dirs.partition(_.endsWith(".v2"))
+    // v2 dirs already hold the canonical blobs; v1 dirs re-encode
+    // their plain position rows through the same codec
+    val v2Blobs: Map[(String, String), Array[Byte]] =
+      if (v2.isEmpty) Map.empty
+      else v2.flatMap { dir =>
+        s.read.parquet(s"$table/$dir").select(col("k"), col("bmp"))
+          .collect().map(r =>
+            (dir, r.getString(0)) -> r.getAs[Array[Byte]](1))
+      }.toMap
+    val v1Blobs: Map[(String, String), Array[Byte]] =
+      if (v1.isEmpty) Map.empty
+      else v1.flatMap { dir =>
+        s.read.parquet(s"$table/$dir")
+          .groupBy(col("k"))
+          .agg(org.apache.spark.sql.functions.collect_list(col("pos"))
+            .as("ps"))
+          .collect().map { r =>
+            (dir, r.getString(0)) ->
+              DvCodec.encode(r.getSeq[Long](1).toArray)
+          }
+      }.toMap
+    val all = v2Blobs ++ v1Blobs
+    // dv keys carry the writer's _metadata URI rendering, which
+    // percent-encodes special path characters; the manifest rel paths
+    // are decoded — index the decoded twin exactly as the hit-count
+    // readers do
+    val decoded = all.map { case ((dir, k), b) =>
+      (dir, scala.util.Try(java.net.URLDecoder.decode(k, "UTF-8"))
+        .getOrElse(k)) -> b
+    }
+    perFile.map { case (rel, regDirs) =>
+      rel -> regDirs.flatMap(dir =>
+        all.get((dir, rel)).orElse(decoded.get((dir, rel))))
+    }.filter(_._2.nonEmpty)
+  }
+
   /** COMMITTED-LAYOUT CO-LOCATED JOIN (round-13): serve the newest
     * snapshot of a table laid out by the `bucket(n, key)` transform as
     * a session-catalog BUCKETED table, so equi-joins on `key` between

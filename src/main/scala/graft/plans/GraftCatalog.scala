@@ -1,0 +1,289 @@
+package graft.plans
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableCommit
+
+/** CATALOG front door for committed tables (round-13 verdict item 1 —
+  * the "real" alternative to the bucketed-view link trick): a DSv2
+  * `TableCatalog` + `FunctionCatalog` plugin, so committed tables
+  * resolve as first-class catalog identities —
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.plans.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   SELECT * FROM graft.db.events                       -- newest snapshot
+  *   SELECT * FROM graft.db.events VERSION AS OF 7       -- time travel
+  *   SELECT * FROM graft.`/abs/path/to/table`            -- path identity
+  * }}}
+  *
+  * and — the 100-TB point — a table laid out by the committed
+  * `bucket(n, key)` transform reports `KeyGroupedPartitioning` from
+  * its scan, so two such tables equi-joined on `key` run a
+  * STORAGE-PARTITIONED JOIN: zero Exchange on either side, straight
+  * from the committed tree. Unlike `registerBucketedView` this needs
+  * NO serve-tree links (nothing is copied or re-registered per
+  * snapshot), and it composes with live deletion vectors and column
+  * mapping, both of which the view trick must refuse
+  * ([[GraftTable]]'s reader applies vectors and name mappings
+  * itself). The FunctionCatalog half exists because Spark resolves a
+  * reported `bucket` transform against the TABLE'S OWN catalog
+  * ([[GraftBucketUnbound]]) — both sides binding to the same
+  * canonical function is what makes their partitionings compatible.
+  *
+  * The catalog is deliberately READ-side + identity: the write/DML
+  * surface stays with the `TableCommit` verbs (one OCC kernel), which
+  * the SQL statement front door lowers onto (GraftSqlDml). Reference
+  * behavior generalized: msoriadivvy/etl-8x8 `serverless.core.yml:171-210`
+  * names tables by environment config; the catalog is that binding as
+  * a queryable namespace. */
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  /** `db.t` → `<warehouse>/db/t`; a single-part identifier that is an
+    * absolute path is its own location (the path-identity form). */
+  private def locationOf(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    if (ident.namespace().isEmpty && (ident.name().startsWith("/") ||
+        ident.name().contains("://")))
+      ident.name()
+    else warehouse match {
+      case Some(w) => (w +: parts).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName has no warehouse configured " +
+          s"(spark.sql.catalog.$catalogName.warehouse) — only absolute " +
+          s"path identifiers can resolve: ${parts.mkString(".")}")
+    }
+  }
+
+  private def tableAt(ident: Identifier, id: Option[Long]): Table = {
+    val path = locationOf(ident)
+    if (TableCommit.resolve(path).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(path, id)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <id>` — the snapshot id IS the version string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(java.lang.Long.parseLong(version)))
+
+  override def tableExists(ident: Identifier): Boolean =
+    scala.util.Try(locationOf(ident)).toOption
+      .exists(p => TableCommit.resolve(p).isDefined)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
+    val dir = new java.io.File((w +: namespace.toSeq).mkString("/"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => new java.io.File(d, "_manifests").isDirectory)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  /** CREATE TABLE: publish an empty snapshot carrying the declared
+    * schema (+ the partition spec as `graft.partcols` when transforms
+    * are declared) — the same manifest any verb would then evolve. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val path = locationOf(ident)
+    require(TableCommit.resolve(path).isEmpty,
+      s"table ${ident.name()} already exists at $path")
+    val spec = partitions.toSeq.map(GraftCatalog.specEntryOf)
+    require(spec.nonEmpty,
+      "graft tables are partitioned by contract — declare PARTITIONED BY " +
+        "(a column, bucket(n, col), days(col), …)")
+    val s = SparkSession.active
+    // an empty append pins the schema of record; the evolve commit
+    // then records the spec as the table's declared layout contract
+    TableCommit.appendRowsBy(s, path, spec,
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema))
+    TableCommit.evolvePartitioningBy(s, path, spec)
+    new GraftTable(path, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER on graft tables goes through the TableCommit verbs " +
+        "(renameColumn / dropColumn / widenColumnType / setProperties)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = locationOf(ident)
+    val existed = TableCommit.resolve(path).isDefined
+    if (existed)
+      graft.operators.Sinks.deleteRecursively(new java.io.File(path))
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft tables are addressed by location; copy via cloneTo instead")
+
+  // ---- FunctionCatalog: the transforms committed layouts declare ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") new GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  // ---- SupportsNamespaces (the minimal surface SHOW NAMESPACES needs)
+  override def listNamespaces(): Array[Array[String]] =
+    warehouse.map(w => Option(new java.io.File(w).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(d => Array(d.getName))).getOrElse(Array.empty[Array[String]])
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
+    if (!new java.io.File((w +: namespace.toSeq).mkString("/")).isDirectory)
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
+    new java.io.File((w +: namespace.toSeq).mkString("/")).mkdirs()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val w = warehouse.getOrElse(return false)
+    val dir = new java.io.File((w +: namespace.toSeq).mkString("/"))
+    val existed = dir.isDirectory
+    if (existed && cascade) graft.operators.Sinks.deleteRecursively(dir)
+    else if (existed) dir.delete()
+    existed
+  }
+}
+
+object GraftCatalog {
+  /** Imperative session hookup — the twin of the `spark.sql.catalog.*`
+    * conf lines for a session that already exists. Catalog instances
+    * resolve lazily, so a runtime conf set is fully effective. */
+  def register(s: SparkSession, name: String = "graft",
+      warehouse: Option[String] = None): Unit = {
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    warehouse.foreach(w =>
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", w))
+  }
+
+  /** A DSv2 Transform rendered as the committed spec's entry text. */
+  private[plans] def specEntryOf(t: Transform): String = t match {
+    case b if b.name() == "bucket" =>
+      val n = b.arguments().collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          lit.value().toString
+      }.getOrElse(sys.error(s"bucket transform without a count: $t"))
+      val col = b.references().head.fieldNames().mkString(".")
+      s"bucket($n,$col)"
+    case d if d.name() == "days" =>
+      s"days(${d.references().head.fieldNames().mkString(".")})"
+    case i if i.name() == "identity" =>
+      i.references().head.fieldNames().mkString(".")
+    case other => sys.error(s"unsupported partition transform: $other")
+  }
+}
+
+/** The catalog's `bucket` function: EXACTLY the committed layout's
+  * bucket-id derivation — `pmod(hash(key), n)` with Spark's Murmur3
+  * (seed 42), the hash PROTOCOL.md §8 pins as part of the format. The
+  * scan reports `bucket(n, key)` partitioning; Spark resolves that
+  * transform against this catalog function and two scans binding to
+  * the same canonical function (same n, same key type) are
+  * partition-compatible — the storage-partitioned join's handshake.
+  * `produceResult` must agree with the layout bit-for-bit, because
+  * the v2-bucketing shuffle-one-side feature evaluates it against
+  * the unbucketed side's rows. */
+class GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft committed-layout bucket id: pmod(murmur3_seed42(key), n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, key) takes 2 arguments, got ${inputType.length}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket count must be INT, got ${inputType.fields(0).dataType}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType
+           | DateType =>
+        new GraftBucketFunction(keyType)
+      case other => throw new UnsupportedOperationException(
+        s"bucket() over ${other.catalogString} keys is not part of the " +
+          "committed layout contract (integral, string and date keys are)")
+    }
+  }
+}
+
+/** Bound bucket(n, key) — one scalar, codegen-friendly through the
+  * magic-method-less `produceResult` path (the SPJ handshake never
+  * evaluates it; only the opt-in shuffle-one-side feature does). */
+class GraftBucketFunction(keyType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = false
+  override def canonicalName(): String =
+    s"graft.bucket(${keyType.catalogString})"
+
+  override def produceResult(input: InternalRow): java.lang.Integer = {
+    val n = input.getInt(0)
+    // Spark's hash(col) semantics: Murmur3 seed 42, NULL hashes to the
+    // seed itself (HashExpression folds nulls through unchanged)
+    val h: Int =
+      if (input.isNullAt(1)) 42
+      else keyType match {
+        case ByteType => Murmur3_x86_32.hashInt(input.getByte(1).toInt, 42)
+        case ShortType => Murmur3_x86_32.hashInt(input.getShort(1).toInt, 42)
+        case IntegerType => Murmur3_x86_32.hashInt(input.getInt(1), 42)
+        case DateType => Murmur3_x86_32.hashInt(input.getInt(1), 42)
+        case LongType => Murmur3_x86_32.hashLong(input.getLong(1), 42)
+        case StringType =>
+          val s = input.getUTF8String(1)
+          Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes(), 42)
+        case other => sys.error(s"unreachable: $other")
+      }
+    val r = h % n
+    if (r < 0) r + n else r
+  }
+}

@@ -269,6 +269,89 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------------ q_join_spj
+  /** STORAGE-PARTITIONED JOIN through the DSv2 catalog (round-14
+    * verdict item 1 — the "real" successor to the bucketed-view link
+    * trick): both sides are committed `bucket(8, key)` tables read as
+    * `graft.`path`` catalog relations; their scans report
+    * `KeyGroupedPartitioning(bucket(8, key))` resolved against the
+    * catalog's own bucket function, so the equi-join runs with ZERO
+    * Exchange straight from the committed trees — no serve-tree
+    * links, no per-snapshot re-registration, and (unlike the view)
+    * compatible with live deletion vectors and column mapping, which
+    * the connector's readers apply themselves. At 100 TB this is the
+    * end state of paying the bucket layout at commit time: the
+    * nightly fact⋈fact join drops its largest shuffle with nothing
+    * rebuilt between commits. The lineitem side carries a REAL
+    * deletion vector here (a MoR delete of one order's lines, rows
+    * the oracle's WHERE reproduces) to pin the composition. PlanSpec
+    * pins zero-Exchange + KeyGroupedPartitioning; the oracle
+    * recomputes from raw parquet. */
+  private def joinSpj(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_spj_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val liT = new java.io.File(base, "li").getAbsolutePath
+    val ordT = new java.io.File(base, "ord").getAbsolutePath
+    val conf = s.conf
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      graft.plans.GraftCatalog.register(s)
+      TableCommit.appendRowsBy(s, liT, Seq("bucket(8,l_orderkey)"),
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")))
+      TableCommit.evolvePartitioningBy(s, liT,
+        Seq("bucket(8,l_orderkey)"))
+      TableCommit.appendRowsBy(s, ordT, Seq("bucket(8,o_orderkey)"),
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority")))
+      TableCommit.evolvePartitioningBy(s, ordT,
+        Seq("bucket(8,o_orderkey)"))
+      // the composition the view trick refuses: vector some lineitem
+      // rows dead, then join THROUGH the vectors
+      TableCommit.deleteWhereMorBy(s, liT, Seq("bucket(8,l_orderkey)"),
+        "l_orderkey", BigDecimal(1), BigDecimal(32))
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rows = s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n_lines,
+           |  sum(l_quantity) AS sq,
+           |  sum(l_extendedprice * (1 - l_discount)) AS rev
+           |FROM graft.`$liT` l JOIN graft.`$ordT` o
+           |  ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o_orderpriority""".stripMargin)
+        .select(col("o_orderpriority"), col("n_lines"),
+          dround(col("sq"), 2).as("sum_qty"),
+          dround(col("rev"), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      import s.implicits._
+      rows.toDF("o_orderpriority", "n_lines", "sum_qty", "revenue")
+        .orderBy(col("o_orderpriority"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
+  private val joinSpjSql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey NOT BETWEEN 1 AND 32
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------------- q_join_multi
   /** TPC-H Q5-shaped 5-way join chain: lineitem⋈orders⋈customer⋈nation⋈region.
     * Scale: nation/region broadcast (tiny), customer broadcast at small SF /
@@ -1313,6 +1396,7 @@ object Relational {
     QueryDef("q_join_inner", joinInner, Some(joinInnerSql)),
     QueryDef("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
     QueryDef("q_join_bucketed", joinBucketed, Some(joinBucketedSql)),
+    QueryDef("q_join_spj", joinSpj, Some(joinSpjSql)),
     QueryDef("q_join_committed_bucketed", joinCommittedBucketed,
       Some(joinCommittedBucketedSql)),
     QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),

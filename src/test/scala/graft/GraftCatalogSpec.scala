@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.TableCommit
+import graft.plans.GraftCatalog
+
+/** The DSv2 catalog front door (round-14 verdict item 1): committed
+  * tables as `graft.db.t` identities — catalog SQL reads, snapshot
+  * pinning + VERSION AS OF, manifest data skipping through pushed
+  * filters, deletion vectors and column mapping served through the
+  * connector (both refused by the bucketed-view trick), and the
+  * headline: KeyGroupedPartitioning from the committed `bucket(n,
+  * key)` layout → storage-partitioned joins with ZERO Exchange and
+  * no serve-tree links. */
+class GraftCatalogSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toFile
+    GraftCatalog.register(spark, "graft", Some(dir.getAbsolutePath))
+    dir.getAbsolutePath
+  }
+
+  private def mkTable(name: String, n: Int = 400): String = {
+    val t = s"$wh/db/$name"
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      (0 until n).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"))
+    t
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan:\n" +
+      df.queryExecution.executedPlan))
+
+  test("catalog SQL: SELECT FROM graft.db.t equals the Scala read; path " +
+      "identity and VERSION AS OF resolve; pinning is analysis-time") {
+    val t = mkTable("base")
+    val got = spark.sql("SELECT id, v, pt FROM graft.db.base")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2))).toSet ==
+      TableCommit.read(spark, t).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+    // path identity
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head().getLong(0)
+      == 400L)
+    // a later commit bumps the snapshot; VERSION AS OF still serves v0
+    val id0 = TableCommit.resolve(t).get._1
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      Seq((9999L, "z", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.base").head().getLong(0)
+      == 401L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.base VERSION AS OF $id0")
+      .head().getLong(0) == 400L)
+    // SHOW: the table lists under its namespace
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("base"))
+  }
+
+  test("manifest data skipping: a pushed range filter prunes files at " +
+      "plan time (zero IO) — and identity-dir filters prune partitions") {
+    val t = s"$wh/db/skipping"
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      (0 until 400).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"), filesPerPartition = 4)
+    val total = TableCommit.resolve(t).get._2.length
+    val banded = spark.sql(
+      "SELECT id, v FROM graft.db.skipping WHERE id >= 10 AND id <= 49")
+    assert(banded.count() == 40L)
+    val desc = scanOf(banded).scan.description()
+    val Pruned = """(\d+)/(\d+) files""".r.unanchored
+    desc match {
+      case Pruned(kept, all) =>
+        assert(all.toInt == total && kept.toInt < total,
+          s"stats band pruned nothing: $desc")
+      case _ => fail(s"no prune audit in scan description: $desc")
+    }
+    // identity partition-dir pruning
+    val partPruned = spark.sql(
+      "SELECT count(*) FROM graft.db.skipping WHERE pt = 0")
+    assert(partPruned.head().getLong(0) == 200L)
+    val desc2 = scanOf(spark.sql(
+      "SELECT id FROM graft.db.skipping WHERE pt = 0")).scan.description()
+    desc2 match {
+      case Pruned(kept, all) => assert(kept.toInt <= all.toInt / 2, desc2)
+      case _ => fail(s"no prune audit: $desc2")
+    }
+  }
+
+  test("deletion vectors serve through catalog SQL: MoR deletes drop " +
+      "rows by position with no materialization — v1+v2 stacks included") {
+    val t = mkTable("vectored")
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "6"))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(100), BigDecimal(299))
+    // stack a v1 vector on top (the mixed-fleet shape)
+    TableCommit.setProperties(t, Map("graft.dv.format" -> "v1"))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(9))
+    val got = spark.sql("SELECT id FROM graft.db.vectored")
+      .collect().map(_.getLong(0)).toSet
+    val want = ((10 until 100) ++ (300 until 400)).map(_.toLong).toSet
+    assert(got == want, s"DV read drift: ${(got -- want).take(5)} extra, " +
+      s"${(want -- got).take(5)} missing")
+    // count(*) — the empty-projection path still applies vectors
+    assert(spark.sql("SELECT count(*) FROM graft.db.vectored")
+      .head().getLong(0) == 190L)
+  }
+
+  test("column mapping serves through catalog SQL: renamed columns read " +
+      "under their logical names from physical footers") {
+    val t = mkTable("mapped")
+    TableCommit.renameColumn(t, "v", "label")
+    val got = spark.sql(
+      "SELECT id, label FROM graft.db.mapped WHERE id < 3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "v0"), (1L, "v1"), (2L, "v2")))
+  }
+
+  test("STORAGE-PARTITIONED JOIN: two committed bucket(8, k) tables join " +
+      "with ZERO Exchange — DV-carrying side included, no serve-tree " +
+      "links, snapshot-fresh without re-registration") {
+    val fact = s"$wh/db/fact_spj"
+    val dim = s"$wh/db/dim_spj"
+    def seed(t: String, rows: Int, payload: String): Unit = {
+      TableCommit.appendRowsBy(spark, t, Seq("bucket(8,k)"),
+        (0 until rows).map(i => ((i % 500).toLong, s"$payload$i"))
+          .toDF("k", payload), clusterBy = Seq("k"))
+      TableCommit.evolvePartitioningBy(spark, t, Seq("bucket(8,k)"))
+    }
+    seed(fact, 4000, "f")
+    seed(dim, 500, "d")
+    // the DV twist the bucketed VIEW must refuse: vector some fact rows
+    TableCommit.deleteWhereMor(spark, fact, "bucket(8,k)", "k",
+      BigDecimal(490), BigDecimal(499))
+    val joined = spark.sql(
+      """SELECT f.k, f.f, d.d
+        |FROM graft.db.fact_spj f JOIN graft.db.dim_spj d ON f.k = d.k
+        |""".stripMargin)
+    val withConf = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan
+        val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty,
+          s"storage-partitioned join still shuffles:\n$plan")
+        joined.collect()
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      }
+    }
+    // oracle the join relationally: every live fact row matches exactly
+    // one dim row on k
+    assert(withConf.length == 4000 - (4000 / 500) * 10,
+      s"got ${withConf.length}")
+    assert(withConf.forall(r => r.getString(1).startsWith("f") &&
+      r.getString(2).startsWith("d")))
+    // a fresh commit serves WITHOUT any re-registration step
+    TableCommit.appendRowsBy(spark, dim, Seq("bucket(8,k)"),
+      Seq((1000L, "dNEW")).toDF("k", "d"), clusterBy = Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dim_spj")
+      .head().getLong(0) == 501L)
+  }
+
+  test("catalog DDL: CREATE TABLE pins schema+spec as commits, INSERTs " +
+      "flow through verbs, DROP removes; unpartitioned CREATE refused") {
+    spark.sql("CREATE TABLE graft.db.fresh (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val t = s"$wh/db/fresh"
+    assert(TableCommit.resolve(t).isDefined)
+    assert(TableCommit.properties(t).get("graft.partcols")
+      .contains("bucket(4,k)"))
+    TableCommit.appendRowsBy(spark, t, Seq("bucket(4,k)"),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), clusterBy = Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.fresh")
+      .head().getLong(0) == 2L)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.flat (k BIGINT)")
+    }
+    spark.sql("DROP TABLE graft.db.fresh")
+    assert(TableCommit.resolve(t).isEmpty)
+  }
+
+  test("mid-evolution snapshots read through the catalog: files under " +
+      "two layouts resolve the schema of record") {
+    val t = mkTable("evolving")
+    TableCommit.evolvePartitioningBy(spark, t, Seq("pt", "v"))
+    TableCommit.appendRowsBy(spark, t, Seq("pt", "v"),
+      Seq((9000L, "zz", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
+    val got = spark.sql(
+      "SELECT id, v, pt FROM graft.db.evolving WHERE id >= 398")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((398L, "v398", 2), (399L, "v399", 0),
+      (9000L, "zz", 0)), got.toString)
+  }
+}

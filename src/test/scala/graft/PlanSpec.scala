@@ -237,6 +237,53 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_join_spj: the DSv2 catalog join is storage-partitioned — zero " +
+      "Exchange, KeyGroupedPartitioning scans, DV-carrying side included") {
+    import graft.operators.TableCommit
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_spjp").toFile
+    val aT = new java.io.File(base, "a").getAbsolutePath
+    val bT = new java.io.File(base, "b").getAbsolutePath
+    TableCommit.appendRowsBy(spark, aT, Seq("bucket(8,k)"),
+      (0 until 400).map(i => (i.toLong, s"l$i")).toDF("k", "lv"))
+    TableCommit.evolvePartitioningBy(spark, aT, Seq("bucket(8,k)"))
+    TableCommit.appendRowsBy(spark, bT, Seq("bucket(8,k)"),
+      (0 until 400 by 2).map(i => (i.toLong, s"r$i")).toDF("k", "rv"))
+    TableCommit.evolvePartitioningBy(spark, bT, Seq("bucket(8,k)"))
+    // the composition registerBucketedView refuses: a vectored side
+    TableCommit.deleteWhereMorBy(spark, aT, Seq("bucket(8,k)"), "k",
+      BigDecimal(100), BigDecimal(109))
+    graft.plans.GraftCatalog.register(spark)
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"SELECT a.k, a.lv, b.rv FROM graft.`$aT` a " +
+          s"JOIN graft.`$bT` b ON a.k = b.k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"DSv2 storage-partitioned join shuffled:\n${p.take(2500)}")
+      assert(p.contains("BatchScan"), p.take(2000))
+      // rows: even keys except the vectored 100..108
+      assert(joined.count() == 195L)
+      assert(joined.filter(col("k") === 42L).select("lv", "rv")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("l42", "r42")))
+      assert(joined.filter(col("k") === 100L).isEmpty,
+        "a deletion-vectored row survived the SPJ read")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
   test("COMMITTED bucket(n,key) layout joins with zero Exchange through " +
       "registerBucketedView; mixed-generation and vectored snapshots " +
       "are refused") {

@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL front door for the committed table: snapshot / time-travel /
     // CDC reads as table-valued functions (graft.plans.TableFunctions)
     graft.plans.TableFunctions.all.foreach(ext.injectTableFunction)
+    // SQL-statement DML (round-14): MERGE INTO / DELETE FROM / UPDATE
+    // on GraftCatalog tables lower onto the TableCommit verbs during
+    // resolution — one OCC/DV kernel behind every front door
+    ext.injectResolutionRule(graft.plans.GraftSqlDmlRule.apply)
   }
 }

@@ -1192,6 +1192,91 @@ object Etl {
       |  SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY source, bucket""".stripMargin
 
+  // -------------------------------------------------------- q_merge_sql_stmt
+  /** SQL-STATEMENT MERGE against a committed table (round-14: the
+    * `spark.sql("MERGE INTO …")` front door): the same per-(source,
+    * bucket) rollup as `q_merge_keys`, driven entirely by ONE SQL
+    * statement — composite ON conjunction, conditional MATCHED
+    * DELETE, MATCHED UPDATE, INSERT * — lowered by the resolution
+    * rule onto `mergeIntoKeys`, so the statement inherits the verb's
+    * OCC rules, DV write, `#rows` accounting and audit (returned as
+    * the statement's result row). GraftSqlDmlSpec pins effect
+    * identity with the Scala verb and the refusal matrix; the oracle
+    * is DuckDB's relational simulation of the same statement. */
+  private def mergeSqlStmt(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_msql_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val view = s"msql_src_${base.getName.takeRight(8)}"
+    try {
+      graft.plans.GraftCatalog.register(s)
+      val seed = Tables.documents(s, d)
+        .groupBy(col("source"), (col("doc_id") % 89).as("bucket"))
+        .agg(sum(col("n_chars")).as("n_chars"), count(lit(1)).as("n_docs"))
+      TableCommit.appendRowsBy(s, table, Seq("source"), seed,
+        clusterBy = Seq("bucket"))
+      val cur = TableCommit.read(s, table).filter(col("source") === "src5")
+      cur.filter(col("bucket") % 4 === 1)
+        .withColumn("n_chars", col("n_chars") + 500L)
+        .withColumn("op", lit("U"))
+        .unionByName(cur.filter(col("bucket") % 9 === 3 &&
+            col("bucket") % 4 =!= 1)
+          .withColumn("op", lit("D")))
+        .unionByName(cur.filter(col("bucket") % 13 === 5)
+          .withColumn("bucket", col("bucket") + 300L)
+          .withColumn("n_chars", col("n_chars") + 11L)
+          .withColumn("op", lit("I")))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO graft.`$table` t USING $view s
+           |ON t.source = s.source AND t.bucket = s.bucket
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin).collect()
+      // rollup-group-sized result, materialized before the scratch
+      // tree dies (bounded exactly like q_merge_keys)
+      val rows = TableCommit.read(s, table)
+        .select("source", "bucket", "n_chars", "n_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      import s.implicits._
+      rows.toDF("source", "bucket", "n_chars", "n_docs")
+        .orderBy(col("source"), col("bucket"))
+    } finally {
+      s.catalog.dropTempView(view)
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
+  private val mergeSqlStmtSql =
+    """WITH seed AS (
+      |  SELECT source, doc_id % 89 AS bucket,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |upd AS (
+      |  SELECT source, bucket, n_chars + 500 AS n_chars
+      |  FROM seed WHERE source = 'src5' AND bucket % 4 = 1),
+      |del AS (
+      |  SELECT source, bucket FROM seed
+      |  WHERE source = 'src5' AND bucket % 9 = 3 AND bucket % 4 <> 1),
+      |ins AS (
+      |  SELECT source, bucket + 300 AS bucket, n_chars + 11 AS n_chars,
+      |    n_docs
+      |  FROM seed WHERE source = 'src5' AND bucket % 13 = 5),
+      |kept AS (
+      |  SELECT s.source, s.bucket, coalesce(u.n_chars, s.n_chars)
+      |      AS n_chars, s.n_docs
+      |  FROM seed s
+      |  LEFT JOIN upd u ON s.source = u.source AND s.bucket = u.bucket
+      |  WHERE NOT EXISTS (SELECT 1 FROM del dl
+      |    WHERE dl.source = s.source AND dl.bucket = s.bucket))
+      |SELECT source, bucket, n_chars, n_docs FROM (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |ORDER BY source, bucket""".stripMargin
+
   // -------------------------------------------------------- n_table_constraints
   /** CHECK constraints on the committed events table — ALTER TABLE
     * ADD/DROP CONSTRAINT with write-path enforcement
@@ -2708,6 +2793,7 @@ object Etl {
     QueryDef("q_table_merge_str", tableMergeStr, Some(tableMergeStrSql)),
     QueryDef("q_merge_sync", mergeSync, Some(mergeSyncSql)),
     QueryDef("q_merge_keys", mergeKeys, Some(mergeKeysSql)),
+    QueryDef("q_merge_sql_stmt", mergeSqlStmt, Some(mergeSqlStmtSql)),
     QueryDef("n_part_evolve", partEvolve, None),
     QueryDef("n_part_transform", partTransform, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),

@@ -10,6 +10,9 @@ object TestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the cluster-wide registration path: native expressions, table
+      // functions, and the SQL DML lowering rule ride on every session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // deliberately NO mapKeyDedupPolicy override: mergeHeaders is

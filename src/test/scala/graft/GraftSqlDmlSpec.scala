@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableCommit
+import graft.plans.GraftCatalog
+
+/** SQL-statement DML on committed tables (round-14): MERGE INTO /
+  * DELETE FROM / UPDATE lower onto the TableCommit verbs — effect-
+  * identical to the Scala calls BY CONSTRUCTION (same kernel), with
+  * the statement returning the verb's audit counters. Pins the
+  * lowering (GraftDmlCommand in the plan, no Spark row-level
+  * rewrite), the clause matrix, the no-insert MERGE shape, the CoW
+  * mode property, and the loud refusals. */
+class GraftSqlDmlSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toFile
+    GraftCatalog.register(spark, "graft", Some(dir.getAbsolutePath))
+    dir.getAbsolutePath
+  }
+
+  private def mkTable(name: String): String = {
+    val t = s"$wh/db/$name"
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      (0 until 100).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"))
+    t
+  }
+
+  private def rows(t: String): Set[(Long, String, Int)] =
+    TableCommit.read(spark, t)
+      .select(col("id"), col("v"), col("pt").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  test("DELETE FROM: lowers to the MoR verb (CoW via graft.dml.mode), " +
+      "returns rows_deleted, annotates #op, refuses nothing it shouldn't") {
+    val t = mkTable("del")
+    val out = spark.sql("DELETE FROM graft.db.del WHERE id % 10 = 3 OR v = 'v7'")
+    assert(out.columns.toSeq == Seq("rows_deleted"))
+    assert(out.head().getLong(0) == 11L)
+    assert(rows(t).size == 89 && !rows(t).exists(_._1 == 13L))
+    // the statement's plan is the lowered command, not a Spark rewrite
+    assert(out.queryExecution.analyzed.toString.contains("GraftDmlCommand"),
+      out.queryExecution.analyzed.toString)
+    // a MoR vector landed (no data file rewritten)
+    assert(new java.io.File(t, "_dv").isDirectory)
+    // CoW mode: property flips the kernel
+    TableCommit.setProperties(t, Map("graft.dml.mode" -> "cow"))
+    val before = TableCommit.resolve(t).get._2.toSet
+    assert(spark.sql("DELETE FROM graft.db.del WHERE id = 0")
+      .head().getLong(0) == 1L)
+    assert(TableCommit.resolve(t).get._2.toSet != before,
+      "CoW delete rewrote no file")
+  }
+
+  test("UPDATE: SET expressions see the pre-update row; WHERE scopes; " +
+      "returns rows_updated") {
+    val t = mkTable("upd")
+    val out = spark.sql(
+      "UPDATE graft.db.upd SET v = concat(v, '!'), id = id + 1000 " +
+        "WHERE pt = 1 AND id < 10")
+    assert(out.head().getLong(0) == 5L)
+    val got = rows(t)
+    assert(got.contains((1001L, "v1!", 1)) && got.contains((1009L, "v9!", 1)))
+    assert(got.contains((2L, "v2", 0)), "an unscoped row changed")
+    assert(got.size == 100)
+  }
+
+  test("MERGE INTO: the full clause set — conditional DELETE first, " +
+      "UPDATE SET, INSERT *, audit counters — effect-identical to the " +
+      "mergeIntoKeys twin") {
+    val t = mkTable("mrg")
+    val twin = mkTable("mrg_twin")
+    val src = Seq((3L, "U3", 1, "U"), (4L, "U4", 0, "U"),
+      (7L, "x", 1, "D"), (500L, "I", 0, "I"))
+      .toDF("id", "v", "pt", "op")
+    src.createOrReplaceTempView("dml_src")
+    val out = spark.sql(
+      """MERGE INTO graft.db.mrg t USING dml_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(out.columns.toSeq == Seq("rows_updated", "rows_deleted",
+      "rows_inserted", "rows_deleted_by_source"))
+    assert(out.head().toSeq == Seq(2L, 1L, 1L, 0L), out.head().toString)
+    // the Scala twin — same kernel, same result
+    TableCommit.mergeIntoKeys(spark, twin, Seq("pt"), Seq("id"), src,
+      updateSet = Map("v" -> col("src_v")),
+      deleteWhen = Some(col("src_op") === "D"))
+    assert(rows(t) == rows(twin),
+      "SQL MERGE diverged from the Scala verb")
+    assert(rows(t).contains((3L, "U3", 1)) && !rows(t).exists(_._1 == 7L) &&
+      rows(t).contains((500L, "I", 0)))
+  }
+
+  test("MERGE without a NOT MATCHED clause inserts NOTHING (source " +
+      "pre-restricted to pinned-snapshot keys); BY SOURCE DELETE lowers") {
+    val t = mkTable("mrg_upd_only")
+    Seq((5L, "U5", 1, "U"), (700L, "ghost", 0, "I"))
+      .toDF("id", "v", "pt", "op").createOrReplaceTempView("dml_src2")
+    val out = spark.sql(
+      """MERGE INTO graft.db.mrg_upd_only t USING dml_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |""".stripMargin)
+    assert(out.head().toSeq == Seq(1L, 0L, 0L, 0L), out.head().toString)
+    assert(rows(t).contains((5L, "U5", 1)) && !rows(t).exists(_._1 == 700L),
+      "an update-only MERGE inserted")
+    // BY SOURCE: drop pt=0 rows not re-delivered
+    Seq((0L, "k0", 0)).toDF("id", "v", "pt")
+      .createOrReplaceTempView("dml_src3")
+    val out2 = spark.sql(
+      """MERGE INTO graft.db.mrg_upd_only t USING dml_src3 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.pt = 0 THEN DELETE
+        |""".stripMargin)
+    assert(out2.head().getLong(3) == 49L, out2.head().toString)
+    assert(rows(t).count(_._3 == 0) == 1)
+  }
+
+  test("refusals are loud: differing ON names, conditional INSERT, BY " +
+      "SOURCE UPDATE, UPDATE-then-DELETE order — table untouched") {
+    val t = mkTable("mrg_refuse")
+    val before = rows(t)
+    Seq((1L, 1L, "a", 0)).toDF("kk", "id", "v", "pt")
+      .createOrReplaceTempView("dml_srcr")
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage != null, sql)
+    }
+    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+              |ON t.id = s.kk
+              |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+              |ON t.id = s.id
+              |WHEN NOT MATCHED AND s.v = 'a' THEN INSERT (id, v, pt)
+              |  VALUES (s.id, s.v, s.pt)""".stripMargin)
+    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+              |ON t.id = s.id
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""
+      .stripMargin)
+    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+              |ON t.id = s.id
+              |WHEN MATCHED AND s.v = 'a' THEN UPDATE SET v = s.v
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(rows(t) == before, "a refused statement mutated the table")
+  }
+}

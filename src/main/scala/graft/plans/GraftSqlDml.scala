@@ -168,14 +168,25 @@ object GraftSqlDml {
           conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-      val keyCols = conjuncts(m.mergeCondition).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tgt.contains(a) && src.contains(b) && a.name == b.name => a.name
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-          if src.contains(a) && tgt.contains(b) && a.name == b.name => a.name
-        case other => refuse(s"MERGE ON term $other is not an equality " +
-          "between same-named target and source columns")
-      }
+      // same-named equalities become the key tuple; every other ON
+      // conjunct folds into the kernel's onResidual (full SQL ON)
+      val (keyTerms, residualTerms) =
+        conjuncts(m.mergeCondition).partitionMap {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgt.contains(a) && src.contains(b) && a.name == b.name =>
+            Left(a.name)
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if src.contains(a) && tgt.contains(b) && a.name == b.name =>
+            Left(a.name)
+          case other => Right(other)
+        }
+      val keyCols = keyTerms.distinct
+      if (keyCols.isEmpty)
+        refuse("MERGE ON carries no equality between same-named target " +
+          "and source columns — the kernel needs a key tuple to join on")
+      val onResidual = residualTerms.reduceOption(
+        org.apache.spark.sql.catalyst.expressions.And)
+        .map(colFor(_, tgt, src))
       var deleteWhen: Option[Column] = None
       var updateSet = Map.empty[String, Column]
       var sawUpdate = false
@@ -273,19 +284,29 @@ object GraftSqlDml {
           val srcAndPin: (org.apache.spark.sql.DataFrame, Option[Long]) =
             if (insertEnabled) (sourceDf, None)
             else {
-              // no NOT-MATCHED clause: restrict the source to keys
-              // already present in the PINNED snapshot, and pin the
-              // verb to that same snapshot — no insert, no race
+              // no NOT-MATCHED clause: restrict the source to rows the
+              // FULL ON (keys + residual) matches in the PINNED
+              // snapshot, and pin the verb to that same snapshot — no
+              // insert, no race; a residual-failing row must do
+              // NOTHING, not sneak back in as an insert
               val id = TableCommit.resolve(t.path).get._1
-              (sourceDf.join(TableCommit.readAt(s, t.path, id)
-                .select(keyCols.map(k => col(s"`$k`")): _*).distinct(),
-                keyCols, "left_semi"), Some(id))
+              val srcP = sourceDf.select(sourceDf.columns.toSeq.map(c =>
+                col(s"`$c`").as(s"src_$c")): _*)
+              val fullOn = onResidual.foldLeft(
+                keyCols.map(k => col(s"`$k`") === col(s"`src_$k`"))
+                  .reduce(_ && _))(_ && _)
+              val restricted = srcP.join(
+                TableCommit.readAt(s, t.path, id), fullOn, "left_semi")
+                .select(sourceDf.columns.toSeq.map(c =>
+                  col(s"`src_$c`").as(c)): _*)
+              (restricted, Some(id))
             }
           val (srcDf, pin) = srcAndPin
           val a = TableCommit.mergeIntoKeys(s, t.path, specOf(t.path),
             keyCols, srcDf, updateSet, deleteWhen,
             readSnapshot = pin,
-            notMatchedBySourceDelete = bySourceDelete)
+            notMatchedBySourceDelete = bySourceDelete,
+            onResidual = onResidual)
           Seq(Row(a.rowsUpdated, a.rowsDeleted, a.rowsInserted,
             a.rowsDeletedBySource))
         })

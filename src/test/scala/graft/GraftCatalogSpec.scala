@@ -20,7 +20,7 @@ class GraftCatalogSpec extends GraftSpec {
 
   private lazy val wh: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toFile
-    GraftCatalog.register(spark, "graft", Some(dir.getAbsolutePath))
+    GraftCatalog.register(spark, "graftcat", Some(dir.getAbsolutePath))
     dir.getAbsolutePath
   }
 
@@ -38,28 +38,28 @@ class GraftCatalogSpec extends GraftSpec {
     }.getOrElse(fail("no BatchScanExec in plan:\n" +
       df.queryExecution.executedPlan))
 
-  test("catalog SQL: SELECT FROM graft.db.t equals the Scala read; path " +
+  test("catalog SQL: SELECT FROM graftcat.db.t equals the Scala read; path " +
       "identity and VERSION AS OF resolve; pinning is analysis-time") {
     val t = mkTable("base")
-    val got = spark.sql("SELECT id, v, pt FROM graft.db.base")
+    val got = spark.sql("SELECT id, v, pt FROM graftcat.db.base")
     assert(got.collect().map(r => (r.getLong(0), r.getString(1),
       r.getInt(2))).toSet ==
       TableCommit.read(spark, t).collect().map(r =>
         (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
     // path identity
-    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head().getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.`$t`").head().getLong(0)
       == 400L)
     // a later commit bumps the snapshot; VERSION AS OF still serves v0
     val id0 = TableCommit.resolve(t).get._1
     TableCommit.appendRowsBy(spark, t, Seq("pt"),
       Seq((9999L, "z", 1)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.base").head().getLong(0)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.base").head().getLong(0)
       == 401L)
     assert(spark.sql(
-      s"SELECT count(*) FROM graft.db.base VERSION AS OF $id0")
+      s"SELECT count(*) FROM graftcat.db.base VERSION AS OF $id0")
       .head().getLong(0) == 400L)
     // SHOW: the table lists under its namespace
-    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+    assert(spark.sql("SHOW TABLES IN graftcat.db").collect()
       .map(_.getString(1)).contains("base"))
   }
 
@@ -72,7 +72,7 @@ class GraftCatalogSpec extends GraftSpec {
       clusterBy = Seq("id"), filesPerPartition = 4)
     val total = TableCommit.resolve(t).get._2.length
     val banded = spark.sql(
-      "SELECT id, v FROM graft.db.skipping WHERE id >= 10 AND id <= 49")
+      "SELECT id, v FROM graftcat.db.skipping WHERE id >= 10 AND id <= 49")
     assert(banded.count() == 40L)
     val desc = scanOf(banded).scan.description()
     val Pruned = """(\d+)/(\d+) files""".r.unanchored
@@ -84,10 +84,10 @@ class GraftCatalogSpec extends GraftSpec {
     }
     // identity partition-dir pruning
     val partPruned = spark.sql(
-      "SELECT count(*) FROM graft.db.skipping WHERE pt = 0")
+      "SELECT count(*) FROM graftcat.db.skipping WHERE pt = 0")
     assert(partPruned.head().getLong(0) == 200L)
     val desc2 = scanOf(spark.sql(
-      "SELECT id FROM graft.db.skipping WHERE pt = 0")).scan.description()
+      "SELECT id FROM graftcat.db.skipping WHERE pt = 0")).scan.description()
     desc2 match {
       case Pruned(kept, all) => assert(kept.toInt <= all.toInt / 2, desc2)
       case _ => fail(s"no prune audit: $desc2")
@@ -104,13 +104,13 @@ class GraftCatalogSpec extends GraftSpec {
     TableCommit.setProperties(t, Map("graft.dv.format" -> "v1"))
     TableCommit.deleteWhereMor(spark, t, "pt", "id",
       BigDecimal(0), BigDecimal(9))
-    val got = spark.sql("SELECT id FROM graft.db.vectored")
+    val got = spark.sql("SELECT id FROM graftcat.db.vectored")
       .collect().map(_.getLong(0)).toSet
     val want = ((10 until 100) ++ (300 until 400)).map(_.toLong).toSet
     assert(got == want, s"DV read drift: ${(got -- want).take(5)} extra, " +
       s"${(want -- got).take(5)} missing")
     // count(*) — the empty-projection path still applies vectors
-    assert(spark.sql("SELECT count(*) FROM graft.db.vectored")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.vectored")
       .head().getLong(0) == 190L)
   }
 
@@ -119,7 +119,7 @@ class GraftCatalogSpec extends GraftSpec {
     val t = mkTable("mapped")
     TableCommit.renameColumn(t, "v", "label")
     val got = spark.sql(
-      "SELECT id, label FROM graft.db.mapped WHERE id < 3 ORDER BY id")
+      "SELECT id, label FROM graftcat.db.mapped WHERE id < 3 ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((0L, "v0"), (1L, "v1"), (2L, "v2")))
   }
@@ -142,7 +142,7 @@ class GraftCatalogSpec extends GraftSpec {
       BigDecimal(490), BigDecimal(499))
     val joined = spark.sql(
       """SELECT f.k, f.f, d.d
-        |FROM graft.db.fact_spj f JOIN graft.db.dim_spj d ON f.k = d.k
+        |FROM graftcat.db.fact_spj f JOIN graftcat.db.dim_spj d ON f.k = d.k
         |""".stripMargin)
     val withConf = {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -170,13 +170,13 @@ class GraftCatalogSpec extends GraftSpec {
     // a fresh commit serves WITHOUT any re-registration step
     TableCommit.appendRowsBy(spark, dim, Seq("bucket(8,k)"),
       Seq((1000L, "dNEW")).toDF("k", "d"), clusterBy = Seq("k"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.dim_spj")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.dim_spj")
       .head().getLong(0) == 501L)
   }
 
   test("catalog DDL: CREATE TABLE pins schema+spec as commits, INSERTs " +
       "flow through verbs, DROP removes; unpartitioned CREATE refused") {
-    spark.sql("CREATE TABLE graft.db.fresh (k BIGINT, v STRING) " +
+    spark.sql("CREATE TABLE graftcat.db.fresh (k BIGINT, v STRING) " +
       "PARTITIONED BY (bucket(4, k))")
     val t = s"$wh/db/fresh"
     assert(TableCommit.resolve(t).isDefined)
@@ -184,12 +184,12 @@ class GraftCatalogSpec extends GraftSpec {
       .contains("bucket(4,k)"))
     TableCommit.appendRowsBy(spark, t, Seq("bucket(4,k)"),
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), clusterBy = Seq("k"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.fresh")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.fresh")
       .head().getLong(0) == 2L)
     intercept[Exception] {
-      spark.sql("CREATE TABLE graft.db.flat (k BIGINT)")
+      spark.sql("CREATE TABLE graftcat.db.flat (k BIGINT)")
     }
-    spark.sql("DROP TABLE graft.db.fresh")
+    spark.sql("DROP TABLE graftcat.db.fresh")
     assert(TableCommit.resolve(t).isEmpty)
   }
 
@@ -200,7 +200,7 @@ class GraftCatalogSpec extends GraftSpec {
     TableCommit.appendRowsBy(spark, t, Seq("pt", "v"),
       Seq((9000L, "zz", 0)).toDF("id", "v", "pt"), clusterBy = Seq("id"))
     val got = spark.sql(
-      "SELECT id, v, pt FROM graft.db.evolving WHERE id >= 398")
+      "SELECT id, v, pt FROM graftcat.db.evolving WHERE id >= 398")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set((398L, "v398", 2), (399L, "v399", 0),
       (9000L, "zz", 0)), got.toString)

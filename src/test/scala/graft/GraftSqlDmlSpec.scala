@@ -16,7 +16,7 @@ class GraftSqlDmlSpec extends GraftSpec {
 
   private lazy val wh: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_dml").toFile
-    GraftCatalog.register(spark, "graft", Some(dir.getAbsolutePath))
+    GraftCatalog.register(spark, "graftdml", Some(dir.getAbsolutePath))
     dir.getAbsolutePath
   }
 
@@ -36,7 +36,7 @@ class GraftSqlDmlSpec extends GraftSpec {
   test("DELETE FROM: lowers to the MoR verb (CoW via graft.dml.mode), " +
       "returns rows_deleted, annotates #op, refuses nothing it shouldn't") {
     val t = mkTable("del")
-    val out = spark.sql("DELETE FROM graft.db.del WHERE id % 10 = 3 OR v = 'v7'")
+    val out = spark.sql("DELETE FROM graftdml.db.del WHERE id % 10 = 3 OR v = 'v7'")
     assert(out.columns.toSeq == Seq("rows_deleted"))
     assert(out.head().getLong(0) == 11L)
     assert(rows(t).size == 89 && !rows(t).exists(_._1 == 13L))
@@ -48,7 +48,7 @@ class GraftSqlDmlSpec extends GraftSpec {
     // CoW mode: property flips the kernel
     TableCommit.setProperties(t, Map("graft.dml.mode" -> "cow"))
     val before = TableCommit.resolve(t).get._2.toSet
-    assert(spark.sql("DELETE FROM graft.db.del WHERE id = 0")
+    assert(spark.sql("DELETE FROM graftdml.db.del WHERE id = 0")
       .head().getLong(0) == 1L)
     assert(TableCommit.resolve(t).get._2.toSet != before,
       "CoW delete rewrote no file")
@@ -58,7 +58,7 @@ class GraftSqlDmlSpec extends GraftSpec {
       "returns rows_updated") {
     val t = mkTable("upd")
     val out = spark.sql(
-      "UPDATE graft.db.upd SET v = concat(v, '!'), id = id + 1000 " +
+      "UPDATE graftdml.db.upd SET v = concat(v, '!'), id = id + 1000 " +
         "WHERE pt = 1 AND id < 10")
     assert(out.head().getLong(0) == 5L)
     val got = rows(t)
@@ -77,7 +77,7 @@ class GraftSqlDmlSpec extends GraftSpec {
       .toDF("id", "v", "pt", "op")
     src.createOrReplaceTempView("dml_src")
     val out = spark.sql(
-      """MERGE INTO graft.db.mrg t USING dml_src s ON t.id = s.id
+      """MERGE INTO graftdml.db.mrg t USING dml_src s ON t.id = s.id
         |WHEN MATCHED AND s.op = 'D' THEN DELETE
         |WHEN MATCHED THEN UPDATE SET v = s.v
         |WHEN NOT MATCHED THEN INSERT *
@@ -101,7 +101,7 @@ class GraftSqlDmlSpec extends GraftSpec {
     Seq((5L, "U5", 1, "U"), (700L, "ghost", 0, "I"))
       .toDF("id", "v", "pt", "op").createOrReplaceTempView("dml_src2")
     val out = spark.sql(
-      """MERGE INTO graft.db.mrg_upd_only t USING dml_src2 s ON t.id = s.id
+      """MERGE INTO graftdml.db.mrg_upd_only t USING dml_src2 s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET v = s.v
         |""".stripMargin)
     assert(out.head().toSeq == Seq(1L, 0L, 0L, 0L), out.head().toString)
@@ -111,13 +111,44 @@ class GraftSqlDmlSpec extends GraftSpec {
     Seq((0L, "k0", 0)).toDF("id", "v", "pt")
       .createOrReplaceTempView("dml_src3")
     val out2 = spark.sql(
-      """MERGE INTO graft.db.mrg_upd_only t USING dml_src3 s ON t.id = s.id
+      """MERGE INTO graftdml.db.mrg_upd_only t USING dml_src3 s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET v = s.v
         |WHEN NOT MATCHED THEN INSERT *
         |WHEN NOT MATCHED BY SOURCE AND t.pt = 0 THEN DELETE
         |""".stripMargin)
     assert(out2.head().getLong(3) == 49L, out2.head().toString)
     assert(rows(t).count(_._3 == 0) == 1)
+  }
+
+  test("MERGE ON residual: non-equality ON conjuncts narrow the match " +
+      "(full SQL ON) — in the insert path AND the update-only path") {
+    val t = mkTable("mrg_resid")
+    Seq((2L, "N2", 0), (4L, "N4", 0)).toDF("id", "v", "pt")
+      .createOrReplaceTempView("dml_srcres")
+    // residual t.pt = 1 excludes both targets (ids 2,4 sit in pt=0):
+    // nothing matches, both source rows insert
+    val out = spark.sql(
+      """MERGE INTO graftdml.db.mrg_resid t USING dml_srcres s
+        |ON t.id = s.id AND t.pt = 1
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(out.head().toSeq == Seq(0L, 0L, 2L, 0L), out.head().toString)
+    assert(rows(t).count(_._1 == 2L) == 2)
+    // update-only MERGE with a residual: the residual-failing source
+    // row does NOTHING (no sneak-in insert)
+    Seq((3L, "U3", 1), (6L, "U6", 0)).toDF("id", "v", "pt")
+      .createOrReplaceTempView("dml_srcres2")
+    val out2 = spark.sql(
+      """MERGE INTO graftdml.db.mrg_resid t USING dml_srcres2 s
+        |ON t.id = s.id AND t.pt = 1
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |""".stripMargin)
+    assert(out2.head().toSeq == Seq(1L, 0L, 0L, 0L), out2.head().toString)
+    val got = rows(t)
+    assert(got.contains((3L, "U3", 1)))
+    assert(got.contains((6L, "v6", 0)) && got.count(_._1 == 6L) == 1,
+      "a residual-failing source row mutated the table")
   }
 
   test("refusals are loud: differing ON names, conditional INSERT, BY " +
@@ -130,18 +161,18 @@ class GraftSqlDmlSpec extends GraftSpec {
       val e = intercept[Exception] { spark.sql(sql) }
       assert(e.getMessage != null, sql)
     }
-    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+    refused("""MERGE INTO graftdml.db.mrg_refuse t USING dml_srcr s
               |ON t.id = s.kk
               |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
-    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+    refused("""MERGE INTO graftdml.db.mrg_refuse t USING dml_srcr s
               |ON t.id = s.id
               |WHEN NOT MATCHED AND s.v = 'a' THEN INSERT (id, v, pt)
               |  VALUES (s.id, s.v, s.pt)""".stripMargin)
-    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+    refused("""MERGE INTO graftdml.db.mrg_refuse t USING dml_srcr s
               |ON t.id = s.id
               |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""
       .stripMargin)
-    refused("""MERGE INTO graft.db.mrg_refuse t USING dml_srcr s
+    refused("""MERGE INTO graftdml.db.mrg_refuse t USING dml_srcr s
               |ON t.id = s.id
               |WHEN MATCHED AND s.v = 'a' THEN UPDATE SET v = s.v
               |WHEN MATCHED THEN DELETE""".stripMargin)

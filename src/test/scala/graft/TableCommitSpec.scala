@@ -1530,6 +1530,40 @@ class TableCommitSpec extends GraftSpec {
     assert(compositeRows(t).count(_._1 == 2L) == 1)
   }
 
+  test("mergeIntoKeys onResidual: an extra ON conjunct narrows the " +
+      "match — residual-failing pairs keep the target row and INSERT " +
+      "the source row; NULL residual = no match; BY SOURCE honors it") {
+    val t = compositeBase()
+    // residual: only rows with v not 'frozen' match. Freeze (1,5).
+    TableCommit.updateMatchingMor(spark, t, Seq("pt"),
+      col("tenant") === 1L && col("eid") === 5L,
+      Map("v" -> lit("frozen")))
+    val src = Seq((1L, 5L, "U5", 1), (1L, 6L, "U6", 1))
+      .toDF("tenant", "eid", "v", "pt")
+    val a = TableCommit.mergeIntoKeys(spark, t, Seq("pt"),
+      Seq("tenant", "eid"), src,
+      updateSet = Map("v" -> col("src_v")),
+      onResidual = Some(col("v") =!= "frozen"))
+    // (1,6) updates; (1,5) fails the residual -> its target row stays
+    // AND the source row inserts (SQL ON semantics: not matched)
+    assert(a.rowsUpdated == 1 && a.rowsInserted == 1, a.toString)
+    val got = compositeRows(t)
+    assert(got.contains((1L, 6L, "U6")) && got.contains((1L, 5L, "frozen")))
+    assert(got.count(r => r._1 == 1L && r._2 == 5L) == 2,
+      "residual-failing source row did not insert")
+    // BY SOURCE sees the SAME match definition: with an always-false
+    // residual nothing matches, so the clause kills everything in scope
+    val b = TableCommit.mergeIntoKeys(spark, t, Seq("pt"),
+      Seq("tenant", "eid"),
+      Seq((3L, 1L, "keep", 1)).toDF("tenant", "eid", "v", "pt"),
+      updateSet = Map.empty,
+      onResidual = Some(lit(false)),
+      notMatchedBySourceDelete = Some(col("tenant") === 3L))
+    assert(b.rowsUpdated == 0 && b.rowsDeletedBySource == 100L &&
+      b.rowsInserted == 1, b.toString)
+    assert(compositeRows(t).count(_._1 == 3L) == 1)
+  }
+
   test("mergeIntoKeys OCC: rebases over a winner added OUTSIDE the " +
       "leading-key band; conflicts on an in-band added file and on a " +
       "re-vectored hit file — composite decisions stay sound") {

@@ -66,6 +66,9 @@ object GraftSqlDml {
       case _ => None
     }
 
+  private[plans] def isGraft(plan: LogicalPlan): Boolean =
+    graftRelOf(plan).isDefined
+
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft SQL DML: $what (the TableCommit verbs express more — " +
@@ -106,6 +109,44 @@ object GraftSqlDml {
   private def audit1(name: String, v: Long): (Seq[Attribute], Seq[Row]) =
     (Seq(AttributeReference(name, LongType, nullable = false)()),
       Seq(Row(v)))
+
+  /** `INSERT INTO graft.… SELECT/VALUES …` → [[TableCommit.appendRowsBy]]
+    * (the never-conflicting blind-append commit): by the time
+    * [[AppendData]] is resolved, Spark's output resolver has aligned
+    * and cast the query to the table schema, so the lowering renames
+    * positionally and appends under the declared spec. Returns
+    * `rows_inserted` from `#rows` metadata (−1 when a file in either
+    * snapshot predates row accounting). INSERT OVERWRITE refuses with
+    * the replacePartitions hint — an overwrite's dirty-set contract
+    * deserves the explicit verb, not a silent table wipe. */
+  private[plans] def lowerAppend(a: AppendData): Option[LogicalPlan] =
+    graftRelOf(a.table).map { case (rel, t) =>
+      val queryPlan = a.query
+      val tgtNames = rel.output.map(_.name)
+      GraftDmlCommand("INSERT",
+        Seq(AttributeReference("rows_inserted", LongType,
+          nullable = false)()),
+        s => {
+          val srcSchema = queryPlan.schema
+          val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(srcSchema)
+          val df0 = org.apache.spark.sql.classic.ClassicConversions
+            .castToImpl(s).createDataFrame(
+              s.sessionState.executePlan(queryPlan).toRdd
+                .map(r => toScala(r).asInstanceOf[Row]), srcSchema)
+          require(df0.columns.length == tgtNames.length,
+            s"INSERT query produces ${df0.columns.length} columns; " +
+              s"${t.path} has ${tgtNames.length}")
+          val df = df0.toDF(tgtNames: _*)
+          val before = TableCommit.resolve(t.path)
+            .map(r => TableCommit.rowCount(t.path, r._1)).flatten
+          TableCommit.appendRowsBy(s, t.path, specOf(t.path), df)
+          val after = TableCommit.resolve(t.path)
+            .map(r => TableCommit.rowCount(t.path, r._1)).flatten
+          Seq(Row((for (b <- before; x <- after) yield x - b)
+            .getOrElse(-1L)))
+        })
+    }
 
   private[plans] def lowerDelete(d: DeleteFromTable): Option[LogicalPlan] =
     graftRelOf(d.table).map { case (rel, t) =>
@@ -326,6 +367,14 @@ case class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftSqlDml.lowerUpdate(u).getOrElse(u)
       case m: MergeIntoTable if m.resolved =>
         GraftSqlDml.lowerMerge(m).getOrElse(m)
+      case a: AppendData if a.resolved =>
+        GraftSqlDml.lowerAppend(a).getOrElse(a)
+      case o: OverwriteByExpression if o.resolved &&
+          GraftSqlDml.isGraft(o.table) =>
+        throw new UnsupportedOperationException(
+          "INSERT OVERWRITE on a graft table is not lowered — use " +
+            "TableCommit.replacePartitions(By), whose dirty-partition " +
+            "contract makes the overwritten set explicit")
     }
 }
 

@@ -420,8 +420,21 @@ private[plans] object GraftScan {
     case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
          _: java.math.BigDecimal | _: BigDecimal => Some(0)
     case _: String => Some(1)
+    case _: java.sql.Date | _: java.time.LocalDate => Some(2)
     case _ => None
   }
+
+  /** ISO `yyyy-MM-dd` of a date filter value — comparable against the
+    * recorded DATE stats bounds (same rendering) iff both sides are
+    * in the four-digit-year lex-safe era; None otherwise (file kept).
+    * Zoned/NTZ timestamps are deliberately absent: their filter-value
+    * rendering ('T' separator, session zone) does not match the
+    * recorded bounds, so pruning on them would be a silent-loss trap. */
+  private def isoDateOf(v: Any): Option[String] = (v match {
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }).filter(TableCommit.isoLexSafe)
 
   private def toBD(v: Any): Option[BigDecimal] = v match {
     case b: Byte => Some(BigDecimal(b.toInt))
@@ -439,7 +452,10 @@ private[plans] object GraftScan {
     case (Some(x), Some(y)) => x < y
     case _ => (a, b) match {
       case (x: String, y: String) => TableCommit.cpCompare(x, y) < 0
-      case _ => false
+      case _ => (isoDateOf(a), isoDateOf(b)) match {
+        case (Some(x), Some(y)) => TableCommit.cpCompare(x, y) < 0
+        case _ => false
+      }
     }
   }
 
@@ -453,6 +469,13 @@ private[plans] object GraftScan {
         hi.flatMap(toBD).forall(h => BigDecimal(mn) <= h) &&
         lo.flatMap(toBD).forall(l => BigDecimal(mx) >= l)
       }.getOrElse(true)
+    case DateType =>
+      // ISO renderings order lexicographically in the lex-safe era;
+      // an unsafe bound on either side keeps the file
+      TableCommit.isoLexSafe(mn) && TableCommit.isoLexSafe(mx) && {
+        hi.flatMap(isoDateOf).forall(h => TableCommit.cpCompare(mn, h) <= 0) &&
+        lo.flatMap(isoDateOf).forall(l => TableCommit.cpCompare(mx, l) >= 0)
+      } || !(TableCommit.isoLexSafe(mn) && TableCommit.isoLexSafe(mx))
     case StringType =>
       (lo.forall(_.isInstanceOf[String]) &&
         hi.forall(_.isInstanceOf[String])) && {
@@ -471,6 +494,9 @@ private[plans] object GraftScan {
         val x = BigDecimal(v)
         lo.flatMap(toBD).forall(_ <= x) && hi.flatMap(toBD).forall(_ >= x)
       }.getOrElse(true)
+    case Some(DateType) if TableCommit.isoLexSafe(v) =>
+      lo.flatMap(isoDateOf).forall(l => TableCommit.cpCompare(v, l) >= 0) &&
+      hi.flatMap(isoDateOf).forall(h => TableCommit.cpCompare(v, h) <= 0)
     case Some(StringType) =>
       lo.forall {
         case l: String => TableCommit.cpCompare(v, l) >= 0

@@ -94,6 +94,29 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("DATE stats pruning: a pushed date band prunes files in the ISO " +
+      "lex-safe era (zoned/NTZ timestamps deliberately keep all)") {
+    val t = s"$wh/db/dated"
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      (0 until 240).map(i => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+          .plusDays(i / 2)), 0)).toDF("id", "d", "pt"),
+      clusterBy = Seq("d"), filesPerPartition = 6)
+    val total = TableCommit.resolve(t).get._2.length
+    val q = spark.sql("SELECT id FROM graftcat.db.dated " +
+      "WHERE d >= DATE'2026-01-10' AND d <= DATE'2026-01-19'")
+    assert(q.count() == 20L)
+    val desc = scanOf(q).scan.description()
+    val Pruned = """(\d+)/(\d+) files""".r.unanchored
+    desc match {
+      case Pruned(kept, all) =>
+        assert(all.toInt == total && kept.toInt < total,
+          s"date band pruned nothing: $desc")
+      case _ => fail(s"no prune audit: $desc")
+    }
+  }
+
   test("deletion vectors serve through catalog SQL: MoR deletes drop " +
       "rows by position with no materialization — v1+v2 stacks included") {
     val t = mkTable("vectored")

@@ -151,6 +151,27 @@ class GraftSqlDmlSpec extends GraftSpec {
       "a residual-failing source row mutated the table")
   }
 
+  test("INSERT INTO: VALUES and SELECT lower onto the blind-append " +
+      "commit; rows_inserted from #rows metadata; OVERWRITE refuses") {
+    val t = mkTable("ins")
+    val out = spark.sql(
+      "INSERT INTO graftdml.db.ins VALUES (900, 'i1', 0), (901, 'i2', 1)")
+    assert(out.columns.toSeq == Seq("rows_inserted"))
+    assert(out.head().getLong(0) == 2L)
+    assert(rows(t).contains((900L, "i1", 0)) && rows(t).size == 102)
+    // INSERT ... SELECT through the same front door
+    assert(spark.sql(
+      "INSERT INTO graftdml.db.ins SELECT id + 2000, upper(v), pt " +
+        "FROM graftdml.db.ins WHERE id >= 900").head().getLong(0) == 2L)
+    assert(rows(t).contains((2900L, "I1", 0)) && rows(t).size == 104)
+    // the append is a real commit: exactly-once ledgered history grew
+    assert(TableCommit.history(t).length >= 2)
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftdml.db.ins VALUES (1L, 'x', 0)")
+    }
+    assert(rows(t).size == 104, "a refused OVERWRITE mutated the table")
+  }
+
   test("refusals are loud: differing ON names, conditional INSERT, BY " +
       "SOURCE UPDATE, UPDATE-then-DELETE order — table untouched") {
     val t = mkTable("mrg_refuse")

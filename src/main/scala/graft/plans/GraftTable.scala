@@ -148,11 +148,18 @@ private[plans] final case class GraftGroupReader(
 class GraftScan(path: String, meta: TableCommit.ScanMeta,
     logicalSchema: StructType, required: StructType,
     pushed: Array[sources.Filter]) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportStatistics {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   import GraftScan._
 
   private val session = SparkSession.active
+
+  /** Files DYNAMIC PARTITION PRUNING dropped at runtime (the
+    * filtered-dim ⋈ identity-partitioned-fact shape: Spark runs the
+    * dim side first and hands the join keys' value set back through
+    * [[filter]]) — empty until then. */
+  @volatile private var runtimeDropped: Set[String] = Set.empty
 
   // ---------------- manifest-level pruning (zero IO) ----------------
   private lazy val keptFiles: Seq[String] = {
@@ -227,7 +234,10 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     GraftFileSlice(rel, s"$path/$rel", start, len, size, groupId,
       partVals, dv.getOrElse(rel, Nil))
 
-  private lazy val partitions: Array[InputPartition] = {
+  private lazy val partitions: Array[InputPartition] =
+    buildPartitions(keptFiles)
+
+  private def buildPartitions(files: Seq[String]): Array[InputPartition] = {
     val groupIdx = sigGroups.zipWithIndex.toMap
     val partFieldCache = sigGroups.map(partFieldsOf)
     def partValsOf(rel: String): Array[Any] = {
@@ -239,12 +249,12 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     }
     def sizeOf(rel: String): Long =
       meta.bytes.getOrElse(rel, TableCommit.statFileSize(path, rel))
-    val dv = TableCommit.dvBlobsFor(session, path, meta, keptFiles)
+    val dv = TableCommit.dvBlobsFor(session, path, meta, files)
     bucketLayout match {
       case Some((_, _, bucketOf)) =>
         // one partition per PRESENT bucket — grouping is the scan's
         // own property, not a physical-planning favor
-        keptFiles.groupBy(bucketOf).toSeq.sortBy(_._1).map { case (b, fs) =>
+        files.groupBy(bucketOf).toSeq.sortBy(_._1).map { case (b, fs) =>
           GraftInputPartition(fs.map(rel => sliceOf(rel,
             groupIdx(TableCommit.layoutSigOf(rel)), partValsOf(rel),
             0L, sizeOf(rel), sizeOf(rel), dv)), Some(b))
@@ -253,12 +263,12 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
       case None =>
         // size-binned splits, Spark's own open-cost heuristics
         val conf = session.sessionState.conf
-        val totalBytes = keptFiles.map(sizeOf).sum +
-          keptFiles.length * conf.filesOpenCostInBytes
+        val totalBytes = files.map(sizeOf).sum +
+          files.length * conf.filesOpenCostInBytes
         val maxSplit = math.max(conf.filesOpenCostInBytes,
           math.min(conf.filesMaxPartitionBytes,
             totalBytes / math.max(1, session.sparkContext.defaultParallelism)))
-        val slices = keptFiles.flatMap { rel =>
+        val slices = files.flatMap { rel =>
           val size = sizeOf(rel)
           val gid = groupIdx(TableCommit.layoutSigOf(rel))
           val pv = partValsOf(rel)
@@ -308,7 +318,49 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
       else OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeDropped.isEmpty) partitions
+    else buildPartitions(keptFiles.filterNot(runtimeDropped))
+
+  // ------------- DYNAMIC PARTITION PRUNING (runtime filtering) ------
+  /** Identity partition-dir columns every kept file carries — the
+    * attributes a DPP subquery can hand values back for. Bucket
+    * layouts opt out: their scans report KeyGroupedPartitioning, and
+    * runtime-dropping buckets would have to renegotiate the grouped
+    * partition count mid-plan (the SPJ already removed the shuffle
+    * DPP exists to shrink). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector
+      .expressions.NamedReference] =
+    if (bucketLayout.isDefined) Array.empty
+    else sigGroups.map(partFieldsOf(_).map(_._2.name).toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+      .toArray.sorted.map(Expressions.column)
+
+  /** Runtime arm of [[filterAttributes]]: EqualTo/In value sets from
+    * the executed dim side drop whole files by their dir value —
+    * unmatched shapes are ignored (the join above still applies them;
+    * pruning may only ever be a subset claim). */
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val colType = logicalSchema.fields.map(f => f.name -> f.dataType).toMap
+    val byCol: Seq[(String, Seq[Any])] = filters.toSeq.collect {
+      case sources.EqualTo(c, v) if v != null => c -> Seq(v)
+      case sources.In(c, vs) => c -> vs.toSeq.filter(_ != null)
+    }
+    if (byCol.nonEmpty) {
+      val dropped = keptFiles.filter { rel =>
+        val dirVals = dirValuesOf(rel)
+        byCol.exists { case (c, vs) =>
+          dirVals.get(c).exists(dv =>
+            !vs.exists(v => keepsValue(colType.get(c), dv, Some(v), Some(v))))
+        }
+      }.toSet
+      runtimeDropped = dropped
+      GraftScan.lastRuntimeFilter.set((path, dropped))
+    }
+  }
+
+  /** Test probe: what the runtime filter dropped. */
+  private[graft] def runtimeDroppedProbe: Set[String] = runtimeDropped
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
@@ -363,7 +415,15 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
   }
 }
 
-private[plans] object GraftScan {
+private[graft] object GraftScan {
+  /** Test observability for dynamic partition pruning: (table path,
+    * dropped files) of the most recent [[GraftScan.filter]] call in
+    * this JVM — AQE buries the scan inside leaf query stages, so a
+    * spec cannot fish the instance out of the executed plan. */
+  private[graft] val lastRuntimeFilter =
+    new java.util.concurrent.atomic.AtomicReference[(String, Set[String])](
+      ("", Set.empty))
+
   /** Filter shapes the pruning layers understand. */
   def supportedFilter(f: sources.Filter): Boolean = f match {
     case _: sources.EqualTo | _: sources.GreaterThan |

@@ -197,6 +197,32 @@ class GraftCatalogSpec extends GraftSpec {
       .head().getLong(0) == 501L)
   }
 
+  test("DYNAMIC PARTITION PRUNING: a filtered dim side drops whole fact " +
+      "files at runtime through SupportsRuntimeFiltering") {
+    val fact = s"$wh/db/fact_dpp"
+    TableCommit.appendRowsBy(spark, fact, Seq("pt"),
+      (0 until 1200).map(i => (i.toLong, s"f$i", i % 12))
+        .toDF("id", "f", "pt"), clusterBy = Seq("id"))
+    val dim = s"$wh/db/dim_dpp"
+    TableCommit.appendRowsBy(spark, dim, Seq("grp"),
+      (0 until 12).map(i => (i, s"d$i", i % 3)).toDF("pt", "d", "grp"))
+    val q = spark.sql(
+      """SELECT f.id, d.d FROM graftcat.db.fact_dpp f
+        |JOIN graftcat.db.dim_dpp d ON f.pt = d.pt
+        |WHERE d.grp = 1""".stripMargin)
+    graft.plans.GraftScan.lastRuntimeFilter.set(("", Set.empty))
+    val rows = q.collect()
+    // grp=1 keeps dim pts {1,4,7,10} -> a third of the fact rows
+    assert(rows.length == 400, s"got ${rows.length}")
+    val (dppPath, dropped) = graft.plans.GraftScan.lastRuntimeFilter.get()
+    assert(dppPath == fact && dropped.nonEmpty,
+      s"runtime filtering dropped no fact files (path=$dppPath):\n" +
+        q.queryExecution.executedPlan.toString.take(2000))
+    assert(dropped.forall(f =>
+      !Set("pt=1", "pt=4", "pt=7", "pt=10").contains(f.split('/').head)),
+      "DPP dropped a partition the dim side references")
+  }
+
   test("catalog DDL: CREATE TABLE pins schema+spec as commits, INSERTs " +
       "flow through verbs, DROP removes; unpartitioned CREATE refused") {
     spark.sql("CREATE TABLE graftcat.db.fresh (k BIGINT, v STRING) " +

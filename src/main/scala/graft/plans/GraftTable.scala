@@ -96,10 +96,12 @@ class GraftTable(val path: String, pinnedId: Option[Long])
 }
 
 class GraftScanBuilder(table: GraftTable) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.logicalSchema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var countPlan: Option[GraftCountScan] = None
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
@@ -115,10 +117,126 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
+  // ------------- METADATA-ONLY COUNTS (aggregate pushdown) ----------
+  /** `SELECT count(*) FROM t` (and `GROUP BY <one identity partition
+    * column>`) answered from `#rows` manifest metadata — LIVE counts
+    * by protocol (MoR commits decrement covered files' entries as
+    * they register vectors) — ZERO data IO on a 100 TB table, the
+    * audit read the table format records row accounting for.
+    * Spark only offers an aggregate when every filter was fully
+    * pushed; this scan always keeps filters residual, so the offer
+    * arrives exactly when there is NO filter — the only case the
+    * metadata answer is sound. Refused (scan proceeds normally) when
+    * any file predates `#rows`, a dir value is missing/NULL, or the
+    * aggregate shape is anything but COUNT(*). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = planCounts(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    planCounts(agg) match {
+      case some @ Some(_) => countPlan = some; true
+      case None => false
+    }
+
+  // supportCompletePushDown and pushAggregation both arrive with the
+  // same Aggregation — plan once (the DV decode is a real job)
+  private var plannedFor: Option[(AnyRef, Option[GraftCountScan])] = None
+
+  private def planCounts(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[GraftCountScan] = plannedFor match {
+    case Some((prior, res)) if prior eq agg => res
+    case _ =>
+      val res = planCounts0(agg)
+      plannedFor = Some((agg, res))
+      res
+  }
+
+  private def planCounts0(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[GraftCountScan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val meta = table.meta
+    val files = meta.files
+    val countable = pushed.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      files.forall(meta.rows.contains)
+    if (!countable) return None
+    // `#rows` entries are LIVE counts by protocol: every MoR commit
+    // decrements the covered files' entries as it registers vectors
+    // (rowCount() is the pinned witness) — so the count is the plain
+    // sum, no vector decode needed
+    val nAggs = agg.aggregateExpressions.length
+    agg.groupByExpressions.toSeq match {
+      case Seq() =>
+        val live = files.map(meta.rows).sum
+        Some(new GraftCountScan(table.path, None,
+          Seq(InternalRow.fromSeq(Seq.fill(nAggs)(live))), nAggs))
+      case Seq(ref: NamedReference) if ref.fieldNames().length == 1 =>
+        val c = ref.fieldNames().head
+        val f = table.logicalSchema.fields.find(_.name == c)
+          .getOrElse(return None)
+        // every file must carry the dir with a non-null value
+        val dirVals = files.map(rel =>
+          rel -> GraftScan.dirValuesOf(rel).get(c))
+        if (dirVals.exists(_._2.isEmpty)) return None
+        val rows = dirVals.groupBy(_._2.get).toSeq.sortBy(_._1).map {
+          case (v, fs) =>
+            val live = fs.map(x => meta.rows(x._1)).sum
+            InternalRow.fromSeq(
+              GraftScan.castDirValue(v, f.dataType) +:
+                Seq.fill(nAggs)(live))
+        }
+        Some(new GraftCountScan(table.path, Some(f), rows, nAggs))
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = countPlan.getOrElse(
     new GraftScan(table.path, table.meta, table.logicalSchema,
-      required, pushed)
+      required, pushed))
 }
+
+/** The metadata-only COUNT scan: rows were fully computed at plan
+  * time from `#rows` − dead-vector counts; execution emits them from
+  * one partition with zero file IO. */
+private[graft] class GraftCountScan(path: String,
+    groupField: Option[StructField], rows: Seq[InternalRow], nAggs: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    groupField.toSeq ++ (0 until nAggs).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft $path metadata-only count (#rows − dv dead; zero data IO)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(rows))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private val it = p.asInstanceOf[GraftCountPartition].rows.iterator
+        private var row: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { row = it.next(); true } else false
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private[plans] final case class GraftCountPartition(rows: Seq[InternalRow])
+  extends InputPartition
 
 /** One file slice of an input partition, fully resolved on the
   * driver: byte range, Hive partition values, layout-group id, and

@@ -197,6 +197,47 @@ class GraftCatalogSpec extends GraftSpec {
       .head().getLong(0) == 501L)
   }
 
+  test("METADATA-ONLY COUNTS: count(*) and GROUP BY a partition column " +
+      "answer from #rows (live by protocol, MoR deletes included) — " +
+      "zero data IO; filters or non-count shapes fall back") {
+    val t = mkTable("counted")
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "6"))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(49))
+    def planOf(sql: String): String = {
+      val df = spark.sql(sql)
+      (df.queryExecution.executedPlan.toString, df)._1
+    }
+    // global count: the plan carries the metadata-count scan and NO
+    // parquet read
+    val cq = spark.sql("SELECT count(*) FROM graftcat.db.counted")
+    assert(cq.head().getLong(0) == 350L)
+    val cPlan = cq.queryExecution.executedPlan.toString
+    assert(cPlan.contains("metadata-only count"), cPlan.take(1500))
+    // grouped by the partition column, same zero-IO answer
+    val gq = spark.sql(
+      "SELECT pt, count(*) AS n FROM graftcat.db.counted GROUP BY pt")
+    val got = gq.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 400 rows striped i%3 over pt, ids 0..49 dead: pt0 loses 17
+    // (0,3..48), pt1 loses 17 (1,4..49), pt2 loses 16 (2,5..47)
+    assert(got == Map(0 -> (134 - 17), 1 -> (133 - 17), 2 -> (133 - 16)),
+      got.toString)
+    assert(gq.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+    // a WHERE clause keeps the real scan (counts would lie through
+    // residual filters)
+    val fq = spark.sql(
+      "SELECT count(*) FROM graftcat.db.counted WHERE id >= 200")
+    assert(fq.head().getLong(0) == 200L)
+    assert(!fq.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+    // non-count aggregates fall back too
+    val mq = spark.sql("SELECT max(id) FROM graftcat.db.counted")
+    assert(mq.head().getLong(0) == 399L)
+    assert(!mq.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+  }
+
   test("DYNAMIC PARTITION PRUNING: a filtered dim side drops whole fact " +
       "files at runtime through SupportsRuntimeFiltering") {
     val fact = s"$wh/db/fact_dpp"

@@ -158,43 +158,80 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
   private def planCounts0(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Option[GraftCountScan] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     val meta = table.meta
     val files = meta.files
-    val countable = pushed.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
-      files.forall(meta.rows.contains)
-    if (!countable) return None
-    // `#rows` entries are LIVE counts by protocol: every MoR commit
-    // decrements the covered files' entries as it registers vectors
-    // (rowCount() is the pinned witness) — so the count is the plain
-    // sum, no vector decode needed
-    val nAggs = agg.aggregateExpressions.length
-    agg.groupByExpressions.toSeq match {
-      case Seq() =>
-        val live = files.map(meta.rows).sum
-        Some(new GraftCountScan(table.path, None,
-          Seq(InternalRow.fromSeq(Seq.fill(nAggs)(live))), nAggs))
-      case Seq(ref: NamedReference) if ref.fieldNames().length == 1 =>
-        val c = ref.fieldNames().head
-        val f = table.logicalSchema.fields.find(_.name == c)
-          .getOrElse(return None)
-        // every file must carry the dir with a non-null value
-        val dirVals = files.map(rel =>
-          rel -> GraftScan.dirValuesOf(rel).get(c))
-        if (dirVals.exists(_._2.isEmpty)) return None
-        val rows = dirVals.groupBy(_._2.get).toSeq.sortBy(_._1).map {
-          case (v, fs) =>
-            val live = fs.map(x => meta.rows(x._1)).sum
-            InternalRow.fromSeq(
-              GraftScan.castDirValue(v, f.dataType) +:
-                Seq.fill(nAggs)(live))
-        }
-        Some(new GraftCountScan(table.path, Some(f), rows, nAggs))
+    if (pushed.nonEmpty || agg.aggregateExpressions.isEmpty ||
+        !files.forall(meta.rows.contains)) return None
+    // the shapes the manifest can answer: COUNT(*) from `#rows` (LIVE
+    // counts by protocol — MoR commits decrement covered entries, the
+    // rowCount() witness), MIN/MAX of an INTEGRAL column from `#stats`
+    // (untruncated exact renderings; integral parse is lossless) — the
+    // latter only while NO deletion vector is live anywhere (a dead
+    // row may hold the recorded extremum)
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        table.logicalSchema.fields.find(_.name == r.fieldNames().head)
+          .filter(f => f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType)
+          .filter(f => files.forall(rel => meta.stats.contains((rel, f.name))))
+          .filter(_ => meta.dv.isEmpty)
       case _ => None
     }
+    sealed trait A
+    case object CStar extends A
+    final case class MinOf(f: StructField) extends A
+    final case class MaxOf(f: StructField) extends A
+    val specs: Seq[A] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CStar
+      case m: Min => MinOf(statsCol(m.column()).getOrElse(return None))
+      case m: Max => MaxOf(statsCol(m.column()).getOrElse(return None))
+      case _ => return None
+    }
+    def toTyped(v: BigDecimal, dt: DataType): Any = dt match {
+      case ByteType => v.toByteExact
+      case ShortType => v.toShortExact
+      case IntegerType => v.toIntExact
+      case _ => v.toLongExact
+    }
+    def aggRow(fs: Seq[String]): Seq[Any] = specs.map {
+      case CStar => fs.map(meta.rows).sum
+      case MinOf(f) =>
+        val vs = fs.map(rel => BigDecimal(meta.stats((rel, f.name))._1))
+        if (vs.isEmpty) null else toTyped(vs.min, f.dataType)
+      case MaxOf(f) =>
+        val vs = fs.map(rel => BigDecimal(meta.stats((rel, f.name))._2))
+        if (vs.isEmpty) null else toTyped(vs.max, f.dataType)
+    }
+    def outFields(prefixFields: Seq[StructField]): StructType = StructType(
+      prefixFields ++ specs.zipWithIndex.map {
+        case (CStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (MinOf(f), i) => StructField(s"min_$i", f.dataType)
+        case (MaxOf(f), i) => StructField(s"max_$i", f.dataType)
+      })
+    scala.util.Try {
+      agg.groupByExpressions.toSeq match {
+        case Seq() =>
+          Some(new GraftCountScan(table.path, outFields(Nil),
+            Seq(InternalRow.fromSeq(aggRow(files)))))
+        case Seq(ref: NamedReference) if ref.fieldNames().length == 1 =>
+          val c = ref.fieldNames().head
+          val f = table.logicalSchema.fields.find(_.name == c)
+            .getOrElse(return None)
+          // every file must carry the dir with a non-null value
+          val dirVals = files.map(rel =>
+            rel -> GraftScan.dirValuesOf(rel).get(c))
+          if (dirVals.exists(_._2.isEmpty)) return None
+          val rows = dirVals.groupBy(_._2.get).toSeq.sortBy(_._1).map {
+            case (v, fs) => InternalRow.fromSeq(
+              GraftScan.castDirValue(v, f.dataType) +: aggRow(fs.map(_._1)))
+          }
+          Some(new GraftCountScan(table.path, outFields(Seq(f)), rows))
+        case _ => None
+      }
+    }.getOrElse(None) // a non-integral stats rendering → fall back
   }
 
   override def build(): Scan = countPlan.getOrElse(
@@ -202,19 +239,17 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
       required, pushed))
 }
 
-/** The metadata-only COUNT scan: rows were fully computed at plan
-  * time from `#rows` − dead-vector counts; execution emits them from
-  * one partition with zero file IO. */
+/** The metadata-only aggregate scan: rows were fully computed at plan
+  * time from `#rows` / `#stats` manifest entries; execution emits
+  * them from one partition with zero file IO. */
 private[graft] class GraftCountScan(path: String,
-    groupField: Option[StructField], rows: Seq[InternalRow], nAggs: Int)
+    outSchema: StructType, rows: Seq[InternalRow])
     extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(
-    groupField.toSeq ++ (0 until nAggs).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
+  override def readSchema(): StructType = outSchema
 
   override def description(): String =
-    s"graft $path metadata-only count (#rows − dv dead; zero data IO)"
+    s"graft $path metadata-only count (#rows/#stats; zero data IO)"
 
   override def toBatch: Batch = this
 

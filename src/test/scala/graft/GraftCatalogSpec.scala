@@ -231,10 +231,30 @@ class GraftCatalogSpec extends GraftSpec {
     assert(fq.head().getLong(0) == 200L)
     assert(!fq.queryExecution.executedPlan.toString
       .contains("metadata-only count"))
-    // non-count aggregates fall back too
+    // min/max over a VECTORED table must fall back (a dead row may
+    // hold the recorded extremum)
     val mq = spark.sql("SELECT max(id) FROM graftcat.db.counted")
     assert(mq.head().getLong(0) == 399L)
     assert(!mq.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+    // on a DV-free table, integral MIN/MAX answer from #stats — mixed
+    // with count(*), globally and per partition group
+    val t2 = mkTable("extrema")
+    val xq = spark.sql("SELECT count(*), min(id), max(id) " +
+      "FROM graftcat.db.extrema")
+    assert(xq.head().toSeq == Seq(400L, 0L, 399L), xq.head().toString)
+    assert(xq.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+    val gx = spark.sql("SELECT pt, max(id) AS m FROM graftcat.db.extrema " +
+      "GROUP BY pt")
+    assert(gx.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 399L, 1 -> 397L, 2 -> 398L))
+    assert(gx.queryExecution.executedPlan.toString
+      .contains("metadata-only count"))
+    // a STRING min/max falls back (truncated stats cannot answer)
+    val sq = spark.sql("SELECT min(v) FROM graftcat.db.extrema")
+    assert(sq.head().getString(0) == "v0")
+    assert(!sq.queryExecution.executedPlan.toString
       .contains("metadata-only count"))
   }
 

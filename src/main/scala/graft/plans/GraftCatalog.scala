@@ -50,7 +50,7 @@ import graft.operators.TableCommit
   * names tables by environment config; the catalog is that binding as
   * a queryable namespace. */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -154,6 +154,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (ident.name() == "bucket") new GraftBucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: CALL graft.system.<maintenance verb> ------
+  /** The maintenance verbs as SQL procedures (see [[GraftProcedures]]);
+    * `table` arguments resolve like table identifiers — absolute paths
+    * directly, `db.t` names against the warehouse. */
+  private lazy val procedures =
+    GraftProcedures.all(arg =>
+      if (arg.startsWith("/") || arg.contains("://")) arg
+      else warehouse match {
+        case Some(w) => (w +: arg.split('.').toSeq).mkString("/")
+        case None => throw new IllegalArgumentException(
+          s"catalog $catalogName has no warehouse configured — pass an " +
+            s"absolute table path instead of '$arg'")
+      })
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    procedures.getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"unknown graft procedure ${ident.name()} — available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toSeq.sorted
+      .map(Identifier.of(Array("system"), _)).toArray
 
   // ---- SupportsNamespaces (the minimal surface SHOW NAMESPACES needs)
   override def listNamespaces(): Array[Array[String]] =

@@ -303,6 +303,48 @@ class GraftCatalogSpec extends GraftSpec {
     assert(TableCommit.resolve(t).isEmpty)
   }
 
+  test("CALL procedures: the maintenance verbs run from SQL — vacuum " +
+      "(audit + run), compact-as-purge, restore, clone, evolve — each " +
+      "the same TableCommit verb, audits as result rows") {
+    val t = mkTable("proc")
+    TableCommit.setProperties(t, Map("graft.retention.generations" -> "2"))
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(199))
+    // compact = the REORG purge; reads THROUGH the vectors
+    val cid = spark.sql(
+      "CALL graftcat.system.compact('db.proc', 'pt=0,pt=1,pt=2', 'id', 1)")
+      .head().getLong(0)
+    assert(cid == TableCommit.resolve(t).get._1)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.proc")
+      .head().getLong(0) == 200L)
+    // audit then vacuum: the dry run predicts, the run executes
+    val audit = spark.sql("CALL graftcat.system.vacuum_audit('db.proc')")
+      .head()
+    assert(audit.getAs[scala.collection.Seq[Long]](0).nonEmpty)
+    val vac = spark.sql("CALL graftcat.system.vacuum('db.proc')").head()
+    assert(vac.getInt(0) == audit.getInt(2),
+      s"vacuum deleted ${vac.getInt(0)} dead files, audit predicted " +
+        s"${audit.getInt(2)}")
+    // restore to the pre-compaction snapshot? retention=2 keeps it
+    val prev = TableCommit.history(t).map(_._1).sorted.head
+    val rid = spark.sql(
+      s"CALL graftcat.system.restore('db.proc', $prev)").head().getLong(0)
+    assert(rid == TableCommit.resolve(t).get._1 && rid > cid)
+    // clone to an absolute path, then evolve the clone's spec
+    val dst = s"$wh/db/proc_clone"
+    spark.sql(s"CALL graftcat.system.clone('db.proc', '$dst')")
+    assert(TableCommit.read(spark, dst).count() == 200L)
+    spark.sql(
+      s"CALL graftcat.system.evolve_partitioning('$dst', 'pt;bucket(4,id)')")
+    assert(TableCommit.properties(dst).get("graft.partcols")
+      .contains("pt;bucket(4,id)"))
+    // unknown procedure refuses (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL graftcat.system.nope('x')")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("mid-evolution snapshots read through the catalog: files under " +
       "two layouts resolve the schema of record") {
     val t = mkTable("evolving")

@@ -170,6 +170,10 @@ class GraftSqlDmlSpec extends GraftSpec {
       spark.sql("INSERT OVERWRITE graftdml.db.ins VALUES (1L, 'x', 0)")
     }
     assert(rows(t).size == 104, "a refused OVERWRITE mutated the table")
+    // the DataFrame v2 writer rides the same AppendData lowering
+    Seq((5000L, "w2", 1)).toDF("id", "v", "pt")
+      .writeTo("graftdml.db.ins").append()
+    assert(rows(t).contains((5000L, "w2", 1)) && rows(t).size == 105)
   }
 
   test("refusals are loud: differing ON names, conditional INSERT, BY " +

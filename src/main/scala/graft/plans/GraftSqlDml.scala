@@ -148,6 +148,55 @@ object GraftSqlDml {
         })
     }
 
+  /** `CREATE TABLE graft.… [PARTITIONED BY …] AS SELECT …` — CTAS as
+    * two commits through the existing verbs: the catalog's
+    * createTable (empty append pinning the schema of record + the
+    * evolve commit recording the spec) followed by the blind append
+    * of the query's rows. Spark's own V2 CTAS exec would demand a
+    * SupportsWrite path; the lowering keeps the one commit kernel.
+    * PARTITIONED BY is REQUIRED (graft tables are partitioned by
+    * contract — the catalog's createTable enforces it). REPLACE
+    * TABLE AS SELECT is not lowered (an implicit whole-table drop
+    * deserves the explicit verbs). */
+  private[plans] def lowerCtas(c: CreateTableAsSelect): Option[LogicalPlan] =
+    c.name match {
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+        r.catalog match {
+          case g: GraftCatalog =>
+            val queryPlan = c.query
+            val parts = c.partitioning.toArray
+            val ident = r.identifier
+            Some(GraftDmlCommand("CTAS",
+              Seq(AttributeReference("rows_inserted", LongType,
+                nullable = false)()),
+              s => {
+                if (g.tableExists(ident)) {
+                  if (c.ignoreIfExists) Seq(Row(0L))
+                  else throw new org.apache.spark.sql.catalyst.analysis
+                    .TableAlreadyExistsException(ident)
+                } else {
+                  val srcSchema = queryPlan.schema
+                  val toScala = org.apache.spark.sql.catalyst
+                    .CatalystTypeConverters.createToScalaConverter(srcSchema)
+                  val df = org.apache.spark.sql.classic.ClassicConversions
+                    .castToImpl(s).createDataFrame(
+                      s.sessionState.executePlan(queryPlan).toRdd
+                        .map(x => toScala(x).asInstanceOf[Row]), srcSchema)
+                  val table = g.createTable(ident, srcSchema, parts,
+                    java.util.Collections.emptyMap[String, String]())
+                    .asInstanceOf[GraftTable]
+                  TableCommit.appendRowsBy(s, table.path,
+                    specOf(table.path), df)
+                  Seq(Row(TableCommit.resolve(table.path)
+                    .flatMap(x => TableCommit.rowCount(table.path, x._1))
+                    .getOrElse(-1L)))
+                }
+              }))
+          case _ => None
+        }
+      case _ => None
+    }
+
   private[plans] def lowerDelete(d: DeleteFromTable): Option[LogicalPlan] =
     graftRelOf(d.table).map { case (rel, t) =>
       val tgt = rel.outputSet
@@ -369,6 +418,8 @@ case class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftSqlDml.lowerMerge(m).getOrElse(m)
       case a: AppendData if a.resolved =>
         GraftSqlDml.lowerAppend(a).getOrElse(a)
+      case c: CreateTableAsSelect if c.resolved =>
+        GraftSqlDml.lowerCtas(c).getOrElse(c)
       case o: OverwriteByExpression if o.resolved &&
           GraftSqlDml.isGraft(o.table) =>
         throw new UnsupportedOperationException(

@@ -176,6 +176,30 @@ class GraftSqlDmlSpec extends GraftSpec {
     assert(rows(t).contains((5000L, "w2", 1)) && rows(t).size == 105)
   }
 
+  test("CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lowers to " +
+      "createTable + blind append; IF NOT EXISTS no-ops; exists refuses") {
+    val out = spark.sql(
+      "CREATE TABLE graftdml.db.ctas PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT id * 10 AS id, upper(v) AS v FROM graftdml.db.ins " +
+        "WHERE id < 5")
+    assert(out.head().getLong(0) == 5L)
+    val t = s"$wh/db/ctas"
+    assert(TableCommit.properties(t).get("graft.partcols")
+      .contains("bucket(4,id)"))
+    assert(spark.sql("SELECT id, v FROM graftdml.db.ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "V0"), (10L, "V1"), (20L, "V2"), (30L, "V3"), (40L, "V4")))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftdml.db.ctas PARTITIONED BY (id) " +
+        "AS SELECT 1L AS id")
+    }
+    assert(spark.sql(
+      "CREATE TABLE IF NOT EXISTS graftdml.db.ctas PARTITIONED BY (id) " +
+        "AS SELECT 1L AS id").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graftdml.db.ctas")
+      .head().getLong(0) == 5L)
+  }
+
   test("refusals are loud: differing ON names, conditional INSERT, BY " +
       "SOURCE UPDATE, UPDATE-then-DELETE order — table untouched") {
     val t = mkTable("mrg_refuse")

@@ -2618,37 +2618,59 @@ object TableCommit {
     val want = files.toSet
     val perFile = meta.dv.filter { case (rel, _) => want(rel) }
     if (perFile.isEmpty) return Map.empty
-    val dirs = perFile.values.flatten.toSeq.distinct.sorted
-    val (v2, v1) = dirs.partition(_.endsWith(".v2"))
-    // v2 dirs already hold the canonical blobs; v1 dirs re-encode
-    // their plain position rows through the same codec
-    val v2Blobs: Map[(String, String), Array[Byte]] =
-      if (v2.isEmpty) Map.empty
-      else v2.flatMap { dir =>
-        s.read.parquet(s"$table/$dir").select(col("k"), col("bmp"))
-          .collect().map(r =>
-            (dir, r.getString(0)) -> r.getAs[Array[Byte]](1))
-      }.toMap
-    val v1Blobs: Map[(String, String), Array[Byte]] =
-      if (v1.isEmpty) Map.empty
-      else v1.flatMap { dir =>
-        s.read.parquet(s"$table/$dir")
-          .groupBy(col("k"))
+    // a SELECTIVE scan must pay only for the vectors of the files it
+    // requests: push `k IN (requested rels)` into the vector-dir read,
+    // under BOTH key renderings a writer may have recorded (the raw
+    // rel, and its _metadata URI percent-encoding)
+    def uriRendered(rel: String): String = scala.util.Try(
+      new java.net.URI(null, null, "/" + rel, null).getRawPath
+        .stripPrefix("/")).getOrElse(rel)
+    val wantedKeys = perFile.keysIterator
+      .flatMap(rel => Seq(rel, uriRendered(rel))).toSeq.distinct
+    def loadDir(dir: String, selective: Boolean)
+        : Map[(String, String), Array[Byte]] = {
+      val base = s.read.parquet(s"$table/$dir")
+      val scoped =
+        if (selective) base.filter(col("k").isin(wantedKeys: _*)) else base
+      // v2 dirs already hold the canonical blobs; v1 dirs re-encode
+      // their plain position rows through the same codec
+      if (dir.endsWith(".v2"))
+        scoped.select(col("k"), col("bmp")).collect().map(r =>
+          (dir, r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+      else
+        scoped.groupBy(col("k"))
           .agg(org.apache.spark.sql.functions.collect_list(col("pos"))
             .as("ps"))
-          .collect().map { r =>
+          .collect().map(r =>
             (dir, r.getString(0)) ->
-              DvCodec.encode(r.getSeq[Long](1).toArray)
-          }
-      }.toMap
-    val all = v2Blobs ++ v1Blobs
+              DvCodec.encode(r.getSeq[Long](1).toArray)).toMap
+    }
+    val dirs = perFile.values.flatten.toSeq.distinct.sorted
+    var all: Map[(String, String), Array[Byte]] =
+      dirs.map(loadDir(_, selective = true))
+        .foldLeft(Map.empty[(String, String), Array[Byte]])(_ ++ _)
     // dv keys carry the writer's _metadata URI rendering, which
     // percent-encodes special path characters; the manifest rel paths
     // are decoded — index the decoded twin exactly as the hit-count
     // readers do
-    val decoded = all.map { case ((dir, k), b) =>
-      (dir, scala.util.Try(java.net.URLDecoder.decode(k, "UTF-8"))
-        .getOrElse(k)) -> b
+    def decodedOf(m: Map[(String, String), Array[Byte]]) =
+      m.map { case ((dir, k), b) =>
+        (dir, scala.util.Try(java.net.URLDecoder.decode(k, "UTF-8"))
+          .getOrElse(k)) -> b
+      }
+    var decoded = decodedOf(all)
+    // CORRECTNESS BACKSTOP: a registered (file, dir) pair whose key the
+    // selective IN predicate missed (a rendering this reader didn't
+    // anticipate) re-reads that dir IN FULL — over-reading is a cost,
+    // a missed blob would resurrect deleted rows
+    val missedDirs = perFile.toSeq.flatMap { case (rel, regDirs) =>
+      regDirs.filterNot(dir =>
+        all.contains((dir, rel)) || decoded.contains((dir, rel)))
+    }.distinct.sorted
+    if (missedDirs.nonEmpty) {
+      all = all ++ missedDirs.map(loadDir(_, selective = false))
+        .foldLeft(Map.empty[(String, String), Array[Byte]])(_ ++ _)
+      decoded = decodedOf(all)
     }
     perFile.map { case (rel, regDirs) =>
       rel -> regDirs.flatMap(dir =>
@@ -2783,16 +2805,30 @@ object TableCommit {
     locally {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(16, byBucket.length)))
-      try {
-        byBucket.zipWithIndex.map { case ((rel, b), i) =>
-          pool.submit(new Runnable {
-            override def run(): Unit = {
-              st.shareFile(table, rel, serveDir)
-              store(serveDir).moveFile(serveDir, rel,
-                f"part-$i%05d-graft_$b%05d.c000.parquet")
-            }
-          })
-        }.foreach(_.get())
+      val tasks = byBucket.zipWithIndex.map { case ((rel, b), i) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            st.shareFile(table, rel, serveDir)
+            store(serveDir).moveFile(serveDir, rel,
+              f"part-$i%05d-graft_$b%05d.c000.parquet")
+          }
+        })
+      }
+      try tasks.foreach { t =>
+        try t.get()
+        catch {
+          // surface the task's OWN failure, not the pool's wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } catch {
+        case t: Throwable =>
+          // the serve tree must STOP CHANGING before the failure
+          // surfaces: outstanding share/move tasks mutating it after
+          // the throw would race the caller's error handling
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw t
       } finally pool.shutdown()
     }
     val sch = schemaOf(m).getOrElse(s.read.parquet(serveDir).schema)
@@ -3172,20 +3208,24 @@ object TableCommit {
     * ([[IncrementalView]]) can fold in as a pure delta. */
   def appendRows(s: SparkSession, table: String, partCol: String,
       df: DataFrame, txn: Option[(String, Long)] = None,
-      clusterBy: Seq[String] = Nil): Unit =
+      clusterBy: Seq[String] = Nil): Long =
     appendRowsBy(s, table, Seq(partCol), df, txn, clusterBy)
 
   /** [[appendRows]] over a multi-column partition layout — the same
-    * never-conflicting blind append, nested `a=…/b=…` dirs. */
+    * never-conflicting blind append, nested `a=…/b=…` dirs. Returns
+    * the EXACT number of rows this call appended (the fresh files' own
+    * `#rows`, never a global before/after count diff — a concurrent
+    * commit landing mid-append cannot skew it); 0 when the exactly-once
+    * ledger classified the call as a replay. */
   def appendRowsBy(s: SparkSession, table: String, partCols: Seq[String],
       df: DataFrame, txn: Option[(String, Long)] = None,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty, "at least one partition column")
     initIfAbsent(table)
     def alreadyApplied: Boolean = txn.exists { case (app, v) =>
       lastTxnVersion(table, app).exists(_ >= v)
     }
-    if (alreadyApplied) return
+    if (alreadyApplied) return 0L
     val writerId = java.util.UUID.randomUUID().toString.take(8)
     val specs = specColsOf(partCols)
     val dfm = withSpecDirs(df, specs)
@@ -3208,6 +3248,7 @@ object TableCommit {
         footerRows(table, fresh))
     var (baseId, baseFiles) = resolve(table).get
     var committed = false
+    var inserted = 0L
     while (!committed) {
       val next = baseFiles ++ fresh
       // an append removes nothing — everything carries
@@ -3226,7 +3267,10 @@ object TableCommit {
           c.bytes ++ freshBytes, op = Some("APPEND"))) {
         vacuum(table, baseId + 1)
         committed = true
+        inserted = freshRows.values.sum
       } else if (alreadyApplied) {
+        // a twin writer landed this very (appId, version) mid-race —
+        // the replay contract says stop; nothing was inserted BY US
         committed = true
       } else {
         // an append never conflicts — rebase unconditionally
@@ -3235,6 +3279,7 @@ object TableCommit {
         baseFiles = winFiles
       }
     }
+    inserted
   }
 
   /** SCHEMA-OF-RECORD merge (the Delta metadata-action rule), shared

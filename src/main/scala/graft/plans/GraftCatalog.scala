@@ -98,10 +98,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
-    val dir = new java.io.File((w +: namespace.toSeq).mkString("/"))
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(d => new java.io.File(d, "_manifests").isDirectory)
-      .map(d => Identifier.of(namespace, d.getName))
+    // routed through the TableStore seam (not java.io.File), so a
+    // warehouse on hdfs://… lists exactly like a local one
+    val dir = (w +: namespace.toSeq).mkString("/")
+    val st = graft.operators.TableStore.forTable(dir)
+    st.listSubdirs(dir, "")
+      .filter { case (name, _) =>
+        st.listManifestIds(s"$dir/$name").nonEmpty }
+      .map { case (name, _) => Identifier.of(namespace, name) }
+      .sortBy(_.name()).toArray
   }
 
   /** CREATE TABLE: publish an empty snapshot carrying the declared
@@ -127,17 +132,64 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     new GraftTable(path, None)
   }
 
+  /** `ALTER TABLE` lowered onto the metadata-only evolution verbs
+    * (round-14 verdict item 5) — the SQL front door gets EXACTLY the
+    * verbs' guarantees: rename/drop keep the column-mapping rules
+    * (dropped physicals quarantined, renames re-key `#stats`), type
+    * changes pass through the widen lattice (non-widenings refuse
+    * loudly all the way out to the statement), ADD COLUMN rides the
+    * schema-merge rule (an empty append re-declaring the schema plus
+    * the new nullable field — retained files null-default). Unmapped
+    * change kinds refuse loudly, never silently reinterpret. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER on graft tables goes through the TableCommit verbs " +
-        "(renameColumn / dropColumn / widenColumnType / setProperties)")
+      changes: TableChange*): Table = {
+    val path = locationOf(ident)
+    if (TableCommit.resolve(path).isEmpty)
+      throw new NoSuchTableException(ident)
+    val s = SparkSession.active
+    def dotted(fieldNames: Array[String]): String = fieldNames.mkString(".")
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        TableCommit.renameColumn(path, dotted(c.fieldNames()), c.newName())
+      case c: TableChange.DeleteColumn =>
+        TableCommit.dropColumn(path, dotted(c.fieldNames()))
+      case c: TableChange.UpdateColumnType =>
+        TableCommit.widenColumnType(path, dotted(c.fieldNames()),
+          c.newDataType())
+      case c: TableChange.SetProperty =>
+        TableCommit.setProperties(path, Map(c.property() -> c.value()))
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames().length == 1,
+          s"ADD COLUMN on graft tables adds top-level columns only, " +
+            s"got ${dotted(c.fieldNames())}")
+        require(c.isNullable,
+          s"added column ${c.fieldNames().head} must be nullable — " +
+            "retained files carry no value for it")
+        val base = new GraftTable(path, None).logicalSchema
+        require(!base.fieldNames.contains(c.fieldNames().head),
+          s"column ${c.fieldNames().head} already exists in $path")
+        val extended = StructType(base.fields :+
+          StructField(c.fieldNames().head, c.dataType(), nullable = true))
+        TableCommit.appendRowsBy(s, path, GraftSqlDml.specOf(path),
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), extended))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not lowered — the TableCommit " +
+          "verbs express the supported evolutions (rename/drop/widen/" +
+          "set property/add nullable column)")
+    }
+    new GraftTable(path, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = locationOf(ident)
     val existed = TableCommit.resolve(path).isDefined
+    // deletion goes through the TableStore seam: a java.io.File
+    // recursion on an hdfs:///s3a:// location would delete NOTHING and
+    // still report a destructive op as successful (the one lie a
+    // catalog must never tell)
     if (existed)
-      graft.operators.Sinks.deleteRecursively(new java.io.File(path))
+      graft.operators.TableStore.forTable(path).deleteTree(path, "")
     existed
   }
 
@@ -181,10 +233,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .map(Identifier.of(Array("system"), _)).toArray
 
   // ---- SupportsNamespaces (the minimal surface SHOW NAMESPACES needs)
+  // Listings route through the TableStore seam (scheme-aware);
+  // namespace CREATION/DELETION keeps directory semantics, which only
+  // a local warehouse has — non-local warehouses refuse loudly rather
+  // than silently no-op a verb the user will assume happened.
+  private def requireLocalWarehouse(verb: String, w: String): Unit =
+    require(!w.contains("://"),
+      s"$verb on a non-local warehouse ($w) is not supported — object " +
+        "stores have no directory objects; namespaces there are implicit " +
+        "prefixes (create a table under the namespace path instead)")
+
   override def listNamespaces(): Array[Array[String]] =
-    warehouse.map(w => Option(new java.io.File(w).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .map(d => Array(d.getName))).getOrElse(Array.empty[Array[String]])
+    warehouse.map(w =>
+      graft.operators.TableStore.forTable(w).listSubdirs(w, "")
+        .map { case (name, _) => Array(name) }
+        .sortBy(_.head).toArray)
+      .getOrElse(Array.empty[Array[String]])
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -192,14 +256,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadNamespaceMetadata(namespace: Array[String])
       : util.Map[String, String] = {
     val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
-    if (!new java.io.File((w +: namespace.toSeq).mkString("/")).isDirectory)
-      throw new NoSuchNamespaceException(namespace)
+    val parent = (w +: namespace.toSeq.dropRight(1)).mkString("/")
+    val present = graft.operators.TableStore.forTable(w)
+      .listSubdirs(parent, "").exists(_._1 == namespace.last)
+    if (!present) throw new NoSuchNamespaceException(namespace)
     java.util.Collections.emptyMap()
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
+    requireLocalWarehouse("CREATE NAMESPACE", w)
     new java.io.File((w +: namespace.toSeq).mkString("/")).mkdirs()
   }
 
@@ -210,11 +277,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val w = warehouse.getOrElse(return false)
-    val dir = new java.io.File((w +: namespace.toSeq).mkString("/"))
-    val existed = dir.isDirectory
-    if (existed && cascade) graft.operators.Sinks.deleteRecursively(dir)
-    else if (existed) dir.delete()
-    existed
+    val dir = (w +: namespace.toSeq).mkString("/")
+    if (cascade) {
+      // recursive namespace deletion is store-routed like dropTable
+      val existed = graft.operators.TableStore.forTable(w)
+        .listSubdirs((w +: namespace.toSeq.dropRight(1)).mkString("/"), "")
+        .exists(_._1 == namespace.last) || new java.io.File(dir).isDirectory
+      if (existed)
+        graft.operators.TableStore.forTable(dir).deleteTree(dir, "")
+      existed
+    } else {
+      requireLocalWarehouse("DROP NAMESPACE", w)
+      val f = new java.io.File(dir)
+      val existed = f.isDirectory
+      if (existed) f.delete()
+      existed
+    }
   }
 }
 

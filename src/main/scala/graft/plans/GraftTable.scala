@@ -224,9 +224,17 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
           val dirVals = files.map(rel =>
             rel -> GraftScan.dirValuesOf(rel).get(c))
           if (dirVals.exists(_._2.isEmpty)) return None
-          val rows = dirVals.groupBy(_._2.get).toSeq.sortBy(_._1).map {
-            case (v, fs) => InternalRow.fromSeq(
-              GraftScan.castDirValue(v, f.dataType) +: aggRow(fs.map(_._1)))
+          // group by the POST-CAST typed key, not the raw dir string:
+          // with supportCompletePushDown the scan rows ARE the final
+          // results, and an adopted tree rendering one typed key two
+          // ways ('01' vs '1' for an INT column) would emit duplicate
+          // group rows; a dir value that casts to NULL refuses (real
+          // scan) instead of silently becoming a null group
+          val typed = dirVals.map { case (rel, v) =>
+            rel -> GraftScan.castDirValue(v.get, f.dataType) }
+          if (typed.exists(_._2 == null)) return None
+          val rows = typed.groupBy(_._2).toSeq.sortBy(_._1.toString).map {
+            case (v, fs) => InternalRow.fromSeq(v +: aggRow(fs.map(_._1)))
           }
           Some(new GraftCountScan(table.path, outFields(Seq(f)), rows))
         case _ => None
@@ -390,6 +398,13 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
   private lazy val partitions: Array[InputPartition] =
     buildPartitions(keptFiles)
 
+  /** DV blobs of the kept files, collected ONCE per scan — the DPP
+    * re-plan ([[planInputPartitions]] after [[filter]]) rebuilds
+    * partitions over a SUBSET of keptFiles, and re-collecting the
+    * vector dirs for it would pay the driver read twice. */
+  private lazy val dvForKept: Map[String, Seq[Array[Byte]]] =
+    TableCommit.dvBlobsFor(session, path, meta, keptFiles)
+
   private def buildPartitions(files: Seq[String]): Array[InputPartition] = {
     val groupIdx = sigGroups.zipWithIndex.toMap
     val partFieldCache = sigGroups.map(partFieldsOf)
@@ -402,7 +417,7 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     }
     def sizeOf(rel: String): Long =
       meta.bytes.getOrElse(rel, TableCommit.statFileSize(path, rel))
-    val dv = TableCommit.dvBlobsFor(session, path, meta, files)
+    val dv = dvForKept
     bucketLayout match {
       case Some((_, _, bucketOf)) =>
         // one partition per PRESENT bucket — grouping is the scan's
@@ -793,13 +808,11 @@ private[plans] class GraftReaderFactory(
           Array.empty[String], 0L, sl.fileSize)
         var it: Iterator[InternalRow] = g.reader(pf)
         if (sl.dvBlobs.nonEmpty && g.rowIdxPos >= 0) {
-          // a position is dead when ANY covering vector holds it
-          val dead: Array[Long] = {
-            val all = sl.dvBlobs.flatMap(DvCodec.decode(_).toSeq)
-              .distinct.toArray
-            java.util.Arrays.sort(all)
-            all
-          }
+          // a position is dead when ANY covering vector holds it —
+          // primitive k-way merge of the (already-sorted) decodes, no
+          // boxed Seq[Long]/hash-distinct pass (symmetric to the
+          // write side's chunk-bounded encode)
+          val dead: Array[Long] = DvCodec.mergeDecoded(sl.dvBlobs)
           val at = g.rowIdxPos
           it = it.filter(r =>
             java.util.Arrays.binarySearch(dead, r.getLong(at)) < 0)

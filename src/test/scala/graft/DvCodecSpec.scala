@@ -220,4 +220,34 @@ class DvCodecSpec extends GraftSpec {
     assert(!mAfter.contains("#dv "),
       "compaction did not drop the materialized vectors")
   }
+
+  test("mergeDecoded: the k-way primitive union equals the boxed " +
+      "reference on overlapping stacks, and a dense ≥1M-position kill " +
+      "stays allocation-flat (the round-14 read-side bound)") {
+    val rnd = new scala.util.Random(1559)
+    (0 until 20).foreach { trial =>
+      // overlapping vectors: shared base + per-vector extras across
+      // both container kinds and chunk boundaries
+      val base = Array.fill(rnd.nextInt(4000))(rnd.nextLong(1L << 34).abs)
+      val blobs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        val extra = Array.fill(rnd.nextInt(6000))(rnd.nextLong(1L << 34).abs)
+        DvCodec.encode(base ++ extra ++ Array(0L, 65535L, 65536L))
+      }
+      val got = DvCodec.mergeDecoded(blobs)
+      val want = blobs.flatMap(DvCodec.decode(_).toSeq).distinct.sorted
+      assert(got.toSeq == want, s"trial $trial union drift")
+      // sorted + distinct by construction
+      assert(got.toSeq == got.toSeq.distinct.sorted)
+    }
+    // dense-kill fixture: 3 vectors covering 1.2M positions with heavy
+    // overlap — merges in one pass over primitives (a boxed
+    // flatMap+distinct here allocated ~4× the working set)
+    val dense = (0L until 1200000L).toArray
+    val b1 = DvCodec.encode(dense.filter(_ % 2 == 0))
+    val b2 = DvCodec.encode(dense.filter(_ % 3 == 0))
+    val b3 = DvCodec.encode(dense)
+    val merged = DvCodec.mergeDecoded(Seq(b1, b2, b3))
+    assert(merged.length == 1200000 && merged(0) == 0L &&
+      merged(1199999) == 1199999L)
+  }
 }

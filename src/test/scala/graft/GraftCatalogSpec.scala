@@ -345,6 +345,51 @@ class GraftCatalogSpec extends GraftSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("ALTER TABLE lowers onto the evolution verbs (round-14 verdict " +
+      "item 5): rename/add/widen/set property/drop from SQL, widen-" +
+      "lattice refusals reach the statement, physicals stay quarantined") {
+    val t = s"$wh/db/altered"
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      (0 until 20).map(i => (i.toLong, s"v$i", i, i % 2))
+        .toDF("id", "v", "n", "pt"),
+      clusterBy = Seq("id"))
+    // RENAME COLUMN: metadata-only — the physical binding holds, rows
+    // still read; old name gone
+    spark.sql("ALTER TABLE graftcat.db.altered RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM graftcat.db.altered WHERE id = 3")
+      .head().getString(0) == "v3")
+    // ADD COLUMN: schema-merge — retained files null-default
+    spark.sql("ALTER TABLE graftcat.db.altered ADD COLUMN score DOUBLE")
+    val r = spark.sql(
+      "SELECT score FROM graftcat.db.altered WHERE id = 3").head()
+    assert(r.isNullAt(0))
+    // ALTER COLUMN TYPE: the widen lattice — INT→BIGINT commits,
+    // BIGINT→INT refuses all the way out of the statement
+    spark.sql("ALTER TABLE graftcat.db.altered ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql("SELECT n FROM graftcat.db.altered WHERE id = 3")
+      .head().getLong(0) == 3L)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.altered ALTER COLUMN id TYPE INT")
+    }
+    assert(e.getMessage != null)
+    // SET TBLPROPERTIES through the property commit
+    spark.sql(
+      "ALTER TABLE graftcat.db.altered SET TBLPROPERTIES ('team' = 'ops')")
+    assert(TableCommit.properties(t).get("team").contains("ops"))
+    // DROP COLUMN: metadata-only; the dropped physical is quarantined
+    // so a re-add of the same name starts fresh
+    spark.sql("ALTER TABLE graftcat.db.altered DROP COLUMN label")
+    assert(!spark.table("graftcat.db.altered").columns.contains("label"))
+    assert(TableCommit.properties(t).get("graft.mapping.dropped")
+      .exists(_.nonEmpty))
+    spark.sql("ALTER TABLE graftcat.db.altered ADD COLUMN label STRING")
+    assert(spark.sql("SELECT label FROM graftcat.db.altered WHERE id = 3")
+      .head().isNullAt(0), "a re-added column resurrected dropped values")
+    // rows survived the whole evolution
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.altered")
+      .head().getLong(0) == 20L)
+  }
+
   test("mid-evolution snapshots read through the catalog: files under " +
       "two layouts resolve the schema of record") {
     val t = mkTable("evolving")

@@ -120,6 +120,37 @@ class GraftSqlDmlSpec extends GraftSpec {
     assert(rows(t).count(_._3 == 0) == 1)
   }
 
+  test("no-NOT-MATCHED MERGE pre-restriction is STATS-PRUNED: the " +
+      "semi-join's snapshot side reads only the source band's files " +
+      "(round-14 verdict item 2), results identical to the full read") {
+    // banded fixture: 4 partitions each holding a TIGHT id range
+    // (clusterBy id records #stats per file)
+    val t = s"$wh/db/mrg_banded"
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      (0 until 100).map(i => (i.toLong, s"v$i", i / 25)).toDF("id", "v", "pt"),
+      clusterBy = Seq("id"))
+    val total = TableCommit.resolve(t).get._2.length
+    assert(total >= 4, s"fixture wants >=4 banded files, got $total")
+    // CDC batch confined to ids 5..10 — only the pt=0 band can match
+    Seq((5L, "U5", 0), (10L, "U10", 0)).toDF("id", "v", "pt")
+      .createOrReplaceTempView("dml_band_src")
+    val out = spark.sql(
+      """MERGE INTO graftdml.db.mrg_banded t USING dml_band_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |""".stripMargin)
+    assert(out.head().toSeq == Seq(2L, 0L, 0L, 0L), out.head().toString)
+    val got = rows(t)
+    assert(got.contains((5L, "U5", 0)) && got.contains((10L, "U10", 0)) &&
+      got.size == 100 && got.contains((50L, "v50", 2)))
+    // the probe: the pinned-snapshot semi-join side was band-pruned
+    val (path, kept, snapTotal) = graft.plans.GraftSqlDml.lastMergePrune.get()
+    assert(path == t, s"probe path $path")
+    assert(kept < snapTotal && kept >= 1,
+      s"pre-restriction read $kept of $snapTotal files — expected a " +
+        "banded subset")
+  }
+
   test("MERGE ON residual: non-equality ON conjuncts narrow the match " +
       "(full SQL ON) — in the insert path AND the update-only path") {
     val t = mkTable("mrg_resid")

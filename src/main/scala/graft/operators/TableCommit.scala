@@ -1137,8 +1137,10 @@ object TableCommit {
     specColsOf(partCols).filter(_.transform.isDefined).map(_.dirName).toSet
 
   /** Build one transform's directory Column against a concrete frame
-    * (type-dispatched; loud on an unsupported source type). */
-  private def specDirExpr(df: DataFrame,
+    * (type-dispatched; loud on an unsupported source type).
+    * `private[graft]` so the DSv2 native write derives its task-side
+    * dir routing from EXACTLY this expression (bound and shipped). */
+  private[graft] def specDirExpr(df: DataFrame,
       sc: SpecCol): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -2993,6 +2995,43 @@ object TableCommit {
         fileMeta(s, table, fresh, clusterBy, wmap)
       else (Map.empty[(String, String), (String, String)],
         footerRows(table, fresh))
+    commitFreshFiles(table, partCols, dirtyDirs, fresh, freshBytes,
+      freshStats, freshRows, df.schema, wmap, wcols, checked,
+      readSnapshot, txn, exclusiveClaim, replaceAll = false, op)
+  }
+
+  /** THE PUBLISH HALF of every partition-replacing/appending commit —
+    * extracted so writers that stage their own files (the DSv2
+    * [[plans.GraftBatchWrite]] native write path, whose TASKS write
+    * parquet and report per-task commit messages) feed the SAME OCC
+    * loop, guards and manifest accounting as the DataFrame-staging
+    * verbs. `fresh` are already-final manifest-relative paths (written
+    * under writer-unique names — invisible until this publish lists
+    * them); `dirtyDirs` empty = blind append (never conflicts,
+    * unconditional rebase); `replaceAll` = the TRUNCATE overwrite
+    * (next snapshot is exactly `fresh`, conflict against ANY
+    * concurrent change). Returns the fresh rows inserted (0 on an
+    * exactly-once replay). */
+  private[graft] def commitFreshFiles(table: String, partCols: Seq[String],
+      dirtyDirs: Seq[String],
+      fresh: Seq[String],
+      freshBytes: Map[String, Long],
+      freshStats: Map[(String, String), (String, String)],
+      freshRows: Map[String, Long],
+      writeSchema: org.apache.spark.sql.types.StructType,
+      wmap: Map[String, String],
+      wcols: Seq[String],
+      checked: Map[String, String],
+      readSnapshot: Option[Long],
+      txn: Option[(String, Long)],
+      exclusiveClaim: Boolean,
+      replaceAll: Boolean,
+      op: String): Long = {
+    initIfAbsent(table)
+    def alreadyApplied: Boolean = txn.exists { case (app, v) =>
+      lastTxnVersion(table, app).exists(_ >= v)
+    }
+    if (alreadyApplied) return 0L
     val dirty = dirtyDirs.toSet
     var (baseId, baseFiles) = resolve(table).get
     // Lost-update guard: when the caller pins the snapshot its `df` was
@@ -3007,7 +3046,7 @@ object TableCommit {
     def dirtyViewAt(id: Long, fs: Seq[String]): Seq[(String, Seq[String])] = {
       val dv = manifests(table).find(_._1 == id)
         .map(m => dvOf(m._2)).getOrElse(Map.empty)
-      fs.filter(f => dirCovers(dirty, partDir(f))).sorted
+      fs.filter(f => replaceAll || dirCovers(dirty, partDir(f))).sorted
         .map(f => (f, dv.getOrElse(f, Nil)))
     }
     readSnapshot.filter(_ != baseId).foreach { readId =>
@@ -3021,6 +3060,7 @@ object TableCommit {
             s"partitions ${dirtyDirs.mkString(",")} — re-read and re-derive")
     }
     var committed = false
+    var inserted = 0L
     while (!committed) {
       // PARTITION-EVOLUTION straddle guard: a retained file of another
       // layout generation may hold rows the replacement claims to
@@ -3038,7 +3078,8 @@ object TableCommit {
           val i = seg.indexOf('=')
           if (i < 0) seg -> "" else seg.substring(0, i) -> seg.substring(i + 1)
         }.toMap
-      val straddlers = if (!exclusiveClaim) Nil else baseFiles.filter { f =>
+      val straddlers = if (!exclusiveClaim || replaceAll) Nil
+      else baseFiles.filter { f =>
         val dir = partDir(f)
         lazy val fKv = kvOfDir(dir)
         !dirCovers(dirty, dir) && dirty.exists { dd =>
@@ -3056,7 +3097,9 @@ object TableCommit {
             s"partition(s) ${dirtyDirs.mkString(",")} of $table — " +
             "migrate the parent prefix first (compactPartitionsBy under " +
             "the evolved spec), then replace the leaf")
-      val next = baseFiles.filterNot(f => dirCovers(dirty, partDir(f))) ++ fresh
+      val next =
+        if (replaceAll) fresh
+        else baseFiles.filterNot(f => dirCovers(dirty, partDir(f))) ++ fresh
       // carry the writer-transaction ledger forward, merging this
       // commit's (appId, version) at max — survives retention because
       // every manifest copies the previous newest's ledger
@@ -3075,13 +3118,14 @@ object TableCommit {
       val nextTxns = txn.fold(c.txns) { case (app, v) =>
         c.txns.updated(app, c.txns.get(app).fold(v)(math.max(_, v)))
       }
-      val nextSchema = c.schema.fold(df.schema)(
-        bs => mergeSchemaOf(bs, df.schema, table, wmap))
+      val nextSchema = c.schema.fold(writeSchema)(
+        bs => mergeSchemaOf(bs, writeSchema, table, wmap))
       if (publish(table, baseId + 1, next, nextTxns, Some(nextSchema.json),
           c.stats ++ freshStats, c.rows ++ freshRows, c.dv, c.props,
           c.bytes ++ freshBytes, op = Some(op))) {
         vacuum(table, baseId + 1)
         committed = true
+        inserted = freshRows.values.sum
       } else if (alreadyApplied) {
         // a twin writer committed this very (appId, version) while we
         // raced — the replay contract says stop; our staged files are
@@ -3101,6 +3145,7 @@ object TableCommit {
         baseFiles = winFiles
       }
     }
+    inserted
   }
 
   /** RESTORE as a commit (Delta's `RESTORE TABLE … VERSION AS OF`):
@@ -3355,7 +3400,7 @@ object TableCommit {
     * fresh physical for columns the schema of record doesn't know yet
     * (so a re-added dropped column never touches the dropped physical).
     * Identity when no column mapping is active — the common case. */
-  private def writeMapping(table: String,
+  private[graft] def writeMapping(table: String,
       cols: Seq[String]): Map[String, String] = {
     val st = manifests(table).sortBy(-_._1).headOption.map(_._2)
     computeMapping(st.flatMap(_.schema),

@@ -199,13 +199,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   // ---- FunctionCatalog: the transforms committed layouts declare ----
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "bucket"),
+        Identifier.of(namespace, "days"))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name() == "bucket") new GraftBucketUnbound
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name() match {
+      case "bucket" => new GraftBucketUnbound
+      case "days" => new GraftDaysUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   // ---- ProcedureCatalog: CALL graft.system.<maintenance verb> ------
   /** The maintenance verbs as SQL procedures (see [[GraftProcedures]]);
@@ -354,6 +359,55 @@ class GraftBucketUnbound extends UnboundFunction {
           "committed layout contract (integral, string and date keys are)")
     }
   }
+}
+
+/** The catalog's `days` function: EXACTLY the committed layout's
+  * day-dir derivation (TableCommit.specDirExpr), as a typed UTC
+  * epoch-day — DATE keys pass through (their internal int IS the
+  * epoch day), zoned timestamps floor their epoch micros over UTC
+  * (session-independent, the same stability rule the dir rendering
+  * follows), NTZ micros likewise. Two scans reporting `days(ts)`
+  * partitioning bind here, making their groupings comparable — the
+  * multi-level storage-partitioned-join handshake; the write path
+  * clusters by it so each day's rows land in one task. */
+class GraftDaysUnbound extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "graft committed-layout day id: UTC epoch day of a date/timestamp"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days(col) takes 1 argument, got ${inputType.length}")
+    inputType.fields(0).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        new GraftDaysFunction(inputType.fields(0).dataType)
+      case other => throw new UnsupportedOperationException(
+        s"days() over ${other.catalogString} keys is not part of the " +
+          "committed layout contract (date and timestamp keys are)")
+    }
+  }
+}
+
+/** Bound days(key) — result is DATE (internally the epoch-day int). */
+class GraftDaysFunction(keyType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "days"
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = DateType
+  override def canonicalName(): String =
+    s"graft.days(${keyType.catalogString})"
+
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    if (input.isNullAt(0)) null
+    else keyType match {
+      case DateType => input.getInt(0)
+      // UTC calendar day via epoch arithmetic — the same derivation
+      // the dir rendering uses (specDirExpr), so function grouping
+      // and directory grouping agree exactly
+      case TimestampType | TimestampNTZType =>
+        java.lang.Math.floorDiv(input.getLong(0), 86400000000L).toInt
+      case other => sys.error(s"unreachable: $other")
+    }
 }
 
 /** Bound bucket(n, key) — one scalar, codegen-friendly through the

@@ -457,16 +457,20 @@ case class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftSqlDml.lowerUpdate(u).getOrElse(u)
       case m: MergeIntoTable if m.resolved =>
         GraftSqlDml.lowerMerge(m).getOrElse(m)
-      case a: AppendData if a.resolved =>
+      // INSERT INTO lowers onto the blind-append verb (the statement
+      // returns rows_inserted); `spark.graft.insert.native=true` opts
+      // a session into the NATIVE DSv2 write path instead (executor-
+      // task parquet + per-task commit messages, no audit row — the
+      // standard SQL shape). INSERT OVERWRITE always plans natively:
+      // OverwriteByExpression / OverwritePartitionsDynamic reach
+      // GraftWriteBuilder, which lowers them onto the
+      // replacePartitions dirty-set contract.
+      case a: AppendData if a.resolved &&
+          !session.conf.getOption("spark.graft.insert.native")
+            .contains("true") =>
         GraftSqlDml.lowerAppend(a).getOrElse(a)
       case c: CreateTableAsSelect if c.resolved =>
         GraftSqlDml.lowerCtas(c).getOrElse(c)
-      case o: OverwriteByExpression if o.resolved &&
-          GraftSqlDml.isGraft(o.table) =>
-        throw new UnsupportedOperationException(
-          "INSERT OVERWRITE on a graft table is not lowered — use " +
-            "TableCommit.replacePartitions(By), whose dirty-partition " +
-            "contract makes the overwritten set explicit")
     }
 }
 

@@ -54,7 +54,8 @@ import graft.operators.{DvCodec, TableCommit}
   * vectorized parquet reader — the connector adds a projection only
   * when vectors or column order demand one. */
 class GraftTable(val path: String, pinnedId: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private[plans] lazy val meta: TableCommit.ScanMeta =
     TableCommit.scanMeta(path, pinnedId).getOrElse(
@@ -73,7 +74,10 @@ class GraftTable(val path: String, pinnedId: Option[Long])
   override def schema(): StructType = logicalSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def properties(): java.util.Map[String, String] =
     meta.props.asJava
@@ -89,10 +93,36 @@ class GraftTable(val path: String, pinnedId: Option[Long])
               Expressions.literal(w))
           case _ => Expressions.identity(sc.source)
         }
-      }.toArray).getOrElse(Array.empty)
+      }.toArray).getOrElse {
+      // no DECLARED spec: a uniform identity layout IS the implicit
+      // spec (the same rule the SQL DML lowering applies) — without
+      // it the analyzer refuses a static `PARTITION (…)` clause on a
+      // perfectly partitioned table; dirs may carry physical names on
+      // mapped tables, so translate back to the logical field
+      meta.files.map(TableCommit.layoutSigOf).distinct match {
+        case Seq(one) => one.flatMap(dir =>
+          logicalSchema.fields.find(f => f.name == dir ||
+            TableCommit.physicalNameOf(f) == dir))
+          .map(f => Expressions.identity(f.name)).toArray
+        case _ => Array.empty
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
+
+  /** The NATIVE write path (round-14 verdict item 1): executor tasks
+    * write the parquet, per-task commit messages feed the OCC publish
+    * kernel — see [[GraftWriteBuilder]]. A time-travel-pinned identity
+    * is read-only by construction. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedId.isEmpty,
+      s"cannot write to $path VERSION AS OF ${pinnedId.get} — a pinned " +
+        "snapshot is immutable (write to the table's newest identity)")
+    new GraftWriteBuilder(this, info)
+  }
 }
 
 class GraftScanBuilder(table: GraftTable) extends ScanBuilder
@@ -290,11 +320,11 @@ private[plans] final case class GraftFileSlice(
     dvBlobs: Seq[Array[Byte]]) extends Serializable
 
 private[plans] final case class GraftInputPartition(
-    slices: Seq[GraftFileSlice], bucketId: Option[Int])
+    slices: Seq[GraftFileSlice], partKey: Option[Seq[Any]])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    InternalRow(bucketId.getOrElse(
-      sys.error("partitionKey on a non-bucket partition")))
+    InternalRow.fromSeq(partKey.getOrElse(
+      sys.error("partitionKey on a non-key-grouped partition")))
 }
 
 /** Per-layout-group reader recipe: the driver-built parquet closure
@@ -361,32 +391,78 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
   private lazy val anyDv: Boolean =
     keptFiles.exists(f => meta.dv.getOrElse(f, Nil).nonEmpty)
 
-  // -------------------- bucket layout detection ---------------------
-  /** Some((key, n, bucketOf)) iff the DECLARED spec is exactly one
-    * `bucket(n, key)` entry and every kept file sits one level deep in
-    * that layout — then and only then the scan's rows are key-grouped
-    * by construction. Anything else falls back to size-binned splits
+  // ----------------- key-grouped layout detection --------------------
+  /** MULTI-LEVEL key grouping (round-14 verdict item 4, generalizing
+    * the single-level bucket detection): Some((transforms, file→key))
+    * iff the DECLARED spec's entries are each identity / `days` /
+    * `bucket`, at least one is a TRANSFORM (pure-identity layouts keep
+    * dynamic partition pruning instead — the dim-filter shape), and
+    * EVERY kept file sits exactly spec-deep in the declared layout
+    * with every dir value parsing to its typed partition key. Then the
+    * scan's rows are key-grouped by construction and two tables
+    * committed under the same spec storage-partition-join with ZERO
+    * Exchange — the `days(ts);bucket(n,key)` fact layout this engine
+    * recommends at 100 TB (exactly what the streaming transform sink
+    * produces) joins day-and-key co-located straight from the
+    * committed trees. Anything else falls back to size-binned splits
     * (correct, just not co-partitioned) — the silent-fallback twin of
     * registerBucketedView's loud refusals. */
-  private lazy val bucketLayout: Option[(String, Int, Map[String, Int])] =
-    for {
-      raw <- meta.props.get("graft.partcols")
-      specs = TableCommit.specColsOfProp(raw)
-      if specs.length == 1
-      sc = specs.head
-      (kind, n) <- sc.transform
-      if kind == "bucket"
-      if logicalSchema.fieldNames.contains(sc.source)
-      re = ("p_" + java.util.regex.Pattern.quote(sc.source) +
-        "_bucket=(\\d+)").r
-      ids = keptFiles.map { rel =>
-        rel.split('/') match {
-          case Array(re(b), _) if b.toInt < n => b.toInt
-          case _ => -1
+  private lazy val keyGrouped: Option[(Array[Transform], Map[String, Seq[Any]])] = {
+    def parse(): Option[(Array[Transform], Map[String, Seq[Any]])] = {
+      val specs = meta.props.get("graft.partcols")
+        .map(TableCommit.specColsOfProp).getOrElse(return None)
+      if (specs.isEmpty || specs.forall(_.transform.isEmpty)) return None
+      val fields = specs.map(sc =>
+        logicalSchema.fields.find(_.name == sc.source).getOrElse(return None))
+      val transforms: Array[Transform] = specs.map { sc =>
+        sc.transform match {
+          case None => Expressions.identity(sc.source)
+          case Some(("bucket", n)) => Expressions.bucket(n, sc.source)
+          case Some(("days", _)) => Expressions.days(sc.source)
+          case _ => return None // truncate: no canonical catalog function
         }
+      }.toArray
+      val keyed = keptFiles.map { rel =>
+        val segs = rel.split('/').dropRight(1)
+        if (segs.length != specs.length) return None
+        val key: Seq[Any] = specs.zip(fields).zip(segs).map {
+          case ((sc, f), seg) =>
+            val cut = seg.indexOf('=')
+            if (cut <= 0) return None
+            val dirName = seg.substring(0, cut)
+            val okName = dirName == sc.dirName ||
+              (sc.transform.isEmpty &&
+                dirName == TableCommit.physicalNameOf(f))
+            if (!okName) return None
+            val raw = seg.substring(cut + 1)
+            if (raw == "__HIVE_DEFAULT_PARTITION__") {
+              if (sc.transform.isDefined) return None
+              null
+            } else {
+              val v = scala.util.Try(
+                java.net.URLDecoder.decode(raw, "UTF-8")).getOrElse(raw)
+              sc.transform match {
+                case None => castDirValue(v, f.dataType)
+                case Some(("bucket", n)) =>
+                  val b = scala.util.Try(v.toInt).getOrElse(return None)
+                  if (b < 0 || b >= n) return None
+                  b
+                case Some(("days", _)) =>
+                  // the dir renders the UTC calendar day; the typed key
+                  // is its epoch day (the catalog days() function's
+                  // result encoding — DateType internal int)
+                  scala.util.Try(java.time.LocalDate.parse(v)
+                    .toEpochDay.toInt).getOrElse(return None)
+                case _ => return None
+              }
+            }
+        }
+        rel -> key
       }
-      if ids.forall(_ >= 0)
-    } yield (sc.source, n, keptFiles.zip(ids).toMap)
+      Some((transforms, keyed.toMap))
+    }
+    parse()
+  }
 
   // ----------------------- partition planning -----------------------
   private def sliceOf(rel: String, groupId: Int,
@@ -418,16 +494,18 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     def sizeOf(rel: String): Long =
       meta.bytes.getOrElse(rel, TableCommit.statFileSize(path, rel))
     val dv = dvForKept
-    bucketLayout match {
-      case Some((_, _, bucketOf)) =>
-        // one partition per PRESENT bucket — grouping is the scan's
+    keyGrouped match {
+      case Some((_, keyOf)) =>
+        // one partition per PRESENT key tuple — grouping is the scan's
         // own property, not a physical-planning favor
-        files.groupBy(bucketOf).toSeq.sortBy(_._1).map { case (b, fs) =>
-          GraftInputPartition(fs.map(rel => sliceOf(rel,
-            groupIdx(TableCommit.layoutSigOf(rel)), partValsOf(rel),
-            0L, sizeOf(rel), sizeOf(rel), dv)), Some(b))
-            : InputPartition
-        }.toArray
+        files.groupBy(keyOf).toSeq
+          .sortBy(_._1.map(String.valueOf).mkString(" "))
+          .map { case (key, fs) =>
+            GraftInputPartition(fs.map(rel => sliceOf(rel,
+              groupIdx(TableCommit.layoutSigOf(rel)), partValsOf(rel),
+              0L, sizeOf(rel), sizeOf(rel), dv)), Some(key))
+              : InputPartition
+          }.toArray
       case None =>
         // size-binned splits, Spark's own open-cost heuristics
         val conf = session.sessionState.conf
@@ -470,9 +548,11 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     s"graft $path snapshot ${meta.id} " +
       s"(${keptFiles.length}/${meta.files.length} files after pruning)"
 
-  override def outputPartitioning(): Partitioning = bucketLayout match {
-    case Some((key, n, _)) =>
-      new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
+  override def outputPartitioning(): Partitioning = keyGrouped match {
+    case Some((transforms, _)) =>
+      new KeyGroupedPartitioning(
+        transforms.map(t => t: org.apache.spark.sql.connector
+          .expressions.Expression),
         partitions.length)
     case None => new UnknownPartitioning(partitions.length)
   }
@@ -499,7 +579,7 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     * DPP exists to shrink). */
   override def filterAttributes(): Array[org.apache.spark.sql.connector
       .expressions.NamedReference] =
-    if (bucketLayout.isDefined) Array.empty
+    if (keyGrouped.isDefined) Array.empty
     else sigGroups.map(partFieldsOf(_).map(_._2.name).toSet)
       .reduceOption(_ intersect _).getOrElse(Set.empty)
       .toArray.sorted.map(Expressions.column)

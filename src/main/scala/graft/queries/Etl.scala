@@ -1277,6 +1277,67 @@ object Etl {
       |  SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY source, bucket""".stripMargin
 
+  // -------------------------------------------------------- q_insert_overwrite
+  /** `INSERT OVERWRITE … PARTITION (…)` through the NATIVE DSv2 write
+    * path (round-15: the write-side twin of the catalog read): the
+    * statement plans as a real V2 write — executor tasks write the
+    * parquet files and report per-task commit messages; the driver
+    * lowers the static PARTITION clause onto the replacePartitions
+    * dirty-set contract, so the named partition is re-landed WHOLESALE
+    * (rows absent from the replacement drop — overwrite, not merge)
+    * while sibling partitions stay byte-untouched (GraftWriteSpec pins
+    * the untouched file lists). The daily partition re-land verb from
+    * SQL. Reference: msoriadivvy/etl-8x8 `handlers/transform.py:41-57`
+    * re-lands a prefix-scoped batch wholesale. */
+  private def insertOverwrite(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_iow_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val view = s"iow_src_${base.getName.takeRight(8)}"
+    try {
+      graft.plans.GraftCatalog.register(s)
+      val seed = Tables.documents(s, d)
+        .groupBy(col("source"), (col("doc_id") % 23).as("bucket"))
+        .agg(sum(col("n_chars")).as("n_chars"), count(lit(1)).as("n_docs"))
+      TableCommit.appendRowsBy(s, table, Seq("source"), seed,
+        clusterBy = Seq("bucket"))
+      // the replacement batch: src5's even buckets, re-priced — odd
+      // buckets are ABSENT, so the overwrite must drop them
+      seed.filter(col("source") === "src5" && col("bucket") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT OVERWRITE graft.`$table` PARTITION (source = 'src5')
+           |SELECT bucket, n_chars, n_docs FROM $view
+           |""".stripMargin)
+      val rows = TableCommit.read(s, table)
+        .select("source", "bucket", "n_chars", "n_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      import s.implicits._
+      rows.toDF("source", "bucket", "n_chars", "n_docs")
+        .orderBy(col("source"), col("bucket"))
+    } finally {
+      s.catalog.dropTempView(view)
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
+  private val insertOverwriteSql =
+    """WITH seed AS (
+      |  SELECT source, doc_id % 23 AS bucket,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |repl AS (
+      |  SELECT source, bucket, n_chars + 1000 AS n_chars, n_docs
+      |  FROM seed WHERE source = 'src5' AND bucket % 2 = 0)
+      |SELECT source, bucket, n_chars, n_docs FROM (
+      |  SELECT * FROM seed WHERE source <> 'src5'
+      |  UNION ALL SELECT * FROM repl)
+      |ORDER BY source, bucket""".stripMargin
+
   // -------------------------------------------------------- n_table_constraints
   /** CHECK constraints on the committed events table — ALTER TABLE
     * ADD/DROP CONSTRAINT with write-path enforcement
@@ -2794,6 +2855,7 @@ object Etl {
     QueryDef("q_merge_sync", mergeSync, Some(mergeSyncSql)),
     QueryDef("q_merge_keys", mergeKeys, Some(mergeKeysSql)),
     QueryDef("q_merge_sql_stmt", mergeSqlStmt, Some(mergeSqlStmtSql)),
+    QueryDef("q_insert_overwrite", insertOverwrite, Some(insertOverwriteSql)),
     QueryDef("n_part_evolve", partEvolve, None),
     QueryDef("n_part_transform", partTransform, None),
     QueryDef("n_table_constraints", tableConstraintsQ, None),

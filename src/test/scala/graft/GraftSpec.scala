@@ -29,4 +29,15 @@ object TestSession {
 abstract class GraftSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sfTiny: String = TestSession.sfTiny
+
+  /** Run `f` with session confs set, restoring prior values after —
+    * the shared session makes leaked conf changes cross-suite hazards. */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -183,7 +183,8 @@ class GraftSqlDmlSpec extends GraftSpec {
   }
 
   test("INSERT INTO: VALUES and SELECT lower onto the blind-append " +
-      "commit; rows_inserted from #rows metadata; OVERWRITE refuses") {
+      "commit; rows_inserted from #rows metadata; OVERWRITE plans " +
+      "natively as truncate-replace") {
     val t = mkTable("ins")
     val out = spark.sql(
       "INSERT INTO graftdml.db.ins VALUES (900, 'i1', 0), (901, 'i2', 1)")
@@ -197,14 +198,17 @@ class GraftSqlDmlSpec extends GraftSpec {
     assert(rows(t).contains((2900L, "I1", 0)) && rows(t).size == 104)
     // the append is a real commit: exactly-once ledgered history grew
     assert(TableCommit.history(t).length >= 2)
-    intercept[Exception] {
-      spark.sql("INSERT OVERWRITE graftdml.db.ins VALUES (1L, 'x', 0)")
-    }
-    assert(rows(t).size == 104, "a refused OVERWRITE mutated the table")
     // the DataFrame v2 writer rides the same AppendData lowering
     Seq((5000L, "w2", 1)).toDF("id", "v", "pt")
       .writeTo("graftdml.db.ins").append()
     assert(rows(t).contains((5000L, "w2", 1)) && rows(t).size == 105)
+    // INSERT OVERWRITE (round-15): no longer refused — it plans through
+    // the NATIVE DSv2 write (GraftWriteSpec pins the partition
+    // semantics); on a dedicated table, a full static overwrite is a
+    // truncate-replace commit
+    val t2 = mkTable("ins_ovr")
+    spark.sql("INSERT OVERWRITE graftdml.db.ins_ovr VALUES (1, 'x', 0)")
+    assert(rows(t2) == Set((1L, "x", 0)))
   }
 
   test("CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lowers to " +

@@ -237,6 +237,62 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_join_spj_days: the MULTI-LEVEL days(ts);bucket(n,k) layout " +
+      "storage-partition-joins with zero Exchange — full join AND a " +
+      "day-scoped slice (round-14 verdict item 4)") {
+    import graft.operators.TableCommit
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_spjd").toFile
+    val aT = new java.io.File(base, "a").getAbsolutePath
+    val bT = new java.io.File(base, "b").getAbsolutePath
+    def ts(day: Int, hour: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2026-03-0${day + 1}%dT$hour%02d:00:00Z"))
+    val spec = Seq("days(ts)", "bucket(4,k)")
+    TableCommit.appendRowsBy(spark, aT, spec,
+      (0 until 400).map(i => (ts(i % 4, i % 12), i.toLong, s"l$i"))
+        .toDF("ts", "k", "lv"))
+    TableCommit.evolvePartitioningBy(spark, aT, spec)
+    TableCommit.appendRowsBy(spark, bT, spec,
+      (0 until 400 by 2).map(i => (ts(i % 4, i % 12), i.toLong,
+        s"r$i")).toDF("ts", "k", "rv"))
+    TableCommit.evolvePartitioningBy(spark, bT, spec)
+    graft.plans.GraftCatalog.register(spark)
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"SELECT a.ts, a.k, a.lv, b.rv FROM graft.`$aT` a " +
+          s"JOIN graft.`$bT` b ON a.ts = b.ts AND a.k = b.k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"multi-level storage-partitioned join shuffled:\n${p.take(2500)}")
+      // every even i matches its twin (ts, k) pair exactly
+      assert(joined.count() == 200L, s"got ${joined.count()}")
+      // a DAY-SCOPED slice keeps the co-partitioning (pushPartValues
+      // aligns the surviving key sets)
+      val sliced = spark.sql(
+        s"SELECT a.k, a.lv, b.rv FROM graft.`$aT` a " +
+          s"JOIN graft.`$bT` b ON a.ts = b.ts AND a.k = b.k " +
+          s"WHERE a.ts >= TIMESTAMP'2026-03-03 00:00:00' " +
+          s"AND b.ts >= TIMESTAMP'2026-03-03 00:00:00'")
+      val ps = sliced.queryExecution.executedPlan.toString
+      assert(!ps.contains("Exchange"),
+        s"day-scoped SPJ slice shuffled:\n${ps.take(2500)}")
+      assert(sliced.count() == 100L, s"got ${sliced.count()}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
   test("q_join_spj: the DSv2 catalog join is storage-partitioned — zero " +
       "Exchange, KeyGroupedPartitioning scans, DV-carrying side included") {
     import graft.operators.TableCommit

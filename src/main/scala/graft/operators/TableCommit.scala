@@ -749,6 +749,26 @@ object TableCommit {
     def pred(column: String): org.apache.spark.sql.Column =
       col(column) >= lit(lo) && col(column) <= lit(hi)
   }
+  /** ZONED-TIMESTAMP band (round-14 verdict item 7): bounds and the
+    * recorded `#stats` renderings are both UTC EPOCH MICROS digit
+    * strings — a rendering-safe form no session time zone can skew
+    * (the reason zoned stats were deliberately absent before: their
+    * ISO rendering is session-dependent, and a bound persisted by one
+    * session could wrongly EXCLUDE files in another). Non-digit
+    * recorded bounds (there are none for zoned columns by protocol —
+    * micros are the only rendering ever written) conservatively keep
+    * the file. */
+  private[graft] final case class TsBand(lo: Long, hi: Long)
+      extends StatBand {
+    def keeps(mn: String, mx: String): Boolean =
+      scala.util.Try(mn.toLong <= hi && mx.toLong >= lo).getOrElse(true)
+    def pred(column: String): org.apache.spark.sql.Column =
+      col(column) >= org.apache.spark.sql.functions.timestamp_micros(
+        lit(lo)) &&
+        col(column) <= org.apache.spark.sql.functions.timestamp_micros(
+          lit(hi))
+  }
+
   /** The GENERAL-PREDICATE band behind [[deleteMatching]] and friends:
     * no stats claim (an arbitrary predicate proves nothing about a
     * file's bounds, so every file stays candidate) and the row
@@ -2169,6 +2189,26 @@ object TableCommit {
         case None => sys.error(
           s"snapshot $id of $table is outside the retention window")
       }
+    }
+
+  /** [[readWhereAt]] for a ZONED-TIMESTAMP predicate column (round-14
+    * verdict item 7): the band is [lo, hi] in UTC epoch MICROS —
+    * session-independent by construction, matching the micros `#stats`
+    * rendering zoned columns record. Same conservative-keep semantics,
+    * same on-top row filter (`timestamp_micros` bounds), so the result
+    * EQUALS `readAt(...).filter(lo ≤ col ≤ hi)` regardless of stats
+    * coverage. */
+  def readWhereTsAt(s: SparkSession, table: String, id: Long,
+      column: String, loMicros: Long, hiMicros: Long): DataFrame =
+    readWhereBandAt(s, table, id, column, TsBand(loMicros, hiMicros))
+
+  /** [[readWhereTsAt]] on the newest snapshot. */
+  def readWhereTs(s: SparkSession, table: String, column: String,
+      loMicros: Long, hiMicros: Long): DataFrame =
+    resolve(table) match {
+      case Some((id, _)) => readWhereTsAt(s, table, id, column,
+        loMicros, hiMicros)
+      case None => sys.error(s"$table has no snapshot to prune")
     }
 
   /** [[readWhereAt]] on the newest snapshot. */
@@ -3687,12 +3727,23 @@ object TableCommit {
     // row counts ride the SAME grouped scan as the stats — a separate
     // per-file footer read costs ~10ms × |fresh| of serial driver wall
     // (measured: +1s on an 80-file Z-order commit)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(phys(c))).cast("string").as(s"mn_$c"),
-      max(col(phys(c))).cast("string").as(s"mx_$c"))) :+
-      count(lit(1)).as("n_rows")
     val scan = s.read.option("basePath", table)
       .parquet(rels.map(r => s"$table/$r"): _*)
+    // ZONED timestamps record UTC EPOCH MICROS (round-14 verdict item
+    // 7): the only rendering no session time zone can skew — their ISO
+    // cast renders in spark.sql.session.timeZone, which is exactly why
+    // zoned stats were refused before; every other type keeps its
+    // original rendering
+    def statSrc(c: String): org.apache.spark.sql.Column =
+      scan.schema.fields.find(_.name == phys(c)).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          org.apache.spark.sql.functions.unix_micros(col(phys(c)))
+        case _ => col(phys(c))
+      }
+    val aggs = cols.flatMap(c => Seq(
+      min(statSrc(c)).cast("string").as(s"mn_$c"),
+      max(statSrc(c)).cast("string").as(s"mx_$c"))) :+
+      count(lit(1)).as("n_rows")
     // column TYPES drive how a recorded bound is made durable:
     // numerics verbatim (BigDecimal compare on read); strings
     // truncated Delta-style (prefix lower / incremented upper —
@@ -3708,13 +3759,13 @@ object TableCommit {
       dtOf.get(c) match {
         case Some(_: NumericType) | None => Some((mn, mx))
         case Some(StringType) => lexUpper(mx).map(up => (lexLower(mn), up))
-        // DATE and NTZ-timestamp renderings are SESSION-INDEPENDENT;
-        // zoned TimestampType renders in spark.sql.session.timeZone, so
-        // a bound persisted by one session could compare wrongly in
-        // another (wrong exclusion = silent row loss) — no stats, file
-        // conservatively kept
+        // DATE and NTZ-timestamp ISO renderings are SESSION-INDEPENDENT
+        // (lex-safe-era guarded); ZONED timestamps arrive here already
+        // as unix_micros digit strings (statSrc above) — also
+        // session-independent, compared numerically by TsBand
         case Some(DateType) | Some(TimestampNTZType) =>
           Some((mn, mx)).filter(_ => isoLexSafe(mn) && isoLexSafe(mx))
+        case Some(TimestampType) => Some((mn, mx))
         case Some(_) => None
       }
     val resolved = scan

@@ -205,7 +205,10 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
       case r: NamedReference if r.fieldNames().length == 1 =>
         table.logicalSchema.fields.find(_.name == r.fieldNames().head)
           .filter(f => f.dataType == ByteType || f.dataType == ShortType ||
-            f.dataType == IntegerType || f.dataType == LongType)
+            f.dataType == IntegerType || f.dataType == LongType ||
+            // zoned timestamps record exact UTC epoch-micros digit
+            // strings (round-15) — lossless parse, internal encoding
+            f.dataType == TimestampType)
           .filter(f => files.forall(rel => meta.stats.contains((rel, f.name))))
           .filter(_ => meta.dv.isEmpty)
       case _ => None
@@ -224,6 +227,7 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
       case ByteType => v.toByteExact
       case ShortType => v.toShortExact
       case IntegerType => v.toIntExact
+      // TimestampType's internal encoding IS epoch micros (Long)
       case _ => v.toLongExact
     }
     def aggRow(fs: Seq[String]): Seq[Any] = specs.map {
@@ -328,13 +332,20 @@ private[plans] final case class GraftInputPartition(
 }
 
 /** Per-layout-group reader recipe: the driver-built parquet closure
-  * plus the positional map from closure output to the scan schema. */
+  * plus the positional map from closure output to the scan schema.
+  * `batchReader` is the COLUMNAR twin (present iff this group can
+  * serve ColumnarBatches positionally identical to the scan schema —
+  * no DV row filter, no projection shim needed); `batchPartIdxs`
+  * projects a slice's full partition values down to the requested
+  * partition columns the batch closure appends. */
 private[plans] final case class GraftGroupReader(
     reader: PartitionedFile => Iterator[InternalRow],
     partTypes: Seq[DataType],
     // closure output position of each requested field, scan order
     outPositions: Seq[Int],
-    rowIdxPos: Int) extends Serializable
+    rowIdxPos: Int,
+    batchReader: Option[PartitionedFile => Iterator[InternalRow]] = None,
+    batchPartIdxs: Array[Int] = Array.empty) extends Serializable
 
 class GraftScan(path: String, meta: TableCommit.ScanMeta,
     logicalSchema: StructType, required: StructType,
@@ -653,10 +664,43 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
       val physName = required.fields.map(f =>
         if (partNames.contains(f.name)) f.name
         else logicalToPhys(f.name)).toSeq
+      // ---------------- COLUMNAR twin (round-14 verdict item 6) ------
+      // A DV-free group whose scan schema is POSITIONALLY the closure
+      // output — payload fields first (in order), then a subset of the
+      // partition fields in layout order — needs no projection shim,
+      // so the vectorized parquet reader's ColumnarBatches can surface
+      // as-is: the catalog path keeps whole-stage codegen's columnar
+      // scan instead of falling to rows. DV row filters and reordered
+      // projections stay on the row path (correct, just row-at-a-time).
+      val batchPartFields = partFields.filter(pf =>
+        required.fieldNames.contains(pf._2.name))
+      // positional iff required = [payload fields, in required order]
+      // ++ [partition fields, in layout order]
+      val reqNames = required.fields.map(_.name).toSeq
+      val positional = {
+        val payloadNames = reqNames.filterNot(partNames.contains)
+        val partInReq = reqNames.filter(partNames.contains)
+        reqNames == payloadNames ++ partInReq &&
+          partInReq == batchPartFields.map(_._2.name)
+      }
+      val batchSchema = StructType(closureRequired.fields ++
+        batchPartFields.map(_._2))
+      val batchOk = !withRowIdx && positional &&
+        fmt.supportBatch(session, batchSchema)
+      val batchReader =
+        if (!batchOk) None
+        else Some(fmt.buildReaderWithPartitionValues(session, dataSchema,
+          StructType(batchPartFields.map(_._2)), closureRequired,
+          dataFilters,
+          Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
+          new org.apache.hadoop.conf.Configuration(hadoopConf)))
+      val batchPartIdxs = batchPartFields.map(pf =>
+        partFields.indexWhere(_._2.name == pf._2.name)).toArray
       GraftGroupReader(reader,
         partFields.map(_._2.dataType),
         physName.map(outNames.indexOf),
-        if (withRowIdx) reqPayload.length else -1)
+        if (withRowIdx) reqPayload.length else -1,
+        batchReader, batchPartIdxs)
     }
     new GraftReaderFactory(groups.toArray,
       required.fields.map(_.dataType))
@@ -729,15 +773,31 @@ private[graft] object GraftScan {
          _: java.math.BigDecimal | _: BigDecimal => Some(0)
     case _: String => Some(1)
     case _: java.sql.Date | _: java.time.LocalDate => Some(2)
+    case _: java.sql.Timestamp | _: java.time.Instant => Some(3)
+    case _ => None
+  }
+
+  /** UTC epoch micros of a ZONED-timestamp filter value (both Java
+    * encodings Spark's pushdown may hand over) — the rendering zoned
+    * `#stats` record (round-15). NTZ values (LocalDateTime) stay
+    * unbandable here by design: their stats are ISO strings on the
+    * lex path. */
+  private def tsMicrosOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
     case _ => None
   }
 
   /** ISO `yyyy-MM-dd` of a date filter value — comparable against the
     * recorded DATE stats bounds (same rendering) iff both sides are
     * in the four-digit-year lex-safe era; None otherwise (file kept).
-    * Zoned/NTZ timestamps are deliberately absent: their filter-value
-    * rendering ('T' separator, session zone) does not match the
-    * recorded bounds, so pruning on them would be a silent-loss trap. */
+    * NTZ timestamps are deliberately absent from this path: their
+    * filter-value rendering ('T' separator) does not match the
+    * recorded bounds, so pruning on them would be a silent-loss trap.
+    * ZONED timestamps prune through [[tsMicrosOf]] instead — their
+    * stats are epoch-micros renderings (round-15). */
   private def isoDateOf(v: Any): Option[String] = (v match {
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
@@ -762,7 +822,10 @@ private[graft] object GraftScan {
       case (x: String, y: String) => TableCommit.cpCompare(x, y) < 0
       case _ => (isoDateOf(a), isoDateOf(b)) match {
         case (Some(x), Some(y)) => TableCommit.cpCompare(x, y) < 0
-        case _ => false
+        case _ => (tsMicrosOf(a), tsMicrosOf(b)) match {
+          case (Some(x), Some(y)) => x < y
+          case _ => false
+        }
       }
     }
   }
@@ -791,6 +854,13 @@ private[graft] object GraftScan {
         lo.forall(l => TableCommit.cpCompare(mx, l.asInstanceOf[String]) >= 0)
       } || !(lo.forall(_.isInstanceOf[String]) &&
         hi.forall(_.isInstanceOf[String]))
+    case TimestampType =>
+      // zoned stats are UTC epoch-micros digit strings (round-15);
+      // non-digit bounds or unconvertible filter values keep the file
+      scala.util.Try {
+        hi.flatMap(tsMicrosOf).forall(h => mn.toLong <= h) &&
+        lo.flatMap(tsMicrosOf).forall(l => mx.toLong >= l)
+      }.getOrElse(true)
     case _ => true
   }
 
@@ -869,6 +939,57 @@ private[graft] object GraftScan {
 private[plans] class GraftReaderFactory(
     groups: Array[GraftGroupReader],
     outTypes: Array[DataType]) extends PartitionReaderFactory {
+
+  /** Columnar iff EVERY group built a batch closure (no DV row
+    * filter, positional schema) — Spark refuses MIXED row/columnar
+    * partitions outright, so a mid-evolution snapshot with one
+    * row-only layout group keeps the whole scan on rows. */
+  private val allColumnar: Boolean =
+    groups.nonEmpty && groups.forall(_.batchReader.isDefined)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allColumnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val slices = p.slices.iterator
+      private var current: Iterator[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = Iterator.empty
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+      private def nextSlice(): Boolean = {
+        if (!slices.hasNext) return false
+        val sl = slices.next()
+        val g = groups(sl.groupId)
+        // the batch closure appends only the REQUESTED partition
+        // columns — project the slice's full layout values down
+        val pv = g.batchPartIdxs.map(sl.partValues)
+        val pf = PartitionedFile(
+          InternalRow.fromSeq(pv.toSeq),
+          SparkPath.fromPathString(sl.absPath), sl.start, sl.length,
+          Array.empty[String], 0L, sl.fileSize)
+        // the vectorized reader surfaces batches through the row-typed
+        // closure signature — Spark's own FileSourceScanExec applies
+        // the same cast
+        current = g.batchReader.get.apply(pf)
+          .asInstanceOf[Iterator[
+            org.apache.spark.sql.vectorized.ColumnarBatch]]
+        true
+      }
+
+      override def next(): Boolean = {
+        while (!current.hasNext) if (!nextSlice()) return false
+        batch = current.next()
+        true
+      }
+
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        batch
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {

@@ -146,6 +146,19 @@ object TableFunctions {
           str(args(2), "lo"), str(args(3), "hi"))
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_table_where_ts"),
+      new ExpressionInfo(getClass.getName, "graft_table_where_ts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_table_where_ts(path, column, loMicros, hiMicros)")
+        // the ZONED-TIMESTAMP twin (round-15): the band is UTC epoch
+        // MICROS — the session-independent rendering zoned `#stats`
+        // record; result equals graft_table(path) WHERE
+        // timestamp_micros(lo) <= col <= timestamp_micros(hi)
+        TableCommit.readWhereTs(session, path(args.head),
+          str(args(1), "the stats column"), id(args(2)), id(args(3)))
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_table_dv_debt"),
       new ExpressionInfo(getClass.getName, "graft_table_dv_debt"),
       (args: Seq[Expression]) => {

@@ -235,6 +235,47 @@ class GraftSqlDmlSpec extends GraftSpec {
       .head().getLong(0) == 5L)
   }
 
+  test("MERGE USING a VERSION AS OF source (round-14 verdict item 8): " +
+      "the pinned-snapshot CDC replay — the merge applies the OLD " +
+      "snapshot's rows even after the source moved on") {
+    val t = mkTable("mrg_tt")
+    val srcT = mkTable("mrg_tt_src")
+    val v0 = TableCommit.resolve(srcT).get._1
+    // the source moves on AFTER v0 — a replay must not see this
+    spark.sql("UPDATE graftdml.db.mrg_tt_src SET v = concat('post_', v)")
+    // Spark's MERGE grammar takes no temporal clause on the bare USING
+    // identifier (a parser limit, not this engine's) — the supported
+    // shape is the subquery source, which resolves VERSION AS OF
+    // through the catalog's pinned loadTable
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"MERGE INTO graftdml.db.mrg_tt t USING " +
+        s"graftdml.db.mrg_tt_src VERSION AS OF $v0 s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    val out = spark.sql(
+      s"""MERGE INTO graftdml.db.mrg_tt t
+         |USING (SELECT * FROM graftdml.db.mrg_tt_src VERSION AS OF $v0) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.id < 3 THEN UPDATE SET v = concat('tt_', s.v)
+         |""".stripMargin)
+    assert(out.head().toSeq == Seq(100L, 0L, 0L, 0L), out.head().toString) // conditional UPDATE: all matched rows rewrite (CASE WHEN), the documented MoR cost
+    val got = rows(t)
+    assert(got.contains((0L, "tt_v0", 0)) && got.contains((2L, "tt_v2", 0)),
+      s"merge did not read the pinned snapshot: ${got.filter(_._1 < 3)}")
+    assert(!got.exists(_._2.startsWith("tt_post_")),
+      "the merge read the post-v0 source state")
+    // the subquery form pins too (SELECT … FROM src VERSION AS OF v0)
+    val out2 = spark.sql(
+      s"""MERGE INTO graftdml.db.mrg_tt t
+         |USING (SELECT id, v, pt FROM graftdml.db.mrg_tt_src
+         |       VERSION AS OF $v0 WHERE id BETWEEN 3 AND 4) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = concat('sq_', s.v)
+         |""".stripMargin)
+    assert(out2.head().toSeq == Seq(2L, 0L, 0L, 0L), out2.head().toString)
+    assert(rows(t).contains((3L, "sq_v3", 1)))
+  }
+
   test("refusals are loud: differing ON names, conditional INSERT, BY " +
       "SOURCE UPDATE, UPDATE-then-DELETE order — table untouched") {
     val t = mkTable("mrg_refuse")

@@ -258,6 +258,59 @@ class TypedStatsSpec extends GraftSpec {
     assert(e2.getMessage.contains("four-digit-year"), e2.getMessage)
   }
 
+  test("ZONED timestamp stats (round-14 verdict item 7): epoch-micros " +
+      "renderings prune a ts band in the verb, TVF and catalog paths — " +
+      "session-TZ-independent by construction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zts").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    def ts(i: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+        .plusSeconds(i * 3600L))
+    val rows = (0 until 240).map(i => (ts(i), s"v$i", i % 2))
+    rows.toDF("ts", "v", "pt").limit(1)
+      .write.mode("overwrite").partitionBy("pt").parquet(t)
+    TableCommit.initIfAbsent(t)
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0", "pt=1"),
+      rows.toDF("ts", "v", "pt"), clusterBy = Seq("ts"),
+      filesPerPartition = 6)
+    val (_, files) = TableCommit.resolve(t).get
+    def micros(i: Int): Long = ts(i).toInstant.toEpochMilli * 1000L
+    // verb path: fewer files, exact rows
+    val pruned = TableCommit.readWhereTs(spark, t, "ts",
+      micros(24), micros(47))
+    assert(pruned.inputFiles.length < files.length,
+      s"ts stats pruned nothing (${pruned.inputFiles.length} of " +
+        s"${files.length})")
+    assert(pruned.count() == 24L, s"got ${pruned.count()}")
+    // TVF path
+    val tvf = spark.sql(s"SELECT * FROM graft_table_where_ts('$t', 'ts', " +
+      s"${micros(24)}, ${micros(47)})")
+    assert(tvf.count() == 24L && tvf.inputFiles.length < files.length)
+    // catalog path: a pushed ts range prunes at plan time
+    graft.plans.GraftCatalog.register(spark, "graftts")
+    val cat = spark.sql(s"SELECT ts, v FROM graftts.`$t` WHERE " +
+      "ts >= TIMESTAMP'2026-01-02 00:00:00' AND " +
+      "ts <= TIMESTAMP'2026-01-02 23:00:00'")
+    assert(cat.count() == 24L)
+    assert(cat.inputFiles.length < files.length,
+      s"catalog ts pushdown pruned nothing (${cat.inputFiles.length} of " +
+        s"${files.length})")
+    // SESSION-TZ independence: the same instant band prunes and counts
+    // identically under a different session zone (the exact trap that
+    // kept zoned stats out before — ISO renderings skew, micros don't)
+    withSQLConf("spark.sql.session.timeZone" -> "Asia/Kolkata") {
+      assert(TableCommit.readWhereTs(spark, t, "ts",
+        micros(24), micros(47)).count() == 24L)
+    }
+    // metadata-only MIN/MAX pushdown extends to zoned ts (no live DVs)
+    val mm = spark.sql(s"SELECT min(ts), max(ts) FROM graftts.`$t`")
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("metadata-only"),
+      mm.queryExecution.executedPlan.toString.take(1500))
+    assert(mm.head().getTimestamp(0) == ts(0) &&
+      mm.head().getTimestamp(1) == ts(239))
+  }
+
   /** An NTZ-timestamp table: Jan days in pt=0, Feb days in pt=1, one
     * file each — pt=1's recorded min is EXACTLY '2026-02-01 00:00:00',
     * the boundary a date-only prefix band must not mis-rank. */

@@ -376,15 +376,22 @@ object Relational {
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    // a 10-day window bounds the SCAFFOLD (dirs = days × buckets; the
+    // full 30-day span × 8 buckets staged 480 files across the two
+    // tables — file count, not row count, dominated the build); the
+    // join itself is layout-metadata-sized either way
+    val slice = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+      .persist() // both table builds read it; one events scan, not two
     try {
       graft.plans.GraftCatalog.register(s)
-      val spec = Seq("days(ts)", "bucket(8,user_id)")
+      val spec = Seq("days(ts)", "bucket(4,user_id)")
       TableCommit.appendRowsBy(s, evT, spec,
-        Tables.events(s, d).select(col("ts"), col("user_id"),
+        slice.select(col("ts"), col("user_id"),
           col("event_type"), col("value")))
       TableCommit.evolvePartitioningBy(s, evT, spec)
       TableCommit.appendRowsBy(s, sessT, spec,
-        Tables.events(s, d).groupBy(col("ts"), col("user_id"))
+        slice.groupBy(col("ts"), col("user_id"))
           .agg(count(lit(1)).as("n_ev")))
       TableCommit.evolvePartitioningBy(s, sessT, spec)
       conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -406,6 +413,7 @@ object Relational {
       rows.toDF("event_type", "n_rows", "n_ev", "total_value")
         .orderBy(col("event_type"))
     } finally {
+      slice.unpersist()
       prev.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None) => conf.unset(k)
@@ -415,12 +423,14 @@ object Relational {
   }
 
   private val joinSpjDaysSql =
-    """WITH sess AS (
-      |  SELECT ts, user_id, count(*) AS n_ev FROM events GROUP BY 1, 2)
+    """WITH ev AS (
+      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+      |sess AS (
+      |  SELECT ts, user_id, count(*) AS n_ev FROM ev GROUP BY 1, 2)
       |SELECT e.event_type, count(*) AS n_rows,
       |  CAST(sum(c.n_ev) AS BIGINT) AS n_ev,
       |  round(sum(e.value), 2) AS total_value
-      |FROM events e JOIN sess c
+      |FROM ev e JOIN sess c
       |  ON e.ts = c.ts AND e.user_id = c.user_id
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin

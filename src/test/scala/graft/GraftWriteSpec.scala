@@ -138,6 +138,18 @@ class GraftWriteSpec extends GraftSpec {
       "a refused write published a commit")
   }
 
+  test("REPLACE TABLE AS SELECT runs through drop+create+the native " +
+      "write (Spark's non-atomic RTAS path for non-staging catalogs)") {
+    spark.sql("CREATE TABLE graftw.db.rtas PARTITIONED BY (pt) " +
+      "AS SELECT 1L AS id, 'a' AS v, 0 AS pt")
+    assert(spark.sql("SELECT id FROM graftw.db.rtas").head().getLong(0) == 1L)
+    spark.sql("REPLACE TABLE graftw.db.rtas PARTITIONED BY (pt) " +
+      "AS SELECT 2L AS id, 'b' AS v, 1 AS pt")
+    val got = spark.sql("SELECT id, v, pt FROM graftw.db.rtas").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((2L, "b", 1)), got.toString)
+  }
+
   test("refusals are loud: non-partition overwrite filters, writes to a " +
       "pinned snapshot — nothing published") {
     val t = mkTable("ovr_refuse")

@@ -123,6 +123,32 @@ class GraftWriteSpec extends GraftSpec {
     assert(TableCommit.read(spark, tb).count() == 41L)
   }
 
+  test("column mapping through the native write: files carry PHYSICAL " +
+      "names after a rename; reads translate back — both write modes") {
+    val t = mkTable("mapped_native")
+    TableCommit.renameColumn(t, "v", "label")
+    withSQLConf("spark.graft.insert.native" -> "true") {
+      spark.sql(
+        "INSERT INTO graftw.db.mapped_native VALUES (600, 'nat', 0)")
+    }
+    spark.sql("INSERT OVERWRITE graftw.db.mapped_native PARTITION (pt = 1) " +
+      "VALUES (601, 'ovr')")
+    val got = spark.sql(
+      "SELECT id, label FROM graftw.db.mapped_native WHERE id >= 600")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((600L, "nat"), (601L, "ovr")), got.toString)
+    // the fresh files' footers carry the PHYSICAL name (the mapping
+    // contract — logical renames never rewrite or re-encode files)
+    val nativeName = """.*_t\d+-a\d+-c\d+\.parquet$""".r
+    val fresh = TableCommit.resolve(t).get._2
+      .filter(f => nativeName.pattern.matcher(f).matches())
+    assert(fresh.nonEmpty)
+    val footer = spark.read.parquet(s"$t/${fresh.head}").schema.fieldNames
+    assert(footer.contains("v") && !footer.contains("label"),
+      s"native write staged logical names into footers: " +
+        footer.mkString(", "))
+  }
+
   test("CHECK constraints enforce IN THE TASK: a violating native write " +
       "aborts before publish — table untouched, no orphan rows visible") {
     val t = mkTable("cons_native")
@@ -136,6 +162,33 @@ class GraftWriteSpec extends GraftSpec {
     assert(rows(t) == before, "a refused write mutated the table")
     assert(TableCommit.resolve(t).get._1 == beforeId,
       "a refused write published a commit")
+  }
+
+  test("the requested write distribution lands: a native multi-bucket " +
+      "insert produces ~one file per partition dir (clustered by the " +
+      "declared transforms), not tasks × dirs") {
+    val tb = s"$wh/db/dist_probe"
+    TableCommit.appendRowsBy(spark, tb, Seq("bucket(4,id)"),
+      (0 until 8).map(i => (i.toLong, "seed")).toDF("id", "v"),
+      clusterBy = Seq("id"))
+    TableCommit.evolvePartitioningBy(spark, tb, Seq("bucket(4,id)"))
+    val before = TableCommit.resolve(tb).get._2.toSet
+    // 2000 rows spread over all 4 buckets, written natively from a
+    // many-partition source — without the clustered distribution every
+    // task would open writers for every bucket
+    withSQLConf("spark.graft.insert.native" -> "true") {
+      spark.range(0, 2000).repartition(8)
+        .selectExpr("id", "concat('n', id) AS v")
+        .writeTo("graftw.db.dist_probe").append()
+    }
+    val fresh = TableCommit.resolve(tb).get._2.filterNot(before)
+    val perDir = fresh.groupBy(TableCommit.partitionDirOf)
+      .map { case (d, fs) => d -> fs.size }
+    assert(perDir.keySet.size == 4, s"expected 4 bucket dirs: $perDir")
+    assert(fresh.size <= 8,
+      s"clustered write distribution did not apply — ${fresh.size} files " +
+        s"for 4 dirs ($perDir)")
+    assert(TableCommit.read(spark, tb).count() == 2008L)
   }
 
   test("REPLACE TABLE AS SELECT runs through drop+create+the native " +

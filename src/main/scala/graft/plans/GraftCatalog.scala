@@ -201,13 +201,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "bucket"),
-        Identifier.of(namespace, "days"))
+        Identifier.of(namespace, "days"),
+        Identifier.of(namespace, "truncate"))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     ident.name() match {
       case "bucket" => new GraftBucketUnbound
       case "days" => new GraftDaysUnbound
+      case "truncate" => new GraftTruncUnbound
+      case GraftCatalog.TruncNameRe(w) => new GraftTruncWUnbound(w.toInt)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -302,6 +305,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 }
 
 object GraftCatalog {
+  /** The width-baked truncate function FAMILY (`truncate100`,
+    * `truncate2`, …) the SPJ handshake binds — see
+    * [[GraftTruncWUnbound]] for why the width cannot ride as a
+    * function argument there. */
+  private[plans] val TruncNameRe = """truncate(\d+)""".r
+
   /** Imperative session hookup — the twin of the `spark.sql.catalog.*`
     * conf lines for a session that already exists. Catalog instances
     * resolve lazily, so a runtime conf set is fully effective. */
@@ -323,6 +332,15 @@ object GraftCatalog {
       s"bucket($n,$col)"
     case d if d.name() == "days" =>
       s"days(${d.references().head.fieldNames().mkString(".")})"
+    case tr if tr.name() == "truncate" =>
+      // accept either argument order (the SQL surface has seen both
+      // `truncate(8, col)` and `truncate(col, 8)` in the wild)
+      val w = tr.arguments().collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          lit.value().toString
+      }.getOrElse(sys.error(s"truncate transform without a width: $tr"))
+      val col = tr.references().head.fieldNames().mkString(".")
+      s"truncate($w,$col)"
     case i if i.name() == "identity" =>
       i.references().head.fieldNames().mkString(".")
     case other => sys.error(s"unsupported partition transform: $other")
@@ -443,4 +461,117 @@ class GraftBucketFunction(keyType: DataType)
     val r = h % n
     if (r < 0) r + n else r
   }
+}
+
+/** The committed layout's `truncate(W,col)` derivation, shared by
+  * both function shapes: EXACTLY TableCommit.specDirExpr's dir
+  * column (Iceberg's truncate semantics per source type) — strings
+  * keep their first W characters (`substringSQL`, the same
+  * code-point rule the staged `substring(col,1,W)` dir column
+  * follows); integral keys floor to the multiple of W
+  * (`v - (((v % W) + W) % W)`), computed in LONG because the dir
+  * rendering promotes through long arithmetic too (`-128` truncated
+  * by 100 is `-200`, which no byte can carry). */
+private[plans] object GraftTrunc {
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  def resultTypeOf(keyType: DataType): DataType =
+    if (keyType == StringType) StringType else LongType
+
+  /** Derive over `input` position `pos` (null already handled). */
+  def derive(keyType: DataType, w: Int, input: InternalRow,
+      pos: Int): AnyRef = keyType match {
+    case StringType => input.getUTF8String(pos).substringSQL(1, w)
+    case _ =>
+      val v = keyType match {
+        case ByteType => input.getByte(pos).toLong
+        case ShortType => input.getShort(pos).toLong
+        case IntegerType => input.getInt(pos).toLong
+        case LongType => input.getLong(pos)
+        case other => sys.error(s"unreachable: $other")
+      }
+      java.lang.Long.valueOf(v - java.lang.Math.floorMod(v, w.toLong))
+  }
+}
+
+/** The catalog's two-argument `truncate(width, col)` function — the
+  * SQL-callable shape (`SELECT graft.truncate(2, tag)`), and what a
+  * `PARTITIONED BY (truncate(2, tag))` clause resolves. NOT the SPJ
+  * handshake shape: see [[GraftTruncWUnbound]]. */
+class GraftTruncUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "graft committed-layout truncate: string prefix / integral floor multiple"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate(width, col) takes 2 arguments, got ${inputType.length}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"truncate width must be INT, got ${inputType.fields(0).dataType}")
+    val keyType = inputType.fields(1).dataType
+    if (!GraftTrunc.supported(keyType))
+      throw new UnsupportedOperationException(
+        s"truncate() over ${keyType.catalogString} keys is not part of " +
+          "the committed layout contract (string and integral keys are)")
+    new GraftTruncFunction(keyType)
+  }
+}
+
+/** Bound truncate(w, key) — STRING keys yield the W-char prefix
+  * (StringType); integral keys yield the floor multiple (LongType). */
+class GraftTruncFunction(keyType: DataType) extends ScalarFunction[AnyRef] {
+  override def name(): String = "truncate"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = GraftTrunc.resultTypeOf(keyType)
+  override def canonicalName(): String =
+    s"graft.truncate(${keyType.catalogString})"
+
+  override def produceResult(input: InternalRow): AnyRef =
+    if (input.isNullAt(1)) null
+    else GraftTrunc.derive(keyType, input.getInt(0), input, 1)
+}
+
+/** The WIDTH-BAKED truncate family (`truncate2`, `truncate100`, …) —
+  * the storage-partitioned-join handshake shape. Catalyst's
+  * `KeyGroupedPartitioning.satisfies` demands every partition
+  * expression carry EXACTLY ONE leaf, and a literal width argument
+  * is a leaf (only `bucket` gets its literal hoisted into
+  * `numBucketsOpt` by Spark's translation) — so a two-argument
+  * `truncate(2, tag)` transform can never satisfy a clustered
+  * distribution, and the scan instead reports `truncate2(tag)`: one
+  * column argument, the width in the NAME, and therefore in
+  * `canonicalName` — two sides SPJ iff their widths agree, exactly
+  * the compatibility rule the layout implies. */
+class GraftTruncWUnbound(w: Int) extends UnboundFunction {
+  override def name(): String = s"truncate$w"
+  override def description(): String =
+    s"graft committed-layout truncate($w, col) with the width baked in"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate$w(col) takes 1 argument, got ${inputType.length}")
+    val keyType = inputType.fields(0).dataType
+    if (!GraftTrunc.supported(keyType))
+      throw new UnsupportedOperationException(
+        s"truncate$w() over ${keyType.catalogString} keys is not part of " +
+          "the committed layout contract (string and integral keys are)")
+    new GraftTruncWFunction(w, keyType)
+  }
+}
+
+/** Bound truncate<w>(key) — see [[GraftTruncWUnbound]]. */
+class GraftTruncWFunction(w: Int, keyType: DataType)
+    extends ScalarFunction[AnyRef] {
+  override def name(): String = s"truncate$w"
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = GraftTrunc.resultTypeOf(keyType)
+  override def canonicalName(): String =
+    s"graft.truncate($w,${keyType.catalogString})"
+
+  override def produceResult(input: InternalRow): AnyRef =
+    if (input.isNullAt(0)) null
+    else GraftTrunc.derive(keyType, w, input, 0)
 }

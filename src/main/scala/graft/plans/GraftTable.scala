@@ -89,8 +89,10 @@ class GraftTable(val path: String, pinnedId: Option[Long])
           case Some(("bucket", n)) => Expressions.bucket(n, sc.source)
           case Some(("days", _)) => Expressions.days(sc.source)
           case Some(("trunc", w)) =>
-            Expressions.apply("truncate", Expressions.column(sc.source),
-              Expressions.literal(w))
+            // literal-first, the bucket convention — and the argument
+            // order GraftTruncUnbound binds (width INT, then the key)
+            Expressions.apply("truncate", Expressions.literal(w),
+              Expressions.column(sc.source))
           case _ => Expressions.identity(sc.source)
         }
       }.toArray).getOrElse {
@@ -406,7 +408,8 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
   /** MULTI-LEVEL key grouping (round-14 verdict item 4, generalizing
     * the single-level bucket detection): Some((transforms, file→key))
     * iff the DECLARED spec's entries are each identity / `days` /
-    * `bucket`, at least one is a TRANSFORM (pure-identity layouts keep
+    * `bucket` / `truncate`, at least one is a TRANSFORM (pure-identity
+    * layouts keep
     * dynamic partition pruning instead — the dim-filter shape), and
     * EVERY kept file sits exactly spec-deep in the declared layout
     * with every dir value parsing to its typed partition key. Then the
@@ -430,7 +433,13 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
           case None => Expressions.identity(sc.source)
           case Some(("bucket", n)) => Expressions.bucket(n, sc.source)
           case Some(("days", _)) => Expressions.days(sc.source)
-          case _ => return None // truncate: no canonical catalog function
+          case Some(("trunc", w)) =>
+            // the width-baked single-argument family: a literal width
+            // argument would be a second LEAF, and catalyst's
+            // KeyGroupedPartitioning.satisfies refuses multi-leaf
+            // partition expressions (see GraftTruncWUnbound)
+            Expressions.apply(s"truncate$w", Expressions.column(sc.source))
+          case _ => return None
         }
       }.toArray
       val keyed = keptFiles.map { rel =>
@@ -464,6 +473,20 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
                   // result encoding — DateType internal int)
                   scala.util.Try(java.time.LocalDate.parse(v)
                     .toEpochDay.toInt).getOrElse(return None)
+                case Some(("trunc", w)) => f.dataType match {
+                  // the dir IS the derived value: a string level's
+                  // W-char prefix (UTF8String — GraftTruncFunction's
+                  // StringType result), an integral level's floor
+                  // multiple (LongType result; refuse non-canonical
+                  // dirs that aren't multiples of W)
+                  case StringType => UTF8String.fromString(v)
+                  case ByteType | ShortType | IntegerType | LongType =>
+                    val m = scala.util.Try(v.toLong).getOrElse(return None)
+                    if (java.lang.Math.floorMod(m, w.toLong) != 0L)
+                      return None
+                    m
+                  case _ => return None
+                }
                 case _ => return None
               }
             }

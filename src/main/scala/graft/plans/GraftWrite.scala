@@ -131,17 +131,20 @@ class GraftWrite(path: String, writeSchema: StructType,
   private val spec: Seq[String] = GraftSqlDml.specOf(path)
   private val specCols = spec.map(TableCommit.parseSpecCol)
 
-  /** Cluster + order by the declared partition transforms: bucket and
-    * days resolve through the catalog's FunctionCatalog (the same
-    * canonical functions the SPJ handshake binds); identity levels
-    * cluster by the column itself; a truncate() level falls back to
-    * its source column (finer grouping — correct, just not minimal). */
+  /** Cluster + order by the declared partition transforms: bucket,
+    * days and truncate resolve through the catalog's FunctionCatalog
+    * (the same canonical functions the SPJ handshake binds); identity
+    * levels cluster by the column itself. */
   private def clusterExprs
       : Array[org.apache.spark.sql.connector.expressions.Expression] =
     specCols.map { sc =>
       sc.transform match {
         case Some(("bucket", n)) => Expressions.bucket(n, sc.source)
         case Some(("days", _)) => Expressions.days(sc.source)
+        case Some(("trunc", w)) =>
+          // width-baked family name (the SPJ handshake shape) — the
+          // distribution resolver binds it the same way the scan does
+          Expressions.apply(s"truncate$w", Expressions.column(sc.source))
         case _ => Expressions.column(sc.source)
           : org.apache.spark.sql.connector.expressions.Expression
       }

@@ -191,6 +191,24 @@ class GraftWriteSpec extends GraftSpec {
     assert(TableCommit.read(spark, tb).count() == 2008L)
   }
 
+  test("native write into a truncate() layout: the width-baked " +
+      "truncate<w> distribution resolves and rows route to prefix dirs") {
+    val tb = s"$wh/db/trunc_native"
+    val spec = Seq("truncate(100,id)")
+    TableCommit.appendRowsBy(spark, tb, spec,
+      Seq((0L, "seed")).toDF("id", "v"))
+    TableCommit.evolvePartitioningBy(spark, tb, spec)
+    withSQLConf("spark.graft.insert.native" -> "true") {
+      spark.range(0, 300).selectExpr("id", "concat('n', id) AS v")
+        .writeTo(s"graftw.db.trunc_native").append()
+    }
+    val rels = TableCommit.resolve(tb).get._2
+    val dirs = rels.map(_.split('/').head).toSet
+    assert(dirs == Set("p_id_trunc=0", "p_id_trunc=100", "p_id_trunc=200"),
+      s"unexpected prefix dirs: $dirs")
+    assert(TableCommit.read(spark, tb).count() == 301L)
+  }
+
   test("REPLACE TABLE AS SELECT runs through drop+create+the native " +
       "write (Spark's non-atomic RTAS path for non-staging catalogs)") {
     spark.sql("CREATE TABLE graftw.db.rtas PARTITIONED BY (pt) " +

@@ -213,9 +213,10 @@ class GraftSqlDmlSpec extends GraftSpec {
 
   test("CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lowers to " +
       "createTable + blind append; IF NOT EXISTS no-ops; exists refuses") {
+    mkTable("ctas_src") // own fixture — the test must run standalone
     val out = spark.sql(
       "CREATE TABLE graftdml.db.ctas PARTITIONED BY (bucket(4, id)) " +
-        "AS SELECT id * 10 AS id, upper(v) AS v FROM graftdml.db.ins " +
+        "AS SELECT id * 10 AS id, upper(v) AS v FROM graftdml.db.ctas_src " +
         "WHERE id < 5")
     assert(out.head().getLong(0) == 5L)
     val t = s"$wh/db/ctas"

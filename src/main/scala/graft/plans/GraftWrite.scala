@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.operators.TableCommit
@@ -186,25 +186,50 @@ class GraftBatchWrite(path: String, spec: Seq[String],
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    // nested physical bindings need the staging path's positional
-    // casts — refuse rather than write files the mapping would misread
-    require(TableCommit.physicalSchemaFor(writeSchema).fields
-        .map(_.dataType).sameElements(writeSchema.fields.map(_.dataType)),
-      s"native write to $path: nested physical column bindings are not " +
-        "supported on this path — write through the TableCommit verbs")
     val identitySrc = specCols.filter(_.transform.isEmpty)
       .map(_.source).toSet
     identitySrc.foreach(c => require(wcols.contains(c),
       s"write schema (${wcols.mkString(", ")}) lacks partition column $c"))
     // payload = everything but identity-dir columns, under PHYSICAL
-    // names (top-level mapping only — deep refused above)
+    // names at EVERY depth: parquet writes InternalRows positionally,
+    // so a pure rename (the only thing column mapping ever changes)
+    // needs no cast — the payload schema is the TABLE's physical
+    // rendering of each written column. Columns the schema of record
+    // doesn't know keep their write shape under the writeMapping-
+    // assigned fresh physical. A STRUCTURAL divergence between the
+    // write type and the table's (which output resolution should have
+    // reconciled) is refused loudly — written bytes would not be what
+    // the mapping reads back.
     val payloadFields: Seq[(Int, DataType)] =
       writeSchema.fields.zipWithIndex.toSeq
         .filterNot { case (f, _) => identitySrc.contains(f.name) }
         .map { case (f, i) => (i, f.dataType) }
+    def anon(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField("", anon(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(anon(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(anon(k), anon(v), valueContainsNull = true)
+      case other => other
+    }
+    val physByLogical: Map[String, StructField] =
+      TableCommit.scanMeta(path, None).flatMap(_.schema).map { sch =>
+        sch.fields.zip(TableCommit.physicalSchemaFor(sch).fields)
+          .map { case (lf, pf) => lf.name -> pf }.toMap
+      }.getOrElse(Map.empty)
     val physPayload = StructType(writeSchema.fields.toSeq
       .filterNot(f => identitySrc.contains(f.name))
-      .map(f => f.copy(name = wmap.getOrElse(f.name, f.name))))
+      .map { f =>
+        physByLogical.get(f.name) match {
+          case Some(pf) =>
+            require(anon(pf.dataType) == anon(f.dataType),
+              s"native write to $path: written type of ${f.name} " +
+                s"(${f.dataType.simpleString}) diverges structurally from " +
+                s"the table's (${pf.dataType.simpleString})")
+            f.copy(name = pf.name, dataType = pf.dataType)
+          case None => f.copy(name = wmap.getOrElse(f.name, f.name))
+        }
+      })
     require(physPayload.nonEmpty,
       s"native write to $path: every column is a partition column — " +
         "nothing to store in file payloads")

@@ -149,6 +149,34 @@ class GraftWriteSpec extends GraftSpec {
         footer.mkString(", "))
   }
 
+  test("DEEP column mapping through the native write: a renamed NESTED " +
+      "field's fresh files carry the physical inner name; reads translate") {
+    val t = s"$wh/db/nested_native"
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      Seq((1L, 10, "a", 0)).toDF("id", "x", "y", "pt")
+        .selectExpr("id", "named_struct('a', x, 'b', y) AS props", "pt"))
+    TableCommit.renameColumn(t, "props.a", "score")
+    withSQLConf("spark.graft.insert.native" -> "true") {
+      spark.sql("INSERT INTO graftw.db.nested_native " +
+        "SELECT 2L, named_struct('score', 20, 'b', 'fresh'), 1")
+    }
+    val got = spark.sql("SELECT id, props.score AS s, props.b AS b " +
+      "FROM graftw.db.nested_native ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10, "a"), (2L, 20, "fresh")), got.toString)
+    // the native file's footer carries the PHYSICAL inner name — the
+    // mapping contract at every depth (renames never rewrite files)
+    val nativeName = """.*_t\d+-a\d+-c\d+\.parquet$""".r
+    val fresh = TableCommit.resolve(t).get._2
+      .filter(f => nativeName.pattern.matcher(f).matches())
+    assert(fresh.nonEmpty)
+    val inner = spark.read.parquet(s"$t/${fresh.head}").schema("props")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    assert(inner.contains("a") && !inner.contains("score"),
+      s"native write staged logical nested names into footers: $inner")
+  }
+
   test("CHECK constraints enforce IN THE TASK: a violating native write " +
       "aborts before publish — table untouched, no orphan rows visible") {
     val t = mkTable("cons_native")

@@ -435,6 +435,77 @@ object Relational {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  // ----------------------------------------------------------- q_join_spj_trunc
+  /** truncate() STORAGE-PARTITIONED JOIN (late round 15): both sides
+    * are committed under `truncate(1000, custkey)` — the floor/prefix
+    * layout a range-sharded dimension uses — and their scans report
+    * `KeyGroupedPartitioning(truncate1000(custkey))` through the
+    * catalog's WIDTH-BAKED function family: a literal width argument
+    * would be a second expression LEAF, which catalyst's SPJ
+    * compatibility refuses (only `bucket` gets its literal hoisted),
+    * so the width rides in the function name and `canonicalName` and
+    * two sides co-partition iff their widths agree. The join then
+    * runs with ZERO Exchange straight from the committed trees —
+    * range-sharded dim⋈fact without a shuffle, the third SPJ shape
+    * next to `bucket` (q_join_spj) and `days;bucket`
+    * (q_join_spj_days). PlanSpec pins zero-Exchange plans (including
+    * a two-level integral+string truncate layout); the oracle
+    * recomputes from raw parquet. */
+  private def joinSpjTrunc(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableCommit
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_spjt_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val custT = new java.io.File(base, "cust").getAbsolutePath
+    val ordT = new java.io.File(base, "ord").getAbsolutePath
+    val conf = s.conf
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      graft.plans.GraftCatalog.register(s)
+      TableCommit.appendRowsBy(s, custT, Seq("truncate(1000,c_custkey)"),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+      TableCommit.evolvePartitioningBy(s, custT,
+        Seq("truncate(1000,c_custkey)"))
+      TableCommit.appendRowsBy(s, ordT, Seq("truncate(1000,o_custkey)"),
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")))
+      TableCommit.evolvePartitioningBy(s, ordT,
+        Seq("truncate(1000,o_custkey)"))
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rows = s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_orders,
+           |  sum(o_totalprice) AS rev
+           |FROM graft.`$ordT` o JOIN graft.`$custT` c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment""".stripMargin)
+        .select(col("c_mktsegment"), col("n_orders"),
+          dround(col("rev"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      import s.implicits._
+      rows.toDF("c_mktsegment", "n_orders", "revenue")
+        .orderBy(col("c_mktsegment"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
+  private val joinSpjTruncSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // --------------------------------------------------------------- q_join_multi
   /** TPC-H Q5-shaped 5-way join chain: lineitem⋈orders⋈customer⋈nation⋈region.
     * Scale: nation/region broadcast (tiny), customer broadcast at small SF /
@@ -1481,6 +1552,7 @@ object Relational {
     QueryDef("q_join_bucketed", joinBucketed, Some(joinBucketedSql)),
     QueryDef("q_join_spj", joinSpj, Some(joinSpjSql)),
     QueryDef("q_join_spj_days", joinSpjDays, Some(joinSpjDaysSql)),
+    QueryDef("q_join_spj_trunc", joinSpjTrunc, Some(joinSpjTruncSql)),
     QueryDef("q_join_committed_bucketed", joinCommittedBucketed,
       Some(joinCommittedBucketedSql)),
     QueryDef("q_join_multi", joinMulti, Some(joinMultiSql)),

@@ -15,8 +15,8 @@ class RegistrySpec extends GraftSpec {
   test("registry size matches the README inventory claim") {
     // the round-1 judge dinged stale README counts — pin them so any
     // registry change forces the doc sync
-    assert(SparkEntry.queries.size == 185, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 138, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 186, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 139, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("README correctness figures are emitted from the registry") {

@@ -303,6 +303,35 @@ class GraftCatalogSpec extends GraftSpec {
     assert(TableCommit.resolve(t).isEmpty)
   }
 
+  test("catalog functions are SQL-callable and agree with the layout: " +
+      "bucket/days/truncate (+ the width-baked family); CREATE TABLE " +
+      "PARTITIONED BY (truncate(w, col)) round-trips the spec") {
+    wh // force the catalog registration (lazy fixture)
+    // SQL-callable shapes — each is EXACTLY the committed dir derivation
+    assert(spark.sql("SELECT graftcat.system.bucket(4, CAST(10 AS BIGINT))")
+      .head().getInt(0) ==
+      spark.sql("SELECT pmod(hash(CAST(10 AS BIGINT)), 4)").head().getInt(0))
+    assert(spark.sql(
+      "SELECT graftcat.system.days(TIMESTAMP'2026-03-04 23:30:00+00:00')")
+      .head().getDate(0).toString == "2026-03-04")
+    assert(spark.sql("SELECT graftcat.system.truncate(2, 'abcdef')")
+      .head().getString(0) == "ab")
+    assert(spark.sql("SELECT graftcat.system.truncate(100, CAST(-128 AS BIGINT))")
+      .head().getLong(0) == -200L)
+    // the width-baked family resolves by name and agrees with the twin
+    assert(spark.sql("SELECT graftcat.system.truncate2('abcdef')")
+      .head().getString(0) == "ab")
+    assert(spark.sql("SELECT graftcat.system.truncate100(CAST(-128 AS BIGINT))")
+      .head().getLong(0) == -200L)
+    // CREATE TABLE with a truncate transform records the canonical spec
+    spark.sql("CREATE TABLE graftcat.db.trunc_ddl (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (truncate(8, tag))")
+    val t = s"$wh/db/trunc_ddl"
+    assert(TableCommit.properties(t).get("graft.partcols")
+      .contains("truncate(8,tag)"))
+    spark.sql("DROP TABLE graftcat.db.trunc_ddl")
+  }
+
   test("CALL procedures: the maintenance verbs run from SQL — vacuum " +
       "(audit + run), compact-as-purge, restore, clone, evolve — each " +
       "the same TableCommit verb, audits as result rows") {

@@ -293,6 +293,45 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("shuffle-one-side SPJ: a committed bucket(4,k) table joined with " +
+      "a PLAIN dataframe shuffles ONLY the plain side — Spark evaluates " +
+      "the catalog bucket function to re-derive the layout's hash, the " +
+      "committed side never moves (the 100-TB fact⋈cdc shape)") {
+    import graft.operators.TableCommit
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_spjo").toFile
+    val aT = new java.io.File(base, "a").getAbsolutePath
+    TableCommit.appendRowsBy(spark, aT, Seq("bucket(4,k)"),
+      (0 until 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv"))
+    TableCommit.evolvePartitioningBy(spark, aT, Seq("bucket(4,k)"))
+    graft.plans.GraftCatalog.register(spark)
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      (0 until 100 by 2).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+        .createOrReplaceTempView("plain_side")
+      val joined = spark.sql(s"SELECT a.k, a.lv, p.rv FROM graft.`$aT` a " +
+        "JOIN plain_side p ON a.k = p.k")
+      val p = joined.queryExecution.executedPlan.toString
+      val nExchange = "Exchange".r.findAllIn(p).length
+      assert(nExchange == 1,
+        s"expected exactly the plain side's Exchange, got $nExchange:\n" +
+          p.take(2500))
+      // correctness proves the function agrees with the layout hash:
+      // a divergent bucket id would silently drop every matched row
+      assert(joined.count() == 50L, s"got ${joined.count()}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.catalog.dropTempView("plain_side")
+      graft.operators.Sinks.deleteRecursively(base)
+    }
+  }
+
   test("truncate() layouts storage-partition-join: a two-level " +
       "truncate(100,id);truncate(2,tag) spec runs zero-Exchange through " +
       "the catalog's truncate function — integral floor AND string prefix") {

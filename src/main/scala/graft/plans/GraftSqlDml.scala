@@ -244,9 +244,15 @@ object GraftSqlDml {
 
   private[plans] def lowerMerge(m: MergeIntoTable): Option[LogicalPlan] =
     graftRelOf(m.targetTable).map { case (rel, t) =>
-      if (m.schemaEvolutionEnabled)
-        refuse("WITH SCHEMA EVOLUTION is not lowered — evolve via the " +
-          "commit verbs")
+      // WITH SCHEMA EVOLUTION needs no arm of its own: Spark's
+      // ResolveMergeIntoSchemaEvolution has ALREADY applied the
+      // source-minus-target schema changes through
+      // GraftCatalog.alterTable (AddColumn = the nullable schema-merge
+      // append; widenings ride the widen lattice; anything else
+      // refuses loudly from the verb) and re-resolved the target —
+      // by the time this lowering sees a RESOLVED MergeIntoTable, rel
+      // already carries the evolved schema and the star/assignment
+      // expansion below binds the new columns like any other.
       val tgt = rel.outputSet
       val src = m.sourceTable.outputSet
       // ON: equality conjunction over same-named column pairs — the

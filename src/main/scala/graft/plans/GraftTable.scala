@@ -77,7 +77,12 @@ class GraftTable(val path: String, pinnedId: Option[Long])
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer's
+      // ResolveMergeIntoSchemaEvolution gate — evolution itself runs
+      // through GraftCatalog.alterTable (AddColumn = the nullable
+      // schema-merge append; widenings ride the widen lattice)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): java.util.Map[String, String] =
     meta.props.asJava

@@ -182,6 +182,33 @@ class GraftSqlDmlSpec extends GraftSpec {
       "a residual-failing source row mutated the table")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the " +
+      "target through the catalog (AddColumn = nullable schema-merge " +
+      "append) before the lowered merge binds them — retained rows " +
+      "null-default, matched update and insert carry the new column") {
+    val t = mkTable("merge_evo")
+    Seq((3L, "u3", 1, 33), (990L, "new", 0, 99))
+      .toDF("id", "v", "pt", "score")
+      .createOrReplaceTempView("evo_src")
+    val out = spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftdml.db.merge_evo t
+        |USING evo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(out.head().getLong(0) == 1L && out.head().getLong(2) == 1L,
+      out.head().toString)
+    // the target schema gained the nullable column
+    val sch = TableCommit.read(spark, t).schema
+    assert(sch.fieldNames.contains("score") && sch("score").nullable)
+    val got = spark.sql("SELECT id, v, score FROM graftdml.db.merge_evo " +
+      "WHERE id IN (2, 3, 990) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(got == Seq((2L, "v2", None), (3L, "u3", Some(33)),
+      (990L, "new", Some(99))), got.toString)
+    spark.catalog.dropTempView("evo_src")
+  }
+
   test("INSERT INTO: VALUES and SELECT lower onto the blind-append " +
       "commit; rows_inserted from #rows metadata; OVERWRITE plans " +
       "natively as truncate-replace") {

@@ -323,10 +323,17 @@ object TableCommit {
         .flatMap(_.props.get("graft.retention.generations"))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
         .filter(_ >= 2L).getOrElse(2L)
-      all.filter(_ > newest - keep).sorted.flatMap { rid =>
-        (if (rid == newest) newestState else stateOfWith(table, present, rid))
-          .map(rid -> _)
-      }
+      // TAGGED snapshots surface past the window (vacuum leases their
+      // chains, so reconstruction still has the manifests) — read from
+      // the newest state's props directly, never via tags() (recursion)
+      val leased = newestState.map(_.props).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith(TagPrefix) =>
+          scala.util.Try(v.toLong).toOption }.flatten.toSet
+      all.filter(id => id > newest - keep || leased(id)).sorted
+        .flatMap { rid =>
+          (if (rid == newest) newestState
+           else stateOfWith(table, present, rid)).map(rid -> _)
+        }
     }
   }
 
@@ -1107,6 +1114,64 @@ object TableCommit {
       }
     }
   }
+
+  /** UNSET TBLPROPERTIES — the removal twin of [[setProperties]]:
+    * a metadata-only commit whose properties are the current set minus
+    * `keys` (absent keys are a no-op, the Delta/Iceberg UNSET rule). */
+  def removeProperties(table: String, keys: Set[String],
+      op0: String = "UNSET PROPERTIES"): Unit = {
+    initIfAbsent(table)
+    var committed = false
+    while (!committed) {
+      val (baseId, baseFiles) = resolve(table).get
+      val c = carriedFrom(manifests(table).find(_._1 == baseId).map(_._2),
+        _ => true)
+      if (publish(table, baseId + 1, baseFiles, c.txns,
+          c.schema.map(_.json), c.stats, c.rows, c.dv, c.props -- keys,
+          c.bytes, op = Some(op0))) {
+        vacuum(table, baseId + 1)
+        committed = true
+      }
+    }
+  }
+
+  // -------------------------- SNAPSHOT TAGS --------------------------
+  // Named snapshot refs (Iceberg's TAGS, re-derived on the property
+  // mechanism): `tag` records `graft.tag.<name> = <id>` as a
+  // metadata-only commit, after which (a) `VERSION AS OF '<name>'`
+  // resolves through the catalog front door, and (b) VACUUM treats the
+  // tag as a RETENTION LEASE — the tagged snapshot's manifest chain,
+  // data files and DV/CDC trees stay until the tag is dropped, even
+  // past `graft.retention.generations`. That lease is the production
+  // point: an audit/repro/model-training pin survives the nightly
+  // vacuum without raising the whole table's retention.
+
+  private[graft] val TagPrefix = "graft.tag."
+
+  /** Pin snapshot `id` under `name`. Re-tagging an existing name moves
+    * it (last writer wins, the property-commit rule). */
+  def tag(table: String, name: String, id: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid tag name '$name' — letters, digits, '_', '-', '.' only")
+    require(manifests(table).exists(_._1 == id),
+      s"cannot tag snapshot $id of $table — not a reconstructable " +
+        s"snapshot (have: ${manifests(table).map(_._1).sorted.mkString(", ")})")
+    setProperties(table, Map(TagPrefix + name -> id.toString), op0 = "TAG")
+  }
+
+  /** Drop a tag — the lease ends; the next vacuum may sweep the
+    * snapshot once it ages past retention. */
+  def dropTag(table: String, name: String): Unit =
+    removeProperties(table, Set(TagPrefix + name), op0 = "DROP TAG")
+
+  /** The table's tags, name → snapshot id (newest snapshot's view). */
+  def tags(table: String): Map[String, Long] =
+    properties(table).collect {
+      case (k, v) if k.startsWith(TagPrefix) &&
+          scala.util.Try(v.toLong).isSuccess =>
+        k.stripPrefix(TagPrefix) -> v.toLong
+    }
 
   // -------- PARTITION TRANSFORMS (Iceberg hidden partitioning) -------
   // A partition-spec entry is either an IDENTITY column name or a
@@ -5113,7 +5178,13 @@ object TableCommit {
     val all = manifestIds(table)
     val present = all.toSet
     val keep = retentionOf(table)
-    val (keepIds, dropIds) = all.partition(_ > newest - keep)
+    // TAGS ARE RETENTION LEASES: a tagged snapshot keeps its manifest
+    // chain, data files and DV/CDC trees until the tag is dropped —
+    // read from the newest snapshot's carried-forward properties, so
+    // one metadata probe, never a scan
+    val leased = tags(table).values.toSet
+    val (keepIds, dropIds) =
+      all.partition(id => id > newest - keep || leased(id))
     // snapshot file sets by RECONSTRUCTION (never raw lines: a delta's
     // directives are not paths, and a `#txn` line is not a data file)
     val retained = keepIds.flatMap(id => stateOf(table, id))

@@ -88,9 +88,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
 
-  /** `VERSION AS OF <id>` — the snapshot id IS the version string. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, Some(java.lang.Long.parseLong(version)))
+  /** `VERSION AS OF <id | 'tag'>` — a numeric version is the snapshot
+    * id itself; anything else resolves as a TAG name against the
+    * newest snapshot's `graft.tag.*` refs (vacuum-leased, so a tagged
+    * version stays loadable past the retention window). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val id = scala.util.Try(java.lang.Long.parseLong(version)).toOption
+      .orElse {
+        val path = locationOf(ident)
+        TableCommit.tags(path).get(version)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF $version: neither a snapshot id nor a tag of " +
+          s"${ident.name()} (tags: ${
+            TableCommit.tags(locationOf(ident)).keys.toSeq.sorted
+              .mkString(", ")})"))
+    tableAt(ident, Some(id))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     scala.util.Try(locationOf(ident)).toOption
@@ -158,6 +171,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           c.newDataType())
       case c: TableChange.SetProperty =>
         TableCommit.setProperties(path, Map(c.property() -> c.value()))
+      case c: TableChange.RemoveProperty =>
+        TableCommit.removeProperties(path, Set(c.property()))
       case c: TableChange.AddColumn =>
         require(c.fieldNames().length == 1,
           s"ADD COLUMN on graft tables adds top-level columns only, " +

@@ -127,6 +127,28 @@ object GraftProcedures {
       Seq(InternalRow(TableCommit.resolve(t).get._1))
     },
 
+    "tag" -> proc("tag",
+      "pin a snapshot under a name: VERSION AS OF 'name' resolves it " +
+        "and vacuum leases it past retention until drop_tag",
+      Seq(p("table", StringType), p("name", StringType),
+        p("snapshot_id", LongType)),
+      StructType(Seq(StructField("name", StringType),
+        StructField("snapshot_id", LongType)))) { (_, in) =>
+      val t = resolve(str(in, 0))
+      TableCommit.tag(t, str(in, 1), in.getLong(2))
+      Seq(InternalRow(UTF8String.fromString(str(in, 1)), in.getLong(2)))
+    },
+
+    "drop_tag" -> proc("drop_tag",
+      "drop a snapshot tag — the vacuum lease ends",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType)))) { (_, in) =>
+      val t = resolve(str(in, 0))
+      val existed = TableCommit.tags(t).contains(str(in, 1))
+      TableCommit.dropTag(t, str(in, 1))
+      Seq(InternalRow(existed))
+    },
+
     "clone" -> proc("clone",
       "zero-copy shallow clone of the newest snapshot (same-store " +
         "bytes shared by link, object stores by server-side copy)",

@@ -82,7 +82,9 @@ class GraftTable(val path: String, pinnedId: Option[Long])
       // ResolveMergeIntoSchemaEvolution gate — evolution itself runs
       // through GraftCatalog.alterTable (AddColumn = the nullable
       // schema-merge append; widenings ride the widen lattice)
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      // spark.readStream.table("graft.db.t") — see GraftMicroBatchStream
+      TableCapability.MICRO_BATCH_READ)
 
   override def properties(): java.util.Map[String, String] =
     meta.props.asJava
@@ -115,8 +117,10 @@ class GraftTable(val path: String, pinnedId: Option[Long])
       }
     }
 
+  private[plans] def isPinned: Boolean = pinnedId.isDefined
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, options)
 
   /** The NATIVE write path (round-14 verdict item 1): executor tasks
     * write the parquet, per-task commit messages feed the OCC publish
@@ -132,7 +136,9 @@ class GraftTable(val path: String, pinnedId: Option[Long])
   }
 }
 
-class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+class GraftScanBuilder(table: GraftTable,
+    options: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -285,7 +291,9 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
 
   override def build(): Scan = countPlan.getOrElse(
     new GraftScan(table.path, table.meta, table.logicalSchema,
-      required, pushed))
+      required, pushed, streamPinned = table.isPinned,
+      startingSnapshot =
+        Option(options.get("startingSnapshot")).map(_.toLong)))
 }
 
 /** The metadata-only aggregate scan: rows were fully computed at plan
@@ -356,7 +364,9 @@ private[plans] final case class GraftGroupReader(
 
 class GraftScan(path: String, meta: TableCommit.ScanMeta,
     logicalSchema: StructType, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch
+    pushed: Array[sources.Filter],
+    streamPinned: Boolean = false,
+    startingSnapshot: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -583,6 +593,19 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
   // --------------------------- Scan surface -------------------------
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("graft.db.t")` — the catalog-native
+    * append-only tail; see [[GraftMicroBatchStream]] for the contract
+    * (the advanced knobs stay on the V1 `format("graft-table")`
+    * source). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!streamPinned,
+      s"cannot stream $path VERSION AS OF a pinned snapshot — a pinned " +
+        "identity is one immutable batch; stream the table itself")
+    new GraftMicroBatchStream(path, logicalSchema, required, pushed,
+      startingSnapshot)
+  }
   override def description(): String =
     s"graft $path snapshot ${meta.id} " +
       s"(${keptFiles.length}/${meta.files.length} files after pruning)"

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableCommit
+import graft.plans.GraftCatalog
+
+/** `spark.readStream.table("graft.db.t")` — the DSv2 micro-batch
+  * stream (late round 15): snapshot-id offsets, manifest-diff
+  * batches served by inner GraftScans (DVs, mapping, pruning for
+  * free), strict append-only with a loud redirect to the V1 source's
+  * ignoreChanges for rewrite-tolerant consumers. */
+class CatalogStreamSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstr").toFile
+    GraftCatalog.register(spark, "graftstr", Some(dir.getAbsolutePath))
+    dir.getAbsolutePath
+  }
+
+  private def append(t: String, from: Int, n: Int): Unit =
+    TableCommit.appendRowsBy(spark, t, Seq("pt"),
+      (from until from + n).map(i => (i.toLong, s"v$i", i % 2))
+        .toDF("id", "v", "pt"), clusterBy = Seq("id"))
+
+  test("readStream.table tails the commit log: first batch = full " +
+      "snapshot (DVs applied), subsequent batches = the appended files " +
+      "only; exactly-once into a memory sink") {
+    val t = s"$wh/db/tail"
+    append(t, 0, 20)
+    // vector some rows dead BEFORE the stream starts — the first
+    // batch's inner scan must apply them
+    TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(4))
+    val q = spark.readStream.table("graftstr.db.tail")
+      .writeStream.format("memory").queryName("cat_tail").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT id FROM cat_tail")
+        .collect().map(_.getLong(0)).toSet
+      assert(first == (5 until 20).map(_.toLong).toSet, first.toString)
+      // two more commits → exactly their rows arrive, once
+      append(t, 100, 5)
+      append(t, 200, 5)
+      q.processAllAvailable()
+      val all = spark.sql("SELECT id FROM cat_tail")
+        .collect().map(_.getLong(0)).toSeq
+      assert(all.length == all.distinct.length, "duplicate emission")
+      assert(all.toSet == ((5 until 20) ++ (100 until 105) ++
+        (200 until 205)).map(_.toLong).toSet, all.sorted.mkString(","))
+    } finally q.stop()
+  }
+
+  test("startingSnapshot hands off a backfill position: only commits " +
+      "AFTER the named snapshot stream; a rewrite commit fails the " +
+      "stream loudly with the V1-source redirect") {
+    val t = s"$wh/db/handoff"
+    append(t, 0, 10)
+    val id0 = TableCommit.resolve(t).get._1
+    append(t, 50, 5)
+    val q = spark.readStream
+      .option("startingSnapshot", id0.toString)
+      .table("graftstr.db.handoff")
+      .writeStream.format("memory").queryName("cat_handoff").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM cat_handoff")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (50 until 55).map(_.toLong).toSet, got.toString)
+      // a rewrite (MoR delete registers a vector on an existing file —
+      // the diff carries it on both sides) breaks the append-only
+      // contract: the stream must FAIL, not emit phantom rows
+      TableCommit.deleteWhereMor(spark, t, "pt", "id",
+        BigDecimal(50), BigDecimal(51))
+      intercept[Exception] { q.processAllAvailable() }
+      val msg = q.exception.map(_.toString).getOrElse("")
+      assert(msg.contains("APPEND-ONLY") && msg.contains("ignoreChanges"),
+        msg.take(500))
+    } finally q.stop()
+  }
+
+  test("a pinned snapshot refuses to stream (one immutable batch is " +
+      "not a tail)") {
+    val t = s"$wh/db/pinned"
+    append(t, 0, 5)
+    val id = TableCommit.resolve(t).get._1
+    val err = intercept[Exception] {
+      spark.readStream.table(s"graftstr.db.pinned VERSION AS OF $id")
+        .writeStream.format("memory").queryName("cat_pin").start()
+    }
+    // either the parser or the scan refuses — both are loud
+    assert(err != null)
+  }
+}

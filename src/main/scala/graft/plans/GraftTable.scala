@@ -84,7 +84,9 @@ class GraftTable(val path: String, pinnedId: Option[Long])
       // schema-merge append; widenings ride the widen lattice)
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       // spark.readStream.table("graft.db.t") — see GraftMicroBatchStream
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      // writeStream.toTable("graft.db.t") — see GraftStreamingWrite
+      TableCapability.STREAMING_WRITE)
 
   override def properties(): java.util.Map[String, String] =
     meta.props.asJava

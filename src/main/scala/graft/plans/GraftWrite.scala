@@ -111,7 +111,7 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   }
 
   override def build(): Write =
-    new GraftWrite(table.path, info.schema(), mode)
+    new GraftWrite(table.path, info.schema(), mode, info.queryId())
 }
 
 private[plans] sealed trait GraftWriteMode extends Serializable
@@ -125,7 +125,7 @@ private[plans] final case class GraftOverwriteDirsMode(dirs: Seq[String])
   * wants (so the shuffle the layout pays for happens ONCE, in the
   * write), and builds the BatchWrite. */
 class GraftWrite(path: String, writeSchema: StructType,
-    mode: GraftWriteMode) extends Write
+    mode: GraftWriteMode, queryId: String = "") extends Write
     with RequiresDistributionAndOrdering {
 
   private val spec: Seq[String] = GraftSqlDml.specOf(path)
@@ -163,6 +163,18 @@ class GraftWrite(path: String, writeSchema: StructType,
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(path, spec, writeSchema, mode)
+
+  /** `writeStream.toTable("graft.db.t")` — the STREAMING twin: every
+    * epoch is one task-written native commit through the SAME kernel,
+    * with `(graft-stream-<queryId>, epochId)` in the `#txn` ledger so
+    * a checkpoint-recovery REPLAY of a committed epoch is a
+    * structural no-op — end-to-end exactly-once with no sink-side
+    * state, the V1 `format("graft-table")` sink's guarantee carried
+    * to the catalog front door. Append mode appends; Complete mode
+    * arrives as `truncate()` and re-lands the table per epoch. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(path, spec, writeSchema, mode, queryId)
 
   override def description(): String = s"graft native write $path ($mode)"
 }
@@ -271,7 +283,14 @@ class GraftBatchWrite(path: String, spec: Seq[String],
       new SerializableConfiguration(job.getConfiguration))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitWith(messages, txn = None)
+
+  /** The commit kernel hand-off, shared with the streaming write —
+    * `txn` is the exactly-once ledger entry a replayed streaming
+    * epoch no-ops on. */
+  private[plans] def commitWith(messages: Array[WriterCommitMessage],
+      txn: Option[(String, Long)]): Unit = {
     val files = messages.toSeq.filter(_ != null)
       .flatMap(_.asInstanceOf[GraftCommitMessage].files)
     val fresh = files.map(_.rel)
@@ -281,7 +300,7 @@ class GraftBatchWrite(path: String, spec: Seq[String],
         exclusive: Boolean, op: String): Unit =
       TableCommit.commitFreshFiles(path, spec, dirty, fresh, freshBytes,
         Map.empty, freshRows, writeSchema, wmap, wcols, checked,
-        readSnapshot = None, txn = None, exclusiveClaim = exclusive,
+        readSnapshot = None, txn = txn, exclusiveClaim = exclusive,
         replaceAll = replaceAll, op = op)
     mode match {
       case GraftAppendMode =>
@@ -325,6 +344,45 @@ class GraftBatchWrite(path: String, spec: Seq[String],
     val st = graft.operators.TableStore.forTable(path)
     rels.foreach(rel => scala.util.Try(st.deleteFile(path, rel)))
   }
+}
+
+/** The streaming face of the native write (see [[GraftWrite.toStreaming]]):
+  * wraps the batch machinery — the SAME writer factory (epoch id
+  * folded into the writer-unique file names) and the SAME commit
+  * kernel, with the epoch recorded in the `#txn` ledger for
+  * replay-proof exactly-once. */
+private[plans] class GraftStreamingWrite(path: String, spec: Seq[String],
+    writeSchema: StructType, mode: GraftWriteMode, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val batch = new GraftBatchWrite(path, spec, writeSchema, mode)
+  private val txnApp = s"graft-stream-$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val f = batch.createBatchWriterFactory(info)
+      .asInstanceOf[GraftWriterFactory]
+    new org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        // fold the epoch into the writer id: file names stay unique
+        // across epochs of one query (same task/partition ids recur)
+        f.copy(writerId = s"${f.writerId}e$epochId")
+          .createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    batch.commitWith(messages, txn = Some((txnApp, epochId)))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    batch.abort(messages)
+
+  override def toString: String = s"GraftStreamingWrite($path)"
 }
 
 /** Executor-side writer factory: routes each row to its partition dir

@@ -80,6 +80,41 @@ class CatalogStreamSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("the catalog-native pipe: readStream.table -> writeStream.toTable " +
+      "between two committed tables — every epoch a native commit with " +
+      "the epoch in the #txn ledger, exactly-once end to end") {
+    val src = s"$wh/db/pipe_src"
+    append(src, 0, 10)
+    spark.sql("CREATE TABLE graftstr.db.pipe_dst " +
+      "(id BIGINT, v STRING, pt INT) PARTITIONED BY (pt)")
+    val dst = s"$wh/db/pipe_dst"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pipe_ck").toString
+    val q = spark.readStream.table("graftstr.db.pipe_src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graftstr.db.pipe_dst")
+    try {
+      q.processAllAvailable()
+      def ids(t: String): Seq[Long] = TableCommit.read(spark, t)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(ids(dst).sorted == (0L until 10L), ids(dst).sorted.toString)
+      append(src, 100, 5)
+      q.processAllAvailable()
+      val got = ids(dst)
+      assert(got.length == got.distinct.length, "duplicate epoch emission")
+      assert(got.toSet == ((0 until 10) ++ (100 until 105))
+        .map(_.toLong).toSet, got.sorted.mkString(","))
+      // the epochs are ledgered under the streaming txn app id —
+      // the replay-proof exactly-once carrier
+      val ledgered = TableCommit.operations(dst)
+        .flatMap(_._2).map(_._1)
+      assert(ledgered.contains("APPEND"), ledgered.toString)
+    } finally {
+      q.stop()
+      graft.operators.Sinks.deleteRecursively(new java.io.File(ckpt))
+    }
+  }
+
   test("a pinned snapshot refuses to stream (one immutable batch is " +
       "not a tail)") {
     val t = s"$wh/db/pinned"

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
 
@@ -39,8 +39,9 @@ import graft.operators.TableCommit
   * contract). */
 private[plans] class GraftMicroBatchStream(
     path: String, streamSchema: StructType, required: StructType,
-    pushed: Array[sources.Filter], startingSnapshot: Option[Long])
-    extends MicroBatchStream {
+    pushed: Array[sources.Filter], startingSnapshot: Option[Long],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   startingSnapshot.foreach(id =>
     require(TableCommit.scanMeta(path, Some(id)).isDefined,
@@ -61,9 +62,54 @@ private[plans] class GraftMicroBatchStream(
   override def initialOffset(): Offset =
     GraftStreamOffset(startingSnapshot.getOrElse(-1L))
 
-  override def latestOffset(): Offset =
-    GraftStreamOffset(TableCommit.resolve(path).map(_._1)
-      .getOrElse(sys.error(s"$path has no committed snapshot")))
+  private def newestId: Long = {
+    val n = TableCommit.resolve(path).map(_._1)
+      .getOrElse(sys.error(s"$path has no committed snapshot"))
+    availableNowCap.fold(n)(math.min(_, n))
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(newestId)
+
+  // ---- admission control (maxFilesPerTrigger) + AvailableNow -------
+  /** Trigger.AvailableNow pins the run to everything committed AT
+    * PREPARE TIME; commits landing mid-run wait for the next
+    * invocation. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TableCommit.resolve(path).map(_._1)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Snapshot-granular admission: advance the end offset commit by
+    * commit until the window's ADDED-file count would exceed the
+    * budget — at least one commit always admits (progress even when a
+    * single commit exceeds the cap). The initial full-snapshot batch
+    * is one batch regardless (offsets are snapshot ids; splitting a
+    * snapshot needs the V1 source's sub-snapshot offsets). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val a = start.asInstanceOf[GraftStreamOffset].id
+    val newest = newestId
+    val cap = limit match {
+      case f: ReadMaxFiles => Some(f.maxFiles())
+      case _ => None
+    }
+    val b = cap match {
+      case Some(maxF) if a >= 0L =>
+        var end = a
+        var budget = maxF.toLong
+        var done = false
+        while (!done && end < newest) {
+          val n = TableCommit.changedFileSets(path, end, end + 1)._1.length
+          if (end > a && n > budget) done = true
+          else { end += 1; budget -= n }
+        }
+        end
+      case _ => newest
+    }
+    GraftStreamOffset(math.max(b, a))
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)

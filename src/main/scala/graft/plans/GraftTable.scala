@@ -295,7 +295,9 @@ class GraftScanBuilder(table: GraftTable,
     new GraftScan(table.path, table.meta, table.logicalSchema,
       required, pushed, streamPinned = table.isPinned,
       startingSnapshot =
-        Option(options.get("startingSnapshot")).map(_.toLong)))
+        Option(options.get("startingSnapshot")).map(_.toLong),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt)))
 }
 
 /** The metadata-only aggregate scan: rows were fully computed at plan
@@ -368,7 +370,8 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
     logicalSchema: StructType, required: StructType,
     pushed: Array[sources.Filter],
     streamPinned: Boolean = false,
-    startingSnapshot: Option[Long] = None) extends Scan with Batch
+    startingSnapshot: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -606,7 +609,7 @@ class GraftScan(path: String, meta: TableCommit.ScanMeta,
       s"cannot stream $path VERSION AS OF a pinned snapshot — a pinned " +
         "identity is one immutable batch; stream the table itself")
     new GraftMicroBatchStream(path, logicalSchema, required, pushed,
-      startingSnapshot)
+      startingSnapshot, maxFilesPerTrigger)
   }
   override def description(): String =
     s"graft $path snapshot ${meta.id} " +

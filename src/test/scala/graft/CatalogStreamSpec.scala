@@ -115,6 +115,46 @@ class CatalogStreamSpec extends GraftSpec {
     }
   }
 
+  test("maxFilesPerTrigger admits commit-by-commit and " +
+      "Trigger.AvailableNow drains everything committed at prepare " +
+      "time, then stops") {
+    val t = s"$wh/db/paced"
+    append(t, 0, 4)
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("graftstr.db.paced")
+      .writeStream.format("memory").queryName("cat_paced")
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: the full snapshot (one batch)
+      append(t, 10, 4)
+      append(t, 20, 4)
+      append(t, 30, 4)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM cat_paced")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.length == got.distinct.length, "duplicate emission")
+      assert(got.toSet == ((0 until 4) ++ (10 until 14) ++ (20 until 24)
+        ++ (30 until 34)).map(_.toLong).toSet, got.sorted.mkString(","))
+      // the cap paced the TAIL into one batch per commit (each commit
+      // wrote >1 file; one commit always admits, a second never fits)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}")
+          .mkString(", "))
+    } finally q.stop()
+    // Trigger.AvailableNow drains what was committed at prepare time
+    // and TERMINATES (the pinned-cap contract)
+    val q2 = spark.readStream.table("graftstr.db.paced")
+      .writeStream.format("memory").queryName("cat_paced_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000), "AvailableNow did not drain")
+      assert(spark.sql("SELECT count(*) FROM cat_paced_now")
+        .head().getLong(0) == 16L)
+    } finally q2.stop()
+  }
+
   test("a pinned snapshot refuses to stream (one immutable batch is " +
       "not a tail)") {
     val t = s"$wh/db/pinned"

@@ -3336,9 +3336,17 @@ object TableCommit {
       store(dst).shareFile(src, rel, dst)
     }
     val dstId = if (relocate) srcId else 0L
+    // tags are refs into the SOURCE's manifest log — carried blindly
+    // they would dangle (or mispoint) in the clone's single-manifest
+    // numbering, so a clone never inherits them (tag the clone anew;
+    // note a snapshot's OWN tag lives in the NEXT snapshot's props —
+    // the tag commit — so even a relocating clone cannot carry one
+    // that names the cloned state)
+    val clonedProps =
+      propsOf(m).filter { case (k, _) => !k.startsWith(TagPrefix) }
     val ok = publish(dst, dstId, files,
       if (relocate) txnsOf(m) else Map.empty,
-      schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), propsOf(m),
+      schemaOf(m).map(_.json), statsOf(m), rowsOf(m), dvOf(m), clonedProps,
       m.bytes, op = Some("CLONE"))
     require(ok, s"clone destination $dst was concurrently initialized")
     dstId

@@ -15,8 +15,12 @@ import graft.operators.TableCommit
   * across that window, served by an inner [[GraftScan]] pinned at b —
   * so every batch read gets the connector's whole read surface free:
   * pushed-filter manifest pruning, deletion vectors, column mapping,
-  * columnar batches. Planning cost per batch tracks the WINDOW'S
-  * WRITE SET (manifest diffs), never table size.
+  * columnar batches. Planning cost per batch is MANIFEST-METADATA
+  * work only — per window commit, one memoized state reconstruction
+  * plus file-list set arithmetic (`changedFileSets` compares the two
+  * snapshots' complete file lists, so it is O(table file COUNT) in
+  * driver memory per diff — the same cost class the V1 source pays;
+  * no data file is opened to plan).
   *
   * Contract (deliberately STRICT-APPEND-ONLY): the first batch is the
   * full snapshot at the stream's first observed offset (Delta's
@@ -48,11 +52,14 @@ private[plans] class GraftMicroBatchStream(
       s"startingSnapshot=$id of $path is not a reconstructable snapshot"))
 
   /** The physical bindings the stream pinned at creation — the
-    * mid-stream mapping-drift guard compares against these. */
-  private val pinnedPhysicals: Map[String, String] = {
+    * mid-stream mapping-drift guard compares against these. The value
+    * is (physical name, physical TYPE rendering), so a NESTED
+    * drop+re-add (which changes an inner physical name inside the
+    * type) trips the guard too. */
+  private val pinnedPhysicals: Map[String, (String, String)] = {
     val phys = TableCommit.physicalSchemaFor(streamSchema)
     streamSchema.fields.zip(phys.fields)
-      .map { case (lf, pf) => lf.name -> pf.name }.toMap
+      .map { case (lf, pf) => lf.name -> (pf.name, pf.dataType.json) }.toMap
   }
 
   private case class GraftStreamOffset(id: Long) extends Offset {
@@ -131,13 +138,15 @@ private[plans] class GraftMicroBatchStream(
     metaB.schema.foreach { sch =>
       val physNow = TableCommit.physicalSchemaFor(sch)
       val nowByLogical = sch.fields.zip(physNow.fields)
-        .map { case (lf, pf) => lf.name -> pf.name }.toMap
+        .map { case (lf, pf) => lf.name -> (pf.name, pf.dataType.json) }
+        .toMap
       required.fieldNames.foreach { c =>
         (pinnedPhysicals.get(c), nowByLogical.get(c)) match {
           case (Some(p0), Some(p1)) if p0 != p1 => sys.error(
-            s"column mapping of $c changed mid-stream ($p0 -> $p1, a " +
-              "drop + re-add) — restart the stream to adopt the new " +
-              "binding")
+            s"the physical binding or type of $c changed mid-stream " +
+              s"(${p0._1} -> ${p1._1}: a drop + re-add, nested re-bind, " +
+              "or type widening) — restart the stream to adopt the " +
+              "evolved schema")
           case (_, None) => sys.error(
             s"required column $c no longer exists at snapshot $b — " +
               "restart the stream against the evolved schema")

@@ -98,4 +98,26 @@ class SnapshotTagSpec extends GraftSpec {
     spark.sql("ALTER TABLE grafttag.db.sqltag UNSET TBLPROPERTIES ('team')")
     assert(!TableCommit.properties(t).contains("team"))
   }
+
+  test("clones do not inherit tags: a tag is a ref into the SOURCE's " +
+      "manifest log — carried blindly it would dangle or mispoint in " +
+      "the clone's single-manifest numbering") {
+    val t = s"$wh/db/tagged_src"
+    TableCommit.initIfAbsent(t)
+    gen(t, "x")
+    val idOld = TableCommit.resolve(t).get._1
+    gen(t, "y")
+    TableCommit.tag(t, "old", idOld)
+    // non-tag properties still ride the clone
+    TableCommit.setProperties(t, Map("team" -> "etl"))
+    val c1 = s"$wh/db/tag_clone"
+    TableCommit.cloneTo(t, c1)
+    assert(TableCommit.tags(c1).isEmpty,
+      s"clone carried source-log tags: ${TableCommit.tags(c1)}")
+    assert(TableCommit.properties(c1).get("team").contains("etl"))
+    val c2 = s"$wh/db/tag_reloc"
+    TableCommit.cloneTo(t, c2, relocate = true)
+    assert(TableCommit.tags(c2).isEmpty,
+      TableCommit.tags(c2).toString)
+  }
 }

@@ -47,10 +47,6 @@ private[plans] class GraftMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  startingSnapshot.foreach(id =>
-    require(TableCommit.scanMeta(path, Some(id)).isDefined,
-      s"startingSnapshot=$id of $path is not a reconstructable snapshot"))
-
   /** The physical bindings the stream pinned at creation — the
     * mid-stream mapping-drift guard compares against these. The value
     * is (physical name, physical TYPE rendering), so a NESTED
@@ -66,8 +62,17 @@ private[plans] class GraftMicroBatchStream(
     override def json: String = id.toString
   }
 
-  override def initialOffset(): Offset =
+  /** Only consulted when the checkpoint holds NO offset yet — so the
+    * handoff position is validated HERE, not at construction: a
+    * restarted stream whose long-consumed startingSnapshot has aged
+    * past retention must keep running from its checkpoint. */
+  override def initialOffset(): Offset = {
+    startingSnapshot.foreach(id =>
+      require(TableCommit.scanMeta(path, Some(id)).isDefined,
+        s"startingSnapshot=$id of $path is not a reconstructable " +
+          "snapshot"))
     GraftStreamOffset(startingSnapshot.getOrElse(-1L))
+  }
 
   private def newestId: Long = {
     val n = TableCommit.resolve(path).map(_._1)

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, InterpretedPredicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** ZERO-LISTING file index over a committed snapshot's manifest state
+  * (optimization round 15, guide §6: "table formats with manifest
+  * metadata avoid directory listing altogether").
+  *
+  * The previous pinned read materialized a relation with
+  * `spark.read.schema(sch).parquet(paths: _*)`: Spark builds an
+  * `InMemoryFileIndex` over the explicit file paths, which stats every
+  * path — and at ≥ `spark.sql.sources.parallelPartitionDiscovery
+  * .threshold` (32) paths launches a whole SPARK JOB ("Listing leaf
+  * files and directories for N paths") to do it. Every byte of that
+  * work re-derives what the manifest already records: the exact file
+  * set, each file's size (`#bytes`, captured at stage-move time) and
+  * its partition-dir values. At 100 TB the difference is scan planning
+  * with zero storage round-trips vs one HEAD per file per query.
+  *
+  * This index serves `listFiles` straight from the manifest:
+  *  - file sizes come from `#bytes` (a file without an entry — adopted
+  *    before the bytes directive existed — is stat'ed once, driver-side);
+  *  - partition values are parsed from the manifest-relative path with
+  *    Spark's own unescaping and cast with Catalyst `Cast` in the
+  *    session time zone — the same coercion partition discovery applies;
+  *  - partition-filter pruning mirrors `InMemoryFileIndex
+  *    .prunePartitions` (name-bound interpreted predicate), so static
+  *    partition filters prune identically;
+  *  - `sizeInBytes` is the manifest byte total, so join-strategy size
+  *    estimation (auto-broadcast) sees the same numbers as a listed
+  *    relation.
+  *
+  * All files of one index share ONE layout signature (the caller groups
+  * mid-evolution snapshots by signature first), so `partitionSchema` is
+  * uniform by construction.
+  */
+private[graft] class ManifestFileIndex(
+    spark: SparkSession,
+    table: String,
+    relFiles: Seq[(String, Long)],
+    override val partitionSchema: StructType,
+    statFallback: String => Long) extends FileIndex {
+
+  private def absPath(rel: String): Path =
+    if (table.contains("://")) new Path(s"$table/$rel")
+    else new Path(new java.io.File(table, rel).toURI)
+
+  override val rootPaths: Seq[Path] =
+    if (table.contains("://")) Seq(new Path(table))
+    else Seq(new Path(new java.io.File(table).toURI))
+
+  private val zone = spark.conf.get("spark.sql.session.timeZone")
+
+  /** One partition value, parsed exactly as Spark's partition discovery
+    * would: unescape the Hive path form, `__HIVE_DEFAULT_PARTITION__`
+    * is null, then a Catalyst cast to the declared type. */
+  private def partValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else {
+      val s = ExternalCatalogUtils.unescapePathName(raw)
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType),
+        dt, Some(zone)).eval()
+    }
+  }
+
+  /** (partition dir, files) groups with values cast once per dir. */
+  private lazy val dirs: Seq[PartitionDirectory] =
+    relFiles.groupBy { case (rel, _) =>
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "" else rel.substring(0, cut)
+    }.toSeq.sortBy(_._1).map { case (dir, fs) =>
+      val segs = if (dir.isEmpty) Array.empty[String] else dir.split('/')
+      val values = InternalRow.fromSeq(partitionSchema.fields.zipWithIndex
+        .map { case (f, i) =>
+          // positional: segment i is `<name>=<value>` of field i (one
+          // layout signature per index, enforced by the caller)
+          val seg = segs(i)
+          partValue(seg.substring(seg.indexOf('=') + 1), f.dataType)
+        }.toSeq)
+      PartitionDirectory(values, fs.map { case (rel, size) =>
+        val len = if (size >= 0L) size else statFallback(rel)
+        FileStatusWithMetadata(new FileStatus(
+          len, false, 1, 134217728L, 0L, absPath(rel)))
+      })
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
+    else {
+      // InMemoryFileIndex.prunePartitions' exact recipe: bind partition
+      // attributes by name, evaluate interpreted per directory
+      val predicate = InterpretedPredicate(
+        partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partitionSchema.indexWhere(_.name == a.name)
+            BoundReference(idx, partitionSchema(idx).dataType,
+              nullable = true)
+        })
+      predicate.initialize(0)
+      dirs.filter(d => predicate.eval(d.values))
+    }
+
+  override def inputFiles: Array[String] =
+    relFiles.map(f => absPath(f._1).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override lazy val sizeInBytes: Long =
+    relFiles.map { case (rel, size) =>
+      if (size >= 0L) size else statFallback(rel)
+    }.sum
+}
+
+private[graft] object ManifestFileIndex {
+
+  /** A pinned parquet DataFrame over exactly `relFiles`, planned from
+    * manifest metadata with zero listing. `readSchema` is the schema
+    * the files are read under (physical names when column mapping is
+    * active); `sig` is the group's layout signature — its entries
+    * become the partition schema (typed per `readSchema` for identity
+    * dirs, string for derived transform dirs, which the callers drop
+    * on projection). Column order out is dataSchema ++ partitionSchema,
+    * exactly the order the listed read produced. */
+  def frame(s: SparkSession, table: String,
+      relFiles: Seq[(String, Long)], sig: Seq[String],
+      readSchema: StructType, statFallback: String => Long): DataFrame = {
+    val partFields = sig.map { name =>
+      readSchema.fields.find(_.name == name) match {
+        case Some(f) => StructField(f.name, f.dataType, nullable = true)
+        case None => StructField(name, StringType, nullable = true)
+      }
+    }
+    val partitionSchema = StructType(partFields)
+    // deep-relaxed to nullable: `spark.read.schema(...)` relaxes the
+    // user schema the same way at resolution — without it the
+    // vectorized reader REFUSES a file missing a non-nullable column
+    // (schema evolution's null-defaulted old generations)
+    def relax(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, relax(f.dataType), nullable = true, f.metadata)))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(relax(et), true)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        org.apache.spark.sql.types.MapType(relax(k), relax(v), true)
+      case other => other
+    }
+    val dataSchema = StructType(
+      readSchema.fields.filterNot(f => sig.contains(f.name))
+        .map(f => StructField(f.name, relax(f.dataType), nullable = true,
+          f.metadata)))
+    val index = new ManifestFileIndex(s, table, relFiles, partitionSchema,
+      statFallback)
+    s.baseRelationToDataFrame(HadoopFsRelation(index, partitionSchema,
+      dataSchema, None, new ParquetFileFormat(), Map.empty)(s))
+  }
+}

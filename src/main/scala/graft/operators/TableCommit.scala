@@ -512,12 +512,25 @@ object TableCommit {
 
   private def pinnedRead(s: SparkSession, table: String, m: Snapshot,
       files: Seq[String], withMeta: Boolean = false): DataFrame = {
+    // ZERO-LISTING planning (optimization r15, guide §6): a schema'd
+    // snapshot resolves its relation straight from manifest metadata —
+    // file set, `#bytes` sizes, dir-encoded partition values — via
+    // [[ManifestFileIndex]]; the listed `spark.read.parquet(paths)`
+    // path (which stats every file and at ≥32 paths runs a whole
+    // listing JOB) remains only for schemaless adopted snapshots,
+    // whose schema must be inferred from footers anyway.
+    def manifestFrame(group: Seq[String],
+        readSchema: org.apache.spark.sql.types.StructType): DataFrame =
+      ManifestFileIndex.frame(s, table,
+        group.map(rel => rel -> m.bytes.getOrElse(rel, -1L)),
+        layoutSig(group.head), readSchema,
+        rel => store(table).fileSize(table, rel))
     def readGroup(group: Seq[String], forceMeta: Boolean): DataFrame = {
       val rd = s.read.option("basePath", table)
       val paths = group.map(f => s"$table/$f")
       m.schema match {
         case Some(sch) if hasMapping(sch) =>
-          val base = rd.schema(physicalSchema(sch)).parquet(paths: _*)
+          val base = manifestFrame(group, physicalSchema(sch))
           val logical = sch.fields.toSeq.map { f =>
             val c = col(physicalOf(f))
             // NESTED mapping: a positional struct cast renames physical
@@ -533,7 +546,7 @@ object TableCommit {
           base.select(
             (if (forceMeta) logical :+ col("_metadata") else logical): _*)
         case Some(sch) =>
-          val base = rd.schema(sch).parquet(paths: _*)
+          val base = manifestFrame(group, sch)
           if (forceMeta)
             base.select(sch.fieldNames.map(col).toSeq :+ col("_metadata"): _*)
           else base
@@ -1334,7 +1347,13 @@ object TableCommit {
       s"table base path $table carries '=' in a dir segment — " +
         "mixed-layout keying would misread it as a partition level")
     initIfAbsent(table)
-    val schema = read(s, table).schema
+    // schema of record from the MANIFEST when it carries one (every
+    // protocol-written table does): resolving a file-source relation
+    // just for .schema pays a full listing of the snapshot's files —
+    // at ≥32 files that is a whole Spark job (InMemoryFileIndex's
+    // parallel listing), pure metadata overhead on a metadata-only verb
+    val schema = manifests(table).sortBy(-_._1).headOption
+      .flatMap(_._2.schema).getOrElse(read(s, table).schema)
     val cols = schema.fieldNames.toSet
     // days() requires a temporal source — refused at EVOLVE time, not
     // first write (the stage-time dispatch would also fail loudly, but

@@ -803,8 +803,8 @@ object Etl {
         .filter(col("user_id") % 19 === 0 &&
           col("ts") < lit(t0) + expr("INTERVAL 4 DAYS"))
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      ev.write.mode("overwrite").partitionBy("event_type").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed directly through the protocol (optimization r15) — one
+      // clustered write instead of raw-write + adopt + rewrite
       val dirs = ev.select(col("event_type")).distinct().collect()
         .map(r => s"event_type=${r.getString(0)}").toSeq.sorted
       TableCommit.replacePartitionsBy(s, table, Seq("event_type"), dirs, ev,
@@ -974,8 +974,12 @@ object Etl {
         lpad(col("doc_id").cast("string"), 12, "0"))
       val docs = Tables.documents(s, d)
       val seed = docs.select(keyOf.as("doc_key"), col("n_chars"), col("lang"))
-      seed.write.mode("overwrite").partitionBy("lang").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed DIRECTLY through the protocol (optimization r15): the old
+      // raw-parquet write + adopt wrote the seed twice and vacuumed the
+      // adopted generation immediately — replacePartitions on the
+      // fresh table publishes the identical clustered generation-1
+      // (manifest numbering unchanged: init 0, replace 1) at half the
+      // write cost
       val dirs = seed.select(col("lang")).distinct().collect()
         .map(r => s"lang=${r.getString(0)}").toSeq.sorted
       TableCommit.replacePartitions(s, table, "lang", dirs, seed,
@@ -1552,8 +1556,8 @@ object Etl {
       val seed = Tables.orders(s, d)
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed directly through the protocol (optimization r15) — one
+      // clustered write instead of raw-write + adopt + rewrite
       val dirs = seed.select(col("o_orderstatus")).distinct().collect()
         .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
       // key-clustered committed layout with #stats on the key, so the
@@ -1625,8 +1629,8 @@ object Etl {
       val seed = Tables.orders(s, d)
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed directly through the protocol (optimization r15) — one
+      // clustered write instead of raw-write + adopt + rewrite
       val dirs = seed.select(col("o_orderstatus")).distinct().collect()
         .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
       TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,
@@ -2776,9 +2780,8 @@ object Etl {
         .filter(col("l_orderkey") < 4000)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_returnflag"), col("l_linestatus"))
-      seed.write.mode("overwrite")
-        .partitionBy("l_returnflag", "l_linestatus").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed directly through the protocol (optimization r15) — one
+      // clustered write instead of raw-write + adopt + rewrite
       val leaves = seed.select(col("l_returnflag"), col("l_linestatus"))
         .distinct().collect()
         .map(r =>

@@ -486,8 +486,8 @@ object Streaming {
       val seed = Tables.orders(s, d)
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
-      TableCommit.initIfAbsent(table)
+      // seed directly through the protocol (optimization r15) — one
+      // clustered write instead of raw-write + adopt + rewrite
       val dirs = seed.select(col("o_orderstatus")).distinct().collect()
         .map(r => s"o_orderstatus=${r.getString(0)}").toSeq.sorted
       TableCommit.replacePartitions(s, table, "o_orderstatus", dirs, seed,

@@ -19,8 +19,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation memo (optimization r15): `spark.read.parquet`
+    * lists the path and reads a footer for schema EVERY call, and the
+    * bench invokes each loader hundreds of times per run — pure fixed
+    * metadata overhead re-deriving an identical immutable relation.
+    * The memo returns the SAME analyzed frame per (session, dir, name);
+    * queries compose new operators on top, so plans are unchanged —
+    * this caches relation METADATA, never data or results. */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    frameCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Normalize `events.ts` to session-TZ `TIMESTAMP` across the schemas the
     * driver has generated so far — adapt to what the file actually holds

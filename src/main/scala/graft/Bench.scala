@@ -217,9 +217,12 @@ object Bench {
       Seq("q_cosine_knn_lsh") -> warmNames("lshbuckets"),
       Seq("n_zorder") -> warmNames("zorder_events"),
       Seq("n_table_delete", "n_table_update", "n_table_delete_dv",
-        "n_table_update_dv") -> warmNames("frag_events", "delete_base_v2"),
+        "n_table_update_dv") -> warmNames("frag_events_v3", "delete_base_v3"),
       Seq("n_incr_view") -> warmNames("incrview_base_v3"),
-      Seq("n_compact", "n_optimize_zorder") -> warmNames("frag_events"))
+      // exact artifact names (the old probe said "frag_events" while
+      // the builder writes "frag_events_v3" — an always-cold probe
+      // that made these chains run untimed serving every bench)
+      Seq("n_compact", "n_optimize_zorder") -> warmNames("frag_events_v3"))
     val prebuildSequential: Seq[(Seq[String], () => Boolean)] =
       Seq(Seq("n_stream_upsert") -> warmNames("stream_src"))
     val doPrebuild = only.isEmpty &&

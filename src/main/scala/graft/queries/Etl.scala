@@ -373,14 +373,23 @@ object Etl {
     * which no maintenance job pays to CREATE. Built once per dataset
     * (content-tag-keyed, the streamSrc convention). */
   private def fragEvents(s: SparkSession, d: String): String =
-    graft.operators.Sinks.artifact("frag_events_v2", d) { p =>
-      Tables.events(s, d)
+    graft.operators.Sinks.artifact("frag_events_v3", d) { p =>
+      val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .repartition(24)
+      ev.repartition(24)
         .write.mode("overwrite").partitionBy("event_type").parquet(p)
       // adopt at build time so per-invocation clones are zero-copy
       // hard links (TableCommit.cloneTo) instead of byte copies
       graft.operators.TableCommit.initIfAbsent(p)
+      // pin the schema of record with an EMPTY append (metadata-only,
+      // zero data files, no #bytes entries — compactionPlan still
+      // counts the adopted files as small): an adopted manifest
+      // carries no #schema, and schemaless snapshots read through the
+      // LISTED fallback path — a 121-path listing job per
+      // clone-consumer invocation (optimization r15); with the schema
+      // pinned every clone's read plans from manifest metadata
+      graft.operators.TableCommit.appendRowsBy(s, p, Seq("event_type"),
+        ev.limit(0))
     }
 
   private def compactQ(s: SparkSession, d: String): DataFrame = {
@@ -497,7 +506,7 @@ object Etl {
     * mutates, so the measured op must own its table; the protocol's
     * immutable-file rule makes sharing bytes safe). */
   private def deleteBaseArt(s: SparkSession, d: String): String =
-    graft.operators.Sinks.artifact("delete_base_v2", d) { p =>
+    graft.operators.Sinks.artifact("delete_base_v3", d) { p =>
       val table = new java.io.File(p, "table").getAbsolutePath
       graft.operators.TableCommit.cloneTo(fragEvents(s, d), table)
       val dirs = graft.operators.TableCommit.resolve(table).get._2

@@ -1803,7 +1803,10 @@ object Etl {
       val v = TableCommit.read(s, view)
         .filter(col("bkt").isin(touched: _*))
       val r = aggFn(TableCommit.readFileSubset(s, src, srcId, subset))
-      val m = v.exceptAll(r).count() + r.exceptAll(v).count()
+      // one action for the symmetric-difference count (optimization
+      // r15): two exceptAll counts paid two driver-synchronized jobs
+      // for one scalar; the union form computes the same sum in one
+      val m = v.exceptAll(r).unionAll(r.exceptAll(v)).count()
       import s.implicits._
       Seq(
         (1L, a1.mode, a1.filesProcessed.toLong, a1.partsRecomputed.toLong,

@@ -229,12 +229,26 @@ object Relational {
         .getMostSignificantBits & Long.MaxValue)
     val (liV, ordV) = (s"graft_jcb_li_$tag", s"graft_jcb_ord_$tag")
     try {
-      TableCommit.appendRowsBy(s, liT, Seq("bucket(8,l_orderkey)"),
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount")))
-      TableCommit.appendRowsBy(s, ordT, Seq("bucket(8,o_orderkey)"),
-        Tables.orders(s, d).select(col("o_orderkey"),
-          col("o_orderpriority")))
+      // independent table builds as concurrent driver jobs (guide
+      // §2.6); the catalog registrations stay serial — session-catalog
+      // DDL is not a surface to race
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fLi = Future {
+          TableCommit.appendRowsBy(s, liT, Seq("bucket(8,l_orderkey)"),
+            Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount")))
+        }
+        val fOrd = Future {
+          TableCommit.appendRowsBy(s, ordT, Seq("bucket(8,o_orderkey)"),
+            Tables.orders(s, d).select(col("o_orderkey"),
+              col("o_orderpriority")))
+        }
+        Await.result(fLi, Duration.Inf)
+        Await.result(fOrd, Duration.Inf)
+      }
       TableCommit.registerBucketedView(s, liT, liV, "l_orderkey", 8,
         new java.io.File(base, "li_serve").getAbsolutePath)
       TableCommit.registerBucketedView(s, ordT, ordV, "o_orderkey", 8,
@@ -300,16 +314,29 @@ object Relational {
       .map(k => k -> scala.util.Try(conf.get(k)).toOption)
     try {
       graft.plans.GraftCatalog.register(s)
-      TableCommit.appendRowsBy(s, liT, Seq("bucket(8,l_orderkey)"),
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount")))
-      TableCommit.evolvePartitioningBy(s, liT,
-        Seq("bucket(8,l_orderkey)"))
-      TableCommit.appendRowsBy(s, ordT, Seq("bucket(8,o_orderkey)"),
-        Tables.orders(s, d).select(col("o_orderkey"),
-          col("o_orderpriority")))
-      TableCommit.evolvePartitioningBy(s, ordT,
-        Seq("bucket(8,o_orderkey)"))
+      // the two table builds are INDEPENDENT (different tables) — run
+      // them as concurrent driver jobs (guide §2.6: overlap independent
+      // jobs so one build's tail back-fills the other's; the ANN
+      // trainer's pattern). Commits on distinct tables never contend.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fLi = Future {
+        TableCommit.appendRowsBy(s, liT, Seq("bucket(8,l_orderkey)"),
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")))
+        TableCommit.evolvePartitioningBy(s, liT,
+          Seq("bucket(8,l_orderkey)"))
+      }
+      val fOrd = Future {
+        TableCommit.appendRowsBy(s, ordT, Seq("bucket(8,o_orderkey)"),
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderpriority")))
+        TableCommit.evolvePartitioningBy(s, ordT,
+          Seq("bucket(8,o_orderkey)"))
+      }
+      Await.result(fLi, Duration.Inf)
+      Await.result(fOrd, Duration.Inf)
       // the composition the view trick refuses: vector some lineitem
       // rows dead, then join THROUGH the vectors
       TableCommit.deleteWhereMorBy(s, liT, Seq("bucket(8,l_orderkey)"),
@@ -386,14 +413,28 @@ object Relational {
     try {
       graft.plans.GraftCatalog.register(s)
       val spec = Seq("days(ts)", "bucket(4,user_id)")
-      TableCommit.appendRowsBy(s, evT, spec,
-        slice.select(col("ts"), col("user_id"),
-          col("event_type"), col("value")))
-      TableCommit.evolvePartitioningBy(s, evT, spec)
-      TableCommit.appendRowsBy(s, sessT, spec,
-        slice.groupBy(col("ts"), col("user_id"))
-          .agg(count(lit(1)).as("n_ev")))
-      TableCommit.evolvePartitioningBy(s, sessT, spec)
+      // materialize the shared cached slice ONCE before the concurrent
+      // builds attach (both consume it; a pre-filled cache makes the
+      // overlap read-only), then build the two independent tables as
+      // concurrent driver jobs (guide §2.6)
+      slice.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fEv = Future {
+        TableCommit.appendRowsBy(s, evT, spec,
+          slice.select(col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+        TableCommit.evolvePartitioningBy(s, evT, spec)
+      }
+      val fSess = Future {
+        TableCommit.appendRowsBy(s, sessT, spec,
+          slice.groupBy(col("ts"), col("user_id"))
+            .agg(count(lit(1)).as("n_ev")))
+        TableCommit.evolvePartitioningBy(s, sessT, spec)
+      }
+      Await.result(fEv, Duration.Inf)
+      Await.result(fSess, Duration.Inf)
       conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
@@ -464,14 +505,24 @@ object Relational {
       .map(k => k -> scala.util.Try(conf.get(k)).toOption)
     try {
       graft.plans.GraftCatalog.register(s)
-      TableCommit.appendRowsBy(s, custT, Seq("truncate(1000,c_custkey)"),
-        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
-      TableCommit.evolvePartitioningBy(s, custT,
-        Seq("truncate(1000,c_custkey)"))
-      TableCommit.appendRowsBy(s, ordT, Seq("truncate(1000,o_custkey)"),
-        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")))
-      TableCommit.evolvePartitioningBy(s, ordT,
-        Seq("truncate(1000,o_custkey)"))
+      // independent table builds as concurrent driver jobs (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fCust = Future {
+        TableCommit.appendRowsBy(s, custT, Seq("truncate(1000,c_custkey)"),
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+        TableCommit.evolvePartitioningBy(s, custT,
+          Seq("truncate(1000,c_custkey)"))
+      }
+      val fOrd = Future {
+        TableCommit.appendRowsBy(s, ordT, Seq("truncate(1000,o_custkey)"),
+          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")))
+        TableCommit.evolvePartitioningBy(s, ordT,
+          Seq("truncate(1000,o_custkey)"))
+      }
+      Await.result(fCust, Duration.Inf)
+      Await.result(fOrd, Duration.Inf)
       conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")

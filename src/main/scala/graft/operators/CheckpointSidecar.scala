@@ -229,20 +229,29 @@ object CheckpointSidecar {
       dv.result(), meta)
   }
 
+  /** One kept row of a pruned sidecar read: the file, its registered
+    * DV dirs, and its recorded size (`n_bytes`) — surfaced so the
+    * cold-open read path can plan from recorded sizes instead of
+    * statting every kept file (ADVICE r15: bytes were dropped here and
+    * ManifestFileIndex fell back to one driver stat per file, twice). */
+  final case class PrunedFile(path: String, dv: Seq[String],
+      bytes: Option[Long])
+
   /** Shared scaffolding of the two pruned reads: project
-    * (path, dv, + the given stats fields of `column`), optionally push
-    * a row-group filter, and keep rows passing `keep` (missing-stats
-    * rows always kept — stats only exclude on proof). */
+    * (path, n_bytes, dv, + the given stats fields of `column`),
+    * optionally push a row-group filter, and keep rows passing `keep`
+    * (missing-stats rows always kept — stats only exclude on proof). */
   private def prunedReadWith(path: String, column: String,
       statsFields: String => Seq[(String, PrimitiveTypeName)],
       filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
-      keep: Group => Boolean): (Seq[(String, Seq[String])], Meta) = {
+      keep: Group => Boolean): (Seq[PrunedFile], Meta) = {
     val meta = readMeta(path)
     val hasStats = meta.statsCols.contains(column)
     val projection: MessageType = {
       var b = Types.buildMessage()
         .addField(Types.required(PrimitiveTypeName.BINARY).as(stringType())
           .named("path"))
+        .addField(Types.optional(PrimitiveTypeName.INT64).named("n_bytes"))
         .addField(Types.optional(PrimitiveTypeName.BINARY).as(stringType())
           .named("dv"))
       if (hasStats) statsFields(column).foreach { case (name, t) =>
@@ -254,13 +263,14 @@ object CheckpointSidecar {
       b.named("graft_ckpt")
     }
     val r = reader(path, Some(projection), if (hasStats) filter else None)
-    val kept = Seq.newBuilder[(String, Seq[String])]
+    val kept = Seq.newBuilder[PrunedFile]
     try {
       var g = r.read()
       while (g != null) {
         if (!hasStats || keep(g))
-          kept += g.getString("path", 0) ->
-            optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty)
+          kept += PrunedFile(g.getString("path", 0),
+            optStr(g, "dv").map(_.split("\t").toSeq).getOrElse(Seq.empty),
+            optLong(g, "n_bytes"))
         g = r.read()
       }
     } finally r.close()
@@ -274,7 +284,7 @@ object CheckpointSidecar {
     * proof). Returns (kept file, its dv dirs) pairs plus the footer
     * meta. */
   def prunedRead(path: String, column: String, lo: BigDecimal,
-      hi: BigDecimal): (Seq[(String, Seq[String])], Meta) = {
+      hi: BigDecimal): (Seq[PrunedFile], Meta) = {
     import org.apache.parquet.filter2.predicate.FilterApi
     val mnCol = FilterApi.doubleColumn(s"smin_d_$column")
     val mxCol = FilterApi.doubleColumn(s"smax_d_$column")
@@ -306,7 +316,7 @@ object CheckpointSidecar {
     * decodes stats it doesn't need). Rows lacking stats for `column`
     * are KEPT. */
   def prunedReadLex(path: String, column: String, lo: String, hi: String,
-      cmp: (String, String) => Int): (Seq[(String, Seq[String])], Meta) =
+      cmp: (String, String) => Int): (Seq[PrunedFile], Meta) =
     prunedReadWith(path, column,
       c => Seq(s"smin_s_$c" -> PrimitiveTypeName.BINARY,
         s"smax_s_$c" -> PrimitiveTypeName.BINARY),

@@ -58,6 +58,17 @@ private[graft] class ManifestFileIndex(
 
   private val zone = spark.conf.get("spark.sql.session.timeZone")
 
+  /** Per-index size resolution, stat-once: a file lacking a `#bytes`
+    * entry (adopted before the directive existed) is stat'ed exactly
+    * once and the result reused by BOTH [[dirs]] and [[sizeInBytes]]
+    * (ADVICE r15: the un-memoized fallback stat'ed each such file
+    * twice per index instance — serial driver HEADs on object
+    * stores). */
+  private lazy val sizeOf: Map[String, Long] =
+    relFiles.map { case (rel, size) =>
+      rel -> (if (size >= 0L) size else statFallback(rel))
+    }.toMap
+
   /** One partition value, parsed exactly as Spark's partition discovery
     * would: unescape the Hive path form, `__HIVE_DEFAULT_PARTITION__`
     * is null, then a Catalyst cast to the declared type. */
@@ -87,10 +98,9 @@ private[graft] class ManifestFileIndex(
           val seg = segs(i)
           partValue(seg.substring(seg.indexOf('=') + 1), f.dataType)
         }.toSeq)
-      PartitionDirectory(values, fs.map { case (rel, size) =>
-        val len = if (size >= 0L) size else statFallback(rel)
+      PartitionDirectory(values, fs.map { case (rel, _) =>
         FileStatusWithMetadata(new FileStatus(
-          len, false, 1, 134217728L, 0L, absPath(rel)))
+          sizeOf(rel), false, 1, 134217728L, 0L, absPath(rel)))
       })
     }
 
@@ -116,10 +126,7 @@ private[graft] class ManifestFileIndex(
 
   override def refresh(): Unit = ()
 
-  override lazy val sizeInBytes: Long =
-    relFiles.map { case (rel, size) =>
-      if (size >= 0L) size else statFallback(rel)
-    }.sum
+  override lazy val sizeInBytes: Long = sizeOf.valuesIterator.sum
 }
 
 private[graft] object ManifestFileIndex {

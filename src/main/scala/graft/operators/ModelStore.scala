@@ -114,17 +114,52 @@ object ModelStore {
 
   /** Write an [m][cid][dim] artifact (overwrite). The frame is a few KB
     * of model parameters — single file, written to a sibling temp dir
-    * then atomically renamed into place. */
+    * then atomically renamed into place.
+    *
+    * DRIVER-SIDE parquet write (optimization r16, guide §1.2): a Spark
+    * job (coalesce(1) write + output committer) per save was pure
+    * fixed cost for kilobytes of parameters — four such jobs per
+    * `n_ann_build_models` line. The standard 3-level LIST layout keeps
+    * Spark's reader consuming it unchanged; doubles round-trip parquet
+    * exactly either way, so loaded models stay bit-identical to the
+    * trained arrays (ModelStoreSpec pins the round-trip). */
   def save(s: SparkSession, path: String, books: Array[Array[Array[Double]]]): Unit =
     lockFor(path).synchronized {
-      import s.implicits._
-      val rows = for (m <- books.indices; c <- books(m).indices)
-        yield (m, c, books(m)(c).toSeq)
+      import org.apache.parquet.schema.Types
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
       val target = new java.io.File(path)
       val tmp = new java.io.File(path + ".tmp")
       Sinks.deleteRecursively(tmp)
-      rows.toDF("m", "cid", "cv").coalesce(1)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.mkdirs()
+      val mt = Types.buildMessage()
+        .addField(Types.required(PrimitiveTypeName.INT32).named("m"))
+        .addField(Types.required(PrimitiveTypeName.INT32).named("cid"))
+        .addField(Types.optionalGroup()
+          .as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(Types.required(PrimitiveTypeName.DOUBLE)
+              .named("element"))
+            .named("list"))
+          .named("cv"))
+        .named("graft_model")
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(
+          new java.io.File(tmp, "part-00000.parquet").toURI))
+        .withType(mt)
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      try for (m <- books.indices; c <- books(m).indices) {
+        val g = factory.newGroup()
+        g.add("m", m)
+        g.add("cid", c)
+        val lst = g.addGroup("cv")
+        books(m)(c).foreach(v => lst.addGroup("list").add("element", v))
+        w.write(g)
+      } finally w.close()
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
       Sinks.deleteRecursively(target)
       target.getParentFile.mkdirs()
       if (!tmp.renameTo(target))

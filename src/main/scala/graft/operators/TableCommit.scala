@@ -823,6 +823,18 @@ object TableCommit {
 
   private def rowsOf(m: Snapshot): Map[String, Long] = m.rows
 
+  /** Test probes: a snapshot's recorded `#stats` / `#rows` maps — the
+    * commit-level witnesses FileMetaEquivalenceSpec compares against
+    * the aggregation rendering. */
+  private[graft] def statsProbe(table: String, id: Long)
+      : Map[(String, String), (String, String)] =
+    manifests(table).find(_._1 == id).map(m => statsOf(m._2))
+      .getOrElse(Map.empty)
+
+  private[graft] def rowsProbe(table: String, id: Long): Map[String, Long] =
+    manifests(table).find(_._1 == id).map(m => rowsOf(m._2))
+      .getOrElse(Map.empty)
+
   /** Per-file SIZES a manifest carries (`#bytes <n>\t<relpath>`
     * directive lines — the Delta add-action's `size`): recorded at
     * stage-promotion time for every fresh file, carried forward with
@@ -886,8 +898,10 @@ object TableCommit {
     * marks dead ROW POSITIONS of a data file in a parquet sidecar tree
     * under `_dv/<writerId>` instead of rewriting the file — write cost
     * ∝ deleted rows, zero data-file churn — and every snapshot read
-    * anti-joins the file's registered vectors on
-    * (`_metadata.file_path`'s last two segments, `_metadata.row_index`).
+    * drops the file's registered dead positions with a broadcast
+    * bitmap filter on (`_metadata.file_path`'s trailing segments,
+    * `_metadata.row_index`) — compressed blobs shipped, positions
+    * decoded executor-side, no join arm in the plan ([[DvPosFilter]]).
     * A file may accumulate several vectors across commits (each line
     * adds one); any copy-on-write rewrite of the file (compaction,
     * CoW delete/update) reads THROUGH the vectors and drops the
@@ -963,31 +977,24 @@ object TableCommit {
       .withColumn("__graft_dvp", col("_metadata").getField("row_index"))
   }
 
-  /** (__dv_k, __dv_p) kill rows of registered vector dirs,
-    * FORMAT-DISPATCHED on the directive value (round-13 verdict item
-    * 4): a `.v2` dir holds one parquet row per covered data file —
-    * (k, bmp), bmp a [[DvCodec]] roaring-style blob — so its read IO
-    * is ∝ COMPRESSED BITMAP BYTES and positions decompress
-    * executor-side inside the scan's flatMap; a legacy dir holds one
-    * (k, pos) row per dead position. Both shapes union into the same
-    * kill frame the anti-join consumes. */
-  private def readDvRows(s: SparkSession, table: String,
-      dirs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{explode, udf}
-    // callers guard the no-vector case; an empty reduce below would
-    // surface as a baffling runtime error instead of this
-    require(dirs.nonEmpty, "readDvRows needs at least one vector dir")
-    val (v2, v1) = dirs.partition(_.endsWith(".v2"))
-    val dec = udf((b: Array[Byte]) => DvCodec.decode(b))
-    val parts =
-      (if (v1.isEmpty) Nil
-       else Seq(s.read.parquet(v1.map(dir => s"$table/$dir"): _*)
-         .select(col("k").as("__dv_k"), col("pos").as("__dv_p")))) ++
-      (if (v2.isEmpty) Nil
-       else Seq(s.read.parquet(v2.map(dir => s"$table/$dir"): _*)
-         .select(col("k").as("__dv_k"),
-           explode(dec(col("bmp"))).as("__dv_p"))))
-    parts.reduce(_.unionAll(_))
+  /** One file rel path's POSSIBLE key renderings on both sides of the
+    * DV machinery: the decoded manifest form, its `java.net.URI`
+    * percent-encoding (what a writer's `_metadata.file_path` recorded),
+    * and the `java.io.File.toURI`-derived Hadoop-Path rendering the
+    * manifest-planned scan serves back as `file_path` at read time.
+    * All three coincide for ordinary paths; registering each makes a
+    * key lookup immune to which rendering a side happens to carry. */
+  private def dvKeyRenderings(table: String, rel: String): Seq[String] = {
+    val segsN = depthOf(rel) + 1
+    val hadoopForm = scala.util.Try {
+      val p =
+        if (table.contains("://"))
+          new org.apache.hadoop.fs.Path(s"$table/$rel")
+        else new org.apache.hadoop.fs.Path(
+          new java.io.File(table, rel).toURI)
+      p.toString.split('/').takeRight(segsN).mkString("/")
+    }.toOption
+    (Seq(rel, uriRendered(rel)) ++ hadoopForm).distinct
   }
 
   /** Write `matches`' (__graft_dvk, __graft_dvp) dead positions as the
@@ -1039,22 +1046,74 @@ object TableCommit {
     }
   }
 
-  /** Drop rows of `keyed` (a [[dvKeyCols]]-tagged frame) that any of
-    * the manifest's vectors covering `files` mark dead. */
-  private def applyDv(s: SparkSession, table: String, m: Snapshot,
-      files: Seq[String], keyed: DataFrame): DataFrame = {
-    val want = files.toSet
-    val dirs = m.dv.filter { case (rel, _) => want(rel) }
-      .values.flatten.toSeq.distinct.sorted
-    if (dirs.isEmpty) keyed
-    else {
-      val dv = readDvRows(s, table, dirs)
-      keyed.join(dv,
-        keyed("__graft_dvk") === col("__dv_k") &&
-          keyed("__graft_dvp") === col("__dv_p"),
-        "left_anti")
+  /** EXECUTOR-SIDE position-bitmap row filter — the DSv2 catalog
+    * scan's DV application ported to the DataFrame read path
+    * (optimization r16, replacing the broadcast-dependent `left_anti`
+    * kill-row join): the broadcast carries the COMPRESSED per-file
+    * GDV2 blobs (cost ∝ vector bytes, never dead-row count), each
+    * task decodes a file's merged kill set once on first touch, and a
+    * row's fate is one binary search over primitive longs. `keepDead`
+    * inverts the predicate — the change-feed's "newly dead" probe is
+    * the same machinery with hits kept. A file absent from the map is
+    * uncovered: its rows are live (and never newly dead). */
+  private final class DvPosFilter(
+      bc: org.apache.spark.broadcast.Broadcast[
+        Map[String, Array[Array[Byte]]]],
+      keepDead: Boolean) extends ((String, Long) => Boolean)
+      with Serializable {
+    @transient private lazy val decoded =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    override def apply(k: String, pos: Long): Boolean = {
+      val m = bc.value
+      val blobs = m.getOrElse(k,
+        m.getOrElse(scala.util.Try(
+          java.net.URLDecoder.decode(k, "UTF-8")).getOrElse(k), null))
+      if (blobs == null) !keepDead
+      else {
+        var dead = decoded.get(k)
+        if (dead == null) {
+          dead = DvCodec.mergeDecoded(blobs.toSeq)
+          decoded.put(k, dead)
+        }
+        val hit = java.util.Arrays.binarySearch(dead, pos) >= 0
+        if (keepDead) hit else !hit
+      }
     }
   }
+
+  /** A [[DvPosFilter]] Column over the `__graft_dvk`/`__graft_dvp`
+    * key pair, from an explicit file→dirs vector registry: blobs are
+    * collected driver-side ([[dvBlobsOf]] — compressed bytes of the
+    * requested files only) and broadcast under every key rendering a
+    * reader may derive from `_metadata.file_path`. None when nothing
+    * is covered (the caller skips the filter outright). */
+  private def dvFilterCol(s: SparkSession, table: String,
+      dv: Map[String, Seq[String]], files: Seq[String],
+      keepDead: Boolean): Option[org.apache.spark.sql.Column] = {
+    val blobs = dvBlobsOf(s, table, dv, files)
+    if (blobs.isEmpty) None
+    else {
+      val byKey: Map[String, Array[Array[Byte]]] = blobs.toSeq.flatMap {
+        case (rel, bs) =>
+          dvKeyRenderings(table, rel).map(_ -> bs.toArray)
+      }.toMap
+      val bc = s.sparkContext.broadcast(byKey)
+      val f = new DvPosFilter(bc, keepDead)
+      val liveUdf = org.apache.spark.sql.functions.udf(f(_: String, _: Long))
+      Some(liveUdf(col("__graft_dvk"), col("__graft_dvp")))
+    }
+  }
+
+  /** Drop rows of `keyed` (a [[dvKeyCols]]-tagged frame) that any of
+    * the manifest's vectors covering `files` mark dead — a broadcast
+    * bitmap filter on the scan, NO join arm (the plan stays a single
+    * scan subtree; see plans/r16/table_read_after.txt). */
+  private def applyDv(s: SparkSession, table: String, m: Snapshot,
+      files: Seq[String], keyed: DataFrame): DataFrame =
+    dvFilterCol(s, table, m.dv, files, keepDead = false) match {
+      case Some(live) => keyed.filter(live)
+      case None => keyed
+    }
 
   /** True iff the snapshot registers a vector for any of `files`. */
   private def dvCovers(m: Snapshot, files: Seq[String]): Boolean = {
@@ -2066,7 +2125,7 @@ object TableCommit {
     * sidecar. */
   private def sidecarPrunedBand(table: String, id: Long, column: String,
       band: StatBand)
-      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+      : Option[(Seq[CheckpointSidecar.PrunedFile], CheckpointSidecar.Meta)] =
     band match {
       case NumBand(lo, hi) => sidecarPruned(table, id, column, lo, hi)
       case LexBand(lo, hi) => sidecarPrunedLex(table, id, column, lo, hi)
@@ -2107,7 +2166,7 @@ object TableCommit {
 
   private def sidecarPrunedLex(table: String, id: Long, column: String,
       lo: String, hi: String)
-      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+      : Option[(Seq[CheckpointSidecar.PrunedFile], CheckpointSidecar.Meta)] =
     freshSidecar(table, id).flatMap(p => scala.util.Try {
       val r = CheckpointSidecar.prunedReadLex(p, column, lo, hi, cpCompare)
       guardSidecarRequires(r._2)
@@ -2116,7 +2175,7 @@ object TableCommit {
 
   private def sidecarPruned(table: String, id: Long, column: String,
       lo: BigDecimal, hi: BigDecimal)
-      : Option[(Seq[(String, Seq[String])], CheckpointSidecar.Meta)] =
+      : Option[(Seq[CheckpointSidecar.PrunedFile], CheckpointSidecar.Meta)] =
     freshSidecar(table, id).flatMap(p => scala.util.Try {
       val r = CheckpointSidecar.prunedRead(p, column, lo, hi)
       guardSidecarRequires(r._2)
@@ -2126,12 +2185,12 @@ object TableCommit {
   /** Test probe: the sidecar-pruned kept-file set for a band. */
   private[graft] def sidecarPrunedFiles(table: String, id: Long,
       column: String, lo: BigDecimal, hi: BigDecimal): Option[Seq[String]] =
-    sidecarPruned(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
+    sidecarPruned(table, id, column, lo, hi).map(_._1.map(_.path).sorted)
 
   /** Test probe: [[sidecarPrunedFiles]] for a lexicographic band. */
   private[graft] def sidecarPrunedFilesLex(table: String, id: Long,
       column: String, lo: String, hi: String): Option[Seq[String]] =
-    sidecarPrunedLex(table, id, column, lo, hi).map(_._1.map(_._1).sorted)
+    sidecarPrunedLex(table, id, column, lo, hi).map(_._1.map(_.path).sorted)
 
   /** Test probe: the fresh sidecar path serving snapshot `id`, if
     * any — lets specs rewrite a sidecar in place to simulate a
@@ -2144,8 +2203,18 @@ object TableCommit {
     * written by a plain batch writer into the protocol). A lost CAS
     * means a concurrent adopter won — equally fine. */
   def initIfAbsent(table: String): Unit =
-    if (manifestIds(table).isEmpty)
-      publish(table, 0L, listDataFiles(table), op = Some("ADOPT"))
+    if (manifestIds(table).isEmpty) {
+      val files = listDataFiles(table)
+      // record `#bytes` at adoption (optimization r16): the listing
+      // just touched every file, and a bytes-less adopted generation
+      // otherwise pays a driver stat per file per read-plan
+      // (ManifestFileIndex.statFallback — on an object store, one
+      // HEAD per file per query). Size metadata only; a file the
+      // store cannot size (<0) simply stays fallback-resolved.
+      val bytes = files.map(f => f -> store(table).fileSize(table, f))
+        .filter(_._2 >= 0L).toMap
+      publish(table, 0L, files, bytes = bytes, op = Some("ADOPT"))
+    }
 
   /** Read an explicit file subset of manifest `m` under the table's
     * basePath. When the manifest carries a `#schema` directive, that
@@ -2162,7 +2231,7 @@ object TableCommit {
     else {
       val covered = dvCovers(m, files)
       val raw = pinnedRead(s, table, m, files, withMeta = covered)
-      // deletion vectors: anti-join the registered dead positions
+      // deletion vectors: bitmap-filter the registered dead positions
       // before any projection (the key needs the hidden _metadata col)
       val live =
         if (covered)
@@ -2258,9 +2327,13 @@ object TableCommit {
     // result equal), never exclude an overlapping one
     sidecarPrunedBand(table, id, column, band) match {
       case Some((kept, meta)) =>
-        val m = Snapshot(id, kept.map(_._1).sorted, Map.empty, Map.empty,
-          Map.empty,
-          kept.filter(_._2.nonEmpty).map(t => t._1 -> t._2).toMap,
+        // recorded n_bytes thread into the Snapshot so ManifestFileIndex
+        // plans from sizes on the cold-open path too (ADVICE r15: a
+        // bytes-less Snapshot here cost one driver stat per kept file,
+        // twice — on an object store, a HEAD per file per query)
+        val m = Snapshot(id, kept.map(_.path).sorted, Map.empty, Map.empty,
+          kept.flatMap(f => f.bytes.map(f.path -> _)).toMap,
+          kept.filter(_.dv.nonEmpty).map(f => f.path -> f.dv).toMap,
           meta.props, meta.txns,
           meta.schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
@@ -2662,16 +2735,19 @@ object TableCommit {
     val mB = man(toId)
     val dvA = dvOf(mA)
     val dvB = dvOf(mB)
-    val newDirs = files.flatMap(f =>
-      dvB.getOrElse(f, Nil).filterNot(dvA.getOrElse(f, Nil).toSet))
-      .distinct.sorted
+    val newDv: Map[String, Seq[String]] = files.flatMap { f =>
+      val nd = dvB.getOrElse(f, Nil).filterNot(dvA.getOrElse(f, Nil).toSet)
+      if (nd.isEmpty) None else Some(f -> nd)
+    }.toMap
     val raw = pinnedRead(s, table, mB, files, withMeta = true)
-    val newlyDead = readDvRows(s, table, newDirs)
     val keyed = applyDv(s, table, mA, files,
       dvKeyCols(raw, depthsOf(files)))
-    keyed.join(newlyDead,
-      keyed("__graft_dvk") === col("__dv_k") &&
-        keyed("__graft_dvp") === col("__dv_p"), "left_semi")
+    // the "newly dead" semi-join is the same bitmap filter with hits
+    // KEPT, over only the vectors registered after fromId
+    dvFilterCol(s, table, newDv, files, keepDead = true) match {
+      case Some(newlyDead) => keyed.filter(newlyDead)
+      case None => keyed.filter(lit(false))
+    }
   }
 
   /** Read an explicit file subset of snapshot `id` — the pinned-read
@@ -2740,17 +2816,32 @@ object TableCommit {
     * read; the connector ships each input partition only its own
     * files' blobs. */
   private[graft] def dvBlobsFor(s: SparkSession, table: String,
-      meta: ScanMeta, files: Seq[String]): Map[String, Seq[Array[Byte]]] = {
+      meta: ScanMeta, files: Seq[String]): Map[String, Seq[Array[Byte]]] =
+    dvBlobsOf(s, table, meta.dv, files)
+
+  /** The `_metadata.file_path` URI percent-encoding of a manifest rel
+    * path — the rendering a DV writer's recorded keys carry. */
+  private def uriRendered(rel: String): String = scala.util.Try(
+    new java.net.URI(null, null, "/" + rel, null).getRawPath
+      .stripPrefix("/")).getOrElse(rel)
+
+  /** Test observability: the vector dirs the most recent [[dvBlobsOf]]
+    * call actually read — the witness that a pruned read never opens a
+    * pruned-out file's sidecar (the `inputFiles` probe the old
+    * join-based plan offered is gone with the join arm). */
+  private[graft] val lastDvDirsRead =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  private def dvBlobsOf(s: SparkSession, table: String,
+      dv: Map[String, Seq[String]], files: Seq[String])
+      : Map[String, Seq[Array[Byte]]] = {
     val want = files.toSet
-    val perFile = meta.dv.filter { case (rel, _) => want(rel) }
+    val perFile = dv.filter { case (rel, _) => want(rel) }
     if (perFile.isEmpty) return Map.empty
     // a SELECTIVE scan must pay only for the vectors of the files it
     // requests: push `k IN (requested rels)` into the vector-dir read,
     // under BOTH key renderings a writer may have recorded (the raw
     // rel, and its _metadata URI percent-encoding)
-    def uriRendered(rel: String): String = scala.util.Try(
-      new java.net.URI(null, null, "/" + rel, null).getRawPath
-        .stripPrefix("/")).getOrElse(rel)
     val wantedKeys = perFile.keysIterator
       .flatMap(rel => Seq(rel, uriRendered(rel))).toSeq.distinct
     def loadDir(dir: String, selective: Boolean)
@@ -2772,6 +2863,7 @@ object TableCommit {
               DvCodec.encode(r.getSeq[Long](1).toArray)).toMap
     }
     val dirs = perFile.values.flatten.toSeq.distinct.sorted
+    lastDvDirsRead.set(dirs)
     var all: Map[(String, String), Array[Byte]] =
       dirs.map(loadDir(_, selective = true))
         .foldLeft(Map.empty[(String, String), Array[Byte]])(_ ++ _)
@@ -3804,6 +3896,221 @@ object TableCommit {
   private def fileMeta(s: SparkSession, table: String, rels: Seq[String],
       cols: Seq[String],
       wmap: Map[String, String] = Map.empty)
+      : (Map[(String, String), (String, String)], Map[String, Long]) =
+    footerMeta(table, rels, cols, wmap)
+      .getOrElse(fileMetaAgg(s, table, rels, cols, wmap))
+
+  /** FOOTER-DERIVED `#stats` + `#rows` for freshly-written files
+    * (optimization r16, guide §1.2 — "don't compute things you throw
+    * away": the per-commit stats job re-scanned every fresh file to
+    * aggregate min/max the parquet writer already recorded in each
+    * footer). One footer open per file (concurrent driver-side — the
+    * cost class [[footerRows]] already pays on the no-stats path)
+    * yields BOTH the row counts and the per-column bounds; renderings
+    * replicate the aggregation path's byte-for-byte
+    * (FileMetaEquivalenceSpec pins equality for every supported stats
+    * type, including the truncated-string and era-guard rules).
+    *
+    * None — the caller falls back to [[fileMetaAgg]], rendering
+    * authority never split within one commit — when ANY (file, column)
+    * is uncertifiable from its footer:
+    *  - FLOAT/DOUBLE columns: footer stats are NaN-blind while Spark's
+    *    max aggregate ranks NaN largest — a file with a NaN would
+    *    record a different (and for the read side's BigDecimal parse,
+    *    unusable) bound, and the footer cannot even reveal the NaN;
+    *  - INT96 timestamps (stats deprecated) and non-MICROS timestamp
+    *    units (the engine writes MICROS; anything else is foreign);
+    *  - a stats column missing from the footer schema, non-primitive,
+    *    or repeated (dir-encoded partition columns have no chunks);
+    *  - unknown null counts, or a chunk whose stats parquet dropped
+    *    (oversized binary bounds) while non-null values exist. */
+  private[graft] def footerMeta(table: String, rels: Seq[String],
+      cols: Seq[String], wmap: Map[String, String])
+      : Option[(Map[(String, String), (String, String)],
+        Map[String, Long])] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    def phys(c: String): String = wmap.getOrElse(c, c)
+    // the three outcomes the aggregation path's `cast(... as string)`
+    // + `refine` pair can produce, reconstructed from the footer:
+    //   None               = UNCERTIFIABLE (fall back to the agg job)
+    //   Some(None)         = certifiably NO stats entry (refine's own
+    //                        drops: era guard, un-incrementable upper)
+    //   Some(Some(mn, mx)) = the exact rendered bounds
+    def renderBounds(pt: org.apache.parquet.schema.PrimitiveType,
+        stats: org.apache.parquet.column.statistics.Statistics[_])
+        : Option[Option[(String, String)]] = {
+      val ann = pt.getLogicalTypeAnnotation
+      def minMax[T](f: Any => T): (T, T) =
+        (f(stats.genericGetMin()), f(stats.genericGetMax()))
+      def entry(mn: String, mx: String) = Some(Some((mn, mx)))
+      (pt.getPrimitiveTypeName, ann) match {
+        // decimal first: its physical carrier varies
+        case (_, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          // java.math.BigDecimal.toString IS Spark's Decimal
+          // rendering (Decimal.toString delegates to it); an unknown
+          // physical carrier yields null = uncertifiable
+          def dec(v: Any): String = {
+            val unscaled = v match {
+              case i: java.lang.Integer =>
+                java.math.BigInteger.valueOf(i.longValue())
+              case l: java.lang.Long =>
+                java.math.BigInteger.valueOf(l.longValue())
+              case b: org.apache.parquet.io.api.Binary =>
+                new java.math.BigInteger(b.getBytes)
+              case _ => null
+            }
+            if (unscaled == null) null
+            else new java.math.BigDecimal(unscaled, d.getScale).toString
+          }
+          val (mn, mx) = minMax(dec)
+          if (mn == null || mx == null) None else entry(mn, mx)
+        case (PrimitiveTypeName.INT64,
+            t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          if (t.getUnit !=
+              LogicalTypeAnnotation.TimeUnit.MICROS) None
+          else {
+            val (mn, mx) = minMax(_.asInstanceOf[java.lang.Long].longValue())
+            if (t.isAdjustedToUTC)
+              // ZONED: the agg path records unix_micros digit strings
+              entry(mn.toString, mx.toString)
+            else {
+              // NTZ: Spark's own fraction formatter IS the cast
+              // rendering; era-guarded like the agg path's refine
+              // (out-of-era = certifiably NO entry, same as refine)
+              val fmt = org.apache.spark.sql.catalyst.util
+                .TimestampFormatter.getFractionFormatter(
+                  java.time.ZoneOffset.UTC)
+              val (a, b) = (fmt.format(mn), fmt.format(mx))
+              if (isoLexSafe(a) && isoLexSafe(b)) entry(a, b)
+              else Some(None)
+            }
+          }
+        case (PrimitiveTypeName.INT32,
+            _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          val fmt = org.apache.spark.sql.catalyst.util.DateFormatter()
+          val (mn, mx) = minMax(v =>
+            fmt.format(v.asInstanceOf[java.lang.Integer].intValue()))
+          if (isoLexSafe(mn) && isoLexSafe(mx)) entry(mn, mx)
+          else Some(None)
+        case (PrimitiveTypeName.INT32, a)
+            if a == null ||
+              a.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+          if (a != null && !a.asInstanceOf[
+              LogicalTypeAnnotation.IntLogicalTypeAnnotation].isSigned) None
+          else {
+            val (mn, mx) = minMax(_.asInstanceOf[java.lang.Integer].toString)
+            entry(mn, mx)
+          }
+        case (PrimitiveTypeName.INT64, a)
+            if a == null ||
+              a.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+          if (a != null && !a.asInstanceOf[
+              LogicalTypeAnnotation.IntLogicalTypeAnnotation].isSigned) None
+          else {
+            val (mn, mx) = minMax(_.asInstanceOf[java.lang.Long].toString)
+            entry(mn, mx)
+          }
+        case (PrimitiveTypeName.BINARY,
+            _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          // parquet's string order is unsigned UTF-8 byte order ==
+          // code-point order == the aggregate's UTF8String order;
+          // bounds are exact (statistics truncation is off by default
+          // in parquet 1.16 — DEFAULT_STATISTICS_TRUNCATE_LENGTH =
+          // MAX_VALUE; a dropped oversized bound surfaces as missing
+          // stats and falls back). The agg path's refine then
+          // truncates: prefix lower / incremented upper; an
+          // un-incrementable upper drops the entry on BOTH paths.
+          val (mn, mx) = minMax(v =>
+            v.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8)
+          Some(lexUpper(mx).map(up => (lexLower(mn), up)))
+        // FLOAT/DOUBLE (NaN-blind footer vs NaN-aware aggregate),
+        // INT96 zoned timestamps (Spark's default output type; stats
+        // ordering deprecated), and anything else: uncertifiable
+        case _ => None
+      }
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // per file: Some(rows, per-col refined bounds) or None =
+    // uncertifiable (any column)
+    val fs = rels.map { rel => Future { scala.concurrent.blocking {
+      val p = if (table.contains("://"))
+        new org.apache.hadoop.fs.Path(s"$table/$rel")
+      else new org.apache.hadoop.fs.Path(
+        new java.io.File(table, rel).toURI)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rows = r.getRecordCount
+        val footer = r.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val blocks = footer.getBlocks
+        val perCol: Seq[Option[(String, Option[(String, String)])]] =
+          cols.map { c =>
+            val pc = phys(c)
+            // top-level primitive only (stats columns are; anything
+            // else is uncertifiable)
+            val idx = schema.getFields.asScala.indexWhere(_.getName == pc)
+            if (idx < 0 || !schema.getType(idx).isPrimitive) None
+            else {
+              val pt = schema.getType(idx).asPrimitiveType()
+              val chunks = blocks.asScala.flatMap(_.getColumns.asScala
+                .filter(_.getPath.toDotString == pc))
+              val statsList = chunks.map(_.getStatistics)
+              val values = chunks.map(_.getValueCount).sum
+              if (statsList.exists(st => st == null || !st.isNumNullsSet))
+                None
+              else {
+                val nulls = statsList.map(_.getNumNulls).sum
+                if (nulls == values)
+                  // ALL NULL: the aggregate row is null → no entry
+                  Some((c, None))
+                else if (statsList.exists(st => !st.hasNonNullValue))
+                  // non-null values exist but some chunk's bounds were
+                  // dropped — cannot reconstruct the file bound
+                  None
+                else {
+                  val merged = statsList.head.copy()
+                    .asInstanceOf[org.apache.parquet.column
+                      .statistics.Statistics[_]]
+                  statsList.tail.foreach(st => merged.mergeStatistics(
+                    st.asInstanceOf[org.apache.parquet.column
+                      .statistics.Statistics[Nothing]]))
+                  renderBounds(pt, merged) match {
+                    case Some(b) => Some((c, b))
+                    case None => None
+                  }
+                }
+              }
+            }
+          }
+        if (perCol.exists(_.isEmpty)) None
+        else Some((rel, rows, perCol.flatten.collect {
+          case (c, Some(b)) => c -> b
+        }.toMap))
+      } finally r.close()
+    }}}
+    val extracted =
+      Await.result(Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    if (extracted.exists(_.isEmpty)) None
+    else {
+      val ok = extracted.flatten
+      val stats = ok.flatMap { case (rel, _, bounds) =>
+        bounds.map { case (c, b) => (rel, c) -> b }
+      }.toMap
+      val rows = ok.map { case (rel, n, _) => rel -> n }.toMap
+      Some((stats, rows))
+    }
+  }
+
+  private[graft] def fileMetaAgg(s: SparkSession, table: String,
+      rels: Seq[String], cols: Seq[String],
+      wmap: Map[String, String] = Map.empty)
       : (Map[(String, String), (String, String)], Map[String, Long]) = {
     // key = last (partition depth + 1) segments — the FULL rel path
     // (file names collide across partition dirs at every depth)
@@ -4000,12 +4307,14 @@ object TableCommit {
       sys.error(s"$table has no snapshot to audit"))
     val m = manifests(table).find(_._1 == id).get._2
     if (m.dv.isEmpty) return Seq.empty
-    val dirs = m.dv.values.flatten.toSeq.distinct.sorted
     // stacked vectors never re-kill a position (the MoR verbs scan the
-    // LIVE set), so a plain count per key is the exact dead count
-    val dead: Map[String, Long] = readDvRows(s, table, dirs)
-      .groupBy(col("__dv_k")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // LIVE set), so the merged kill-set size is the exact dead count —
+    // computed straight from the compressed blobs (driver-side, cost ∝
+    // vector bytes; no distributed read + shuffle for a per-file count)
+    val dead: Map[String, Long] =
+      dvBlobsOf(s, table, m.dv, m.dv.keys.toSeq).map { case (rel, bs) =>
+        rel -> DvCodec.mergeDecoded(bs).length.toLong
+      }
     m.dv.keys.toSeq.sorted.map(f =>
       DvDebt(f, m.rows.getOrElse(f, -1L), dead.getOrElse(f, 0L)))
   }
@@ -4846,29 +5155,35 @@ object TableCommit {
       // the DV key IS the manifest-relative path (per-file depth) —
       // hit counts key straight back to the candidate list
       val byKey = candidates.map(r => r -> r).toMap
-      val hitCounts: Map[String, (Long, Long)] = matched match {
-        case Some(mf) => mf.groupBy(col("__graft_dvk"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(delPred, 1L).otherwise(0L)).as("d"))
-          .collect().flatMap { r =>
-            val key = r.getString(0)
-            byKey.get(key)
-              .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
-              .map(_ -> (r.getLong(1), r.getLong(2)))
-          }.toMap
-        case None => Map.empty
-      }
-      val bsCounts: Map[String, Long] = bySource match {
-        case Some(bs) => bs.groupBy(col("__graft_dvk"))
-          .agg(count(lit(1)).as("n"))
-          .collect().flatMap { r =>
-            val key = r.getString(0)
-            byKey.get(key)
-              .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
-              .map(_ -> r.getLong(1))
-          }.toMap
-        case None => Map.empty
-      }
+      // ONE fused aggregation over both persisted frames (optimization
+      // r16, guide §1.2): the matched counts and the by-source counts
+      // previously collected in two driver round-trips; tagging the
+      // union keeps the groups disjoint, so every count is identical —
+      // merges without the BY SOURCE clause keep a single-frame plan
+      def tagged(df: DataFrame, bs: Boolean, d: org.apache.spark.sql.Column) =
+        df.select(col("__graft_dvk").as("k"), lit(bs).as("bs"), d.as("d"))
+      val countFrames = Seq(
+        matched.map(tagged(_, bs = false,
+          when(delPred, 1L).otherwise(0L))),
+        bySource.map(tagged(_, bs = true, lit(0L)))).flatten
+      val countRows: Seq[(String, Boolean, Long, Long)] =
+        countFrames.reduceOption(_.unionAll(_)) match {
+          case Some(u) => u.groupBy(col("k"), col("bs"))
+            .agg(count(lit(1)).as("n"), sum(col("d")).as("d"))
+            .collect().toSeq.map(r =>
+              (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+          case None => Nil
+        }
+      def relOf(key: String): Option[String] = byKey.get(key)
+        .orElse(byKey.get(java.net.URLDecoder.decode(key, "UTF-8")))
+      val hitCounts: Map[String, (Long, Long)] = countRows
+        .filter(!_._2).flatMap { case (key, _, n, d) =>
+          relOf(key).map(_ -> (n, d))
+        }.toMap
+      val bsCounts: Map[String, Long] = countRows
+        .filter(_._2).flatMap { case (key, _, n, _) =>
+          relOf(key).map(_ -> n)
+        }.toMap
       val hit = candidates.filter(f =>
         hitCounts.contains(f) || bsCounts.contains(f))
       val rowsMatched = hitCounts.valuesIterator.map(_._1).sum
@@ -5140,8 +5455,10 @@ object TableCommit {
     val (keepIds, dropIds) = all.partition(_ > newest - keep)
     val retained = keepIds.flatMap(id => stateOf(table, id))
     val live = retained.flatMap(_.files).toSet
-    val dead = dropIds.flatMap(id =>
-      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
+    // the executing verb's exact rule: only still-present files count
+    val dead = (dropIds.flatMap(id =>
+      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live)
+      .filter(f => store(table).fileMtime(table, f) > 0L)
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     val orphans = (listDataFiles(table).toSet -- live -- dead)
       .count(f => store(table).fileMtime(table, f) < cutoff)
@@ -5219,9 +5536,14 @@ object TableCommit {
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     // dead files of dropped snapshots whose chains still exist; chains
     // already broken were processed by an earlier vacuum (their
-    // leftovers, if any, age into the orphan sweep)
-    val dead = dropIds.flatMap(id =>
-      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live
+    // leftovers, if any, age into the orphan sweep). Only files still
+    // PRESENT count (and are deleted): a chain-link manifest below the
+    // window can outlive its exclusive data files across many vacuums
+    // (delta chains keep their checkpoint base), and re-reporting the
+    // long-gone files as swept every run would make the audit lie
+    val dead = (dropIds.flatMap(id =>
+      stateOf(table, id).map(_.files).getOrElse(Seq.empty)).toSet -- live)
+      .filter(f => st.fileMtime(table, f) > 0L)
     dead.foreach(f => st.deleteFile(table, f))
     // orphans: data files no kept manifest references — an aborted
     // append's leftovers — swept once stale. The required tree walk is

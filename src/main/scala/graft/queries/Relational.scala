@@ -246,8 +246,7 @@ object Relational {
             Tables.orders(s, d).select(col("o_orderkey"),
               col("o_orderpriority")))
         }
-        Await.result(fLi, Duration.Inf)
-        Await.result(fOrd, Duration.Inf)
+        awaitBoth(fLi, fOrd)
       }
       TableCommit.registerBucketedView(s, liT, liV, "l_orderkey", 8,
         new java.io.File(base, "li_serve").getAbsolutePath)
@@ -335,8 +334,7 @@ object Relational {
         TableCommit.evolvePartitioningBy(s, ordT,
           Seq("bucket(8,o_orderkey)"))
       }
-      Await.result(fLi, Duration.Inf)
-      Await.result(fOrd, Duration.Inf)
+      awaitBoth(fLi, fOrd)
       // the composition the view trick refuses: vector some lineitem
       // rows dead, then join THROUGH the vectors
       TableCommit.deleteWhereMorBy(s, liT, Seq("bucket(8,l_orderkey)"),
@@ -433,8 +431,7 @@ object Relational {
             .agg(count(lit(1)).as("n_ev")))
         TableCommit.evolvePartitioningBy(s, sessT, spec)
       }
-      Await.result(fEv, Duration.Inf)
-      Await.result(fSess, Duration.Inf)
+      awaitBoth(fEv, fSess)
       conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
@@ -461,6 +458,22 @@ object Relational {
       }
       graft.operators.Sinks.deleteRecursively(base)
     }
+  }
+
+  /** Await BOTH concurrent build futures regardless of the first's
+    * outcome (ADVICE r15): result-awaiting only the first left a
+    * failed first build returning while the second kept writing
+    * detached through the finally-block cleanup, its own failure
+    * silently dropped on the global ExecutionContext. Both settle
+    * first; then the first failure (if any) surfaces. */
+  private def awaitBoth(a: scala.concurrent.Future[_],
+      b: scala.concurrent.Future[_]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    Await.ready(a, Duration.Inf)
+    Await.ready(b, Duration.Inf)
+    a.value.get.get
+    b.value.get.get
   }
 
   private val joinSpjDaysSql =
@@ -521,8 +534,7 @@ object Relational {
         TableCommit.evolvePartitioningBy(s, ordT,
           Seq("truncate(1000,o_custkey)"))
       }
-      Await.result(fCust, Duration.Inf)
-      Await.result(fOrd, Duration.Inf)
+      awaitBoth(fCust, fOrd)
       conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")

@@ -303,8 +303,37 @@ object Similarity {
     * multi-kilobyte aggregate — several seconds of one-off codegen).
     * Only K×Dim centroid values ever reach the driver; the sample is
     * row-capped by [[sampleFraction]]. */
+  /** Sum of parquet footer record counts under `dir` — the corpus row
+    * count with ZERO Spark jobs (optimization r16, guide §1.2: the
+    * training-sample fraction needs only n, and a full scan job to
+    * count immutable parquet inputs re-derives footer metadata).
+    * None when anything under the dir is unreadable as parquet —
+    * the caller falls back to counting. */
+  private def parquetRowCount(dir: String): Option[Long] =
+    scala.util.Try {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      val parts = walk(new java.io.File(dir))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      parts.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toURI),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.toOption
+
+  /** `knownCount` skips the sample-fraction count job when the caller
+    * already holds |e| (a prior count of the same frame, or footer
+    * metadata of the immutable input) — the FRACTION is a pure
+    * function of n, so the sample (and the model) is byte-identical
+    * to the counted path. */
   private def trainCentroids(s: SparkSession, e: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, knownCount: Option[Long] = None): Array[Array[Double]] = {
     import s.implicits._
     // the training sample is tiny by construction — pack it into a few
     // partitions so each Lloyd job schedules a handful of tasks, not a
@@ -318,7 +347,7 @@ object Similarity {
     // order independent of the upstream layout, so retrains converge
     // bit-identically regardless of which pipeline fed the sample.
     val train = e.sample(withReplacement = false,
-        fraction = sampleFraction(e.count()), seed = 7)
+        fraction = sampleFraction(knownCount.getOrElse(e.count())), seed = 7)
       .select(col("vec_id"), col("v")).repartition(4, col("vec_id")).cache()
     // deterministic data-driven init: the K sample vectors with the
     // smallest portable hash of their id (a seeded shuffle, engine-free)
@@ -1005,8 +1034,14 @@ object Similarity {
     // leak count stays exact.
     val nv = normVecs(e).persist()
     try {
-      // materialize the cache ONCE before concurrent consumers attach
-      nv.count()
+      // materialize the cache ONCE before concurrent consumers attach;
+      // the count doubles as ivfn's known sample-fraction input
+      val nvCount = nv.count()
+      // the raw-corpus count for ivf's sample fraction comes from the
+      // immutable input's parquet footers (zero jobs) — vecs() is
+      // row-preserving over embeddings, so the value equals e.count()
+      // and the sampled rows (hence the model) are byte-identical
+      val eCount = parquetRowCount(s"$d/embeddings.parquet")
       // The build's wall-clock is ~20 driver-synchronized TINY jobs
       // (per-iteration Lloyd collects), not data volume — the driver
       // round-trip gaps dominate. The three trainings with no mutual
@@ -1020,7 +1055,7 @@ object Similarity {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val fIvf = Future {
-        val m = Array(trainCentroids(s, e, 16, 3))
+        val m = Array(trainCentroids(s, e, 16, 3, knownCount = eCount))
         ModelStore.save(s, ModelStore.dir(d, "ivf_k16"), m); m
       }
       val fPq = Future {
@@ -1029,7 +1064,8 @@ object Similarity {
       }
       val fIvfn = Future {
         val m = Array(trainCentroids(s,
-          nv.select(col("vec_id"), col("nv").as("v")), 16, 3))
+          nv.select(col("vec_id"), col("nv").as("v")), 16, 3,
+          knownCount = Some(nvCount)))
         ModelStore.save(s, ModelStore.dir(d, "ivfn_k16"), m); m
       }
       // the residual-composition pair: unit-space routing centroids, then

@@ -25,13 +25,30 @@ object Tables {
     * metadata overhead re-deriving an identical immutable relation.
     * The memo returns the SAME analyzed frame per (session, dir, name);
     * queries compose new operators on top, so plans are unchanged —
-    * this caches relation METADATA, never data or results. */
-  private val frameCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    * this caches relation METADATA, never data or results.
+    *
+    * Keyed by the SESSION OBJECT in a WeakHashMap (ADVICE r15): an
+    * identity-hash key could alias a new session onto a stopped one's
+    * frames after GC, and entries were never evicted — weak keys make
+    * dead-session entries uncollectable to alias and collectable by
+    * GC. SparkSession does not override equals, so WeakHashMap lookup
+    * is reference identity. */
+  private val frameCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def cacheFor(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[(String, String), DataFrame] =
+    frameCache.synchronized {
+      var m = frameCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        frameCache.put(spark, m)
+      }
+      m
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    frameCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name),
+    cacheFor(spark).getOrElseUpdate((sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Normalize `events.ts` to session-TZ `TIMESTAMP` across the schemas the
@@ -51,14 +68,21 @@ object Tables {
     * restore of a shared session conf interleave — the bench's
     * concurrent pre-build chains all touch events), so the load runs
     * once under a lock and every caller shares the resulting frame. */
-  private val eventsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val eventsCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private val eventsLock = new Object
 
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
     eventsLock.synchronized {
-      eventsCache.getOrElseUpdate(
-        (System.identityHashCode(spark), sfDir), {
+      val perSession = {
+        var m = eventsCache.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty
+          eventsCache.put(spark, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate(sfDir, {
           import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
           import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
           // nanosAsLong is scoped to THIS load, then restored: leaving

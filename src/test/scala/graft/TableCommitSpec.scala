@@ -1236,10 +1236,11 @@ class TableCommitSpec extends GraftSpec {
     assert(TableCommit.vacuumRun(t) == ((0, 0)))
   }
 
-  test("DV read-path plan pins: a stats-pruned read scans ONLY the kept " +
+  test("DV read-path plan pins: a stats-pruned read reads ONLY the kept " +
       "files' deletion-vector sidecars (a pruned file's _dv tree is " +
-      "never opened), and the caller's band filter pushes into the " +
-      "parquet scan BELOW the anti-join") {
+      "never opened), the plan carries NO join arm for DVs (broadcast " +
+      "bitmap filter), and the caller's band filter pushes into the " +
+      "parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dvplan").toFile
     val t = new java.io.File(dir, "table").getAbsolutePath
     Seq((0L, "seed", 0)).toDF("id", "v", "pt")
@@ -1260,31 +1261,69 @@ class TableCommitSpec extends GraftSpec {
     TableCommit.deleteWhereMor(spark, t, "pt", "id",
       BigDecimal(180), BigDecimal(189))
     val dvHigh = (dvDirs() -- before - dvLow).head
-    // a low-band pruned read: correct rows, and its scans open the low
-    // vector but NEVER the high files' vector
+    // a low-band pruned read: correct rows, and its blob collection
+    // opens the low vector but NEVER the high files' vector
+    TableCommit.lastDvDirsRead.set(Nil)
     val df = TableCommit.readWhere(spark, t, "id",
       BigDecimal(0), BigDecimal(49))
     assert(df.count() == 40L) // 50 in band minus the 10 vectored dead
-    val scannedDv = df.inputFiles.filter(_.contains("/_dv/"))
-      .map(p => p.split("/_dv/")(1).split("/")(0)).toSet
+    val scannedDv = TableCommit.lastDvDirsRead.get()
+      .map(_.stripPrefix("_dv/")).toSet
     assert(scannedDv == Set(dvLow),
       s"pruned read opened vector tree(s) $scannedDv (low=$dvLow, " +
         s"high=$dvHigh) — a pruned file's sidecar must not be scanned")
+    // the vectors apply as a broadcast bitmap FILTER, not a join arm:
+    // no join operator and no _dv scan in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti") && !plan.contains("Join"),
+      s"expected no DV join arm in the plan:\n${plan.take(2000)}")
+    assert(df.inputFiles.forall(!_.contains("/_dv/")),
+      "DV sidecars must not appear as scan inputs (blobs are " +
+        "collected driver-side and broadcast)")
     // data-file pruning held too (10 files total, band covers ~3)
     val dataScanned = df.inputFiles.count(f => !f.contains("/_dv/"))
     assert(dataScanned < 10,
-      s"stats pruning lost under the DV join: $dataScanned files")
-    // the band filter reaches the parquet scan below the left-anti join:
+      s"stats pruning lost under the DV filter: $dataScanned files")
+    // the band filter still reaches the parquet scan:
     // PushedFilters on the data relation carries the id bounds
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"),
-      s"expected the DV anti-join in the plan:\n${plan.take(2000)}")
     val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(pushed.exists(p => p.contains("GreaterThanOrEqual(id") ||
         p.contains("ThanOrEqual(id")),
-      s"band filter not pushed into the scan below the anti-join; " +
+      s"band filter not pushed into the scan under the DV filter; " +
         s"pushed=$pushed\n${plan.take(3000)}")
+  }
+
+  test("dense-kill MoR read: a vector marking ~1M dead rows of one file " +
+      "applies as a bitmap filter — correct live set, no join arm, " +
+      "and the sidecar stays compressed (bitmap containers, not a row " +
+      "per position)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvdense").toFile
+    val t = new java.io.File(dir, "table").getAbsolutePath
+    val n = 1200000L
+    TableCommit.replacePartitions(spark, t, "pt", Seq("pt=0"),
+      spark.range(n).select(col("id"), lit("x").as("v"),
+        lit(0).cast("int").as("pt")),
+      clusterBy = Seq("id"), filesPerPartition = 1)
+    // kill the first million rows in one MoR commit
+    val audit = TableCommit.deleteWhereMor(spark, t, "pt", "id",
+      BigDecimal(0), BigDecimal(999999))
+    assert(audit.rowsDeleted == 1000000L, audit.toString)
+    // the sidecar is compressed-bitmap-sized: ~8 KiB per 64Ki chunk for
+    // a dense kill (~16 chunks => well under 1 MB), never 1M rows
+    val dvBytes = Option(new java.io.File(t, "_dv").listFiles())
+      .getOrElse(Array.empty).flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)).map(_.length()).sum
+    assert(dvBytes > 0 && dvBytes < (1L << 20),
+      s"dense-kill sidecar is $dvBytes bytes — expected compressed bitmaps")
+    val df = TableCommit.read(spark, t)
+    assert(df.count() === n - 1000000L)
+    assert(df.agg(org.apache.spark.sql.functions.min(col("id")))
+      .collect()(0).getLong(0) == 1000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"dense-kill read must not plan a join arm:\n${plan.take(2000)}")
+    graft.operators.Sinks.deleteRecursively(dir)
   }
 
   test("explicit vacuum sweeps stale never-referenced orphans but spares " +
